@@ -1,0 +1,137 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Equi-join / aggregate surface over the TPC-H-ish star schema.
+  * SURVEY §2.3 notes the reference's only join is the theta range self-join;
+  * the engine still exposes the full join surface (inner/left/semi/anti,
+  * broadcast hints) since any user of a query engine needs them.
+  *
+  * Scale notes: dimension tables (region/nation/supplier/part/customer) are
+  * orders of magnitude smaller than the fact tables — every dim join below
+  * carries an explicit broadcast() hint so the plan is a BroadcastHashJoin
+  * chain with zero fact-side shuffle. Money sums go through DECIMAL(18,2) so
+  * results are partition-order independent (bit-identical across runs and
+  * engines).
+  */
+object StarQueries {
+
+  /** Sum of doubles that must be reproducible: accumulate in decimal, emit
+    * double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** TPC-H Q1-style pricing summary over lineitem: grouped multi-aggregate,
+    * all map-side combinable; the canonical 100 TB scan+partial-agg shape. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
+
+  /** Revenue by region: fact ⋈ broadcast(dim) chain.
+    * orders → customer → nation → region, all dims broadcast. */
+  def revenueByRegion(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("order_count"))
+      .orderBy(col("r_name").asc)
+  }
+
+  /** Top-n parts by discounted lineitem revenue: fact ⋈ broadcast(part). */
+  def topPartsByRevenue(spark: SparkSession, dir: String, n: Int = 10): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("p_partkey").asc)
+      .limit(n)
+  }
+
+  /** Left join keeping customers without orders (null-extended). */
+  def customerOrderCounts(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("order_count"))
+      .orderBy(col("c_custkey").asc)
+  }
+
+  /** Left-semi: customers with ≥1 order, counted per market segment. */
+  def segmentsWithOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("customers_with_orders"))
+      .orderBy(col("c_mktsegment").asc)
+  }
+
+  /** Left-anti: customers with no orders. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey").asc)
+  }
+
+  /** ROLLUP over (order year, priority) — grouping-sets surface
+    * (SURVEY §2.4 note: reference lacks it, Spark/DuckDB both have it). */
+  def ordersRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
+      .rollup(col("o_year"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_year").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** A11: scalar-subquery-style grand total — share of customers per nation.
+    * DataFrame form: window over empty partition (single exchange, no
+    * crossJoin). */
+  def customerShareByNation(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("customers"))
+      .withColumn("total", sum(col("customers")).over(Window.partitionBy()))
+      .select(col("n_name"), col("customers"),
+        ((col("customers") * lit(100.0)) / col("total")).as("pct"))
+      .orderBy(col("n_name").asc)
+  }
+
+  /** U1/U2: schema-evolution-tolerant union — the reference's
+    * `union_by_name + COALESCE(listen_count, count)` read
+    * (analysis-minio.ipynb cell 2). We simulate the renamed-column epoch
+    * split by order year and reconcile via unionByName(allowMissing) +
+    * coalesce. */
+  def schemaEvolvedDailyCounts(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
+    val oldEpoch = o.filter(col("o_year") % 2 === 0)
+      .groupBy(col("o_year"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("count")) // legacy name
+    val newEpoch = o.filter(col("o_year") % 2 =!= 0)
+      .groupBy(col("o_year"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("listen_count")) // canonical name
+    oldEpoch.unionByName(newEpoch, allowMissingColumns = true)
+      .select(col("o_year"), col("o_orderpriority"),
+        coalesce(col("listen_count"), col("count")).as("n"))
+      .orderBy(col("o_year").asc, col("o_orderpriority").asc)
+  }
+}
