@@ -10,6 +10,13 @@ import graft.pipeline.EventsPipeline
   * per query, over the events medallion. Reference sources: the two *_glue.py
   * report jobs + notebooks/analysis*.ipynb.
   *
+  * Every report takes the **materialized silver frame** (mirroring the
+  * reference, where reports read the silver Iceberg table,
+  * transform_job.py:93-95) — callers get it once from
+  * [[EventsPipeline.silver]], which persists it, so no report recomputes the
+  * dedup shuffle. The (spark, dir) overloads exist for the driver's
+  * per-query entry points and resolve to the same cached frame.
+  *
   * Determinism contract (for the DuckDB oracle): every result is fully
   * ordered by its output columns, timestamps are emitted as second-precision
   * strings, and ratios are computed with a fixed operand order so the same
@@ -23,18 +30,21 @@ object Reports {
   /** A3/gold_top_10: top-10 users by listen count.
     * Reference: ingest_job_glue.py:23-27. TakeOrderedAndProject top-k —
     * no global sort at scale. */
-  def topUsers(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
-    EventsPipeline.silver(spark, dir)
+  def topUsers(silver: DataFrame, n: Int = 10): DataFrame =
+    silver
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("listen_count"))
       .orderBy(col("listen_count").desc, col("user_id").asc)
       .limit(n)
 
+  def topUsers(spark: SparkSession, dir: String): DataFrame =
+    topUsers(EventsPipeline.silver(spark, dir))
+
   /** A13: first event per user (min_by semantics via window).
     * Reference: analysis.ipynb block A3. */
-  def firstEventPerUser(spark: SparkSession, dir: String): DataFrame = {
+  def firstEventPerUser(silver: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-    EventsPipeline.silver(spark, dir)
+    silver
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(
@@ -44,19 +54,28 @@ object Reports {
       .orderBy(col("user_id").asc)
   }
 
+  def firstEventPerUser(spark: SparkSession, dir: String): DataFrame =
+    firstEventPerUser(EventsPipeline.silver(spark, dir))
+
   /** P7: users active on a given date. Partition-prunable at scale when the
     * table is date-partitioned. Reference: analysis.ipynb block A2. */
-  def usersOnDate(spark: SparkSession, dir: String, date: String): DataFrame =
-    EventsPipeline.silver(spark, dir)
+  def usersOnDate(silver: DataFrame, date: String): DataFrame =
+    silver
       .filter(col("event_date") === lit(date).cast("date"))
       .select(col("user_id")).distinct()
       .orderBy(col("user_id").asc)
 
+  def usersOnDate(spark: SparkSession, dir: String, date: String): DataFrame =
+    usersOnDate(EventsPipeline.silver(spark, dir), date)
+
   /** P8: distinct active dates. Reference: notebook `all_d` CTE. */
-  def distinctDates(spark: SparkSession, dir: String): DataFrame =
-    EventsPipeline.silver(spark, dir)
+  def distinctDates(silver: DataFrame): DataFrame =
+    silver
       .select(col("event_date")).distinct()
       .orderBy(col("event_date").asc)
+
+  def distinctDates(spark: SparkSession, dir: String): DataFrame =
+    distinctDates(EventsPipeline.silver(spark, dir))
 
   /** J1/W4: 7-day rolling distinct active users.
     * Reference: ingest_job_glue.py:30-41 writes this as a theta self-join
@@ -64,9 +83,11 @@ object Reports {
     * quadratic in distinct dates. Scale-safe reformulation: each distinct
     * (user, day) pair contributes to windows d..d+6, so explode 7 offsets
     * and equi-group — a pure hash shuffle, no NLJ, works at any date range.
+    * (The reference's literal SQL formulation is kept alongside in
+    * [[graft.sql.SqlQueries]] for surface parity.)
     */
-  def activeUsers7Day(spark: SparkSession, dir: String): DataFrame = {
-    val daily = EventsPipeline.silver(spark, dir)
+  def activeUsers7Day(silver: DataFrame): DataFrame = {
+    val daily = silver
       .select(col("event_date").as("d"), col("user_id")).distinct()
     val observed = daily.select(col("d")).distinct()
     val contrib = daily
@@ -79,11 +100,14 @@ object Reports {
       .orderBy(col("d").asc)
   }
 
+  def activeUsers7Day(spark: SparkSession, dir: String): DataFrame =
+    activeUsers7Day(EventsPipeline.silver(spark, dir))
+
   /** A7/W3: hourly histogram with grand-total percentage.
     * Reference: analysis-minio.ipynb cell 4. pct left unrounded: identical
     * integer operands + fixed op order ⇒ bit-identical double in any engine. */
-  def hourlyActivity(spark: SparkSession, dir: String): DataFrame = {
-    val byHour = EventsPipeline.silver(spark, dir)
+  def hourlyActivity(silver: DataFrame): DataFrame = {
+    val byHour = silver
       .groupBy(col("hour")).agg(count(lit(1)).as("cnt"))
     byHour
       .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
@@ -93,9 +117,12 @@ object Reports {
       .orderBy(col("hour").asc)
   }
 
+  def hourlyActivity(spark: SparkSession, dir: String): DataFrame =
+    hourlyActivity(EventsPipeline.silver(spark, dir))
+
   /** A8: monthly trends. Reference: analysis-minio.ipynb cell 4. */
-  def monthlyTrends(spark: SparkSession, dir: String): DataFrame =
-    EventsPipeline.silver(spark, dir)
+  def monthlyTrends(silver: DataFrame): DataFrame =
+    silver
       .groupBy(col("year"), col("month"))
       .agg(
         count(lit(1)).as("cnt"),
@@ -103,10 +130,13 @@ object Reports {
         countDistinct(col("event_type")).as("unique_types"))
       .orderBy(col("year").asc, col("month").asc)
 
+  def monthlyTrends(spark: SparkSession, dir: String): DataFrame =
+    monthlyTrends(EventsPipeline.silver(spark, dir))
+
   /** A9/P6: listening-diversity ratio with HAVING.
     * Reference: analysis-minio.ipynb cell 4. */
-  def diversityRatio(spark: SparkSession, dir: String, minListens: Long = 10): DataFrame =
-    EventsPipeline.silver(spark, dir)
+  def diversityRatio(silver: DataFrame, minListens: Long = 10): DataFrame =
+    silver
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("total_listens"),
@@ -117,10 +147,13 @@ object Reports {
         ((col("unique_types") * lit(100.0)) / col("total_listens")).as("diversity_pct"))
       .orderBy(col("user_id").asc)
 
+  def diversityRatio(spark: SparkSession, dir: String): DataFrame =
+    diversityRatio(EventsPipeline.silver(spark, dir))
+
   /** A4: per-user profile — multi-distinct + min/max timestamps.
     * Reference: analysis-minio.ipynb cells 2-4 ("Top 10 Users"). */
-  def userProfile(spark: SparkSession, dir: String): DataFrame =
-    EventsPipeline.silver(spark, dir)
+  def userProfile(silver: DataFrame): DataFrame =
+    silver
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("listen_count"),
@@ -130,9 +163,30 @@ object Reports {
         max(ts2str(col("ts"))).as("last_seen"))
       .orderBy(col("user_id").asc)
 
+  def userProfile(spark: SparkSession, dir: String): DataFrame =
+    userProfile(EventsPipeline.silver(spark, dir))
+
+  /** A4 at 100 TB: the exact multi-countDistinct above plans via Expand
+    * (3× row multiplication before the shuffle). This variant swaps the
+    * distincts for HyperLogLog++ sketches (`approx_count_distinct`,
+    * rsd 1%) — single-pass, mergeable partial aggregates, no Expand.
+    * Not oracle-hash-checkable (DuckDB's HLL differs); the driver records a
+    * rows-only check and ReportsSpec asserts tolerance vs the exact result. */
+  def userProfileApprox(silver: DataFrame, rsd: Double = 0.01): DataFrame =
+    silver
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("listen_count"),
+        approx_count_distinct(col("event_date"), rsd).as("active_days"),
+        approx_count_distinct(col("event_type"), rsd).as("unique_types"))
+      .orderBy(col("user_id").asc)
+
+  def userProfileApprox(spark: SparkSession, dir: String): DataFrame =
+    userProfileApprox(EventsPipeline.silver(spark, dir))
+
   /** A5: daily activity profile. Reference: analysis-minio.ipynb cell 3. */
-  def dailyProfile(spark: SparkSession, dir: String): DataFrame =
-    EventsPipeline.silver(spark, dir)
+  def dailyProfile(silver: DataFrame): DataFrame =
+    silver
       .groupBy(col("event_date"))
       .agg(
         count(lit(1)).as("cnt"),
@@ -140,21 +194,27 @@ object Reports {
         countDistinct(col("event_type")).as("unique_types"))
       .orderBy(col("event_date").asc)
 
+  def dailyProfile(spark: SparkSession, dir: String): DataFrame =
+    dailyProfile(EventsPipeline.silver(spark, dir))
+
   /** A6: top event types (≈ top tracks/artists).
     * Reference: analysis-minio.ipynb cell 4. */
-  def topTypes(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
-    EventsPipeline.silver(spark, dir)
+  def topTypes(silver: DataFrame, n: Int = 10): DataFrame =
+    silver
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("cnt"), countDistinct(col("user_id")).as("unique_users"))
       .orderBy(col("cnt").desc, col("event_type").asc)
       .limit(n)
 
+  def topTypes(spark: SparkSession, dir: String): DataFrame =
+    topTypes(EventsPipeline.silver(spark, dir))
+
   /** W1-adjacent window-frame surface: running totals + lag/lead per user.
     * The reference only uses row_number; we expose the full frame machinery
     * (rowsBetween running sum through DECIMAL for order-independence,
     * lag/lead with deterministic ordering). */
-  def runningTotals(spark: SparkSession, dir: String): DataFrame = {
-    EventsPipeline.silver(spark, dir)
+  def runningTotals(silver: DataFrame): DataFrame = {
+    silver
       .select(
         col("user_id"), col("event_id"),
         col("value").cast("decimal(18,2)").as("v"))
@@ -170,4 +230,7 @@ object Reports {
         col("running_value"), col("prev_event_id"))
       .orderBy(col("user_id").asc, col("event_id").asc)
   }
+
+  def runningTotals(spark: SparkSession, dir: String): DataFrame =
+    runningTotals(EventsPipeline.silver(spark, dir))
 }

@@ -20,8 +20,24 @@ import graft.core.Tables
 object StarQueries {
 
   /** Sum of doubles that must be reproducible: accumulate in decimal, emit
-    * double. */
+    * double. Safe ONLY for columns whose doubles are exact 2-decimal values
+    * (the generator rounds money columns to cents, so the shortest decimal
+    * repr — what Spark's double→decimal cast reads — equals the binary
+    * value and both engines agree). */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Discounted price with engine-independent rounding. Never cast a
+    * *computed* double to decimal per-row: Spark rounds the shortest decimal
+    * repr HALF_UP while DuckDB rounds the binary value, and products land on
+    * .xx5 midpoints where the two diverge (round-1 q01/q03 hash failures).
+    * Casting the operands first makes the multiply exact decimal arithmetic
+    * — decimal(18,2) × decimal(10,4) = decimal(29,6), no rounding anywhere —
+    * so the sum is bit-identical in any engine. */
+  private def discPrice: Column =
+    col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(9,4)") - col("l_discount").cast("decimal(9,4)"))
+
+  private def dsumExact(c: Column): Column = sum(c).cast("double")
 
   /** TPC-H Q1-style pricing summary over lineitem: grouped multi-aggregate,
     * all map-side combinable; the canonical 100 TB scan+partial-agg shape. */
@@ -31,7 +47,7 @@ object StarQueries {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsumExact(discPrice).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
 
@@ -56,7 +72,7 @@ object StarQueries {
     val p = Tables.part(spark, dir)
     li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_partkey"), col("p_name"))
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .agg(dsumExact(discPrice).as("revenue"))
       .orderBy(col("revenue").desc, col("p_partkey").asc)
       .limit(n)
   }

@@ -1,0 +1,54 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session bootstrap: the handful of confs the engine's correctness contract
+  * depends on, applied exactly once per session (the driver may hand us a
+  * session it built itself, so the library cannot assume harness confs).
+  *
+  *  - `spark.sql.session.timeZone=UTC`: epoch→date/hour derivations and
+  *    timestamp formatting must match the naive-timestamp DuckDB oracle
+  *    regardless of host JVM zone.
+  *  - `spark.sql.legacy.parquet.nanosAsLong=true`: the `events` table is
+  *    parquet TIMESTAMP(NANOS), which Spark's vectorized reader otherwise
+  *    rejects ([PARQUET_TYPE_ILLEGAL]); we read nanos as long and rebuild a
+  *    microsecond timestamp in [[Tables.events]].
+  *
+  * Both confs are set once (guarded per-session), not per table load —
+  * repeated mutation of session state from inside loaders was flagged in
+  * round 1 review.
+  */
+object Sessions {
+  private val bootstrapped =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  def ensure(spark: SparkSession): SparkSession = {
+    if (bootstrapped.add(spark)) {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
+    spark
+  }
+
+  /** Local session for the harness mains and tests. `cpus` drives both the
+    * master thread count and shuffle partitions: on a single node there is
+    * no win in more reducers than cores, and the driver contract asks for
+    * 32, not the 200 default sized for real clusters. */
+  def local(cpus: Int, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ensure(spark)
+  }
+
+  def defaultCpus: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(math.min(32, Runtime.getRuntime.availableProcessors()))
+}

@@ -23,11 +23,12 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
     * ([PARQUET_TYPE_ILLEGAL]); DuckDB reads it natively. Read nanos as long
-    * (legacy conf) and rebuild a microsecond TimestampType with integer
-    * division — `ts div 1000` stays in long arithmetic (a double round-trip
-    * would lose precision above 2^53 ns ≈ 104 days). */
+    * (nanosAsLong conf, set once by [[Sessions.ensure]]) and rebuild a
+    * microsecond TimestampType with integer division — `ts div 1000` stays
+    * in long arithmetic (a double round-trip would lose precision above
+    * 2^53 ns ≈ 104 days). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Sessions.ensure(s)
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }

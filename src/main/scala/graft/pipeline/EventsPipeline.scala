@@ -1,9 +1,12 @@
 package graft.pipeline
 
+import java.util.concurrent.ConcurrentHashMap
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 import graft.core.Tables
 
@@ -16,8 +19,13 @@ import graft.core.Tables
   * user_id ≈ user_name, ts ≈ listened_at, event_type ≈ track_name.
   *
   * Scale notes (100 TB):
-  *  - bronze/silver stay partitionable by user_id; every window below keys
-  *    on user_id so state is per-user and shuffles hash-partition evenly.
+  *  - Silver is hash-partitioned on `user_id` before the dedup window and
+  *    then PERSISTED per (session, dir): one shuffle feeds every downstream
+  *    report, because HashPartitioning(user_id) satisfies the clustered
+  *    distribution required by every per-user window/groupBy that follows.
+  *    The reference materializes silver for the same reason
+  *    (transform_job.py:93-95); on a cluster this persist becomes a
+  *    partitioned/bucketed table write (see graft.ingest.Medallion).
   *  - JSON flattening is `from_json` with an explicit schema (codegen'd,
   *    no UDF), so it runs inside WholeStageCodegen on the scan projection.
   *  - dedup + top-k are window row_number with a deterministic tiebreak
@@ -44,49 +52,75 @@ object EventsPipeline {
         col("ts"),
         to_date(col("ts")).as("event_date"))
 
-  /** Silver: time enrichment + dedup.
-    * Reference: transform_job.py:75-88 — withColumn year/month/day/hour then
-    * row_number over (user, listened_at). The reference orders by the
-    * partition key itself (nondeterministic survivor); we order by event_id
-    * asc so the earliest-ingested row wins, deterministically (SURVEY §7.4.1).
-    * Dedup granularity is the timestamp truncated to seconds: the reference's
-    * listened_at is epoch *seconds*, so second-granularity is the faithful
-    * key. */
-  def silver(spark: SparkSession, dir: String): DataFrame = {
-    val enriched = bronze(spark, dir)
-      .withColumn("ts_second", date_trunc("second", col("ts")))
+  /** Silver transform over an arbitrary bronze frame: time enrichment +
+    * dedup. Reference: transform_job.py:75-88 — withColumn year/month/day/
+    * hour then row_number over (user, listened_at). The reference orders by
+    * the partition key itself (nondeterministic survivor); we order by
+    * event_id asc so the earliest-ingested row wins, deterministically
+    * (SURVEY §7.4.1). Dedup granularity is the timestamp truncated to
+    * seconds: the reference's listened_at is epoch *seconds*, so
+    * second-granularity is the faithful key.
+    *
+    * The single repartition on user_id is the only exchange in the whole
+    * silver+reports lineage: the dedup window needs rows clustered by
+    * (user_id, second), which hash(user_id) already guarantees. */
+  def silverOf(bronzeDf: DataFrame): DataFrame = {
+    val enriched = bronzeDf
+      .repartition(col("user_id"))
       .withColumn("year", year(col("ts")))
       .withColumn("month", month(col("ts")))
       .withColumn("day", dayofmonth(col("ts")))
       .withColumn("hour", hour(col("ts")))
-    val w = Window.partitionBy("user_id", "ts_second").orderBy(col("event_id").asc)
+    val w = Window
+      .partitionBy(col("user_id"), date_trunc("second", col("ts")))
+      .orderBy(col("event_id").asc)
     enriched
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
   }
 
+  /** Memoized, persisted silver per (session, dir). Round-1 review: 15 of
+    * 25 queries recomputed the full silver shuffle from scratch — at 100 TB
+    * that is 15 redundant full-table shuffles per report batch. Persisting
+    * the deduped frame (MEMORY_AND_DISK, spills instead of OOM) gives every
+    * report the materialized-table read the reference gets from Iceberg. */
+  private val silverCache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def silver(spark: SparkSession, dir: String): DataFrame =
+    silverCache.computeIfAbsent((spark, dir), { _ =>
+      silverOf(bronze(spark, dir)).persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Gold daily aggregate: per-user-per-day counts + distincts.
     * Reference: transform_job.py:106-111. Partial aggregation (map-side
-    * combine) happens automatically; at 100 TB the exact countDistinct
-    * plans via Expand — see Reports.userProfile for the approx_ variant. */
-  def goldDaily(spark: SparkSession, dir: String): DataFrame =
-    silver(spark, dir)
+    * combine) happens automatically; the grouping keys start with user_id so
+    * the persisted silver partitioning is reused — no exchange. Exact
+    * countDistinct plans via Expand; [[Reports.userProfileApprox]] is the
+    * 100 TB sketch variant. */
+  def goldDailyOf(silverDf: DataFrame): DataFrame =
+    silverDf
       .groupBy(col("user_id"), col("event_date"))
       .agg(
         count(lit(1)).as("listen_count"),
         countDistinct(col("event_type")).as("unique_types"))
 
+  def goldDaily(spark: SparkSession, dir: String): DataFrame =
+    goldDailyOf(silver(spark, dir))
+
   /** Gold user peaks: top-3 days per user by listen_count.
     * Reference: transform_job.py:114-120, daily_job.py:37-46.
     * row_number (not rank) ⇒ exactly ≤3 rows/user; tiebreak on event_date
     * asc is deterministic. */
-  def goldTop3Days(spark: SparkSession, dir: String): DataFrame = {
+  def goldTop3DaysOf(silverDf: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("listen_count").desc, col("event_date").asc)
-    goldDaily(spark, dir)
+    goldDailyOf(silverDf)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .drop("rnk")
   }
+
+  def goldTop3Days(spark: SparkSession, dir: String): DataFrame =
+    goldTop3DaysOf(silver(spark, dir))
 }
