@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.{Reports, StarQueries}
+import graft.llm.{Multimodal, Similarity, TextDedup, TextStats}
 import graft.pipeline.EventsPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -79,7 +80,164 @@ object SparkEntry {
     "q23_daily_profile"        -> ((s, d) => Reports.dailyProfile(s, d)),
     "q24_top_types"            -> ((s, d) => Reports.topTypes(s, d)),
     "q25_running_totals"       -> ((s, d) => Reports.runningTotals(s, d)),
+    // ---- LLM-data-pipeline: dedup (brief: dedup pillar) ----
+    "q26_exact_dedup"          -> ((s, d) => TextDedup.exactDedup(s, d)),
+    "q27_minhash_neardups"     -> ((s, d) => TextDedup.minhashNearDups(s, d)),
+    "q28_simhash_neardups"     -> ((s, d) => TextDedup.simhashNearDups(s, d)),
+    "q29_ngram_jaccard"        -> ((s, d) => TextDedup.ngramJaccardDups(s, d)),
+    // ---- LLM-data-pipeline: text analysis ----
+    "q30_doc_features"         -> ((s, d) => TextStats.docFeatures(s, d)),
+    "q31_corpus_stats"         -> ((s, d) => TextStats.corpusStats(s, d)),
+    "q32_quality_score"        -> ((s, d) => TextStats.qualityScore(s, d)),
+    "q33_lang_id"              -> ((s, d) => TextStats.langId(s, d)),
+    // ---- LLM-data-pipeline: similarity search ----
+    "q34_knn_exact"            -> ((s, d) => Similarity.knnExact(s, d)),
+    "q35_knn_lsh"              -> ((s, d) => Similarity.knnLsh(s, d)),
+    "q36_similar_pairs"        -> ((s, d) => Similarity.similarPairs(s, d)),
+    // ---- LLM-data-pipeline: multimodal plumbing (decode stubbed) ----
+    "q37_media_features"       -> ((s, d) => Multimodal.mediaFeatures(s, d)),
+    // ---- 100 TB sketch variant (rows-only check: HLL sketches differ
+    //      across engines by design) ----
+    "q38_user_profile_approx"  -> ((s, d) => Reports.userProfileApprox(s, d)),
   )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle fragments for the LLM-pipeline queries. Kept in
+  // lockstep with graft.llm.*: same normalization, same md5-derived
+  // hashes (Spark conv(substr(md5(x),1,n),16,10) ≡ DuckDB
+  // CAST('0x' || substr(md5(x),1,n) AS BIGINT)), same fixed-order
+  // double arithmetic. Note DuckDB regexp_replace needs the 'g' flag
+  // (first-match-only by default) to mirror Spark's replace-all.
+  // ------------------------------------------------------------------
+
+  private val duckNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  private def duckStops: String =
+    graft.llm.TextStats.Stopwords.map(s => s"'$s'").mkString(", ")
+
+  private def minhashOracle: String = {
+    import graft.llm.TextDedup.{NumHashes, NumBands, RowsPerBand}
+    val mins = (0 until NumHashes).map { s =>
+      s"MIN(CAST('0x' || substr(md5('$s|' || shingle), 1, 15) AS BIGINT)) AS h$s"
+    }.mkString(",\n    ")
+    val bands = (0 until NumBands).map { b =>
+      val slots = (0 until RowsPerBand)
+        .map(r => s"h${b * RowsPerBand + r}").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($slots) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH nd AS (
+       |  SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, len(w) - 1),
+       |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
+       |  FROM nd WHERE len(w) >= 3),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS icnt
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2)
+       |SELECT it.doc_a, it.doc_b,
+       |       CAST(it.icnt AS DOUBLE) / (sa.n + sb.n - it.icnt) AS jaccard
+       |FROM inter it
+       |JOIN sizes sa ON sa.doc_id = it.doc_a
+       |JOIN sizes sb ON sb.doc_id = it.doc_b
+       |WHERE CAST(it.icnt AS DOUBLE) / (sa.n + sb.n - it.icnt) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private def simhashOracle: String = {
+    import graft.llm.TextDedup.SimhashBits
+    val sums = (0 until SimhashBits)
+      .map(j => s"SUM((((h >> $j) & 1) * 2 - 1) * cnt) AS s$j").mkString(",\n    ")
+    val simExpr = (0 until SimhashBits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(str_split($duckNorm, ' ')) AS word FROM documents),
+       |wc AS (
+       |  SELECT doc_id, word, COUNT(*) AS cnt,
+       |         CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) AS h
+       |  FROM words GROUP BY doc_id, word),
+       |sums AS (SELECT doc_id,
+       |    $sums
+       |  FROM wc GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $simExpr AS simhash FROM sums),
+       |chunks AS (
+       |  SELECT doc_id, simhash, c.c AS chunk,
+       |         (simhash >> (c.c * 8)) & 255 AS cval
+       |  FROM sim, (VALUES (0), (1), (2), (3)) c(c)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |  FROM chunks a JOIN chunks b
+       |    ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private def langIdOracle: String = {
+    val markers = graft.llm.TextStats.LangMarkers
+    val scores = markers.map { case (l, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(w, x -> x IN ($inList))) AS INTEGER) AS score_$l"
+    }.mkString(",\n    ")
+    val langs = markers.map(_._1)
+    val allZero = langs.map(l => s"score_$l = 0").mkString(" AND ")
+    val cases = langs.map { l =>
+      val cond = langs.filterNot(_ == l)
+        .map(o => s"score_$l >= score_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString("\n    ")
+    val scoreCols = langs.map(l => s"score_$l").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, str_split($duckNorm, ' ') AS w FROM documents),
+       |s AS (
+       |  SELECT doc_id, lang,
+       |    $scores
+       |  FROM t),
+       |p AS (
+       |  SELECT *, CASE
+       |    WHEN $allZero THEN 'unknown'
+       |    $cases
+       |    ELSE 'unknown' END AS predicted_lang
+       |  FROM s)
+       |SELECT doc_id, lang, $scoreCols, predicted_lang,
+       |       predicted_lang = lang AS is_correct
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shared LSH CTE prefix (vectors → planes → sign bits → signatures →
+    * bands) for q35/q36, mirroring graft.llm.Similarity. */
+  private val lshCte: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |planes AS (SELECT vec_id AS plane_id, e AS pv FROM v WHERE vec_id < 16),
+      |bits AS (
+      |  SELECT v.vec_id,
+      |         CASE WHEN list_dot_product(e, pv) > 0
+      |              THEN (CAST(1 AS BIGINT) << CAST(plane_id AS INTEGER))
+      |              ELSE CAST(0 AS BIGINT) END AS bit
+      |  FROM v, planes),
+      |sigs AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS sig FROM bits GROUP BY 1),
+      |bands AS (
+      |  SELECT vec_id, c.c AS band, (sig >> (c.c * 4)) & 15 AS bval
+      |  FROM sigs, (VALUES (0), (1), (2), (3)) c(c))""".stripMargin
+
+  private val duckCos =
+    "list_dot_product(qv.e, nv.e) / (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(nv.e, nv.e)))"
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -266,5 +424,134 @@ object SparkEntry {
           |  lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id)
           |    AS prev_event_id
           |FROM silver ORDER BY user_id ASC, event_id ASC""".stripMargin),
+    "q26_exact_dedup" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, md5($duckNorm) AS fingerprint FROM documents)
+         |SELECT doc_id, fingerprint,
+         |       MIN(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+         |       doc_id <> MIN(doc_id) OVER (PARTITION BY fingerprint) AS is_duplicate
+         |FROM n ORDER BY doc_id""".stripMargin,
+    "q27_minhash_neardups" -> minhashOracle,
+    "q28_simhash_neardups" -> simhashOracle,
+    "q29_ngram_jaccard" ->
+      s"""WITH nd AS (
+         |  SELECT doc_id, lang, str_split($duckNorm, ' ') AS w FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, lang,
+         |         unnest(list_transform(range(1, len(w)),
+         |                i -> array_to_string(w[i:i+1], ' '))) AS shingle
+         |  FROM nd WHERE len(w) >= 2),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS icnt
+         |  FROM sh a JOIN sh b
+         |    ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3)
+         |SELECT it.lang, it.doc_a, it.doc_b,
+         |       CAST(it.icnt AS DOUBLE) / (sa.n + sb.n - it.icnt) AS jaccard
+         |FROM inter it
+         |JOIN sizes sa ON sa.doc_id = it.doc_a
+         |JOIN sizes sb ON sb.doc_id = it.doc_b
+         |WHERE CAST(it.icnt AS DOUBLE) / (sa.n + sb.n - it.icnt) >= 0.5
+         |ORDER BY lang, doc_a, doc_b""".stripMargin,
+    "q30_doc_features" ->
+      s"""WITH n AS (SELECT doc_id, $duckNorm AS norm FROM documents),
+         |t AS (SELECT doc_id, norm, str_split(norm, ' ') AS w FROM n)
+         |SELECT doc_id,
+         |  CAST(len(w) AS INTEGER) AS n_tokens,
+         |  CAST(length(norm) AS INTEGER) AS n_chars_norm,
+         |  CAST(len(list_filter(w, x -> x IN ($duckStops))) AS INTEGER) AS stop_cnt,
+         |  CAST(len(list_filter(w, x -> x IN ($duckStops))) AS DOUBLE) / len(w) AS stop_ratio,
+         |  CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(w) AS mean_token_len,
+         |  md5(norm) AS fingerprint,
+         |  CAST('0x' || substr(md5(norm), 1, 15) AS BIGINT) % 64 AS shard
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q31_corpus_stats" ->
+      s"""WITH t AS (
+         |  SELECT lang, source, n_chars,
+         |         len(str_split($duckNorm, ' ')) AS n_tokens
+         |  FROM documents)
+         |SELECT lang, source, COUNT(*) AS docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+         |  CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_tokens
+         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q32_quality_score" ->
+      s"""WITH n AS (SELECT doc_id, $duckNorm AS norm FROM documents),
+         |t AS (SELECT doc_id, norm, str_split(norm, ' ') AS w FROM n),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(len(w) AS INTEGER) AS n_tokens,
+         |    CAST(len(list_filter(w, x -> x IN ($duckStops))) AS INTEGER) AS stop_cnt,
+         |    CAST(len(list_filter(w, x -> x IN ($duckStops))) AS DOUBLE) / len(w) AS stop_ratio,
+         |    CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(w) AS mean_token_len
+         |  FROM t)
+         |SELECT doc_id, n_tokens, stop_ratio, mean_token_len,
+         |  CAST(n_tokens >= 20 AND n_tokens <= 1000 AS INTEGER) AS len_ok,
+         |  CAST(stop_cnt > 0 AS INTEGER) AS stop_ok,
+         |  CAST(mean_token_len >= 2.0 AND mean_token_len <= 12.0 AS INTEGER) AS wordlen_ok,
+         |  CAST(n_tokens >= 20 AND n_tokens <= 1000 AS INTEGER)
+         |    + CAST(stop_cnt > 0 AS INTEGER)
+         |    + CAST(mean_token_len >= 2.0 AND mean_token_len <= 12.0 AS INTEGER) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "q33_lang_id" -> langIdOracle,
+    "q34_knn_exact" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < 10),
+         |cos AS (
+         |  SELECT qv.query_id, nv.vec_id AS neighbor_id, $duckCos AS cos
+         |  FROM q qv, v nv WHERE nv.vec_id <> qv.query_id),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS "rank"
+         |  FROM cos)
+         |SELECT query_id, "rank", neighbor_id, cos FROM r
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    "q35_knn_lsh" ->
+      (lshCte +
+        s""",
+           |cand AS (
+           |  SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id
+           |  FROM bands q JOIN bands b ON q.band = b.band AND q.bval = b.bval
+           |  WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id),
+           |cos AS (
+           |  SELECT c.query_id, c.neighbor_id, $duckCos AS cos
+           |  FROM cand c
+           |  JOIN v qv ON qv.vec_id = c.query_id
+           |  JOIN v nv ON nv.vec_id = c.neighbor_id),
+           |r AS (
+           |  SELECT *, CAST(row_number() OVER (
+           |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS "rank"
+           |  FROM cos)
+           |SELECT query_id, "rank", neighbor_id, cos FROM r
+           |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin),
+    "q36_similar_pairs" ->
+      (lshCte +
+        s""",
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+           |  WHERE a.vec_id < b.vec_id),
+           |cos AS (
+           |  SELECT c.vec_a, c.vec_b, $duckCos AS cos
+           |  FROM cand c
+           |  JOIN v qv ON qv.vec_id = c.vec_a
+           |  JOIN v nv ON nv.vec_id = c.vec_b)
+           |SELECT vec_a, vec_b, cos FROM cos
+           |WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin),
+    "q37_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) / 255.0 AS f0,
+        |  CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) / 255.0 AS f1,
+        |  CAST('0x' || substr(md5(text), 5, 2) AS INTEGER) / 255.0 AS f2,
+        |  CAST('0x' || substr(md5(text), 7, 2) AS INTEGER) / 255.0 AS f3
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // q38_user_profile_approx: deliberately no oracle entry — HLL sketches
+    // are engine-specific; the driver records a rows-only check and
+    // ReportsSpec asserts tolerance vs the exact profile.
   )
 }

@@ -1,0 +1,96 @@
+package graft.llm
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Opaque media payload + typed metadata. */
+case class MediaRecord(media_id: Long, payload: Array[Byte], mime: String,
+                       source: String, n_bytes: Long)
+
+/** Output of the (stubbed) decode/feature-extract stage. */
+case class MediaFeatures(media_id: Long, n_bytes: Long, content_md5: String,
+                         feature: Array[Double])
+
+/** Multimodal-column plumbing for a training-data pipeline: media
+  * (image/audio/video) travels as an opaque `binary` column with typed
+  * metadata, and decode/feature-extraction runs as a batched per-partition
+  * stage (the Scala analogue of `mapInPandas`: an iterator-to-iterator
+  * transform that amortizes per-batch setup — model load, decoder init —
+  * across rows and never materializes a partition in memory).
+  *
+  * The DECODE STEP IS A STUB: this container has no image/audio codecs, so
+  * `decodeStub` derives a deterministic 4-dim pseudo-feature from the
+  * payload's md5. The Spark-side contract — schema, encoders, partitioning,
+  * batch shape, lazy iterator — is real and tested; swapping `decodeStub`
+  * for a JNI/ONNX call is a one-function change.
+  *
+  * Payloads here are built from `documents.text` bytes (the corpus ships no
+  * true binary column), which also makes the whole flow oracle-checkable:
+  * DuckDB reproduces octet_length + md5 + the md5-derived stub features.
+  */
+object Multimodal {
+
+  val BatchSize = 64
+
+  /** Documents as media records: UTF-8 payload bytes + typed metadata. */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("text/plain").as("mime"),
+      col("source"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+      .as[MediaRecord]
+  }
+
+  private def md5hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  /** STUB decoder — stands in for image decode / resample / embed. Derives
+    * 4 doubles from the content md5 so results are deterministic and
+    * engine-reproducible. Replace with the real codec at deployment. */
+  def decodeStub(payload: Array[Byte]): (String, Array[Double]) = {
+    val hex = md5hex(payload)
+    val feat = (0 until 4).map { j =>
+      Integer.parseInt(hex.substring(j * 2, j * 2 + 2), 16) / 255.0
+    }.toArray
+    (hex, feat)
+  }
+
+  /** Batched per-partition feature extraction. `grouped(BatchSize)` gives
+    * the mapInPandas batch shape: per-batch setup cost is paid once per
+    * [[BatchSize]] records, and the outer iterator stays lazy so Spark's
+    * memory manager sees one batch at a time. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      records.grouped(BatchSize).flatMap { batch =>
+        // per-batch decoder/model initialization would go here
+        batch.map { r =>
+          val (hex, feat) = decodeStub(r.payload)
+          MediaFeatures(r.media_id, r.n_bytes, hex, feat)
+        }
+      }
+    }
+  }
+
+  /** End-to-end: documents → media records → batched feature extraction.
+    * The feature vector is flattened to scalar columns in the final
+    * projection (array columns stay internal; the driver's hash compare
+    * wants scalars). */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    extractFeatures(mediaFromDocuments(spark, Tables.documents(spark, dir)))
+      .toDF()
+      .select(
+        col("media_id"), col("n_bytes"), col("content_md5"),
+        col("feature")(0).as("f0"), col("feature")(1).as("f1"),
+        col("feature")(2).as("f2"), col("feature")(3).as("f3"))
+      .orderBy(col("media_id").asc)
+  }
+}

@@ -1,0 +1,151 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Similarity search over the `embeddings` table
+  * (vec_id, embedding array<float>, label).
+  *
+  * Two paths, as a 100 TB ANN stack needs:
+  *  - [[knnExact]]: brute-force cosine top-k — the correctness baseline.
+  *    Queries are a small set broadcast against the corpus; cost is
+  *    O(|queries| × N), embarrassingly parallel, no shuffle on the corpus
+  *    side.
+  *  - [[knnLsh]]: random-hyperplane (sign) LSH. Hyperplanes are the first
+  *    [[NumPlanes]] corpus vectors (deterministic + available to any
+  *    engine, so the DuckDB oracle reproduces the exact same buckets). Each
+  *    vector gets a 16-bit sign signature; 4 bands × 4 bits generate
+  *    candidates via equi-join on (band, value) — the corpus is touched
+  *    once to sign it, then only candidates pay the full dot product. At
+  *    100 TB the signatures are a tiny bucketed table and each query probes
+  *    4 buckets instead of scanning N vectors.
+  *
+  * All arithmetic is double with a fixed operand order (sequential fold
+  * dot product) so both engines produce bit-identical cosines.
+  */
+object Similarity {
+
+  val NumPlanes = 16
+  val SigBands = 4
+  val BitsPerBand: Int = NumPlanes / SigBands
+
+  /** Corpus with the float vectors cast to double once — every downstream
+    * dot product is then pure double arithmetic (float intermediates would
+    * make cross-engine bit-parity impossible). */
+  def vecs(embeddings: DataFrame): DataFrame =
+    embeddings.select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+
+  /** Sequential-fold dot product: aggregate(zip_with(a,b,*), 0.0, +) —
+    * index order, same IEEE result as DuckDB's list_dot_product. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force cosine top-k for a query set (vec_id < numQueries).
+    * The query side is broadcast; ranking is a per-query window. */
+  def knnExact(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val corpus = vecs(embeddings)
+    val queries = corpus.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  def knnExact(spark: SparkSession, dir: String): DataFrame =
+    knnExact(Tables.embeddings(spark, dir))
+
+  /** 16-bit sign signature per vector: bit p set iff dot(v, plane_p) > 0,
+    * where plane_p is the corpus vector with vec_id = p. Computed as a
+    * broadcast join against the plane set + one groupBy — the corpus is
+    * scanned exactly once. */
+  def signatures(embeddings: DataFrame): DataFrame = {
+    val corpus = vecs(embeddings)
+    val planes = corpus.filter(col("vec_id") < NumPlanes)
+      .select(col("vec_id").as("plane_id"), col("v").as("pv"))
+    corpus.crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("plane_id"),
+        when(dot(col("v"), col("pv")) > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(plane_id AS INT))"))
+          .otherwise(lit(0L)).as("bit"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("bit")).as("sig"))
+  }
+
+  /** Shift a long right by a literal amount and mask to the band width. */
+  private def bandVal(sig: Column, band: Int): Column =
+    shiftright(sig, band * BitsPerBand).bitwiseAND(lit((1L << BitsPerBand) - 1))
+
+  private def bandRows(sigs: DataFrame): DataFrame =
+    sigs.select(col("vec_id"),
+      explode(array((0 until SigBands).map { b =>
+        struct(lit(b).as("band"), bandVal(col("sig"), b).as("bval"))
+      }: _*)).as("e"))
+      .select(col("vec_id"), col("e.band"), col("e.bval"))
+
+  /** LSH-bucketed approximate top-k: candidates share ≥1 signature band
+    * with the query, then exact cosine ranks only the candidates. */
+  def knnLsh(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val corpus = vecs(embeddings)
+    val sigs = signatures(embeddings)
+    val bands = bandRows(sigs)
+    val qBands = bands.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("band"), col("bval"))
+    val cand = qBands.join(bands, Seq("band", "bval"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id")).distinct()
+    val queries = corpus.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand
+      .join(broadcast(queries), Seq("query_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("v")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  def knnLsh(spark: SparkSession, dir: String): DataFrame =
+    knnLsh(Tables.embeddings(spark, dir))
+
+  /** Embedding-similarity pair join (the embedding-space near-dup
+    * operator): all corpus pairs above `minCosine`, generated through the
+    * LSH band join (never all-pairs), verified with exact cosine. */
+  def similarPairs(embeddings: DataFrame, minCosine: Double = 0.45): DataFrame = {
+    val corpus = vecs(embeddings)
+    val bands = bandRows(signatures(embeddings))
+    val a = bands.select(col("band"), col("bval"), col("vec_id").as("vec_a"))
+    val b = bands.select(col("band"), col("bval"), col("vec_id").as("vec_b"))
+    val cand = a.join(b, Seq("band", "bval"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    cand
+      .join(corpus.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(corpus.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= minCosine)
+      .orderBy(col("vec_a").asc, col("vec_b").asc)
+  }
+
+  def similarPairs(spark: SparkSession, dir: String): DataFrame =
+    similarPairs(Tables.embeddings(spark, dir))
+}

@@ -1,0 +1,228 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Deduplication operators for LLM training-data pipelines, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * All hashes are md5-derived so the DuckDB oracle can compute bit-identical
+  * values: Spark `conv(substring(md5(x),1,15),16,10)` ≡ DuckDB
+  * `CAST('0x' || substr(md5(x),1,15) AS BIGINT)` (60 bits, fits a signed
+  * long). md5 is a codegen'd built-in on both sides — no UDFs anywhere.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup is a hash-groupBy — one shuffle on the fingerprint.
+  *  - MinHash near-dup generates candidate pairs per LSH *band* (equi-join
+  *    on the band hash), never an all-pairs crossJoin: cost is linear in
+  *    docs + quadratic only within a band bucket, which banding keeps tiny.
+  *  - SimHash candidates come from the pigeonhole chunk-join (4 chunks of
+  *    8 bits: any pair within Hamming distance 3 shares ≥1 exact chunk).
+  *  - Verification (exact Jaccard / Hamming) runs only on candidates.
+  */
+object TextDedup {
+
+  /** Whitespace-collapse + lowercase normalization — the canonical form all
+    * dedup operators key on. */
+  def normalized(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+
+  /** Portable 60-bit hash of a string expression (optionally seeded). */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: fingerprint = md5(normalized text); canonical survivor is
+    * the min doc_id per fingerprint (deterministic — same tiebreak rule as
+    * the silver dedup window, SURVEY §7.4.1). Emits every doc with its
+    * fingerprint, canonical id, and duplicate flag. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    normalized(docs)
+      .withColumn("fingerprint", md5(col("norm")))
+      .withColumn("canonical_id",
+        min(col("doc_id")).over(Window.partitionBy(col("fingerprint"))))
+      .select(
+        col("doc_id"), col("fingerprint"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).as("is_duplicate"))
+      .orderBy(col("doc_id").asc)
+
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    exactDedup(Tables.documents(spark, dir))
+
+  // -------------------------------------------------------------- shingles
+
+  /** Distinct word k-shingles per doc. Docs shorter than k words produce no
+    * shingles (and thus never pair). */
+  def shingles(docs: DataFrame, k: Int): DataFrame = {
+    val words = split(col("norm"), " ")
+    normalized(docs)
+      .withColumn("w", words)
+      .filter(size(col("w")) >= k)
+      .select(
+        col("doc_id"),
+        explode(array_distinct(
+          transform(
+            sequence(lit(0), size(col("w")) - k),
+            i => concat_ws(" ", slice(col("w"), i + 1, lit(k)))))).as("shingle"))
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  val MinhashK = 3          // shingle width (words)
+  val NumHashes = 32        // minhash signature length
+  val NumBands = 8          // 8 bands × 4 rows
+  val RowsPerBand: Int = NumHashes / NumBands
+
+  /** MinHash signature per doc: for each of [[NumHashes]] seeds, the min
+    * seeded 60-bit hash over the doc's shingle set. One groupBy — the 32
+    * mins are parallel partial aggregates, no extra pass per seed. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs, MinhashK)
+    val aggs = (0 until NumHashes).map { s =>
+      min(h60(concat(lit(s"$s|"), col("shingle")))).as(s"h$s")
+    }
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band keys: md5 over each band's [[RowsPerBand]] signature slots.
+    * Docs sharing any band key become candidate pairs. */
+  def minhashBands(sigs: DataFrame): DataFrame = {
+    val bandEntries = (0 until NumBands).map { b =>
+      val slots = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", slots: _*)).as("bkey"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandEntries: _*)).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bkey"))
+  }
+
+  /** Candidate pairs: equi-join on (band, band key), doc_a < doc_b, distinct
+    * across bands. This is the banded-LSH join — the only pairwise step, and
+    * it is keyed, so it scales as a hash shuffle, not O(n²). */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val bands = minhashBands(minhashSignatures(docs))
+    val a = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Near-dup pairs: LSH candidates verified with exact Jaccard over the
+    * shingle sets, kept at `minJaccard`. Output is deterministic and
+    * engine-portable (integer intersection/union counts, one double
+    * division). */
+  def minhashNearDups(docs: DataFrame, minJaccard: Double = 0.8): DataFrame = {
+    val sh = shingles(docs, MinhashK)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val cand = minhashCandidates(docs)
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  def minhashNearDups(spark: SparkSession, dir: String): DataFrame =
+    minhashNearDups(Tables.documents(spark, dir))
+
+  // -------------------------------------------------------------- simhash
+
+  val SimhashBits = 32
+  val SimhashChunks = 4
+  val ChunkBits: Int = SimhashBits / SimhashChunks
+  val MaxHamming = 3
+
+  /** 32-bit SimHash per doc over word unigrams weighted by occurrence count:
+    * bit j is set iff the count-weighted sum of (±1 per word, + if the
+    * word's hash has bit j set) is positive. One groupBy with 32 sum
+    * aggregates — single pass, map-side combinable. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val wordCounts = normalized(docs)
+      .select(col("doc_id"), explode(split(col("norm"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
+    val bitSums = (0 until SimhashBits).map { j =>
+      sum((shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1) * col("cnt")).as(s"s$j")
+    }
+    val withSums = wordCounts.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until SimhashBits).map { j =>
+      when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withSums.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: pigeonhole chunk join (any pair with Hamming
+    * distance ≤ 3 must agree on ≥1 of 4 chunks), verified with
+    * bit_count(xor). */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = MaxHamming): DataFrame = {
+    val sigs = simhashSignatures(docs)
+    val chunks = sigs.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until SimhashChunks).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * ChunkBits).bitwiseAND(lit((1L << ChunkBits) - 1)).as("cval"))
+      }: _*)).as("e"))
+      .select(col("doc_id"), col("simhash"), col("e.chunk"), col("e.cval"))
+    val a = chunks.select(col("chunk"), col("cval"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = chunks.select(col("chunk"), col("cval"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("chunk", "cval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  def simhashNearDups(spark: SparkSession, dir: String): DataFrame =
+    simhashNearDups(Tables.documents(spark, dir))
+
+  // -------------------------------------------- blocked n-gram Jaccard
+
+  /** Pairwise word-bigram Jaccard within a blocking key (lang): the
+    * classic quadratic-within-block near-dup check. Blocking bounds the
+    * pair count; at 100 TB the block key would be (lang, length-band,
+    * source-shard) to keep buckets small. Emits pairs ≥ `minJaccard`. */
+  def ngramJaccardDups(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val sh = normalized(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("w", split(col("norm"), " "))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(
+          transform(
+            sequence(lit(0), size(col("w")) - 2),
+            i => concat_ws(" ", slice(col("w"), i + 1, lit(2)))))).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("lang"), col("shingle"), col("doc_id").as("doc_a"))
+    val b = sh.select(col("lang"), col("shingle"), col("doc_id").as("doc_b"))
+    val inter = a.join(b, Seq("lang", "shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("lang"), col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("lang"), col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy(col("lang").asc, col("doc_a").asc, col("doc_b").asc)
+  }
+
+  def ngramJaccardDups(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardDups(Tables.documents(spark, dir))
+}

@@ -1,0 +1,131 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Text-analysis operators for training-data curation over `documents`:
+  * token counting, corpus statistics, quality scoring, n-gram language ID,
+  * and content fingerprinting. Everything is built-in expressions (split /
+  * filter-lambda / md5) — codegen-friendly, no UDFs — and every numeric is
+  * either an exact integer or a single fixed-order double division, so the
+  * DuckDB oracle matches bit-for-bit.
+  */
+object TextStats {
+
+  private def norm: Column = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+
+  /** Stopword set: function words present in the synthetic corpus vocab.
+    * At 100 TB this would be a broadcast lookup; as a literal IN-list it
+    * stays inside codegen. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Per-document features: token count, char counts, stopword ratio, mean
+    * token length, 64-bit content fingerprint + shard bucket (the
+    * partitioning story: route docs to dedup shards by fingerprint). */
+  def docFeatures(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("norm", norm)
+      .withColumn("w", split(col("norm"), " "))
+      .withColumn("n_tokens", size(col("w")))
+      .withColumn("stop_cnt",
+        size(filter(col("w"), x => x.isin(Stopwords.map(lit): _*))))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        length(col("norm")).as("n_chars_norm"),
+        col("stop_cnt"),
+        (col("stop_cnt").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (length(regexp_replace(col("norm"), " ", "")).cast("double") / col("n_tokens"))
+          .as("mean_token_len"),
+        md5(col("norm")).as("fingerprint"),
+        (conv(substring(md5(col("norm")), 1, 15), 16, 10).cast("long") % 64).as("shard"))
+      .orderBy(col("doc_id").asc)
+
+  def docFeatures(spark: SparkSession, dir: String): DataFrame =
+    docFeatures(Tables.documents(spark, dir))
+
+  /** Corpus statistics per (lang, source): doc/token/char totals and
+    * fixed-order averages. The canonical "profile your crawl" aggregation. */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("norm", norm)
+      .withColumn("n_tokens", size(split(col("norm"), " ")))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .withColumn("avg_tokens", col("total_tokens").cast("double") / col("docs"))
+      .orderBy(col("lang").asc, col("source").asc)
+
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    corpusStats(Tables.documents(spark, dir))
+
+  /** Quality score: integer rubric (length band, stopword presence, token
+    * length sanity) + the ratios it derives from. Filter-quality gating is
+    * the first pass of every training-data pipeline; keeping the rubric in
+    * exact integers makes it portable and auditable. */
+  def qualityScore(docs: DataFrame, minTokens: Int = 20, maxTokens: Int = 1000): DataFrame =
+    docFeatures(docs)
+      .withColumn("len_ok",
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens).cast("int"))
+      .withColumn("stop_ok", (col("stop_cnt") > 0).cast("int"))
+      .withColumn("wordlen_ok",
+        (col("mean_token_len") >= 2.0 && col("mean_token_len") <= 12.0).cast("int"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("stop_ratio"), col("mean_token_len"),
+        col("len_ok"), col("stop_ok"), col("wordlen_ok"),
+        (col("len_ok") + col("stop_ok") + col("wordlen_ok")).as("quality"))
+      .orderBy(col("doc_id").asc)
+
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScore(Tables.documents(spark, dir))
+
+  /** Marker-word sets for the n-gram language-ID heuristic. (The synthetic
+    * corpus shares one vocabulary across langs, so accuracy vs the label is
+    * not the point — the operator contract is a deterministic, portable
+    * scoring + argmax.) */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "la", "que"),
+    "fr" -> Seq("le", "la", "et"),
+    "zh" -> Seq("de", "shi", "bu"))
+
+  /** Language ID: per-lang marker-word hit counts, deterministic argmax
+    * (priority order on ties), compared against the label. */
+  def langId(docs: DataFrame): DataFrame = {
+    val withWords = docs
+      .withColumn("w", split(norm, " "))
+    val scored = LangMarkers.foldLeft(withWords) { case (df, (lang, markers)) =>
+      df.withColumn(s"score_$lang",
+        size(filter(col("w"), x => x.isin(markers.map(lit): _*))))
+    }
+    // argmax with deterministic priority: first lang in LangMarkers order
+    // whose score is >= all others wins; all-zero scores → 'unknown'.
+    val langs = LangMarkers.map(_._1)
+    val allZero = langs.map(l => col(s"score_$l") === 0).reduce(_ && _)
+    val argmax = LangMarkers.indices.foldRight(lit("unknown")) { (i, elseCol) =>
+      val l = langs(i)
+      val isMax = langs.filterNot(_ == l)
+        .map(o => col(s"score_$l") >= col(s"score_$o"))
+        .foldLeft(lit(true))(_ && _)
+      when(isMax, lit(l)).otherwise(elseCol)
+    }
+    val outCols = Seq(col("doc_id"), col("lang")) ++
+      langs.map(l => col(s"score_$l")) ++
+      Seq(col("predicted_lang"),
+        (col("predicted_lang") === col("lang")).as("is_correct"))
+    scored
+      .withColumn("predicted_lang", when(allZero, lit("unknown")).otherwise(argmax))
+      .select(outCols: _*)
+      .orderBy(col("doc_id").asc)
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langId(Tables.documents(spark, dir))
+}
