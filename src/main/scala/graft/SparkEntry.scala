@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.{Reports, StarQueries}
+import graft.ingest.Medallion
 import graft.llm.{Multimodal, Similarity, TextDedup, TextStats}
 import graft.pipeline.EventsPipeline
+import graft.sql.SqlQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -99,6 +101,13 @@ object SparkEntry {
     // ---- 100 TB sketch variant (rows-only check: HLL sketches differ
     //      across engines by design) ----
     "q38_user_profile_approx"  -> ((s, d) => Reports.userProfileApprox(s, d)),
+    // ---- SQL entry point (A3/S13): spark.sql over temp views ----
+    "q39_sql_top_users"        -> ((s, d) => SqlQueries.topUsersSql(s, d)),
+    "q40_sql_active_7day"      -> ((s, d) => SqlQueries.activeUsers7DayThetaSql(s, d)),
+    "q41_sql_first_event"      -> ((s, d) => SqlQueries.firstEventSql(s, d)),
+    // ---- ingest + on-disk writes (S1/S6/S7/S15/U1/U2) ----
+    "q42_ndjson_roundtrip"     -> ((s, d) => Medallion.ndjsonRoundtrip(s, d)),
+    "q43_gold_epochs_ondisk"   -> ((s, d) => Medallion.goldEpochsOnDisk(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -553,5 +562,40 @@ object SparkEntry {
     // q38_user_profile_approx: deliberately no oracle entry — HLL sketches
     // are engine-specific; the driver records a rows-only check and
     // ReportsSpec asserts tolerance vs the exact profile.
+    "q39_sql_top_users" ->
+      (silverCte +
+        """
+          |SELECT user_id, COUNT(*) AS listen_count
+          |FROM silver GROUP BY 1
+          |ORDER BY listen_count DESC, user_id ASC LIMIT 10""".stripMargin),
+    "q40_sql_active_7day" ->
+      (silverCte +
+        """, daily AS (
+          |  SELECT DISTINCT event_date AS d, user_id FROM silver)
+          |SELECT curr.d, COUNT(DISTINCT past.user_id) AS active_users_7d
+          |FROM (SELECT DISTINCT d FROM daily) curr
+          |JOIN daily past ON past.d >= curr.d - 6 AND past.d <= curr.d
+          |GROUP BY curr.d ORDER BY curr.d ASC""".stripMargin),
+    "q41_sql_first_event" ->
+      (silverCte +
+        """, ranked AS (
+          |  SELECT user_id, event_id, event_type, ts,
+          |         row_number() OVER (
+          |           PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+          |  FROM silver)
+          |SELECT user_id, event_id AS first_event_id,
+          |       event_type AS first_event_type,
+          |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+          |FROM ranked WHERE rn = 1 ORDER BY user_id ASC""".stripMargin),
+    "q42_ndjson_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+        |  CAST(ts AS DATE) AS event_date
+        |FROM events WHERE event_id < 10000 ORDER BY event_id""".stripMargin,
+    "q43_gold_epochs_ondisk" ->
+      (silverCte +
+        """
+          |SELECT user_id, event_date, COUNT(*) AS n
+          |FROM silver GROUP BY 1, 2 ORDER BY user_id, event_date""".stripMargin),
   )
 }

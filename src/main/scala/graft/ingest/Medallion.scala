@@ -1,0 +1,145 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Sessions, Tables}
+import graft.pipeline.EventsPipeline
+
+/** Materialized medallion over the events table: partitioned writes, the
+  * schema-evolution-tolerant on-disk read, the catalog/DDL surface, and the
+  * NDJSON round-trip (SURVEY §2.1 S6/S7/S10/S11/S12/S15/U1/U2).
+  *
+  * The reference writes every tier (bronze parquet partitioned by user,
+  * silver/gold as Iceberg tables, transform_job.py:62-128); round-1 review
+  * flagged that our medallion existed only as chained lazy frames. This
+  * module is the write path. Iceberg jars aren't shipped in this container,
+  * so the table surface uses Spark's session catalog (saveAsTable /
+  * DataFrameWriterV2 writeTo + parquet provider); the Iceberg variant is
+  * the same API with a catalog conf swap.
+  */
+object Medallion {
+
+  /** Write bronze/silver/gold as partitioned parquet under `outRoot`.
+    * Partition column mirrors the reference's user_name partitioning;
+    * event_date would be the choice for date-pruned report workloads. */
+  def materialize(spark: SparkSession, dir: String, outRoot: String): Unit = {
+    val bronze = EventsPipeline.bronze(spark, dir)
+    bronze.write.mode("overwrite")
+      .partitionBy("user_id").parquet(s"$outRoot/bronze")
+    val silver = EventsPipeline.silverOf(spark.read.parquet(s"$outRoot/bronze"))
+    silver.write.mode("overwrite")
+      .partitionBy("user_id").parquet(s"$outRoot/silver")
+    val gold = EventsPipeline.goldDailyOf(spark.read.parquet(s"$outRoot/silver"))
+    gold.write.mode("overwrite").parquet(s"$outRoot/gold")
+  }
+
+  /** Write the gold daily aggregate as two divergent-schema epochs — the
+    * reference's `count` vs `listen_count` rename (daily_job.py:37 vs
+    * transform_job.py:106-111) reproduced ON DISK. */
+  def writeGoldEpochs(silver: DataFrame, outRoot: String): Unit = {
+    val gold = EventsPipeline.goldDailyOf(silver)
+      .select(col("user_id"), col("event_date"), col("listen_count"))
+    gold.filter(month(col("event_date")) % 2 === 0)
+      .withColumnRenamed("listen_count", "count") // legacy epoch schema
+      .write.mode("overwrite").parquet(s"$outRoot/epoch_a")
+    gold.filter(month(col("event_date")) % 2 =!= 0)
+      .write.mode("overwrite").parquet(s"$outRoot/epoch_b")
+  }
+
+  /** S7 + U1/U2: recursive-glob read over the heterogeneous epochs with
+    * parquet schema merging, reconciled via COALESCE — the reference's
+    * `union_by_name=true` + `COALESCE(listen_count, count)` read
+    * (analysis-minio.ipynb cell 2) against real files. */
+  def readGoldEpochs(spark: SparkSession, outRoot: String): DataFrame =
+    spark.read
+      .option("recursiveFileLookup", "true")
+      .option("mergeSchema", "true")
+      .parquet(outRoot)
+      .select(col("user_id"), col("event_date"),
+        coalesce(col("listen_count"), col("count")).as("n"))
+
+  /** q-entry: write the epochs to a scratch dir, read them back tolerant.
+    * The query result therefore proves the on-disk capability, not an
+    * in-memory simulation. */
+  def goldEpochsOnDisk(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = Files.createTempDirectory("graft-epochs-").toString
+    writeGoldEpochs(EventsPipeline.silver(spark, dir), scratch)
+    readGoldEpochs(spark, scratch)
+      .orderBy(col("user_id").asc, col("event_date").asc)
+  }
+
+  // ------------------------------------------------------------ NDJSON
+
+  /** Event-stream NDJSON schema: timestamps travel as epoch micros
+    * (BIGINT) — same convention as the reference's epoch-seconds
+    * listened_at — because JSON timestamp strings truncate to millis. */
+  val eventNdjsonSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_us", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+    StructField("_corrupt", StringType)))
+
+  /** Export a slice of the events table as NDJSON files (S15 in reverse —
+    * the producer side of the ingest contract). */
+  def writeEventsNdjson(spark: SparkSession, dir: String, outDir: String,
+                        maxEventId: Long): Unit =
+    Tables.events(spark, dir)
+      .filter(col("event_id") < maxEventId)
+      .select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").json(outDir)
+
+  /** S1: schema'd PERMISSIVE NDJSON scan of event files. */
+  def readEventsNdjson(spark: SparkSession, inDir: String): DataFrame =
+    Sessions.ensure(spark).read
+      .schema(eventNdjsonSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("pathGlobFilter", "*.json")
+      .json(inDir)
+
+  /** Valid NDJSON rows flattened to the bronze shape (q10 contract). */
+  def bronzeFromNdjson(ndjson: DataFrame): DataFrame =
+    ndjson
+      .filter(col("_corrupt").isNull && col("event_id").isNotNull)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withColumn("props_struct", from_json(col("props"), EventsPipeline.propsSchema))
+      .select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("props_struct.k").as("prop_k"),
+        to_date(col("ts")).as("event_date"))
+
+  /** q-entry: full NDJSON round trip — export a slice, scan it back with
+    * the schema'd PERMISSIVE reader, flatten to bronze. Oracle-checked
+    * against the events parquet directly, so any loss in the round trip
+    * (precision, corrupt handling, schema drift) fails the gate. */
+  def ndjsonRoundtrip(spark: SparkSession, dir: String, maxEventId: Long = 10000): DataFrame = {
+    val scratch = Files.createTempDirectory("graft-ndjson-").toString
+    writeEventsNdjson(spark, dir, scratch, maxEventId)
+    bronzeFromNdjson(readEventsNdjson(spark, scratch))
+      .orderBy(col("event_id").asc)
+  }
+
+  // ----------------------------------------------------- catalog / DDL
+
+  /** S10-S12: namespace DDL + DataFrameWriterV2 table write + catalog
+    * scan, against the session catalog (Iceberg swaps in via conf). */
+  def writeTable(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    val ns = table.split('.').dropRight(1).mkString(".")
+    if (ns.nonEmpty) spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $ns")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.writeTo(table).using("parquet").create()
+  }
+
+  def readTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+}

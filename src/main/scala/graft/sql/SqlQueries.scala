@@ -1,0 +1,70 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.pipeline.EventsPipeline
+
+/** The SQL-string entry point (SURVEY §2.4 A3, §2.1 S13/S14) — the
+  * reference's report jobs are `spark.sql` text over temp views
+  * (ingest_job_glue.py:20-27, daily_job_glue.py:18-39, query_tables.py).
+  *
+  * Views register the *materialized* silver frame (same persisted plan the
+  * DataFrame reports use), so SQL and DataFrame paths share one scan. SQL
+  * uses ordinal GROUP BY/ORDER BY exactly as the reference writes it
+  * (groupByOrdinal/orderByOrdinal are Spark defaults).
+  */
+object SqlQueries {
+
+  val SilverView = "silver_events"
+
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    EventsPipeline.silver(spark, dir).createOrReplaceTempView(SilverView)
+
+  /** A3: top-10 users, ordinal group/order (ingest_job_glue.py:23-27). */
+  def topUsersSql(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      s"""SELECT user_id, COUNT(*) AS listen_count
+         |FROM $SilverView
+         |GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 10""".stripMargin)
+  }
+
+  /** J1 in its literal reference form: the theta range self-join
+    * (BETWEEN d-6 AND d, daily_job_glue.py:28-39). Spark plans a
+    * BroadcastNestedLoopJoin over the distinct-date frame — quadratic in
+    * dates, fine at report cardinality; Reports.activeUsers7Day is the
+    * linear explode reformulation for scale. Both produce identical rows
+    * (same oracle). */
+  def activeUsers7DayThetaSql(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      s"""WITH daily AS (
+         |  SELECT DISTINCT event_date AS d, user_id FROM $SilverView),
+         |dates AS (SELECT DISTINCT d FROM daily)
+         |SELECT curr.d, COUNT(DISTINCT past.user_id) AS active_users_7d
+         |FROM dates curr
+         |JOIN daily past ON past.d BETWEEN date_sub(curr.d, 6) AND curr.d
+         |GROUP BY curr.d ORDER BY curr.d ASC""".stripMargin)
+  }
+
+  /** A13 via SQL: first event per user. */
+  def firstEventSql(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      s"""WITH ranked AS (
+         |  SELECT user_id, event_id, event_type, ts,
+         |         row_number() OVER (
+         |           PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+         |  FROM $SilverView)
+         |SELECT user_id, event_id AS first_event_id,
+         |       event_type AS first_event_type,
+         |       date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS first_ts
+         |FROM ranked WHERE rn = 1 ORDER BY user_id ASC""".stripMargin)
+  }
+
+  /** S14: introspection — DESCRIBE on a registered view. */
+  def describeSilver(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(s"DESCRIBE $SilverView")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ingest.ListenIngest
+
+/** Structured Streaming ingest (SURVEY §2.1 S2/S3/S5, §2.9).
+  *
+  * The reference's "streaming" is a hand-rolled micro-batch loop: a
+  * watchdog thread for local files (ingest_job.py:200-213) + a 30 s S3
+  * polling thread (:95-156), with a ledger table for exactly-once
+  * (:58-88). One Structured Streaming query replaces all three:
+  *
+  *  - the file source discovers new files in the directory (local or
+  *    s3a://) on every trigger — both watcher threads collapse into
+  *    `readStream.json(dir)`;
+  *  - `Trigger.ProcessingTime("30 seconds")` reproduces the poll cadence
+  *    (`Trigger.AvailableNow` drains the backlog then stops — used by
+  *    tests and catch-up runs);
+  *  - the checkpoint's file-source log IS the processed-files ledger:
+  *    filename-level exactly-once across restarts, no bespoke table
+  *    (the content-hash variant stays in graft.ingest.Ledger for batch).
+  *
+  * At 100 TB the same query scales by executor count: file listing is
+  * driver-side but incremental, parse+write is embarrassingly parallel,
+  * and `maxFilesPerTrigger` bounds micro-batch size.
+  */
+object StreamingIngest {
+
+  /** S2/S3: unbounded NDJSON source over a directory (PERMISSIVE, corrupt
+    * rows preserved in _corrupt, extension predicate via pathGlobFilter). */
+  def rawStream(spark: SparkSession, inDir: String, maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream
+      .schema(ListenIngest.listenSchema.add(ListenIngest.CorruptCol, "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", ListenIngest.CorruptCol)
+      .option("pathGlobFilter", "*.{txt,json}")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+
+  /** Streaming bronze sink: user_name-partitioned parquet + checkpoint
+    * (S5/S6). `trigger` defaults to the reference's 30 s cadence. */
+  def startBronzeSink(spark: SparkSession, inDir: String, bronzeDir: String,
+                      checkpointDir: String,
+                      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    ListenIngest.bronze(rawStream(spark, inDir))
+      .writeStream
+      .format("parquet")
+      .option("path", bronzeDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("user_name")
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
+  /** §2.9 stretch (SURVEY §7.4.6): event-time stateful ops in the stream —
+    * watermarked dedup + windowed per-user daily counts. The watermark
+    * bounds dedup/aggregation state to 7 days of event time, aligned with
+    * the DAU window the reports compute. */
+  def dailyCountsStream(raw: DataFrame): DataFrame =
+    raw
+      .filter(col(ListenIngest.CorruptCol).isNull)
+      .withColumn("listened_datetime", timestamp_seconds(col("listened_at")))
+      .withWatermark("listened_datetime", "7 days")
+      .dropDuplicates("user_name", "listened_at")
+      .groupBy(
+        window(col("listened_datetime"), "1 day").as("day"),
+        col("user_name"))
+      .agg(count(lit(1)).as("listen_count"))
+      .select(col("day.start").cast("date").as("listened_date"),
+        col("user_name"), col("listen_count"))
+
+  /** Drain-everything-then-stop run for tests/catch-up (AvailableNow). */
+  def runOnce(spark: SparkSession, inDir: String, bronzeDir: String,
+              checkpointDir: String): Unit = {
+    val q = startBronzeSink(spark, inDir, bronzeDir, checkpointDir, Trigger.AvailableNow)
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,41 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.pipeline.EventsPipeline
+
+class ReportsSpec extends SparkSpecBase {
+
+  private lazy val silver = EventsPipeline.silver(spark, sf)
+
+  test("approx user profile tracks the exact profile within HLL tolerance") {
+    val exact = Reports.userProfile(silver)
+      .select("user_id", "listen_count", "active_days", "unique_types")
+    val approx = Reports.userProfileApprox(silver)
+    val joined = exact.toDF("user_id", "lc", "ad", "ut")
+      .join(approx, "user_id")
+    assert(joined.filter(col("lc") =!= col("listen_count")).count() === 0)
+    // rsd 1% at these cardinalities: sketches should be within 5%
+    val offDays = joined.filter(
+      abs(col("active_days") - col("ad")) > greatest(lit(1.0), col("ad") * 0.05))
+    val offTypes = joined.filter(
+      abs(col("unique_types") - col("ut")) > greatest(lit(1.0), col("ut") * 0.05))
+    assert(offDays.count() === 0)
+    assert(offTypes.count() === 0)
+  }
+
+  test("hourly activity percentages sum to 100") {
+    val total = Reports.hourlyActivity(silver).agg(sum("pct")).head.getDouble(0)
+    assert(math.abs(total - 100.0) < 1e-9)
+  }
+
+  test("DAU 7-day window is at least the single-day distinct count") {
+    val daily = Reports.dailyProfile(silver).select(
+      col("event_date").as("d"), col("unique_users"))
+    val dau = Reports.activeUsers7Day(silver)
+    val bad = dau.join(daily, "d")
+      .filter(col("active_users_7d") < col("unique_users"))
+    assert(bad.count() === 0)
+  }
+}

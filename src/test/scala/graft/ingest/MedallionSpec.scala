@@ -1,0 +1,50 @@
+package graft.ingest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.pipeline.EventsPipeline
+
+class MedallionSpec extends SparkSpecBase {
+
+  test("materialize writes partitioned bronze/silver/gold that reconcile") {
+    val out = tmpDir("medallion-")
+    Medallion.materialize(spark, sf, out)
+    assert(new java.io.File(s"$out/bronze/user_id=1").exists())
+    assert(new java.io.File(s"$out/silver/user_id=1").exists())
+    val bronzeCnt = spark.read.parquet(s"$out/bronze").count()
+    val silverCnt = spark.read.parquet(s"$out/silver").count()
+    val goldSum = spark.read.parquet(s"$out/gold")
+      .agg(sum("listen_count")).head.getLong(0)
+    assert(bronzeCnt === 1000)
+    assert(silverCnt <= bronzeCnt)
+    assert(goldSum === silverCnt)
+  }
+
+  test("schema-evolved epochs reconcile on disk via mergeSchema + coalesce") {
+    val out = tmpDir("epochs-")
+    val silver = EventsPipeline.silver(spark, sf)
+    Medallion.writeGoldEpochs(silver, out)
+    val read = Medallion.readGoldEpochs(spark, out)
+    assert(read.filter(col("n").isNull).count() === 0)
+    val expected = EventsPipeline.goldDailyOf(silver).count()
+    assert(read.count() === expected)
+  }
+
+  test("ndjson roundtrip preserves rows and values") {
+    val direct = EventsPipeline.bronze(spark, sf)
+      .select("event_id", "user_id", "event_type", "value", "prop_k", "event_date")
+    val viaJson = Medallion.ndjsonRoundtrip(spark, sf, maxEventId = 2000)
+    assert(viaJson.count() === direct.count())
+    assert(viaJson.except(direct).count() === 0)
+  }
+
+  test("DDL + writerV2 table roundtrip through the session catalog") {
+    val gold = EventsPipeline.goldDaily(spark, sf)
+    Medallion.writeTable(gold, "graft_test.gold_daily")
+    val back = Medallion.readTable(spark, "graft_test.gold_daily")
+    assert(back.count() === gold.count())
+    assert(spark.sql("SHOW TABLES IN graft_test").count() >= 1)
+    spark.sql("DROP TABLE graft_test.gold_daily")
+  }
+}

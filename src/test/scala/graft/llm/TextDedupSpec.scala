@@ -1,0 +1,76 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.core.Tables
+
+class TextDedupSpec extends SparkSpecBase {
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  /** Corpus + planted copies: an exact dup of doc 0 (id 90001) and a
+    * near-dup of doc 1 with the last two words changed (id 90002). */
+  private lazy val planted = {
+    val base = docs.select("doc_id", "text", "lang", "source", "n_chars")
+    val exact = docs.filter(col("doc_id") === 0)
+      .withColumn("doc_id", lit(90001L))
+    val near = docs.filter(col("doc_id") === 1)
+      .withColumn("doc_id", lit(90002L))
+      .withColumn("text",
+        concat(expr("substring(text, 1, length(text) - 12)"), lit(" zzz yyy")))
+    base.unionByName(exact).unionByName(near)
+  }
+
+  test("exact dedup flags planted copy to canonical min doc_id") {
+    val out = TextDedup.exactDedup(planted)
+    val dup = out.filter(col("doc_id") === 90001L).head()
+    assert(dup.getAs[Long]("canonical_id") === 0L)
+    assert(dup.getAs[Boolean]("is_duplicate"))
+    // originals are their own canonicals
+    assert(out.filter(col("is_duplicate")).count() === 1)
+  }
+
+  test("minhash LSH finds planted exact and near dups") {
+    val pairs = TextDedup.minhashNearDups(planted, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 90001L)))
+    assert(pairs.contains((1L, 90002L)))
+  }
+
+  test("minhash LSH recall: finds every true pair with jaccard >= 0.95") {
+    val sh = TextDedup.shingles(docs, TextDedup.MinhashK)
+    // brute-force truth: unrestricted shingle self-join
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val truth = sh.toDF("doc_a", "shingle")
+      .join(sh.toDF("doc_b", "shingle"), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .filter(col("i").cast("double") / (col("na") + col("nb") - col("i")) >= 0.95)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextDedup.minhashNearDups(docs, minJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "corpus should contain planted near-dups")
+    assert(truth.subsetOf(lsh),
+      s"missed pairs: ${truth.diff(lsh)}")
+  }
+
+  test("simhash near-dups include high-jaccard pairs and respect hamming bound") {
+    val out = TextDedup.simhashNearDups(planted)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 90001L))) // identical text → hamming 0
+    assert(out.filter(col("hamming") > TextDedup.MaxHamming).count() === 0)
+  }
+
+  test("ngram jaccard blocks by lang") {
+    val out = TextDedup.ngramJaccardDups(docs, minJaccard = 0.5)
+    val langs = docs.select("doc_id", "lang")
+    val joined = out
+      .join(langs.toDF("doc_a", "lang_a"), "doc_a")
+      .join(langs.toDF("doc_b", "lang_b"), "doc_b")
+    assert(joined.filter(col("lang_a") =!= col("lang_b")).count() === 0)
+  }
+}

@@ -1,0 +1,46 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class EventsPipelineSpec extends SparkSpecBase {
+
+  test("bronze preserves row count and flattens props") {
+    val bronze = EventsPipeline.bronze(spark, sf)
+    assert(bronze.count() === 1000)
+    assert(bronze.columns.toSet ===
+      Set("event_id", "user_id", "event_type", "value", "prop_k", "ts", "event_date"))
+  }
+
+  test("silver dedup keeps at most one row per (user, second) and is deterministic") {
+    val silver = EventsPipeline.silver(spark, sf)
+    val dupGroups = silver
+      .groupBy(col("user_id"), date_trunc("second", col("ts")))
+      .count().filter(col("count") > 1).count()
+    assert(dupGroups === 0)
+  }
+
+  test("silver dedup is idempotent") {
+    val silver = EventsPipeline.silver(spark, sf)
+    val bronzeCols = EventsPipeline.bronze(spark, sf).columns.map(col)
+    val again = EventsPipeline.silverOf(silver.select(bronzeCols: _*))
+    assert(again.count() === silver.count())
+    assert(again.select("event_id").except(silver.select("event_id")).count() === 0)
+  }
+
+  test("gold top-3 days is a subset of gold daily with <=3 rows per user") {
+    val daily = EventsPipeline.goldDaily(spark, sf)
+    val top3 = EventsPipeline.goldTop3Days(spark, sf)
+    val perUser = top3.groupBy("user_id").count().agg(max("count")).head.getLong(0)
+    assert(perUser <= 3)
+    assert(top3.join(daily, Seq("user_id", "event_date"), "left_anti").count() === 0)
+  }
+
+  test("gold daily counts reconcile with silver") {
+    val silverCnt = EventsPipeline.silver(spark, sf).count()
+    val goldSum = EventsPipeline.goldDaily(spark, sf)
+      .agg(sum("listen_count")).head.getLong(0)
+    assert(goldSum === silverCnt)
+  }
+}
