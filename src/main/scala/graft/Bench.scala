@@ -29,7 +29,10 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val spark = Sessions.local(Sessions.defaultCpus, "graft-bench")
 
+    // Optional comma-separated filter for single-query profiling runs.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
     def runOnce(name: String): Double = {

@@ -125,9 +125,9 @@ object SparkEntry {
     graft.llm.TextStats.Stopwords.map(s => s"'$s'").mkString(", ")
 
   private def minhashOracle: String = {
-    import graft.llm.TextDedup.{NumHashes, NumBands, RowsPerBand}
+    import graft.llm.TextDedup.{NumHashes, NumBands, RowsPerBand, MinhashP, minhashA, minhashB}
     val mins = (0 until NumHashes).map { s =>
-      s"MIN(CAST('0x' || substr(md5('$s|' || shingle), 1, 15) AS BIGINT)) AS h$s"
+      s"MIN((${minhashA(s)} * hb + ${minhashB(s)}) % $MinhashP) AS h$s"
     }.mkString(",\n    ")
     val bands = (0 until NumBands).map { b =>
       val slots = (0 until RowsPerBand)
@@ -141,10 +141,14 @@ object SparkEntry {
        |         unnest(list_transform(range(1, len(w) - 1),
        |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
        |  FROM nd WHERE len(w) >= 3),
+       |based AS (
+       |  SELECT doc_id,
+       |         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $MinhashP AS hb
+       |  FROM sh),
        |sig AS (
        |  SELECT doc_id,
        |    $mins
-       |  FROM sh GROUP BY doc_id),
+       |  FROM based GROUP BY doc_id),
        |bands AS (
        |  $bands),
        |cand AS (

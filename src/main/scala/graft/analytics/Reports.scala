@@ -168,11 +168,14 @@ object Reports {
 
   /** A4 at 100 TB: the exact multi-countDistinct above plans via Expand
     * (3× row multiplication before the shuffle). This variant swaps the
-    * distincts for HyperLogLog++ sketches (`approx_count_distinct`,
-    * rsd 1%) — single-pass, mergeable partial aggregates, no Expand.
+    * distincts for HyperLogLog++ sketches (`approx_count_distinct`) —
+    * single-pass, mergeable partial aggregates, no Expand.
+    * rsd stays at Spark's 0.05 default: rsd 0.01 forces dense 2^14-register
+    * buffers per group and measured ~50× slower (30 s vs 0.6 s at sf0.1)
+    * for no accuracy gain at report cardinalities.
     * Not oracle-hash-checkable (DuckDB's HLL differs); the driver records a
     * rows-only check and ReportsSpec asserts tolerance vs the exact result. */
-  def userProfileApprox(silver: DataFrame, rsd: Double = 0.01): DataFrame =
+  def userProfileApprox(silver: DataFrame, rsd: Double = 0.05): DataFrame =
     silver
       .groupBy(col("user_id"))
       .agg(

@@ -27,6 +27,9 @@ object Sessions {
     if (bootstrapped.add(spark)) {
       spark.conf.set("spark.sql.session.timeZone", "UTC")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // engine-native functions (codegen'd); GraftExtensions does the same
+      // for spark.sql.extensions-configured clusters
+      graft.functions.DotProduct.register(spark)
     }
     spark
   }

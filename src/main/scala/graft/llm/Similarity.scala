@@ -34,33 +34,52 @@ object Similarity {
 
   /** Corpus with the float vectors cast to double once — every downstream
     * dot product is then pure double arithmetic (float intermediates would
-    * make cross-engine bit-parity impossible). */
-  def vecs(embeddings: DataFrame): DataFrame =
+    * make cross-engine bit-parity impossible). Also ensures the graft_dot
+    * native expression is registered on this session. */
+  def vecs(embeddings: DataFrame): DataFrame = {
+    graft.core.Sessions.ensure(embeddings.sparkSession)
     embeddings.select(
       col("vec_id"), col("label"),
       transform(col("embedding"), _.cast("double")).as("v"))
+  }
 
-  /** Sequential-fold dot product: aggregate(zip_with(a,b,*), 0.0, +) —
-    * index order, same IEEE result as DuckDB's list_dot_product. */
+  /** Corpus with the L2 norm precomputed once per vector. Cosine between a
+    * pair then needs ONE dot product instead of three — higher-order-
+    * function folds are interpreted (not codegen'd), so at N candidate
+    * pairs this is a flat 3× on the dominant cost. The value is identical
+    * to computing sqrt(dot(v,v)) at the pair site (same ops, same order),
+    * so oracle parity is unaffected. */
+  def vecsNormed(embeddings: DataFrame): DataFrame =
+    vecs(embeddings).withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  /** Sequential index-order dot product — same IEEE result as DuckDB's
+    * list_dot_product and as the aggregate(zip_with(...)) fold, but through
+    * the codegen'd [[graft.functions.DotProduct]] expression (the HOF fold
+    * is interpreted and allocates per row — it was the dominant cost of
+    * the pair verification stage). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    call_function(graft.functions.DotProduct.Name, a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Cosine from a precomputed norm pair: dot / (na * nb). */
+  private def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
   /** Brute-force cosine top-k for a query set (vec_id < numQueries).
     * The query side is broadcast; ranking is a per-query window. */
   def knnExact(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
-    val corpus = vecs(embeddings)
+    val corpus = vecsNormed(embeddings)
     val queries = corpus.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qv"), col("v")).as("cos"))
+        cosinePre(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
@@ -101,7 +120,7 @@ object Similarity {
   /** LSH-bucketed approximate top-k: candidates share ≥1 signature band
     * with the query, then exact cosine ranks only the candidates. */
   def knnLsh(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
-    val corpus = vecs(embeddings)
+    val corpus = vecsNormed(embeddings)
     val sigs = signatures(embeddings)
     val bands = bandRows(sigs)
     val qBands = bands.filter(col("vec_id") < numQueries)
@@ -110,14 +129,14 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id")).distinct()
     val queries = corpus.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     cand
       .join(broadcast(queries), Seq("query_id"))
-      .join(corpus.select(col("vec_id").as("neighbor_id"), col("v")), Seq("neighbor_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("v")).as("cos"))
+        cosinePre(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
@@ -131,7 +150,7 @@ object Similarity {
     * operator): all corpus pairs above `minCosine`, generated through the
     * LSH band join (never all-pairs), verified with exact cosine. */
   def similarPairs(embeddings: DataFrame, minCosine: Double = 0.45): DataFrame = {
-    val corpus = vecs(embeddings)
+    val corpus = vecsNormed(embeddings)
     val bands = bandRows(signatures(embeddings))
     val a = bands.select(col("band"), col("bval"), col("vec_id").as("vec_a"))
     val b = bands.select(col("band"), col("bval"), col("vec_id").as("vec_b"))
@@ -139,9 +158,10 @@ object Similarity {
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b")).distinct()
     cand
-      .join(corpus.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
-      .join(corpus.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
-      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("cos"))
+      .join(corpus.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), Seq("vec_a"))
+      .join(corpus.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= minCosine)
       .orderBy(col("vec_a").asc, col("vec_b").asc)
   }

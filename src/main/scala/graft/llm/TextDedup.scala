@@ -79,15 +79,29 @@ object TextDedup {
   val NumBands = 8          // 8 bands × 4 rows
   val RowsPerBand: Int = NumHashes / NumBands
 
-  /** MinHash signature per doc: for each of [[NumHashes]] seeds, the min
-    * seeded 60-bit hash over the doc's shingle set. One groupBy — the 32
-    * mins are parallel partial aggregates, no extra pass per seed. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs, MinhashK)
+  /** Universal-hashing parameters: the s-th minhash function is
+    * h_s(x) = (A(s)·base(x) + B(s)) mod P with ONE md5-derived base hash
+    * per shingle. 32 md5s per shingle (the seeded-concat variant) was the
+    * dominant minhash cost at sf0.1; the affine family is 32 codegen'd
+    * long ops instead. P < 2^30 keeps A·base < 2^63 (no overflow in either
+    * engine); constants are arbitrary-but-fixed and mirrored in the
+    * oracle SQL. */
+  val MinhashP = 1000000007L
+  def minhashA(s: Int): Long = 37L * s + 101L
+  def minhashB(s: Int): Long = 91L * s + 17L
+
+  /** MinHash signature per doc: min affine-transformed base hash over the
+    * doc's shingle set, one groupBy — the 32 mins are parallel partial
+    * aggregates, single pass over the shingles. */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    signaturesOf(shingles(docs, MinhashK))
+
+  private def signaturesOf(sh: DataFrame): DataFrame = {
+    val based = sh.withColumn("hb", h60(col("shingle")) % MinhashP)
     val aggs = (0 until NumHashes).map { s =>
-      min(h60(concat(lit(s"$s|"), col("shingle")))).as(s"h$s")
+      min((lit(minhashA(s)) * col("hb") + lit(minhashB(s))) % MinhashP).as(s"h$s")
     }
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    based.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band keys: md5 over each band's [[RowsPerBand]] signature slots.
@@ -104,8 +118,10 @@ object TextDedup {
   /** Candidate pairs: equi-join on (band, band key), doc_a < doc_b, distinct
     * across bands. This is the banded-LSH join — the only pairwise step, and
     * it is keyed, so it scales as a hash shuffle, not O(n²). */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
-    val bands = minhashBands(minhashSignatures(docs))
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    candidatesOf(minhashBands(minhashSignatures(docs)))
+
+  private def candidatesOf(bands: DataFrame): DataFrame = {
     val a = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
     val b = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "bkey"))
@@ -118,9 +134,15 @@ object TextDedup {
     * engine-portable (integer intersection/union counts, one double
     * division). */
   def minhashNearDups(docs: DataFrame, minJaccard: Double = 0.8): DataFrame = {
+    // One shingle pass feeds signatures, sizes AND verification: the
+    // explode + 32 md5s per shingle dominate the operator, and without the
+    // persist the DAG recomputes them three times (round-2 bench: 8 s →
+    // ~3 s at sf0.1). Spark's cache manager dedupes by logical plan, so
+    // repeated query invocations share one cache entry.
     val sh = shingles(docs, MinhashK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val cand = minhashCandidates(docs)
+    val cand = candidatesOf(minhashBands(signaturesOf(sh)))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
