@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Reports, StarQueries}
+import graft.analytics.{Reports, StarQueries, TemporalOps}
 import graft.ingest.Medallion
 import graft.llm.{Multimodal, Similarity, TextDedup, TextStats}
 import graft.pipeline.EventsPipeline
@@ -108,6 +108,15 @@ object SparkEntry {
     // ---- ingest + on-disk writes (S1/S6/S7/S15/U1/U2) ----
     "q42_ndjson_roundtrip"     -> ((s, d) => Medallion.ndjsonRoundtrip(s, d)),
     "q43_gold_epochs_ondisk"   -> ((s, d) => Medallion.goldEpochsOnDisk(s, d)),
+    // ---- temporal/ordering surface (O2, set-ops, as-of, sessions) ----
+    "q44_null_ordering"        -> ((s, d) =>
+      TemporalOps.prevEventOrdering(EventsPipeline.silver(s, d))),
+    "q45_user_date_setops"     -> ((s, d) =>
+      TemporalOps.userDateSetOps(EventsPipeline.silver(s, d), "2024-01-05", "2024-01-06")),
+    "q46_asof_join"            -> ((s, d) =>
+      TemporalOps.eventOrderAsOf(EventsPipeline.silver(s, d), graft.core.Tables.orders(s, d))),
+    "q47_sessions"             -> ((s, d) =>
+      TemporalOps.sessionize(EventsPipeline.silver(s, d))),
   )
 
   // ------------------------------------------------------------------
@@ -601,5 +610,57 @@ object SparkEntry {
         """
           |SELECT user_id, event_date, COUNT(*) AS n
           |FROM silver GROUP BY 1, 2 ORDER BY user_id, event_date""".stripMargin),
+    "q44_null_ordering" ->
+      (silverCte +
+        """
+          |SELECT user_id, event_id,
+          |       lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id ASC)
+          |         AS prev_event_id
+          |FROM silver
+          |ORDER BY prev_event_id DESC NULLS LAST, user_id ASC, event_id ASC""".stripMargin),
+    "q45_user_date_setops" ->
+      (silverCte +
+        """, d1 AS (
+          |  SELECT DISTINCT user_id FROM silver WHERE event_date = DATE '2024-01-05'),
+          |d2 AS (
+          |  SELECT DISTINCT user_id FROM silver WHERE event_date = DATE '2024-01-06')
+          |SELECT 'both' AS op, user_id FROM (SELECT user_id FROM d1 INTERSECT SELECT user_id FROM d2)
+          |UNION ALL
+          |SELECT 'only_first' AS op, user_id FROM (SELECT user_id FROM d1 EXCEPT SELECT user_id FROM d2)
+          |ORDER BY op ASC, user_id ASC""".stripMargin),
+    "q46_asof_join" ->
+      (silverCte +
+        """, ordd AS (
+          |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+          |  FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+          |    FROM orders) WHERE rn = 1)
+          |SELECT s.event_id, s.user_id,
+          |       o.o_orderkey AS asof_orderkey, o.o_totalprice AS asof_totalprice
+          |FROM silver s
+          |ASOF LEFT JOIN ordd o
+          |  ON s.user_id = o.o_custkey AND s.ts >= o.o_orderdate
+          |ORDER BY s.event_id ASC""".stripMargin),
+    "q47_sessions" ->
+      (silverCte +
+        """, flagged AS (
+          |  SELECT user_id, event_id, ts,
+          |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+          |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+          |         ELSE 0 END AS new_session
+          |  FROM silver
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+          |numbered AS (
+          |  SELECT user_id, ts,
+          |    CAST(SUM(new_session) OVER (
+          |      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+          |  FROM flagged)
+          |SELECT user_id, session_no,
+          |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+          |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+          |       COUNT(*) AS n_events
+          |FROM numbered GROUP BY 1, 2 ORDER BY user_id ASC, session_no ASC""".stripMargin),
   )
 }

@@ -1,0 +1,103 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal/ordering operators beyond the reference's surface: NULLS LAST
+  * ordering (SURVEY §2.6 O2), set operations (§2.7 note), as-of join, and
+  * sessionization — the operators an analytics user reaches for next.
+  */
+object TemporalOps {
+
+  /** O2: explicit DESC NULLS LAST ordering over a nullable column (the
+    * lag() of the first event per user is null). */
+  def prevEventOrdering(silver: DataFrame): DataFrame =
+    silver
+      .select(col("user_id"), col("event_id"))
+      .withColumn("prev_event_id",
+        lag(col("event_id"), 1).over(
+          Window.partitionBy("user_id").orderBy(col("event_id").asc)))
+      .orderBy(col("prev_event_id").desc_nulls_last,
+        col("user_id").asc, col("event_id").asc)
+
+  /** INTERSECT / EXCEPT surface: users active on both dates vs only the
+    * first, tagged and unioned. */
+  def userDateSetOps(silver: DataFrame, d1: String, d2: String): DataFrame = {
+    def usersOn(d: String) =
+      silver.filter(col("event_date") === lit(d).cast("date"))
+        .select(col("user_id")).distinct()
+    val both = usersOn(d1).intersect(usersOn(d2))
+      .select(lit("both").as("op"), col("user_id"))
+    val onlyFirst = usersOn(d1).except(usersOn(d2))
+      .select(lit("only_first").as("op"), col("user_id"))
+    both.unionByName(onlyFirst)
+      .orderBy(col("op").asc, col("user_id").asc)
+  }
+
+  /** As-of (backward) join: for each event, the most recent order of the
+    * same customer with o_orderdate <= ts.
+    *
+    * Spark has no ASOF JOIN operator and the naive theta-join
+    * (`ON user = cust AND o_orderdate <= ts` + max-per-event) plans a
+    * BroadcastNestedLoopJoin — quadratic. Composition instead (brief's
+    * preference (a)): tag both sides, union, ONE hash shuffle on the key,
+    * and a running `last(_, ignoreNulls)` window carries the latest order
+    * attributes forward onto event rows. Linear in rows, sort-based, no
+    * NLJ — the standard scale-safe as-of plan.
+    *
+    * Right side is pre-deduped to one order per (customer, date) — max
+    * orderkey wins — so tie semantics are deterministic and match DuckDB's
+    * ASOF JOIN on the same deduped input. */
+  def eventOrderAsOf(silver: DataFrame, orders: DataFrame): DataFrame = {
+    val rightDedup = orders
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+          .orderBy(col("o_orderkey").desc)))
+      .filter(col("rn") === 1)
+    val leftTagged = silver.select(
+      col("user_id").as("k"), col("ts").as("t"), lit(1).as("side"),
+      col("event_id"),
+      lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("double").as("o_totalprice"))
+    val rightTagged = rightDedup.select(
+      col("o_custkey").as("k"), col("o_orderdate").as("t"), lit(0).as("side"),
+      lit(null).cast("long").as("event_id"),
+      col("o_orderkey"), col("o_totalprice"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("side").asc, col("o_orderkey").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    leftTagged.unionByName(rightTagged)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("asof_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("k").as("user_id"),
+        col("asof_orderkey"), col("asof_totalprice"))
+      .orderBy(col("event_id").asc)
+  }
+
+  /** Sessionization (gaps-and-islands): a new session starts when the gap
+    * to the previous event of the same user exceeds `gapSeconds`. Per-user
+    * window — partitions cleanly, one shuffle on user_id (reused from the
+    * persisted silver partitioning). The streaming equivalent with
+    * explicit state lives in graft.streaming.Sessionize. */
+  def sessionize(silver: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val newSession = when(
+      unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+        > gapSeconds * 1000000L, 1)
+      .otherwise(when(lag(col("ts"), 1).over(byUser).isNull, 1).otherwise(0))
+    val fmt: Column => Column = date_format(_, "yyyy-MM-dd HH:mm:ss")
+    silver
+      .withColumn("new_session", newSession)
+      .withColumn("session_no",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        fmt(min(col("ts"))).as("session_start"),
+        fmt(max(col("ts"))).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id").asc, col("session_no").asc)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.core.Tables
+import graft.pipeline.EventsPipeline
+
+class TemporalOpsSpec extends SparkSpecBase {
+
+  private lazy val silver = EventsPipeline.silver(spark, sf)
+
+  test("nulls-last ordering puts every null prev_event_id at the end") {
+    val rows = TemporalOps.prevEventOrdering(silver).collect()
+    val firstNull = rows.indexWhere(_.isNullAt(2))
+    assert(firstNull > 0)
+    assert(rows.drop(firstNull).forall(_.isNullAt(2)))
+  }
+
+  test("set ops partition d1 users into both vs only_first") {
+    val out = TemporalOps.userDateSetOps(silver, "2024-01-05", "2024-01-06")
+    val both = out.filter(col("op") === "both").count()
+    val only = out.filter(col("op") === "only_first").count()
+    val d1 = silver.filter(col("event_date") === lit("2024-01-05").cast("date"))
+      .select("user_id").distinct().count()
+    assert(both + only === d1)
+  }
+
+  test("as-of join: acquired order never postdates the event") {
+    val out = TemporalOps.eventOrderAsOf(silver, Tables.orders(spark, sf))
+    assert(out.count() === silver.count())
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("asof_orderkey"), col("o_orderdate"))
+    val joined = out.filter(col("asof_orderkey").isNotNull)
+      .join(orders, "asof_orderkey")
+      .join(silver.select(col("event_id"), col("ts")), "event_id")
+    assert(joined.filter(col("o_orderdate") > col("ts")).count() === 0)
+  }
+
+  test("sessions: per-user event counts reconcile; gaps within session bounded") {
+    val sessions = TemporalOps.sessionize(silver)
+    val total = sessions.agg(sum("n_events")).head.getLong(0)
+    assert(total === silver.count())
+    // session numbering is dense from 1
+    val bad = sessions.groupBy("user_id")
+      .agg(max("session_no").as("mx"), count(lit(1)).as("cnt"))
+      .filter(col("mx") =!= col("cnt"))
+    assert(bad.count() === 0)
+  }
+}
