@@ -130,6 +130,40 @@ object Medallion {
 
   // ----------------------------------------------------- catalog / DDL
 
+  /** Bucketed fact tables: the physical layout that makes repeated
+    * fact-fact joins shuffle-free (SURVEY §4 "shuffle-free" intent —
+    * Spark cannot derive co-partitioning from directory layout, but
+    * bucketed tables carry it in the catalog, so a join of two tables
+    * bucketed on the join key by the same bucket count plans as a
+    * SortMergeJoin with ZERO Exchange). At 100 TB this is the difference
+    * between re-shuffling 100 TB per join and reading co-located buckets.
+    * BucketedJoinSpec asserts the exchange-free plan. */
+  def writeBucketedPair(spark: SparkSession, dir: String, db: String,
+                        buckets: Int = 8): Unit = {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $db")
+    spark.sql(s"DROP TABLE IF EXISTS $db.orders_b")
+    spark.sql(s"DROP TABLE IF EXISTS $db.lineitem_b")
+    Tables.orders(spark, dir).write
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable(s"$db.orders_b")
+    Tables.lineitem(spark, dir).write
+      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable(s"$db.lineitem_b")
+  }
+
+  /** Fact-fact join over the bucketed pair: revenue per order priority.
+    * With bucketing both scans are pre-partitioned AND pre-sorted on the
+    * join key, so the SortMergeJoin needs neither Exchange nor Sort. */
+  def bucketedRevenueByPriority(spark: SparkSession, db: String): DataFrame = {
+    val li = spark.table(s"$db.lineitem_b")
+    val o = spark.table(s"$db.orders_b")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
   /** S10-S12: namespace DDL + DataFrameWriterV2 table write + catalog
     * scan, against the session catalog (Iceberg swaps in via conf). */
   def writeTable(df: DataFrame, table: String): Unit = {
