@@ -11,8 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * one-file change.
   */
 object Tables {
+  /** All scans bootstrap the session (UTC, nanosAsLong, graft functions)
+    * so correctness does not depend on who built the SparkSession. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Sessions.ensure(spark).read.parquet(s"$dir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
