@@ -117,6 +117,9 @@ object SparkEntry {
       TemporalOps.eventOrderAsOf(EventsPipeline.silver(s, d), graft.core.Tables.orders(s, d))),
     "q47_sessions"             -> ((s, d) =>
       TemporalOps.sessionize(EventsPipeline.silver(s, d))),
+    // ---- IVF ANN variant + grouping-sets completion ----
+    "q48_knn_ivf"              -> ((s, d) => Similarity.knnIvf(s, d)),
+    "q49_orders_cube"          -> ((s, d) => StarQueries.ordersCube(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -662,5 +665,45 @@ object SparkEntry {
           |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
           |       COUNT(*) AS n_events
           |FROM numbered GROUP BY 1, 2 ORDER BY user_id ASC, session_no ASC""".stripMargin),
+    "q48_knn_ivf" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |seeds AS (SELECT label AS slabel0, MIN(vec_id) AS svid FROM v GROUP BY 1),
+        |sv AS (
+        |  SELECT s.slabel0 AS slabel, nn.e AS se, nn.nrm AS snrm
+        |  FROM seeds s JOIN n nn ON nn.vec_id = s.svid),
+        |ranks AS (
+        |  SELECT nn.vec_id, sv.slabel,
+        |         row_number() OVER (
+        |           PARTITION BY nn.vec_id
+        |           ORDER BY list_dot_product(nn.e, sv.se) / (nn.nrm * sv.snrm) DESC,
+        |                    sv.slabel ASC) AS rn
+        |  FROM n nn, sv),
+        |assigned AS (SELECT vec_id, slabel FROM ranks WHERE rn = 1),
+        |probeset AS (
+        |  SELECT vec_id AS query_id, slabel FROM ranks
+        |  WHERE rn <= 2 AND vec_id < 10),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probeset p JOIN assigned a ON a.slabel = p.slabel
+        |  WHERE a.vec_id <> p.query_id),
+        |cos AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         list_dot_product(qv.e, nv.e) / (qv.nrm * nv.nrm) AS cos
+        |  FROM cand c
+        |  JOIN n qv ON qv.vec_id = c.query_id
+        |  JOIN n nv ON nv.vec_id = c.neighbor_id),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS "rank"
+        |  FROM cos)
+        |SELECT query_id, "rank", neighbor_id, cos FROM r
+        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    "q49_orders_cube" ->
+      """SELECT year(o_orderdate) AS o_year, o_orderpriority, COUNT(*) AS cnt
+        |FROM orders
+        |GROUP BY CUBE (o_year, o_orderpriority)
+        |ORDER BY o_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
   )
 }

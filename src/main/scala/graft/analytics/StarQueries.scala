@@ -115,6 +115,15 @@ object StarQueries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("o_year").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** CUBE over (order year, priority) — the full grouping-sets surface
+    * (rollup's sibling; Spark and DuckDB both support it natively). */
+  def ordersCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
+      .cube(col("o_year"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_year").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
   /** A11: scalar-subquery-style grand total — share of customers per nation.
     * DataFrame form: window over empty partition (single exchange, no
     * crossJoin). */

@@ -146,6 +146,68 @@ object Similarity {
   def knnLsh(spark: SparkSession, dir: String): DataFrame =
     knnLsh(Tables.embeddings(spark, dir))
 
+  // ------------------------------------------------------------- IVF
+
+  /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
+    * into cells; queries probe only the nearest `probes` cells. Cell
+    * centroids here are deterministic SEED VECTORS (the min vec_id per
+    * label) rather than k-means means — float mean aggregation is
+    * partition-order dependent, which would break cross-engine
+    * reproducibility; seeds give the same inverted-file structure with
+    * exact arithmetic. At 100 TB the assignment is one broadcast pass and
+    * each query touches |corpus| × probes/cells vectors. */
+  def ivfSeeds(embeddings: DataFrame): DataFrame = {
+    val corpus = vecsNormed(embeddings)
+    val minIds = corpus.groupBy(col("label"))
+      .agg(min(col("vec_id")).as("svid"))
+      .select(col("label").as("slabel"), col("svid"))
+    corpus.drop("label")
+      .join(broadcast(minIds), col("vec_id") === col("svid"))
+      .select(col("slabel"), col("v").as("sv"), col("nrm").as("snrm"))
+  }
+
+  /** Rank each vector's cells by cosine-to-seed (rn=1 → assigned cell;
+    * rn<=probes → probe set for queries). */
+  private def cellRanks(corpus: DataFrame, seeds: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("slabel").asc)
+    corpus.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("slabel"),
+        cosinePre(col("v"), col("sv"), col("nrm"), col("snrm")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+  }
+
+  /** IVF-bucketed approximate top-k: candidates live in the query's
+    * `probes` nearest cells; exact cosine ranks only those. */
+  def knnIvf(embeddings: DataFrame, numQueries: Int = 10, probes: Int = 2,
+             k: Int = 5): DataFrame = {
+    val corpus = vecsNormed(embeddings)
+    val ranks = cellRanks(corpus, ivfSeeds(embeddings))
+    val assigned = ranks.filter(col("rn") === 1)
+      .select(col("vec_id"), col("slabel"))
+    val probeSet = ranks.filter(col("rn") <= probes && col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("slabel"))
+    val cand = probeSet.join(assigned, Seq("slabel"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id")).distinct()
+    val queries = corpus.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand
+      .join(broadcast(queries), Seq("query_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePre(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  def knnIvf(spark: SparkSession, dir: String): DataFrame =
+    knnIvf(Tables.embeddings(spark, dir))
+
   /** Embedding-similarity pair join (the embedding-space near-dup
     * operator): all corpus pairs above `minCosine`, generated through the
     * LSH band join (never all-pairs), verified with exact cosine. */

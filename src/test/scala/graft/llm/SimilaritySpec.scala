@@ -33,6 +33,18 @@ class SimilaritySpec extends SparkSpecBase {
     assert(cand < n * (n - 1) / 2 / 2, s"candidates $cand vs all-pairs ${n * (n - 1) / 2}")
   }
 
+  test("ivf knn: probes prune the corpus yet keep useful recall") {
+    val exact = Similarity.knnExact(emb).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.knnIvf(emb).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    // 2 of 10 cells probed → ~20% of the corpus scanned; recall must beat
+    // the random-candidate floor
+    assert(recall >= 0.2, s"ivf recall@5 = $recall")
+    assert(ivf.size === exact.size) // full k returned per query
+  }
+
   test("similar pairs honor the cosine threshold symmetrically") {
     val out = Similarity.similarPairs(emb).collect()
     assert(out.forall(_.getAs[Double]("cos") >= 0.45))
