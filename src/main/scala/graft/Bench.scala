@@ -66,11 +66,15 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + f"$v%.4f" }.mkString("{", ",", "}")
+    // Locale.ROOT: the f-interpolator uses the default locale, which on a
+    // comma-decimal JVM would emit invalid JSON numbers.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val qs = results.map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v.take(200)) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":$iters}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":$iters}"""
 
     println(line)
     try Files.writeString(Paths.get("BENCH.json"), line + "\n")

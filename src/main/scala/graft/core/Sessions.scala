@@ -19,9 +19,12 @@ import org.apache.spark.sql.SparkSession
   * round 1 review.
   */
 object Sessions {
+  // weak keys: a stopped/discarded session must not stay pinned by the
+  // bootstrap guard in long-lived multi-session drivers
   private val bootstrapped =
     java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+      java.util.Collections.synchronizedMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   def ensure(spark: SparkSession): SparkSession = {
     if (bootstrapped.add(spark)) {

@@ -23,6 +23,11 @@ import org.apache.spark.sql.SparkSessionExtensions
   * fold it replaces and as DuckDB's list_dot_product, so oracle parity is
   * unaffected.
   *
+  * Contract: element-wise over min(len(a), len(b)); elements are assumed
+  * NON-NULL (embedding vectors are dense). A null element would read as
+  * 0.0 here while DuckDB's list_dot_product returns NULL — if nullable
+  * elements ever appear upstream, filter or coalesce them first.
+  *
   * Registered as SQL function `graft_dot` two ways:
   *  - [[GraftExtensions]] for `spark.sql.extensions`-configured sessions;
   *  - [[DotProduct.register]] for runtime registration (used by

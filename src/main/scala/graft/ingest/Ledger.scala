@@ -54,7 +54,13 @@ object Ledger {
 
   /** One idempotent batch tick: hash candidates, drop already-seen content,
     * process the remaining paths, then append them to the ledger. Returns
-    * the number of newly processed files. */
+    * the number of newly processed files.
+    *
+    * The ledger append is built from the COLLECTED snapshot, not from the
+    * lazy `fresh` plan: re-executing the plan would re-list the directory,
+    * so a file landing mid-tick would be written to the ledger without
+    * ever being processed — silently lost forever (and every candidate
+    * would be re-read and re-hashed a second time). */
   def ingestTick(spark: SparkSession, inDir: String, ledgerDir: String)
                 (process: Seq[String] => Unit): Long = {
     val fresh = newFiles(fileHashes(spark, inDir), readLedger(spark, ledgerDir))
@@ -64,9 +70,11 @@ object Ledger {
     val rows = fresh.select(col("content_hash"), col("path"), col("length")).collect()
     if (rows.nonEmpty) {
       process(rows.map(_.getString(1)).toSeq)
-      fresh
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "content_hash STRING, path STRING, length LONG"))
         .withColumn("processed_at", current_timestamp())
-        .select(col("content_hash"), col("path"), col("length"), col("processed_at"))
         .write.mode("append").parquet(ledgerDir)
     }
     rows.length.toLong

@@ -84,13 +84,18 @@ object EventsPipeline {
     * 25 queries recomputed the full silver shuffle from scratch — at 100 TB
     * that is 15 redundant full-table shuffles per report batch. Persisting
     * the deduped frame (MEMORY_AND_DISK, spills instead of OOM) gives every
-    * report the materialized-table read the reference gets from Iceberg. */
-  private val silverCache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    * report the materialized-table read the reference gets from Iceberg.
+    * The session key is WEAK so stopped sessions (and their persisted
+    * frames) can be collected in multi-session drivers. */
+  private val silverCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, DataFrame]]())
 
   def silver(spark: SparkSession, dir: String): DataFrame =
-    silverCache.computeIfAbsent((spark, dir), { _ =>
-      silverOf(bronze(spark, dir)).persist(StorageLevel.MEMORY_AND_DISK)
-    })
+    silverCache.computeIfAbsent(spark, _ => new ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(dir, { _ =>
+        silverOf(bronze(spark, dir)).persist(StorageLevel.MEMORY_AND_DISK)
+      })
 
   /** Gold daily aggregate: per-user-per-day counts + distincts.
     * Reference: transform_job.py:106-111. Partial aggregation (map-side

@@ -64,7 +64,11 @@ object StreamingIngest {
       .filter(col(ListenIngest.CorruptCol).isNull)
       .withColumn("listened_datetime", timestamp_seconds(col("listened_at")))
       .withWatermark("listened_datetime", "7 days")
-      .dropDuplicates("user_name", "listened_at")
+      // the event-time column MUST be part of the dedup keys — Spark only
+      // evicts dropDuplicates state by watermark when it is; without it the
+      // state store grows one entry per (user, second) forever. It is
+      // derived 1:1 from listened_at, so key granularity is unchanged.
+      .dropDuplicates("user_name", "listened_at", "listened_datetime")
       .groupBy(
         window(col("listened_datetime"), "1 day").as("day"),
         col("user_name"))
