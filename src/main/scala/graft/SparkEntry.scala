@@ -120,6 +120,8 @@ object SparkEntry {
     // ---- IVF ANN variant + grouping-sets completion ----
     "q48_knn_ivf"              -> ((s, d) => Similarity.knnIvf(s, d)),
     "q49_orders_cube"          -> ((s, d) => StarQueries.ordersCube(s, d)),
+    "q50_value_quantiles"      -> ((s, d) =>
+      TemporalOps.valueQuantiles(EventsPipeline.silver(s, d))),
   )
 
   // ------------------------------------------------------------------
@@ -705,5 +707,23 @@ object SparkEntry {
         |FROM orders
         |GROUP BY CUBE (o_year, o_orderpriority)
         |ORDER BY o_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q50_value_quantiles" ->
+      (silverCte +
+        """, ranked AS (
+          |  SELECT event_type, event_id, value,
+          |    row_number() OVER (
+          |      PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
+          |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+          |  FROM silver),
+          |medians AS (
+          |  SELECT event_type, value AS median_value
+          |  FROM ranked WHERE rn = (cnt + 1) // 2),
+          |stats AS (
+          |  SELECT event_type, COUNT(*) AS n,
+          |         MIN(value) AS min_value, MAX(value) AS max_value
+          |  FROM silver GROUP BY 1)
+          |SELECT s.event_type, s.n, s.min_value, m.median_value, s.max_value
+          |FROM stats s JOIN medians m ON s.event_type = m.event_type
+          |ORDER BY s.event_type ASC""".stripMargin),
   )
 }

@@ -76,6 +76,31 @@ object TemporalOps {
       .orderBy(col("event_id").asc)
   }
 
+  /** Exact discrete quantiles per group — median without interpolation.
+    * Interpolated quantiles (percentile_cont) mix IEEE operand orders
+    * across engines; the DISCRETE median (lower-middle element by a total
+    * order) is engine-exact: rank rows per group, keep rn = (cnt+1) div 2.
+    * Distributed cost: one hash shuffle on the group key + per-group sort —
+    * the same shape as any ranking window, no global sort. */
+  def valueQuantiles(silver: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").asc, col("event_id").asc)
+    val ranked = silver
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+    val medians = ranked
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("event_type"), col("value").as("median_value"))
+    val stats = silver.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+    stats.join(medians, Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        col("min_value"), col("median_value"), col("max_value"))
+      .orderBy(col("event_type").asc)
+  }
+
   /** Sessionization (gaps-and-islands): a new session starts when the gap
     * to the previous event of the same user exceeds `gapSeconds`. Per-user
     * window — partitions cleanly, one shuffle on user_id (reused from the

@@ -37,6 +37,20 @@ class TemporalOpsSpec extends SparkSpecBase {
     assert(joined.filter(col("o_orderdate") > col("ts")).count() === 0)
   }
 
+  test("discrete median lies within [min, max] and belongs to the group") {
+    val out = TemporalOps.valueQuantiles(silver).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (mn, med, mx) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(mn <= med && med <= mx)
+    }
+    // the median is an actual element of its group (discrete, not interpolated)
+    val joined = TemporalOps.valueQuantiles(silver)
+      .join(silver.select(col("event_type"), col("value").as("median_value")),
+        Seq("event_type", "median_value"), "left_semi")
+    assert(joined.count() === out.length)
+  }
+
   test("sessions: per-user event counts reconcile; gaps within session bounded") {
     val sessions = TemporalOps.sessionize(silver)
     val total = sessions.agg(sum("n_events")).head.getLong(0)
