@@ -712,7 +712,7 @@ object SparkEntry {
         """, ranked AS (
           |  SELECT event_type, event_id, value,
           |    row_number() OVER (
-          |      PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
+          |      PARTITION BY event_type ORDER BY value ASC NULLS LAST, event_id ASC) AS rn,
           |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
           |  FROM silver),
           |medians AS (

@@ -83,8 +83,11 @@ object TemporalOps {
     * Distributed cost: one hash shuffle on the group key + per-group sort —
     * the same shape as any ranking window, no global sort. */
   def valueQuantiles(silver: DataFrame): DataFrame = {
+    // asc_nulls_last EXPLICITLY: Spark ASC defaults NULLS FIRST, DuckDB
+    // defaults NULLS LAST — with implicit defaults the discrete median
+    // diverges the day `value` contains a NULL (round-2 advice).
     val w = Window.partitionBy("event_type")
-      .orderBy(col("value").asc, col("event_id").asc)
+      .orderBy(col("value").asc_nulls_last, col("event_id").asc)
     val ranked = silver
       .withColumn("rn", row_number().over(w))
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))

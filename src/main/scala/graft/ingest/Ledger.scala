@@ -8,16 +8,20 @@ import org.apache.spark.sql.functions._
   * The reference keeps a `processed_files` table keyed by filename
   * (ingest_job.py:58-88) or SHA-256 content hash (analysis.ipynb
   * `get_file_hash`) and skips files already seen — exactly-once effect for
-  * a at-least-once file watcher. Spark-native form:
+  * a at-least-once file watcher. Spark-native form, two-stage so a tick
+  * costs O(new bytes), not O(corpus bytes):
   *
-  *  - candidate listing via the `binaryFile` source (S18: object-store
-  *    listing with glob pushdown — on S3A this is a LIST call per prefix,
-  *    no data read until the content column is touched);
-  *  - `sha2(content, 256)` content hashes, so renamed copies of the same
-  *    bytes are still skipped (the notebook's stronger variant);
-  *  - new files = left-anti join against the ledger (the "insert-if-absent"
-  *    join) — at scale the ledger is tiny vs the input, so this broadcasts;
-  *  - ledger append after successful processing.
+  *  1. METADATA pre-filter: list candidates via the `binaryFile` source
+  *     selecting only (path, length, modificationTime) — no file content is
+  *     read for a metadata-only projection (S18: on S3A this is a LIST call
+  *     per prefix) — and left-anti join against the ledger on that triple.
+  *     Files already recorded with the same size+mtime are skipped without
+  *     touching a byte.
+  *  2. CONTENT hash: only the genuinely new paths are loaded and
+  *     `sha2(content, 256)`-hashed; a second left-anti join on the hash
+  *     drops renamed copies of already-processed bytes (the notebook's
+  *     stronger variant). Renamed copies are still APPENDED to the ledger
+  *     (as seen-paths) so the next tick's metadata filter skips them too.
   *
   * Structured Streaming's checkpoint file-log (graft.streaming) gives
   * filename-level exactly-once for free; this ledger is the batch-mode and
@@ -25,10 +29,33 @@ import org.apache.spark.sql.functions._
   */
 object Ledger {
 
-  val LedgerSchema = "content_hash STRING, path STRING, length LONG, processed_at TIMESTAMP"
+  val LedgerSchema =
+    "content_hash STRING, path STRING, length LONG, modification_time TIMESTAMP, processed_at TIMESTAMP"
 
-  /** Candidate files + content hashes. `pathGlobFilter` implements the
-    * extension predicate (S4) at listing time. */
+  /** Candidate file METADATA only — the binaryFile source prunes the
+    * `content` column away, so listing is free of data reads.
+    * `pathGlobFilter` implements the extension predicate (S4) at listing
+    * time. */
+  def fileMeta(spark: SparkSession, inDir: String, glob: String = "*.{txt,json}"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(inDir)
+      .select(col("path"), col("length"),
+        col("modificationTime").as("modification_time"))
+
+  /** Content hashes for an explicit path list — only these files are read. */
+  def hashPaths(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.format("binaryFile")
+      .load(paths: _*)
+      .select(
+        sha2(col("content"), 256).as("content_hash"),
+        col("path"),
+        col("length"),
+        col("modificationTime").as("modification_time"))
+
+  /** Candidate files + content hashes in one pass (reads every candidate —
+    * kept for the non-incremental / first-scan use; ticks use the
+    * metadata-pre-filtered two-stage path). */
   def fileHashes(spark: SparkSession, inDir: String, glob: String = "*.{txt,json}"): DataFrame =
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
@@ -52,28 +79,49 @@ object Ledger {
     candidates.join(
       ledger.select(col("content_hash")), Seq("content_hash"), "left_anti")
 
-  /** One idempotent batch tick: hash candidates, drop already-seen content,
-    * process the remaining paths, then append them to the ledger. Returns
-    * the number of newly processed files.
+  /** One idempotent batch tick. Returns the number of newly PROCESSED files
+    * (renamed copies of already-seen bytes are ledgered but not processed).
     *
-    * The ledger append is built from the COLLECTED snapshot, not from the
-    * lazy `fresh` plan: re-executing the plan would re-list the directory,
-    * so a file landing mid-tick would be written to the ledger without
-    * ever being processed — silently lost forever (and every candidate
-    * would be re-read and re-hashed a second time). */
+    * Both anti-join results are COLLECTED snapshots, not lazy plans:
+    * re-executing the plan would re-list the directory, so a file landing
+    * mid-tick would be written to the ledger without ever being processed —
+    * silently lost forever. The collected lists are file names/hashes, not
+    * data — small by construction (bounded by files-per-tick), the same
+    * pattern as Structured Streaming's file-source batch planning. */
   def ingestTick(spark: SparkSession, inDir: String, ledgerDir: String)
                 (process: Seq[String] => Unit): Long = {
-    val fresh = newFiles(fileHashes(spark, inDir), readLedger(spark, ledgerDir))
-    // The path list is file *names*, not data — small by construction
-    // (bounded by files-per-tick), so collecting it to the driver is the
-    // same pattern as Structured Streaming's file-source batch planning.
-    val rows = fresh.select(col("content_hash"), col("path"), col("length")).collect()
-    if (rows.nonEmpty) {
-      process(rows.map(_.getString(1)).toSeq)
+    val ledger = readLedger(spark, ledgerDir)
+    // Stage 1: metadata-only anti-join — already-ledgered (path,len,mtime)
+    // triples are skipped with zero content reads.
+    val seenMeta = ledger.select(col("path"), col("length"), col("modification_time"))
+    val freshPaths = fileMeta(spark, inDir)
+      .join(seenMeta, Seq("path", "length", "modification_time"), "left_anti")
+      .select(col("path")).collect().map(_.getString(0)).toSeq
+    if (freshPaths.isEmpty) return 0L
+
+    // Stage 2: hash ONLY the fresh paths — collected ONCE so content is
+    // read exactly once — then a content anti-join (over the in-memory
+    // snapshot) drops renamed copies of bytes the ledger has already seen.
+    val hashedSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "content_hash STRING, path STRING, length LONG, modification_time TIMESTAMP")
+    val hashedRows = hashPaths(spark, freshPaths).collect()
+    val hashedDf = spark.createDataFrame(
+      java.util.Arrays.asList(hashedRows: _*), hashedSchema)
+    val rows = newFiles(hashedDf, ledger)
+      .select(col("content_hash"), col("path"), col("length"), col("modification_time"))
+      .collect()
+    if (rows.nonEmpty) process(rows.map(_.getString(1)).toSeq)
+
+    // Ledger append: processed files AND renamed duplicates (so the next
+    // tick's metadata filter skips both without re-reading).
+    val processedPaths = rows.map(_.getString(1)).toSet
+    val dupRows = hashedRows.filterNot(r => processedPaths.contains(r.getString(1)))
+    val appendRows = rows ++ dupRows
+    if (appendRows.nonEmpty) {
       spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*),
+        java.util.Arrays.asList(appendRows: _*),
         org.apache.spark.sql.types.StructType.fromDDL(
-          "content_hash STRING, path STRING, length LONG"))
+          "content_hash STRING, path STRING, length LONG, modification_time TIMESTAMP"))
         .withColumn("processed_at", current_timestamp())
         .write.mode("append").parquet(ledgerDir)
     }

@@ -23,17 +23,33 @@ import graft.pipeline.EventsPipeline
   */
 object Medallion {
 
+  /** Read back a `partitionBy`-written tier with the writer's schema.
+    * Partition-directory values are TYPE-INFERRED on read (user_id=42 →
+    * IntegerType), silently drifting from the pipeline's LongType (round-2
+    * advice) — so reads re-assert the written schema: cast every column
+    * back to the writer's type and restore the writer's column order
+    * (partition columns move to the end on read). */
+  def readTier(spark: SparkSession, path: String,
+               written: org.apache.spark.sql.types.StructType): DataFrame = {
+    val raw = spark.read.parquet(path)
+    raw.select(written.fields.toSeq.map(f => col(f.name).cast(f.dataType)): _*)
+  }
+
   /** Write bronze/silver/gold as partitioned parquet under `outRoot`.
     * Partition column mirrors the reference's user_name partitioning;
-    * event_date would be the choice for date-pruned report workloads. */
+    * event_date would be the choice for date-pruned report workloads.
+    * Each tier is read back via [[readTier]] so the on-disk lineage keeps
+    * the exact in-memory schema (no partition-column type drift). */
   def materialize(spark: SparkSession, dir: String, outRoot: String): Unit = {
     val bronze = EventsPipeline.bronze(spark, dir)
     bronze.write.mode("overwrite")
       .partitionBy("user_id").parquet(s"$outRoot/bronze")
-    val silver = EventsPipeline.silverOf(spark.read.parquet(s"$outRoot/bronze"))
+    val silver = EventsPipeline.silverOf(
+      readTier(spark, s"$outRoot/bronze", bronze.schema))
     silver.write.mode("overwrite")
       .partitionBy("user_id").parquet(s"$outRoot/silver")
-    val gold = EventsPipeline.goldDailyOf(spark.read.parquet(s"$outRoot/silver"))
+    val gold = EventsPipeline.goldDailyOf(
+      readTier(spark, s"$outRoot/silver", silver.schema))
     gold.write.mode("overwrite").parquet(s"$outRoot/gold")
   }
 
@@ -75,6 +91,19 @@ object Medallion {
       new java.util.WeakHashMap[SparkSession,
         java.util.concurrent.ConcurrentHashMap[String, String]]())
 
+  /** Every scratch dir ever created, deleted on JVM exit (round-2 advice:
+    * they were never cleaned up). */
+  private val allScratchDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    allScratchDirs.forEach { d =>
+      try {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        F.walk(Paths.get(d)).iterator().asScala.toSeq.reverse.foreach(p =>
+          F.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }))
+
   private def scratchFor(cache: java.util.Map[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, String]],
       spark: SparkSession, key: String)(build: String => Unit): String =
@@ -82,6 +111,7 @@ object Medallion {
       _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
       .computeIfAbsent(key, { _ =>
         val s = Files.createTempDirectory("graft-scratch-").toString
+        allScratchDirs.add(s)
         build(s)
         s
       })

@@ -221,6 +221,10 @@ object TextDedup {
     * pair count; at 100 TB the block key would be (lang, length-band,
     * source-shard) to keep buckets small. Emits pairs ≥ `minJaccard`. */
   def ngramJaccardDups(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    // Persisted: the exploded shingle frame feeds sizes AND both sides of
+    // the inverted-index self-join; without the persist the interpreted-HOF
+    // shingle explode executes three times (round-2 bench: the dominant
+    // cost of this operator at sf0.1).
     val sh = normalized(docs)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .withColumn("w", split(col("norm"), " "))
@@ -230,6 +234,7 @@ object TextDedup {
           transform(
             sequence(lit(0), size(col("w")) - 2),
             i => concat_ws(" ", slice(col("w"), i + 1, lit(2)))))).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("lang"), col("shingle"), col("doc_id").as("doc_a"))
     val b = sh.select(col("lang"), col("shingle"), col("doc_id").as("doc_b"))

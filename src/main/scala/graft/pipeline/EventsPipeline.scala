@@ -85,17 +85,31 @@ object EventsPipeline {
     * that is 15 redundant full-table shuffles per report batch. Persisting
     * the deduped frame (MEMORY_AND_DISK, spills instead of OOM) gives every
     * report the materialized-table read the reference gets from Iceberg.
-    * The session key is WEAK so stopped sessions (and their persisted
-    * frames) can be collected in multi-session drivers. */
+    *
+    * Eviction: a weak session key can never be collected here because the
+    * cached DataFrames strongly reference their session (round-2 advice),
+    * so eviction is EXPLICIT instead — a listener unpersists and drops the
+    * entry when the session's SparkContext ends. Sessions cloned off a
+    * shared long-lived context keep their entries until that context stops
+    * (the persisted data is per-context anyway). */
   private val silverCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, DataFrame]]())
+    new ConcurrentHashMap[SparkSession, ConcurrentHashMap[String, DataFrame]]()
 
   def silver(spark: SparkSession, dir: String): DataFrame =
-    silverCache.computeIfAbsent(spark, _ => new ConcurrentHashMap[String, DataFrame]())
-      .computeIfAbsent(dir, { _ =>
-        silverOf(bronze(spark, dir)).persist(StorageLevel.MEMORY_AND_DISK)
+    silverCache.computeIfAbsent(spark, { s =>
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          val evicted = silverCache.remove(s)
+          if (evicted != null) evicted.values.forEach { df =>
+            try df.unpersist(blocking = false) catch { case _: Throwable => () }
+          }
+        }
       })
+      new ConcurrentHashMap[String, DataFrame]()
+    }).computeIfAbsent(dir, { _ =>
+      silverOf(bronze(spark, dir)).persist(StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Gold daily aggregate: per-user-per-day counts + distincts.
     * Reference: transform_job.py:106-111. Partial aggregation (map-side

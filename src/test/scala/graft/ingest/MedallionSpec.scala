@@ -21,6 +21,18 @@ class MedallionSpec extends SparkSpecBase {
     assert(goldSum === silverCnt)
   }
 
+  test("readTier restores the writer's schema exactly (no partition-column type drift)") {
+    val out = tmpDir("medallion-schema-")
+    Medallion.materialize(spark, sf, out)
+    val inMem = EventsPipeline.silverOf(EventsPipeline.bronze(spark, sf))
+    // raw read infers user_id (a partition dir key) as IntegerType — the
+    // silent drift the advisor flagged; readTier must undo it
+    val raw = spark.read.parquet(s"$out/silver")
+    assert(raw.schema("user_id").dataType !== inMem.schema("user_id").dataType)
+    val fixed = Medallion.readTier(spark, s"$out/silver", inMem.schema)
+    assert(fixed.schema === inMem.schema)
+  }
+
   test("schema-evolved epochs reconcile on disk via mergeSchema + coalesce") {
     val out = tmpDir("epochs-")
     val silver = EventsPipeline.silver(spark, sf)
