@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.{Reports, StarQueries, TemporalOps}
 import graft.ingest.Medallion
-import graft.llm.{Multimodal, Similarity, TextDedup, TextStats}
+import graft.llm.{Curation, EmbedDedup, Multimodal, Similarity, TextDedup, TextStats}
 import graft.pipeline.EventsPipeline
 import graft.sql.SqlQueries
 
@@ -122,6 +122,13 @@ object SparkEntry {
     "q49_orders_cube"          -> ((s, d) => StarQueries.ordersCube(s, d)),
     "q50_value_quantiles"      -> ((s, d) =>
       TemporalOps.valueQuantiles(EventsPipeline.silver(s, d))),
+    // ---- LLM-data-pipeline: embedding-space dedup (5th dedup family) ----
+    "q51_embedding_neardups"   -> ((s, d) => EmbedDedup.embeddingNearDups(s, d)),
+    // ---- LLM-data-pipeline: curation (split / sample / mix / budget) ----
+    "q52_train_split"          -> ((s, d) => Curation.trainSplitSummary(s, d)),
+    "q53_stratified_sample"    -> ((s, d) => Curation.stratifiedSample(s, d)),
+    "q54_source_mixture"       -> ((s, d) => Curation.sourceMixture(s, d)),
+    "q55_token_counts"         -> ((s, d) => Curation.tokenCounts(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -244,6 +251,47 @@ object SparkEntry {
        |SELECT doc_id, lang, $scoreCols, predicted_lang,
        |       predicted_lang = lang AS is_correct
        |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  /** Embedding-cosine near-dup oracle, mirroring [[graft.llm.EmbedDedup]]:
+    * hashed-TF sparse vectors, integer sign-projection LSH, exact sparse
+    * cosine on candidates. All-integer until the final division. */
+  private def embedDedupOracle: String = {
+    import graft.llm.EmbedDedup.{NumBuckets, NumPlanes, BandBits, WeightMod, CosThreshold}
+    s"""WITH nd AS (
+       |  SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
+       |words AS (SELECT doc_id, unnest(w) AS word FROM nd),
+       |tf AS (
+       |  SELECT doc_id,
+       |         CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % $NumBuckets AS bucket,
+       |         COUNT(*) AS cnt
+       |  FROM words GROUP BY 1, 2),
+       |norms AS (
+       |  SELECT doc_id, sqrt(CAST(SUM(cnt * cnt) AS DOUBLE)) AS nrm FROM tf GROUP BY 1),
+       |proj AS (
+       |  SELECT tf.doc_id, p.p AS plane,
+       |         SUM(cnt * ((CAST('0x' || substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(bucket AS VARCHAR)), 1, 15) AS BIGINT) % $WeightMod) - 1000)) AS pr
+       |  FROM tf, range($NumPlanes) p(p) GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, plane // $BandBits AS band,
+       |         CAST(SUM(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << CAST(plane % $BandBits AS INTEGER)) ELSE 0 END) AS BIGINT) AS bval
+       |  FROM proj GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+       |dots AS (
+       |  SELECT c.doc_a, c.doc_b, SUM(ta.cnt * tb.cnt) AS dt
+       |  FROM cand c
+       |  JOIN tf ta ON ta.doc_id = c.doc_a
+       |  JOIN tf tb ON tb.doc_id = c.doc_b AND tb.bucket = ta.bucket
+       |  GROUP BY 1, 2)
+       |SELECT d.doc_a, d.doc_b, CAST(d.dt AS DOUBLE) / (na.nrm * nb.nrm) AS cos
+       |FROM dots d
+       |JOIN norms na ON na.doc_id = d.doc_a
+       |JOIN norms nb ON nb.doc_id = d.doc_b
+       |WHERE CAST(d.dt AS DOUBLE) / (na.nrm * nb.nrm) >= $CosThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** Shared LSH CTE prefix (vectors → planes → sign bits → signatures →
@@ -725,5 +773,48 @@ object SparkEntry {
           |SELECT s.event_type, s.n, s.min_value, m.median_value, s.max_value
           |FROM stats s JOIN medians m ON s.event_type = m.event_type
           |ORDER BY s.event_type ASC""".stripMargin),
+    "q51_embedding_neardups" -> embedDedupOracle,
+    "q52_train_split" ->
+      """WITH s AS (
+        |  SELECT lang, n_chars,
+        |    CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80 THEN 'train'
+        |         WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, lang, COUNT(*) AS docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM s GROUP BY 1, 2 ORDER BY split ASC, lang ASC""".stripMargin,
+    "q53_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id, source,
+        |         md5('sample:' || CAST(doc_id AS VARCHAR)) AS hkey
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, source,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY lang ORDER BY hkey ASC, doc_id ASC) AS INTEGER) AS rk
+        |  FROM h)
+        |SELECT lang, rk, doc_id, source FROM r
+        |WHERE rk <= 10 ORDER BY lang ASC, rk ASC""".stripMargin,
+    "q54_source_mixture" ->
+      """WITH k AS (
+        |  SELECT source,
+        |    CASE WHEN CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000
+        |              < CAST((CASE WHEN source IN ('src0', 'src1', 'src2', 'src3') THEN 1.0 ELSE 0.25 END) * 10000 AS BIGINT)
+        |         THEN 1 ELSE 0 END AS kept
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS docs_in,
+        |       CAST(SUM(kept) AS BIGINT) AS docs_kept,
+        |       CAST(CAST(SUM(kept) AS BIGINT) AS DOUBLE) / COUNT(*) AS kept_rate
+        |FROM k GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
+    "q55_token_counts" ->
+      s"""WITH n AS (SELECT doc_id, $duckNorm AS norm FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(str_split(norm, ' ')) AS INTEGER) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(norm, '[a-z]{1,4}')) AS INTEGER) AS bpe_tokens,
+         |  CAST(length(replace(norm, ' ', '')) AS INTEGER) AS n_alpha_chars,
+         |  CAST(length(replace(norm, ' ', '')) AS DOUBLE)
+         |    / len(regexp_extract_all(norm, '[a-z]{1,4}')) AS chars_per_bpe_token
+         |FROM n ORDER BY doc_id""".stripMargin,
   )
 }

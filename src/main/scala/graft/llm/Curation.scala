@@ -1,0 +1,114 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Dataset-curation operators a training-data pipeline runs after cleaning
+  * and dedup: deterministic splits, stratified sampling, weighted source
+  * mixing, and token budgeting.
+  *
+  * Everything is keyed on SALTED md5 hashes of stable ids — deterministic
+  * (re-runs and retries assign identically; adding data never reshuffles
+  * existing assignments), engine-portable (the DuckDB oracle reproduces
+  * every hash), and partition-local (no shuffle to assign, no RNG state).
+  * That is exactly why real pipelines split/sample by hash instead of
+  * `rand()`: at 100 TB a random split is neither reproducible nor
+  * restart-safe. Distinct salts per operator ("split:", "sample:", "mix:")
+  * keep the assignments independent of each other.
+  */
+object Curation {
+
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Train/val/test assignment: bucket = h(salt + doc_id) % 100, cut at
+    * 80/90. Per-doc and stable — the join-free, shuffle-free split. */
+  def withSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = h60(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    docs.withColumn("split",
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Split audit: docs and chars per (split, lang) — the report a pipeline
+    * checks before training to confirm the split is balanced per stratum. */
+  def trainSplitSummary(docs: DataFrame): DataFrame =
+    withSplit(docs)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("split").asc, col("lang").asc)
+
+  def trainSplitSummary(spark: SparkSession, dir: String): DataFrame =
+    trainSplitSummary(Tables.documents(spark, dir))
+
+  /** Stratified deterministic sample: the k docs per stratum with the
+    * smallest salted hash — a uniform-without-replacement sample per group
+    * that every re-run (and every engine) reproduces. One hash-shuffle on
+    * the stratum key + per-group top-k; never a global sort. */
+  def stratifiedSample(docs: DataFrame, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("hkey").asc, col("doc_id").asc)
+    docs
+      .withColumn("hkey", md5(concat(lit("sample:"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("doc_id"), col("source"))
+      .orderBy(col("lang").asc, col("rk").asc)
+  }
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.documents(spark, dir))
+
+  /** Per-source keep weights for the mixture: head sources at full weight,
+    * tail sources downsampled 4×. (In production this map is a config;
+    * here a deterministic rule so the oracle can restate it.) */
+  val HeadSources: Seq[String] = Seq("src0", "src1", "src2", "src3")
+  val TailWeight = 0.25
+
+  /** Weighted source mixture: doc kept iff h(salt + doc_id) % 10000 falls
+    * under its source's weight — the interleave/downsample step that
+    * rebalances a crawl before training. Audit output: per source, docs in
+    * vs docs kept vs realized rate. Assignment is per-row and
+    * shuffle-free; only the audit aggregates. */
+  def sourceMixture(docs: DataFrame): DataFrame = {
+    val weight = when(col("source").isin(HeadSources.map(lit): _*), lit(1.0))
+      .otherwise(lit(TailWeight))
+    val kept = h60(concat(lit("mix:"), col("doc_id").cast("string"))) % 10000 <
+      (weight * 10000).cast("long")
+    docs
+      .withColumn("kept", kept.cast("int"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_in"), sum(col("kept")).as("docs_kept"))
+      .withColumn("kept_rate", col("docs_kept").cast("double") / col("docs_in"))
+      .orderBy(col("source").asc)
+  }
+
+  def sourceMixture(spark: SparkSession, dir: String): DataFrame =
+    sourceMixture(Tables.documents(spark, dir))
+
+  /** Token budgeting: whitespace tokens vs a BPE-ish subword count (every
+    * word contributes ceil(len/4) pieces via the `[a-z]{1,4}` chunking
+    * regex — the greedy fixed-width stand-in for a merge table) and the
+    * chars-per-subword ratio pipelines use to convert corpus bytes into a
+    * token budget. regexp_extract_all is codegen'd — no UDF. */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    docs
+      .withColumn("norm", norm)
+      .select(
+        col("doc_id"),
+        size(split(col("norm"), " ")).as("ws_tokens"),
+        size(regexp_extract_all(col("norm"), lit("[a-z]{1,4}"), lit(0))).as("bpe_tokens"),
+        length(regexp_replace(col("norm"), " ", "")).as("n_alpha_chars"))
+      .withColumn("chars_per_bpe_token",
+        col("n_alpha_chars").cast("double") / col("bpe_tokens"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    tokenCounts(Tables.documents(spark, dir))
+}

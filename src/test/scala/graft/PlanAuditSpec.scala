@@ -45,6 +45,16 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.contains("*("), s"no codegen span in:\n$plan")
   }
 
+  test("embedding near-dup plan: weights broadcast, no nested-loop or cartesian join") {
+    val plan = graft.llm.EmbedDedup
+      .embeddingNearDups(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"plane-weight table not broadcast in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"all-pairs join leaked into the LSH plan:\n$plan")
+  }
+
   test("graft_dot is codegen-compatible (no CodegenFallback)") {
     import graft.llm.Similarity
     val emb = Tables.embeddings(spark, sf)

@@ -1,0 +1,64 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.core.Tables
+
+class CurationSpec extends SparkSpecBase {
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("train split is deterministic, exhaustive, and roughly 80/10/10") {
+    val a = Curation.withSplit(docs).select("doc_id", "split")
+    val b = Curation.withSplit(docs).select("doc_id", "split")
+    assert(a.except(b).count() === 0, "re-run must assign identically")
+    val counts = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(total === docs.count())
+    assert(counts("train").toDouble / total > 0.7)
+    assert(counts("train").toDouble / total < 0.9)
+  }
+
+  test("split assignment is stable under corpus growth (hash, not position)") {
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val fromHalf = Curation.withSplit(half).select("doc_id", "split")
+    val fromFull = Curation.withSplit(docs).filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "split")
+    assert(fromHalf.except(fromFull).count() === 0)
+  }
+
+  test("stratified sample: exactly k per stratum, deterministic") {
+    val k = 5
+    val s1 = Curation.stratifiedSample(docs, k)
+    val perLang = s1.groupBy("lang").count().collect()
+    assert(perLang.forall(_.getLong(1) === k))
+    assert(s1.except(Curation.stratifiedSample(docs, k)).count() === 0)
+    // sampled ids exist in the corpus
+    assert(s1.join(docs, Seq("doc_id"), "left_anti").count() === 0)
+  }
+
+  test("source mixture keeps head sources fully, downsamples tail ~4x") {
+    val out = Curation.sourceMixture(docs).collect()
+    val byron = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    Curation.HeadSources.filter(byron.contains).foreach { s =>
+      val (in, kept, _) = byron(s)
+      assert(in === kept, s"head source $s must keep every doc")
+    }
+    val tail = byron.view.filterKeys(!Curation.HeadSources.contains(_)).values
+    assert(tail.nonEmpty)
+    val rate = tail.map(_._3).sum / tail.size
+    assert(rate > 0.1 && rate < 0.4, s"tail keep rate $rate not ~0.25")
+  }
+
+  test("token counts: bpe-ish subwords >= whitespace tokens, ratio sane") {
+    val out = Curation.tokenCounts(docs)
+    assert(out.filter(col("bpe_tokens") < col("ws_tokens")).count() === 0)
+    val bad = out.filter(
+      col("chars_per_bpe_token") <= 0.0 || col("chars_per_bpe_token") > 4.0)
+    assert(bad.count() === 0)
+  }
+}
