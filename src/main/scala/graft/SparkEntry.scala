@@ -98,9 +98,10 @@ object SparkEntry {
     "q36_similar_pairs"        -> ((s, d) => Similarity.similarPairs(s, d)),
     // ---- LLM-data-pipeline: multimodal plumbing (decode stubbed) ----
     "q37_media_features"       -> ((s, d) => Multimodal.mediaFeatures(s, d)),
-    // ---- 100 TB sketch variant (rows-only check: HLL sketches differ
-    //      across engines by design) ----
-    "q38_user_profile_approx"  -> ((s, d) => Reports.userProfileApprox(s, d)),
+    // ---- 100 TB sketch variant: HLL estimates reduced to within-tolerance
+    //      booleans vs the exact distincts, so the oracle hash-verifies the
+    //      sketch accuracy instead of recording a rows-only check ----
+    "q38_user_profile_approx"  -> ((s, d) => Reports.userProfileApproxChecked(s, d)),
     // ---- SQL entry point (A3/S13): spark.sql over temp views ----
     "q39_sql_top_users"        -> ((s, d) => SqlQueries.topUsersSql(s, d)),
     "q40_sql_active_7day"      -> ((s, d) => SqlQueries.activeUsers7DayThetaSql(s, d)),
@@ -129,6 +130,9 @@ object SparkEntry {
     "q53_stratified_sample"    -> ((s, d) => Curation.stratifiedSample(s, d)),
     "q54_source_mixture"       -> ((s, d) => Curation.sourceMixture(s, d)),
     "q55_token_counts"         -> ((s, d) => Curation.tokenCounts(s, d)),
+    // ---- §2.8 closure: deterministic ROUND(x, 2) via exact integer/
+    //      decimal arithmetic (double round() is not portable) ----
+    "q56_hourly_pct_rounded"   -> ((s, d) => Reports.hourlyActivityRounded(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -508,11 +512,28 @@ object SparkEntry {
          |FROM n ORDER BY doc_id""".stripMargin,
     "q27_minhash_neardups" -> minhashOracle,
     "q28_simhash_neardups" -> simhashOracle,
+    // Blocking key mirrors TextDedup.ngramBlocks exactly: (lang, source,
+    // n_chars div 256 length-band, adaptive md5 subshard capped at 64
+    // docs/block). Integer div/mod only — bit-identical across engines.
     "q29_ngram_jaccard" ->
-      s"""WITH nd AS (
-         |  SELECT doc_id, lang, str_split($duckNorm, ' ') AS w FROM documents),
+      s"""WITH meta AS (
+         |  SELECT doc_id, lang, source, n_chars // 256 AS band,
+         |         $duckNorm AS norm
+         |  FROM documents),
+         |census AS (
+         |  SELECT lang, source, band, COUNT(*) AS bdocs
+         |  FROM meta GROUP BY 1, 2, 3),
+         |keyed AS (
+         |  SELECT m.doc_id, m.lang, m.source, m.band, m.norm,
+         |         CAST('0x' || substr(md5(CAST(m.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |           % ((c.bdocs + 63) // 64) AS subshard
+         |  FROM meta m JOIN census c USING (lang, source, band)),
+         |nd AS (
+         |  SELECT doc_id, lang, source, band, subshard,
+         |         str_split(norm, ' ') AS w
+         |  FROM keyed),
          |sh AS (
-         |  SELECT DISTINCT doc_id, lang,
+         |  SELECT DISTINCT doc_id, lang, source, band, subshard,
          |         unnest(list_transform(range(1, len(w)),
          |                i -> array_to_string(w[i:i+1], ' '))) AS shingle
          |  FROM nd WHERE len(w) >= 2),
@@ -520,7 +541,9 @@ object SparkEntry {
          |inter AS (
          |  SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS icnt
          |  FROM sh a JOIN sh b
-         |    ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |    ON a.lang = b.lang AND a.source = b.source AND a.band = b.band
+         |   AND a.subshard = b.subshard
+         |   AND a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2, 3)
          |SELECT it.lang, it.doc_a, it.doc_b,
          |       CAST(it.icnt AS DOUBLE) / (sa.n + sb.n - it.icnt) AS jaccard
@@ -625,9 +648,16 @@ object SparkEntry {
         |  CAST('0x' || substr(md5(text), 5, 2) AS INTEGER) / 255.0 AS f2,
         |  CAST('0x' || substr(md5(text), 7, 2) AS INTEGER) / 255.0 AS f3
         |FROM documents ORDER BY media_id""".stripMargin,
-    // q38_user_profile_approx: deliberately no oracle entry — HLL sketches
-    // are engine-specific; the driver records a rows-only check and
-    // ReportsSpec asserts tolerance vs the exact profile.
+    // q38: the HLL estimates themselves are engine-specific, so the query
+    // emits tolerance BOOLEANS (|approx - exact| <= 0.25 * exact) and the
+    // oracle computes the exact counts with literal TRUEs — a hash-checked
+    // assertion that Spark's sketches landed inside the bound.
+    "q38_user_profile_approx" ->
+      (silverCte +
+        """
+          |SELECT user_id, COUNT(*) AS listen_count,
+          |       TRUE AS active_days_ok, TRUE AS unique_types_ok
+          |FROM silver GROUP BY 1 ORDER BY user_id ASC""".stripMargin),
     "q39_sql_top_users" ->
       (silverCte +
         """
@@ -816,5 +846,18 @@ object SparkEntry {
          |  CAST(length(replace(norm, ' ', '')) AS DOUBLE)
          |    / len(regexp_extract_all(norm, '[a-z]{1,4}')) AS chars_per_bpe_token
          |FROM n ORDER BY doc_id""".stripMargin,
+    // Deterministic ROUND(x,2): round-half-up in integer hundredths, then
+    // an EXACT decimal multiply (no decimal-division scale rules, no
+    // double-rounding divergence). Mirrors Reports.hourlyActivityRounded.
+    "q56_hourly_pct_rounded" ->
+      (silverCte +
+        """, by_hour AS (
+          |  SELECT hour, COUNT(*) AS cnt FROM silver GROUP BY 1),
+          |t AS (
+          |  SELECT hour, cnt, SUM(cnt) OVER () AS total FROM by_hour)
+          |SELECT hour, cnt,
+          |       CAST((cnt * 20000 + total) // (2 * total) AS DECIMAL(12,0))
+          |         * CAST(0.01 AS DECIMAL(3,2)) AS pct_round2
+          |FROM t ORDER BY hour ASC""".stripMargin),
   )
 }

@@ -120,6 +120,33 @@ object Reports {
   def hourlyActivity(spark: SparkSession, dir: String): DataFrame =
     hourlyActivity(EventsPipeline.silver(spark, dir))
 
+  /** §2.8 scalar-function closure: the reference's
+    * `ROUND(cnt * 100.0 / total, 2)` (analysis.ipynb `46e60a34`,
+    * percentage_active_users) — reproduced DETERMINISTICALLY.
+    *
+    * `round(double, 2)` is not portable (the engines round different binary
+    * doubles near the .005 midpoints), so the rounding is done in exact
+    * integer arithmetic instead: round-half-up of cnt·100/total to 2
+    * decimals is the integer `r = (cnt·20000 + total) div (2·total)`
+    * hundredths, and the final value is the EXACT decimal r × 0.01 —
+    * decimal multiplication carries no engine-specific scale/rounding
+    * rules, unlike decimal division. Same ops both sides ⇒ bit-identical
+    * DECIMAL(_, 2) everywhere. */
+  def hourlyActivityRounded(silver: DataFrame): DataFrame = {
+    val byHour = silver
+      .groupBy(col("hour")).agg(count(lit(1)).as("cnt"))
+    byHour
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+      .select(
+        col("hour"), col("cnt"),
+        expr("CAST((cnt * 20000 + total) div (2 * total) AS DECIMAL(12,0))" +
+          " * CAST(0.01 AS DECIMAL(3,2))").as("pct_round2"))
+      .orderBy(col("hour").asc)
+  }
+
+  def hourlyActivityRounded(spark: SparkSession, dir: String): DataFrame =
+    hourlyActivityRounded(EventsPipeline.silver(spark, dir))
+
   /** A8: monthly trends. Reference: analysis-minio.ipynb cell 4. */
   def monthlyTrends(silver: DataFrame): DataFrame =
     silver
@@ -186,6 +213,35 @@ object Reports {
 
   def userProfileApprox(spark: SparkSession, dir: String): DataFrame =
     userProfileApprox(EventsPipeline.silver(spark, dir))
+
+  /** [[userProfileApprox]] with the tolerance check INSIDE the query
+    * (round-3 review: the raw HLL estimates carried only a rows-only
+    * gate). The sketch columns are joined against the exact distincts and
+    * reduced to within-tolerance booleans, so the DuckDB oracle — which
+    * computes the exact counts and literal TRUEs — hash-verifies that
+    * every estimate landed inside `tol`. HLL++ at report cardinalities
+    * (≤ thousands) sits in sparse mode and is near-exact; tol = 5×rsd is
+    * far outside its observed error yet still a real assertion. */
+  def userProfileApproxChecked(silver: DataFrame, rsd: Double = 0.05,
+                               tol: Double = 0.25): DataFrame = {
+    val approx = userProfileApprox(silver, rsd)
+    val exact = silver
+      .groupBy(col("user_id"))
+      .agg(
+        countDistinct(col("event_date")).as("exact_days"),
+        countDistinct(col("event_type")).as("exact_types"))
+    approx.join(exact, Seq("user_id"))
+      .select(
+        col("user_id"), col("listen_count"),
+        (abs(col("active_days") - col("exact_days"))
+          <= col("exact_days") * lit(tol)).as("active_days_ok"),
+        (abs(col("unique_types") - col("exact_types"))
+          <= col("exact_types") * lit(tol)).as("unique_types_ok"))
+      .orderBy(col("user_id").asc)
+  }
+
+  def userProfileApproxChecked(spark: SparkSession, dir: String): DataFrame =
+    userProfileApproxChecked(EventsPipeline.silver(spark, dir))
 
   /** A5: daily activity profile. Reference: analysis-minio.ipynb cell 3. */
   def dailyProfile(silver: DataFrame): DataFrame =

@@ -55,15 +55,16 @@ object ListenIngest {
     * corrupt-record column ([UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD
     * _COLUMN]) — caching the parsed result is the documented pattern, and
     * an ingest batch is bounded by files-per-tick so the footprint is
-    * small. */
+    * small. Scratch-registered: released with the session's other
+    * operator-local caches via [[graft.core.Caches.releaseScratch]]. */
   def readRaw(spark: SparkSession, path: String): DataFrame =
-    spark.read
-      .schema(withCorrupt(listenSchema))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
-      .option("pathGlobFilter", "*.{txt,json}")
-      .json(path)
-      .cache()
+    graft.core.Caches.scratch(
+      spark.read
+        .schema(withCorrupt(listenSchema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CorruptCol)
+        .option("pathGlobFilter", "*.{txt,json}")
+        .json(path))
 
   /** Bronze flatten (reference ingest_job.py:72-86): project the nested
     * struct to flat columns, cast, derive the partition date. Corrupt rows

@@ -98,10 +98,10 @@ object EmbedDedup {
   /** Near-dup pairs at cosine ≥ `minCos`: LSH candidates verified with the
     * exact sparse cosine (integer dot over shared buckets / L2 norms). */
   def embeddingNearDups(docs: DataFrame, minCos: Double = CosThreshold): DataFrame = {
-    // tf feeds signatures, norms, and both verify sides — persist, same
-    // rationale as the shingle persist in minhash/ngram dedup
-    val tf = tfVectors(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tf feeds signatures, norms, and both verify sides — scratch-persisted,
+    // same rationale (and same release contract) as the shingle persist in
+    // minhash/ngram dedup
+    val tf = graft.core.Caches.scratch(tfVectors(docs))
     val norms = tf.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("cnt") * col("cnt")).cast("double")).as("nrm"))
     val cand = candidates(bandValues(tf))
@@ -125,8 +125,7 @@ object EmbedDedup {
   /** Brute-force variant (all pairs via the bucket inverted index, no LSH
     * filter) — the recall baseline for tests; not registered as a query. */
   def embeddingNearDupsExact(docs: DataFrame, minCos: Double = CosThreshold): DataFrame = {
-    val tf = tfVectors(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = graft.core.Caches.scratch(tfVectors(docs))
     val norms = tf.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("cnt") * col("cnt")).cast("double")).as("nrm"))
     val dots = tf.select(col("doc_id").as("doc_a"), col("bucket"), col("cnt").as("ca"))

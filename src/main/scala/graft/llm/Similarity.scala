@@ -121,11 +121,11 @@ object Similarity {
     * with the query, then exact cosine ranks only the candidates. */
   def knnLsh(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
     val corpus = vecsNormed(embeddings)
-    // persisted: `bands` is referenced twice (query side + corpus side of
-    // the candidate join); without the persist the full signature pass
-    // (corpus × planes cross join + groupBy) executes twice
-    val sigs = signatures(embeddings)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // scratch-persisted: `bands` is referenced twice (query side + corpus
+    // side of the candidate join); without the persist the full signature
+    // pass (corpus × planes cross join + groupBy) executes twice. Released
+    // by the caller via Caches.releaseScratch after materialization.
+    val sigs = graft.core.Caches.scratch(signatures(embeddings))
     val bands = bandRows(sigs)
     val qBands = bands.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("band"), col("bval"))
@@ -217,8 +217,7 @@ object Similarity {
     * LSH band join (never all-pairs), verified with exact cosine. */
   def similarPairs(embeddings: DataFrame, minCosine: Double = 0.45): DataFrame = {
     val corpus = vecsNormed(embeddings)
-    val bands = bandRows(signatures(embeddings)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bands = bandRows(graft.core.Caches.scratch(signatures(embeddings)))
     val a = bands.select(col("band"), col("bval"), col("vec_id").as("vec_a"))
     val b = bands.select(col("band"), col("bval"), col("vec_id").as("vec_b"))
     val cand = a.join(b, Seq("band", "bval"))

@@ -137,10 +137,9 @@ object TextDedup {
     // One shingle pass feeds signatures, sizes AND verification: the
     // explode + 32 md5s per shingle dominate the operator, and without the
     // persist the DAG recomputes them three times (round-2 bench: 8 s →
-    // ~3 s at sf0.1). Spark's cache manager dedupes by logical plan, so
-    // repeated query invocations share one cache entry.
-    val sh = shingles(docs, MinhashK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ~3 s at sf0.1). Scratch-registered so the caller can release it after
+    // materializing (round-3 review: these persists leaked forever).
+    val sh = graft.core.Caches.scratch(shingles(docs, MinhashK))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val cand = candidatesOf(minhashBands(signaturesOf(sh)))
     val inter = cand
@@ -216,29 +215,67 @@ object TextDedup {
 
   // -------------------------------------------- blocked n-gram Jaccard
 
-  /** Pairwise word-bigram Jaccard within a blocking key (lang): the
-    * classic quadratic-within-block near-dup check. Blocking bounds the
-    * pair count; at 100 TB the block key would be (lang, length-band,
-    * source-shard) to keep buckets small. Emits pairs ≥ `minJaccard`. */
+  /** Length-band width (chars) and per-block document cap for the blocked
+    * Jaccard join. 256-char bands keep same-length docs together (a pair at
+    * Jaccard ≥ 0.5 differs < 2× in size, so banding loses only boundary
+    * pairs); [[MaxBlockDocs]] caps the docs any one block may hold. */
+  val BandChars = 256
+  val MaxBlockDocs = 64
+
+  /** Blocking key per document for [[ngramJaccardDups]]:
+    * (lang, source, length-band, subshard).
+    *
+    * Round-3 review: blocking on `lang` alone left 5 blocks — at 100 TB one
+    * lang block IS the corpus, and quadratic-within-block becomes O(n²).
+    * The key here is the scale-safe form the code always promised:
+    *  - lang + source: semantic blocks (near-dup sweeps compare within a
+    *    crawl source; cross-source dups are MinHash-LSH's job, q27);
+    *  - length-band (`n_chars div 256`): a J ≥ 0.5 pair differs < 2× in
+    *    shingle count, so same-size banding is cheap recall to pay;
+    *  - subshard: an ADAPTIVE hash split — blocks over [[MaxBlockDocs]]
+    *    docs are divided into ceil(docs/cap) hash shards of ~cap docs, so
+    *    comparisons per block are ≤ cap² × shards = O(cap · n): LINEAR in
+    *    corpus size with a documented recall loss confined to oversized
+    *    blocks (pairs split across subshards), never O(n²).
+    * All arithmetic is integer and md5-based, mirrored exactly by the
+    * DuckDB oracle. */
+  def ngramBlocks(docs: DataFrame): DataFrame = {
+    val base = normalized(docs)
+      .join(docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+        Seq("doc_id"))
+      .withColumn("band", expr(s"n_chars div $BandChars"))
+    // block census is tiny (langs × sources × bands rows) — auto-broadcast
+    val census = base.groupBy(col("lang"), col("source"), col("band"))
+      .agg(count(lit(1)).as("bdocs"))
+    base.join(census, Seq("lang", "source", "band"))
+      .withColumn("nsub", expr(s"(bdocs + ${MaxBlockDocs - 1}) div $MaxBlockDocs"))
+      .withColumn("subshard", h60(col("doc_id").cast("string")) % col("nsub"))
+      .select(col("doc_id"), col("norm"), col("lang"), col("source"),
+        col("band"), col("subshard"))
+  }
+
+  /** Pairwise word-bigram Jaccard within a blocking key — the classic
+    * quadratic-within-block near-dup check, with block cardinality bounded
+    * by [[ngramBlocks]]. Emits pairs ≥ `minJaccard`. */
   def ngramJaccardDups(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    // Persisted: the exploded shingle frame feeds sizes AND both sides of
-    // the inverted-index self-join; without the persist the interpreted-HOF
-    // shingle explode executes three times (round-2 bench: the dominant
-    // cost of this operator at sf0.1).
-    val sh = normalized(docs)
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    // Scratch-persisted: the exploded shingle frame feeds sizes AND both
+    // sides of the inverted-index self-join; without the persist the
+    // interpreted-HOF shingle explode executes three times (round-2 bench:
+    // the dominant cost of this operator at sf0.1). Released by the caller
+    // via Caches.releaseScratch after materialization.
+    val blockCols = Seq("lang", "source", "band", "subshard")
+    val sh = graft.core.Caches.scratch(ngramBlocks(docs)
       .withColumn("w", split(col("norm"), " "))
       .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id") +: blockCols.map(col) :+
         explode(array_distinct(
           transform(
             sequence(lit(0), size(col("w")) - 2),
-            i => concat_ws(" ", slice(col("w"), i + 1, lit(2)))))).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            i => concat_ws(" ", slice(col("w"), i + 1, lit(2)))))).as("shingle"): _*))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("lang"), col("shingle"), col("doc_id").as("doc_a"))
-    val b = sh.select(col("lang"), col("shingle"), col("doc_id").as("doc_b"))
-    val inter = a.join(b, Seq("lang", "shingle"))
+    val a = sh.select(blockCols.map(col) :+ col("shingle") :+ col("doc_id").as("doc_a"): _*)
+    val b = sh.select(blockCols.map(col) :+ col("shingle") :+ col("doc_id").as("doc_b"): _*)
+    val inter = a.join(b, blockCols :+ "shingle")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("lang"), col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
     inter

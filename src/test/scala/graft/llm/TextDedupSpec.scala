@@ -73,4 +73,42 @@ class TextDedupSpec extends SparkSpecBase {
       .join(langs.toDF("doc_b", "lang_b"), "doc_b")
     assert(joined.filter(col("lang_a") =!= col("lang_b")).count() === 0)
   }
+
+  test("ngram jaccard finds the planted exact dup within its block") {
+    // 90001 copies doc 0's text AND metadata (lang/source/n_chars), so the
+    // pair shares its (lang, source, band, subshard) block and must surface
+    // with jaccard 1.0.
+    val out = TextDedup.ngramJaccardDups(planted, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.exists { case (a, b, j) => a == 0L && b == 90001L && j == 1.0 })
+  }
+
+  test("ngram block cardinality is capped: oversized blocks split into subshards") {
+    import spark.implicits._
+    // 200 docs sharing (lang, source, length-band) — 3× the cap — must
+    // split into ceil(200/64)=4 hash subshards, each well under the cap.
+    val big = (0L until 200L).map { i =>
+      (i, s"alpha bravo charlie delta echo $i", "en", "srcBig", 300L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val blocks = TextDedup.ngramBlocks(big)
+      .groupBy("lang", "source", "band", "subshard")
+      .agg(count(lit(1)).as("docs"))
+      .collect()
+    assert(blocks.length === 4, s"expected 4 subshards, got ${blocks.length}")
+    val maxBlock = blocks.map(_.getAs[Long]("docs")).max
+    assert(maxBlock <= TextDedup.MaxBlockDocs,
+      s"block of $maxBlock docs exceeds cap ${TextDedup.MaxBlockDocs}")
+  }
+
+  test("blocks below the cap stay whole (single subshard, no recall loss)") {
+    val blocks = TextDedup.ngramBlocks(docs)
+      .groupBy("lang", "source", "band")
+      .agg(countDistinct(col("subshard")).as("nsub"), count(lit(1)).as("docs"))
+      .collect()
+    blocks.foreach { r =>
+      if (r.getAs[Long]("docs") <= TextDedup.MaxBlockDocs)
+        assert(r.getAs[Long]("nsub") === 1L,
+          s"small block split unnecessarily: $r")
+    }
+  }
 }
