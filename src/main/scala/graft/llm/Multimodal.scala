@@ -15,6 +15,10 @@ case class MediaRecord(media_id: Long, payload: Array[Byte], mime: String,
 case class MediaFeatures(media_id: Long, n_bytes: Long, content_md5: String,
                          feature: Array[Double])
 
+/** Output of the REAL image-decode stage: dimensions + per-channel means. */
+case class ImageFeatures(media_id: Long, n_bytes: Long, width: Int, height: Int,
+                         mean_r: Double, mean_g: Double, mean_b: Double)
+
 /** Multimodal-column plumbing for a training-data pipeline: media
   * (image/audio/video) travels as an opaque `binary` column with typed
   * metadata, and decode/feature-extraction runs as a batched per-partition
@@ -22,11 +26,17 @@ case class MediaFeatures(media_id: Long, n_bytes: Long, content_md5: String,
   * transform that amortizes per-batch setup — model load, decoder init —
   * across rows and never materializes a partition in memory).
   *
-  * The DECODE STEP IS A STUB: this container has no image/audio codecs, so
-  * `decodeStub` derives a deterministic 4-dim pseudo-feature from the
-  * payload's md5. The Spark-side contract — schema, encoders, partitioning,
-  * batch shape, lazy iterator — is real and tested; swapping `decodeStub`
-  * for a JNI/ONNX call is a one-function change.
+  * Two decode paths prove the contract from both ends:
+  *  - [[extractImageFeatures]] is a REAL decoder: `javax.imageio` (in the
+  *    JDK — no external deps) decodes PNG/JPEG payload bytes to pixels and
+  *    emits width/height/per-channel means; undecodable payloads are
+  *    dropped, PERMISSIVE-style. Exercised on real encoded PNGs in
+  *    MultimodalSpec.
+  *  - [[extractFeatures]] keeps `decodeStub` (md5-derived pseudo-features)
+  *    as the ORACLE-CHECKABLE variant: DuckDB cannot decode images, but it
+  *    can reproduce md5 arithmetic, so q37 hash-verifies the full
+  *    plumbing. Swapping the stub for a JNI/ONNX embed call is the same
+  *    one-function change `extractImageFeatures` demonstrates.
   *
   * Payloads here are built from `documents.text` bytes (the corpus ships no
   * true binary column), which also makes the whole flow oracle-checkable:
@@ -75,6 +85,53 @@ object Multimodal {
         batch.map { r =>
           val (hex, feat) = decodeStub(r.payload)
           MediaFeatures(r.media_id, r.n_bytes, hex, feat)
+        }
+      }
+    }
+  }
+
+  /** REAL image decode — not a stub. `javax.imageio` ships in the JDK, so
+    * PNG/JPEG/BMP/GIF payloads decode to pixels with zero external deps.
+    * Returns None for undecodable payloads (wrong mime, truncated bytes) —
+    * the pipeline DROPS them instead of failing the partition, the same
+    * tolerance contract as the PERMISSIVE NDJSON scan. */
+  def decodeImage(payload: Array[Byte]): Option[ImageFeatures] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Throwable => null }
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      Some(ImageFeatures(0L, payload.length.toLong, w, h,
+        sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+    }
+  }
+
+  /** Batched per-partition IMAGE decode — the same iterator-to-iterator
+    * contract as [[extractFeatures]], but through the real JDK codec:
+    * per-batch decoder setup amortized across [[BatchSize]] records, lazy
+    * outer iterator, undecodable payloads dropped. This is the "swap the
+    * stub for a real codec" path the round-3 review asked to prove. */
+  def extractImageFeatures(media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      records.grouped(BatchSize).flatMap { batch =>
+        // per-batch decoder/model initialization would go here
+        batch.flatMap { r =>
+          decodeImage(r.payload)
+            .map(f => f.copy(media_id = r.media_id, n_bytes = r.n_bytes))
         }
       }
     }

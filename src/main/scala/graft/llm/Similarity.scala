@@ -181,12 +181,72 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
   }
 
-  /** IVF-bucketed approximate top-k: candidates live in the query's
-    * `probes` nearest cells; exact cosine ranks only those. */
-  def knnIvf(embeddings: DataFrame, numQueries: Int = 10, probes: Int = 2,
-             k: Int = 5): DataFrame = {
+  /** Sampled-k-means coarse quantizer — the centroid QUALITY upgrade over
+    * [[ivfSeeds]], for engine-internal use (a better quantizer tightens
+    * cells, so equal probe budgets recall more; the seed path stays the
+    * cross-engine-reproducible default the oracle checks).
+    *
+    * Everything is deterministic so repeated builds give byte-identical
+    * centroids regardless of partition order or cluster size:
+    *  - init: the first `k` vec_ids;
+    *  - sample: vec_id hash mod `sampleMod` — Lloyd iterations touch a
+    *    bounded fraction of the corpus (at 100 TB you would cap an absolute
+    *    sample size the same way);
+    *  - means: per-dimension sums accumulate as exact DECIMAL (double sum
+    *    order is partition-dependent; decimal addition is associative), so
+    *    the mean is order-independent;
+    *  - model state (k × dim doubles) lives on the driver between
+    *    iterations — the standard k-means-on-Spark shape (one tiny collect
+    *    of k rows per iteration, NOT a data collect), which also keeps the
+    *    lineage flat instead of stacking `iters` crossJoins.
+    * Returns (slabel = cell id, sv, snrm) — the same cells contract as
+    * [[ivfSeeds]]. Empty cells keep their previous centroid. */
+  def kmeansCells(embeddings: DataFrame, k: Int = 10, iters: Int = 3,
+                  sampleMod: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    val corpus = vecs(embeddings)
+    val sample = corpus
+      .filter(pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(sampleMod)) === 0)
+      .select(col("vec_id"), col("v"))
+    var centroids: Map[Int, Seq[Double]] = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int"), col("v"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .toMap
+    for (_ <- 1 to iters) {
+      import spark.implicits._
+      val cdf = centroids.toSeq.sortBy(_._1).toDF("cell", "cv")
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("cell").asc)
+      val assigned = sample.crossJoin(broadcast(cdf))
+        .select(col("vec_id"), col("cell"), col("v"),
+          cosine(col("v"), col("cv")).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "val")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("val").cast("decimal(27,12)")) / count(lit(1)))
+          .cast("double").as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), e => e.getField("m")).as("cv"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1))
+        .toMap
+      centroids = centroids ++ means // empty cells keep previous centroid
+    }
+    import spark.implicits._
+    centroids.toSeq.sortBy(_._1).toDF("slabel", "sv")
+      .withColumn("snrm", sqrt(dot(col("sv"), col("sv"))))
+  }
+
+  /** IVF top-k over an arbitrary cells frame (slabel, sv, snrm). */
+  private def knnIvfWith(embeddings: DataFrame, cells: DataFrame,
+                         numQueries: Int, probes: Int, k: Int): DataFrame = {
     val corpus = vecsNormed(embeddings)
-    val ranks = cellRanks(corpus, ivfSeeds(embeddings))
+    val ranks = cellRanks(corpus, cells)
     val assigned = ranks.filter(col("rn") === 1)
       .select(col("vec_id"), col("slabel"))
     val probeSet = ranks.filter(col("rn") <= probes && col("vec_id") < numQueries)
@@ -209,8 +269,25 @@ object Similarity {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  /** IVF-bucketed approximate top-k over the DETERMINISTIC-SEED cells —
+    * the cross-engine-reproducible default (q48's oracle recomputes the
+    * identical inverted file in DuckDB). */
+  def knnIvf(embeddings: DataFrame, numQueries: Int = 10, probes: Int = 2,
+             k: Int = 5): DataFrame =
+    knnIvfWith(embeddings, ivfSeeds(embeddings), numQueries, probes, k)
+
   def knnIvf(spark: SparkSession, dir: String): DataFrame =
     knnIvf(Tables.embeddings(spark, dir))
+
+  /** IVF top-k over SAMPLED-K-MEANS cells ([[kmeansCells]]) — the centroid
+    * quality upgrade: tighter cells recall more at the same probe budget
+    * (SimilaritySpec asserts ≥ the seed variant's recall vs brute force). */
+  def knnIvfKmeans(embeddings: DataFrame, numQueries: Int = 10, probes: Int = 2,
+                   k: Int = 5): DataFrame =
+    knnIvfWith(embeddings, kmeansCells(embeddings), numQueries, probes, k)
+
+  def knnIvfKmeans(spark: SparkSession, dir: String): DataFrame =
+    knnIvfKmeans(Tables.embeddings(spark, dir))
 
   /** Embedding-similarity pair join (the embedding-space near-dup
     * operator): all corpus pairs above `minCosine`, generated through the

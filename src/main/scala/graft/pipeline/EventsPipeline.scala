@@ -80,36 +80,75 @@ object EventsPipeline {
       .drop("rn")
   }
 
+  /** Most-recently-used dirs whose silver stays persisted per session.
+    * The harness touches one dir; a long-lived service querying many dirs
+    * is bounded at cap × one silver frame of storage (round-3 review: the
+    * unbounded map accumulated one persisted silver per dir forever). */
+  val MaxCachedDirs = 4
+
   /** Memoized, persisted silver per (session, dir). Round-1 review: 15 of
     * 25 queries recomputed the full silver shuffle from scratch — at 100 TB
     * that is 15 redundant full-table shuffles per report batch. Persisting
     * the deduped frame (MEMORY_AND_DISK, spills instead of OOM) gives every
     * report the materialized-table read the reference gets from Iceberg.
     *
-    * Eviction: a weak session key can never be collected here because the
-    * cached DataFrames strongly reference their session (round-2 advice),
-    * so eviction is EXPLICIT instead — a listener unpersists and drops the
-    * entry when the session's SparkContext ends. Sessions cloned off a
-    * shared long-lived context keep their entries until that context stops
-    * (the persisted data is per-context anyway). */
+    * Eviction is EXPLICIT, twice over (a weak session key can never be
+    * collected here because the cached DataFrames strongly reference their
+    * session — round-2 advice):
+    *  - per-dir LRU: an access-ordered LinkedHashMap capped at
+    *    [[MaxCachedDirs]] unpersists + drops the least-recently-used dir's
+    *    silver when a new dir would exceed the cap;
+    *  - per-session: a listener unpersists and drops every entry when the
+    *    session's SparkContext ends. Sessions cloned off a shared
+    *    long-lived context keep their entries until that context stops
+    *    (the persisted data is per-context anyway). */
   private val silverCache =
-    new ConcurrentHashMap[SparkSession, ConcurrentHashMap[String, DataFrame]]()
+    new ConcurrentHashMap[SparkSession, java.util.LinkedHashMap[String, DataFrame]]()
 
-  def silver(spark: SparkSession, dir: String): DataFrame =
-    silverCache.computeIfAbsent(spark, { s =>
+  def silver(spark: SparkSession, dir: String): DataFrame = {
+    val perSession = silverCache.computeIfAbsent(spark, { s =>
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           val evicted = silverCache.remove(s)
-          if (evicted != null) evicted.values.forEach { df =>
-            try df.unpersist(blocking = false) catch { case _: Throwable => () }
+          if (evicted != null) evicted.synchronized {
+            evicted.values.forEach { df =>
+              try df.unpersist(blocking = false) catch { case _: Throwable => () }
+            }
           }
         }
       })
-      new ConcurrentHashMap[String, DataFrame]()
-    }).computeIfAbsent(dir, { _ =>
-      silverOf(bronze(spark, dir)).persist(StorageLevel.MEMORY_AND_DISK)
+      // accessOrder=true → iteration order is LRU; removeEldestEntry fires
+      // on insert once the cap is exceeded and releases the evicted persist
+      new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, DataFrame]): Boolean = {
+          val evict = size() > MaxCachedDirs
+          if (evict) {
+            try e.getValue.unpersist(blocking = false)
+            catch { case _: Throwable => () }
+          }
+          evict
+        }
+      }
     })
+    // LinkedHashMap is not thread-safe and access-order mutates on get —
+    // all per-session map access is synchronized on the map itself
+    perSession.synchronized {
+      var df = perSession.get(dir)
+      if (df == null) {
+        df = silverOf(bronze(spark, dir)).persist(StorageLevel.MEMORY_AND_DISK)
+        perSession.put(dir, df)
+      }
+      df
+    }
+  }
+
+  /** Number of dirs currently cached for `spark` (test hook). */
+  def cachedDirCount(spark: SparkSession): Int = {
+    val m = silverCache.get(spark)
+    if (m == null) 0 else m.synchronized { m.size() }
+  }
 
   /** Gold daily aggregate: per-user-per-day counts + distincts.
     * Reference: transform_job.py:106-111. Partial aggregation (map-side

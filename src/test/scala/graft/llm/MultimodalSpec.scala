@@ -23,4 +23,50 @@ class MultimodalSpec extends SparkSpecBase {
       .filter(col("content_md5") =!= col("sql_md5"))
     assert(joined.count() === 0)
   }
+
+  /** A w×h PNG whose every pixel is (r,g,b) — real bytes through a real
+    * encoder, so the decode path is exercised end-to-end. */
+  private def pngBytes(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("image decode: real PNG bytes through the batched mapPartitions contract") {
+    import spark.implicits._
+    val recs = Seq(
+      MediaRecord(1L, pngBytes(8, 4, 255, 0, 0), "image/png", "srcA", 0L),
+      MediaRecord(2L, pngBytes(3, 5, 10, 20, 30), "image/png", "srcA", 0L),
+      MediaRecord(3L, "not an image".getBytes("UTF-8"), "text/plain", "srcA", 12L))
+      .map(r => r.copy(n_bytes = r.payload.length.toLong))
+    val media = spark.createDataset(recs).repartition(2)
+    val out = Multimodal.extractImageFeatures(media)
+      .collect().map(f => f.media_id -> f).toMap
+
+    assert(out.keySet === Set(1L, 2L), "undecodable payload must be dropped")
+    val red = out(1L)
+    assert((red.width, red.height) === (8, 4))
+    assert((red.mean_r, red.mean_g, red.mean_b) === (255.0, 0.0, 0.0))
+    val dim = out(2L)
+    assert((dim.width, dim.height) === (3, 5))
+    assert((dim.mean_r, dim.mean_g, dim.mean_b) === (10.0, 20.0, 30.0))
+    assert(red.n_bytes === recs.head.n_bytes)
+  }
+
+  test("image decode over many records exercises multiple batches") {
+    import spark.implicits._
+    // > BatchSize records so grouped() emits several batches per partition
+    val n = Multimodal.BatchSize * 2 + 7
+    val recs = (1 to n).map { i =>
+      MediaRecord(i.toLong, pngBytes(2, 2, i % 256, 0, 0), "image/png", "srcB", 0L)
+    }
+    val out = Multimodal.extractImageFeatures(
+      spark.createDataset(recs).repartition(3))
+    assert(out.count() === n.toLong)
+    assert(out.filter(f => f.width == 2 && f.height == 2).count() === n.toLong)
+  }
 }

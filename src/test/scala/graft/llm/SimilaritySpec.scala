@@ -45,6 +45,28 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ivf.size === exact.size) // full k returned per query
   }
 
+  test("kmeans ivf: recall at equal probe budget >= the seed-cell variant") {
+    val exact = Similarity.knnExact(emb).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val seedRecall = recallOf(Similarity.knnIvf(emb))
+    val kmRecall = recallOf(Similarity.knnIvfKmeans(emb))
+    // Lloyd-refined centroids tighten cells: same 2-probe budget must not
+    // recall fewer true neighbors than the raw seed quantizer
+    assert(kmRecall >= seedRecall,
+      s"kmeans recall@5 = $kmRecall < seed recall@5 = $seedRecall")
+  }
+
+  test("kmeans cells are deterministic across builds") {
+    val a = Similarity.kmeansCells(emb).collect().map(_.toString).sorted
+    val b = Similarity.kmeansCells(emb).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("similar pairs honor the cosine threshold symmetrically") {
     val out = Similarity.similarPairs(emb).collect()
     assert(out.forall(_.getAs[Double]("cos") >= 0.45))

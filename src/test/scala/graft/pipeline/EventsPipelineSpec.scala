@@ -43,4 +43,22 @@ class EventsPipelineSpec extends SparkSpecBase {
       .agg(sum("listen_count")).head.getLong(0)
     assert(goldSum === silverCnt)
   }
+
+  test("silver cache is LRU-bounded: many dirs never exceed the cap") {
+    // 2×cap distinct dirs, each a copy of the sf0.001 events table — the
+    // per-session cache must evict (and unpersist) down to MaxCachedDirs.
+    val dirs = (1 to EventsPipeline.MaxCachedDirs * 2).map { i =>
+      val d = tmpDir(s"silver-lru-$i")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      d
+    }
+    val counts = dirs.map(d => EventsPipeline.silver(spark, d).count())
+    assert(counts.distinct.size === 1) // same data in every dir
+    assert(EventsPipeline.cachedDirCount(spark) <= EventsPipeline.MaxCachedDirs)
+    // most-recent dir survives and is still persisted
+    val latest = EventsPipeline.silver(spark, dirs.last)
+    assert(latest.storageLevel.useMemory || latest.storageLevel.useDisk)
+  }
 }
