@@ -37,6 +37,14 @@ import graft.core.{Caches, Sessions}
   *    a contended machine shows as a large spread;
   *  - `gc_ms`: JVM GC time attributed to each query's measured passes —
   *    separates "the query allocates too much" from "the box was busy";
+  *  - `steal_pct`: hypervisor steal time during each query's measured
+  *    passes — direct co-residency proof where the guest HAS a paravirt
+  *    steal clock (firecracker guests typically do not, so 0% steal is
+  *    NOT exoneration — hence the probe below);
+  *  - `probe_ms`: a fixed single-thread CPU workload timed immediately
+  *    before each query — raw machine speed, immune to steal-clock
+  *    blindness; a probe 5-10× its run minimum marks the adjacent
+  *    query's time as machine noise;
   *  - `loadavg_start`/`loadavg_end`: host 1-min load average — co-resident
   *    noise is visible even when it is not this JVM's fault;
   *  - `rss_mib`: peak resident set (VmHWM) at exit; `wall_sec`: total
@@ -52,6 +60,46 @@ object Bench {
   private def loadAvg(): Double =
     try Files.readString(Paths.get("/proc/loadavg")).split(' ')(0).toDouble
     catch { case _: Throwable => -1.0 }
+
+  /** Cumulative (stealJiffies, totalJiffies) from /proc/stat. Steal is the
+    * time the HYPERVISOR ran someone else while this VM wanted CPU — the
+    * one counter that directly proves host co-residency (round-3 recorded
+    * benches were 6× slower than clean reruns of identical code; load
+    * average can't distinguish "our own 32 threads" from a starved VM, but
+    * steal% can). */
+  private def cpuSteal(): (Long, Long) =
+    try {
+      val parts = Files.readAllLines(Paths.get("/proc/stat")).get(0)
+        .split("\\s+").drop(1).map(_.toLong)
+      (if (parts.length > 7) parts(7) else 0L, parts.sum)
+    } catch { case _: Throwable => (0L, 0L) }
+
+  /** Steal percentage between two [[cpuSteal]] snapshots. */
+  private def stealPct(a: (Long, Long), b: (Long, Long)): Double = {
+    val dTot = b._2 - a._2
+    if (dTot <= 0) -1.0 else 100.0 * (b._1 - a._1) / dTot
+  }
+
+  @volatile private var probeSink: Long = 0L
+
+  /** Fixed single-thread CPU probe: a deterministic xorshift loop whose
+    * wall time on an uncontended core is constant (~100 ms here). Run once
+    * per query, it is the contamination detector /proc/stat cannot be:
+    * firecracker guests get no paravirt steal clock, so host co-residency
+    * is INVISIBLE to steal% — but it cannot hide from a fixed workload's
+    * wall time. A probe_ms entry 5-10× its run-minimum marks that query's
+    * timing as machine noise, not engine cost. */
+  private def cpuProbeMs(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < 40000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    probeSink = x // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e6
+  }
 
   /** Peak RSS (VmHWM) in MiB from /proc/self/status; -1 if unavailable. */
   private def peakRssMib(): Double =
@@ -79,34 +127,44 @@ object Bench {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      val dt = (System.nanoTime() - t0) / 1e9
-      Caches.releaseScratch(spark)
-      dt
+      (System.nanoTime() - t0) / 1e9
     }
 
     // Warm-up: one full pass (also populates the persisted silver frame the
-    // way a long-running session / materialized table would).
+    // way a long-running session / materialized table would). Scratch is
+    // released per QUERY, in both passes: intra-query iterations may reuse
+    // an operator's persisted intermediates (min-of-iters = warm
+    // steady-state, same semantics every round has recorded), but no
+    // query's scratch survives into the next one (round-3 review: the
+    // storage pool accumulated every operator's intermediates forever).
     names.foreach { n =>
       try runOnce(n)
       catch { case e: Throwable => errors(n) = Option(e.getMessage).getOrElse(e.getClass.getName) }
+      finally Caches.releaseScratch(spark)
     }
 
     val iterTimes = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val gcTimes = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val stealPcts = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val probeMs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    cpuProbeMs() // JIT warm-up for the probe loop itself
     val results: Seq[(String, Double)] = names.map { n =>
       if (errors.contains(n)) n -> -1.0
       else {
         try {
+          probeMs(n) = cpuProbeMs()
           val gc0 = gcMillis()
+          val st0 = cpuSteal()
           val ts = (1 to iters).map(_ => runOnce(n))
           gcTimes(n) = gcMillis() - gc0
+          stealPcts(n) = stealPct(st0, cpuSteal())
           iterTimes(n) = ts
           n -> ts.min
         } catch {
           case e: Throwable =>
             errors(n) = Option(e.getMessage).getOrElse(e.getClass.getName)
             n -> -1.0
-        }
+        } finally Caches.releaseScratch(spark)
       }
     }
 
@@ -125,11 +183,15 @@ object Bench {
       .map { case (k, ts) => jstr(k) + ":" + ts.map(num).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val gcJson = gcTimes.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val stealJson = stealPcts
+      .map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
+    val probeJson = probeMs
+      .map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":$iters,""" +
-        s""""iter_sec":$itersJson,"gc_ms":$gcJson,"loadavg_start":${num(load0)},"loadavg_end":${num(loadAvg())},""" +
+        s""""iter_sec":$itersJson,"gc_ms":$gcJson,"steal_pct":$stealJson,"probe_ms":$probeJson,"loadavg_start":${num(load0)},"loadavg_end":${num(loadAvg())},""" +
         s""""rss_mib":${num(peakRssMib())},"wall_sec":${num(wallSec)}}"""
 
     println(line)

@@ -133,6 +133,9 @@ object SparkEntry {
     // ---- §2.8 closure: deterministic ROUND(x, 2) via exact integer/
     //      decimal arithmetic (double round() is not portable) ----
     "q56_hourly_pct_rounded"   -> ((s, d) => Reports.hourlyActivityRounded(s, d)),
+    // ---- salted two-stage distinct under a 5-value group key: the
+    //      skew pattern written out (hot-reducer-free at 100 TB) ----
+    "q57_salted_distinct"      -> ((s, d) => Reports.typeUniqueUsersSalted(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -859,5 +862,12 @@ object SparkEntry {
           |       CAST((cnt * 20000 + total) // (2 * total) AS DECIMAL(12,0))
           |         * CAST(0.01 AS DECIMAL(3,2)) AS pct_round2
           |FROM t ORDER BY hour ASC""".stripMargin),
+    // Salt never appears in the output: each distinct (type, user) pair is
+    // counted exactly once, so the oracle is the plain distinct count.
+    "q57_salted_distinct" ->
+      (silverCte +
+        """
+          |SELECT event_type, COUNT(DISTINCT user_id) AS unique_users
+          |FROM silver GROUP BY 1 ORDER BY event_type ASC""".stripMargin),
   )
 }

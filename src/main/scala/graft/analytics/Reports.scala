@@ -243,6 +243,31 @@ object Reports {
   def userProfileApproxChecked(spark: SparkSession, dir: String): DataFrame =
     userProfileApproxChecked(EventsPipeline.silver(spark, dir))
 
+  /** Skew-safe distinct count under a LOW-cardinality group key — the
+    * salted two-stage aggregation pattern, written out.
+    *
+    * `event_type` has ~5 values. Spark's own countDistinct rewrite already
+    * dedups on the (type, user) pair first, but its FINAL count still
+    * shuffles one row per distinct pair onto 5 reducers — at 100 TB with
+    * billions of distinct users, 5 hot reducers absorb the whole corpus.
+    * Salting breaks that: count pairs per (type, salt-of-user) — spread
+    * over `salts`× more reducers — then sum the tiny partial counts per
+    * type. The third shuffle moves `types × salts` ROWS, not pairs. The
+    * result is salt-invariant (each distinct pair is counted exactly
+    * once), so the oracle is the plain COUNT(DISTINCT ...). */
+  def typeUniqueUsersSalted(silver: DataFrame, salts: Int = 32): DataFrame =
+    silver
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("salt", pmod(col("user_id"), lit(salts)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("partial_users"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("partial_users")).as("unique_users"))
+      .orderBy(col("event_type").asc)
+
+  def typeUniqueUsersSalted(spark: SparkSession, dir: String): DataFrame =
+    typeUniqueUsersSalted(EventsPipeline.silver(spark, dir))
+
   /** A5: daily activity profile. Reference: analysis-minio.ipynb cell 3. */
   def dailyProfile(silver: DataFrame): DataFrame =
     silver

@@ -38,4 +38,26 @@ class ReportsSpec extends SparkSpecBase {
       .filter(col("active_users_7d") < col("unique_users"))
     assert(bad.count() === 0)
   }
+
+  test("salted distinct equals countDistinct and is salt-invariant") {
+    val direct = silver.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("unique_users"))
+      .orderBy(col("event_type").asc).collect().map(_.toSeq)
+    val salted32 = Reports.typeUniqueUsersSalted(silver).collect().map(_.toSeq)
+    val salted7 = Reports.typeUniqueUsersSalted(silver, salts = 7)
+      .collect().map(_.toSeq)
+    assert(salted32.toSeq === direct.toSeq)
+    assert(salted7.toSeq === direct.toSeq)
+  }
+
+  test("deterministic ROUND matches double rounding away from midpoints") {
+    // the integer half-up r/100 construction must agree with a plain
+    // round(x, 2) wherever doubles are unambiguous (every fixture value)
+    val out = Reports.hourlyActivityRounded(silver)
+      .withColumn("dbl_pct", round(col("cnt") * lit(100.0)
+        / sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy()), 2))
+    val bad = out.filter(
+      abs(col("pct_round2").cast("double") - col("dbl_pct")) > 1e-9)
+    assert(bad.count() === 0)
+  }
 }
