@@ -254,7 +254,11 @@ object Reports {
     * over `salts`× more reducers — then sum the tiny partial counts per
     * type. The third shuffle moves `types × salts` ROWS, not pairs. The
     * result is salt-invariant (each distinct pair is counted exactly
-    * once), so the oracle is the plain COUNT(DISTINCT ...). */
+    * once), so the oracle is the plain COUNT(DISTINCT ...).
+    *
+    * Over the persisted silver the pair stage needs NO exchange at all:
+    * HashPartitioning(user_id) already satisfies the (type, user)
+    * clustered distribution (subset rule) — asserted in PlanAuditSpec. */
   def typeUniqueUsersSalted(silver: DataFrame, salts: Int = 32): DataFrame =
     silver
       .select(col("event_type"), col("user_id")).distinct()

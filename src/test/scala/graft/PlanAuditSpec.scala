@@ -63,4 +63,47 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.contains("*("), s"no codegen span in:\n$plan")
     assert(plan.contains("graft_dot"), s"expression missing in:\n$plan")
   }
+
+  test("ngram block census is broadcast, self-join has no cartesian/NLJ") {
+    val plan = graft.llm.TextDedup
+      .ngramJaccardDups(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    // census (langs × sources × bands rows) must come in as a broadcast,
+    // never shuffle the doc side for it
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"block census not broadcast in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"unkeyed join leaked into the blocked-Jaccard plan:\n$plan")
+  }
+
+  test("salted distinct spreads its heavy shuffles beyond the group key") {
+    // Row-heavy stages must shuffle on composite keys: the pair dedup on
+    // (event_type, user_id), the partial count on (event_type, salt). The
+    // only exchange keyed on bare event_type is the final one, which moves
+    // types × salts pre-counted rows — that ordering is the whole point.
+    // sparkPlan predates EnsureRequirements (no exchanges yet) — use the
+    // executed plan, trimming AQE's echoed "Initial Plan" section
+    val silver = EventsPipeline.silver(spark, sf)
+    silver.count() // populate the cache
+    val full = graft.analytics.Reports.typeUniqueUsersSalted(silver)
+      .queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==").head
+    val saltedIdx = "hashpartitioning\\(event_type#\\d+, salt#\\d+".r
+      .findFirstMatchIn(plan).map(_.start)
+    assert(saltedIdx.isDefined,
+      s"partial-count exchange not keyed on (event_type, salt):\n$plan")
+    // bare event_type exchanges may exist only ABOVE the salted one (the
+    // final stage, which moves types × salts pre-counted rows)
+    val bareIdxs = "hashpartitioning\\(event_type#\\d+, \\d+\\)".r
+      .findAllMatchIn(plan).map(_.start).toList
+    assert(bareIdxs.forall(_ < saltedIdx.get),
+      s"row-heavy exchange keyed on bare event_type (hot at scale):\n$plan")
+    // below the salt exchange the pair dedup reuses the persisted silver's
+    // user_id clustering: no further exchange above the cache scan
+    val below = plan.substring(saltedIdx.get)
+    val cacheIdx = below.indexOf("InMemoryTableScan")
+    assert(cacheIdx >= 0, s"silver not cached in:\n$plan")
+    assert(!below.substring(0, cacheIdx).contains("Exchange"),
+      s"pair dedup re-shuffled despite silver clustering:\n$plan")
+  }
 }
