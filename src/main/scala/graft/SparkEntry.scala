@@ -136,6 +136,9 @@ object SparkEntry {
     // ---- salted two-stage distinct under a 5-value group key: the
     //      skew pattern written out (hot-reducer-free at 100 TB) ----
     "q57_salted_distinct"      -> ((s, d) => Reports.typeUniqueUsersSalted(s, d)),
+    // ---- rolling-hash fingerprints via the codegen'd graft_rollhash
+    //      expression (Rabin–Karp primitive, exact int64) ----
+    "q58_rolling_fingerprint"  -> ((s, d) => TextStats.rollingFingerprints(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -869,5 +872,29 @@ object SparkEntry {
         """
           |SELECT event_type, COUNT(DISTINCT user_id) AS unique_users
           |FROM silver GROUP BY 1 ORDER BY event_type ASC""".stripMargin),
+    // Same 31-base polynomial the rolling update computes, evaluated
+    // positionally per window; all int64, no modulus, so values are
+    // bit-identical. ASCII-filtered on both sides (byte == codepoint).
+    "q58_rolling_fingerprint" ->
+      s"""WITH n AS (
+         |  SELECT doc_id,
+         |         regexp_replace($duckNorm, '[^ -~]', '', 'g') AS s
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id,
+         |         list_transform(range(1, len(s) - 6), i ->
+         |           CAST(ascii(substr(s, i,     1)) AS BIGINT) * 27512614111 +
+         |           CAST(ascii(substr(s, i + 1, 1)) AS BIGINT) * 887503681 +
+         |           CAST(ascii(substr(s, i + 2, 1)) AS BIGINT) * 28629151 +
+         |           CAST(ascii(substr(s, i + 3, 1)) AS BIGINT) * 923521 +
+         |           CAST(ascii(substr(s, i + 4, 1)) AS BIGINT) * 29791 +
+         |           CAST(ascii(substr(s, i + 5, 1)) AS BIGINT) * 961 +
+         |           CAST(ascii(substr(s, i + 6, 1)) AS BIGINT) * 31 +
+         |           CAST(ascii(substr(s, i + 7, 1)) AS BIGINT)) AS rh
+         |  FROM n)
+         |SELECT doc_id, CAST(len(rh) AS INTEGER) AS n_windows,
+         |       list_aggregate(rh, 'min') AS min_rh,
+         |       list_aggregate(rh, 'max') AS max_rh
+         |FROM w ORDER BY doc_id""".stripMargin,
   )
 }

@@ -33,6 +33,7 @@ object Sessions {
       // engine-native functions (codegen'd); GraftExtensions does the same
       // for spark.sql.extensions-configured clusters
       graft.functions.DotProduct.register(spark)
+      graft.functions.RollingHash.register(spark)
     }
     spark
   }

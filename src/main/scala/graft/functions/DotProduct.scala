@@ -92,9 +92,11 @@ object DotProduct {
 }
 
 /** SparkSessionExtensions hook: `--conf
-  * spark.sql.extensions=graft.functions.GraftExtensions` makes graft_dot a
-  * first-class function in every session of the cluster. */
+  * spark.sql.extensions=graft.functions.GraftExtensions` makes the graft
+  * native functions first-class in every session of the cluster. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier(DotProduct.Name), DotProduct.info, DotProduct.builder))
+    ext.injectFunction((FunctionIdentifier(RollingHash.Name), RollingHash.info, RollingHash.builder))
+  }
 }

@@ -128,4 +128,31 @@ object TextStats {
 
   def langId(spark: SparkSession, dir: String): DataFrame =
     langId(Tables.documents(spark, dir))
+
+  /** Rolling-hash document fingerprints: every k-byte window of the
+    * ASCII-normalized text hashed by the codegen'd O(n)
+    * [[graft.functions.RollingHash]] expression — the Rabin–Karp
+    * primitive behind content-defined chunking and winnowing. Emits the
+    * window count plus min/max window hash (the 2-extreme sketch: the min
+    * rolling hash is the classic shift-resistant fingerprint — identical
+    * content at any offset yields the same min). Exact int64 end to end;
+    * the oracle evaluates the same polynomial positionally. */
+  def rollingFingerprints(docs: DataFrame, k: Int = 8): DataFrame = {
+    graft.core.Sessions.ensure(docs.sparkSession)
+    docs
+      // byte-indexed hashing mirrored by a codepoint-indexed oracle →
+      // restrict to printable ASCII so byte == codepoint
+      .withColumn("s", regexp_replace(norm, "[^ -~]", ""))
+      .withColumn("rh", call_function(graft.functions.RollingHash.Name,
+        col("s"), lit(k)))
+      .select(
+        col("doc_id"),
+        size(col("rh")).as("n_windows"),
+        array_min(col("rh")).as("min_rh"),
+        array_max(col("rh")).as("max_rh"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  def rollingFingerprints(spark: SparkSession, dir: String): DataFrame =
+    rollingFingerprints(Tables.documents(spark, dir))
 }
