@@ -41,10 +41,12 @@ import graft.core.{Caches, Sessions}
   *    passes — direct co-residency proof where the guest HAS a paravirt
   *    steal clock (firecracker guests typically do not, so 0% steal is
   *    NOT exoneration — hence the probe below);
-  *  - `probe_ms`: a fixed single-thread CPU workload timed immediately
-  *    before each query — raw machine speed, immune to steal-clock
-  *    blindness; a probe 5-10× its run minimum marks the adjacent
-  *    query's time as machine noise;
+  *  - `probe_ms` / `pprobe_ms`: a fixed CPU workload timed immediately
+  *    before each query, single-threaded and on every core at once — raw
+  *    scalar speed and raw PARALLEL capacity, immune to steal-clock
+  *    blindness. Measured failure mode on this host: queries 20× slow
+  *    with probe_ms flat — the hypervisor caps effective vCPUs, which
+  *    only pprobe_ms catches (it balloons while probe_ms stays ~65 ms);
   *  - `loadavg_start`/`loadavg_end`: host 1-min load average — co-resident
   *    noise is visible even when it is not this JVM's fault;
   *  - `rss_mib`: peak resident set (VmHWM) at exit; `wall_sec`: total
@@ -101,6 +103,31 @@ object Bench {
     (System.nanoTime() - t0) / 1e6
   }
 
+  /** The same fixed workload on EVERY core simultaneously. On a healthy
+    * box this wall time ≈ the single-thread probe (independent spins);
+    * when the hypervisor caps effective vCPUs it balloons while the
+    * single-thread probe stays flat — measured here: a query 20× slow
+    * with probe_ms at baseline, i.e. contention steals PARALLELISM, not
+    * scalar speed. pprobe_ms is the counter that catches that mode. */
+  private def parallelProbeMs(): Double = {
+    val n = math.max(2, Runtime.getRuntime.availableProcessors())
+    val t0 = System.nanoTime()
+    val threads = (1 to n).map { t =>
+      val th = new Thread(() => {
+        var x = 0x9e3779b97f4a7c15L + t
+        var i = 0
+        while (i < 40000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          i += 1
+        }
+        probeSink = x
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e6
+  }
+
   /** Peak RSS (VmHWM) in MiB from /proc/self/status; -1 if unavailable. */
   private def peakRssMib(): Double =
     try {
@@ -147,12 +174,14 @@ object Bench {
     val gcTimes = scala.collection.mutable.LinkedHashMap[String, Long]()
     val stealPcts = scala.collection.mutable.LinkedHashMap[String, Double]()
     val probeMs = scala.collection.mutable.LinkedHashMap[String, Double]()
-    cpuProbeMs() // JIT warm-up for the probe loop itself
+    val pprobeMs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    cpuProbeMs(); parallelProbeMs() // JIT warm-up for the probe loops
     val results: Seq[(String, Double)] = names.map { n =>
       if (errors.contains(n)) n -> -1.0
       else {
         try {
           probeMs(n) = cpuProbeMs()
+          pprobeMs(n) = parallelProbeMs()
           val gc0 = gcMillis()
           val st0 = cpuSteal()
           val ts = (1 to iters).map(_ => runOnce(n))
@@ -187,11 +216,13 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
     val probeJson = probeMs
       .map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
+    val pprobeJson = pprobeMs
+      .map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":$iters,""" +
-        s""""iter_sec":$itersJson,"gc_ms":$gcJson,"steal_pct":$stealJson,"probe_ms":$probeJson,"loadavg_start":${num(load0)},"loadavg_end":${num(loadAvg())},""" +
+        s""""iter_sec":$itersJson,"gc_ms":$gcJson,"steal_pct":$stealJson,"probe_ms":$probeJson,"pprobe_ms":$pprobeJson,"loadavg_start":${num(load0)},"loadavg_end":${num(loadAvg())},""" +
         s""""rss_mib":${num(peakRssMib())},"wall_sec":${num(wallSec)}}"""
 
     println(line)

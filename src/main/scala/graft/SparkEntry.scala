@@ -139,6 +139,9 @@ object SparkEntry {
     // ---- rolling-hash fingerprints via the codegen'd graft_rollhash
     //      expression (Rabin–Karp primitive, exact int64) ----
     "q58_rolling_fingerprint"  -> ((s, d) => TextStats.rollingFingerprints(s, d)),
+    // ---- winnowed-fingerprint near-dup (MOSS scheme; 6th dedup family,
+    //      char-level complement to the word-shingle families) ----
+    "q59_winnow_dups"          -> ((s, d) => TextDedup.winnowDups(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -896,5 +899,40 @@ object SparkEntry {
          |       list_aggregate(rh, 'min') AS min_rh,
          |       list_aggregate(rh, 'max') AS max_rh
          |FROM w ORDER BY doc_id""".stripMargin,
+    // Winnow (k=10, w=8): min of every 8 consecutive rolling hashes,
+    // deduped per doc, fingerprints in >16 docs dropped (stop
+    // fingerprints); candidate pairs share >= 8 surviving fingerprints.
+    // Same polynomial family as q58, extended to 10 bytes.
+    "q59_winnow_dups" ->
+      s"""WITH n AS (
+         |  SELECT doc_id,
+         |         regexp_replace($duckNorm, '[^ -~]', '', 'g') AS s
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id,
+         |         list_transform(range(1, len(s) - 8), i ->
+         |           CAST(ascii(substr(s, i,     1)) AS BIGINT) * 26439622160671 +
+         |           CAST(ascii(substr(s, i + 1, 1)) AS BIGINT) * 852891037441 +
+         |           CAST(ascii(substr(s, i + 2, 1)) AS BIGINT) * 27512614111 +
+         |           CAST(ascii(substr(s, i + 3, 1)) AS BIGINT) * 887503681 +
+         |           CAST(ascii(substr(s, i + 4, 1)) AS BIGINT) * 28629151 +
+         |           CAST(ascii(substr(s, i + 5, 1)) AS BIGINT) * 923521 +
+         |           CAST(ascii(substr(s, i + 6, 1)) AS BIGINT) * 29791 +
+         |           CAST(ascii(substr(s, i + 7, 1)) AS BIGINT) * 961 +
+         |           CAST(ascii(substr(s, i + 8, 1)) AS BIGINT) * 31 +
+         |           CAST(ascii(substr(s, i + 9, 1)) AS BIGINT)) AS rh
+         |  FROM n),
+         |f AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(1, len(rh) - 6), i ->
+         |           list_aggregate(rh[i:i+7], 'min'))) AS fp
+         |  FROM w WHERE len(rh) >= 8),
+         |fd AS (
+         |  SELECT doc_id, fp FROM f
+         |  QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 16)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+         |FROM fd a JOIN fd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 8
+         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -289,4 +289,64 @@ object TextDedup {
 
   def ngramJaccardDups(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardDups(Tables.documents(spark, dir))
+
+  // ------------------------------------------------- winnowed fingerprints
+
+  val WinnowK = 10       // rolling-hash window (bytes; expression's exact-int64 max)
+  val WinnowW = 8        // winnow window (consecutive hashes per min)
+  val MaxFpDf = 16       // drop fingerprints present in more docs than this
+  val MinSharedFps = 8   // shared fingerprints to call a candidate pair
+
+  /** Winnowing (the MOSS fingerprint scheme) over the codegen'd
+    * [[graft.functions.RollingHash]]: hash every [[WinnowK]]-byte window,
+    * then keep the MIN hash of every [[WinnowW]] consecutive hashes,
+    * deduped. Guarantees: any shared substring of length ≥ k + w − 1
+    * (17 chars here) contributes at least one IDENTICAL fingerprint to
+    * both docs (shift-resistant, unlike fixed-stride sampling), while
+    * storing only ~2/(w+1) of all window hashes. The char-level
+    * complement to the word-shingle families: catches near-dups that
+    * tokenization hides (joined/split words, punctuation edits). */
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    graft.core.Sessions.ensure(docs.sparkSession)
+    normalized(docs)
+      // byte-indexed hashing mirrored by a codepoint-indexed oracle →
+      // printable-ASCII projection, same contract as rollingFingerprints
+      .withColumn("s", regexp_replace(col("norm"), "[^ -~]", ""))
+      .withColumn("rh",
+        call_function(graft.functions.RollingHash.Name, col("s"), lit(WinnowK)))
+      .filter(size(col("rh")) >= WinnowW)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(1), size(col("rh")) - (WinnowW - 1)),
+            i => array_min(slice(col("rh"), i, lit(WinnowW)))))).as("fp"))
+  }
+
+  /** Near-dup candidate pairs sharing ≥ `minShared` winnowed
+    * fingerprints. Fingerprints present in more than `maxDf` documents
+    * are dropped before the self-join — they are non-discriminative
+    * ("stop fingerprints": boilerplate phrases, common word runs) and,
+    * unbounded, give the hot-bucket quadratic fan-out that kills every
+    * naive inverted-index dedup at scale. With the cap, each fingerprint
+    * contributes ≤ maxDf·(maxDf−1)/2 pairs, so candidate generation is
+    * LINEAR in corpus size; the df window and the self-join share the
+    * same hash partitioning on `fp`, so the cap costs no extra shuffle. */
+  def winnowDups(docs: DataFrame, minShared: Int = MinSharedFps,
+                 maxDf: Int = MaxFpDf): DataFrame = {
+    val dfW = Window.partitionBy(col("fp"))
+    val fps = graft.core.Caches.scratch(
+      winnowFingerprints(docs)
+        .withColumn("df", count(lit(1)).over(dfW))
+        .filter(col("df") <= maxDf)
+        .drop("df"))
+    val a = fps.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = fps.select(col("fp"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  def winnowDups(spark: SparkSession, dir: String): DataFrame =
+    winnowDups(Tables.documents(spark, dir))
 }

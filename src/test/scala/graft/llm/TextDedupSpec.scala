@@ -100,6 +100,50 @@ class TextDedupSpec extends SparkSpecBase {
       s"block of $maxBlock docs exceeds cap ${TextDedup.MaxBlockDocs}")
   }
 
+  test("winnow finds copies of discriminative text; boilerplate-only overlap is suppressed") {
+    import spark.implicits._
+    // Docs with distinctive character content: an exact copy and an
+    // edited copy must surface as candidate pairs.
+    val distinct = Seq(
+      1L -> "The quarterly ingestion audit flagged seventeen malformed avro blocks under prefix s3://lake/raw/2024-03, each missing its sync marker after byte 40960.",
+      2L -> "Vector quantization with product codebooks of 256 centroids per 8-dim subspace compresses embeddings 32x while keeping recall@10 above 0.92 on the heldout split.",
+      3L -> "Watermark lag spiked to 45 minutes when the kafka partition leader migrated; the session window operator buffered 1.8 million keys before state eviction resumed.")
+    val fixture = (distinct.map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) } ++ Seq(
+      (90001L, distinct.head._2, "en", "srcB", distinct.head._2.length.toLong),
+      (90002L, distinct(1)._2.replace("recall@10", "recall@100"), "en", "srcB", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = TextDedup.winnowDups(fixture, minShared = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 90001L)), "exact copy must share all fingerprints")
+    assert(pairs.contains((2L, 90002L)), "one-token edit must still surface")
+    assert(!pairs.exists { case (a, b) => a != b && Set(a, b).subsetOf(Set(1L, 2L, 3L)) },
+      "unrelated docs must not pair")
+
+    // On the template corpus (30-word vocabulary) every 10-char window
+    // occurs in far more than MaxFpDf docs, so an exact copy of an
+    // all-boilerplate doc is deliberately NOT flagged: stop-fingerprint
+    // removal treats boilerplate-only overlap as non-evidence (the word-
+    // shingle families q26/q27 are the detectors for that corpus).
+    val corpusPairs = TextDedup.winnowDups(planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!corpusPairs.contains((0L, 90001L)),
+      "boilerplate-only copy should be suppressed by the df cap")
+  }
+
+  test("winnowing guarantee: a doc shares every fingerprint with itself shifted") {
+    import spark.implicits._
+    // same content at different offsets — fixed-stride sampling would miss,
+    // winnowing must fingerprint identically inside the shared region
+    val core = "winnowing guarantees coverage of shared substrings beyond k plus w"
+    val docs = Seq(
+      (1L, core, "en", "srcW", core.length.toLong),
+      (2L, s"unrelated preamble text! $core", "en", "srcW", core.length + 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val shared = TextDedup.winnowDups(docs, minShared = 1).collect()
+    assert(shared.length === 1 && shared.head.getLong(2) >= 8,
+      s"offset-shifted copy not caught: ${shared.mkString}")
+  }
+
   test("blocks below the cap stay whole (single subshard, no recall loss)") {
     val blocks = TextDedup.ngramBlocks(docs)
       .groupBy("lang", "source", "band")
