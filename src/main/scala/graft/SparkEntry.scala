@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.{Reports, StarQueries, TemporalOps}
 import graft.ingest.Medallion
-import graft.llm.{Curation, EmbedDedup, Multimodal, Similarity, TextDedup, TextStats}
+import graft.llm.{Curation, DupClusters, EmbedDedup, Multimodal, Similarity, TextDedup, TextStats}
 import graft.pipeline.EventsPipeline
 import graft.sql.SqlQueries
 
@@ -142,6 +142,9 @@ object SparkEntry {
     // ---- winnowed-fingerprint near-dup (MOSS scheme; 6th dedup family,
     //      char-level complement to the word-shingle families) ----
     "q59_winnow_dups"          -> ((s, d) => TextDedup.winnowDups(s, d)),
+    // ---- dup-cluster resolution: connected components over the q27
+    //      near-dup pairs (hash-to-min label propagation) ----
+    "q60_dup_clusters"         -> ((s, d) => DupClusters.dupClusters(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -934,5 +937,27 @@ object SparkEntry {
          |FROM fd a JOIN fd b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Transitive closure of the q27 pair graph via recursive CTE; each
+    // node labeled with its component's min doc_id — the oracle for the
+    // engine's hash-to-min label propagation.
+    "q60_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashOracle
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r
+         |  JOIN edges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src),
+         |lab AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src)
+         |SELECT cluster_id, doc_id, doc_id = cluster_id AS is_canonical
+         |FROM lab ORDER BY cluster_id ASC, doc_id ASC""".stripMargin,
   )
 }

@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Duplicate-cluster resolution: the step AFTER candidate generation that
+  * every production dedup pipeline needs. The five dedup families emit
+  * near-dup PAIRS; keeping one copy per duplicate group requires the
+  * transitive closure of those pairs — connected components — and a
+  * deterministic canonical representative per component (min doc_id, the
+  * same convention as `TextDedup.exactDedup`).
+  *
+  * Mirrors the dedup stage of the reference's pipeline surface
+  * (`/root/reference/src/jobs/transform_job.py:40-55` dedups exact groups;
+  * this generalizes to near-dup graphs).
+  *
+  * Scale design: label propagation ("hash-to-min") as iterated DataFrame
+  * joins — `label(x) ← min(label(x), min over neighbors y of label(y))` —
+  * which converges in O(component diameter) rounds. Near-dup components
+  * are band-join cliques or short chains (diameter ≤ 3-4 in practice), so
+  * the loop runs 2-5 rounds of shuffle-on-key joins, each linear in |E|;
+  * there is never an all-pairs product and no driver-side graph. The only
+  * driver traffic is one convergence count per round (the same pattern as
+  * Structured Streaming's batch planning). For adversarial long-path
+  * graphs the O(log n) large-star/small-star variant would replace this;
+  * for dedup workloads the simple propagation is the right trade.
+  */
+object DupClusters {
+
+  val MaxIters = 20
+
+  /** Connected components over undirected candidate pairs
+    * `(doc_a, doc_b)`. Returns one row per member doc:
+    * `(cluster_id, doc_id, is_canonical)` where `cluster_id` is the
+    * component's min doc_id. Docs in no pair are singletons and are
+    * deliberately excluded (at corpus scale almost every doc is one;
+    * emitting them would dwarf the real signal).
+    *
+    * Every round truncates lineage with an eager `localCheckpoint`:
+    * `labels` feeds both sides of the round's join, so without
+    * truncation the LOGICAL plan doubles per round — Catalyst analysis
+    * goes exponential long before execution is the problem (measured:
+    * a 9-node chain took minutes at 8 rounds). Checkpointing makes each
+    * round's plan constant-size: join(edges, LogicalRDD). On a cluster
+    * with lineage-based recovery requirements, swap `localCheckpoint`
+    * for `checkpoint` with a checkpoint dir; the loop is unchanged.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = MaxIters): DataFrame = {
+    // Symmetrize once; checkpointed so each round re-analyzes a flat
+    // scan, not the upstream candidate-generation DAG.
+    val edges =
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct()
+        .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nmin"))
+        .withColumnRenamed("src", "node")
+      val next = labels.join(neighborMin, Seq("node"))
+        .select(col("node"),
+          least(col("label"), col("nmin")).as("label"),
+          (col("nmin") < col("label")).as("chg"))
+        .localCheckpoint(true)
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("node"), col("label"))
+      iters += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIters rounds — " +
+        "pathological long-path graph; use a star-contraction variant")
+    labels.select(
+        col("label").as("cluster_id"),
+        col("node").as("doc_id"),
+        (col("node") === col("label")).as("is_canonical"))
+      .orderBy(col("cluster_id").asc, col("doc_id").asc)
+  }
+
+  /** q60: resolve the MinHash-LSH near-dup pairs (q27) into clusters. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(TextDedup.minhashNearDups(Tables.documents(spark, dir)))
+}

@@ -1,0 +1,54 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.core.Tables
+
+class DupClustersSpec extends SparkSpecBase {
+
+  test("chain and clique resolve to min-id components; singletons excluded") {
+    import spark.implicits._
+    // component {1,2,3} as a chain (needs 2 propagation rounds),
+    // component {10,11} as a pair; doc 99 appears in no pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val out = DupClusters.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, true), (1L, 2L, false), (1L, 3L, false),
+      (10L, 10L, true), (10L, 11L, false)))
+  }
+
+  test("propagation crosses long chains (diameter > 2)") {
+    import spark.implicits._
+    val chain = (1L to 9L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("doc_a", "doc_b")
+    val out = DupClusters.connectedComponents(chain)
+    assert(out.select(countDistinct(col("cluster_id"))).head().getLong(0) === 1L)
+    assert(out.filter(col("is_canonical")).head().getLong(1) === 1L)
+  }
+
+  test("corpus minhash pairs resolve to clusters consistent with the pair graph") {
+    val pairs = TextDedup.minhashNearDups(Tables.documents(spark, sf))
+    val members = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val clusters = DupClusters.connectedComponents(pairs)
+    // every paired doc gets exactly one cluster row
+    assert(clusters.count() === members.count())
+    // both endpoints of every pair share a cluster
+    val lab = clusters.select(col("doc_id"), col("cluster_id"))
+    val crossing = pairs
+      .join(lab.toDF("doc_a", "ca"), "doc_a")
+      .join(lab.toDF("doc_b", "cb"), "doc_b")
+      .filter(col("ca") =!= col("cb")).count()
+    assert(crossing === 0L, s"$crossing pairs span two clusters")
+    // exactly one canonical per cluster, and it is the min member
+    val bad = clusters.groupBy(col("cluster_id"))
+      .agg(sum(when(col("is_canonical"), 1).otherwise(0)).as("ncanon"),
+        min(col("doc_id")).as("minid"))
+      .filter(col("ncanon") =!= 1 || col("minid") =!= col("cluster_id"))
+      .count()
+    assert(bad === 0L)
+  }
+}
