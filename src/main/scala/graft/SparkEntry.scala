@@ -145,6 +145,10 @@ object SparkEntry {
     // ---- dup-cluster resolution: connected components over the q27
     //      near-dup pairs (hash-to-min label propagation) ----
     "q60_dup_clusters"         -> ((s, d) => DupClusters.dupClusters(s, d)),
+    // ---- distinctive terms (exact-integer TF-IDF reshape) ----
+    "q61_distinctive_terms"    -> ((s, d) => TextStats.distinctiveTerms(s, d)),
+    // ---- Gopher-family repetition filter (dup-word / top-2-gram ppm) ----
+    "q62_repetition_signals"   -> ((s, d) => TextStats.repetitionSignals(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -959,5 +963,51 @@ object SparkEntry {
          |  FROM reach GROUP BY src)
          |SELECT cluster_id, doc_id, doc_id = cluster_id AS is_canonical
          |FROM lab ORDER BY cluster_id ASC, doc_id ASC""".stripMargin,
+    // TF-IDF reshaped to exact integers: score = cnt*N*10^6 div (len*df)
+    // (ln of a double is not portable; integer div is).
+    "q61_distinctive_terms" ->
+      s"""WITH nd AS (SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
+         |words AS (SELECT doc_id, unnest(w) AS term FROM nd),
+         |tc AS (SELECT doc_id, term, COUNT(*) AS cnt FROM words GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, COUNT(*) AS len FROM words GROUP BY 1),
+         |tdf AS (SELECT term, COUNT(*) AS df FROM tc GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS ndocs FROM documents),
+         |scored AS (
+         |  SELECT t.doc_id, t.term, t.cnt, f.df,
+         |         (t.cnt * n.ndocs * 1000000) // (l.len * f.df) AS score
+         |  FROM tc t JOIN dl l USING (doc_id) JOIN tdf f USING (term) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT doc_id, term, cnt, df, score,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INTEGER) AS rnk
+         |  FROM scored)
+         |SELECT doc_id, term, cnt, df, score, rnk FROM ranked
+         |WHERE rnk <= 3 ORDER BY doc_id ASC, rnk ASC""".stripMargin,
+    // Repetition ppm signals are integer div; SUMs cast back to BIGINT
+    // (DuckDB widens SUM to HUGEINT, Spark keeps LongType).
+    "q62_repetition_signals" ->
+      s"""WITH nd AS (SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
+         |words AS (SELECT doc_id, unnest(w) AS wd FROM nd),
+         |ws AS (
+         |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+         |         COUNT(*) AS n_distinct_words
+         |  FROM (SELECT doc_id, wd, COUNT(*) AS cnt FROM words GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i ->
+         |           array_to_string(w[i:i+1], ' '))) AS b
+         |  FROM nd WHERE len(w) >= 2),
+         |bs AS (
+         |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+         |         MAX(cnt) AS top_bigram_cnt
+         |  FROM (SELECT doc_id, b, COUNT(*) AS cnt FROM bg GROUP BY 1, 2)
+         |  GROUP BY 1)
+         |SELECT w.doc_id, w.n_words, w.n_distinct_words,
+         |       ((w.n_words - w.n_distinct_words) * 1000000) // w.n_words AS dup_word_ppm,
+         |       (b.top_bigram_cnt * 1000000) // b.n_bigrams AS top_bigram_ppm,
+         |       (((w.n_words - w.n_distinct_words) * 1000000) // w.n_words <= 600000
+         |        AND (b.top_bigram_cnt * 1000000) // b.n_bigrams <= 180000) AS keep
+         |FROM ws w JOIN bs b USING (doc_id)
+         |ORDER BY doc_id ASC""".stripMargin,
   )
 }

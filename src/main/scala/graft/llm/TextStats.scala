@@ -155,4 +155,98 @@ object TextStats {
 
   def rollingFingerprints(spark: SparkSession, dir: String): DataFrame =
     rollingFingerprints(Tables.documents(spark, dir))
+
+  // ---------------------------------------------------- distinctive terms
+
+  val TopTermsPerDoc = 3
+  val ScoreScale = 1000000L
+
+  /** Top distinctive terms per document — TF-IDF reshaped for exact
+    * cross-engine arithmetic: the score `tf·idf = (cnt/len)·ln(N/df)` is
+    * replaced by the ordinally-equivalent-in-spirit integer
+    * `cnt·N·10^6 div (len·df)` (rarer-in-corpus, frequent-in-doc terms
+    * rank first; integer `div` is bit-identical in Spark and DuckDB,
+    * `ln` of a double is not).
+    *
+    * Shape at scale: two word-level aggregations (term counts, doc
+    * lengths) that share a map-side combine over one explode pass, a
+    * term-keyed df aggregate whose output is vocabulary-sized (tiny vs
+    * corpus), a broadcast-able 1-row corpus count, and a per-doc window
+    * for top-k. No step is quadratic; the only wide row is vocabulary.
+    */
+  def distinctiveTerms(docs: DataFrame, topK: Int = TopTermsPerDoc): DataFrame = {
+    val words = docs.select(col("doc_id"), explode(split(norm, " ")).as("term"))
+    val termCounts = words.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val docLen = words.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val termDf = termCounts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("ndocs"))
+    val scored = termCounts
+      .join(docLen, Seq("doc_id"))
+      .join(termDf, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        expr(s"(cnt * ndocs * $ScoreScale) div (len * df)"))
+    scored
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_id"), col("term"), col("cnt"), col("df"),
+        col("score"), col("rnk"))
+      .orderBy(col("doc_id").asc, col("rnk").asc)
+  }
+
+  def distinctiveTerms(spark: SparkSession, dir: String): DataFrame =
+    distinctiveTerms(Tables.documents(spark, dir))
+
+  // --------------------------------------------------- repetition signals
+
+  val MaxDupWordPpm = 600000L  // drop docs whose words are >60% repeats
+  val MaxTopBigramPpm = 180000L // drop docs whose top 2-gram is >18% of 2-grams
+
+  /** Per-document repetition signals (the Gopher-report family of
+    * filters): duplicate-word fraction and most-frequent-2-gram fraction,
+    * in exact parts-per-million (integer div — no portable-double risk),
+    * plus the keep/drop verdict at the documented thresholds. Template-
+    * generated and boilerplate-heavy docs light these up long before any
+    * near-dup pass sees them, so a training pipeline runs this filter
+    * FIRST, on the cheap single-doc pass, and dedups what survives.
+    *
+    * One explode pass per granularity (words, 2-grams), each a map-side-
+    * combinable groupBy on (doc, gram) then (doc) — linear, no joins
+    * across documents.
+    */
+  def repetitionSignals(docs: DataFrame,
+                        maxDupWordPpm: Long = MaxDupWordPpm,
+                        maxTopBigramPpm: Long = MaxTopBigramPpm): DataFrame = {
+    val words = docs.select(col("doc_id"), explode(split(norm, " ")).as("w"))
+    val wordSig = words.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"))
+    val bigrams = docs
+      .select(col("doc_id"), split(norm, " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
+          .as("bg"))
+    val bigramSig = bigrams.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("top_bigram_cnt"))
+    wordSig.join(bigramSig, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        expr("((n_words - n_distinct_words) * 1000000) div n_words").as("dup_word_ppm"),
+        expr("(top_bigram_cnt * 1000000) div n_bigrams").as("top_bigram_ppm"))
+      .withColumn("keep",
+        col("dup_word_ppm") <= maxDupWordPpm &&
+          col("top_bigram_ppm") <= maxTopBigramPpm)
+      .orderBy(col("doc_id").asc)
+  }
+
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
+    repetitionSignals(Tables.documents(spark, dir))
 }

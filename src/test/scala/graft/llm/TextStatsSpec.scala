@@ -38,4 +38,49 @@ class TextStatsSpec extends SparkSpecBase {
         col("score_en") < col("score_fr") || col("score_en") < col("score_zh"))
     assert(bad.count() === 0)
   }
+
+  test("distinctive terms: rare-in-corpus terms outrank common ones") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "quasar quasar the the the", "en", "s", 0L),
+      (2L, "the the the common words here", "en", "s", 0L),
+      (3L, "more the common words appear here", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.distinctiveTerms(fixture)
+    // doc 1's top term must be the corpus-unique 'quasar', not 'the'
+    val top1 = out.filter(col("doc_id") === 1L && col("rnk") === 1).head()
+    assert(top1.getAs[String]("term") === "quasar")
+    // every doc gets at most topK rows, ranks are 1..k
+    assert(out.filter(col("rnk") > TextStats.TopTermsPerDoc).count() === 0)
+  }
+
+  test("distinctive terms on the corpus: exactly top-3 rows per doc") {
+    val out = TextStats.distinctiveTerms(docs)
+    val badDoc = out.groupBy("doc_id").count()
+      .filter(col("count") =!= TextStats.TopTermsPerDoc)
+    assert(badDoc.count() === 0)
+  }
+
+  test("repetition signals: repeated text lights up, varied text keeps") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "spam spam spam spam spam spam spam spam", "en", "s", 0L),
+      (2L, "a varied sentence with mostly unique words throughout", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.repetitionSignals(fixture)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(!out(1L), "all-repeat doc must be dropped")
+    assert(out(2L), "varied doc must be kept")
+  }
+
+  test("repetition ppm values are exact and bounded") {
+    val out = TextStats.repetitionSignals(docs).cache()
+    assert(out.filter(col("dup_word_ppm") < 0 || col("dup_word_ppm") > 1000000).count() === 0)
+    assert(out.filter(col("top_bigram_ppm") <= 0 || col("top_bigram_ppm") > 1000000).count() === 0)
+    // dup_word_ppm reconciles with its inputs
+    val bad = out.filter(
+      col("dup_word_ppm") =!=
+        expr("((n_words - n_distinct_words) * 1000000) div n_words"))
+    assert(bad.count() === 0)
+  }
 }
