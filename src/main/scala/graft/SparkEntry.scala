@@ -149,6 +149,9 @@ object SparkEntry {
     "q61_distinctive_terms"    -> ((s, d) => TextStats.distinctiveTerms(s, d)),
     // ---- Gopher-family repetition filter (dup-word / top-2-gram ppm) ----
     "q62_repetition_signals"   -> ((s, d) => TextStats.repetitionSignals(s, d)),
+    // ---- native sliding windows (batch twin of the streaming agg) ----
+    "q63_sliding_windows"      -> ((s, d) =>
+      TemporalOps.slidingWindowCounts(EventsPipeline.silver(s, d))),
   )
 
   // ------------------------------------------------------------------
@@ -1009,5 +1012,17 @@ object SparkEntry {
          |        AND (b.top_bigram_cnt * 1000000) // b.n_bigrams <= 180000) AS keep
          |FROM ws w JOIN bs b USING (doc_id)
          |ORDER BY doc_id ASC""".stripMargin,
+    // Sliding windows: each event belongs to exactly 4 hour-wide windows
+    // at 15-min slide; enumerate them as 900*(esec//900 - k), k=0..3.
+    "q63_sliding_windows" ->
+      (silverCte +
+        """, wins AS (
+          |  SELECT s.user_id, s.event_type,
+          |         900 * ((epoch_ns(s.ts) // 1000000000) // 900 - k.k) AS win_start
+          |  FROM silver s CROSS JOIN (VALUES (0), (1), (2), (3)) k(k))
+          |SELECT win_start, event_type, COUNT(*) AS n_events,
+          |       COUNT(DISTINCT user_id) AS n_users
+          |FROM wins GROUP BY 1, 2
+          |ORDER BY win_start ASC, event_type ASC""".stripMargin),
   )
 }

@@ -128,4 +128,27 @@ object TemporalOps {
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id").asc, col("session_no").asc)
   }
+
+  /** Sliding-window event counts via Spark's native `window()` generator:
+    * 1-hour windows every 15 minutes, so each event lands in exactly 4
+    * overlapping windows (window/slide). This is the batch twin of the
+    * streaming watermarked windowed aggregation in
+    * graft.streaming.StreamingIngest — same `window()` call, same output
+    * shape — demonstrating that the window semantics are engine-native,
+    * not a date_trunc approximation (tumbling = the slide==width special
+    * case, already covered by the hourly/monthly reports). Window starts
+    * are emitted as epoch seconds: exact integers on both engines, no
+    * timestamp-rendering ambiguity in the gate. Scale shape: the
+    * generator is a per-row 4-way explode (map-side, no join), then one
+    * keyed aggregation — linear, shuffle on (window, event_type). */
+  def slidingWindowCounts(silver: DataFrame): DataFrame =
+    silver
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(
+        col("window.start").cast("long").as("win_start"),
+        col("event_type"), col("n_events"), col("n_users"))
+      .orderBy(col("win_start").asc, col("event_type").asc)
 }

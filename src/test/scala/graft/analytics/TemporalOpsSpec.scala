@@ -61,4 +61,14 @@ class TemporalOpsSpec extends SparkSpecBase {
       .filter(col("mx") =!= col("cnt"))
     assert(bad.count() === 0)
   }
+
+  test("sliding windows: every event lands in exactly window/slide = 4 windows") {
+    val out = TemporalOps.slidingWindowCounts(silver).cache()
+    val windowedEvents = out.agg(sum("n_events")).head().getLong(0)
+    assert(windowedEvents === 4L * silver.count())
+    // window starts align to the 15-min slide grid
+    assert(out.filter(col("win_start") % 900 =!= 0).count() === 0)
+    // n_users never exceeds n_events
+    assert(out.filter(col("n_users") > col("n_events")).count() === 0)
+  }
 }
