@@ -106,4 +106,46 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!below.substring(0, cacheIdx).contains("Exchange"),
       s"pair dedup re-shuffled despite silver clustering:\n$plan")
   }
+
+  test("winnow dedup self-join is fp-keyed: no cartesian or nested loop") {
+    val plan = graft.llm.TextDedup
+      .winnowDups(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"unkeyed join leaked into the winnow plan:\n$plan")
+  }
+
+  test("distinctive terms: corpus count is broadcast, term joins are keyed") {
+    val plan = graft.llm.TextStats
+      .distinctiveTerms(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    // the 1-row ndocs frame must arrive by broadcast, never shuffle the
+    // term side for it
+    assert(plan.contains("BroadcastExchange"),
+      s"ndocs not broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian leaked into the tf-idf plan:\n$plan")
+  }
+
+  test("connected components: result plan is truncated, not the candidate DAG") {
+    // each round localCheckpoints, so the final clusters plan must read
+    // checkpointed blocks (ExistingRDD) and contain none of the upstream
+    // minhash machinery (no generator explode, no md5 projections)
+    val plan = graft.llm.DupClusters
+      .dupClusters(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), s"no checkpoint scan in:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"lineage not truncated — shingle explode resurfaced in:\n$plan")
+  }
+
+  test("sliding windows plan: generator explode + one aggregation, no join") {
+    val silver = EventsPipeline.silver(spark, sf)
+    silver.count()
+    val plan = graft.analytics.TemporalOps.slidingWindowCounts(silver)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+    assert(plan.contains("Expand") || plan.contains("Generate"),
+      s"window generator missing in:\n$plan")
+  }
 }
