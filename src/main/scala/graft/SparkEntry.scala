@@ -152,6 +152,9 @@ object SparkEntry {
     // ---- native sliding windows (batch twin of the streaming agg) ----
     "q63_sliding_windows"      -> ((s, d) =>
       TemporalOps.slidingWindowCounts(EventsPipeline.silver(s, d))),
+    // ---- GK quantile sketch with its rank guarantee checked in-query
+    //      (percentile counterpart of the q38 HLL tolerance pattern) ----
+    "q64_quantiles_approx"     -> ((s, d) => Reports.valueQuantilesApproxChecked(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -1024,5 +1027,15 @@ object SparkEntry {
           |       COUNT(DISTINCT user_id) AS n_users
           |FROM wins GROUP BY 1, 2
           |ORDER BY win_start ASC, event_type ASC""".stripMargin),
+    // q64: sketch values are engine-specific; the query reduces them to
+    // rank-guarantee booleans, the oracle asserts literal TRUEs (same
+    // contract as q38).
+    "q64_quantiles_approx" ->
+      (silverCte +
+        """
+          |SELECT event_type, COUNT(value) AS n,
+          |       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+          |FROM silver WHERE value IS NOT NULL
+          |GROUP BY 1 ORDER BY event_type ASC""".stripMargin),
   )
 }

@@ -243,6 +243,56 @@ object Reports {
   def userProfileApproxChecked(spark: SparkSession, dir: String): DataFrame =
     userProfileApproxChecked(EventsPipeline.silver(spark, dir))
 
+  /** Quantile sketch with the accuracy guarantee checked INSIDE the query
+    * — the percentile counterpart of [[userProfileApproxChecked]].
+    *
+    * `percentile_approx(value, q, acc)` (Greenwald–Khanna) guarantees the
+    * returned value's RANK lies within ±n/acc of ⌈q·n⌉. The query
+    * computes, per event_type and per quantile, the exact values at the
+    * guarantee's lower/upper rank bounds (one ranking window, six
+    * conditional aggregates — a single pass) and reduces the sketch
+    * output to `bound_lo ≤ approx ≤ bound_hi` booleans. The DuckDB
+    * oracle emits exact group counts with literal TRUEs, so the gate
+    * hash-verifies the sketch honored its contract on every group.
+    * At 100 TB this is THE percentile operator (an exact global sort per
+    * group is a non-starter); acc=10000 keeps state at ~KB per group. */
+  def valueQuantilesApproxChecked(silver: DataFrame,
+                                  accuracy: Int = 10000): DataFrame = {
+    val eps = 1.0 / accuracy
+    val vals = silver.filter(col("value").isNotNull)
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").asc, col("event_id").asc)
+    val ranked = vals
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+    def loRank(q: Double): Column =
+      greatest(lit(1L), floor((lit(q) - eps) * col("cnt")).cast("long"))
+    def hiRank(q: Double): Column =
+      least(col("cnt"), ceil((lit(q) + eps) * col("cnt")).cast("long"))
+    val qs = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+    val boundAggs = qs.flatMap { case (q, nm) =>
+      Seq(
+        max(when(col("rn") === loRank(q), col("value"))).as(s"${nm}_lo"),
+        max(when(col("rn") === hiRank(q), col("value"))).as(s"${nm}_hi"))
+    }
+    val bounds = ranked.groupBy(col("event_type"))
+      .agg(boundAggs.head, boundAggs.tail: _*)
+    val approx = vals.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col("value"),
+          array(qs.map(q => lit(q._1)): _*), lit(accuracy)).as("ap"))
+    val okCols = qs.zipWithIndex.map { case ((_, nm), i) =>
+      (col(s"${nm}_lo") <= col("ap")(i) && col("ap")(i) <= col(s"${nm}_hi"))
+        .as(s"${nm}_ok")
+    }
+    approx.join(bounds, Seq("event_type"))
+      .select(col("event_type") +: col("n") +: okCols: _*)
+      .orderBy(col("event_type").asc)
+  }
+
+  def valueQuantilesApproxChecked(spark: SparkSession, dir: String): DataFrame =
+    valueQuantilesApproxChecked(EventsPipeline.silver(spark, dir))
+
   /** Skew-safe distinct count under a LOW-cardinality group key — the
     * salted two-stage aggregation pattern, written out.
     *

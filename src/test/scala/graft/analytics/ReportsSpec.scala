@@ -60,4 +60,35 @@ class ReportsSpec extends SparkSpecBase {
       abs(col("pct_round2").cast("double") - col("dbl_pct")) > 1e-9)
     assert(bad.count() === 0)
   }
+
+  test("approx quantiles honor the GK rank guarantee on every group") {
+    val out = Reports.valueQuantilesApproxChecked(silver).cache()
+    assert(out.count() > 0)
+    assert(out.filter(!col("p50_ok") || !col("p90_ok") || !col("p99_ok")).count() === 0)
+    // group counts reconcile with the non-null values
+    val n = out.agg(sum("n")).head().getLong(0)
+    assert(n === silver.filter(col("value").isNotNull).count())
+  }
+
+  test("quantile rank-bound check would catch an out-of-bound estimate") {
+    // negative control: the p99 guarantee band is a few elements wide —
+    // the MEDIAN must not satisfy it, proving the ok booleans are a real
+    // assertion, not always-true
+    val ranked = silver.filter(col("value").isNotNull)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+          .orderBy(col("value").asc, col("event_id").asc)))
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+    val p99band = ranked.filter(
+      col("rn") >= greatest(lit(1L), floor((lit(0.99) - 0.0001) * col("cnt")).cast("long")) &&
+        col("rn") <= least(col("cnt"), ceil((lit(0.99) + 0.0001) * col("cnt")).cast("long")))
+      .groupBy("event_type").agg(min("value").as("lo"), max("value").as("hi"))
+    val median = ranked.filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("event_type"), col("value").as("med"))
+    val wouldPass = p99band.join(median, "event_type")
+      .filter(col("lo") <= col("med") && col("med") <= col("hi"))
+    assert(wouldPass.count() === 0,
+      "p50 landed inside the p99 guarantee band — the check has no teeth")
+  }
 }
