@@ -82,4 +82,49 @@ object StreamingIngest {
     val q = startBronzeSink(spark, inDir, bronzeDir, checkpointDir, Trigger.AvailableNow)
     q.awaitTermination()
   }
+
+  // ------------------------------------------------ stream-stream join
+
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+  /** Side stream of user status updates (NDJSON, epoch-seconds event
+    * time) — the enrichment source for the stream-stream join. */
+  val statusSchema: StructType = StructType(Seq(
+    StructField("status_at", LongType),
+    StructField("user_name", StringType),
+    StructField("status", StringType)))
+
+  def statusStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(statusSchema).json(dir)
+
+  /** §2.9: watermarked stream-stream INTERVAL join — each listen picks up
+    * every status update the same user posted in the preceding hour.
+    *
+    * Both inputs are unbounded, so the join is only runnable when Spark
+    * can bound its state: the event-time range condition plus a watermark
+    * on EACH side lets the state store evict listens older than 1 h and
+    * statuses older than 2 h of event time — without them this query is
+    * the textbook unbounded-state hazard and Spark rightly rejects it in
+    * append mode. State scales with (event-time window × arrival rate),
+    * not stream length, and partitions by user_name like every keyed
+    * stateful op here. The batch twin (same join, `spark.read`) is the
+    * equivalence oracle in StreamingJoinSpec. */
+  def enrichedListens(listens: DataFrame, statuses: DataFrame): DataFrame = {
+    val l = listens
+      .filter(col(ListenIngest.CorruptCol).isNull)
+      .select(col("user_name"), col("listened_at"),
+        timestamp_seconds(col("listened_at")).as("listen_time"))
+      .withWatermark("listen_time", "1 hour")
+    val s = statuses
+      .select(col("user_name").as("status_user"), col("status"),
+        timestamp_seconds(col("status_at")).as("status_time"))
+      .withWatermark("status_time", "2 hours")
+    l.join(s,
+        col("user_name") === col("status_user") &&
+          col("status_time").between(
+            col("listen_time") - expr("INTERVAL 1 HOUR"), col("listen_time")),
+        "inner")
+      .select(col("user_name"), col("listened_at"), col("status"),
+        unix_timestamp(col("status_time")).as("status_at"))
+  }
 }
