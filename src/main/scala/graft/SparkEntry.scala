@@ -155,6 +155,9 @@ object SparkEntry {
     // ---- GK quantile sketch with its rank guarantee checked in-query
     //      (percentile counterpart of the q38 HLL tolerance pattern) ----
     "q64_quantiles_approx"     -> ((s, d) => Reports.valueQuantilesApproxChecked(s, d)),
+    // ---- content-defined chunking: shared-chunk census (substring-level
+    //      dedup, shift-resistant boundaries off graft_rollhash) ----
+    "q65_chunk_dedup"          -> ((s, d) => TextDedup.chunkDedup(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -1037,5 +1040,44 @@ object SparkEntry {
           |       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
           |FROM silver WHERE value IS NOT NULL
           |GROUP BY 1 ORDER BY event_type ASC""".stripMargin),
+    // CDC chunking: cut after any 8-byte window whose q58-polynomial hash
+    // is ≡ 0 mod 64; census of chunks recurring across documents.
+    "q65_chunk_dedup" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, regexp_replace($duckNorm, '[^ -~]', '', 'g') AS s
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, s,
+         |         list_transform(range(1, len(s) - 6), i ->
+         |           CAST(ascii(substr(s, i,     1)) AS BIGINT) * 27512614111 +
+         |           CAST(ascii(substr(s, i + 1, 1)) AS BIGINT) * 887503681 +
+         |           CAST(ascii(substr(s, i + 2, 1)) AS BIGINT) * 28629151 +
+         |           CAST(ascii(substr(s, i + 3, 1)) AS BIGINT) * 923521 +
+         |           CAST(ascii(substr(s, i + 4, 1)) AS BIGINT) * 29791 +
+         |           CAST(ascii(substr(s, i + 5, 1)) AS BIGINT) * 961 +
+         |           CAST(ascii(substr(s, i + 6, 1)) AS BIGINT) * 31 +
+         |           CAST(ascii(substr(s, i + 7, 1)) AS BIGINT)) AS rh
+         |  FROM n),
+         |cuts AS (
+         |  SELECT doc_id, s,
+         |         list_filter(range(1, len(rh) + 1), i -> rh[i] % 64 = 0) AS cs
+         |  FROM w),
+         |bounds AS (
+         |  SELECT doc_id, s,
+         |         list_concat(list_concat([0], list_transform(cs, i -> i + 7)),
+         |                     [len(s)]) AS bs
+         |  FROM cuts),
+         |chunks AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, len(bs)), j ->
+         |           substr(s, CAST(bs[j] AS BIGINT) + 1,
+         |                  CAST(bs[j + 1] AS BIGINT) - CAST(bs[j] AS BIGINT)))) AS chunk
+         |  FROM bounds)
+         |SELECT md5(chunk) AS chunk_hash,
+         |       CAST(MIN(len(chunk)) AS INTEGER) AS chunk_len,
+         |       COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+         |FROM chunks WHERE chunk <> ''
+         |GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
+         |ORDER BY chunk_hash ASC""".stripMargin,
   )
 }

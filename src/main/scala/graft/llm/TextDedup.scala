@@ -349,4 +349,55 @@ object TextDedup {
 
   def winnowDups(spark: SparkSession, dir: String): DataFrame =
     winnowDups(Tables.documents(spark, dir))
+
+  // ------------------------------------------- content-defined chunk dedup
+
+  val CdcK = 8          // rolling-hash window for boundary detection
+  val CdcDivisor = 64L  // boundary where hash % divisor == 0 → ~64+k byte chunks
+
+  /** Content-defined chunking: cut after any [[CdcK]]-byte window whose
+    * rolling hash is ≡ 0 mod [[CdcDivisor]]. Because boundaries depend
+    * only on local content, an insertion early in a doc shifts ONE
+    * chunk's bytes but leaves every later boundary (and hence chunk
+    * hash) intact — the property fixed-size blocking lacks, and the
+    * reason CDC underlies storage dedup and substring-level corpus
+    * dedup (shared-paragraph detection) alike. */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    graft.core.Sessions.ensure(docs.sparkSession)
+    normalized(docs)
+      .withColumn("s", regexp_replace(col("norm"), "[^ -~]", ""))
+      .withColumn("rh",
+        call_function(graft.functions.RollingHash.Name, col("s"), lit(CdcK)))
+      // CASE guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty
+      .withColumn("cuts", expr(
+        s"CASE WHEN size(rh) < 1 THEN array() " +
+          s"ELSE filter(sequence(1, size(rh)), i -> element_at(rh, i) % $CdcDivisor = 0) END"))
+      .withColumn("bounds", expr(
+        s"concat(array(0), transform(cuts, i -> i + ${CdcK - 1}), array(length(s)))"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(bounds) - 1), j -> " +
+          "substring(s, element_at(bounds, j) + 1, " +
+          "element_at(bounds, j + 1) - element_at(bounds, j)))")).as("chunk"))
+      .filter(col("chunk") =!= "")
+  }
+
+  /** Chunk-level dedup census: every chunk whose content recurs in more
+    * than one document — the Spark-shaped stand-in for suffix-array
+    * substring dedup (exact shared spans ≥ chunk size surface here,
+    * shifted or not). One explode + one hash aggregation: linear, and
+    * the heavy groupBy key is the chunk hash, uniformly distributed by
+    * construction — no skew, no pair joins at all. */
+  def chunkDedup(docs: DataFrame): DataFrame =
+    cdcChunks(docs)
+      .select(col("doc_id"), md5(col("chunk")).as("chunk_hash"),
+        length(col("chunk")).as("chunk_len"))
+      .groupBy(col("chunk_hash"))
+      .agg(min(col("chunk_len")).as("chunk_len"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("chunk_hash").asc)
+
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkDedup(Tables.documents(spark, dir))
 }

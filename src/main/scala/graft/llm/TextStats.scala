@@ -176,9 +176,13 @@ object TextStats {
     */
   def distinctiveTerms(docs: DataFrame, topK: Int = TopTermsPerDoc): DataFrame = {
     val words = docs.select(col("doc_id"), explode(split(norm, " ")).as("term"))
-    val termCounts = words.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("cnt"))
-    val docLen = words.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    // one explode feeds everything downstream: doc lengths roll up from
+    // the term counts (sum of cnt), never from a second pass over the
+    // exploded corpus — at 100 TB the explode IS the expensive scan
+    val termCounts = graft.core.Caches.scratch(
+      words.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("cnt")))
+    val docLen = termCounts.groupBy(col("doc_id")).agg(sum(col("cnt")).as("len"))
     val termDf = termCounts.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("ndocs"))
     val scored = termCounts

@@ -144,6 +144,28 @@ class TextDedupSpec extends SparkSpecBase {
       s"offset-shifted copy not caught: ${shared.mkString}")
   }
 
+  test("CDC chunking is shift-resistant: an insertion changes one chunk, not all") {
+    import spark.implicits._
+    val base = ("annotated corpus snapshots rotate nightly through the archival tier; " +
+      "compaction merges small files into 512mb targets before the catalog swap. " +
+      "retention holds ninety days of history with point in time reads enabled.") * 2
+    val docs = Seq(
+      (1L, base, "en", "srcC", base.length.toLong),
+      (2L, s"EDIT! $base", "en", "srcC", base.length + 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val chunks = TextDedup.cdcChunks(docs)
+      .groupBy("chunk").agg(countDistinct("doc_id").as("nd"))
+    val shared = chunks.filter(col("nd") === 2).count()
+    val total = chunks.count()
+    assert(shared > 0, "no chunk survived the shifted insertion")
+    // only the chunks touching the edit may differ
+    assert(total - shared <= 4,
+      s"too many chunks diverged ($shared shared of $total): boundaries not content-defined")
+    // census surfaces the sharing
+    val census = TextDedup.chunkDedup(docs)
+    assert(census.filter(col("n_docs") === 2).count() === shared)
+  }
+
   test("blocks below the cap stay whole (single subshard, no recall loss)") {
     val blocks = TextDedup.ngramBlocks(docs)
       .groupBy("lang", "source", "band")
