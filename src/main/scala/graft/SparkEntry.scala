@@ -158,6 +158,9 @@ object SparkEntry {
     // ---- content-defined chunking: shared-chunk census (substring-level
     //      dedup, shift-resistant boundaries off graft_rollhash) ----
     "q65_chunk_dedup"          -> ((s, d) => TextDedup.chunkDedup(s, d)),
+    // ---- flagship composition: quality ∧ repetition ∧ dedup ∧ split
+    //      as one declarative plan ----
+    "q66_curation_verdicts"    -> ((s, d) => Curation.curationVerdicts(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -1079,5 +1082,55 @@ object SparkEntry {
          |FROM chunks WHERE chunk <> ''
          |GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
          |ORDER BY chunk_hash ASC""".stripMargin,
+    // The composed pipeline: q32 quality ∧ q62 repetition ∧ q26
+    // canonicality, with the q52 split stamped on every doc.
+    "q66_curation_verdicts" ->
+      s"""WITH nq AS (SELECT doc_id, $duckNorm AS norm FROM documents),
+         |tq AS (SELECT doc_id, norm, str_split(norm, ' ') AS w FROM nq),
+         |qual AS (
+         |  SELECT doc_id,
+         |    CAST(len(w) >= 20 AND len(w) <= 1000 AS INTEGER)
+         |      + CAST(len(list_filter(w, x -> x IN ($duckStops))) > 0 AS INTEGER)
+         |      + CAST(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(w) >= 2.0
+         |             AND CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(w) <= 12.0
+         |             AS INTEGER) AS quality
+         |  FROM tq),
+         |words AS (SELECT doc_id, unnest(w) AS wd FROM tq),
+         |ws AS (
+         |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+         |         COUNT(*) AS n_distinct_words
+         |  FROM (SELECT doc_id, wd, COUNT(*) AS cnt FROM words GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i ->
+         |           array_to_string(w[i:i+1], ' '))) AS b
+         |  FROM tq WHERE len(w) >= 2),
+         |bs AS (
+         |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+         |         MAX(cnt) AS top_bigram_cnt
+         |  FROM (SELECT doc_id, b, COUNT(*) AS cnt FROM bg GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |rep AS (
+         |  SELECT w.doc_id,
+         |         (((w.n_words - w.n_distinct_words) * 1000000) // w.n_words <= 600000
+         |          AND (b.top_bigram_cnt * 1000000) // b.n_bigrams <= 180000)
+         |           AS keep_repetition
+         |  FROM ws w JOIN bs b USING (doc_id)),
+         |ded AS (
+         |  SELECT doc_id,
+         |         doc_id <> MIN(doc_id) OVER (PARTITION BY md5(norm)) AS is_duplicate
+         |  FROM nq),
+         |spl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80 THEN 'train'
+         |         WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT q.doc_id, q.quality, r.keep_repetition, d.is_duplicate,
+         |       (q.quality = 3 AND r.keep_repetition AND NOT d.is_duplicate) AS kept,
+         |       s.split
+         |FROM qual q JOIN rep r USING (doc_id) JOIN ded d USING (doc_id)
+         |JOIN spl s USING (doc_id)
+         |ORDER BY doc_id ASC""".stripMargin,
   )
 }

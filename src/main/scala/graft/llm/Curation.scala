@@ -111,4 +111,35 @@ object Curation {
 
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
     tokenCounts(Tables.documents(spark, dir))
+
+  /** The whole curation pipeline as ONE declarative plan — the flagship
+    * composition a training-data user actually runs: quality rubric
+    * (q32) ∧ repetition filter (q62) ∧ exact-dedup canonicality (q26),
+    * with the deterministic split (q52) stamped on every doc. Each
+    * branch is an independent linear pass over the corpus; they meet in
+    * doc_id-keyed joins, so Catalyst schedules them as parallel stages
+    * and the composition adds nothing quadratic. `kept` is the
+    * training-set membership verdict; `split` is valid whether or not
+    * the doc survives, so downstream re-filters never reshuffle. */
+  def curationVerdicts(docs: DataFrame): DataFrame = {
+    val quality = TextStats.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    val repetition = TextStats.repetitionSignals(docs)
+      .select(col("doc_id"), col("keep").as("keep_repetition"))
+    val dedup = TextDedup.exactDedup(docs)
+      .select(col("doc_id"), col("is_duplicate"))
+    val split = withSplit(docs).select(col("doc_id"), col("split"))
+    quality
+      .join(repetition, Seq("doc_id"))
+      .join(dedup, Seq("doc_id"))
+      .join(split, Seq("doc_id"))
+      .withColumn("kept",
+        col("quality") === 3 && col("keep_repetition") && !col("is_duplicate"))
+      .select(col("doc_id"), col("quality"), col("keep_repetition"),
+        col("is_duplicate"), col("kept"), col("split"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  def curationVerdicts(spark: SparkSession, dir: String): DataFrame =
+    curationVerdicts(Tables.documents(spark, dir))
 }

@@ -61,4 +61,20 @@ class CurationSpec extends SparkSpecBase {
       col("chars_per_bpe_token") <= 0.0 || col("chars_per_bpe_token") > 4.0)
     assert(bad.count() === 0)
   }
+
+  test("curation verdicts: kept is the conjunction; every filter fires; split total") {
+    val out = Curation.curationVerdicts(docs).cache()
+    assert(out.count() === docs.count())
+    // kept ≡ quality=3 ∧ keep_repetition ∧ ¬is_duplicate
+    val bad = out.filter(col("kept") =!=
+      (col("quality") === 3 && col("keep_repetition") && !col("is_duplicate")))
+    assert(bad.count() === 0)
+    // a real pipeline verdict: some docs kept, some dropped, and the
+    // repetition filter does real work on the template corpus
+    assert(out.filter(col("kept")).count() > 0)
+    assert(out.filter(!col("kept")).count() > 0)
+    assert(out.filter(!col("keep_repetition")).count() > 0)
+    // split stamped on every doc, kept or not
+    assert(out.filter(!col("split").isin("train", "val", "test")).count() === 0)
+  }
 }
