@@ -26,8 +26,16 @@ import graft.core.Tables
   *     value become candidates. Measured on the synthetic corpus: ~3% of
   *     all pairs at sf0.1 with 99.6% recall of cos≥0.97 pairs (96% at
   *     sf0.01; band width trades recall vs candidate count).
-  *  3. Exact verify: sparse integer dot product over shared buckets joined
-  *     per candidate pair, divided by precomputed L2 norms.
+  *  3. Exact verify: each doc's TF vector densified ONCE into a 64-slot
+  *     array (512 B/doc), candidates pick up both arrays by keyed join,
+  *     and the codegen'd `graft_dot` computes the dot in-line. The
+  *     earlier shape — explode each pair into its shared buckets, join,
+  *     re-aggregate — shuffled ~30 skinny rows per candidate through a
+  *     wide groupBy; the dense join moves one compact payload per side
+  *     and no aggregation at all (measured ~5 s → 3.6 s at sf0.1). All
+  *     values stay integer-exact: counts are tiny, so their double
+  *     products and the 64-term sequential sum are exact, matching the
+  *     oracle's integer dot bit-for-bit.
   *
   * At 100 TB: the TF pass is linear and partition-local, signatures are one
   * shuffle on doc_id, the band join is a keyed hash shuffle (never
@@ -95,26 +103,37 @@ object EmbedDedup {
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
+  /** Dense 64-slot array<double> per doc from the sparse TF frame. The
+    * doubles carry exact integer counts, so every arithmetic result
+    * downstream equals the integer computation bit-for-bit. */
+  def denseVectors(tf: DataFrame): DataFrame =
+    tf.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("cnt")))).as("m"))
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, ${NumBuckets - 1}), " +
+          "i -> cast(coalesce(element_at(m, cast(i as bigint)), cast(0 as bigint)) as double))")
+        .as("v"))
+
   /** Near-dup pairs at cosine ≥ `minCos`: LSH candidates verified with the
-    * exact sparse cosine (integer dot over shared buckets / L2 norms). */
+    * exact cosine — codegen'd dense dot over 64-slot vectors / L2 norms. */
   def embeddingNearDups(docs: DataFrame, minCos: Double = CosThreshold): DataFrame = {
-    // tf feeds signatures, norms, and both verify sides — scratch-persisted,
-    // same rationale (and same release contract) as the shingle persist in
-    // minhash/ngram dedup
+    graft.core.Sessions.ensure(docs.sparkSession)
+    // tf feeds signatures and the dense vectors — scratch-persisted, same
+    // rationale (and same release contract) as the shingle persist in
+    // minhash/ngram dedup; dense likewise (read by both join sides)
     val tf = graft.core.Caches.scratch(tfVectors(docs))
-    val norms = tf.groupBy(col("doc_id"))
-      .agg(sqrt(sum(col("cnt") * col("cnt")).cast("double")).as("nrm"))
+    val dot = graft.functions.DotProduct.Name
+    val dense = graft.core.Caches.scratch(
+      denseVectors(tf).withColumn("nrm",
+        sqrt(call_function(dot, col("v"), col("v")))))
     val cand = candidates(bandValues(tf))
-    val dots = cand
-      .join(tf.select(col("doc_id").as("doc_a"), col("bucket"), col("cnt").as("ca")), Seq("doc_a"))
-      .join(tf.select(col("doc_id").as("doc_b"), col("bucket"), col("cnt").as("cb")), Seq("doc_b", "bucket"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("ca") * col("cb")).as("dt"))
-    dots
-      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), Seq("doc_a"))
-      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), Seq("doc_b"))
+    cand
+      .join(dense.select(col("doc_id").as("doc_a"),
+        col("v").as("va"), col("nrm").as("na")), Seq("doc_a"))
+      .join(dense.select(col("doc_id").as("doc_b"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (col("dt").cast("double") / (col("na") * col("nb"))).as("cos"))
+        (call_function(dot, col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= minCos)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
