@@ -161,6 +161,9 @@ object SparkEntry {
     // ---- flagship composition: quality ∧ repetition ∧ dedup ∧ split
     //      as one declarative plan ----
     "q66_curation_verdicts"    -> ((s, d) => Curation.curationVerdicts(s, d)),
+    // ---- mergeable HLL sketches: daily partials unioned to weekly,
+    //      accuracy checked in-query (re-aggregability at 100 TB) ----
+    "q67_weekly_distinct_sketch" -> ((s, d) => Reports.weeklyDistinctSketched(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -1033,6 +1036,16 @@ object SparkEntry {
           |       COUNT(DISTINCT user_id) AS n_users
           |FROM wins GROUP BY 1, 2
           |ORDER BY win_start ASC, event_type ASC""".stripMargin),
+    // q67: sketch estimates are engine-specific; exact weekly distincts +
+    // literal TRUEs, same contract as q38/q64.
+    "q67_weekly_distinct_sketch" ->
+      (silverCte +
+        """
+          |SELECT event_type,
+          |       strftime(date_trunc('week', event_date), '%Y-%m-%d') AS week,
+          |       COUNT(DISTINCT user_id) AS exact_users, TRUE AS est_ok
+          |FROM silver GROUP BY 1, 2
+          |ORDER BY event_type ASC, week ASC""".stripMargin),
     // q64: sketch values are engine-specific; the query reduces them to
     // rank-guarantee booleans, the oracle asserts literal TRUEs (same
     // contract as q38).

@@ -293,6 +293,38 @@ object Reports {
   def valueQuantilesApproxChecked(spark: SparkSession, dir: String): DataFrame =
     valueQuantilesApproxChecked(EventsPipeline.silver(spark, dir))
 
+  /** MERGEABLE distinct-count sketches (DataSketches HLL): daily per-type
+    * sketches built once, then UNIONED into weekly estimates — no second
+    * pass over raw events. This re-aggregability is the property that
+    * matters at 100 TB: partials roll up along any dimension (day→week→
+    * month, region→global) as tiny binary blobs, where countDistinct
+    * must always re-shuffle the raw keys. Estimates are reduced to
+    * within-tolerance booleans against the exact weekly distincts, so
+    * the oracle (exact counts + literal TRUEs) hash-verifies the union's
+    * accuracy — same contract as q38/q64. */
+  def weeklyDistinctSketched(silver: DataFrame, tol: Double = 0.05): DataFrame = {
+    val daily = silver.groupBy(col("event_type"), col("event_date"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val weekly = daily
+      .withColumn("week", date_trunc("week", col("event_date")))
+      .groupBy(col("event_type"), col("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = silver
+      .withColumn("week", date_trunc("week", col("event_date")))
+      .groupBy(col("event_type"), col("week"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    weekly.join(exact, Seq("event_type", "week"))
+      .select(col("event_type"),
+        date_format(col("week"), "yyyy-MM-dd").as("week"),
+        col("exact_users"),
+        (abs(col("est") - col("exact_users"))
+          <= col("exact_users") * lit(tol)).as("est_ok"))
+      .orderBy(col("event_type").asc, col("week").asc)
+  }
+
+  def weeklyDistinctSketched(spark: SparkSession, dir: String): DataFrame =
+    weeklyDistinctSketched(EventsPipeline.silver(spark, dir))
+
   /** Skew-safe distinct count under a LOW-cardinality group key — the
     * salted two-stage aggregation pattern, written out.
     *

@@ -91,4 +91,27 @@ class ReportsSpec extends SparkSpecBase {
     assert(wouldPass.count() === 0,
       "p50 landed inside the p99 guarantee band — the check has no teeth")
   }
+
+  test("weekly HLL union is accurate and mergeable (partials ≡ direct sketch)") {
+    val out = Reports.weeklyDistinctSketched(silver).cache()
+    assert(out.count() > 0)
+    assert(out.filter(!col("est_ok")).count() === 0)
+    // mergeability: the union of daily sketches estimates the same as one
+    // sketch built directly over the whole week
+    val direct = silver
+      .withColumn("week", date_trunc("week", col("event_date")))
+      .groupBy(col("event_type"), col("week"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct_est"))
+    val unioned = silver
+      .groupBy(col("event_type"), col("event_date"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .withColumn("week", date_trunc("week", col("event_date")))
+      .groupBy(col("event_type"), col("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("union_est"))
+    val diverged = direct.join(unioned, Seq("event_type", "week"))
+      .filter(abs(col("direct_est") - col("union_est"))
+        > greatest(col("direct_est") * 0.02, lit(2.0)))
+    assert(diverged.count() === 0,
+      "daily-sketch union diverged from the direct weekly sketch")
+  }
 }
