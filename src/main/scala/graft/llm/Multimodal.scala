@@ -19,6 +19,10 @@ case class MediaFeatures(media_id: Long, n_bytes: Long, content_md5: String,
 case class ImageFeatures(media_id: Long, n_bytes: Long, width: Int, height: Int,
                          mean_r: Double, mean_g: Double, mean_b: Double)
 
+/** Output of the REAL audio-decode stage: PCM stats off the WAV payload. */
+case class AudioFeatures(media_id: Long, n_bytes: Long, sample_rate: Int,
+                         n_samples: Int, duration_ms: Double, rms: Double)
+
 /** Multimodal-column plumbing for a training-data pipeline: media
   * (image/audio/video) travels as an opaque `binary` column with typed
   * metadata, and decode/feature-extraction runs as a batched per-partition
@@ -131,6 +135,68 @@ object Multimodal {
         // per-batch decoder/model initialization would go here
         batch.flatMap { r =>
           decodeImage(r.payload)
+            .map(f => f.copy(media_id = r.media_id, n_bytes = r.n_bytes))
+        }
+      }
+    }
+  }
+
+  /** REAL audio decode — a RIFF/WAVE PCM16 parser in plain JVM code (no
+    * codec deps at all): walks the chunk list little-endian, reads the
+    * fmt block, and computes sample count, duration, and RMS amplitude
+    * over the data block. Same tolerance contract as [[decodeImage]]:
+    * anything that is not mono 16-bit PCM WAV returns None and is
+    * dropped, never failing the partition. */
+  def decodeWav(payload: Array[Byte]): Option[AudioFeatures] =
+    try {
+      if (payload.length < 44 ||
+        new String(payload, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(payload, 8, 4, "US-ASCII") != "WAVE") None
+      else {
+        val bb = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var pos = 12
+        var sampleRate = 0
+        var bitsPerSample = 0
+        var channels = 0
+        var dataOff = -1
+        var dataLen = 0
+        while (pos + 8 <= payload.length) {
+          val id = new String(payload, pos, 4, "US-ASCII")
+          val sz = bb.getInt(pos + 4)
+          if (id == "fmt ") {
+            channels = bb.getShort(pos + 10)
+            sampleRate = bb.getInt(pos + 12)
+            bitsPerSample = bb.getShort(pos + 22)
+          } else if (id == "data") { dataOff = pos + 8; dataLen = sz }
+          pos += 8 + sz + (sz & 1) // chunks are word-aligned
+        }
+        if (sampleRate <= 0 || dataOff < 0 || bitsPerSample != 16 || channels != 1) None
+        else {
+          val n = math.min(dataLen, payload.length - dataOff) / 2
+          var sum2 = 0.0
+          var i = 0
+          while (i < n) {
+            val s = bb.getShort(dataOff + 2 * i).toDouble
+            sum2 += s * s
+            i += 1
+          }
+          Some(AudioFeatures(0L, payload.length.toLong, sampleRate, n,
+            n * 1000.0 / sampleRate, math.sqrt(sum2 / math.max(1, n))))
+        }
+      }
+    } catch { case _: Throwable => None }
+
+  /** Batched per-partition AUDIO decode — third modality through the same
+    * iterator-to-iterator contract ([[extractFeatures]] stub,
+    * [[extractImageFeatures]] PNG, this WAV). */
+  def extractAudioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      records.grouped(BatchSize).flatMap { batch =>
+        // per-batch decoder/model initialization would go here
+        batch.flatMap { r =>
+          decodeWav(r.payload)
             .map(f => f.copy(media_id = r.media_id, n_bytes = r.n_bytes))
         }
       }

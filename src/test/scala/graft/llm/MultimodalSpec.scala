@@ -69,4 +69,38 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out.count() === n.toLong)
     assert(out.filter(f => f.width == 2 && f.height == 2).count() === n.toLong)
   }
+
+  /** Mono 16-bit PCM WAV: a square wave of the given amplitude (RMS of a
+    * square wave IS the amplitude — exact, no trig tolerance games). */
+  private def wavBytes(sampleRate: Int, nSamples: Int, amplitude: Short): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until nSamples).foreach { i =>
+      bb.putShort(if (i % 2 == 0) amplitude else (-amplitude).toShort)
+    }
+    bb.array()
+  }
+
+  test("audio decode: real WAV bytes, exact rate/duration/rms; junk dropped") {
+    import spark.implicits._
+    val recs = Seq(
+      MediaRecord(1L, wavBytes(8000, 4000, 1000), "audio/wav", "srcA", 0L),
+      MediaRecord(2L, wavBytes(16000, 800, 500), "audio/wav", "srcA", 0L),
+      MediaRecord(3L, "not audio at all".getBytes("UTF-8"), "text/plain", "srcA", 0L))
+    val out = Multimodal.extractAudioFeatures(spark.createDataset(recs))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out.keySet === Set(1L, 2L), "junk payload must be dropped")
+    assert(out(1L).sample_rate === 8000 && out(1L).n_samples === 4000)
+    assert(out(1L).duration_ms === 500.0)
+    assert(out(1L).rms === 1000.0) // square wave: rms == amplitude, exactly
+    assert(out(2L).duration_ms === 50.0 && out(2L).rms === 500.0)
+  }
 }
