@@ -164,6 +164,11 @@ object SparkEntry {
     // ---- mergeable HLL sketches: daily partials unioned to weekly,
     //      accuracy checked in-query (re-aggregability at 100 TB) ----
     "q67_weekly_distinct_sketch" -> ((s, d) => Reports.weeklyDistinctSketched(s, d)),
+    // ---- FULL OUTER reconciliation (the one join type not yet on the
+    //      surface): event days vs order days, gaps flagged ----
+    "q68_daily_reconciled"     -> ((s, d) =>
+      TemporalOps.dailyActivityReconciled(
+        EventsPipeline.silver(s, d), graft.core.Tables.orders(s, d))),
   )
 
   // ------------------------------------------------------------------
@@ -1036,6 +1041,18 @@ object SparkEntry {
           |       COUNT(DISTINCT user_id) AS n_users
           |FROM wins GROUP BY 1, 2
           |ORDER BY win_start ASC, event_type ASC""".stripMargin),
+    "q68_daily_reconciled" ->
+      (silverCte +
+        """, ed AS (
+          |  SELECT event_date AS d, COUNT(*) AS event_cnt FROM silver GROUP BY 1),
+          |od AS (
+          |  SELECT o_orderdate AS d, COUNT(*) AS order_cnt FROM orders GROUP BY 1)
+          |SELECT COALESCE(ed.d, od.d) AS d,
+          |       COALESCE(ed.event_cnt, 0) AS event_cnt,
+          |       COALESCE(od.order_cnt, 0) AS order_cnt,
+          |       (ed.d IS NOT NULL AND od.d IS NOT NULL) AS both_sides
+          |FROM ed FULL OUTER JOIN od ON ed.d = od.d
+          |ORDER BY d ASC""".stripMargin),
     // q67: sketch estimates are engine-specific; exact weekly distincts +
     // literal TRUEs, same contract as q38/q64.
     "q67_weekly_distinct_sketch" ->

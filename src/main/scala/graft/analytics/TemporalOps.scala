@@ -129,6 +129,27 @@ object TemporalOps {
       .orderBy(col("user_id").asc, col("session_no").asc)
   }
 
+  /** FULL OUTER reconciliation of two daily aggregates: days with events,
+    * days with orders, and which sides are missing — the audit a pipeline
+    * runs to find ingest gaps. Full outer is the one join type the rest
+    * of the surface doesn't exercise (inner/left/semi/anti/as-of all
+    * appear elsewhere); it plans as a sort-merge join preserving both
+    * sides' unmatched rows, one shuffle per side on the date key. The
+    * pre-aggregation means the join moves one row per (day, side) — never
+    * raw events against raw orders. */
+  def dailyActivityReconciled(silver: DataFrame, orders: DataFrame): DataFrame = {
+    val eventDays = silver.groupBy(col("event_date").as("d"))
+      .agg(count(lit(1)).as("event_cnt"))
+    val orderDays = orders.groupBy(col("o_orderdate").as("d"))
+      .agg(count(lit(1)).as("order_cnt"))
+    eventDays.join(orderDays, Seq("d"), "full_outer")
+      .select(col("d"),
+        coalesce(col("event_cnt"), lit(0L)).as("event_cnt"),
+        coalesce(col("order_cnt"), lit(0L)).as("order_cnt"),
+        (col("event_cnt").isNotNull && col("order_cnt").isNotNull).as("both_sides"))
+      .orderBy(col("d").asc)
+  }
+
   /** Sliding-window event counts via Spark's native `window()` generator:
     * 1-hour windows every 15 minutes, so each event lands in exactly 4
     * overlapping windows (window/slide). This is the batch twin of the

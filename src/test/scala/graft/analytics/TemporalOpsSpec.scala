@@ -62,6 +62,19 @@ class TemporalOpsSpec extends SparkSpecBase {
     assert(bad.count() === 0)
   }
 
+  test("full-outer reconciliation keeps unmatched days from both sides") {
+    val orders = graft.core.Tables.orders(spark, sf)
+    val out = TemporalOps.dailyActivityReconciled(silver, orders).cache()
+    // unmatched order-days exist (orders span years, events ~a month)
+    assert(out.filter(col("event_cnt") === 0 && col("order_cnt") > 0).count() > 0)
+    // both_sides consistent with the counts
+    assert(out.filter(col("both_sides") =!=
+      (col("event_cnt") > 0 && col("order_cnt") > 0)).count() === 0)
+    // totals reconcile with the inputs
+    assert(out.agg(sum("event_cnt")).head().getLong(0) === silver.count())
+    assert(out.agg(sum("order_cnt")).head().getLong(0) === orders.count())
+  }
+
   test("sliding windows: every event lands in exactly window/slide = 4 windows") {
     val out = TemporalOps.slidingWindowCounts(silver).cache()
     val windowedEvents = out.agg(sum("n_events")).head().getLong(0)
