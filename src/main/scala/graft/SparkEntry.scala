@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Reports, StarQueries, TemporalOps}
+import graft.analytics.{History, Reports, StarQueries, TemporalOps}
 import graft.ingest.Medallion
-import graft.llm.{Curation, DupClusters, EmbedDedup, Multimodal, Similarity, TextDedup, TextStats}
+import graft.llm.{Curation, Decontaminate, DupClusters, EmbedDedup, Multimodal, Scrub, Similarity, TextDedup, TextStats}
 import graft.pipeline.EventsPipeline
 import graft.sql.SqlQueries
 
@@ -169,6 +169,17 @@ object SparkEntry {
     "q68_daily_reconciled"     -> ((s, d) =>
       TemporalOps.dailyActivityReconciled(
         EventsPipeline.silver(s, d), graft.core.Tables.orders(s, d))),
+    // ---- benchmark decontamination: broadcast eval n-gram set, map-side
+    //      overlap count per training doc ----
+    "q69_decontamination"      -> ((s, d) => Decontaminate.overlapReport(s, d)),
+    // ---- PII-pattern scrub + compliance audit (regexp_replace /
+    //      regexp_extract_all, all codegen'd) ----
+    "q70_pii_scrub_audit"      -> ((s, d) => Scrub.redactionAudit(s, d)),
+    // ---- corpus boilerplate census: one explode pass, broadcast flagged
+    //      set, per-doc common-gram ratio ----
+    "q71_boilerplate_census"   -> ((s, d) => Decontaminate.boilerplateCensus(s, d)),
+    // ---- SCD2 history build: gaps-and-islands over one exchange ----
+    "q72_status_history"       -> ((s, d) => History.statusHistory(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -1053,6 +1064,79 @@ object SparkEntry {
           |       (ed.d IS NOT NULL AND od.d IS NOT NULL) AS both_sides
           |FROM ed FULL OUTER JOIN od ON ed.d = od.d
           |ORDER BY d ASC""".stripMargin),
+    // q69: same eval carve-out (doc_id % 97), same 5-gram construction.
+    "q69_decontamination" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split($duckNorm, ' ') AS w FROM documents),
+         |grams AS (
+         |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+         |  FROM toks, unnest(range(1, len(w) - 3)) AS t(i)
+         |  WHERE len(w) >= 5),
+         |eval_grams AS (
+         |  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+         |train AS (
+         |  SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 97 <> 0)
+         |SELECT t.doc_id,
+         |       COUNT(e.gram) AS overlap_5grams,
+         |       COUNT(e.gram) >= 3 AS contaminated
+         |FROM train t LEFT JOIN eval_grams e USING (gram)
+         |GROUP BY t.doc_id ORDER BY t.doc_id ASC""".stripMargin,
+    // q70: identical RE2-compatible digit-run pattern on both engines.
+    "q70_pii_scrub_audit" ->
+      """WITH red AS (
+        |  SELECT event_type,
+        |         regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted,
+        |         len(regexp_extract_all(props, '[0-9]+')) AS n_redactions
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS events,
+        |       SUM(n_redactions) AS total_redactions,
+        |       COUNT(DISTINCT props_redacted) AS distinct_shapes
+        |FROM red GROUP BY 1 ORDER BY event_type ASC""".stripMargin,
+    // q71: 2-gram document frequency ≥ 5% of docs ⇒ boilerplate.
+    "q71_boilerplate_census" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split($duckNorm, ' ') AS w FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, array_to_string(w[i:i+1], ' ') AS gram
+         |  FROM toks, unnest(range(1, len(w) - 0)) AS t(i)
+         |  WHERE len(w) >= 2),
+         |df AS (SELECT gram, COUNT(*) AS nd FROM grams GROUP BY 1),
+         |flagged AS (
+         |  SELECT gram FROM df
+         |  WHERE nd * 20 >= (SELECT COUNT(*) FROM documents))
+         |SELECT g.doc_id,
+         |       COUNT(*) AS distinct_2grams,
+         |       COUNT(f.gram) AS boilerplate_2grams,
+         |       CAST(COUNT(f.gram) AS DOUBLE) / COUNT(*) AS boilerplate_ratio,
+         |       CAST(COUNT(f.gram) AS DOUBLE) / COUNT(*) > 0.5 AS boilerplate_heavy
+         |FROM grams g LEFT JOIN flagged f USING (gram)
+         |GROUP BY g.doc_id ORDER BY g.doc_id ASC""".stripMargin,
+    // q72: gaps-and-islands SCD2 — identical run numbering and tiebreak.
+    "q72_status_history" ->
+      """WITH runs AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |         CASE WHEN lag(o_orderstatus) OVER w IS NULL
+        |                OR lag(o_orderstatus) OVER w <> o_orderstatus
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate ASC, o_orderkey ASC)),
+        |grouped AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM runs),
+        |islands AS (
+        |  SELECT o_custkey, grp, o_orderstatus,
+        |         MIN(o_orderdate) AS valid_from, COUNT(*) AS n_orders
+        |  FROM grouped GROUP BY 1, 2, 3)
+        |SELECT o_custkey, o_orderstatus, valid_from,
+        |       lead(valid_from) OVER w2 AS valid_to,
+        |       lead(valid_from) OVER w2 IS NULL AS is_current,
+        |       n_orders
+        |FROM islands
+        |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY grp ASC)
+        |ORDER BY o_custkey ASC, valid_from ASC""".stripMargin,
     // q67: sketch estimates are engine-specific; exact weekly distincts +
     // literal TRUEs, same contract as q38/q64.
     "q67_weekly_distinct_sketch" ->

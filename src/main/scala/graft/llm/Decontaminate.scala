@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Caches, Tables}
+
+/** Benchmark decontamination: flag training documents whose word n-grams
+  * overlap a held-out evaluation set (the GPT-3 / Llama "13-gram overlap"
+  * family of checks, sized down to the fixture corpus). A training corpus
+  * that contains the eval set inflates benchmark scores; every serious
+  * pipeline runs this join before training.
+  *
+  * Shape at 100 TB: the eval side is a BENCHMARK — thousands of documents
+  * against billions — so its distinct n-gram set is broadcast and the whole
+  * check is one map-side pass over the training corpus (explode → distinct
+  * per doc → broadcast-hash left join → per-doc count). No shuffle of the
+  * corpus' n-grams, no all-pairs anything; cost is linear in corpus tokens.
+  * The per-doc `array_distinct` happens BEFORE the explode, so duplicate
+  * n-grams within a document never leave the map side.
+  *
+  * The fixture has no separate benchmark table, so the eval set is carved
+  * deterministically from `documents` (doc_id % evalMod == 0) — the same
+  * rule the DuckDB oracle applies, and the synthetic corpus' planted
+  * near-duplicates make a realistic leak signal (a handful of train docs
+  * overlap an eval doc on 18+ of their 5-grams; everything else is 0).
+  */
+object Decontaminate {
+
+  val NgramN = 5
+  val EvalMod = 97
+  /** Docs sharing at least this many distinct n-grams with the eval set
+    * are contaminated (real pipelines use 1 hit of a 13-gram; with short
+    * fixture docs and 5-grams a small threshold keeps the same spirit). */
+  val ContaminationThreshold = 3
+
+  private def words: Column =
+    split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+
+  /** Per-doc DISTINCT word n-grams, one row per (doc_id, gram). Docs
+    * shorter than `n` tokens produce no rows (mirrored by the oracle). */
+  private[llm] def docNgrams(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .withColumn("w", words)
+      .filter(size(col("w")) >= n)
+      .select(
+        col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("w")) - (n - 1)),
+          i => concat_ws(" ", slice(col("w"), i, lit(n)))))).as("gram"))
+
+  /** Per-train-doc eval-overlap report: distinct shared n-grams and the
+    * contamination verdict. Eval docs themselves are excluded from the
+    * output (they would trivially self-match). */
+  def overlapReport(docs: DataFrame,
+                    n: Int = NgramN,
+                    evalMod: Int = EvalMod,
+                    threshold: Int = ContaminationThreshold): DataFrame = {
+    val grams = docNgrams(docs, n)
+    val isEval = col("doc_id") % evalMod === 0
+    // The eval n-gram set is the small side by construction: benchmarks
+    // are fixed-size while the corpus grows. Broadcast it.
+    val evalGrams = grams.filter(isEval).select(col("gram")).distinct()
+      .withColumn("hit", lit(1))
+    grams.filter(!isEval)
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("hit")).as(s"overlap_${n}grams"),
+        (count(col("hit")) >= threshold).as("contaminated"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  def overlapReport(spark: SparkSession, dir: String): DataFrame =
+    overlapReport(Tables.documents(spark, dir))
+
+  // ------------------------------------------------- boilerplate census
+
+  /** Grams present in at least this percentage of documents count as
+    * boilerplate (CCNet-style common-paragraph removal, at 2-gram
+    * granularity for the single-line fixture docs). */
+  val BoilerplateDfPct = 5
+  val BoilerplateGramN = 2
+  /** Docs whose distinct 2-grams are mostly boilerplate get flagged. */
+  val BoilerplateHeavyRatio = 0.5
+
+  /** Corpus-level boilerplate census: per-doc distinct n-grams, how many
+    * of them are corpus-common (document frequency ≥ BoilerplateDfPct%),
+    * the resulting ratio, and the keep/drop style flag.
+    *
+    * Scale shape: ONE explode pass feeds both sides — the gram frame is
+    * scratch-persisted and reused for the document-frequency aggregate and
+    * the back-join. The flagged set is small BY DEFINITION (high-df grams
+    * are rare in gram-space), so the back-join broadcasts it; the corpus'
+    * gram stream is never shuffled twice. The doc count joins in as a
+    * broadcast scalar, not a collected driver value.
+    */
+  def boilerplateCensus(docs: DataFrame): DataFrame = {
+    val n = BoilerplateGramN
+    val grams = Caches.scratch(docNgrams(docs, n))
+    val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("nd"))
+    val nDocs = docs.agg(count(lit(1)).as("ndocs"))
+    val flagged = df.crossJoin(broadcast(nDocs))
+      .filter(col("nd") * (100 / BoilerplateDfPct) >= col("ndocs"))
+      .select(col("gram"), lit(1).as("bp"))
+    grams
+      .join(broadcast(flagged), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as(s"distinct_${n}grams"),
+        count(col("bp")).as(s"boilerplate_${n}grams"))
+      .withColumn("boilerplate_ratio",
+        col(s"boilerplate_${n}grams").cast("double") / col(s"distinct_${n}grams"))
+      .withColumn("boilerplate_heavy",
+        col("boilerplate_ratio") > BoilerplateHeavyRatio)
+      .orderBy(col("doc_id").asc)
+  }
+
+  def boilerplateCensus(spark: SparkSession, dir: String): DataFrame =
+    boilerplateCensus(Tables.documents(spark, dir))
+}

@@ -1,0 +1,66 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.core.Tables
+
+class DecontaminateSpec extends SparkSpecBase {
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("fixture decontamination finds planted eval near-dups and no noise") {
+    val out = Decontaminate.overlapReport(docs).cache()
+    // every eval doc is excluded from the report
+    assert(out.filter(col("doc_id") % Decontaminate.EvalMod === 0).count() === 0)
+    // the corpus' planted near-dups give a bimodal signal: a few heavy
+    // overlaps, everything else zero — no mid-range false positives
+    val contaminated = out.filter(col("contaminated")).count()
+    assert(contaminated > 0, "expected at least one planted eval near-dup")
+    val midRange = out.filter(
+      col("overlap_5grams") > 0 && col("overlap_5grams") < 10).count()
+    assert(midRange === 0, "random word-soup docs must not partially overlap")
+  }
+
+  test("a verbatim eval copy under a train id is flagged") {
+    import spark.implicits._
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta"
+    val fixture = Seq(
+      (0L, evalText, "en", "s", 0L), // doc_id % 97 == 0 → eval
+      (1L, evalText, "en", "s", 0L), // verbatim leak
+      (2L, "totally different words entirely unrelated content here", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Decontaminate.overlapReport(fixture)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(rows(1L), "verbatim eval copy must be contaminated")
+    assert(!rows(2L), "unrelated doc must be clean")
+  }
+
+  test("eval n-gram set joins as a broadcast (no corpus-wide shuffle)") {
+    val plan = Decontaminate.overlapReport(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast join against the eval gram set:\n$plan")
+  }
+
+  test("boilerplate census: ratio bounded, flag consistent with ratio") {
+    val out = Decontaminate.boilerplateCensus(docs).cache()
+    assert(out.count() === docs.count())
+    assert(out.filter(
+      col("boilerplate_ratio") < 0 || col("boilerplate_ratio") > 1).count() === 0)
+    assert(out.filter(
+      col("boilerplate_heavy") =!=
+        (col("boilerplate_ratio") > Decontaminate.BoilerplateHeavyRatio))
+      .count() === 0)
+    // a threshold of 5% docs must flag SOMETHING in a small-vocab corpus
+    assert(out.agg(sum("boilerplate_2grams")).head.getLong(0) > 0)
+  }
+
+  test("boilerplate census releases its scratch persist") {
+    graft.core.Caches.releaseScratch(spark)
+    Decontaminate.boilerplateCensus(docs).count()
+    assert(graft.core.Caches.pendingScratch(spark) > 0)
+    graft.core.Caches.releaseScratch(spark)
+    assert(graft.core.Caches.pendingScratch(spark) === 0)
+  }
+}
