@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{History, Reports, StarQueries, TemporalOps}
+import graft.analytics.{Diagnostics, History, Reports, StarQueries, TemporalOps}
 import graft.ingest.Medallion
 import graft.llm.{Curation, Decontaminate, DupClusters, EmbedDedup, Multimodal, Scrub, Similarity, TextDedup, TextStats}
 import graft.pipeline.EventsPipeline
@@ -180,6 +180,12 @@ object SparkEntry {
     "q71_boilerplate_census"   -> ((s, d) => Decontaminate.boilerplateCensus(s, d)),
     // ---- SCD2 history build: gaps-and-islands over one exchange ----
     "q72_status_history"       -> ((s, d) => History.statusHistory(s, d)),
+    // ---- semantic cluster profile: broadcast quantizer assignment +
+    //      per-cell purity/tightness rollup ----
+    "q73_cluster_profile"      -> ((s, d) => Similarity.clusterProfile(s, d)),
+    // ---- key-skew census: the measurement step before salting /
+    //      AQE-skew decisions ----
+    "q74_key_skew_census"      -> ((s, d) => Diagnostics.keySkewCensus(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -1137,6 +1143,46 @@ object SparkEntry {
         |FROM islands
         |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY grp ASC)
         |ORDER BY o_custkey ASC, valid_from ASC""".stripMargin,
+    // q73: same seed quantizer as q48; purity in exact basis points,
+    // min/max cosine are order-independent doubles.
+    "q73_cluster_profile" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |seeds AS (SELECT label AS slabel0, MIN(vec_id) AS svid FROM v GROUP BY 1),
+        |sv AS (
+        |  SELECT s.slabel0 AS slabel, nn.e AS se, nn.nrm AS snrm
+        |  FROM seeds s JOIN n nn ON nn.vec_id = s.svid),
+        |ranks AS (
+        |  SELECT nn.vec_id, nn.label, sv.slabel,
+        |         list_dot_product(nn.e, sv.se) / (nn.nrm * sv.snrm) AS cos,
+        |         row_number() OVER (
+        |           PARTITION BY nn.vec_id
+        |           ORDER BY list_dot_product(nn.e, sv.se) / (nn.nrm * sv.snrm) DESC,
+        |                    sv.slabel ASC) AS rn
+        |  FROM n nn, sv)
+        |SELECT slabel, COUNT(*) AS n_vectors,
+        |       SUM(CASE WHEN label = slabel THEN 1 ELSE 0 END) AS n_same_label,
+        |       SUM(CASE WHEN label = slabel THEN 1 ELSE 0 END) * 10000
+        |         // COUNT(*) AS purity_bps,
+        |       MIN(cos) AS min_cos, MAX(cos) AS max_cos
+        |FROM ranks WHERE rn = 1
+        |GROUP BY slabel ORDER BY slabel ASC""".stripMargin,
+    // q74: exact integer ppm arithmetic on both engines.
+    "q74_key_skew_census" ->
+      """WITH counts AS (
+        |  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+        |totals AS (
+        |  SELECT SUM(cnt) AS total_rows, COUNT(*) AS n_keys FROM counts),
+        |topk AS (
+        |  SELECT user_id, cnt,
+        |         row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS rank
+        |  FROM counts ORDER BY cnt DESC, user_id ASC LIMIT 10)
+        |SELECT t.rank, t.user_id, t.cnt,
+        |       t.cnt * 1000000 // tt.total_rows AS share_ppm,
+        |       t.cnt * tt.n_keys * 1000000 // tt.total_rows AS x_uniform_ppm
+        |FROM topk t, totals tt
+        |ORDER BY t.rank ASC""".stripMargin,
     // q67: sketch estimates are engine-specific; exact weekly distincts +
     // literal TRUEs, same contract as q38/q64.
     "q67_weekly_distinct_sketch" ->

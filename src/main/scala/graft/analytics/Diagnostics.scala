@@ -1,0 +1,52 @@
+package graft.analytics
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Data-distribution diagnostics: the reports an operator runs BEFORE
+  * picking a partitioning/salting strategy at scale. Skew is the #1
+  * 100 TB failure mode — one hot key turns a balanced shuffle into a
+  * straggler — and the first step of every mitigation (salting, AQE skew
+  * join, broadcast) is measuring which keys are hot and by how much.
+  */
+object Diagnostics {
+
+  /** Heavy-hitter census over the event stream's natural shuffle key:
+    * the top-k keys by row count, each with its exact corpus share and
+    * its multiple of the uniform-distribution expectation (both in parts
+    * per million — integer arithmetic, engine-portable). `x_uniform_ppm`
+    * near 1,000,000 means "not skewed"; orders of magnitude above means
+    * this key needs salting or an AQE skew split.
+    *
+    * Scale shape: one map-side-combinable groupBy on the key, a broadcast
+    * scalar for the totals, and a top-k window over the (already tiny)
+    * per-key counts — the census never re-shuffles the raw stream. */
+  def keySkewCensus(events: DataFrame, k: Int = 10): DataFrame = {
+    val counts = events.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum(col("cnt")).as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    // top-k via sort+limit (TakeOrdered: distributed heap per partition,
+    // k rows to the driver side of the plan) — an unpartitioned
+    // row_number window here would funnel EVERY key's count through one
+    // partition, the exact straggler shape this census exists to catch.
+    // The rank window then runs over k rows only.
+    val w = Window.orderBy(col("cnt").desc, col("user_id").asc)
+    counts
+      .orderBy(col("cnt").desc, col("user_id").asc).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .crossJoin(broadcast(totals))
+      .withColumn("share_ppm", expr("cnt * 1000000 div total_rows"))
+      .withColumn("x_uniform_ppm",
+        expr("cnt * n_keys * 1000000 div total_rows"))
+      .select(col("rank"), col("user_id"), col("cnt"),
+        col("share_ppm"), col("x_uniform_ppm"))
+      .orderBy(col("rank").asc)
+  }
+
+  def keySkewCensus(spark: SparkSession, dir: String): DataFrame =
+    keySkewCensus(Tables.events(spark, dir))
+}

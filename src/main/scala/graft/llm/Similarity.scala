@@ -311,4 +311,41 @@ object Similarity {
 
   def similarPairs(spark: SparkSession, dir: String): DataFrame =
     similarPairs(Tables.embeddings(spark, dir))
+
+  // ------------------------------------------------- cluster profiling
+
+  /** Semantic cluster profile: assign every vector to its nearest seed
+    * cell (same deterministic quantizer as [[ivfSeeds]]) and roll each
+    * cluster up to curation-facing stats — size, label purity (how well
+    * the cluster matches the source labels, in exact basis points), and
+    * the cosine tightness range. Training pipelines use exactly this view
+    * to pick clusters for data mixing or pruning (cluster-balanced
+    * sampling, drop-the-noise-cluster).
+    *
+    * Scale shape: the seed table is k rows (broadcast); assignment is one
+    * map-side pass over the corpus; the rollup is one shuffle on the cell
+    * id. Purity and share use integer arithmetic (exact), min/max cosine
+    * are order-independent doubles — all cross-engine stable. */
+  def clusterProfile(embeddings: DataFrame): DataFrame = {
+    val corpus = vecsNormed(embeddings)
+    val assigned = cellRanks(corpus, ivfSeeds(embeddings))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("slabel"), col("cos"))
+    assigned
+      .join(corpus.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy(col("slabel"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum((col("label") === col("slabel")).cast("long")).as("n_same_label"),
+        min(col("cos")).as("min_cos"),
+        max(col("cos")).as("max_cos"))
+      .withColumn("purity_bps",
+        expr("n_same_label * 10000 div n_vectors"))
+      .select(col("slabel"), col("n_vectors"), col("n_same_label"),
+        col("purity_bps"), col("min_cos"), col("max_cos"))
+      .orderBy(col("slabel").asc)
+  }
+
+  def clusterProfile(spark: SparkSession, dir: String): DataFrame =
+    clusterProfile(Tables.embeddings(spark, dir))
 }

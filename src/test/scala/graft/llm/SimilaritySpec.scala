@@ -72,4 +72,28 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.forall(_.getAs[Double]("cos") >= 0.45))
     assert(out.forall(r => r.getLong(0) < r.getLong(1)))
   }
+
+  test("cluster profile: every vector assigned once, purity bounded") {
+    val out = Similarity.clusterProfile(emb).cache()
+    assert(out.agg(org.apache.spark.sql.functions.sum("n_vectors"))
+      .head.getLong(0) === emb.count())
+    val rows = out.collect()
+    assert(rows.forall(r => r.getAs[Long]("purity_bps") >= 0 &&
+      r.getAs[Long]("purity_bps") <= 10000))
+    assert(rows.forall(r =>
+      r.getAs[Double]("min_cos") <= r.getAs[Double]("max_cos")))
+    // seeds cluster their own label's vectors: purity must beat chance
+    // (10 labels → 1000 bps) on at least one cell
+    assert(rows.exists(_.getAs[Long]("purity_bps") > 1000))
+  }
+
+  test("cluster profile broadcasts the quantizer (no corpus self-join)") {
+    val plan = Similarity.clusterProfile(emb)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"seed table not broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus-wide cartesian leaked into:\n$plan")
+  }
 }
