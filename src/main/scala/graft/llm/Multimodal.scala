@@ -23,6 +23,12 @@ case class ImageFeatures(media_id: Long, n_bytes: Long, width: Int, height: Int,
 case class AudioFeatures(media_id: Long, n_bytes: Long, sample_rate: Int,
                          n_samples: Int, duration_ms: Double, rms: Double)
 
+/** Output of the video frame-sampling stage: container stats + per-sampled-
+  * frame pixel means (decoded through the real image path). */
+case class VideoFeatures(media_id: Long, n_bytes: Long, n_frames: Int,
+                         n_sampled: Int, width: Int, height: Int,
+                         mean_luma: Double)
+
 /** Multimodal-column plumbing for a training-data pipeline: media
   * (image/audio/video) travels as an opaque `binary` column with typed
   * metadata, and decode/feature-extraction runs as a batched per-partition
@@ -197,6 +203,87 @@ object Multimodal {
         // per-batch decoder/model initialization would go here
         batch.flatMap { r =>
           decodeWav(r.payload)
+            .map(f => f.copy(media_id = r.media_id, n_bytes = r.n_bytes))
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- video
+
+  /** Magic for the fixture's frame container: real video codecs are not in
+    * this container image, so frames travel in a minimal length-prefixed
+    * envelope (magic, frame count, then [4-byte big-endian length][PNG
+    * bytes] per frame). The ENVELOPE is the stand-in; the frames are real
+    * encoded images and the per-frame decode is the real JDK codec — at
+    * deployment the envelope parser swaps for an mp4 demuxer and nothing
+    * else changes. */
+  val VideoMagic = "GFV1"
+  /** Sample every k-th frame — the standard "1 fps keyframe" shape: a
+    * frame-sampling pipeline never decodes what it will not use. */
+  val FrameSampleEvery = 3
+
+  /** Build a frame container from encoded frames (test/fixture helper). */
+  def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(VideoMagic.getBytes("US-ASCII"))
+    val bb = java.nio.ByteBuffer.allocate(4)
+    out.write(bb.putInt(0, frames.size).array().clone())
+    frames.foreach { f =>
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(0, f.length).array().clone())
+      out.write(f)
+    }
+    out.toByteArray
+  }
+
+  /** REAL frame-sample + decode: walk the container, decode ONLY every
+    * [[FrameSampleEvery]]-th frame through [[decodeImage]], and aggregate
+    * dimensions + mean luma over the sampled frames. Undecodable frames
+    * and malformed containers are dropped (PERMISSIVE contract). Skipped
+    * frames are never decoded — the whole point of sampling at scale. */
+  def decodeVideo(payload: Array[Byte], every: Int = FrameSampleEvery): Option[VideoFeatures] =
+    try {
+      if (payload.length < 8 ||
+        new String(payload, 0, 4, "US-ASCII") != VideoMagic) None
+      else {
+        val bb = java.nio.ByteBuffer.wrap(payload)
+        val nFrames = bb.getInt(4)
+        var pos = 8
+        var idx = 0
+        var sampled = 0
+        var (w, h) = (0, 0)
+        var lumaSum = 0.0
+        while (pos + 4 <= payload.length && idx < nFrames) {
+          val len = bb.getInt(pos)
+          pos += 4
+          if (len < 0 || pos + len > payload.length) return None
+          if (idx % every == 0) {
+            val frame = java.util.Arrays.copyOfRange(payload, pos, pos + len)
+            decodeImage(frame).foreach { f =>
+              sampled += 1
+              w = math.max(w, f.width); h = math.max(h, f.height)
+              // ITU-R BT.601 luma from the channel means
+              lumaSum += 0.299 * f.mean_r + 0.587 * f.mean_g + 0.114 * f.mean_b
+            }
+          }
+          pos += len
+          idx += 1
+        }
+        if (sampled == 0) None
+        else Some(VideoFeatures(0L, payload.length.toLong, nFrames, sampled,
+          w, h, lumaSum / sampled))
+      }
+    } catch { case _: Throwable => None }
+
+  /** Batched per-partition VIDEO frame-sampling — fourth modality through
+    * the same iterator-to-iterator contract. */
+  def extractVideoFeatures(media: Dataset[MediaRecord]): Dataset[VideoFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      records.grouped(BatchSize).flatMap { batch =>
+        // per-batch demuxer/decoder initialization would go here
+        batch.flatMap { r =>
+          decodeVideo(r.payload)
             .map(f => f.copy(media_id = r.media_id, n_bytes = r.n_bytes))
         }
       }

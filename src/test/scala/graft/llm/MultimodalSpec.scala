@@ -103,4 +103,37 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(1L).rms === 1000.0) // square wave: rms == amplitude, exactly
     assert(out(2L).duration_ms === 50.0 && out(2L).rms === 500.0)
   }
+
+  test("video frame-sample: every 3rd frame decoded, luma exact; junk dropped") {
+    import spark.implicits._
+    // 7 frames; sampled indices 0,3,6 → grayscale values 0, 90, 180.
+    // luma of gray(v) is v exactly (0.299+0.587+0.114 = 1).
+    val frames = (0 until 7).map(i => pngBytes(4, 4, i * 30, i * 30, i * 30))
+    val recs = Seq(
+      MediaRecord(1L, Multimodal.packFrames(frames), "video/x-graft", "srcA", 0L),
+      MediaRecord(2L, "not a container".getBytes("UTF-8"), "text/plain", "srcA", 0L),
+      // container whose frames are junk → no sampled frame decodes → dropped
+      MediaRecord(3L, Multimodal.packFrames(
+        Seq("junk".getBytes("UTF-8"))), "video/x-graft", "srcA", 0L))
+      .map(r => r.copy(n_bytes = r.payload.length.toLong))
+    val out = Multimodal.extractVideoFeatures(spark.createDataset(recs))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out.keySet === Set(1L), "junk containers/frames must be dropped")
+    val v = out(1L)
+    assert(v.n_frames === 7 && v.n_sampled === 3)
+    assert((v.width, v.height) === (4, 4))
+    // gray(v) luma is v up to coefficient rounding (0.299+0.587+0.114=1)
+    assert(math.abs(v.mean_luma - 90.0) < 1e-9)
+  }
+
+  test("video sampling never decodes skipped frames") {
+    // frame 1 (skipped index) is corrupt; sampling must still succeed,
+    // which proves the skipped frame was never handed to the codec
+    val good = pngBytes(2, 2, 100, 100, 100)
+    val payload = Multimodal.packFrames(
+      Seq(good, "corrupt-frame-bytes".getBytes("UTF-8"), good, good))
+    val out = Multimodal.decodeVideo(payload)
+    assert(out.isDefined)
+    assert(out.get.n_frames === 4 && out.get.n_sampled === 2) // indices 0, 3
+  }
 }
