@@ -186,6 +186,9 @@ object SparkEntry {
     // ---- key-skew census: the measurement step before salting /
     //      AQE-skew decisions ----
     "q74_key_skew_census"      -> ((s, d) => Diagnostics.keySkewCensus(s, d)),
+    // ---- temperature-flattened mixture (T=2): integer-exact sqrt
+    //      weighting, broadcast rate table, shuffle-free keep ----
+    "q75_temperature_mixture"  -> ((s, d) => Curation.temperatureMixture(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -1183,6 +1186,32 @@ object SparkEntry {
         |       t.cnt * tt.n_keys * 1000000 // tt.total_rows AS x_uniform_ppm
         |FROM topk t, totals tt
         |ORDER BY t.rank ASC""".stripMargin,
+    // q75: floor(sqrt) weights are engine-exact (IEEE sqrt + floor);
+    // everything after is integer div, same keep-hash family as q54.
+    "q75_temperature_mixture" ->
+      """WITH counts AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS weight
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT SUM(weight) AS w_total FROM counts),
+        |c AS (
+        |  SELECT MIN(n_docs * w.w_total // weight) AS c_scale
+        |  FROM counts, w),
+        |rates AS (
+        |  SELECT source, n_docs, weight,
+        |         LEAST(1000000, ((weight * c.c_scale) // w.w_total)
+        |                        * 1000000 // n_docs) AS keep_ppm
+        |  FROM counts, w, c),
+        |kept AS (
+        |  SELECT d.source, r.n_docs, r.weight, r.keep_ppm,
+        |         CASE WHEN CAST('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
+        |                   < r.keep_ppm THEN 1 ELSE 0 END AS k
+        |  FROM documents d JOIN rates r USING (source))
+        |SELECT source, n_docs, weight, keep_ppm,
+        |       CAST(SUM(k) AS BIGINT) AS n_kept,
+        |       CAST(SUM(k) AS BIGINT) * 1000000 // n_docs AS realized_ppm
+        |FROM kept GROUP BY source, n_docs, weight, keep_ppm
+        |ORDER BY source ASC""".stripMargin,
     // q67: sketch estimates are engine-specific; exact weekly distincts +
     // literal TRUEs, same contract as q38/q64.
     "q67_weekly_distinct_sketch" ->

@@ -90,6 +90,47 @@ object Curation {
   def sourceMixture(spark: SparkSession, dir: String): DataFrame =
     sourceMixture(Tables.documents(spark, dir))
 
+  /** Temperature-flattened source mixture (T = 2): rebalance sources so
+    * the kept corpus' shares follow n_s^(1/2) instead of n_s — the
+    * standard "temperature sampling" that keeps big crawls from drowning
+    * small high-quality sources. All arithmetic is INTEGER so any engine
+    * reproduces the exact same keep set:
+    *   w_s     = floor(sqrt(n_s))        (sqrt is correctly-rounded IEEE
+    *                                      and floor re-quantizes, so this
+    *                                      integer is engine-exact)
+    *   C       = min_s (n_s * W div w_s) (the binding source is kept in
+    *                                      full; W = Σ w_s)
+    *   k_s     = w_s * C div W           (per-source keep target)
+    *   keep_ppm= k_s * 1e6 div n_s
+    * and a doc survives iff h(salt, doc_id) % 1e6 < keep_ppm. The doc
+    * decision is per-row against a BROADCAST 5-row rate table — no
+    * shuffle touches the corpus; only the audit aggregates.
+    * Audit columns: per source, input docs, weight, target ppm, docs
+    * actually kept, and the realized ppm. */
+  def temperatureMixture(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    // two-step: W first, then the binding-source scale C over it
+    val withW = counts.crossJoin(broadcast(
+      counts.agg(sum(col("weight")).as("w_total"))))
+    val cScale = withW.agg(min(expr("n_docs * w_total div weight")).as("c_scale"))
+    val rates = withW.crossJoin(broadcast(cScale))
+      .withColumn("keep_ppm",
+        expr("least(1000000L, ((weight * c_scale) div w_total) * 1000000 div n_docs)"))
+      .select(col("source"), col("n_docs"), col("weight"), col("keep_ppm"))
+    val keep = h60(concat(lit("temp:"), col("doc_id").cast("string"))) % 1000000
+    docs
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("kept", (keep < col("keep_ppm")).cast("long"))
+      .groupBy(col("source"), col("n_docs"), col("weight"), col("keep_ppm"))
+      .agg(sum(col("kept")).as("n_kept"))
+      .withColumn("realized_ppm", expr("n_kept * 1000000 div n_docs"))
+      .orderBy(col("source").asc)
+  }
+
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame =
+    temperatureMixture(Tables.documents(spark, dir))
+
   /** Token budgeting: whitespace tokens vs a BPE-ish subword count (every
     * word contributes ceil(len/4) pieces via the `[a-z]{1,4}` chunking
     * regex — the greedy fixed-width stand-in for a merge table) and the

@@ -77,4 +77,42 @@ class CurationSpec extends SparkSpecBase {
     // split stamped on every doc, kept or not
     assert(out.filter(!col("split").isin("train", "val", "test")).count() === 0)
   }
+
+  test("temperature mixture flattens shares toward sqrt weighting") {
+    val rows = Curation.temperatureMixture(docs).collect()
+    // the binding source is kept (almost) in full; integer div rounds the
+    // target down, so allow the floor slack of one ppm quantum
+    assert(rows.map(_.getAs[Long]("keep_ppm")).max >= 999000L)
+    // keep rate must be non-increasing in source size: bigger sources get
+    // flattened harder under T=2
+    val bySize = rows.sortBy(_.getAs[Long]("n_docs"))
+    val ppms = bySize.map(_.getAs[Long]("keep_ppm"))
+    assert(ppms.zip(ppms.tail).forall { case (small, big) => small >= big },
+      s"keep_ppm not monotone in size: ${bySize.map(r =>
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("keep_ppm"))).toSeq}")
+    // realized rates track the target within sampling noise
+    assert(rows.forall { r =>
+      math.abs(r.getAs[Long]("realized_ppm") - r.getAs[Long]("keep_ppm")) <
+        200000
+    })
+  }
+
+  test("temperature mixture strictly flattens a skewed corpus") {
+    import spark.implicits._
+    // 1000 docs from a head crawl vs 40 from a niche source: under T=2
+    // the kept ratio must shrink from 25× toward sqrt(25) = 5×
+    val fixture = ((1 to 1000).map(i => (i.toLong, s"text $i", "en", "head", 10L)) ++
+      (1 to 40).map(i => (1000L + i, s"text $i", "en", "niche", 10L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Curation.temperatureMixture(fixture).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val inRatio = 1000.0 / 40.0
+    val outRatio = rows("head").getAs[Long]("n_kept").toDouble /
+      rows("niche").getAs[Long]("n_kept")
+    assert(outRatio < inRatio / 2,
+      s"mixture did not flatten: in $inRatio, out $outRatio")
+    // the small source is the binding one: kept in full up to the integer
+    // floor slack (k_s = w·C div W can round one doc away; 1/40 = 2.5%)
+    assert(rows("niche").getAs[Long]("keep_ppm") >= 1000000L - 1000000L / 40)
+  }
 }
