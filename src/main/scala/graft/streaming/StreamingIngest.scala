@@ -127,4 +127,23 @@ object StreamingIngest {
       .select(col("user_name"), col("listened_at"), col("status"),
         unix_timestamp(col("status_time")).as("status_at"))
   }
+
+  // ------------------------------------------------ stream-static join
+
+  /** §2.9: stream-STATIC enrichment join + running aggregate — the
+    * "enrich events with a dimension table" shape. The static side is a
+    * plain DataFrame: Spark re-plans it per micro-batch (so a dim refresh
+    * is picked up on the next trigger) and broadcasts it when small —
+    * exactly how a 100 TB stream joins a user/tier/geo dim. No watermark
+    * is needed for the JOIN (the static side is bounded, so no join
+    * state accrues); the per-tier count is a running aggregate for
+    * complete-mode sinks. */
+  def tierCountsStream(listens: DataFrame, userTiers: DataFrame): DataFrame =
+    listens
+      .filter(col(ListenIngest.CorruptCol).isNull)
+      .join(broadcast(userTiers), Seq("user_name"), "left")
+      .withColumn("tier", coalesce(col("tier"), lit("unknown")))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("listens"),
+        approx_count_distinct(col("user_name")).as("approx_users"))
 }

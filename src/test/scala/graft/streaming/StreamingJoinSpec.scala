@@ -10,6 +10,35 @@ import graft.ingest.ListenIngest
 
 class StreamingJoinSpec extends SparkSpecBase {
 
+  test("stream-static broadcast enrichment matches its batch twin") {
+    import spark.implicits._
+    val listenDir = tmpDir("sstat-listen-")
+    val ckpt = tmpDir("sstat-ckpt-")
+    val t0 = 1700000000L
+    Files.write(Paths.get(listenDir, "l1.json"), String.join("\n",
+      listen(t0, "m1", "u1"), listen(t0 + 1, "m2", "u1"),
+      listen(t0 + 2, "m3", "u2"), listen(t0 + 3, "m4", "u9")).getBytes)
+    val tiers = Seq(("u1", "gold"), ("u2", "free")).toDF("user_name", "tier")
+
+    val out = StreamingIngest.tierCountsStream(
+      StreamingIngest.rawStream(spark, listenDir), tiers)
+    val q = out.writeStream.format("memory").queryName("sstat_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").trigger(Trigger.AvailableNow).start()
+    q.awaitTermination()
+    val streamed = spark.table("sstat_out")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // u9 has no dim row: left join must keep it under "unknown"
+    assert(streamed === Map("gold" -> 2L, "free" -> 1L, "unknown" -> 1L))
+
+    // batch twin: same source files, same join, same rollup
+    val batch = StreamingIngest.tierCountsStream(
+      spark.read.schema(ListenIngest.listenSchema
+        .add(ListenIngest.CorruptCol, "string")).json(listenDir), tiers)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(batch === streamed)
+  }
+
   private def listen(at: Long, msid: String, user: String): String =
     s"""{"listened_at":$at,"recording_msid":"$msid","user_name":"$user","track_metadata":{"artist_name":"a","track_name":"t","release_name":null,"additional_info":{"artist_msid":"am","recording_msid":"$msid","artist_mbids":[],"tags":[]}}}"""
 
