@@ -189,6 +189,9 @@ object SparkEntry {
     // ---- temperature-flattened mixture (T=2): integer-exact sqrt
     //      weighting, broadcast rate table, shuffle-free keep ----
     "q75_temperature_mixture"  -> ((s, d) => Curation.temperatureMixture(s, d)),
+    // ---- incremental dedup: one-sided band join, incoming batch vs the
+    //      already-deduped corpus ----
+    "q76_incremental_dedup"    -> ((s, d) => TextDedup.incrementalDedup(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -205,7 +208,9 @@ object SparkEntry {
   private def duckStops: String =
     graft.llm.TextStats.Stopwords.map(s => s"'$s'").mkString(", ")
 
-  private def minhashOracle: String = {
+  /** Shared CTE prefix (normalize → shingles → base hash → signatures →
+    * band keys) for every minhash-family oracle. */
+  private def minhashCtes: (String, String) = {
     import graft.llm.TextDedup.{NumHashes, NumBands, RowsPerBand, MinhashP, minhashA, minhashB}
     val mins = (0 until NumHashes).map { s =>
       s"MIN((${minhashA(s)} * hb + ${minhashB(s)}) % $MinhashP) AS h$s"
@@ -215,6 +220,12 @@ object SparkEntry {
         .map(r => s"h${b * RowsPerBand + r}").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($slots) AS bkey FROM sig"
     }.mkString("\n  UNION ALL\n  ")
+    (mins, bands)
+  }
+
+  private def minhashOracle: String = {
+    import graft.llm.TextDedup.MinhashP
+    val (mins, bands) = minhashCtes
     s"""WITH nd AS (
        |  SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
        |sh AS (
@@ -250,6 +261,54 @@ object SparkEntry {
        |JOIN sizes sb ON sb.doc_id = it.doc_b
        |WHERE CAST(it.icnt AS DOUBLE) / (sa.n + sb.n - it.icnt) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** q76: same minhash family, ONE-SIDED candidate join (incoming % 5 = 0
+    * vs existing), per-incoming verdict. */
+  private def incrementalDedupOracle: String = {
+    import graft.llm.TextDedup.MinhashP
+    val (mins, bands) = minhashCtes
+    s"""WITH nd AS (
+       |  SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, len(w) - 1),
+       |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
+       |  FROM nd WHERE len(w) >= 3),
+       |based AS (
+       |  SELECT doc_id,
+       |         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $MinhashP AS hb
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM based GROUP BY doc_id),
+       |bands AS (
+       |  $bands),
+       |cand AS (
+       |  SELECT DISTINCT i.doc_id AS doc_in, e.doc_id AS doc_ex
+       |  FROM bands i JOIN bands e
+       |    ON i.band = e.band AND i.bkey = e.bkey
+       |   AND i.doc_id % 5 = 0 AND e.doc_id % 5 <> 0),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_in, c.doc_ex, COUNT(*) AS icnt
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_in
+       |  JOIN sh sb ON sb.doc_id = c.doc_ex AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2),
+       |matches AS (
+       |  SELECT it.doc_in, COUNT(*) AS nm
+       |  FROM inter it
+       |  JOIN sizes sa ON sa.doc_id = it.doc_in
+       |  JOIN sizes sb ON sb.doc_id = it.doc_ex
+       |  WHERE CAST(it.icnt AS DOUBLE) / (sa.n + sb.n - it.icnt) >= 0.8
+       |  GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(m.nm, 0) AS n_matches,
+       |       m.nm IS NULL AS is_new
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+       |LEFT JOIN matches m ON m.doc_in = d.doc_id
+       |ORDER BY d.doc_id ASC""".stripMargin
   }
 
   private def simhashOracle: String = {
@@ -567,6 +626,7 @@ object SparkEntry {
          |       doc_id <> MIN(doc_id) OVER (PARTITION BY fingerprint) AS is_duplicate
          |FROM n ORDER BY doc_id""".stripMargin,
     "q27_minhash_neardups" -> minhashOracle,
+    "q76_incremental_dedup" -> incrementalDedupOracle,
     "q28_simhash_neardups" -> simhashOracle,
     // Blocking key mirrors TextDedup.ngramBlocks exactly: (lang, source,
     // n_chars div 256 length-band, adaptive md5 subshard capped at 64

@@ -53,6 +53,40 @@ object Medallion {
     gold.write.mode("overwrite").parquet(s"$outRoot/gold")
   }
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * ~`targetBytes` each. Streaming micro-batch sinks and per-trigger
+    * partitioned writes accumulate tiny files; at 100 TB a table of
+    * 10 000 000 × 100 KB files makes every scan pay listing + footer +
+    * task-setup cost per file, so periodic compaction is a required
+    * maintenance operator (Iceberg's rewrite_data_files, OPTIMIZE in
+    * warehouse SQL — here expressed directly over the filesystem).
+    *
+    * Sizing reads the ACTUAL on-disk bytes from the file listing (not a
+    * row-count heuristic — compression ratio varies wildly by column
+    * content), then `repartition(n)` rewrites with even sizes. Returns
+    * the resulting file count. Output goes to `outPath` — compact-then-
+    * swap, never in-place (an in-place rewrite that fails mid-way loses
+    * the table; the atomic-swap step belongs to the table format). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listFiles(new org.apache.hadoop.fs.Path(inPath), true)
+    var totalBytes = 0L
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getPath.getName.endsWith(".parquet")) totalBytes += f.getLen
+    }
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(n)
+      .write.mode("overwrite").parquet(outPath)
+    new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(_.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Write the gold daily aggregate as two divergent-schema epochs — the
     * reference's `count` vs `listen_count` rename (daily_job.py:37 vs
     * transform_job.py:106-111) reproduced ON DISK. */

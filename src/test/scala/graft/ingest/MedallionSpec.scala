@@ -59,4 +59,21 @@ class MedallionSpec extends SparkSpecBase {
     assert(spark.sql("SHOW TABLES IN graft_test").count() >= 1)
     spark.sql("DROP TABLE graft_test.gold_daily")
   }
+
+  test("compaction collapses a small-file table preserving content") {
+    val smallDir = tmpDir("compact-in-")
+    val outDir = tmpDir("compact-out-") + "/t"
+    val src = graft.core.Tables.events(spark, sf).limit(2000)
+    src.repartition(40).write.mode("overwrite").parquet(smallDir)
+    val before = new java.io.File(smallDir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before === 40)
+    // ~2000 rows of events is well under one 1 MB target file
+    val after = Medallion.compact(spark, smallDir, outDir, targetBytes = 1L << 20)
+    assert(after < before / 10, s"expected big collapse, got $after files")
+    val a = spark.read.parquet(smallDir)
+    val b = spark.read.parquet(outDir)
+    assert(a.count() === b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }

@@ -177,4 +177,35 @@ class TextDedupSpec extends SparkSpecBase {
           s"small block split unnecessarily: $r")
     }
   }
+
+  test("incremental dedup: incoming copy of an existing doc is flagged, not vice versa") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fixture = Seq(
+      (1L, base, "en", "s", 0L),                    // existing
+      (2L, "completely different words here today okay then", "en", "s", 0L),
+      (5L, base, "en", "s", 0L),                    // incoming dup of 1
+      (10L, "novel fresh unseen content nothing matches this text", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextDedup.incrementalDedup(fixture)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // only incoming docs (doc_id % 5 == 0) appear
+    assert(out.keySet === Set(5L, 10L))
+    assert(out(5L) === ((1L, false)), "incoming copy must match existing doc")
+    assert(out(10L) === ((0L, true)), "novel doc must be new")
+  }
+
+  test("incremental dedup never pairs existing docs with each other") {
+    // two existing near-dups and no incoming dups: the report must stay
+    // all-new (the corpus-internal pair is the FULL dedup's job, not the
+    // incremental path's)
+    import spark.implicits._
+    val base = "one two three four five six seven eight nine ten"
+    val fixture = Seq(
+      (1L, base, "en", "s", 0L), (2L, base, "en", "s", 0L), // existing pair
+      (5L, "unrelated incoming text goes right here now yes", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextDedup.incrementalDedup(fixture).collect()
+    assert(out.length === 1 && out.head.getBoolean(2))
+  }
 }
