@@ -192,6 +192,9 @@ object SparkEntry {
     // ---- incremental dedup: one-sided band join, incoming batch vs the
     //      already-deduped corpus ----
     "q76_incremental_dedup"    -> ((s, d) => TextDedup.incrementalDedup(s, d)),
+    // ---- user-erasure propagation: broadcast anti-join scrub with a
+    //      completeness audit ----
+    "q77_forget_audit"         -> ((s, d) => graft.ingest.Forget.forgetAudit(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -627,6 +630,24 @@ object SparkEntry {
          |FROM n ORDER BY doc_id""".stripMargin,
     "q27_minhash_neardups" -> minhashOracle,
     "q76_incremental_dedup" -> incrementalDedupOracle,
+    // q77: same deletion carve (user_id % 50), same audit identities.
+    "q77_forget_audit" ->
+      (silverCte +
+        """, dels AS (
+          |  SELECT DISTINCT user_id FROM events WHERE user_id % 50 = 0),
+          |pre AS (
+          |  SELECT event_type, COUNT(*) AS rows_before FROM silver GROUP BY 1),
+          |post AS (
+          |  SELECT event_type, COUNT(*) AS rows_after FROM silver
+          |  WHERE user_id NOT IN (SELECT user_id FROM dels) GROUP BY 1)
+          |SELECT p.event_type, p.rows_before,
+          |       p.rows_before - COALESCE(q.rows_after, 0) AS rows_removed,
+          |       COALESCE(q.rows_after, 0) AS rows_after,
+          |       p.rows_before =
+          |         (p.rows_before - COALESCE(q.rows_after, 0))
+          |         + COALESCE(q.rows_after, 0) AS complete
+          |FROM pre p LEFT JOIN post q USING (event_type)
+          |ORDER BY p.event_type ASC""".stripMargin),
     "q28_simhash_neardups" -> simhashOracle,
     // Blocking key mirrors TextDedup.ngramBlocks exactly: (lang, source,
     // n_chars div 256 length-band, adaptive md5 subshard capped at 64
