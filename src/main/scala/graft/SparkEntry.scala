@@ -195,6 +195,9 @@ object SparkEntry {
     // ---- user-erasure propagation: broadcast anti-join scrub with a
     //      completeness audit ----
     "q77_forget_audit"         -> ((s, d) => graft.ingest.Forget.forgetAudit(s, d)),
+    // ---- deduped-corpus keep list: clusters applied back to the corpus
+    //      as a broadcast, canonical-only keeps ----
+    "q78_dedup_keep_list"      -> ((s, d) => DupClusters.dedupKeepList(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -1084,6 +1087,29 @@ object SparkEntry {
          |  FROM reach GROUP BY src)
          |SELECT cluster_id, doc_id, doc_id = cluster_id AS is_canonical
          |FROM lab ORDER BY cluster_id ASC, doc_id ASC""".stripMargin,
+    // q78: q60's closure joined back onto the corpus as keep verdicts.
+    "q78_dedup_keep_list" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashOracle
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r
+         |  JOIN edges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src),
+         |lab AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src)
+         |SELECT d.doc_id,
+         |       COALESCE(l.doc_id = l.cluster_id, TRUE) AS kept,
+         |       l.cluster_id
+         |FROM documents d LEFT JOIN lab l USING (doc_id)
+         |ORDER BY d.doc_id ASC""".stripMargin,
     // TF-IDF reshaped to exact integers: score = cnt*N*10^6 div (len*df)
     // (ln of a double is not portable; integer div is).
     "q61_distinctive_terms" ->

@@ -88,4 +88,26 @@ object DupClusters {
   /** q60: resolve the MinHash-LSH near-dup pairs (q27) into clusters. */
   def dupClusters(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(TextDedup.minhashNearDups(Tables.documents(spark, dir)))
+
+  /** The DEDUPED-CORPUS materialization: the per-document keep/drop list a
+    * training pipeline actually writes out after clustering — every doc
+    * keeps unless it is a non-canonical member of a duplicate cluster.
+    * Singletons (no near-dup) join nothing and keep with a NULL
+    * cluster_id; cluster members carry their cluster for lineage. The
+    * cluster frame is pair-graph-sized (tiny vs corpus), so the back-join
+    * broadcasts — the corpus is never shuffled to apply its own dedup. */
+  def dedupKeepList(docs: DataFrame): DataFrame = {
+    val clusters = connectedComponents(TextDedup.minhashNearDups(docs))
+    docs.select(col("doc_id"))
+      .join(broadcast(clusters
+        .select(col("doc_id"), col("cluster_id"), col("is_canonical"))),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("is_canonical"), lit(true)).as("kept"),
+        col("cluster_id"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  def dedupKeepList(spark: SparkSession, dir: String): DataFrame =
+    dedupKeepList(Tables.documents(spark, dir))
 }

@@ -195,6 +195,44 @@ class TextDedupSpec extends SparkSpecBase {
     assert(out(10L) === ((0L, true)), "novel doc must be new")
   }
 
+  test("incremental matches equal the full pair set restricted to the carve") {
+    // law: incrementalDedup's n_matches for doc d == count of full
+    // minhashNearDups pairs with d on the incoming side and an existing
+    // doc on the other — the incremental path must be a strict
+    // restriction of the full dedup, never more, never less
+    val full = TextDedup.minhashNearDups(Tables.documents(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = full
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (in, ex) => in % 5 == 0 && ex % 5 != 0 }
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val inc = TextDedup.incrementalDedup(Tables.documents(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    inc.foreach { case (d, n) =>
+      assert(n === expected.getOrElse(d, 0L),
+        s"doc $d: incremental=$n full-restricted=${expected.getOrElse(d, 0L)}")
+    }
+  }
+
+  test("keep list keeps exactly the canonical member per cluster") {
+    val keep = graft.llm.DupClusters
+      .dedupKeepList(Tables.documents(spark, sf)).cache()
+    assert(keep.count() === Tables.documents(spark, sf).count())
+    // within every cluster exactly one kept row, and it IS the cluster id
+    val perCluster = keep.filter(col("cluster_id").isNotNull)
+      .groupBy(col("cluster_id"))
+      .agg(org.apache.spark.sql.functions.sum(col("kept").cast("long")).as("k"),
+        org.apache.spark.sql.functions.min(col("doc_id")).as("m"))
+      .collect()
+    assert(perCluster.nonEmpty, "fixture has planted dup clusters")
+    perCluster.foreach { r =>
+      assert(r.getAs[Long]("k") === 1L, s"cluster ${r.get(0)} kept ${r.get(1)}")
+      assert(r.getAs[Long]("m") === r.getAs[Long]("cluster_id"))
+    }
+    // singletons all keep
+    assert(keep.filter(col("cluster_id").isNull && !col("kept")).count() === 0)
+  }
+
   test("incremental dedup never pairs existing docs with each other") {
     // two existing near-dups and no incoming dups: the report must stay
     // all-new (the corpus-internal pair is the FULL dedup's job, not the
