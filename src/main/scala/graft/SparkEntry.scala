@@ -198,6 +198,11 @@ object SparkEntry {
     // ---- deduped-corpus keep list: clusters applied back to the corpus
     //      as a broadcast, canonical-only keeps ----
     "q78_dedup_keep_list"      -> ((s, d) => DupClusters.dedupKeepList(s, d)),
+    // ---- ordered 3-stage funnel with exact ppm conversions ----
+    "q79_funnel"               -> ((s, d) => graft.analytics.Funnels.funnel(s, d)),
+    // ---- day-1/day-7 cohort retention over distinct-compressed
+    //      activity ----
+    "q80_retention_cohorts"    -> ((s, d) => graft.analytics.Funnels.retentionCohorts(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -651,6 +656,49 @@ object SparkEntry {
           |         + COALESCE(q.rows_after, 0) AS complete
           |FROM pre p LEFT JOIN post q USING (event_type)
           |ORDER BY p.event_type ASC""".stripMargin),
+    // q79: same ordered-stage semantics (>= previous stage's first ts).
+    "q79_funnel" ->
+      (silverCte +
+        """, v AS (
+          |  SELECT user_id, MIN(ts) AS v_ts FROM silver
+          |  WHERE event_type = 'view' GROUP BY 1),
+          |c AS (
+          |  SELECT s.user_id, MIN(s.ts) AS c_ts FROM silver s
+          |  JOIN v ON v.user_id = s.user_id AND s.ts >= v.v_ts
+          |  WHERE s.event_type = 'click' GROUP BY 1),
+          |p AS (
+          |  SELECT s.user_id, MIN(s.ts) AS p_ts FROM silver s
+          |  JOIN c ON c.user_id = s.user_id AND s.ts >= c.c_ts
+          |  WHERE s.event_type = 'purchase' GROUP BY 1)
+          |SELECT (SELECT COUNT(DISTINCT user_id) FROM silver) AS users,
+          |       (SELECT COUNT(*) FROM v) AS reached_view,
+          |       (SELECT COUNT(*) FROM c) AS reached_click,
+          |       (SELECT COUNT(*) FROM p) AS reached_purchase,
+          |       (SELECT COUNT(*) FROM c) * 1000000
+          |         // (SELECT COUNT(*) FROM v) AS click_given_view_ppm,
+          |       (SELECT COUNT(*) FROM p) * 1000000
+          |         // (SELECT COUNT(*) FROM c) AS purchase_given_click_ppm""".stripMargin),
+    // q80: cohort = first active date; retained = active exactly k days on.
+    "q80_retention_cohorts" ->
+      (silverCte +
+        """, first AS (
+          |  SELECT user_id, MIN(event_date) AS cohort FROM silver GROUP BY 1),
+          |activity AS (
+          |  SELECT DISTINCT user_id, event_date FROM silver)
+          |SELECT f.cohort,
+          |       COUNT(DISTINCT a.user_id) AS cohort_users,
+          |       COUNT(DISTINCT CASE WHEN a.event_date = f.cohort + 1
+          |                           THEN a.user_id END) AS d1_retained,
+          |       COUNT(DISTINCT CASE WHEN a.event_date = f.cohort + 7
+          |                           THEN a.user_id END) AS d7_retained,
+          |       COUNT(DISTINCT CASE WHEN a.event_date = f.cohort + 1
+          |                           THEN a.user_id END) * 1000000
+          |         // COUNT(DISTINCT a.user_id) AS d1_ppm,
+          |       COUNT(DISTINCT CASE WHEN a.event_date = f.cohort + 7
+          |                           THEN a.user_id END) * 1000000
+          |         // COUNT(DISTINCT a.user_id) AS d7_ppm
+          |FROM first f JOIN activity a USING (user_id)
+          |GROUP BY f.cohort ORDER BY f.cohort ASC""".stripMargin),
     "q28_simhash_neardups" -> simhashOracle,
     // Blocking key mirrors TextDedup.ngramBlocks exactly: (lang, source,
     // n_chars div 256 length-band, adaptive md5 subshard capped at 64

@@ -1,0 +1,68 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.EventsPipeline
+
+/** Funnel and cohort-retention analytics — the two classic event-sequence
+  * reports every product-analytics surface ships. Both are expressed as
+  * per-user aggregations over silver, so every step reuses the silver
+  * `user_id` hash clustering (no extra corpus shuffle); the final rollups
+  * aggregate tiny per-user frames.
+  */
+object Funnels {
+
+  /** Ordered 3-stage funnel view → click → purchase: a user reaches a
+    * stage only with an event AT OR AFTER their previous stage's first
+    * event (ordering matters — a purchase before ever viewing does not
+    * count). Single-row output with exact ppm conversions. */
+  def funnel(silver: DataFrame): DataFrame = {
+    val v = silver.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = silver.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") >= col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = silver.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") >= col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    silver.agg(countDistinct(col("user_id")).as("users"))
+      .crossJoin(broadcast(v.agg(count(lit(1)).as("reached_view"))))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("reached_click"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("reached_purchase"))))
+      .withColumn("click_given_view_ppm",
+        expr("reached_click * 1000000 div reached_view"))
+      .withColumn("purchase_given_click_ppm",
+        expr("reached_purchase * 1000000 div reached_click"))
+  }
+
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(EventsPipeline.silver(spark, dir))
+
+  /** Day-1 / day-7 cohort retention: cohort = a user's first active date;
+    * retained = active exactly k days later. Exact ppm rates per cohort.
+    * The (user, date) activity set is distinct-compressed BEFORE the
+    * cohort join, so the join input is bounded by users × active-days,
+    * not raw events. */
+  def retentionCohorts(silver: DataFrame): DataFrame = {
+    val first = silver.groupBy(col("user_id"))
+      .agg(min(col("event_date")).as("cohort"))
+    val activity = silver.select(col("user_id"), col("event_date")).distinct()
+    first.join(activity, Seq("user_id"))
+      .groupBy(col("cohort"))
+      .agg(
+        countDistinct(col("user_id")).as("cohort_users"),
+        countDistinct(when(datediff(col("event_date"), col("cohort")) === 1,
+          col("user_id"))).as("d1_retained"),
+        countDistinct(when(datediff(col("event_date"), col("cohort")) === 7,
+          col("user_id"))).as("d7_retained"))
+      .withColumn("d1_ppm", expr("d1_retained * 1000000 div cohort_users"))
+      .withColumn("d7_ppm", expr("d7_retained * 1000000 div cohort_users"))
+      .orderBy(col("cohort").asc)
+  }
+
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
+    retentionCohorts(EventsPipeline.silver(spark, dir))
+}

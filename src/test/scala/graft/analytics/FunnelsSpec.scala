@@ -1,0 +1,58 @@
+package graft.analytics
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class FunnelsSpec extends SparkSpecBase {
+
+  private def silverRow(id: Long, user: Long, tpe: String, sec: Long) =
+    (id, new Timestamp(1700000000000L + sec * 1000), user, tpe, 1.0, 1,
+      new java.sql.Date(1700000000000L))
+
+  private def silverOf(rows: Seq[(Long, Timestamp, Long, String, Double, Int, java.sql.Date)]) = {
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "prop_k",
+      "event_date")
+  }
+
+  test("funnel stages are monotone on the fixture corpus") {
+    val r = Funnels.funnel(
+      graft.pipeline.EventsPipeline.silver(spark, sf)).head
+    val (users, v, c, p) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(users >= v && v >= c && c >= p)
+    assert(v > 0 && c > 0, "fixture must exercise at least two stages")
+  }
+
+  test("funnel ordering: a purchase BEFORE the first view does not count") {
+    val silver = silverOf(Seq(
+      // u1: view(10) -> click(20) -> purchase(30): full funnel
+      silverRow(1, 1, "view", 10), silverRow(2, 1, "click", 20),
+      silverRow(3, 1, "purchase", 30),
+      // u2: purchase(5) then view(10): purchase must NOT count, click absent
+      silverRow(4, 2, "purchase", 5), silverRow(5, 2, "view", 10),
+      // u3: click(5) then view(10) then click never again: click must NOT count
+      silverRow(6, 3, "click", 5), silverRow(7, 3, "view", 10)))
+    val r = Funnels.funnel(silver).head
+    assert(r.getLong(0) === 3) // users
+    assert(r.getLong(1) === 3) // all three viewed
+    assert(r.getLong(2) === 1) // only u1's click is after a view
+    assert(r.getLong(3) === 1) // only u1 purchases in order
+  }
+
+  test("retention cohorts: retained counts bounded by cohort size") {
+    val out = Funnels.retentionCohorts(
+      graft.pipeline.EventsPipeline.silver(spark, sf)).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("d1_retained") > col("cohort_users")).count() === 0)
+    assert(out.filter(col("d7_retained") > col("cohort_users")).count() === 0)
+    // every user belongs to exactly one cohort
+    val total = out.agg(sum("cohort_users")).head.getLong(0)
+    val users = graft.pipeline.EventsPipeline.silver(spark, sf)
+      .select(countDistinct(col("user_id"))).head.getLong(0)
+    assert(total === users)
+  }
+}
