@@ -203,6 +203,9 @@ object SparkEntry {
     // ---- day-1/day-7 cohort retention over distinct-compressed
     //      activity ----
     "q80_retention_cohorts"    -> ((s, d) => graft.analytics.Funnels.retentionCohorts(s, d)),
+    // ---- incremental view maintenance: base+delta partials merged,
+    //      oracle-checked against the direct full aggregate ----
+    "q81_gold_incremental"     -> ((s, d) => graft.analytics.Incremental.goldIncremental(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -699,6 +702,16 @@ object SparkEntry {
           |         // COUNT(DISTINCT a.user_id) AS d7_ppm
           |FROM first f JOIN activity a USING (user_id)
           |GROUP BY f.cohort ORDER BY f.cohort ASC""".stripMargin),
+    // q81: the oracle is the DIRECT full aggregate — hash equality proves
+    // the engine's base+delta merge reproduces it exactly.
+    "q81_gold_incremental" ->
+      (silverCte +
+        """
+          |SELECT user_id, event_date, COUNT(*) AS listen_count,
+          |       SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+          |       MIN(event_id) AS first_event_id
+          |FROM silver GROUP BY 1, 2
+          |ORDER BY user_id ASC, event_date ASC""".stripMargin),
     "q28_simhash_neardups" -> simhashOracle,
     // Blocking key mirrors TextDedup.ngramBlocks exactly: (lang, source,
     // n_chars div 256 length-band, adaptive md5 subshard capped at 64

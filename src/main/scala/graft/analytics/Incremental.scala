@@ -1,0 +1,65 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.EventsPipeline
+
+/** Incremental aggregate (materialized-view) maintenance: keep a gold
+  * rollup current by merging a new micro-batch's PARTIAL aggregate into
+  * the stored one, instead of recomputing over all history — the only
+  * viable shape once the fact table is 100 TB and a day's delta is 100 GB.
+  *
+  * Works because every measure here is a commutative monoid: counts add,
+  * exact cent-sums add, mins combine via least. (COUNT DISTINCT is
+  * deliberately absent — it does not merge; its incremental form is the
+  * HLL sketch family, q67.) Money sums as CENTS (`round(value·100)` →
+  * BIGINT): double addition is not associative so a base+delta double sum
+  * would drift from the full recompute by partition order, but integer
+  * cents make merged == recomputed EXACTLY — the q81 oracle computes the
+  * direct full aggregate and the hash compare proves the merge algebra.
+  */
+object Incremental {
+
+  private def cents: org.apache.spark.sql.Column =
+    round(col("value") * 100).cast("long")
+
+  /** The mergeable per-(user, date) partial aggregate. */
+  def goldPartial(silver: DataFrame): DataFrame =
+    silver.groupBy(col("user_id"), col("event_date"))
+      .agg(
+        count(lit(1)).as("listen_count"),
+        sum(cents).as("total_cents"),
+        min(col("event_id")).as("first_event_id"))
+
+  /** Merge two partials: full outer on the group keys, measures combine
+    * by their monoid. The delta side is micro-batch-sized in production —
+    * broadcast it and the stored side never reshuffles. */
+  def merge(stored: DataFrame, delta: DataFrame): DataFrame = {
+    val a = stored.select(col("user_id"), col("event_date"),
+      col("listen_count").as("a_n"), col("total_cents").as("a_c"),
+      col("first_event_id").as("a_f"))
+    val b = delta.select(col("user_id"), col("event_date"),
+      col("listen_count").as("b_n"), col("total_cents").as("b_c"),
+      col("first_event_id").as("b_f"))
+    a.join(b, Seq("user_id", "event_date"), "full_outer")
+      .select(
+        col("user_id"), col("event_date"),
+        (coalesce(col("a_n"), lit(0L)) + coalesce(col("b_n"), lit(0L)))
+          .as("listen_count"),
+        (coalesce(col("a_c"), lit(0L)) + coalesce(col("b_c"), lit(0L)))
+          .as("total_cents"),
+        least(col("a_f"), col("b_f")).as("first_event_id"))
+  }
+
+  /** q81: carve silver into base (event_id % 10 != 0) and delta, maintain
+    * incrementally, and emit the merged view — which the oracle checks
+    * against a DIRECT full aggregation (merge algebra proven bit-exact). */
+  def goldIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val silver = EventsPipeline.silver(spark, dir)
+    val base = goldPartial(silver.filter(col("event_id") % 10 =!= 0))
+    val delta = goldPartial(silver.filter(col("event_id") % 10 === 0))
+    merge(base, delta)
+      .orderBy(col("user_id").asc, col("event_date").asc)
+  }
+}

@@ -1,0 +1,40 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.pipeline.EventsPipeline
+
+class IncrementalSpec extends SparkSpecBase {
+
+  private lazy val silver = EventsPipeline.silver(spark, sf)
+
+  private def assertSame(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.count() === b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("merged base+delta equals the direct full aggregate") {
+    val direct = Incremental.goldPartial(silver)
+    val merged = Incremental.merge(
+      Incremental.goldPartial(silver.filter(col("event_id") % 10 =!= 0)),
+      Incremental.goldPartial(silver.filter(col("event_id") % 10 === 0)))
+    assertSame(direct, merged)
+  }
+
+  test("merge is associative across three delta carves") {
+    def carve(m: Int) = Incremental.goldPartial(
+      silver.filter(col("event_id") % 3 === m))
+    val leftFold = Incremental.merge(Incremental.merge(carve(0), carve(1)), carve(2))
+    val rightFold = Incremental.merge(carve(0), Incremental.merge(carve(1), carve(2)))
+    assertSame(leftFold, rightFold)
+    assertSame(leftFold, Incremental.goldPartial(silver))
+  }
+
+  test("merging an empty delta is the identity") {
+    val stored = Incremental.goldPartial(silver)
+    val empty = Incremental.goldPartial(silver.filter(lit(false)))
+    assertSame(stored, Incremental.merge(stored, empty))
+  }
+}
