@@ -206,6 +206,10 @@ object SparkEntry {
     // ---- incremental view maintenance: base+delta partials merged,
     //      oracle-checked against the direct full aggregate ----
     "q81_gold_incremental"     -> ((s, d) => graft.analytics.Incremental.goldIncremental(s, d)),
+    // ---- explicit-domain pivot: single-pass, stable schema ----
+    "q82_user_type_pivot"      -> ((s, d) => Reports.userTypePivot(s, d)),
+    // ---- ntile quartile segmentation over users-sized counts ----
+    "q83_user_quartiles"       -> ((s, d) => Reports.userQuartiles(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -712,6 +716,30 @@ object SparkEntry {
           |       MIN(event_id) AS first_event_id
           |FROM silver GROUP BY 1, 2
           |ORDER BY user_id ASC, event_date ASC""".stripMargin),
+    // q82: CASE-sum pivot — portable across engines, same fixed domain.
+    "q82_user_type_pivot" ->
+      (silverCte +
+        """
+          |SELECT user_id,
+          |       COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
+          |       COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error,
+          |       COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
+          |       COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
+          |       COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view
+          |FROM silver GROUP BY 1 ORDER BY user_id ASC""".stripMargin),
+    // q83: identical ntile tie-break (count DESC, user_id ASC).
+    "q83_user_quartiles" ->
+      (silverCte +
+        """, counts AS (
+          |  SELECT user_id, COUNT(*) AS listen_count FROM silver GROUP BY 1),
+          |tiled AS (
+          |  SELECT *, ntile(4) OVER (
+          |    ORDER BY listen_count DESC, user_id ASC) AS quartile
+          |  FROM counts)
+          |SELECT quartile, COUNT(*) AS users, SUM(listen_count) AS listens,
+          |       MIN(listen_count) AS min_listens,
+          |       MAX(listen_count) AS max_listens
+          |FROM tiled GROUP BY 1 ORDER BY quartile ASC""".stripMargin),
     "q28_simhash_neardups" -> simhashOracle,
     // Blocking key mirrors TextDedup.ngramBlocks exactly: (lang, source,
     // n_chars div 256 length-band, adaptive md5 subshard capped at 64

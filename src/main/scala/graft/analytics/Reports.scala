@@ -403,4 +403,50 @@ object Reports {
 
   def runningTotals(spark: SparkSession, dir: String): DataFrame =
     runningTotals(EventsPipeline.silver(spark, dir))
+
+  // --------------------------------------------------- pivot / ntile
+
+  /** Fixed domain for the event-type pivot: an EXPLICIT value list keeps
+    * the pivot single-pass (Spark skips the distinct-values discovery
+    * job) and the output schema stable — both required at 100 TB, where
+    * an unlisted pivot means one extra full scan and a schema that
+    * drifts with the data. */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Per-user activity matrix: `groupBy(user).pivot(event_type)` — one
+    * shuffle on user_id (reused from silver's clustering), one row per
+    * user, one column per event type. */
+  def userTypePivot(silver: DataFrame): DataFrame =
+    silver
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .orderBy(col("user_id").asc)
+
+  def userTypePivot(spark: SparkSession, dir: String): DataFrame =
+    userTypePivot(EventsPipeline.silver(spark, dir))
+
+  /** Quartile segmentation: ntile(4) over per-user listen counts (ties
+    * broken by user_id → deterministic in any engine), rolled up to the
+    * per-quartile profile a lifecycle-marketing report wants. The window
+    * runs over the per-user COUNTS (users-sized, not events-sized) — at
+    * 100 TB the global sort is over millions of rows, not trillions. */
+  def userQuartiles(silver: DataFrame): DataFrame = {
+    val counts = silver.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("listen_count"))
+    val w = Window.orderBy(col("listen_count").desc, col("user_id").asc)
+    counts
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("quartile"))
+      .agg(
+        count(lit(1)).as("users"),
+        sum(col("listen_count")).as("listens"),
+        min(col("listen_count")).as("min_listens"),
+        max(col("listen_count")).as("max_listens"))
+      .orderBy(col("quartile").asc)
+  }
+
+  def userQuartiles(spark: SparkSession, dir: String): DataFrame =
+    userQuartiles(EventsPipeline.silver(spark, dir))
 }

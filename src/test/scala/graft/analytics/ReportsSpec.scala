@@ -114,4 +114,32 @@ class ReportsSpec extends SparkSpecBase {
     assert(diverged.count() === 0,
       "daily-sketch union diverged from the direct weekly sketch")
   }
+
+  test("pivot cells reconcile with the flat rollup; no discovery scan") {
+    val silver = graft.pipeline.EventsPipeline.silver(spark, sf)
+    val pivoted = Reports.userTypePivot(silver).cache()
+    // cell total == corpus total (every event lands in exactly one cell)
+    val cellSum = pivoted.select(
+      Reports.EventTypes.map(t => sum(col(t))): _*)
+      .head.toSeq.map(_.asInstanceOf[Long]).sum
+    assert(cellSum === silver.count())
+    // a spot cell equals the direct filtered count
+    val u = pivoted.head
+    val direct = silver.filter(col("user_id") === u.getLong(0) &&
+      col("event_type") === "click").count()
+    assert(u.getAs[Long]("click") === direct)
+  }
+
+  test("quartiles partition the user base near-evenly and order by volume") {
+    val out = Reports.userQuartiles(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("users")).sum ===
+      graft.pipeline.EventsPipeline.silver(spark, sf)
+        .select(countDistinct(col("user_id"))).head.getLong(0))
+    // ntile balance: sizes differ by at most one
+    val sizes = out.map(_.getAs[Long]("users"))
+    assert(sizes.max - sizes.min <= 1)
+    // quartile 1 holds the heaviest users
+    val mins = out.sortBy(_.getAs[Int]("quartile")).map(_.getAs[Long]("min_listens"))
+    assert(mins.zip(mins.tail).forall { case (hi, lo) => hi >= lo })
+  }
 }
