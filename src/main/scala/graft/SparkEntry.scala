@@ -210,6 +210,11 @@ object SparkEntry {
     "q82_user_type_pivot"      -> ((s, d) => Reports.userTypePivot(s, d)),
     // ---- ntile quartile segmentation over users-sized counts ----
     "q83_user_quartiles"       -> ((s, d) => Reports.userQuartiles(s, d)),
+    // ---- source-overlap matrix: shingle-keyed pair join, bounded
+    //      source-pair fan-out ----
+    "q84_source_overlap"       -> ((s, d) => Decontaminate.sourceOverlap(s, d)),
+    // ---- declarative data-quality constraint report (Deequ/dbt shape) ----
+    "q85_quality_checks"       -> ((s, d) => graft.analytics.QualityChecks.constraintReport(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -740,6 +745,64 @@ object SparkEntry {
           |       MIN(listen_count) AS min_listens,
           |       MAX(listen_count) AS max_listens
           |FROM tiled GROUP BY 1 ORDER BY quartile ASC""".stripMargin),
+    // q84: same 2-gram construction as q71, source-level distinct sets.
+    "q84_source_overlap" ->
+      s"""WITH toks AS (
+         |  SELECT source, string_split($duckNorm, ' ') AS w FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT source, array_to_string(w[i:i+1], ' ') AS gram
+         |  FROM toks, unnest(range(1, len(w) - 0)) AS t(i)
+         |  WHERE len(w) >= 2),
+         |sizes AS (SELECT source, COUNT(*) AS ns FROM grams GROUP BY 1),
+         |inter AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |         COUNT(*) AS shared_grams
+         |  FROM grams a JOIN grams b
+         |    ON a.gram = b.gram AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT i.source_a, i.source_b, i.shared_grams,
+         |       CAST(i.shared_grams AS DOUBLE)
+         |         / (sa.ns + sb.ns - i.shared_grams) AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON sa.source = i.source_a
+         |JOIN sizes sb ON sb.source = i.source_b
+         |ORDER BY i.source_a ASC, i.source_b ASC""".stripMargin,
+    // q85: each rule restated as plain SQL counts; UNION ALL report.
+    "q85_quality_checks" ->
+      """WITH rules(table_name, check_name, violations) AS (
+        |  SELECT 'events', 'event_id_unique',
+        |         (SELECT COUNT(*) FROM (
+        |            SELECT event_id FROM events GROUP BY 1 HAVING COUNT(*) > 1))
+        |  UNION ALL
+        |  SELECT 'events', 'event_type_in_domain',
+        |         (SELECT COUNT(*) FROM events WHERE event_type NOT IN
+        |            ('click', 'error', 'purchase', 'signup', 'view'))
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_orderkey_fk_orders',
+        |         (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (
+        |            SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_quantity_in_1_50',
+        |         (SELECT COUNT(*) FROM lineitem
+        |          WHERE l_quantity < 1 OR l_quantity > 50)
+        |  UNION ALL
+        |  SELECT 'orders', 'o_custkey_fk_customer',
+        |         (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (
+        |            SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL
+        |  SELECT 'orders', 'o_orderkey_not_null',
+        |         (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'orders', 'o_orderkey_unique',
+        |         (SELECT COUNT(*) FROM (
+        |            SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1))
+        |  UNION ALL
+        |  SELECT 'orders', 'o_totalprice_positive',
+        |         (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0))
+        |SELECT table_name, check_name, violations,
+        |       violations = 0 AS pass
+        |FROM rules
+        |ORDER BY table_name ASC, check_name ASC""".stripMargin,
     "q28_simhash_neardups" -> simhashOracle,
     // Blocking key mirrors TextDedup.ngramBlocks exactly: (lang, source,
     // n_chars div 256 length-band, adaptive md5 subshard capped at 64

@@ -118,4 +118,43 @@ object Decontaminate {
 
   def boilerplateCensus(spark: SparkSession, dir: String): DataFrame =
     boilerplateCensus(Tables.documents(spark, dir))
+
+  // ------------------------------------------------ source overlap
+
+  /** Source-overlap matrix: shingle-level Jaccard between every pair of
+    * sources — the corpus diagnostic that answers "is crawl B a re-crawl
+    * of crawl A?" before any per-document dedup runs. The pair join is
+    * SHINGLE-keyed (two scans of the distinct (source, shingle) set,
+    * equi-join on shingle, source_a < source_b): work scales with shared
+    * shingles × source-pair fan-out — the fan-out is bounded by the
+    * (small) source count squared, never by corpus size. Exact integer
+    * intersections; one fixed-order double division. */
+  def sourceOverlap(docs: DataFrame, n: Int = BoilerplateGramN): DataFrame = {
+    val srcShingles = Caches.scratch(
+      docs.withColumn("w", words)
+        .filter(size(col("w")) >= n)
+        .select(col("source"),
+          explode(array_distinct(transform(
+            sequence(lit(1), size(col("w")) - (n - 1)),
+            i => concat_ws(" ", slice(col("w"), i, lit(n)))))).as("gram"))
+        .distinct())
+    val sizes = srcShingles.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val a = srcShingles.select(col("source").as("source_a"), col("gram"))
+    val b = srcShingles.select(col("source").as("source_b"), col("gram"))
+    a.join(b, Seq("gram"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("ns").as("na"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("ns").as("nb"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared_grams"),
+        (col("shared_grams").cast("double") /
+          (col("na") + col("nb") - col("shared_grams"))).as("jaccard"))
+      .orderBy(col("source_a").asc, col("source_b").asc)
+  }
+
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlap(Tables.documents(spark, dir))
 }

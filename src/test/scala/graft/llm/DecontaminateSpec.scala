@@ -56,6 +56,28 @@ class DecontaminateSpec extends SparkSpecBase {
     assert(out.agg(sum("boilerplate_2grams")).head.getLong(0) > 0)
   }
 
+  test("source overlap: a cloned source scores jaccard 1 against its twin") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "srcA", 0L),
+      (2L, "alpha beta gamma delta epsilon", "en", "srcB", 0L), // clone of A
+      (3L, "totally different content here now", "en", "srcC", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Decontaminate.sourceOverlap(fixture)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(rows(("srcA", "srcB")) === 1.0, "clone sources must overlap fully")
+    assert(!rows.contains(("srcA", "srcC")),
+      "disjoint sources share no grams and emit no row")
+  }
+
+  test("source overlap on the corpus: jaccard bounded, pairs ordered") {
+    val out = Decontaminate.sourceOverlap(docs).cache()
+    assert(out.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() === 0)
+    assert(out.filter(col("source_a") >= col("source_b")).count() === 0)
+    graft.core.Caches.releaseScratch(spark)
+  }
+
   test("boilerplate census releases its scratch persist") {
     graft.core.Caches.releaseScratch(spark)
     Decontaminate.boilerplateCensus(docs).count()
