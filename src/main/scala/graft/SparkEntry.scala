@@ -215,6 +215,8 @@ object SparkEntry {
     "q84_source_overlap"       -> ((s, d) => Decontaminate.sourceOverlap(s, d)),
     // ---- declarative data-quality constraint report (Deequ/dbt shape) ----
     "q85_quality_checks"       -> ((s, d) => graft.analytics.QualityChecks.constraintReport(s, d)),
+    // ---- rare-word/OOV ratio: the integer-exact LM-filter stand-in ----
+    "q86_rare_word_ratio"      -> ((s, d) => TextStats.rareWordRatio(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -803,6 +805,24 @@ object SparkEntry {
         |       violations = 0 AS pass
         |FROM rules
         |ORDER BY table_name ASC, check_name ASC""".stripMargin,
+    // q86: same df-threshold rarity rule, exact ppm.
+    "q86_rare_word_ratio" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(str_split($duckNorm, ' ')) AS w FROM documents),
+         |wc AS (
+         |  SELECT doc_id, w, COUNT(*) AS cnt FROM words GROUP BY 1, 2),
+         |rare AS (
+         |  SELECT w FROM (SELECT w, COUNT(*) AS df FROM wc GROUP BY 1)
+         |  WHERE df < 3)
+         |SELECT wc.doc_id, SUM(wc.cnt) AS n_tokens,
+         |       COALESCE(SUM(CASE WHEN r.w IS NOT NULL THEN wc.cnt END), 0)
+         |         AS rare_tokens,
+         |       COALESCE(SUM(CASE WHEN r.w IS NOT NULL THEN wc.cnt END), 0)
+         |         * 1000000 // SUM(wc.cnt) AS rare_ppm,
+         |       COALESCE(SUM(CASE WHEN r.w IS NOT NULL THEN wc.cnt END), 0)
+         |         * 1000000 // SUM(wc.cnt) > 200000 AS oov_heavy
+         |FROM wc LEFT JOIN rare r USING (w)
+         |GROUP BY wc.doc_id ORDER BY wc.doc_id ASC""".stripMargin,
     "q28_simhash_neardups" -> simhashOracle,
     // Blocking key mirrors TextDedup.ngramBlocks exactly: (lang, source,
     // n_chars div 256 length-band, adaptive md5 subshard capped at 64

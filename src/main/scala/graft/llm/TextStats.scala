@@ -253,4 +253,43 @@ object TextStats {
 
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
     repetitionSignals(Tables.documents(spark, dir))
+
+  // --------------------------------------------------- rare-word ratio
+
+  /** A word is "rare" if it appears in fewer than this many documents. */
+  val RareDfMax = 3
+  /** Docs whose token instances are mostly rare words get flagged. */
+  val OovHeavyPpm = 200000L
+
+  /** Rare-word (OOV) ratio: the integer-exact stand-in for an LM-score
+    * filter — garbled, OCR-damaged, or wrong-language text lights up as a
+    * high fraction of tokens whose corpus document-frequency is tiny,
+    * which is what a KenLM perplexity filter keys on without the
+    * unportable log-prob float math. One explode pass feeds both the
+    * (doc, word) counts and the corpus df; the rare set joins back
+    * BROADCAST (rare-by-df words are the small high-entropy tail of the
+    * vocab in gram-space terms... their LIST is bounded by vocab size,
+    * itself ≪ corpus size). All ratios in exact ppm. */
+  def rareWordRatio(docs: DataFrame,
+                    rareDfMax: Int = RareDfMax,
+                    oovHeavyPpm: Long = OovHeavyPpm): DataFrame = {
+    val words = docs.select(col("doc_id"), explode(split(norm, " ")).as("w"))
+    val wc = graft.core.Caches.scratch(
+      words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt")))
+    val rare = wc.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .filter(col("df") < rareDfMax)
+      .select(col("w"), lit(1).as("is_rare"))
+    wc.join(broadcast(rare), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        coalesce(sum(when(col("is_rare") === 1, col("cnt"))), lit(0L))
+          .as("rare_tokens"))
+      .withColumn("rare_ppm", expr("rare_tokens * 1000000 div n_tokens"))
+      .withColumn("oov_heavy", col("rare_ppm") > oovHeavyPpm)
+      .orderBy(col("doc_id").asc)
+  }
+
+  def rareWordRatio(spark: SparkSession, dir: String): DataFrame =
+    rareWordRatio(Tables.documents(spark, dir))
 }

@@ -39,6 +39,28 @@ class TextStatsSpec extends SparkSpecBase {
     assert(bad.count() === 0)
   }
 
+  test("rare-word ratio: garbled doc lights up, normal text stays low") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "the common words appear here often", "en", "s", 0L),
+      (2L, "the common words appear here too", "en", "s", 0L),
+      (3L, "the common words appear here again", "en", "s", 0L),
+      (4L, "zxqv wkrj pqnm xvbz common the", "en", "s", 0L)) // garbled
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.rareWordRatio(fixture)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(4L).getAs[Boolean]("oov_heavy"),
+      "garbled doc must flag as OOV-heavy")
+    assert(!out(1L).getAs[Boolean]("oov_heavy"))
+    // ppm always in [0, 1e6]; token counts conserved
+    out.values.foreach { r =>
+      val ppm = r.getAs[Long]("rare_ppm")
+      assert(ppm >= 0 && ppm <= 1000000)
+      assert(r.getAs[Long]("rare_tokens") <= r.getAs[Long]("n_tokens"))
+    }
+    graft.core.Caches.releaseScratch(spark)
+  }
+
   test("distinctive terms: rare-in-corpus terms outrank common ones") {
     import spark.implicits._
     val fixture = Seq(
