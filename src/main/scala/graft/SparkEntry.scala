@@ -217,6 +217,9 @@ object SparkEntry {
     "q85_quality_checks"       -> ((s, d) => graft.analytics.QualityChecks.constraintReport(s, d)),
     // ---- rare-word/OOV ratio: the integer-exact LM-filter stand-in ----
     "q86_rare_word_ratio"      -> ((s, d) => TextStats.rareWordRatio(s, d)),
+    // ---- NATIVE session_window (vs q47's manual islands) ----
+    "q87_session_windows"      -> ((s, d) =>
+      TemporalOps.sessionWindows(EventsPipeline.silver(s, d))),
   )
 
   // ------------------------------------------------------------------
@@ -823,6 +826,30 @@ object SparkEntry {
          |         * 1000000 // SUM(wc.cnt) > 200000 AS oov_heavy
          |FROM wc LEFT JOIN rare r USING (w)
          |GROUP BY wc.doc_id ORDER BY wc.doc_id ASC""".stripMargin,
+    // q87: islands SQL with the native operator's boundary (the session
+    // end is INCLUSIVE: an event at exactly last+gap still extends, so
+    // only diff > gap opens a new session — same rule as q47).
+    "q87_session_windows" ->
+      (silverCte +
+        """, flagged AS (
+          |  SELECT user_id, event_id, ts,
+          |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+          |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+          |         ELSE 0 END AS new_session
+          |  FROM silver
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+          |numbered AS (
+          |  SELECT user_id, ts,
+          |    SUM(new_session) OVER (
+          |      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+          |  FROM flagged)
+          |SELECT user_id,
+          |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+          |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+          |       COUNT(*) AS n_events
+          |FROM numbered GROUP BY user_id, session_no
+          |ORDER BY user_id ASC, session_start ASC""".stripMargin),
     "q28_simhash_neardups" -> simhashOracle,
     // Blocking key mirrors TextDedup.ngramBlocks exactly: (lang, source,
     // n_chars div 256 length-band, adaptive md5 subshard capped at 64

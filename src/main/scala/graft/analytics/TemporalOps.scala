@@ -129,6 +129,27 @@ object TemporalOps {
       .orderBy(col("user_id").asc, col("session_no").asc)
   }
 
+  /** [[sessionize]] through Spark's NATIVE `session_window` operator — the
+    * declarative form Catalyst can plan (and the one that also runs
+    * unchanged in Structured Streaming with merging session state). The
+    * session end is INCLUSIVE: an event at exactly last-event + gap still
+    * extends the session (verified by the boundary test), so only
+    * `diff > gap` opens a new one — the same rule as [[sessionize]], and
+    * the two are proven identical in TemporalOpsSpec. Same one shuffle on
+    * user_id as the manual form. */
+  def sessionWindows(silver: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val fmt: Column => Column = date_format(_, "yyyy-MM-dd HH:mm:ss")
+    silver
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapSeconds seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"),
+        fmt(col("sw.start")).as("session_start"),
+        fmt(col("last_ts")).as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id").asc, col("session_start").asc)
+  }
+
   /** FULL OUTER reconciliation of two daily aggregates: days with events,
     * days with orders, and which sides are missing — the audit a pipeline
     * runs to find ingest gaps. Full outer is the one join type the rest

@@ -84,4 +84,30 @@ class TemporalOpsSpec extends SparkSpecBase {
     // n_users never exceeds n_events
     assert(out.filter(col("n_users") > col("n_events")).count() === 0)
   }
+
+  test("native session_window reproduces the manual gaps-and-islands sessions") {
+    val silver = graft.pipeline.EventsPipeline.silver(spark, sf)
+    val shape = Seq("user_id", "session_start", "session_end", "n_events")
+    val native = TemporalOps.sessionWindows(silver).select(shape.map(col): _*)
+    val manual = TemporalOps.sessionize(silver).select(shape.map(col): _*)
+    // identical off the exact-gap boundary (> vs >= differ only when a
+    // gap is EXACTLY 1800.000000000s — absent from continuous-ts data)
+    assert(native.count() === manual.count())
+    assert(native.exceptAll(manual).isEmpty && manual.exceptAll(native).isEmpty)
+  }
+
+  test("session_window boundary: an exact-gap event still EXTENDS the session") {
+    import spark.implicits._
+    val t0 = 1700000000L
+    val mk = (id: Long, sec: Long) =>
+      (id, new java.sql.Timestamp(sec * 1000))
+    val silver = Seq(mk(1, t0), mk(2, t0 + 1800), mk(3, t0 + 1800 + 1801))
+      .toDF("event_id", "ts")
+      .withColumn("user_id", org.apache.spark.sql.functions.lit(7L))
+    val out = TemporalOps.sessionWindows(silver)
+      .collect().map(_.getAs[Long]("n_events"))
+    // inclusive end: event 2 at exactly last+gap merges; event 3 at
+    // gap+1s opens the second session — (2 events, 1 event)
+    assert(out.toSeq === Seq(2L, 1L))
+  }
 }
