@@ -220,6 +220,11 @@ object SparkEntry {
     // ---- NATIVE session_window (vs q47's manual islands) ----
     "q87_session_windows"      -> ((s, d) =>
       TemporalOps.sessionWindows(EventsPipeline.silver(s, d))),
+    // ---- width_bucket fixed-bound histogram ----
+    "q88_value_histogram"      -> ((s, d) =>
+      Reports.valueHistogram(s, d)),
+    // ---- higher-order array functions (order-fixed folds) ----
+    "q89_vector_stats"         -> ((s, d) => Similarity.vectorStats(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -850,6 +855,30 @@ object SparkEntry {
           |       COUNT(*) AS n_events
           |FROM numbered GROUP BY user_id, session_no
           |ORDER BY user_id ASC, session_start ASC""".stripMargin),
+    // q88: width_bucket restated as the same IEEE ops Spark executes:
+    // (v - lo) / ((hi - lo) / n), truncated (values are non-negative so
+    // floor ≡ trunc), overflow buckets 0 and n+1.
+    "q88_value_histogram" ->
+      (silverCte +
+        """
+          |SELECT CASE WHEN value < 0.0 THEN 0
+          |            WHEN value >= 200.0 THEN 21
+          |            ELSE CAST(FLOOR((value - 0.0) / ((200.0 - 0.0) / 20)) AS BIGINT) + 1
+          |       END AS bucket,
+          |       COUNT(*) AS n, MIN(value) AS lo_seen, MAX(value) AS hi_seen
+          |FROM silver WHERE value IS NOT NULL
+          |GROUP BY 1 ORDER BY bucket ASC""".stripMargin),
+    // q89: sequential folds — DuckDB list_reduce with a prepended 0 seed
+    // reproduces Spark's aggregate() fold order exactly.
+    "q89_vector_stats" ->
+      """SELECT vec_id,
+        |       len(e) AS dim,
+        |       list_reduce(list_prepend(0.0, list_transform(e, x -> abs(x))),
+        |                   (a, b) -> a + b) AS l1,
+        |       list_max(list_transform(e, x -> abs(x))) AS linf,
+        |       len(list_filter(e, x -> x > 0)) AS n_positive
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |ORDER BY vec_id ASC""".stripMargin,
     "q28_simhash_neardups" -> simhashOracle,
     // Blocking key mirrors TextDedup.ngramBlocks exactly: (lang, source,
     // n_chars div 256 length-band, adaptive md5 subshard capped at 64

@@ -449,4 +449,24 @@ object Reports {
 
   def userQuartiles(spark: SparkSession, dir: String): DataFrame =
     userQuartiles(EventsPipeline.silver(spark, dir))
+
+  /** Fixed-bucket value histogram via `width_bucket`: explicit bounds are
+    * the scale-safe histogram (data-dependent bounds need a pre-pass;
+    * fixed bounds are one map-side-combinable aggregation — and the
+    * bucket function is codegen'd arithmetic, no UDF). Out-of-range
+    * values land in the 0 / n+1 overflow buckets by definition. */
+  def valueHistogram(silver: DataFrame, lo: Double = 0.0, hi: Double = 200.0,
+                     buckets: Int = 20): DataFrame =
+    silver
+      .filter(col("value").isNotNull)
+      .withColumn("bucket",
+        width_bucket(col("value"), lit(lo), lit(hi), lit(buckets)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("lo_seen"),
+        max(col("value")).as("hi_seen"))
+      .orderBy(col("bucket").asc)
+
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    valueHistogram(EventsPipeline.silver(spark, dir))
 }

@@ -348,4 +348,25 @@ object Similarity {
 
   def clusterProfile(spark: SparkSession, dir: String): DataFrame =
     clusterProfile(Tables.embeddings(spark, dir))
+
+  /** Per-vector statistics through HIGHER-ORDER array functions
+    * (`aggregate` fold, `transform`, `filter`) — the declarative array
+    * surface for when a custom expression is overkill. Folds evaluate
+    * sequentially in index order, so the double sums are ORDER-FIXED and
+    * engine-portable (unlike a parallel SUM over exploded rows). The hot
+    * path (dot products) stays on the codegen'd `graft_dot`; this is the
+    * coverage path for ad-hoc vector munging. */
+  def vectorStats(embeddings: DataFrame): DataFrame =
+    vecs(embeddings)
+      .select(
+        col("vec_id"),
+        size(col("v")).as("dim"),
+        aggregate(col("v"), lit(0.0), (acc, x) => acc + abs(x)).as("l1"),
+        aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x)))
+          .as("linf"),
+        size(filter(col("v"), x => x > 0)).as("n_positive"))
+      .orderBy(col("vec_id").asc)
+
+  def vectorStats(spark: SparkSession, dir: String): DataFrame =
+    vectorStats(Tables.embeddings(spark, dir))
 }

@@ -130,6 +130,20 @@ class ReportsSpec extends SparkSpecBase {
     assert(u.getAs[Long]("click") === direct)
   }
 
+  test("histogram buckets partition all non-null values within their bounds") {
+    val silver = graft.pipeline.EventsPipeline.silver(spark, sf)
+    val out = Reports.valueHistogram(silver).cache()
+    assert(out.agg(sum("n")).head.getLong(0) ===
+      silver.filter(col("value").isNotNull).count())
+    // each regular bucket's seen range lies inside its [lo, hi) bounds
+    val w = 200.0 / 20
+    out.filter(col("bucket").between(1, 20)).collect().foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Double]("lo_seen") >= (b - 1) * w)
+      assert(r.getAs[Double]("hi_seen") < b * w)
+    }
+  }
+
   test("quartiles partition the user base near-evenly and order by volume") {
     val out = Reports.userQuartiles(spark, sf).collect()
     assert(out.map(_.getAs[Long]("users")).sum ===

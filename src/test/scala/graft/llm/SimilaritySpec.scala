@@ -87,6 +87,15 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rows.exists(_.getAs[Long]("purity_bps") > 1000))
   }
 
+  test("vector stats: norms ordered, positives bounded by dim") {
+    val out = Similarity.vectorStats(emb).cache()
+    assert(out.count() === emb.count())
+    import org.apache.spark.sql.functions.col
+    assert(out.filter(col("linf") > col("l1")).count() === 0)
+    assert(out.filter(col("n_positive") > col("dim")).count() === 0)
+    assert(out.filter(col("l1") <= 0).count() === 0, "zero vectors unexpected")
+  }
+
   test("cluster profile broadcasts the quantizer (no corpus self-join)") {
     val plan = Similarity.clusterProfile(emb)
       .queryExecution.executedPlan.toString
