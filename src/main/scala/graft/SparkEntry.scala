@@ -225,6 +225,8 @@ object SparkEntry {
       Reports.valueHistogram(s, d)),
     // ---- higher-order array functions (order-fixed folds) ----
     "q89_vector_stats"         -> ((s, d) => Similarity.vectorStats(s, d)),
+    // ---- explicit GROUPING SETS + grouping_id (rollup/cube's sibling) ----
+    "q90_grouping_sets"        -> ((s, d) => StarQueries.ordersGroupingSets(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -868,6 +870,16 @@ object SparkEntry {
           |       COUNT(*) AS n, MIN(value) AS lo_seen, MAX(value) AS hi_seen
           |FROM silver WHERE value IS NOT NULL
           |GROUP BY 1 ORDER BY bucket ASC""".stripMargin),
+    // q90: DuckDB GROUPING() bit order matches Spark's grouping_id()
+    // (first column = most significant bit).
+    "q90_grouping_sets" ->
+      """SELECT year(o_orderdate) AS o_year, o_orderpriority,
+        |       GROUPING(year(o_orderdate), o_orderpriority) AS gid,
+        |       COUNT(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority), ())
+        |ORDER BY gid ASC, o_year ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
     // q89: sequential folds — DuckDB list_reduce with a prepended 0 seed
     // reproduces Spark's aggregate() fold order exactly.
     "q89_vector_stats" ->

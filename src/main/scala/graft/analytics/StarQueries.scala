@@ -124,6 +124,25 @@ object StarQueries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("o_year").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** Explicit GROUPING SETS — the third of the grouping-sets triple
+    * (ROLLUP q07, CUBE q49): exactly the named sets, no more — at scale
+    * this prunes the aggregation to the sets a dashboard actually reads
+    * (CUBE over k columns materializes 2^k sets; explicit sets stay
+    * linear). `grouping_id()` disambiguates which set a row belongs to —
+    * required because a NULL group value is ambiguous with a NULL in the
+    * data. */
+  def ordersGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Sessions.ensure(spark)
+    Tables.orders(spark, dir).createOrReplaceTempView("gs_orders")
+    spark.sql(
+      """SELECT year(o_orderdate) AS o_year, o_orderpriority,
+        |       grouping_id() AS gid, COUNT(*) AS cnt
+        |FROM gs_orders
+        |GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority), ())
+        |ORDER BY gid ASC, o_year ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
   /** A11: scalar-subquery-style grand total — share of customers per nation.
     * DataFrame form: window over empty partition (single exchange, no
     * crossJoin). */

@@ -65,6 +65,42 @@ class StreamingMaintenanceSpec extends SparkSpecBase {
       col("listen_count") === 3).count() === 1)
   }
 
+  test("session_window runs unchanged in streaming and matches the batch form") {
+    val inDir = tmpDir("ssw-in-")
+    val ckpt = tmpDir("ssw-ckpt-")
+    // user 1: two events 10 s apart (one session) then one 40 min later
+    // (second session); split across files → sessions must MERGE across
+    // micro-batches through the session state store
+    Files.write(Paths.get(inDir, "a.json"), String.join("\n",
+      ev(1, 1, 1, 1.0), ev(2, 2, 1, 1.0)).getBytes)
+    Files.write(Paths.get(inDir, "b.json"), String.join("\n",
+      s"""{"event_id":3,"ts":"2024-01-01 00:00:10","user_id":1,"event_type":"play","value":1.0}""",
+      s"""{"event_id":4,"ts":"2024-01-01 00:40:10","user_id":1,"event_type":"play","value":1.0}""",
+      // watermark driver: far-future event closes every session above
+      s"""{"event_id":5,"ts":"2024-01-02 00:00:00","user_id":9,"event_type":"play","value":1.0}""").getBytes)
+
+    val sessions = spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", 1).json(inDir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"))
+    val q = sessions.writeStream.format("memory").queryName("ssw_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow).start()
+    q.awaitTermination()
+
+    val got = spark.table("ssw_out")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    // u1: session of 2 events (ids 1 at :00 and 3 at :10 — CROSS-batch
+    // merge) + session of 1 event (id 4); u2: 1 event. u9's session is
+    // still open (nothing past it) and must NOT be emitted in append mode.
+    assert(got === Seq((1L, 1L), (1L, 2L), (2L, 1L)),
+      s"unexpected streamed sessions: $got")
+  }
+
   test("dropDuplicatesWithinWatermark dedups re-deliveries across batches") {
     val inDir = tmpDir("ddw-in-")
     val ckpt = tmpDir("ddw-ckpt-")
