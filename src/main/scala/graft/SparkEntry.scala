@@ -227,6 +227,11 @@ object SparkEntry {
     "q89_vector_stats"         -> ((s, d) => Similarity.vectorStats(s, d)),
     // ---- explicit GROUPING SETS + grouping_id (rollup/cube's sibling) ----
     "q90_grouping_sets"        -> ((s, d) => StarQueries.ordersGroupingSets(s, d)),
+    // ---- calendar-aware RANGE-interval rolling frame ----
+    "q91_rolling_7day"         -> ((s, d) =>
+      Reports.rolling7Day(s, EventsPipeline.silver(s, d))),
+    // ---- UNPIVOT: the pivot's shuffle-free inverse ----
+    "q92_user_type_unpivot"    -> ((s, d) => Reports.userTypeUnpivot(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -880,6 +885,35 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority), ())
         |ORDER BY gid ASC, o_year ASC NULLS FIRST,
         |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+    // q91: identical calendar-interval RANGE frame in both engines; the
+    // frame is over DATE so no timezone/precision skew is possible.
+    "q91_rolling_7day" ->
+      (silverCte +
+        """, daily AS (
+          |  SELECT user_id, event_date, COUNT(*) AS listen_count
+          |  FROM silver GROUP BY 1, 2)
+          |SELECT user_id, event_date, listen_count,
+          |       SUM(listen_count) OVER w AS cnt_7d,
+          |       COUNT(*) OVER w AS active_days_7d
+          |FROM daily
+          |WINDOW w AS (PARTITION BY user_id ORDER BY event_date
+          |             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+          |ORDER BY user_id ASC, event_date ASC""".stripMargin),
+    // q92: DuckDB UNPIVOT over the same explicit-domain wide matrix;
+    // zero-count combos survive on both sides.
+    "q92_user_type_unpivot" ->
+      (silverCte +
+        """, wide AS (
+          |  SELECT user_id,
+          |       COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
+          |       COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error,
+          |       COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
+          |       COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
+          |       COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view
+          |  FROM silver GROUP BY 1)
+          |SELECT user_id, event_type, cnt
+          |FROM wide UNPIVOT (cnt FOR event_type IN (click, error, purchase, signup, view))
+          |ORDER BY user_id ASC, event_type ASC""".stripMargin),
     // q89: sequential folds — DuckDB list_reduce with a prepended 0 seed
     // reproduces Spark's aggregate() fold order exactly.
     "q89_vector_stats" ->

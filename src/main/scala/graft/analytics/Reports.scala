@@ -427,6 +427,46 @@ object Reports {
   def userTypePivot(spark: SparkSession, dir: String): DataFrame =
     userTypePivot(EventsPipeline.silver(spark, dir))
 
+  /** UNPIVOT — the pivot's inverse (wide activity matrix back to long
+    * (user, type, cnt) rows). `Dataset.unpivot` is a narrow, shuffle-free
+    * projection: each wide row explodes to k long rows in place, so at
+    * 100 TB it adds zero exchanges on top of the pivot that produced the
+    * input. Zero-count combinations survive (unlike a plain groupBy,
+    * which drops groups with no rows) — exactly what a dense
+    * feature-matrix consumer wants. */
+  def userTypeUnpivot(silver: DataFrame): DataFrame =
+    userTypePivot(silver)
+      .unpivot(
+        Array(col("user_id")),
+        EventTypes.map(col).toArray,
+        "event_type", "cnt")
+      .orderBy(col("user_id").asc, col("event_type").asc)
+
+  def userTypeUnpivot(spark: SparkSession, dir: String): DataFrame =
+    userTypeUnpivot(EventsPipeline.silver(spark, dir))
+
+  /** Time-RANGE rolling window: 7-day rolling listen totals per user over
+    * the daily gold rollup. The frame is `RANGE BETWEEN INTERVAL 6 DAY
+    * PRECEDING AND CURRENT ROW` over event_date — calendar-aware, so a
+    * user with gap days gets a frame of the days that EXIST in the last
+    * week, where a `ROWS 6 PRECEDING` frame would silently reach weeks
+    * back. Scale shape: the window runs over the users×days gold table
+    * (already aggregated), partitioned by user_id — one shuffle, small
+    * per-partition state (a week of rows), no whole-history buffering. */
+  def rolling7Day(spark: SparkSession, silver: DataFrame): DataFrame = {
+    EventsPipeline.goldDailyOf(silver)
+      .select(col("user_id"), col("event_date"), col("listen_count"))
+      .createOrReplaceTempView("rr_daily")
+    spark.sql(
+      """SELECT user_id, event_date, listen_count,
+        |       SUM(listen_count) OVER w AS cnt_7d,
+        |       COUNT(*) OVER w AS active_days_7d
+        |FROM rr_daily
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_date
+        |             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id ASC, event_date ASC""".stripMargin)
+  }
+
   /** Quartile segmentation: ntile(4) over per-user listen counts (ties
     * broken by user_id → deterministic in any engine), rolled up to the
     * per-quartile profile a lifecycle-marketing report wants. The window

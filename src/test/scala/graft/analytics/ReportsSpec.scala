@@ -156,4 +156,42 @@ class ReportsSpec extends SparkSpecBase {
     val mins = out.sortBy(_.getAs[Int]("quartile")).map(_.getAs[Long]("min_listens"))
     assert(mins.zip(mins.tail).forall { case (hi, lo) => hi >= lo })
   }
+
+  test("RANGE-interval frame is calendar-aware where a ROWS frame is not") {
+    import spark.implicits._
+    // user 1 is active Jan 1-3, silent two weeks, then active Jan 20.
+    // The 7-day RANGE frame at Jan 20 must contain ONLY Jan 20; a ROWS
+    // 6-PRECEDING frame would reach back across the gap to Jan 1-3.
+    val silver = Seq(
+      (1L, "2024-01-01", 2L), (1L, "2024-01-02", 3L),
+      (1L, "2024-01-03", 1L), (1L, "2024-01-20", 4L))
+      .flatMap { case (u, d, n) => (1L to n).map(i => (u, d, i)) }
+      .toDF("user_id", "d", "i")
+      .select(col("user_id"), to_date(col("d")).as("event_date"),
+        col("i"), lit("click").as("event_type"))
+    val out = Reports.rolling7Day(spark, silver)
+      .collect().map(r => (r.getAs[java.sql.Date]("event_date").toString,
+        r.getAs[Long]("cnt_7d"), r.getAs[Long]("active_days_7d"))).toSeq
+    assert(out === Seq(
+      ("2024-01-01", 2L, 1L), ("2024-01-02", 5L, 2L),
+      ("2024-01-03", 6L, 3L), ("2024-01-20", 4L, 1L)))
+  }
+
+  test("unpivot inverts the pivot: long form ≡ counts, zero rows kept") {
+    val silver = graft.pipeline.EventsPipeline.silver(spark, sf)
+    val long = Reports.userTypeUnpivot(silver).cache()
+    val users = silver.select(countDistinct(col("user_id"))).head.getLong(0)
+    // dense matrix: exactly |users| × |types| rows
+    assert(long.count() === users * Reports.EventTypes.size)
+    // zero-count combos survive (crafted user with a single type: the
+    // other four types must appear as explicit cnt=0 rows)
+    import spark.implicits._
+    val one = Seq((42L, "click")).toDF("user_id", "event_type")
+    assert(Reports.userTypeUnpivot(one).filter(col("cnt") === 0).count() === 4)
+    // non-zero long rows coincide with the direct groupBy counts
+    val direct = silver.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+    assert(long.filter(col("cnt") > 0).exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(long.filter(col("cnt") > 0)).count() === 0)
+  }
 }
