@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Diagnostics, History, Reports, StarQueries, TemporalOps}
+import graft.analytics.{Diagnostics, Graphs, History, Reports, StarQueries, TemporalOps}
 import graft.ingest.Medallion
 import graft.llm.{Curation, Decontaminate, DupClusters, EmbedDedup, Multimodal, Scrub, Similarity, TextDedup, TextStats}
 import graft.pipeline.EventsPipeline
@@ -232,6 +232,11 @@ object SparkEntry {
       Reports.rolling7Day(s, EventsPipeline.silver(s, d))),
     // ---- UNPIVOT: the pivot's shuffle-free inverse ----
     "q92_user_type_unpivot"    -> ((s, d) => Reports.userTypeUnpivot(s, d)),
+    // ---- triangle census with degree-ordered orientation (curse-of-the-
+    //      last-reducer kernel) ----
+    "q93_copurchase_triangles" -> ((s, d) => Graphs.coPurchaseTriangles(s, d)),
+    // ---- concat-and-chunk sequence packing (pretraining layout) ----
+    "q94_sequence_packing"     -> ((s, d) => Curation.packSequences(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -914,6 +919,56 @@ object SparkEntry {
           |SELECT user_id, event_type, cnt
           |FROM wide UNPIVOT (cnt FOR event_type IN (click, error, purchase, signup, view))
           |ORDER BY user_id ASC, event_type ASC""".stripMargin),
+    // q93: same degree-ordered orientation on both sides; exact integer
+    // counts. The (deg, id) total order makes the wedge/closing joins
+    // engine-independent.
+    "q93_copurchase_triangles" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |edges AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (
+        |  SELECT n, COUNT(*) AS d FROM (
+        |    SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
+        |  GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+        |              THEN e.u ELSE e.v END AS src,
+        |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+        |              THEN e.v ELSE e.u END AS dst
+        |  FROM edges e
+        |  JOIN deg du ON du.n = e.u
+        |  JOIN deg dv ON dv.n = e.v),
+        |od AS (SELECT o.src, o.dst, d.d AS dst_d FROM o JOIN deg d ON d.n = o.dst),
+        |w AS (
+        |  SELECT e1.dst AS b, e2.dst AS c
+        |  FROM od e1 JOIN od e2 ON e1.src = e2.src
+        |   AND (e1.dst_d < e2.dst_d OR (e1.dst_d = e2.dst_d AND e1.dst < e2.dst))),
+        |tri AS (
+        |  SELECT COUNT(*) AS n_triangles
+        |  FROM w JOIN o ON o.src = w.b AND o.dst = w.c)
+        |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+        |       (SELECT COUNT(*) FROM edges) AS n_edges,
+        |       n_triangles
+        |FROM tri""".stripMargin,
+    // q94: exclusive prefix sum via ROWS UNBOUNDED PRECEDING .. 1
+    // PRECEDING; integer `//` division places docs in chunks identically.
+    "q94_sequence_packing" ->
+      s"""WITH toks AS (
+         |  SELECT source, doc_id,
+         |         CAST(len(str_split($duckNorm, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |off AS (
+         |  SELECT *, COALESCE(SUM(n_tokens) OVER (
+         |    PARTITION BY source ORDER BY doc_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+         |  FROM toks)
+         |SELECT source, start_offset // 512 AS chunk_id,
+         |       COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM off GROUP BY 1, 2
+         |ORDER BY source ASC, chunk_id ASC""".stripMargin,
     // q89: sequential folds — DuckDB list_reduce with a prepended 0 seed
     // reproduces Spark's aggregate() fold order exactly.
     "q89_vector_stats" ->

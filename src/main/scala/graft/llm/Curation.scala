@@ -183,4 +183,40 @@ object Curation {
 
   def curationVerdicts(spark: SparkSession, dir: String): DataFrame =
     curationVerdicts(Tables.documents(spark, dir))
+
+  /** Concat-and-chunk sequence packing — the standard pretraining layout:
+    * within each source shard, documents are concatenated in a
+    * deterministic order (doc_id) into one token stream, and the stream is
+    * sliced into fixed `budget`-token training sequences. A document's
+    * chunk is `start_offset div budget` where start_offset is the
+    * exclusive prefix sum of token counts — pure integer arithmetic, so
+    * re-runs (and the oracle) place every doc identically.
+    *
+    * Scale shape: ONE window (prefix sum partitioned by source, ordered by
+    * doc_id) + one map-side-combinable aggregation — a single shuffle on
+    * source, no driver-side packing loop. At 100 TB the shard key would be
+    * (source, file-split) so each prefix sum stays partition-sized; the
+    * chunk arithmetic is unchanged. */
+  def packSequences(docs: DataFrame, budget: Int = 512): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val toks = docs
+      .withColumn("norm", norm)
+      .select(col("source"), col("doc_id"),
+        size(split(col("norm"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("source").orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("chunk_id", expr(s"start_offset div $budget"))
+      .groupBy(col("source"), col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source").asc, col("chunk_id").asc)
+  }
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(spark, dir))
 }

@@ -1,0 +1,48 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class GraphsSpec extends SparkSpecBase {
+
+  test("triangle census is exact on a crafted graph (K4 + pendant)") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles) + pendant edge 4-5 (no new triangle)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("u", "v")
+    val out = Graphs.triangleCensus(edges).head
+    assert(out.getAs[Long]("n_nodes") === 5L)
+    assert(out.getAs[Long]("n_edges") === 7L)
+    assert(out.getAs[Long]("n_triangles") === 4L)
+  }
+
+  test("degree-ordered count matches the brute-force closed-wedge count") {
+    // deterministic pseudo-random graph (no RNG: hash arithmetic)
+    import spark.implicits._
+    val n = 40
+    val edges = (for {
+      u <- 1 to n; v <- (u + 1) to n
+      if (u * 7919 + v * 104729) % 5 == 0
+    } yield (u.toLong, v.toLong)).toDF("u", "v")
+    val got = Graphs.triangleCensus(edges).head.getAs[Long]("n_triangles")
+    // brute force: every node triple with all three edges present
+    val e = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def has(a: Long, b: Long) = e((a min b, a max b))
+    val brute = (for {
+      a <- 1L to n; b <- (a + 1) to n; c <- (b + 1) to n
+      if has(a, b) && has(a, c) && has(b, c)
+    } yield 1).size
+    assert(got === brute.toLong)
+  }
+
+  test("co-purchase edges ignore duplicate lineitem part entries") {
+    import spark.implicits._
+    // order 10 lists part 1 twice: no self-edge, single (1,2) edge
+    val li = Seq((10L, 1L), (10L, 1L), (10L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+    val edges = Graphs.coPurchaseEdges(li).collect()
+    assert(edges.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+  }
+}

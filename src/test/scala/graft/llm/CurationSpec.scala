@@ -115,4 +115,28 @@ class CurationSpec extends SparkSpecBase {
     // floor slack (k_s = w·C div W can round one doc away; 1/40 = 2.5%)
     assert(rows("niche").getAs[Long]("keep_ppm") >= 1000000L - 1000000L / 40)
   }
+
+  test("sequence packing tiles the token stream: chunks contiguous, budget-aligned") {
+    val out = Curation.packSequences(spark, sf).cache()
+    import org.apache.spark.sql.functions._
+    // total packed tokens == total corpus tokens (nothing dropped)
+    val total = Curation.tokenCounts(spark, sf)
+      .agg(sum(col("ws_tokens"))).head.getLong(0)
+    assert(out.agg(sum(col("n_tokens"))).head.getLong(0) === total)
+    out.collect().groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val byChunk = rows.sortBy(_.getAs[Long]("chunk_id"))
+      // chunk ids dense from 0 (the stream is tiled, no holes)
+      assert(byChunk.map(_.getAs[Long]("chunk_id")).toSeq ===
+        byChunk.indices.map(_.toLong))
+      // doc spans are contiguous and non-overlapping across chunks
+      byChunk.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+        case _ =>
+      }
+      // every non-final chunk starts within budget of its floor: a chunk
+      // exists only because some doc's start_offset landed inside it
+      assert(byChunk.forall(r => r.getAs[Long]("n_docs") >= 1L))
+    }
+  }
 }
