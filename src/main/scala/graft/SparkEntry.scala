@@ -237,6 +237,10 @@ object SparkEntry {
     "q93_copurchase_triangles" -> ((s, d) => Graphs.coPurchaseTriangles(s, d)),
     // ---- concat-and-chunk sequence packing (pretraining layout) ----
     "q94_sequence_packing"     -> ((s, d) => Curation.packSequences(s, d)),
+    // ---- per-dimension embedding stats (normalization pre-pass) ----
+    "q95_dim_stats"            -> ((s, d) => Similarity.dimStats(s, d)),
+    // ---- Z-order curve (multi-column data-skipping layout) ----
+    "q96_zorder_curve"         -> ((s, d) => graft.analytics.Layout.zOrderCurve(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -969,6 +973,27 @@ object SparkEntry {
          |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM off GROUP BY 1, 2
          |ORDER BY source ASC, chunk_id ASC""".stripMargin,
+    // q95: unnest-with-position ≡ posexplode; float→double widening is
+    // exact, stats are order-independent (min/max/counts, one subtract).
+    "q95_dim_stats" ->
+      """WITH u AS (
+        |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings)
+        |SELECT pos, COUNT(*) AS n, MIN(x) AS lo, MAX(x) AS hi,
+        |       SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS n_positive,
+        |       SUM(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS n_zero,
+        |       MAX(x) - MIN(x) AS range
+        |FROM u GROUP BY pos ORDER BY pos ASC""".stripMargin,
+    // q96: the identical bit-interleave expression, generated from one
+    // source of truth (ZOrder.zValueSql) — exact integer parity.
+    "q96_zorder_curve" ->
+      s"""SELECT ${graft.functions.ZOrder.zValueSql("l_partkey", "l_suppkey",
+            graft.analytics.Layout.CurveBits)} AS z,
+         |       l_partkey, l_suppkey, l_orderkey, l_linenumber
+         |FROM lineitem
+         |ORDER BY z ASC, l_orderkey ASC, l_linenumber ASC
+         |LIMIT 200""".stripMargin,
     // q89: sequential folds — DuckDB list_reduce with a prepended 0 seed
     // reproduces Spark's aggregate() fold order exactly.
     "q89_vector_stats" ->

@@ -369,4 +369,30 @@ object Similarity {
 
   def vectorStats(spark: SparkSession, dir: String): DataFrame =
     vectorStats(Tables.embeddings(spark, dir))
+
+  /** Per-DIMENSION corpus statistics via `posexplode` — the feature-
+    * normalization pre-pass an ANN/quantization pipeline runs before
+    * scaling or product-quantizing vectors. Explode is a narrow op (rows →
+    * rows×dim, no shuffle); the single aggregation shuffles on `pos`,
+    * which has exactly `dim` distinct values — at 100 TB the reduce side
+    * is dim-sized (tiny), and partial aggregation does all the work
+    * map-side. Stats are order-independent exact (min/max/counts; a
+    * single max−min subtraction) — no double summation, so the result is
+    * identical under any partitioning and in any engine. */
+  def dimStats(embeddings: DataFrame): DataFrame =
+    vecs(embeddings)
+      .select(posexplode(col("v")).as(Seq("pos", "val")))
+      .select(col("pos"), col("val").cast("double").as("x"))
+      .groupBy(col("pos"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("x")).as("lo"),
+        max(col("x")).as("hi"),
+        sum(when(col("x") > 0, 1L).otherwise(0L)).as("n_positive"),
+        sum(when(col("x") === 0, 1L).otherwise(0L)).as("n_zero"))
+      .withColumn("range", col("hi") - col("lo"))
+      .orderBy(col("pos").asc)
+
+  def dimStats(spark: SparkSession, dir: String): DataFrame =
+    dimStats(Tables.embeddings(spark, dir))
 }
