@@ -3,7 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Caches, Tables}
 
 /** Distributed graph analytics over the order co-purchase graph (parts that
   * appear in the same order are connected). Complements the iterative
@@ -12,15 +12,21 @@ import graft.core.Tables
   *
   * Scale design — the naive triangle join (edges³) dies on hub nodes: a
   * part in k orders contributes O(k²) wedges. The classic fix (node-
-  * iterator++ / Schank–Wagner; also the standard MapReduce formulation from
-  * Suri & Vassilvitskii's "Counting Triangles and the Curse of the Last
-  * Reducer", WWW'11) is DEGREE ORDERING: orient every edge from its
-  * lower-(degree, id) endpoint to the higher one. Every triangle then has
-  * exactly ONE apex with two out-edges, wedge fan-out per node is bounded
-  * by out-degree ≤ O(√m), and the hot-reducer skew of hub nodes vanishes —
-  * the exact "curse of the last reducer" a 100 TB co-occurrence graph hits.
-  * All joins are equi-joins on node ids (shuffle-partitioned); the degree
-  * table is nodes-sized and broadcast.
+  * iterator++ / Schank–Wagner; the MapReduce formulation is Suri &
+  * Vassilvitskii's "Counting Triangles and the Curse of the Last Reducer",
+  * WWW'11) is DEGREE ORDERING: orient every edge from its lower-(degree,
+  * id) endpoint to the higher one. Every triangle then has exactly one
+  * low-apex orientation a→b, a→c, b→c, out-degrees are bounded by O(√m),
+  * and hub-reducer skew vanishes.
+  *
+  * On top of the orientation we count by ADJACENCY INTERSECTION, not by
+  * materializing wedges: triangles = Σ over oriented edges (u,v) of
+  * |N⁺(u) ∩ N⁺(v)|. The wedge formulation shuffles O(Σ d⁺²) rows (tens of
+  * millions here); the intersection join shuffles only the EDGE list and
+  * broadcasts the nodes-sized adjacency table — same exact count, one
+  * order of magnitude less data movement. (GraphFrames' triangleCount
+  * uses the same shape.) `array_intersect` on sorted long arrays stays in
+  * codegen; no UDF.
   */
 object Graphs {
 
@@ -45,8 +51,7 @@ object Graphs {
 
   /** Triangle census over arbitrary undirected (u < v) distinct edges. */
   def triangleCensus(edges0: DataFrame): DataFrame = {
-    val spark = edges0.sparkSession
-    val edges = edges0.cache() // scanned 4× (deg, orient, wedge, close)
+    val edges = Caches.scratch(edges0) // scanned by deg, orient, census
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -54,30 +59,27 @@ object Graphs {
     // degree table so orientation adds no shuffle over the edge list
     val lower = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = edges
+    val oriented = Caches.scratch(edges
       .join(broadcast(deg).withColumnRenamed("n", "u")
         .withColumnRenamed("d", "du"), "u")
       .join(broadcast(deg).withColumnRenamed("n", "v")
         .withColumnRenamed("d", "dv"), "v")
       .select(
         when(lower, col("u")).otherwise(col("v")).as("src"),
-        when(lower, col("v")).otherwise(col("u")).as("dst"),
-        when(lower, col("dv")).otherwise(col("du")).as("dst_d"))
-      .cache()
-    // wedges from each apex's out-edges, smaller-(deg, id) leg first so
-    // the closing edge is itself oriented (b → c)
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.src") === col("e2.src") &&
-          (col("e1.dst_d") < col("e2.dst_d") ||
-            (col("e1.dst_d") === col("e2.dst_d") &&
-              col("e1.dst") < col("e2.dst"))))
-      .select(col("e1.dst").as("b"), col("e2.dst").as("c"))
-    val triangles = wedges.join(oriented,
-        col("b") === col("src") && col("c") === col("dst"))
-      .agg(count(lit(1)).as("n_triangles"))
-    val counts = deg.agg(count(lit(1)).as("n_nodes"))
+        when(lower, col("v")).otherwise(col("u")).as("dst")))
+    // out-adjacency lists: ≤ O(√m) neighbors per node by construction
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val triangles = oriented
+      .join(broadcast(adj).select(col("src"), col("nbrs").as("src_nbrs")),
+        "src")
+      .join(broadcast(adj).select(col("src").as("dst"),
+        col("nbrs").as("dst_nbrs")), "dst")
+      .agg(coalesce(
+        sum(size(array_intersect(col("src_nbrs"), col("dst_nbrs"))).cast("long")),
+        lit(0L)).as("n_triangles"))
+    deg.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
       .crossJoin(triangles)
-    counts
   }
 }
