@@ -241,6 +241,10 @@ object SparkEntry {
     "q95_dim_stats"            -> ((s, d) => Similarity.dimStats(s, d)),
     // ---- Z-order curve (multi-column data-skipping layout) ----
     "q96_zorder_curve"         -> ((s, d) => graft.analytics.Layout.zOrderCurve(s, d)),
+    // ---- blocked fuzzy matching (entity resolution: block → verify) ----
+    "q97_fuzzy_part_names"     -> ((s, d) => graft.llm.FuzzyMatch.fuzzyPartNames(s, d)),
+    // ---- map-typed profiles + higher-order map functions ----
+    "q98_user_map_profile"     -> ((s, d) => Reports.userTypeMapProfile(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -994,6 +998,37 @@ object SparkEntry {
          |FROM lineitem
          |ORDER BY z ASC, l_orderkey ASC, l_linenumber ASC
          |LIMIT 200""".stripMargin,
+    // q97: levenshtein is the same DP in both engines (exact integers);
+    // block key = last name token on both sides.
+    "q97_fuzzy_part_names" ->
+      """WITH names AS (
+        |  SELECT p_name AS name, COUNT(*) AS n_parts FROM part GROUP BY 1),
+        |b AS (
+        |  SELECT *, list_extract(str_split(name, ' '), -1) AS block FROM names)
+        |SELECT a.name AS name_a, b2.name AS name_b,
+        |       CAST(levenshtein(a.name, b2.name) AS INTEGER) AS dist,
+        |       a.n_parts AS n_parts_a, b2.n_parts AS n_parts_b
+        |FROM b a JOIN b b2 ON a.block = b2.block AND a.name < b2.name
+        |WHERE levenshtein(a.name, b2.name) <= 3
+        |  AND levenshtein(a.name, b2.name) > 0
+        |ORDER BY name_a ASC, name_b ASC""".stripMargin,
+    // q98: the JSON text of a key-sorted map is engine-portable; DuckDB
+    // rebuilds Spark's to_json(map) byte for byte with an ordered
+    // string_agg (and '{}' for an empty filtered map).
+    "q98_user_map_profile" ->
+      (silverCte +
+        """, cnts AS (
+          |  SELECT user_id, event_type, COUNT(*) AS cnt
+          |  FROM silver GROUP BY 1, 2)
+          |SELECT user_id,
+          |  '{' || string_agg(format('"{}":{}', event_type, cnt), ','
+          |           ORDER BY event_type ASC) || '}' AS profile_json,
+          |  CAST(COUNT(*) AS INTEGER) AS n_types,
+          |  '{' || COALESCE(string_agg(format('"{}":{}', event_type, cnt), ','
+          |           ORDER BY event_type ASC) FILTER (WHERE cnt >= 10), '')
+          |      || '}' AS major_json,
+          |  CAST(COUNT(*) FILTER (WHERE cnt >= 10) AS INTEGER) AS n_major_types
+          |FROM cnts GROUP BY user_id ORDER BY user_id ASC""".stripMargin),
     // q89: sequential folds — DuckDB list_reduce with a prepended 0 seed
     // reproduces Spark's aggregate() fold order exactly.
     "q89_vector_stats" ->

@@ -445,6 +445,35 @@ object Reports {
   def userTypeUnpivot(spark: SparkSession, dir: String): DataFrame =
     userTypeUnpivot(EventsPipeline.silver(spark, dir))
 
+  /** MAP-typed profile: each user's event_type→count map assembled with
+    * `map_from_entries` over a SORTED entry array (map equality/serialized
+    * form is insertion-ordered, so sorting first makes the map
+    * deterministic), trimmed with the higher-order `map_filter`, and
+    * serialized with `to_json` for engine-portable comparison. The map
+    * column is the natural sink for per-entity sparse features at 100 TB:
+    * one row per user instead of one per (user, type), no second shuffle
+    * to re-widen downstream. All map ops are per-row (narrow); the only
+    * shuffle is the (user, type) count. */
+  def userTypeMapProfile(silver: DataFrame, minCount: Long = 10): DataFrame =
+    silver
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("event_type"), col("cnt"))))).as("m"))
+      .select(
+        col("user_id"),
+        to_json(col("m")).as("profile_json"),
+        size(col("m")).as("n_types"),
+        to_json(map_filter(col("m"), (_, v) => v >= minCount))
+          .as("major_json"),
+        size(map_filter(col("m"), (_, v) => v >= minCount))
+          .as("n_major_types"))
+      .orderBy(col("user_id").asc)
+
+  def userTypeMapProfile(spark: SparkSession, dir: String): DataFrame =
+    userTypeMapProfile(EventsPipeline.silver(spark, dir))
+
   /** Time-RANGE rolling window: 7-day rolling listen totals per user over
     * the daily gold rollup. The frame is `RANGE BETWEEN INTERVAL 6 DAY
     * PRECEDING AND CURRENT ROW` over event_date — calendar-aware, so a

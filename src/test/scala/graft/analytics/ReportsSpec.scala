@@ -194,4 +194,25 @@ class ReportsSpec extends SparkSpecBase {
     assert(long.filter(col("cnt") > 0).exceptAll(direct).count() === 0)
     assert(direct.exceptAll(long.filter(col("cnt") > 0)).count() === 0)
   }
+
+  test("map profile round-trips to the flat counts; filter trims, never adds") {
+    val silver = graft.pipeline.EventsPipeline.silver(spark, sf)
+    val out = Reports.userTypeMapProfile(silver).cache()
+    // explode the serialized map back to rows == direct counts
+    val back = out.select(col("user_id"),
+      explode(from_json(col("profile_json"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")))
+        .as(Seq("event_type", "cnt")))
+    val direct = silver.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+    assert(back.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(back).count() === 0)
+    // major map is a subset, and an all-minor user serializes as "{}"
+    import spark.implicits._
+    val tiny = Seq((7L, "click")).toDF("user_id", "event_type")
+    val t = Reports.userTypeMapProfile(tiny).head
+    assert(t.getAs[String]("major_json") === "{}")
+    assert(t.getAs[Int]("n_major_types") === 0)
+    assert(out.filter(col("n_major_types") > col("n_types")).count() === 0)
+  }
 }
