@@ -245,6 +245,11 @@ object SparkEntry {
     "q97_fuzzy_part_names"     -> ((s, d) => graft.llm.FuzzyMatch.fuzzyPartNames(s, d)),
     // ---- map-typed profiles + higher-order map functions ----
     "q98_user_map_profile"     -> ((s, d) => Reports.userTypeMapProfile(s, d)),
+    // ---- first BPE merge step over the word-frequency table ----
+    "q99_bpe_merge_candidates" -> ((s, d) => TextStats.bpeMergeCandidates(s, d)),
+    // ---- generator-based calendar densification (gap fill) ----
+    "q100_calendar_gap_fill"   -> ((s, d) =>
+      TemporalOps.calendarGapFill(EventsPipeline.silver(s, d))),
   )
 
   // ------------------------------------------------------------------
@@ -1029,6 +1034,38 @@ object SparkEntry {
           |      || '}' AS major_json,
           |  CAST(COUNT(*) FILTER (WHERE cnt >= 10) AS INTEGER) AS n_major_types
           |FROM cnts GROUP BY user_id ORDER BY user_id ASC""".stripMargin),
+    // q99: same word-frequency-table-first BPE census; pair lists via
+    // list comprehension ≡ transform(sequence(...)). Exact integers.
+    "q99_bpe_merge_candidates" ->
+      s"""WITH words AS (
+         |  SELECT w, COUNT(*) AS wc FROM (
+         |    SELECT unnest(str_split($duckNorm, ' ')) AS w FROM documents)
+         |  GROUP BY w),
+         |pairs AS (
+         |  SELECT wc, unnest([substring(w, i, 2)
+         |                     for i in range(1, length(w))]) AS pair
+         |  FROM words WHERE length(w) >= 2)
+         |SELECT pair, SUM(wc) AS weight
+         |FROM pairs GROUP BY pair
+         |ORDER BY weight DESC, pair ASC LIMIT 30""".stripMargin,
+    // q100: generate_series per user ≡ sequence(); DATE arithmetic only,
+    // so the generated calendars agree to the day.
+    "q100_calendar_gap_fill" ->
+      (silverCte +
+        """, daily AS (
+          |  SELECT user_id, event_date, COUNT(*) AS listen_count
+          |  FROM silver GROUP BY 1, 2),
+          |cal AS (
+          |  SELECT user_id,
+          |         CAST(unnest(generate_series(MIN(event_date),
+          |                MAX(event_date), INTERVAL 1 DAY)) AS DATE) AS event_date
+          |  FROM daily GROUP BY user_id)
+          |SELECT c.user_id, c.event_date,
+          |       COALESCE(d.listen_count, 0) AS listen_count,
+          |       d.listen_count IS NULL AS is_gap
+          |FROM cal c LEFT JOIN daily d
+          |  ON c.user_id = d.user_id AND c.event_date = d.event_date
+          |ORDER BY c.user_id ASC, c.event_date ASC""".stripMargin),
     // q89: sequential folds — DuckDB list_reduce with a prepended 0 seed
     // reproduces Spark's aggregate() fold order exactly.
     "q89_vector_stats" ->

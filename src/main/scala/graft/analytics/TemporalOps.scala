@@ -193,4 +193,28 @@ object TemporalOps {
         col("window.start").cast("long").as("win_start"),
         col("event_type"), col("n_events"), col("n_users"))
       .orderBy(col("win_start").asc, col("event_type").asc)
+
+  /** Calendar densification (gap fill): every user gets a row for EVERY
+    * day of their active span, absent days filled with 0 — the
+    * preprocessing a time-series model (or the RANGE-frame q91) needs to
+    * treat "no data" as an observation. The calendar is GENERATED per
+    * user with `sequence(min_day, max_day)` + explode — a narrow op whose
+    * output is span-sized, joined back to the daily rollup on the
+    * (user, day) key both sides already shuffle on. No driver-side
+    * calendar, no cross join with a global date dimension (which at
+    * 100 TB would fan every user to the full corpus span). */
+  def calendarGapFill(silver: DataFrame): DataFrame = {
+    val daily = graft.pipeline.EventsPipeline.goldDailyOf(silver)
+      .select(col("user_id"), col("event_date"), col("listen_count"))
+    val cal = daily.groupBy(col("user_id"))
+      .agg(min(col("event_date")).as("d0"), max(col("event_date")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("event_date"))
+    cal.join(daily, Seq("user_id", "event_date"), "left")
+      .select(
+        col("user_id"), col("event_date"),
+        coalesce(col("listen_count"), lit(0L)).as("listen_count"),
+        col("listen_count").isNull.as("is_gap"))
+      .orderBy(col("user_id").asc, col("event_date").asc)
+  }
 }

@@ -292,4 +292,31 @@ object TextStats {
 
   def rareWordRatio(spark: SparkSession, dir: String): DataFrame =
     rareWordRatio(Tables.documents(spark, dir))
+
+  /** First BPE merge step: the corpus-weighted census of adjacent
+    * character pairs — exactly what a tokenizer trainer computes to pick
+    * its next merge. The decisive scale move is aggregating to the WORD
+    * FREQUENCY TABLE first (classic BPE training): pair explosion runs
+    * over |vocab| distinct words (thousands), not corpus tokens
+    * (trillions at 100 TB), and the corpus weight rides along as a
+    * count. Pair generation is `transform(sequence(...))` — codegen'd
+    * array ops, no UDF; single-char words are filtered BEFORE
+    * `sequence(1, len-1)` (Spark's sequence(1, 0) counts DOWN, it is not
+    * empty). Top-k with a full (weight, pair) tiebreak is deterministic. */
+  def bpeMergeCandidates(docs: DataFrame, k: Int = 30): DataFrame = {
+    val words = docs
+      .select(explode(split(norm, " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .filter(length(col("w")) >= 2)
+    words
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("weight"))
+      .orderBy(col("weight").desc, col("pair").asc)
+      .limit(k)
+  }
+
+  def bpeMergeCandidates(spark: SparkSession, dir: String): DataFrame =
+    bpeMergeCandidates(Tables.documents(spark, dir))
 }

@@ -110,4 +110,28 @@ class TemporalOpsSpec extends SparkSpecBase {
     // gap+1s opens the second session — (2 events, 1 event)
     assert(out.toSeq === Seq(2L, 1L))
   }
+
+  test("gap fill densifies spans; afterwards ROWS frame ≡ RANGE-interval frame") {
+    val silver = graft.pipeline.EventsPipeline.silver(spark, sf)
+    val filled = TemporalOps.calendarGapFill(silver).cache()
+    // per-user spans are contiguous: row count == span length
+    val spans = filled.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      (datediff(max("event_date"), min("event_date")) + 1).as("span"))
+    assert(spans.filter(col("n") =!= col("span")).count() === 0)
+    // gaps are exactly the zero rows; non-gaps match the raw daily rollup
+    assert(filled.filter(col("is_gap") =!= (col("listen_count") === 0))
+      .count() === 0)
+    // the law that justifies densification: on a gap-free calendar the
+    // positional ROWS frame and the calendar RANGE frame coincide
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_date").rowsBetween(-6, 0)
+    val rows7 = filled.withColumn("cnt_7d_rows", sum("listen_count").over(w))
+      .select(col("user_id"), col("event_date"), col("cnt_7d_rows"))
+    val range7 = Reports.rolling7Day(spark, silver)
+      .select(col("user_id"), col("event_date"), col("cnt_7d"))
+    val joined = rows7.join(range7, Seq("user_id", "event_date"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("cnt_7d_rows") =!= col("cnt_7d")).count() === 0)
+  }
 }

@@ -105,4 +105,15 @@ class TextStatsSpec extends SparkSpecBase {
         expr("((n_words - n_distinct_words) * 1000000) div n_words"))
     assert(bad.count() === 0)
   }
+
+  test("BPE merge census: frequency-table weighting ≡ naive corpus pair count") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab cd"), (2L, "abab abab x"))
+      .toDF("doc_id", "text")
+    val got = TextStats.bpeMergeCandidates(docs, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 'abab' occurs 3× in the corpus, pairs ab/ba/ab → ab:6, ba:3; cd:1;
+    // single-char 'x' contributes nothing
+    assert(got === Map("ab" -> 6L, "ba" -> 3L, "cd" -> 1L))
+  }
 }
