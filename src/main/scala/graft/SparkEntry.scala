@@ -250,6 +250,12 @@ object SparkEntry {
     // ---- generator-based calendar densification (gap fill) ----
     "q100_calendar_gap_fill"   -> ((s, d) =>
       TemporalOps.calendarGapFill(EventsPipeline.silver(s, d))),
+    // ---- percent_rank / cume_dist calibration curve ----
+    "q101_rank_distributions"  -> ((s, d) => Reports.rankDistributions(s, d)),
+    // ---- first/last/nth_value incl. the default-frame gotcha as data ----
+    "q102_value_windows"       -> ((s, d) => Reports.valueWindows(s, d)),
+    // ---- correlated LATERAL (decorrelated per-group top-k) ----
+    "q103_lateral_topk"        -> ((s, d) => SqlQueries.lateralTopCustomersSql(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -1066,6 +1072,48 @@ object SparkEntry {
           |FROM cal c LEFT JOIN daily d
           |  ON c.user_id = d.user_id AND c.event_date = d.event_date
           |ORDER BY c.user_id ASC, c.event_date ASC""".stripMargin),
+    // q101: total ORDER key (count, user) → singleton peer groups; both
+    // rank functions are exact integer ratios, identical doubles.
+    "q101_rank_distributions" ->
+      (silverCte +
+        """, counts AS (
+          |  SELECT user_id, COUNT(*) AS listen_count FROM silver GROUP BY 1)
+          |SELECT user_id, listen_count,
+          |       percent_rank() OVER w AS pr,
+          |       cume_dist() OVER w AS cd
+          |FROM counts
+          |WINDOW w AS (ORDER BY listen_count ASC, user_id ASC)
+          |ORDER BY user_id ASC""".stripMargin),
+    // q102: default-frame last_value == current row in BOTH engines (the
+    // gotcha is pinned as a column); full frame gives the true span end.
+    "q102_value_windows" ->
+      (silverCte +
+        """, daily AS (
+          |  SELECT user_id, event_date, COUNT(*) AS listen_count
+          |  FROM silver GROUP BY 1, 2)
+          |SELECT user_id, event_date, listen_count,
+          |       first_value(listen_count) OVER w AS first_cnt,
+          |       last_value(listen_count) OVER w AS last_cnt_default_frame,
+          |       last_value(listen_count) OVER wf AS last_cnt,
+          |       nth_value(listen_count, 2) OVER wf AS second_cnt
+          |FROM daily
+          |WINDOW w AS (PARTITION BY user_id ORDER BY event_date ASC),
+          |       wf AS (PARTITION BY user_id ORDER BY event_date ASC
+          |              ROWS BETWEEN UNBOUNDED PRECEDING
+          |                       AND UNBOUNDED FOLLOWING)
+          |ORDER BY user_id ASC, event_date ASC""".stripMargin),
+    // q103: identical LATERAL semantics (per-outer-row subquery with its
+    // own ORDER BY + LIMIT); exact integer counts.
+    "q103_lateral_topk" ->
+      """SELECT n.n_name, l.c_custkey, l.cnt
+        |FROM nation n, LATERAL (
+        |  SELECT c.c_custkey, COUNT(*) AS cnt
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  GROUP BY c.c_custkey
+        |  ORDER BY cnt DESC, c.c_custkey ASC
+        |  LIMIT 2) l
+        |ORDER BY n.n_name ASC, l.cnt DESC, l.c_custkey ASC""".stripMargin,
     // q89: sequential folds — DuckDB list_reduce with a prepended 0 seed
     // reproduces Spark's aggregate() fold order exactly.
     "q89_vector_stats" ->

@@ -474,6 +474,50 @@ object Reports {
   def userTypeMapProfile(spark: SparkSession, dir: String): DataFrame =
     userTypeMapProfile(EventsPipeline.silver(spark, dir))
 
+  /** Rank-distribution statistics (`percent_rank`, `cume_dist`) over the
+    * per-user volume table — the calibration curve behind "you are in the
+    * top X% of listeners". Runs over users-sized counts, never raw
+    * events; the ORDER key is made TOTAL with the user_id tiebreak, so
+    * peer groups are singletons and both rank functions are exact integer
+    * ratios (identical doubles in any engine). */
+  def rankDistributions(silver: DataFrame): DataFrame = {
+    val counts = silver.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("listen_count"))
+    val w = Window.orderBy(col("listen_count").asc, col("user_id").asc)
+    counts.select(
+      col("user_id"), col("listen_count"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"))
+      .orderBy(col("user_id").asc)
+  }
+
+  def rankDistributions(spark: SparkSession, dir: String): DataFrame =
+    rankDistributions(EventsPipeline.silver(spark, dir))
+
+  /** first/last/nth_value across frames — including the classic
+    * DEFAULT-FRAME GOTCHA pinned as data: with the default frame (RANGE
+    * UNBOUNDED PRECEDING..CURRENT ROW), `last_value` is just the current
+    * row; the "last day of the span" needs the explicit full frame. Both
+    * engines share these semantics; the query emits both columns so the
+    * oracle hash-locks the difference. */
+  def valueWindows(silver: DataFrame): DataFrame = {
+    val daily = EventsPipeline.goldDailyOf(silver)
+      .select(col("user_id"), col("event_date"), col("listen_count"))
+    val wOrd = Window.partitionBy("user_id").orderBy(col("event_date").asc)
+    val wFull = wOrd.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    daily.select(
+      col("user_id"), col("event_date"), col("listen_count"),
+      first(col("listen_count")).over(wOrd).as("first_cnt"),
+      last(col("listen_count")).over(wOrd).as("last_cnt_default_frame"),
+      last(col("listen_count")).over(wFull).as("last_cnt"),
+      nth_value(col("listen_count"), 2).over(wFull).as("second_cnt"))
+      .orderBy(col("user_id").asc, col("event_date").asc)
+  }
+
+  def valueWindows(spark: SparkSession, dir: String): DataFrame =
+    valueWindows(EventsPipeline.silver(spark, dir))
+
   /** Time-RANGE rolling window: 7-day rolling listen totals per user over
     * the daily gold rollup. The frame is `RANGE BETWEEN INTERVAL 6 DAY
     * PRECEDING AND CURRENT ROW` over event_date — calendar-aware, so a

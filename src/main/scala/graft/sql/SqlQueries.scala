@@ -62,6 +62,31 @@ object SqlQueries {
          |FROM ranked WHERE rn = 1 ORDER BY user_id ASC""".stripMargin)
   }
 
+  /** Correlated LATERAL join: per-nation top-2 customers by order count.
+    * The lateral derived table (with its own ORDER BY + LIMIT) is the
+    * SQL-standard way to write per-group top-k; Spark decorrelates it
+    * into joins rather than executing the subquery per outer row — the
+    * plan is set-at-a-time, so it scales with the data, not with
+    * |nations| round trips. (The window-function formulation, q13, is
+    * the other spelling; both are covered.) */
+  def lateralTopCustomersSql(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Sessions.ensure(spark)
+    graft.core.Tables.nation(spark, dir).createOrReplaceTempView("sq_nation")
+    graft.core.Tables.customer(spark, dir).createOrReplaceTempView("sq_customer")
+    graft.core.Tables.orders(spark, dir).createOrReplaceTempView("sq_orders")
+    spark.sql(
+      """SELECT n.n_name, l.c_custkey, l.cnt
+        |FROM sq_nation n
+        |JOIN LATERAL (
+        |  SELECT c.c_custkey, COUNT(*) AS cnt
+        |  FROM sq_customer c JOIN sq_orders o ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  GROUP BY c.c_custkey
+        |  ORDER BY cnt DESC, c.c_custkey ASC
+        |  LIMIT 2) l
+        |ORDER BY n.n_name ASC, l.cnt DESC, l.c_custkey ASC""".stripMargin)
+  }
+
   /** S14: introspection — DESCRIBE on a registered view. */
   def describeSilver(spark: SparkSession, dir: String): DataFrame = {
     registerViews(spark, dir)

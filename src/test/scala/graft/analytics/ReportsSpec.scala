@@ -215,4 +215,33 @@ class ReportsSpec extends SparkSpecBase {
     assert(t.getAs[Int]("n_major_types") === 0)
     assert(out.filter(col("n_major_types") > col("n_types")).count() === 0)
   }
+
+  test("rank distributions are exact order statistics on a total order") {
+    val out = Reports.rankDistributions(silver).collect()
+    val n = out.length
+    // cd takes values k/n; pr takes (k-1)/(n-1); both strictly increasing
+    // along the (count, user) order because peers are singletons
+    val byRank = out.sortBy(r => (r.getAs[Long]("listen_count"),
+      r.getAs[Long]("user_id")))
+    byRank.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Double]("cd") === (i + 1).toDouble / n)
+      assert(r.getAs[Double]("pr") === i.toDouble / (n - 1))
+    }
+  }
+
+  test("value windows: default frame pins last_value to the current row") {
+    val out = Reports.valueWindows(silver).cache()
+    // the gotcha, as data: default-frame last_value == current row value
+    assert(out.filter(col("last_cnt_default_frame") =!= col("listen_count"))
+      .count() === 0)
+    // full-frame first/last bracket the span; nth_value(2) is null only
+    // for single-day users
+    val perUser = out.groupBy("user_id").agg(
+      count(lit(1)).as("days"),
+      countDistinct("first_cnt").as("nf"),
+      countDistinct("last_cnt").as("nl"))
+    assert(perUser.filter(col("nf") =!= 1 || col("nl") =!= 1).count() === 0)
+    assert(out.filter(col("second_cnt").isNull)
+      .join(perUser.filter(col("days") > 1), "user_id").count() === 0)
+  }
 }

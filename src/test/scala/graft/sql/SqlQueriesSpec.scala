@@ -23,4 +23,29 @@ class SqlQueriesSpec extends SparkSpecBase {
     val cols = desc.collect().map(_.getString(0)).toSet
     assert(cols.contains("user_id") && cols.contains("event_date"))
   }
+
+  test("LATERAL top-k decorrelates to joins and matches the window spelling") {
+    val lateral = SqlQueries.lateralTopCustomersSql(spark, sf)
+    // decorrelation proof: the executed plan is joins + window/limit, not
+    // a per-outer-row subquery (no recursive ScalarSubquery nodes)
+    val plan = lateral.queryExecution.executedPlan.toString
+    assert(!plan.contains("Subquery"), s"expected decorrelated plan:\n$plan")
+    // equivalence with the window-function spelling of per-group top-k
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val c = graft.core.Tables.customer(spark, sf)
+    val o = graft.core.Tables.orders(spark, sf)
+    val n = graft.core.Tables.nation(spark, sf)
+    val cnts = o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_nationkey"), col("c_custkey"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("cnt").desc, col("c_custkey").asc)
+    val top2 = cnts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .join(n, col("c_nationkey") === n("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("cnt"))
+      .orderBy(col("n_name").asc, col("cnt").desc, col("c_custkey").asc)
+    assert(lateral.collect().toSeq === top2.collect().toSeq)
+  }
 }
