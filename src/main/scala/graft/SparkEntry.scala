@@ -256,6 +256,10 @@ object SparkEntry {
     "q102_value_windows"       -> ((s, d) => Reports.valueWindows(s, d)),
     // ---- correlated LATERAL (decorrelated per-group top-k) ----
     "q103_lateral_topk"        -> ((s, d) => SqlQueries.lateralTopCustomersSql(s, d)),
+    // ---- item-item co-purchase recommendations (CF top-k) ----
+    "q104_item_item_recs"      -> ((s, d) => Graphs.itemItemRecs(s, d)),
+    // ---- exact decimal second moments (covariance/OLS inputs) ----
+    "q105_exact_moments"       -> ((s, d) => StarQueries.exactMoments(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -1114,6 +1118,52 @@ object SparkEntry {
         |  ORDER BY cnt DESC, c.c_custkey ASC
         |  LIMIT 2) l
         |ORDER BY n.n_name ASC, l.cnt DESC, l.c_custkey ASC""".stripMargin,
+    // q104: weighted co-purchase pairs, symmetrized, windowed top-3 with
+    // full tiebreak. Exact integers.
+    "q104_item_item_recs" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pw AS (
+        |  SELECT a.pk AS u, b.pk AS v, COUNT(*) AS w
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT u AS part, v AS rec, w FROM pw
+        |  UNION ALL
+        |  SELECT v AS part, u AS rec, w FROM pw),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY part ORDER BY w DESC, rec ASC) AS rk
+        |  FROM sym)
+        |SELECT part, CAST(rk AS INTEGER) AS rk, rec, w
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY part ASC, rk ASC""".stripMargin,
+    // q105: identical decimal pipeline — scale-2 casts, scale-4 products,
+    // no division; final CASTs pin precision AND scale on both sides so
+    // the serialized strings agree digit for digit.
+    "q105_exact_moments" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |  FROM lineitem),
+        |agg AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        |  FROM li GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |       CAST(sx AS DECIMAL(38,2)) AS sum_x,
+        |       CAST(sy AS DECIMAL(38,2)) AS sum_y,
+        |       CAST(sxx AS DECIMAL(38,4)) AS sum_xx,
+        |       CAST(sxy AS DECIMAL(38,4)) AS sum_xy,
+        |       CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(27,4))
+        |            - CAST(sx AS DECIMAL(19,2)) * CAST(sy AS DECIMAL(19,2))
+        |            AS DECIMAL(38,4)) AS cov_num,
+        |       CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(27,4))
+        |            - CAST(sx AS DECIMAL(19,2)) * CAST(sx AS DECIMAL(19,2))
+        |            AS DECIMAL(38,4)) AS var_num
+        |FROM agg ORDER BY l_returnflag ASC""".stripMargin,
     // q89: sequential folds — DuckDB list_reduce with a prepended 0 seed
     // reproduces Spark's aggregate() fold order exactly.
     "q89_vector_stats" ->

@@ -49,6 +49,33 @@ object Graphs {
     triangleCensus(edges)
   }
 
+  /** Item-item recommendations from co-purchase counts — the classic
+    * item-based collaborative-filtering kernel: for every part, the top-k
+    * parts most often bought in the same order. One (order, part)-pair
+    * shuffle builds WEIGHTED edges (weight = co-order count); the pair
+    * list is then symmetrized (a narrow union — each undirected edge
+    * feeds both endpoints' candidate lists) and top-k'd with a
+    * per-part window whose input is neighbor-list-sized, never
+    * catalog². Full (weight desc, neighbor asc) tiebreak keeps the
+    * result deterministic. */
+  def itemItemRecs(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairW = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("w"))
+    val sym = pairW.select(col("u").as("part"), col("v").as("rec"), col("w"))
+      .unionAll(pairW.select(col("v").as("part"), col("u").as("rec"), col("w")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("part").orderBy(col("w").desc, col("rec").asc)
+    sym.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+      .select(col("part"), col("rk"), col("rec"), col("w"))
+      .orderBy(col("part").asc, col("rk").asc)
+  }
+
   /** Triangle census over arbitrary undirected (u < v) distinct edges. */
   def triangleCensus(edges0: DataFrame): DataFrame = {
     val edges = Caches.scratch(edges0) // scanned by deg, orient, census

@@ -178,4 +178,42 @@ object StarQueries {
         coalesce(col("listen_count"), col("count")).as("n"))
       .orderBy(col("o_year").asc, col("o_orderpriority").asc)
   }
+
+  /** Exact distributed second moments (the covariance/OLS building
+    * blocks) per return flag. Everything is DECIMAL with hand-pinned
+    * precisions: quantity/price are cast once at scale 2, products live
+    * at scale 4, and every operand is sized so no multiply can exceed
+    * precision 38 (Spark silently RESCALES on decimal overflow, which
+    * would both lose exactness and change the serialized scale — the
+    * oracle hash would catch it, so the sizing is load-bearing). One
+    * map-side-combinable pass; the n·Σxy − ΣxΣy numerators avoid any
+    * division, so the result is exact and engine-portable — at 100 TB
+    * this is how you get bit-stable regression inputs out of a
+    * partitioned scan with no double-summation order sensitivity. */
+  def exactMoments(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_returnflag"),
+      col("l_quantity").cast("decimal(18,2)").as("x"),
+      col("l_extendedprice").cast("decimal(18,2)").as("y"))
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        col("sx").cast("decimal(38,2)").as("sum_x"),
+        col("sy").cast("decimal(38,2)").as("sum_y"),
+        col("sxx").cast("decimal(38,4)").as("sum_xx"),
+        col("sxy").cast("decimal(38,4)").as("sum_xy"),
+        (col("n").cast("decimal(10,0)") * col("sxy").cast("decimal(27,4)") -
+          col("sx").cast("decimal(18,2)") * col("sy").cast("decimal(18,2)"))
+          .cast("decimal(38,4)").as("cov_num"),
+        (col("n").cast("decimal(10,0)") * col("sxx").cast("decimal(27,4)") -
+          col("sx").cast("decimal(18,2)") * col("sx").cast("decimal(18,2)"))
+          .cast("decimal(38,4)").as("var_num"))
+      .orderBy(col("l_returnflag").asc)
+  }
 }

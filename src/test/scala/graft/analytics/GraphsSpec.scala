@@ -37,6 +37,26 @@ class GraphsSpec extends SparkSpecBase {
     assert(got === brute.toLong)
   }
 
+  test("item-item recs: ≤3 per part, weights are true co-order counts") {
+    val out = Graphs.itemItemRecs(spark, sf).cache()
+    val sizes = out.groupBy("part").count()
+    assert(sizes.filter(col("count") > 3).count() === 0)
+    // ranks are 1..k and weights non-increasing within a part
+    out.collect().groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRk = rows.sortBy(_.getAs[Int]("rk"))
+      assert(byRk.map(_.getAs[Int]("rk")).toSeq === (1 to byRk.length))
+      val ws = byRk.map(_.getAs[Long]("w"))
+      assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
+    }
+    // spot-check one edge weight against the direct co-order count
+    val r = out.head
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val direct = li.filter(col("pk") === r.getLong(0)).select("ok")
+      .intersect(li.filter(col("pk") === r.getLong(2)).select("ok")).count()
+    assert(r.getAs[Long]("w") === direct)
+  }
+
   test("co-purchase edges ignore duplicate lineitem part entries") {
     import spark.implicits._
     // order 10 lists part 1 twice: no self-edge, single (1,2) edge

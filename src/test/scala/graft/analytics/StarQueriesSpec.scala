@@ -39,4 +39,29 @@ class StarQueriesSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("exact moments are partition-order invariant and track double math") {
+    import org.apache.spark.sql.functions._
+    val a = StarQueries.exactMoments(spark, sf).collect()
+    // exactness: recomputing over a different partitioning is IDENTICAL
+    // (double summation would drift in the last ulps)
+    val spark2 = spark
+    val li = graft.core.Tables.lineitem(spark2, sf).repartition(7)
+    li.createOrReplaceTempView("em_scrambled")
+    val b = StarQueries.exactMoments(spark, sf).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    // sanity: decimal covariance numerator ≈ n²·covar_pop from doubles
+    val d = graft.core.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(covar_pop(col("l_quantity"), col("l_extendedprice")).as("cv"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    a.foreach { r =>
+      val (cv, n) = d(r.getString(0))
+      val covFromDecimal =
+        r.getAs[java.math.BigDecimal]("cov_num").doubleValue() / (n.toDouble * n)
+      assert(math.abs(covFromDecimal - cv) <= math.abs(cv) * 1e-9 + 1e-6,
+        s"decimal $covFromDecimal vs double $cv")
+    }
+  }
 }
