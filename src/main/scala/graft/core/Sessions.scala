@@ -34,6 +34,14 @@ object Sessions {
       // for spark.sql.extensions-configured clusters
       graft.functions.DotProduct.register(spark)
       graft.functions.RollingHash.register(spark)
+      graft.functions.IntersectCount.register(spark)
+      // optimizer rule: fuse size(array_intersect) (idempotent add)
+      if (!spark.experimental.extraOptimizations
+            .contains(graft.functions.FuseIntersectCount)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+
+            graft.functions.FuseIntersectCount
+      }
     }
     spark
   }

@@ -98,5 +98,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier(DotProduct.Name), DotProduct.info, DotProduct.builder))
     ext.injectFunction((FunctionIdentifier(RollingHash.Name), RollingHash.info, RollingHash.builder))
+    ext.injectFunction((FunctionIdentifier(IntersectCount.Name), IntersectCount.info, IntersectCount.builder))
+    ext.injectOptimizerRule(_ => FuseIntersectCount)
   }
 }
