@@ -260,6 +260,8 @@ object SparkEntry {
     "q104_item_item_recs"      -> ((s, d) => Graphs.itemItemRecs(s, d)),
     // ---- exact decimal second moments (covariance/OLS inputs) ----
     "q105_exact_moments"       -> ((s, d) => StarQueries.exactMoments(s, d)),
+    // ---- VARIANT semi-structured flatten (schema-free path probes) ----
+    "q106_variant_flatten"     -> ((s, d) => EventsPipeline.variantFlatten(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -1164,6 +1166,18 @@ object SparkEntry {
         |            - CAST(sx AS DECIMAL(19,2)) * CAST(sx AS DECIMAL(19,2))
         |            AS DECIMAL(38,4)) AS var_num
         |FROM agg ORDER BY l_returnflag ASC""".stripMargin,
+    // q106: DuckDB's JSON probe plays the variant path; integer `//`
+    // matches `div`; the absent path is null in both engines.
+    "q106_variant_flatten" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |         CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        |  FROM events)
+        |SELECT event_type, k // 10 AS k_decile,
+        |       COUNT(*) AS n, MIN(k) AS k_min, MAX(k) AS k_max,
+        |       COUNT(*) AS n_missing
+        |FROM x GROUP BY 1, 2
+        |ORDER BY event_type ASC, k_decile ASC""".stripMargin,
     // q89: sequential folds — DuckDB list_reduce with a prepended 0 seed
     // reproduces Spark's aggregate() fold order exactly.
     "q89_vector_stats" ->

@@ -52,6 +52,30 @@ object EventsPipeline {
         col("ts"),
         to_date(col("ts")).as("event_date"))
 
+  /** The VARIANT spelling of the bronze flatten (Spark 4's open
+    * semi-structured type): `parse_json` once, then path-extract with
+    * `variant_get` / `try_variant_get`. Unlike `from_json`, VARIANT needs
+    * no up-front schema — at 100 TB, where event payloads drift faster
+    * than schemas are updated, the binary-encoded variant column
+    * parses once at ingest and every downstream path extraction is a
+    * cheap binary probe (shreddable in parquet), not a JSON re-parse.
+    * The rollup buckets the extracted field and hash-locks the
+    * missing-path behavior (`try_variant_get` of an absent path is null,
+    * never an error). */
+  def variantFlatten(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "int").as("k"),
+        try_variant_get(col("v"), "$.missing", "int").as("miss"))
+      .groupBy(col("event_type"), expr("k div 10").as("k_decile"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        sum(when(col("miss").isNull, 1L).otherwise(0L)).as("n_missing"))
+      .orderBy(col("event_type").asc, col("k_decile").asc)
+
   /** Silver transform over an arbitrary bronze frame: time enrichment +
     * dedup. Reference: transform_job.py:75-88 — withColumn year/month/day/
     * hour then row_number over (user, listened_at). The reference orders by

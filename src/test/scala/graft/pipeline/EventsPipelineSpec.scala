@@ -61,4 +61,16 @@ class EventsPipelineSpec extends SparkSpecBase {
     val latest = EventsPipeline.silver(spark, dirs.last)
     assert(latest.storageLevel.useMemory || latest.storageLevel.useDisk)
   }
+
+  test("variant path extraction agrees with the schema-full from_json flatten") {
+    import org.apache.spark.sql.functions._
+    val viaVariant = EventsPipeline.variantFlatten(spark, sf)
+    // rebuild the same rollup from the from_json bronze (schema-declared)
+    val viaSchema = EventsPipeline.bronze(spark, sf)
+      .groupBy(col("event_type"), expr("prop_k div 10").as("k_decile"))
+      .agg(count(lit(1)).as("n"), min("prop_k").as("k_min"),
+        max("prop_k").as("k_max"), count(lit(1)).as("n_missing"))
+      .orderBy(col("event_type").asc, col("k_decile").asc)
+    assert(viaVariant.collect().toSeq === viaSchema.collect().toSeq)
+  }
 }
