@@ -262,6 +262,8 @@ object SparkEntry {
     "q105_exact_moments"       -> ((s, d) => StarQueries.exactMoments(s, d)),
     // ---- VARIANT semi-structured flatten (schema-free path probes) ----
     "q106_variant_flatten"     -> ((s, d) => EventsPipeline.variantFlatten(s, d)),
+    // ---- greedy first-fit packing (boundary-respecting, mapPartitions) ----
+    "q107_greedy_packing"      -> ((s, d) => Curation.packGreedy(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -1178,6 +1180,30 @@ object SparkEntry {
         |       COUNT(*) AS n_missing
         |FROM x GROUP BY 1, 2
         |ORDER BY event_type ASC, k_decile ASC""".stripMargin,
+    // q107: the greedy fold as a recursive CTE walking rn → rn+1 per
+    // source — the same sequential recurrence, exact integers.
+    "q107_greedy_packing" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT source, doc_id,
+         |         CAST(len(str_split($duckNorm, ' ')) AS BIGINT) AS n_tokens,
+         |         row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
+         |  FROM documents),
+         |walk AS (
+         |  SELECT source, doc_id, n_tokens, rn,
+         |         CAST(0 AS BIGINT) AS chunk_id, n_tokens AS fill
+         |  FROM toks WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+         |         CASE WHEN w.fill + t.n_tokens > 512
+         |              THEN w.chunk_id + 1 ELSE w.chunk_id END,
+         |         CASE WHEN w.fill + t.n_tokens > 512
+         |              THEN t.n_tokens ELSE w.fill + t.n_tokens END
+         |  FROM toks t JOIN walk w ON t.source = w.source AND t.rn = w.rn + 1)
+         |SELECT source, chunk_id, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+         |       GREATEST(0, 512 - SUM(n_tokens)) AS padding
+         |FROM walk GROUP BY 1, 2
+         |ORDER BY source ASC, chunk_id ASC""".stripMargin,
     // q89: sequential folds — DuckDB list_reduce with a prepended 0 seed
     // reproduces Spark's aggregate() fold order exactly.
     "q89_vector_stats" ->

@@ -219,4 +219,58 @@ object Curation {
 
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     packSequences(Tables.documents(spark, dir))
+
+  /** GREEDY first-fit packing — the padding-aware sibling of
+    * [[packSequences]]: documents never span chunks; a doc that would
+    * overflow the running chunk starts a new one (oversized docs get a
+    * chunk alone). This is the layout SFT/instruction-tuning pipelines
+    * use when examples must stay intact, trading padding waste (reported
+    * per chunk) for boundary integrity.
+    *
+    * Greedy fill is inherently SEQUENTIAL in document order — each
+    * placement depends on the running remainder, which no prefix-sum
+    * window can express. This is the documented last resort:
+    * `mapPartitions` with per-partition state, made correct at scale by
+    * `repartition(source) + sortWithinPartitions(source, doc_id)` — every
+    * source's docs arrive contiguous and ordered within one partition
+    * (several sources may share a partition; the fold resets on source
+    * change), so state never crosses an executor boundary and the pass
+    * stays linear and restart-deterministic. */
+  def packGreedy(docs: DataFrame, budget: Long = 512): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val toks = docs
+      .withColumn("norm", norm)
+      .select(col("source"), col("doc_id"),
+        size(split(col("norm"), " ")).cast("long").as("n_tokens"))
+    val placed = toks
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        var curSource: String = null
+        var fill = 0L
+        var chunk = 0L
+        it.map { case (src, id, n) =>
+          if (src != curSource) { curSource = src; chunk = 0L; fill = 0L }
+          if (fill > 0 && fill + n > budget) { chunk += 1L; fill = 0L }
+          fill += n
+          (src, id, n, chunk)
+        }
+      }
+      .toDF("source", "doc_id", "n_tokens", "chunk_id")
+    placed
+      .groupBy(col("source"), col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .withColumn("padding", greatest(lit(0L), lit(budget) - col("n_tokens")))
+      .orderBy(col("source").asc, col("chunk_id").asc)
+  }
+
+  def packGreedy(spark: SparkSession, dir: String): DataFrame =
+    packGreedy(Tables.documents(spark, dir))
 }

@@ -139,4 +139,41 @@ class CurationSpec extends SparkSpecBase {
       assert(byChunk.forall(r => r.getAs[Long]("n_docs") >= 1L))
     }
   }
+
+  test("greedy packing: budget respected, docs intact, fill is tight") {
+    import org.apache.spark.sql.functions._
+    val out = Curation.packGreedy(spark, sf).cache()
+    // nothing lost: token totals match the stream packing's
+    assert(out.agg(sum("n_tokens")).head.getLong(0) ===
+      Curation.packSequences(spark, sf).agg(sum("n_tokens")).head.getLong(0))
+    // a chunk over budget can only be a single oversized doc
+    assert(out.filter(col("n_tokens") > 512 && col("n_docs") > 1).count() === 0)
+    // padding accounting
+    assert(out.filter(col("padding") =!=
+      greatest(lit(0L), lit(512L) - col("n_tokens"))).count() === 0)
+    out.collect().groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val byChunk = rows.sortBy(_.getAs[Long]("chunk_id"))
+      assert(byChunk.map(_.getAs[Long]("chunk_id")).toSeq ===
+        byChunk.indices.map(_.toLong))
+      // doc spans contiguous, never overlapping (docs stay intact)
+      byChunk.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+        case _ =>
+      }
+    }
+    // greedy tightness: chunk i could not absorb chunk i+1's first doc
+    val placedFirsts = out.select(col("source"), col("chunk_id"),
+      col("n_tokens"), col("first_doc"))
+    val docToks = Curation.tokenCounts(spark, sf)
+      .select(col("doc_id").as("first_doc"),
+        col("ws_tokens").cast("long").as("first_toks"))
+    val joined = placedFirsts.join(docToks, "first_doc")
+      .withColumn("prev_chunk", col("chunk_id") - 1)
+    val prev = out.select(col("source"), col("chunk_id").as("prev_chunk"),
+      col("n_tokens").as("prev_tokens"))
+    val viol = joined.join(prev, Seq("source", "prev_chunk"))
+      .filter(col("prev_tokens") + col("first_toks") <= 512)
+    assert(viol.count() === 0)
+  }
 }
