@@ -107,4 +107,38 @@ class ScaleLeversSpec extends SparkSpecBase {
         s"runtime bloom filter not injected:\n$optimized")
     }
   }
+
+  test("join strategy hints are honored (broadcast / shuffle_hash / merge)") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    val o = Tables.orders(spark, sf).select("o_orderkey")
+    def planOf(hint: String) =
+      li.join(o.hint(hint), li("l_orderkey") === o("o_orderkey"))
+        .queryExecution.executedPlan.toString
+    // per-join overrides are the manual lever when AQE's global choice is
+    // wrong for ONE join in a large plan
+    assert(planOf("broadcast").contains("BroadcastHashJoin"))
+    assert(planOf("shuffle_hash").contains("ShuffledHashJoin"))
+    assert(planOf("merge").contains("SortMergeJoin"))
+  }
+
+  test("Observation collects QA counters in the SAME pass (no second scan)") {
+    import org.apache.spark.sql.Observation
+    val obs = Observation("silver-qa")
+    val silver = graft.pipeline.EventsPipeline.silver(spark, sf)
+    // DISTINCT aggregates are disallowed in observed metrics (they would
+    // force a shuffle inside the pass) — the sketch is the correct spell
+    val observed = silver.observe(obs,
+      count(lit(1)).as("rows"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_values"),
+      approx_count_distinct(col("user_id"), 0.02).as("users_est"))
+    // ONE action drives both the business result and the QA counters —
+    // at 100 TB the alternative is a second full scan per audit metric
+    val gold = observed.groupBy("user_id").count().count()
+    val m = obs.get
+    assert(m("rows").asInstanceOf[Long] === silver.count())
+    val est = m("users_est").asInstanceOf[Long]
+    assert(math.abs(est - gold) <= math.max(1L, gold / 20))
+    assert(m("null_values").asInstanceOf[Long] ===
+      silver.filter(col("value").isNull).count())
+  }
 }
