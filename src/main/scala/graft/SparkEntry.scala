@@ -264,6 +264,8 @@ object SparkEntry {
     "q106_variant_flatten"     -> ((s, d) => EventsPipeline.variantFlatten(s, d)),
     // ---- greedy first-fit packing (boundary-respecting, mapPartitions) ----
     "q107_greedy_packing"      -> ((s, d) => Curation.packGreedy(s, d)),
+    // ---- typed Aggregator: single-pass bounded top-k per group ----
+    "q108_topk_aggregator"     -> ((s, d) => EventsPipeline.goldTop3DaysTyped(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -1204,6 +1206,21 @@ object SparkEntry {
          |       GREATEST(0, 512 - SUM(n_tokens)) AS padding
          |FROM walk GROUP BY 1, 2
          |ORDER BY source ASC, chunk_id ASC""".stripMargin,
+    // q108: same rows as the q13 window spelling, with the rank emitted;
+    // the oracle is the row_number formulation.
+    "q108_topk_aggregator" ->
+      (silverCte +
+        """, gold AS (
+          |  SELECT user_id, event_date, COUNT(*) AS listen_count
+          |  FROM silver GROUP BY 1, 2),
+          |ranked AS (
+          |  SELECT *, row_number() OVER (
+          |    PARTITION BY user_id
+          |    ORDER BY listen_count DESC, event_date ASC) AS rnk
+          |  FROM gold)
+          |SELECT user_id, event_date, listen_count, CAST(rnk AS INTEGER) AS rnk
+          |FROM ranked WHERE rnk <= 3
+          |ORDER BY user_id ASC, rnk ASC""".stripMargin),
     // q89: sequential folds — DuckDB list_reduce with a prepended 0 seed
     // reproduces Spark's aggregate() fold order exactly.
     "q89_vector_stats" ->

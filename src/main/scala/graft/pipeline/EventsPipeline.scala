@@ -205,4 +205,32 @@ object EventsPipeline {
 
   def goldTop3Days(spark: SparkSession, dir: String): DataFrame =
     goldTop3DaysOf(silver(spark, dir))
+
+  /** The single-pass TYPED spelling of goldTop3Days: a bounded-k
+    * [[graft.functions.TopKAgg]] Aggregator over
+    * `KeyValueGroupedDataset`. The window form sorts EVERY group's full
+    * history; this one partially aggregates map-side and shuffles at most
+    * k rows per group — the per-group analogue of TakeOrdered vs global
+    * sort. Dates travel as epoch-day ints through the typed buffer and
+    * come back as DateType at the end. Proven row-identical to the
+    * window form in EventsPipelineSpec. */
+  def goldTop3DaysTyped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = goldDailyOf(silver(spark, dir))
+      .select(col("user_id"),
+        datediff(col("event_date"), lit("1970-01-01").cast("date"))
+          .cast("int").as("d"),
+        col("listen_count"))
+      .as[(Long, Int, Long)]
+    val top = new graft.functions.TopKAgg(3).toColumn
+    daily.groupByKey(_._1).mapValues(r => (r._2, r._3)).agg(top)
+      .flatMap { case (u, tops) =>
+        tops.iterator.zipWithIndex.map { case ((d, c), i) => (u, d, c, i + 1) }
+      }
+      .toDF("user_id", "d", "listen_count", "rnk")
+      .select(col("user_id"),
+        date_add(lit("1970-01-01").cast("date"), col("d")).as("event_date"),
+        col("listen_count"), col("rnk"))
+      .orderBy(col("user_id").asc, col("rnk").asc)
+  }
 }

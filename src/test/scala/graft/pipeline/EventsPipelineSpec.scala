@@ -62,6 +62,17 @@ class EventsPipelineSpec extends SparkSpecBase {
     assert(latest.storageLevel.useMemory || latest.storageLevel.useDisk)
   }
 
+  test("typed top-k Aggregator reproduces the window top-3 row for row") {
+    import org.apache.spark.sql.functions._
+    val viaAgg = EventsPipeline.goldTop3DaysTyped(spark, sf)
+      .select("user_id", "event_date", "listen_count")
+    val viaWindow = EventsPipeline.goldTop3Days(spark, sf)
+      .select("user_id", "event_date", "listen_count")
+      .orderBy(col("user_id").asc, col("listen_count").desc,
+        col("event_date").asc)
+    assert(viaAgg.collect().toSeq === viaWindow.collect().toSeq)
+  }
+
   test("variant path extraction agrees with the schema-full from_json flatten") {
     import org.apache.spark.sql.functions._
     val viaVariant = EventsPipeline.variantFlatten(spark, sf)
