@@ -266,6 +266,8 @@ object SparkEntry {
     "q107_greedy_packing"      -> ((s, d) => Curation.packGreedy(s, d)),
     // ---- typed Aggregator: single-pass bounded top-k per group ----
     "q108_topk_aggregator"     -> ((s, d) => EventsPipeline.goldTop3DaysTyped(s, d)),
+    // ---- RECURSIVE CTE: bounded BFS min-hop census ----
+    "q109_recursive_reach"     -> ((s, d) => SqlQueries.recursiveReachSql(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -1221,6 +1223,23 @@ object SparkEntry {
           |SELECT user_id, event_date, listen_count, CAST(rnk AS INTEGER) AS rnk
           |FROM ranked WHERE rnk <= 3
           |ORDER BY user_id ASC, rnk ASC""".stripMargin),
+    // q109: identical WITH RECURSIVE text runs in both engines (hop-bound
+    // termination, exact integers).
+    "q109_recursive_reach" ->
+      """WITH RECURSIVE op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |edges AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk <> b.pk),
+        |walk(pk, hops) AS (
+        |  SELECT CAST(0 AS BIGINT) AS pk, 0 AS hops
+        |  UNION ALL
+        |  SELECT e.v, w.hops + 1
+        |  FROM walk w JOIN edges e ON e.u = w.pk WHERE w.hops < 2),
+        |minhop AS (
+        |  SELECT pk, MIN(hops) AS hops FROM walk GROUP BY pk)
+        |SELECT hops, COUNT(*) AS n_parts, MIN(pk) AS min_part, MAX(pk) AS max_part
+        |FROM minhop GROUP BY hops ORDER BY hops ASC""".stripMargin,
     // q89: sequential folds — DuckDB list_reduce with a prepended 0 seed
     // reproduces Spark's aggregate() fold order exactly.
     "q89_vector_stats" ->

@@ -87,6 +87,34 @@ object SqlQueries {
         |ORDER BY n.n_name ASC, l.cnt DESC, l.c_custkey ASC""".stripMargin)
   }
 
+  /** SQL-native RECURSIVE CTE (Spark 4.x): bounded BFS over the
+    * co-purchase graph — min-hop census within 2 hops of a seed part.
+    * The recursion is UNION ALL walk-expansion with an explicit hop
+    * bound, aggregated to min-hop afterwards; per level the work is one
+    * equi-join frontier×edges, so a 1000-executor cluster runs each
+    * level as an ordinary shuffle join (this is the declarative twin of
+    * the hand-rolled iterative connected components, q60). The hop
+    * bound, not the engine's recursion limit, terminates it. */
+  def recursiveReachSql(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Sessions.ensure(spark)
+    graft.core.Tables.lineitem(spark, dir).createOrReplaceTempView("sq_lineitem")
+    spark.sql(
+      """WITH RECURSIVE op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM sq_lineitem),
+        |edges AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk <> b.pk),
+        |walk(pk, hops) AS (
+        |  SELECT CAST(0 AS BIGINT) AS pk, 0 AS hops
+        |  UNION ALL
+        |  SELECT e.v, w.hops + 1
+        |  FROM walk w JOIN edges e ON e.u = w.pk WHERE w.hops < 2),
+        |minhop AS (
+        |  SELECT pk, MIN(hops) AS hops FROM walk GROUP BY pk)
+        |SELECT hops, COUNT(*) AS n_parts, MIN(pk) AS min_part, MAX(pk) AS max_part
+        |FROM minhop GROUP BY hops ORDER BY hops ASC""".stripMargin)
+  }
+
   /** S14: introspection — DESCRIBE on a registered view. */
   def describeSilver(spark: SparkSession, dir: String): DataFrame = {
     registerViews(spark, dir)

@@ -24,6 +24,29 @@ class SqlQueriesSpec extends SparkSpecBase {
     assert(cols.contains("user_id") && cols.contains("event_date"))
   }
 
+  test("recursive CTE BFS matches an iterative DataFrame BFS") {
+    import org.apache.spark.sql.functions._
+    val got = SqlQueries.recursiveReachSql(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // iterative twin: frontier-expand twice over the same directed edges
+    val op = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct().cache()
+    var seen = Map(0L -> 0)
+    var frontier = Set(0L)
+    for (hop <- 1 to 2) {
+      val next = edges.filter(col("u").isin(frontier.toSeq: _*))
+        .select("v").collect().map(_.getLong(0)).toSet -- seen.keySet
+      seen = seen ++ next.map(_ -> hop)
+      frontier = next
+    }
+    val expect = seen.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(got === expect)
+    edges.unpersist()
+  }
+
   test("LATERAL top-k decorrelates to joins and matches the window spelling") {
     val lateral = SqlQueries.lateralTopCustomersSql(spark, sf)
     // decorrelation proof: the executed plan is joins + window/limit, not
