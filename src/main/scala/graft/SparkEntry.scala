@@ -268,6 +268,12 @@ object SparkEntry {
     "q108_topk_aggregator"     -> ((s, d) => EventsPipeline.goldTop3DaysTyped(s, d)),
     // ---- RECURSIVE CTE: bounded BFS min-hop census ----
     "q109_recursive_reach"     -> ((s, d) => SqlQueries.recursiveReachSql(s, d)),
+    // ---- SMB bucketed co-located join (exchange-free SMJ, see
+    //      BucketedJoinSpec for the plan proof) ----
+    "q110_bucketed_join"       -> ((s, d) => {
+      Medallion.writeBucketedPair(s, d, "graft_q110")
+      Medallion.bucketedRevenueByPriority(s, "graft_q110")
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -1240,6 +1246,14 @@ object SparkEntry {
         |  SELECT pk, MIN(hops) AS hops FROM walk GROUP BY pk)
         |SELECT hops, COUNT(*) AS n_parts, MIN(pk) AS min_part, MAX(pk) AS max_part
         |FROM minhop GROUP BY hops ORDER BY hops ASC""".stripMargin,
+    // q110: the bucketed tables hold exactly the source rows, so the
+    // plain join is the oracle; decimal-sum-then-double is portable.
+    "q110_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority ASC""".stripMargin,
     // q89: sequential folds — DuckDB list_reduce with a prepended 0 seed
     // reproduces Spark's aggregate() fold order exactly.
     "q89_vector_stats" ->
