@@ -235,6 +235,15 @@ object Medallion {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $db")
     spark.sql(s"DROP TABLE IF EXISTS $db.orders_b")
     spark.sql(s"DROP TABLE IF EXISTS $db.lineitem_b")
+    // the in-memory catalog forgets tables across JVMs but their
+    // warehouse directories persist; a managed CREATE then refuses the
+    // stale location — clear it explicitly
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"$db.db")
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
+    }
     Tables.orders(spark, dir).write
       .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable(s"$db.orders_b")
