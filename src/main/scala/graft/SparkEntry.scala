@@ -271,8 +271,11 @@ object SparkEntry {
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
-      Medallion.writeBucketedPair(s, d, "graft_q110")
-      Medallion.bucketedRevenueByPriority(s, "graft_q110")
+      // db name carries the data dir so the session-level idempotence
+      // guard can never serve one scale factor's buckets for another
+      val db = s"graft_q110_${Integer.toHexString(d.hashCode).takeRight(8)}"
+      Medallion.writeBucketedPair(s, d, db)
+      Medallion.bucketedRevenueByPriority(s, db)
     }),
   )
 

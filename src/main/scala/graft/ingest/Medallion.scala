@@ -232,6 +232,10 @@ object Medallion {
     * BucketedJoinSpec asserts the exchange-free plan. */
   def writeBucketedPair(spark: SparkSession, dir: String, db: String,
                         buckets: Int = 8): Unit = {
+    // idempotent within a session: the pair is immutable derived data, so
+    // a same-JVM re-run (bench iterations) reuses the catalog tables
+    if (spark.catalog.tableExists(s"$db.orders_b") &&
+        spark.catalog.tableExists(s"$db.lineitem_b")) return
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $db")
     spark.sql(s"DROP TABLE IF EXISTS $db.orders_b")
     spark.sql(s"DROP TABLE IF EXISTS $db.lineitem_b")

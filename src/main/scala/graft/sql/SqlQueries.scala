@@ -97,18 +97,30 @@ object SqlQueries {
     * bound, not the engine's recursion limit, terminates it. */
   def recursiveReachSql(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Sessions.ensure(spark)
-    graft.core.Tables.lineitem(spark, dir).createOrReplaceTempView("sq_lineitem")
+    // materialize the edge list ONCE before recursing: a CTE inside the
+    // recursion is re-evaluated every level, so the expensive pair
+    // self-join would run per hop — iterate over a cached frame instead
+    // (the same rule as the hand-rolled iterative ops)
+    val op = graft.core.Tables.lineitem(spark, dir)
+      .select(org.apache.spark.sql.functions.col("l_orderkey").as("ok"),
+        org.apache.spark.sql.functions.col("l_partkey").as("pk"))
+      .distinct()
+    val edges = graft.core.Caches.scratch(
+      op.as("a").join(op.as("b"),
+          org.apache.spark.sql.functions.col("a.ok") ===
+            org.apache.spark.sql.functions.col("b.ok") &&
+            org.apache.spark.sql.functions.col("a.pk") =!=
+              org.apache.spark.sql.functions.col("b.pk"))
+        .select(org.apache.spark.sql.functions.col("a.pk").as("u"),
+          org.apache.spark.sql.functions.col("b.pk").as("v"))
+        .distinct())
+    edges.createOrReplaceTempView("sq_edges")
     spark.sql(
-      """WITH RECURSIVE op AS (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM sq_lineitem),
-        |edges AS (
-        |  SELECT DISTINCT a.pk AS u, b.pk AS v
-        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk <> b.pk),
-        |walk(pk, hops) AS (
+      """WITH RECURSIVE walk(pk, hops) AS (
         |  SELECT CAST(0 AS BIGINT) AS pk, 0 AS hops
         |  UNION ALL
         |  SELECT e.v, w.hops + 1
-        |  FROM walk w JOIN edges e ON e.u = w.pk WHERE w.hops < 2),
+        |  FROM walk w JOIN sq_edges e ON e.u = w.pk WHERE w.hops < 2),
         |minhop AS (
         |  SELECT pk, MIN(hops) AS hops FROM walk GROUP BY pk)
         |SELECT hops, COUNT(*) AS n_parts, MIN(pk) AS min_part, MAX(pk) AS max_part
