@@ -101,6 +101,44 @@ class StreamingMaintenanceSpec extends SparkSpecBase {
       s"unexpected streamed sessions: $got")
   }
 
+  test("late data beyond the watermark is dropped and the metric records it") {
+    val inDir = tmpDir("late-in-")
+    val ckpt = tmpDir("late-ckpt-")
+    // Watermark dropping is ONE-SIDED (empirically pinned here so a
+    // behavior change cannot pass silently): a late row whose window
+    // state is still live is MERGED; only a row arriving after its
+    // window was emitted-and-evicted is dropped — and that drop is
+    // accounted in numRowsDroppedByWatermark. maxFilesPerTrigger=1 +
+    // distinct mtimes pin the batch order within one AvailableNow run.
+    def put(name: String, mtime: Long, lines: String*): Unit = {
+      val p = Paths.get(inDir, name)
+      Files.write(p, String.join("\n", lines: _*).getBytes)
+      p.toFile.setLastModified(mtime)
+    }
+    put("a.json", 1000000L, ev(1, 1, 5, 1.0), ev(2, 2, 5, 1.0)) // Jan 5 ×2
+    put("b.json", 2000000L, ev(3, 3, 8, 1.0)) // advances wm to Jan 7
+    put("c.json", 3000000L, ev(4, 4, 9, 1.0)) // Jan 5 window emits+evicts
+    put("d.json", 4000000L, ev(5, 5, 5, 1.0)) // straggler AFTER eviction
+    val agg = spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", 1).json(inDir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("date").as("day"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("late_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow).start()
+    q.awaitTermination()
+    val dropped = q.recentProgress.flatMap(
+      _.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    // exactly one finalized Jan 5 window, count 2: emitted once, never
+    // re-emitted, straggler excluded
+    val rows = spark.table("late_out").collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toSeq
+    assert(rows === Seq("2024-01-05" -> 2L), s"unexpected sink: $rows")
+    assert(dropped === 1L, s"expected 1 watermark-dropped row, got $dropped")
+  }
+
   test("dropDuplicatesWithinWatermark dedups re-deliveries across batches") {
     val inDir = tmpDir("ddw-in-")
     val ckpt = tmpDir("ddw-ckpt-")
