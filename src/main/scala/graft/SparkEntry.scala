@@ -268,6 +268,12 @@ object SparkEntry {
     "q108_topk_aggregator"     -> ((s, d) => EventsPipeline.goldTop3DaysTyped(s, d)),
     // ---- RECURSIVE CTE: bounded BFS min-hop census ----
     "q109_recursive_reach"     -> ((s, d) => SqlQueries.recursiveReachSql(s, d)),
+    // ---- exact 3σ outlier census (division/sqrt-free z-score) ----
+    "q111_outlier_census"      -> ((s, d) =>
+      StarQueries.outlierCensus(s, EventsPipeline.silver(s, d))),
+    // ---- Gini inequality of engagement, exact integer ppm ----
+    "q112_gini_ppm"            -> ((s, d) =>
+      StarQueries.giniPpm(s, EventsPipeline.silver(s, d))),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -1257,6 +1263,51 @@ object SparkEntry {
         |       COUNT(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY o_orderpriority ASC""".stripMargin,
+    // q111: identical division-free 3σ test; (19,2) operand casts force
+    // DuckDB's int128 path on every multiply.
+    "q111_outlier_census" ->
+      (silverCte +
+        """, li AS (
+          |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS x
+          |  FROM silver WHERE value IS NOT NULL),
+          |m AS (
+          |  SELECT event_type, CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+          |         CAST(SUM(x) AS DECIMAL(18,2)) AS sx,
+          |         CAST(SUM(x * x) AS DECIMAL(27,4)) AS sxx
+          |  FROM li GROUP BY 1),
+          |m2 AS (
+          |  SELECT event_type, n, sx,
+          |         CAST(n * sxx - CAST(sx AS DECIMAL(19,2)) * CAST(sx AS DECIMAL(19,2))
+          |              AS DECIMAL(30,4)) AS var_num
+          |  FROM m),
+          |f AS (
+          |  SELECT li.event_type, li.x,
+          |         CAST(m2.n * li.x - m2.sx AS DECIMAL(18,2)) AS dev, m2.var_num
+          |  FROM li JOIN m2 ON li.event_type = m2.event_type),
+          |g AS (
+          |  SELECT event_type, x,
+          |         CAST(CAST(dev AS DECIMAL(19,2)) * CAST(dev AS DECIMAL(19,2))
+          |              AS DECIMAL(38,4))
+          |           > CAST(9 * var_num AS DECIMAL(38,4)) AS is_outlier
+          |  FROM f)
+          |SELECT event_type, COUNT(*) AS n_rows,
+          |       SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS n_outliers,
+          |       MIN(CASE WHEN is_outlier THEN x END) AS min_outlier_value,
+          |       MAX(CASE WHEN is_outlier THEN x END) AS max_outlier_value
+          |FROM g GROUP BY 1 ORDER BY event_type ASC""".stripMargin),
+    // q112: identical integer Gini; `//` (floor) ≡ Spark `div` here since
+    // every term is positive.
+    "q112_gini_ppm" ->
+      (silverCte +
+        """, counts AS (
+          |  SELECT user_id, COUNT(*) AS x FROM silver GROUP BY 1),
+          |r AS (
+          |  SELECT x, row_number() OVER (ORDER BY x ASC, user_id ASC) AS i
+          |  FROM counts)
+          |SELECT COUNT(*) AS n, SUM(x) AS sum_x,
+          |       (2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)) * 1000000
+          |         // (COUNT(*) * SUM(x)) AS gini_ppm
+          |FROM r""".stripMargin),
     // q89: sequential folds — DuckDB list_reduce with a prepended 0 seed
     // reproduces Spark's aggregate() fold order exactly.
     "q89_vector_stats" ->

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -141,6 +142,64 @@ object StarQueries {
         |GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority), ())
         |ORDER BY gid ASC, o_year ASC NULLS FIRST,
         |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Exact 3σ outlier census per event type — distributed anomaly
+    * detection WITHOUT floating point: z² > 9 is equivalent to
+    * (n·x − Σx)² > 9·(n·Σx² − (Σx)²), which is pure decimal arithmetic
+    * over the [[exactMoments]] sums. Two passes (moments, then flag),
+    * the group moments broadcast — at 100 TB this is a linear scan each
+    * side with a 3-row broadcast join, and the verdict is bit-identical
+    * on any partitioning/engine because no division or sqrt ever
+    * happens. */
+  def outlierCensus(spark: SparkSession, silver: DataFrame): DataFrame = {
+    graft.core.Sessions.ensure(spark)
+    val li = silver.filter(col("value").isNotNull).select(
+      col("event_type"),
+      col("value").cast("decimal(18,2)").as("x"))
+    val m = li.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).cast("decimal(10,0)").as("n"),
+        sum(col("x")).cast("decimal(18,2)").as("sx"),
+        sum(col("x") * col("x")).cast("decimal(27,4)").as("sxx"))
+      .select(col("event_type"), col("n"), col("sx"),
+        (col("n") * col("sxx") - col("sx").cast("decimal(18,2)") *
+          col("sx").cast("decimal(18,2)")).cast("decimal(30,4)").as("var_num"))
+    li.join(broadcast(m), "event_type")
+      .withColumn("dev", (col("n") * col("x") - col("sx")).cast("decimal(18,2)"))
+      .withColumn("is_outlier",
+        (col("dev") * col("dev")).cast("decimal(38,4)") >
+          (lit(java.math.BigDecimal.valueOf(9)).cast("decimal(2,0)") *
+            col("var_num")).cast("decimal(38,4)"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+        min(when(col("is_outlier"), col("x"))).as("min_outlier_value"),
+        max(when(col("is_outlier"), col("x"))).as("max_outlier_value"))
+      .orderBy(col("event_type").asc)
+  }
+
+  /** Gini coefficient of the per-user listen distribution, in exact
+    * integer parts-per-million: G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx) with
+    * xᵢ ascending — the standard inequality measure over engagement (or
+    * any long-tailed corpus weight). Ranks come from a total-order
+    * window over the users-sized count table; every term is int64 and
+    * the single `div` makes the ppm value engine-exact. */
+  def giniPpm(spark: SparkSession, silver: DataFrame): DataFrame = {
+    graft.core.Sessions.ensure(spark)
+    val counts = silver.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.orderBy(col("x").asc, col("user_id").asc)
+    counts.withColumn("i", row_number().over(w))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sum_x"),
+        sum(col("i") * col("x")).as("sum_ix"))
+      .select(
+        col("n"), col("sum_x"),
+        expr("(2 * sum_ix - (n + 1) * sum_x) * 1000000 div (n * sum_x)")
+          .as("gini_ppm"))
   }
 
   /** A11: scalar-subquery-style grand total — share of customers per nation.

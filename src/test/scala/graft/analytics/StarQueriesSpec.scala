@@ -40,6 +40,41 @@ class StarQueriesSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("decimal outlier census equals the double z-score computation") {
+    import org.apache.spark.sql.functions._
+    val silver = graft.pipeline.EventsPipeline.silver(spark, sf)
+    val got = StarQueries.outlierCensus(spark, silver).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_outliers")).toMap
+    // double-precision twin (rounded to cents first, same as the decimal
+    // path); no value sits near enough the 3σ boundary to flip
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    val dbl = silver.filter(col("value").isNotNull)
+      .withColumn("x", round(col("value"), 2))
+      .withColumn("m", avg(col("x")).over(w))
+      .withColumn("s", stddev_pop(col("x")).over(w))
+      .filter(abs(col("x") - col("m")) > col("s") * 3)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.filter(_._2 > 0) === dbl)
+    assert(got.values.sum > 0, "census found no outliers — degenerate input")
+  }
+
+  test("gini ppm: zero for uniform engagement, (n-1)/n for a monopolist") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def gini(counts: Seq[(Long, Int)]): Long = {
+      val silver = counts.flatMap { case (u, k) => Seq.fill(k)(u) }
+        .toDF("user_id").withColumn("event_type", lit("play"))
+      StarQueries.giniPpm(spark, silver).head.getAs[Long]("gini_ppm")
+    }
+    assert(gini(Seq(1L -> 4, 2L -> 4, 3L -> 4, 4L -> 4)) === 0L)
+    // one user holds everything: G = (n-1)/n = 0.75
+    assert(gini(Seq(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 97)) > 600000L)
+    val sfG = StarQueries.giniPpm(spark,
+      graft.pipeline.EventsPipeline.silver(spark, sf)).head.getAs[Long]("gini_ppm")
+    assert(sfG >= 0L && sfG < 1000000L)
+  }
+
   test("exact moments are partition-order invariant and track double math") {
     import org.apache.spark.sql.functions._
     val a = StarQueries.exactMoments(spark, sf).collect()
