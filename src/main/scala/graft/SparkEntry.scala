@@ -274,6 +274,11 @@ object SparkEntry {
     // ---- Gini inequality of engagement, exact integer ppm ----
     "q112_gini_ppm"            -> ((s, d) =>
       StarQueries.giniPpm(s, EventsPipeline.silver(s, d))),
+    // ---- the CUSTOM PHYSICAL as-of operator (LogicalPlan + Strategy +
+    //      SparkPlan, graft.plans.AsOfJoinExec): same semantics as q46,
+    //      same oracle, different (native) execution ----
+    "q113_asof_physical"       -> ((s, d) =>
+      TemporalOps.eventOrderAsOfPhysical(EventsPipeline.silver(s, d), graft.core.Tables.orders(s, d))),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -523,6 +528,23 @@ object SparkEntry {
 
   private val duckCos =
     "list_dot_product(qv.e, nv.e) / (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(nv.e, nv.e)))"
+
+  // shared by q46 (union+window composition) and q113 (custom physical
+  // operator): one relation, two execution strategies, one truth
+  private lazy val asofOracleSql: String =
+    silverCte +
+      """, ordd AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        |  FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1)
+        |SELECT s.event_id, s.user_id,
+        |       o.o_orderkey AS asof_orderkey, o.o_totalprice AS asof_totalprice
+        |FROM silver s
+        |ASOF LEFT JOIN ordd o
+        |  ON s.user_id = o.o_custkey AND s.ts >= o.o_orderdate
+        |ORDER BY s.event_id ASC""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1519,20 +1541,11 @@ object SparkEntry {
           |UNION ALL
           |SELECT 'only_first' AS op, user_id FROM (SELECT user_id FROM d1 EXCEPT SELECT user_id FROM d2)
           |ORDER BY op ASC, user_id ASC""".stripMargin),
-    "q46_asof_join" ->
-      (silverCte +
-        """, ordd AS (
-          |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
-          |  FROM (
-          |    SELECT *, row_number() OVER (
-          |      PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
-          |    FROM orders) WHERE rn = 1)
-          |SELECT s.event_id, s.user_id,
-          |       o.o_orderkey AS asof_orderkey, o.o_totalprice AS asof_totalprice
-          |FROM silver s
-          |ASOF LEFT JOIN ordd o
-          |  ON s.user_id = o.o_custkey AND s.ts >= o.o_orderdate
-          |ORDER BY s.event_id ASC""".stripMargin),
+    "q46_asof_join" -> asofOracleSql,
+    // q113: the custom PHYSICAL as-of operator computes the identical
+    // relation (tiebreak o_orderkey ≡ the oracle's per-(custkey,date)
+    // max-orderkey dedup), so it is gated by the SAME oracle as q46.
+    "q113_asof_physical" -> asofOracleSql,
     "q47_sessions" ->
       (silverCte +
         """, flagged AS (

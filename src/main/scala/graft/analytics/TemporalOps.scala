@@ -76,6 +76,36 @@ object TemporalOps {
       .orderBy(col("event_id").asc)
   }
 
+  /** [[eventOrderAsOf]] through the engine's own PHYSICAL as-of operator
+    * ([[graft.plans.AsOfJoinExec]]): custom logical node, planner
+    * strategy, sorted-merge execution. Semantically identical to the
+    * union+window form — proven by the oracle (same SQL as q46) and by
+    * AsOfJoinPlanSpec's row-for-row comparison — but each side shuffles
+    * at its own natural width instead of being padded to the union
+    * schema, and the merge keeps ONE buffered row per task instead of a
+    * running window frame.
+    *
+    * No right-side pre-dedup needed: with the operator's
+    * (time, tiebreak=o_orderkey) right ordering, "last qualifying row
+    * wins" IS max-date-then-max-orderkey — the same tie rule q46 encodes
+    * via its row_number dedup. */
+  def eventOrderAsOfPhysical(silver: DataFrame, orders: DataFrame): DataFrame = {
+    val leftSel = silver.select(col("event_id"), col("user_id"), col("ts"))
+    val rightSel = orders.select(
+      col("o_custkey"),
+      col("o_orderdate").cast("timestamp").as("o_time"),
+      col("o_orderkey"), col("o_totalprice"))
+    graft.plans.AsOfJoin.asOf(
+        leftSel, rightSel,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_time",
+        rightTiebreak = "o_orderkey")
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("asof_orderkey"),
+        col("o_totalprice").as("asof_totalprice"))
+      .orderBy(col("event_id").asc)
+  }
+
   /** Exact discrete quantiles per group — median without interpolation.
     * Interpolated quantiles (percentile_cont) mix IEEE operand orders
     * across engines; the DISCRETE median (lower-middle element by a total

@@ -42,6 +42,12 @@ object Sessions {
           spark.experimental.extraOptimizations :+
             graft.functions.FuseIntersectCount
       }
+      // planner strategy: the as-of join physical operator (idempotent add)
+      if (!spark.experimental.extraStrategies
+            .contains(graft.plans.AsOfJoinStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+      }
     }
     spark
   }

@@ -100,5 +100,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier(RollingHash.Name), RollingHash.info, RollingHash.builder))
     ext.injectFunction((FunctionIdentifier(IntersectCount.Name), IntersectCount.info, IntersectCount.builder))
     ext.injectOptimizerRule(_ => FuseIntersectCount)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
