@@ -279,6 +279,13 @@ object SparkEntry {
     //      same oracle, different (native) execution ----
     "q113_asof_physical"       -> ((s, d) =>
       TemporalOps.eventOrderAsOfPhysical(EventsPipeline.silver(s, d), graft.core.Tables.orders(s, d))),
+    // ---- Misra–Gries heavy hitters: the frequency sketch, guarantee-
+    //      gated against the exact census (q38/q64 tolerance pattern) ----
+    "q114_heavy_hitters"       -> ((s, d) =>
+      Diagnostics.heavyHittersChecked(s, EventsPipeline.silver(s, d))),
+    // ---- iterative PageRank in exact integer ppm (3 rounds, 17/20
+    //      damping, floor division — no IEEE drift across engines) ----
+    "q115_pagerank_ppm"        -> ((s, d) => Graphs.pageRankPpm(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -1546,6 +1553,47 @@ object SparkEntry {
     // relation (tiebreak o_orderkey ≡ the oracle's per-(custkey,date)
     // max-orderkey dedup), so it is gated by the SAME oracle as q46.
     "q113_asof_physical" -> asofOracleSql,
+    // q114: sketch content is engine-specific; the gated columns are the
+    // exact top-20 census plus the MG guarantee booleans, which a correct
+    // sketch makes literally TRUE — same contract as q38/q64.
+    "q114_heavy_hitters" ->
+      (silverCte +
+        """, c AS (
+          |  SELECT user_id, COUNT(*) AS exact_cnt FROM silver GROUP BY 1),
+          |t AS (SELECT SUM(exact_cnt) AS n FROM c),
+          |top AS (
+          |  SELECT user_id, exact_cnt,
+          |         row_number() OVER (ORDER BY exact_cnt DESC, user_id ASC) AS rank
+          |  FROM c ORDER BY exact_cnt DESC, user_id ASC LIMIT 20)
+          |SELECT rank, user_id, exact_cnt,
+          |       exact_cnt > (SELECT n // 32 FROM t) AS above_threshold,
+          |       TRUE AS guaranteed_present,
+          |       TRUE AS estimate_sound
+          |FROM top ORDER BY rank ASC""".stripMargin),
+    // q115: the three iterations are UNROLLED as plain CTEs (SQL forbids
+    // aggregates in a recursive member; fixed-iteration IS the semantics).
+    // All-integer ppm arithmetic — floor div both engines, zero drift.
+    "q115_pagerank_ppm" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+        |dir AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+        |deg AS (SELECT u, COUNT(*) AS deg FROM dir GROUP BY 1),
+        |r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+        |r1 AS (SELECT d.v AS node, 150000 + (SUM(p.r // g.deg) * 17) // 20 AS r
+        |       FROM r0 p JOIN deg g ON g.u = p.node JOIN dir d ON d.u = p.node
+        |       GROUP BY d.v),
+        |r2 AS (SELECT d.v AS node, 150000 + (SUM(p.r // g.deg) * 17) // 20 AS r
+        |       FROM r1 p JOIN deg g ON g.u = p.node JOIN dir d ON d.u = p.node
+        |       GROUP BY d.v),
+        |r3 AS (SELECT d.v AS node, 150000 + (SUM(p.r // g.deg) * 17) // 20 AS r
+        |       FROM r2 p JOIN deg g ON g.u = p.node JOIN dir d ON d.u = p.node
+        |       GROUP BY d.v),
+        |top AS (SELECT node, r AS rank_ppm,
+        |               row_number() OVER (ORDER BY r DESC, node ASC) AS rank
+        |        FROM r3 ORDER BY r DESC, node ASC LIMIT 10)
+        |SELECT rank, node, rank_ppm FROM top ORDER BY rank ASC""".stripMargin,
     "q47_sessions" ->
       (silverCte +
         """, flagged AS (

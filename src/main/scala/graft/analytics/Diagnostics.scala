@@ -49,4 +49,51 @@ object Diagnostics {
 
   def keySkewCensus(spark: SparkSession, dir: String): DataFrame =
     keySkewCensus(Tables.events(spark, dir))
+
+  /** Heavy hitters via the [[graft.functions.MisraGries]] sketch, gated
+    * the q38/q64 way: the sketch's CONTENT is engine-specific (and
+    * merge-order-dependent in its non-guaranteed tail), so the query
+    * reduces it to its mathematical guarantees — checked against the
+    * EXACT top-N — and emits only engine-portable columns. The oracle
+    * writes literal TRUEs; a sketch bug (or a broken merge under Spark's
+    * partial aggregation) flips a boolean and fails the hash gate.
+    *
+    * Scale shape vs [[keySkewCensus]]: the exact census is the gate-side
+    * yardstick here, but the SKETCH is the 100 TB artifact — one pass,
+    * ≤ m counters per task, a single ≤ m-entry map on the driver; no
+    * per-key groupBy state over the full key domain.
+    *
+    * Bounds use floor(n/m): the true MG error bound is n/(m+1) ≤ n/m, and
+    * floor keeps both engines in exact integer arithmetic. */
+  def heavyHittersChecked(
+      spark: SparkSession, silver: DataFrame,
+      m: Int = 32, topN: Int = 20): DataFrame = {
+    import spark.implicits._
+    val summary: Map[Long, Long] = silver
+      .select(col("user_id")).as[Long]
+      .select(new graft.functions.MisraGries(m).toColumn)
+      .head()
+    val counts = silver.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+    val totals = counts.agg(sum(col("exact_cnt")).as("n"))
+    // rank window runs over topN rows only (TakeOrdered first) — same
+    // no-global-window shape as keySkewCensus
+    val w = Window.orderBy(col("exact_cnt").desc, col("user_id").asc)
+    counts
+      .orderBy(col("exact_cnt").desc, col("user_id").asc).limit(topN)
+      .withColumn("rank", row_number().over(w))
+      .crossJoin(broadcast(totals))
+      .withColumn("bound", expr(s"n div $m"))
+      .withColumn("mg_est",
+        element_at(typedLit(summary), col("user_id")))
+      .withColumn("above_threshold", col("exact_cnt") > col("bound"))
+      .withColumn("guaranteed_present",
+        !col("above_threshold") || col("mg_est").isNotNull)
+      .withColumn("estimate_sound", col("mg_est").isNull ||
+        (col("mg_est") <= col("exact_cnt") &&
+          col("mg_est") >= col("exact_cnt") - col("bound")))
+      .select(col("rank"), col("user_id"), col("exact_cnt"),
+        col("above_threshold"), col("guaranteed_present"),
+        col("estimate_sound"))
+      .orderBy(col("rank").asc)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Caches, Tables}
@@ -108,5 +109,67 @@ object Graphs {
     deg.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
       .crossJoin(triangles)
+  }
+
+  /** PageRank over the undirected co-purchase graph, in EXACT integer
+    * parts-per-million — the iterative "Pregel on DataFrames" kernel the
+    * graph family still lacked (one-shot: triangles q93, recs q104;
+    * iterative-converging: components q60, BFS q109; iterative-numeric:
+    * this).
+    *
+    * Arithmetic is engine-portable by construction: ranks live in ppm
+    * longs, a node's per-edge contribution is `rank div deg` (floor), and
+    * the damping update is `150000 + (Σ contribs × 17) div 20` — 0.85 as
+    * the exact rational 17/20, floor division on non-negative operands ≡
+    * DuckDB `//`. No IEEE doubles anywhere, so iteration count doesn't
+    * compound rounding drift across engines. The oracle unrolls the same
+    * three iterations as plain CTEs (aggregates are illegal in a SQL
+    * recursive member, and unrolling IS the semantics: fixed iters, not
+    * convergence).
+    *
+    * Scale shape: each iteration is one keyed equi-join of the edge list
+    * against the node-sized rank table plus one aggregation — the
+    * standard distributed PageRank step. Edges and degrees are computed
+    * once and reused ([[graft.core.Caches.scratch]]); each round's ranks
+    * are truncated with an eager `localCheckpoint` so the plan stays
+    * constant-size across iterations (same rule as the connected-
+    * components loop, q60). Undirected symmetric edges mean every node
+    * has out-degree ≥ 1 — no dangling-mass redistribution term needed.
+    *
+    * Overflow headroom: Σ contribs ≤ total mass = n·10⁶, so the ×17 stays
+    * within Long for n up to ~5·10¹¹ nodes. */
+  def pageRankPpm(spark: SparkSession, dir: String,
+                  iters: Int = 3, topK: Int = 10): DataFrame =
+    pageRankPpmOf(coPurchaseEdges(Tables.lineitem(spark, dir)), iters, topK)
+
+  /** [[pageRankPpm]] over an arbitrary undirected (u, v) edge list. */
+  def pageRankPpmOf(undirected: DataFrame,
+                    iters: Int = 3, topK: Int = 10): DataFrame = {
+    // direct both ways; out-degree per source
+    val directed = Caches.scratch(
+      undirected.select(col("u"), col("v"))
+        .unionAll(undirected.select(col("v").as("u"), col("u").as("v"))))
+    val deg = Caches.scratch(
+      directed.groupBy(col("u")).agg(count(lit(1)).as("deg")))
+    var ranks = deg.select(col("u").as("node"), lit(1000000L).as("rank_ppm"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      ranks = directed
+        .join(deg, "u")
+        .join(ranks, directed("u") === ranks("node"))
+        .select(col("v"), expr("rank_ppm div deg").as("contrib"))
+        .groupBy(col("v"))
+        .agg(sum(col("contrib")).as("s"))
+        .select(col("v").as("node"),
+          expr("150000 + (s * 17) div 20").as("rank_ppm"))
+        .localCheckpoint(true)
+    }
+    val w = Window.orderBy(col("rank_ppm").desc, col("node").asc)
+    val out = ranks
+      .orderBy(col("rank_ppm").desc, col("node").asc).limit(topK)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("node"), col("rank_ppm"))
+      .orderBy(col("rank").asc)
+    out
   }
 }

@@ -181,4 +181,18 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.contains("Expand") || plan.contains("Generate"),
       s"window generator missing in:\n$plan")
   }
+
+  test("top-k per group triggers rank-limit pushdown (WindowGroupLimit)") {
+    // `row_number() <= k` filters must rewrite to WindowGroupLimit, which
+    // keeps only k rows PER GROUP on the map side before the shuffle —
+    // at 100 TB that is the difference between shuffling every per-user
+    // day and shuffling ≤3 rows per user. Pin it so a refactor of the
+    // top-k spelling (or a conf regression) can't silently drop it.
+    val silver = EventsPipeline.silver(spark, sf)
+    val top3 = EventsPipeline.goldTop3DaysOf(silver)
+    top3.collect()
+    val plan = top3.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing in:\n$plan")
+  }
 }

@@ -65,4 +65,26 @@ class GraphsSpec extends SparkSpecBase {
     val edges = Graphs.coPurchaseEdges(li).collect()
     assert(edges.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
   }
+
+  test("pagerank ppm: hand-traced path graph 1–2–3, three iterations") {
+    import spark.implicits._
+    // degrees 1,2,1; all-integer update r' = 150000 + (Σ r div deg)·17 div 20:
+    //   iter1: (575000, 1850000, 575000)
+    //   iter2: (936250, 1127500, 936250)
+    //   iter3: (629187, 1741625, 629187)   [563750·17 = 9583750, div 20 floors]
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val out = Graphs.pageRankPpmOf(edges, iters = 3, topK = 10).collect()
+    val got = out.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1, 2L, 1741625L), (2, 1L, 629187L), (3, 3L, 629187L)))
+  }
+
+  test("pagerank ppm on sf data: dense ranks, floor ≥ base mass, deterministic") {
+    val a = Graphs.pageRankPpm(spark, sf).collect()
+    val b = Graphs.pageRankPpm(spark, sf).collect()
+    assert(a.toSeq === b.toSeq) // localCheckpoint loop is restart-identical
+    assert(a.map(_.getInt(0)).toSeq === (1 to a.length))
+    a.foreach(r => assert(r.getLong(2) >= 150000L))
+    val ranks = a.map(_.getLong(2))
+    assert(ranks.zip(ranks.tail).forall { case (x, y) => x >= y })
+  }
 }
