@@ -286,6 +286,11 @@ object SparkEntry {
     // ---- iterative PageRank in exact integer ppm (3 rounds, 17/20
     //      damping, floor division — no IEEE drift across engines) ----
     "q115_pagerank_ppm"        -> ((s, d) => Graphs.pageRankPpm(s, d)),
+    // ---- custom DataSource V2 connector (generator with pushdown):
+    //      census over the md5-derived corpus, rebuilt by the oracle
+    //      from range(n) ----
+    "q116_docgen_census"       -> ((s, _) =>
+      graft.sources.DocGenQueries.corpusCensus(s)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -1594,6 +1599,21 @@ object SparkEntry {
         |               row_number() OVER (ORDER BY r DESC, node ASC) AS rank
         |        FROM r3 ORDER BY r DESC, node ASC LIMIT 10)
         |SELECT rank, node, rank_ppm FROM top ORDER BY rank ASC""".stripMargin,
+    // q116: the oracle REBUILDS the generated corpus — md5 over the
+    // decimal doc_id is engine-portable, so a custom DSv2 source is
+    // hash-gateable like any parquet table.
+    "q116_docgen_census" ->
+      """WITH g AS (
+        |  SELECT r.range AS doc_id,
+        |         ['en','de','fr','es','pt'][CAST(r.range % 5 AS INT) + 1] AS lang,
+        |         ['web','books','code'][CAST(r.range % 3 AS INT) + 1] AS source,
+        |         repeat(md5(CAST(r.range AS VARCHAR)), CAST(1 + r.range % 4 AS INT)) AS text,
+        |         32 * CAST(1 + r.range % 4 AS INT) AS n_chars
+        |  FROM range(20000) r)
+        |SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+        |       MIN(substr(text, 1, 8)) AS min_prefix,
+        |       MAX(substr(text, 1, 8)) AS max_prefix
+        |FROM g GROUP BY 1, 2 ORDER BY lang ASC, source ASC""".stripMargin,
     "q47_sessions" ->
       (silverCte +
         """, flagged AS (

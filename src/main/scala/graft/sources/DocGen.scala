@@ -1,0 +1,213 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector: a deterministic synthetic-corpus GENERATOR —
+  * the source a 100 TB engine uses to benchmark itself at any scale with
+  * zero I/O (Spark's own `rate` source, grown a document schema). Covers
+  * the remaining Spark-native extension surface (custom expressions,
+  * optimizer rule, planner strategy, typed Aggregators exist elsewhere;
+  * this is the connector API): `TableProvider` → `Table` → `ScanBuilder`
+  * → `Scan`/`Batch` → `PartitionReader`, with
+  *
+  *  - FILTER PUSHDOWN ([[SupportsPushDownFilters]]): `doc_id` bound
+  *    predicates narrow the generated [lo, hi) range — partitions outside
+  *    the bounds are never planned, rows never materialize (the DSv2
+  *    equivalent of parquet row-group pruning, observable in
+  *    `description()` and asserted in DocGenSourceSpec);
+  *  - COLUMN PRUNING ([[SupportsPushDownRequiredColumns]]): unrequested
+  *    columns are never generated — a `select(doc_id)` never runs md5;
+  *  - stats reporting ([[SupportsReportStatistics]]) post-pushdown, so
+  *    Catalyst can pick broadcast joins over narrow generated ranges.
+  *
+  * Every value is a pure function of `doc_id` through md5 over its
+  * decimal string — reproducible in ANY engine with md5 (the DuckDB
+  * oracle rebuilds the corpus from `range(n)`, q116), which is what makes
+  * a custom SOURCE hash-gateable at all.
+  *
+  * Usage: `spark.read.format("graft-docs").option("rows", n).load()`
+  * (registered via DataSourceRegister; the fully-qualified class name
+  * works without the service registry). Options: `rows` (corpus size),
+  * `rowsPerPartition` (task granularity, default 4096).
+  */
+class DocGen extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-docs"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DocGen.Schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new DocGenTable(new CaseInsensitiveStringMap(properties))
+}
+
+object DocGen {
+  val Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false)))
+
+  private val Langs = Array("en", "de", "fr", "es", "pt")
+  private val Sources = Array("web", "books", "code")
+
+  def langOf(id: Long): String = Langs((id % 5).toInt)
+  def sourceOf(id: Long): String = Sources((id % 3).toInt)
+  def repeatsOf(id: Long): Int = 1 + (id % 4).toInt
+  def nCharsOf(id: Long): Int = 32 * repeatsOf(id)
+
+  /** Lowercase md5 hex of the decimal id — matches `md5(CAST(id AS
+    * STRING))` in Spark AND DuckDB, the portability anchor. */
+  def md5Hex(id: Long): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  def textOf(id: Long): String = {
+    val h = md5Hex(id)
+    val k = repeatsOf(id)
+    val sb = new java.lang.StringBuilder(32 * k)
+    (1 to k).foreach(_ => sb.append(h))
+    sb.toString
+  }
+}
+
+class DocGenTable(options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+  private val rows = options.getLong("rows", 1000L)
+  private val rowsPerPartition = options.getLong("rowsPerPartition", 4096L)
+
+  override def name(): String = s"graft_docs($rows)"
+  override def schema(): StructType = DocGen.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new DocGenScanBuilder(rows, rowsPerPartition)
+}
+
+class DocGenScanBuilder(rows: Long, rowsPerPartition: Long)
+  extends ScanBuilder
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var lo = 0L
+  private var hi = rows
+  private var pushed = Array.empty[Filter]
+  private var required: StructType = DocGen.Schema
+
+  /** Narrow [lo, hi) from doc_id bound predicates. Handled filters are
+    * still returned as residual — Spark re-checks them above the scan
+    * (belt-and-braces; the win is rows never GENERATED, not the
+    * post-filter). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val handled = filters.filter {
+      case EqualTo("doc_id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case GreaterThan("doc_id", v: Long) =>
+        lo = math.max(lo, v + 1); true
+      case GreaterThanOrEqual("doc_id", v: Long) =>
+        lo = math.max(lo, v); true
+      case LessThan("doc_id", v: Long) =>
+        hi = math.min(hi, v); true
+      case LessThanOrEqual("doc_id", v: Long) =>
+        hi = math.min(hi, v + 1); true
+      case IsNotNull("doc_id") => true // never null, trivially satisfied
+      case _ => false
+    }
+    pushed = handled
+    filters // residual = everything (cheap re-check, exact semantics)
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new DocGenScan(math.min(lo, hi), hi, rowsPerPartition, required)
+}
+
+case class DocGenPartition(start: Long, end: Long) extends InputPartition
+
+class DocGenScan(lo: Long, hi: Long, rowsPerPartition: Long,
+                 required: StructType)
+  extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"DocGenScan range=[$lo,$hi) cols=[${required.fieldNames.mkString(",")}]"
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(0L, hi - lo)
+    // ~112 generated bytes/row at full schema, post-pushdown — lets
+    // Catalyst broadcast a narrow generated range
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(n * 112L)
+    override def numRows(): OptionalLong = OptionalLong.of(n)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (hi <= lo) Array.empty
+    else (lo until hi by rowsPerPartition).map { s =>
+      DocGenPartition(s, math.min(s + rowsPerPartition, hi))
+    }.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocGenReaderFactory(required.fieldNames)
+}
+
+/** The q116 gate query: a census over the GENERATED corpus. Because every
+  * value is an md5-derived function of doc_id, DuckDB rebuilds the same
+  * corpus from `range(n)` and the hash gate applies to a custom DSv2
+  * source exactly as it does to a parquet table. */
+object DocGenQueries {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions._
+
+  def corpusCensus(spark: SparkSession, rows: Long = 20000): DataFrame = {
+    graft.core.Sessions.ensure(spark)
+    spark.read.format("graft-docs").option("rows", rows).load()
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        min(substring(col("text"), 1, 8)).as("min_prefix"),
+        max(substring(col("text"), 1, 8)).as("max_prefix"))
+      .orderBy(col("lang").asc, col("source").asc)
+  }
+}
+
+class DocGenReaderFactory(fields: Array[String])
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[DocGenPartition]
+    new PartitionReader[InternalRow] {
+      private var id = part.start - 1
+      override def next(): Boolean = { id += 1; id < part.end }
+      override def get(): InternalRow =
+        new GenericInternalRow(fields.map[Any] {
+          case "doc_id" => id
+          case "lang" => UTF8String.fromString(DocGen.langOf(id))
+          case "source" => UTF8String.fromString(DocGen.sourceOf(id))
+          case "text" => UTF8String.fromString(DocGen.textOf(id))
+          case "n_chars" => DocGen.nCharsOf(id)
+        })
+      override def close(): Unit = ()
+    }
+  }
+}

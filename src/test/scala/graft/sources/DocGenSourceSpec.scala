@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** The DSv2 generator connector: schema, determinism, and — the point of
+  * implementing the connector API at all — observable filter pushdown
+  * (partitions outside a doc_id bound are never planned) and column
+  * pruning (unrequested columns are never generated). */
+class DocGenSourceSpec extends SparkSpecBase {
+
+  private def docs(rows: Long, rpp: Long = 100): DataFrame =
+    spark.read.format("graft-docs")
+      .option("rows", rows).option("rowsPerPartition", rpp).load()
+
+  test("registered short name and full class name both resolve") {
+    assert(docs(10).count() === 10)
+    assert(spark.read.format("graft.sources.DocGen")
+      .option("rows", 10).load().count() === 10)
+  }
+
+  test("generated values are the documented functions of doc_id") {
+    val r = docs(50).filter(col("doc_id") === 7L).head()
+    assert(r.getString(r.fieldIndex("lang")) === "fr")     // 7 % 5 = 2
+    assert(r.getString(r.fieldIndex("source")) === "books") // 7 % 3 = 1
+    val text = r.getString(r.fieldIndex("text"))
+    assert(text.length === 32 * 4 && r.getInt(r.fieldIndex("n_chars")) === 128)
+    // text is md5("7") repeated — cross-check against Spark's own md5
+    val sparkMd5 = docs(50).filter(col("doc_id") === 7L)
+      .select(md5(col("doc_id").cast("string"))).head().getString(0)
+    assert(text === sparkMd5 * 4)
+  }
+
+  test("deterministic: two independent reads are identical") {
+    val a = docs(500).orderBy("doc_id").collect()
+    val b = docs(500).orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("doc_id bounds push down: out-of-range partitions never planned") {
+    val filtered = docs(10000, rpp = 100).filter(col("doc_id") < 250)
+    assert(filtered.count() === 250)
+    filtered.collect()
+    val plan = filtered.queryExecution.executedPlan.toString
+    // description() exposes the post-pushdown range: 3 partitions of 100,
+    // not 100 partitions of 100
+    assert(plan.contains("range=[0,250)"), s"pushdown not visible in:\n$plan")
+    val parts = filtered.rdd.getNumPartitions
+    assert(parts === 3, s"expected 3 pruned partitions, got $parts")
+  }
+
+  test("conjunctive bounds narrow both ends; equality narrows to one row") {
+    val band = docs(10000).filter(col("doc_id") >= 500 && col("doc_id") < 600)
+    assert(band.count() === 100)
+    assert(band.queryExecution.executedPlan.toString.contains("range=[500,600)"))
+    val one = docs(10000).filter(col("doc_id") === 42L)
+    assert(one.queryExecution.executedPlan.toString.contains("range=[42,43)"))
+    assert(one.head().getLong(0) === 42L)
+  }
+
+  test("column pruning reaches the reader: text never generated for a doc_id-only scan") {
+    val pruned = docs(1000).select("doc_id", "n_chars")
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=[doc_id,n_chars]"),
+      s"pruned read schema not visible in:\n$plan")
+    assert(!plan.contains("cols=[doc_id,lang,source,text,n_chars]"))
+  }
+
+  test("empty range after contradictory bounds plans zero partitions") {
+    val none = docs(1000).filter(col("doc_id") > 800 && col("doc_id") < 100)
+    assert(none.count() === 0)
+  }
+}
