@@ -91,16 +91,18 @@ class DocGenTable(options: CaseInsensitiveStringMap)
   extends Table with SupportsRead {
   private val rows = options.getLong("rows", 1000L)
   private val rowsPerPartition = options.getLong("rowsPerPartition", 4096L)
+  private val rowsPerBatch = options.getLong("rowsPerBatch", 1000L)
 
   override def name(): String = s"graft_docs($rows)"
   override def schema(): StructType = DocGen.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new DocGenScanBuilder(rows, rowsPerPartition)
+    new DocGenScanBuilder(rows, rowsPerPartition, rowsPerBatch)
 }
 
-class DocGenScanBuilder(rows: Long, rowsPerPartition: Long)
+class DocGenScanBuilder(rows: Long, rowsPerPartition: Long,
+                        rowsPerBatch: Long = 1000L)
   extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -137,17 +139,31 @@ class DocGenScanBuilder(rows: Long, rowsPerPartition: Long)
     required = requiredSchema
 
   override def build(): Scan =
-    new DocGenScan(math.min(lo, hi), hi, rowsPerPartition, required)
+    new DocGenScan(math.min(lo, hi), hi, rowsPerPartition, required,
+      rowsPerBatch)
 }
 
 case class DocGenPartition(start: Long, end: Long) extends InputPartition
 
 class DocGenScan(lo: Long, hi: Long, rowsPerPartition: Long,
-                 required: StructType)
+                 required: StructType, rowsPerBatch: Long = 1000L)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming face of the same table: offsets are plain doc_id
+    * watermarks (`initial = lo`, advancing `rowsPerBatch` per micro-batch
+    * until `hi`), so a batch [start, end) REPLAYS deterministically —
+    * after a checkpoint restart the re-planned batch regenerates the
+    * identical rows, which is the whole exactly-once contract. The stream
+    * is FINITE: once the offset reaches `hi`, latestOffset stops
+    * advancing and an AvailableNow/processAllAvailable query drains and
+    * idles. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new DocGenMicroBatchStream(lo, hi, rowsPerPartition, rowsPerBatch,
+      required.fieldNames)
 
   override def description(): String =
     s"DocGenScan range=[$lo,$hi) cols=[${required.fieldNames.mkString(",")}]"
@@ -169,6 +185,53 @@ class DocGenScan(lo: Long, hi: Long, rowsPerPartition: Long,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DocGenReaderFactory(required.fieldNames)
+}
+
+/** Micro-batch offset: the next doc_id to generate. */
+case class DocGenOffset(v: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+class DocGenMicroBatchStream(lo: Long, hi: Long, rowsPerPartition: Long,
+                             rowsPerBatch: Long, fields: Array[String])
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private var last = lo
+
+  override def initialOffset(): Offset = DocGenOffset(lo)
+
+  override def latestOffset(): Offset = {
+    last = math.min(hi, last + rowsPerBatch)
+    DocGenOffset(last)
+  }
+
+  /** Called on checkpoint-restored offsets BEFORE the first
+    * latestOffset() of the restarted query — bump `last` here, or the
+    * fresh stream would hand back an offset BEHIND the restored position
+    * and the next batch would re-deliver already-committed rows. */
+  override def deserializeOffset(json: String): Offset = {
+    val v = json.trim.toLong
+    last = math.max(last, v)
+    DocGenOffset(v)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[DocGenOffset].v
+    val e = end.asInstanceOf[DocGenOffset].v
+    last = math.max(last, math.max(s, e)) // belt-and-braces with the above
+    if (e <= s) Array.empty
+    else (s until e by rowsPerPartition).map { p =>
+      DocGenPartition(p, math.min(p + rowsPerPartition, e))
+    }.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocGenReaderFactory(fields)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** The q116 gate query: a census over the GENERATED corpus. Because every
