@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{aggregate, Expression => V2Expression, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -104,17 +104,19 @@ class DocGenTable(options: CaseInsensitiveStringMap)
 class DocGenScanBuilder(rows: Long, rowsPerPartition: Long,
                         rowsPerBatch: Long = 1000L)
   extends ScanBuilder
-  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var lo = 0L
   private var hi = rows
   private var pushed = Array.empty[Filter]
   private var required: StructType = DocGen.Schema
+  private var agg: Option[aggregate.Aggregation] = None
 
-  /** Narrow [lo, hi) from doc_id bound predicates. Handled filters are
-    * still returned as residual — Spark re-checks them above the scan
-    * (belt-and-braces; the win is rows never GENERATED, not the
-    * post-filter). */
+  /** Narrow [lo, hi) from doc_id bound predicates. Bound filters map
+    * EXACTLY onto the generated range, so they are fully consumed (not
+    * returned as residual) — which is what lets Spark push limits and
+    * whole aggregations below them. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val handled = filters.filter {
       case EqualTo("doc_id", v: Long) =>
@@ -131,16 +133,39 @@ class DocGenScanBuilder(rows: Long, rowsPerPartition: Long,
       case _ => false
     }
     pushed = handled
-    filters // residual = everything (cheap re-check, exact semantics)
+    filters.filterNot(handled.contains(_)) // residual = only unhandled
   }
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new DocGenScan(math.min(lo, hi), hi, rowsPerPartition, required,
-      rowsPerBatch)
+  /** Rows are generated in doc_id order, so LIMIT n ≡ the first n ids of
+    * the (post-pushdown) range: cap `hi`. Exact, not partial. */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, math.min(lo, hi) + limit)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = false
+
+  /** Closed-form aggregate pushdown — the generator's analogue of parquet
+    * footer statistics, except EXACT and grouped: every column is a pure
+    * function of doc_id mod k (lang = id%5, source = id%3), so
+    * count/min/max over any doc_id range is answerable per residue class
+    * in O(15) integer arithmetic, never generating a row. A census over a
+    * trillion-row corpus plans ONE partition with the precomputed rows. */
+  override def supportCompletePushDown(a: aggregate.Aggregation): Boolean =
+    DocGenAggScan.translatable(a)
+
+  override def pushAggregation(a: aggregate.Aggregation): Boolean =
+    if (DocGenAggScan.translatable(a)) { agg = Some(a); true } else false
+
+  override def build(): Scan = agg match {
+    case Some(a) => new DocGenAggScan(math.min(lo, hi), hi, a)
+    case None =>
+      new DocGenScan(math.min(lo, hi), hi, rowsPerPartition, required,
+        rowsPerBatch)
+  }
 }
 
 case class DocGenPartition(start: Long, end: Long) extends InputPartition
@@ -187,6 +212,141 @@ class DocGenScan(lo: Long, hi: Long, rowsPerPartition: Long,
     new DocGenReaderFactory(required.fieldNames)
 }
 
+object DocGenAggScan {
+  private[sources] def colOf(e: V2Expression): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
+  /** Translatable = group-by over the modular columns (lang, source) and
+    * aggregates whose value is a pure function of a doc_id residue class:
+    * COUNT(*), COUNT(col) (every generated column is non-null, so it
+    * equals COUNT(*)), MIN/MAX(doc_id). */
+  def translatable(a: aggregate.Aggregation): Boolean = {
+    val groupsOk = a.groupByExpressions.forall(e =>
+      colOf(e).exists(n => n == "lang" || n == "source"))
+    val aggsOk = a.aggregateExpressions.forall {
+      case _: aggregate.CountStar => true
+      case c: aggregate.Count => !c.isDistinct && colOf(c.column).isDefined
+      case m: aggregate.Min => colOf(m.column).contains("doc_id")
+      case m: aggregate.Max => colOf(m.column).contains("doc_id")
+      case _ => false
+    }
+    groupsOk && aggsOk && a.aggregateExpressions.nonEmpty
+  }
+}
+
+/** Complete-pushdown aggregate scan: answers the census in O(15) integer
+  * arithmetic per residue class of doc_id mod lcm(5,3), planning ONE
+  * partition with the precomputed rows — no row of the corpus is ever
+  * generated. readSchema is group columns then aggregate columns, the
+  * order [[org.apache.spark.sql.execution.datasources.v2.V2ScanRelationPushDown]]
+  * expects for a completely-pushed aggregation. */
+class DocGenAggScan(lo: Long, hi: Long, agg: aggregate.Aggregation)
+  extends Scan with Batch with SupportsReportStatistics {
+  import DocGenAggScan.colOf
+
+  private val groupCols: Array[String] =
+    agg.groupByExpressions.map(e => colOf(e).get)
+
+  override def readSchema(): StructType = StructType(
+    groupCols.map(n => StructField(n, StringType, nullable = false)) ++
+    agg.aggregateExpressions.zipWithIndex.map {
+      case (_: aggregate.CountStar, i) =>
+        StructField(s"agg_$i", LongType, nullable = false)
+      case (_: aggregate.Count, i) =>
+        StructField(s"agg_$i", LongType, nullable = false)
+      case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+    })
+
+  /** count / min id / max id of {id in [lo,hi) : id % 15 == r}. */
+  private def residueStats(r: Int): (Long, Long, Long) = {
+    val m = 15L
+    def upTo(n: Long): Long = n / m + (if (n % m > r) 1L else 0L)
+    val cnt = upTo(hi) - upTo(lo)
+    if (cnt <= 0) (0L, -1L, -1L)
+    else {
+      val minId = lo + ((r - lo % m) + m) % m
+      val h = hi - 1
+      val maxId = h - ((h % m - r) + m) % m
+      (cnt, minId, maxId)
+    }
+  }
+
+  /** The precomputed result rows (group key values then agg values). */
+  private[sources] lazy val resultRows: Array[Array[Any]] = {
+    val byKey = (0 until 15).flatMap { r =>
+      val (cnt, minId, maxId) = residueStats(r)
+      if (cnt == 0) None
+      else {
+        val key = groupCols.map {
+          case "lang" => DocGen.langOf(r)
+          case "source" => DocGen.sourceOf(r)
+        }.toSeq
+        Some(key -> (cnt, minId, maxId))
+      }
+    }.groupBy(_._1).map { case (key, parts) =>
+      val stats = parts.map(_._2)
+      key -> (stats.map(_._1).sum, stats.map(_._2).min, stats.map(_._3).max)
+    }
+    val groups =
+      if (byKey.isEmpty && groupCols.isEmpty)
+        // global aggregate over an empty range still yields one row
+        Seq(Seq.empty[String] -> (0L, -1L, -1L))
+      else byKey.toSeq.sortBy(_._1.mkString(" "))
+    groups.map { case (key, (cnt, minId, maxId)) =>
+      val aggVals: Array[Any] = agg.aggregateExpressions.map[Any] {
+        case _: aggregate.CountStar => cnt
+        case _: aggregate.Count => cnt
+        case _: aggregate.Min => if (cnt == 0) null else minId
+        case _: aggregate.Max => if (cnt == 0) null else maxId
+      }
+      (key.toArray[Any] ++ aggVals)
+    }.toArray
+  }
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"DocGenAggScan groups=[${groupCols.mkString(",")}] " +
+      s"aggs=${agg.aggregateExpressions.length} range=[$lo,$hi)"
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(resultRows.length * 64L)
+    override def numRows(): OptionalLong =
+      OptionalLong.of(resultRows.length.toLong)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(DocGenAggPartition(resultRows.map(_.map {
+      case s: String => s
+      case l: Long => java.lang.Long.valueOf(l)
+      case null => null
+    })))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val rows = p.asInstanceOf[DocGenAggPartition].rows
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow =
+            new GenericInternalRow(rows(i).map[Any] {
+              case s: String => UTF8String.fromString(s)
+              case l: java.lang.Long => l.longValue()
+              case null => null
+            })
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+case class DocGenAggPartition(rows: Array[Array[AnyRef]])
+  extends InputPartition
+
 /** Micro-batch offset: the next doc_id to generate. */
 case class DocGenOffset(v: Long)
   extends org.apache.spark.sql.connector.read.streaming.Offset {
@@ -195,32 +355,34 @@ case class DocGenOffset(v: Long)
 
 class DocGenMicroBatchStream(lo: Long, hi: Long, rowsPerPartition: Long,
                              rowsPerBatch: Long, fields: Array[String])
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
-
-  private var last = lo
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   override def initialOffset(): Offset = DocGenOffset(lo)
 
-  override def latestOffset(): Offset = {
-    last = math.min(hi, last + rowsPerBatch)
-    DocGenOffset(last)
+  /** STATELESS pacing via admission control: Spark hands us the current
+    * start offset (checkpoint-restored on restart) every cycle, so the
+    * next end offset is a pure function of it — the stream can never
+    * fall behind the checkpoint and re-deliver committed rows, with no
+    * mutable position to restore. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[DocGenOffset].v
+    DocGenOffset(math.min(hi, math.max(s, lo) + rowsPerBatch))
   }
 
-  /** Called on checkpoint-restored offsets BEFORE the first
-    * latestOffset() of the restarted query — bump `last` here, or the
-    * fresh stream would hand back an offset BEHIND the restored position
-    * and the next batch would re-deliver already-committed rows. */
-  override def deserializeOffset(json: String): Offset = {
-    val v = json.trim.toLong
-    last = math.max(last, v)
-    DocGenOffset(v)
-  }
+  /** Only called when SupportsAdmissionControl is absent — unreachable,
+    * but the abstract member needs a sound body. */
+  override def latestOffset(): Offset = DocGenOffset(hi)
+
+  override def reportLatestOffset(): Offset = DocGenOffset(hi)
+
+  override def deserializeOffset(json: String): Offset =
+    DocGenOffset(json.trim.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[DocGenOffset].v
     val e = end.asInstanceOf[DocGenOffset].v
-    last = math.max(last, math.max(s, e)) // belt-and-braces with the above
     if (e <= s) Array.empty
     else (s until e by rowsPerPartition).map { p =>
       DocGenPartition(p, math.min(p + rowsPerPartition, e))

@@ -74,6 +74,67 @@ class DocGenSourceSpec extends SparkSpecBase {
     assert(none.count() === 0)
   }
 
+  // ---- limit + aggregate pushdown ----
+
+  test("limit pushdown caps the generated range") {
+    val limited = docs(100000, rpp = 100).limit(250)
+    assert(limited.count() === 250)
+    val plan = limited.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[0,250)"), s"limit not pushed in:\n$plan")
+  }
+
+  test("aggregate pushdown: count(*) over a trillion generated rows is closed-form") {
+    val trillion = 1000L * 1000 * 1000 * 1000
+    val t0 = System.nanoTime()
+    val df = docs(trillion).agg(count(lit(1)).as("n"))
+    val n = df.head().getLong(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(n === trillion)
+    assert(secs < 30, s"closed-form count took ${secs}s — rows were generated")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("DocGenAggScan"), s"aggregate not pushed in:\n$plan")
+  }
+
+  test("pushed census by (lang, source) matches the generating twin") {
+    val pushed = docs(100000)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("lo"), max("doc_id").as("hi"))
+    assert(pushed.queryExecution.executedPlan.toString.contains("DocGenAggScan"))
+    // twin: a non-translatable group key (expression, not column) forces
+    // full generation through the ordinary scan
+    val twin = docs(100000)
+      .groupBy(concat(col("lang"), lit("")).as("lang"), col("source"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("lo"), max("doc_id").as("hi"))
+    assert(!twin.queryExecution.executedPlan.toString.contains("DocGenAggScan"))
+    assert(pushed.orderBy("lang", "source").collect().toSeq ===
+      twin.orderBy("lang", "source").collect().toSeq)
+  }
+
+  test("aggregate pushdown composes with filter pushdown (bounded census)") {
+    val df = docs(1000000)
+      .filter(col("doc_id") >= 17 && col("doc_id") < 9943)
+      .groupBy("lang").agg(count(lit(1)).as("n"), max("doc_id").as("hi"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("DocGenAggScan") && plan.contains("range=[17,9943)"),
+      s"filter+agg not both pushed in:\n$plan")
+    val twin = docs(1000000)
+      .filter(col("doc_id") >= 17 && col("doc_id") < 9943)
+      .groupBy(concat(col("lang"), lit("")).as("lang"))
+      .agg(count(lit(1)).as("n"), max("doc_id").as("hi"))
+    assert(df.orderBy("lang").collect().toSeq ===
+      twin.orderBy("lang").collect().toSeq)
+  }
+
+  test("non-translatable aggregates fall back to generation and stay correct") {
+    // sum(n_chars) is not in the pushable set — must generate
+    val df = docs(15000).groupBy("lang").agg(sum("n_chars").as("s"))
+    assert(!df.queryExecution.executedPlan.toString.contains("DocGenAggScan"))
+    // n_chars = 32*(1+id%4); per lang (id%5) over 15000 ids each lang has
+    // 3000 ids uniformly covering id%4 → sum = 3000/4*(32+64+96+128)*... check one
+    val en = df.filter(col("lang") === "en").head().getAs[Long]("s")
+    assert(en === (0L until 15000 by 5).map(id => 32 * (1 + id % 4)).sum)
+  }
+
   // ---- streaming face (MICRO_BATCH_READ) ----
 
   private def docStream(rows: Long, rowsPerBatch: Long) =
