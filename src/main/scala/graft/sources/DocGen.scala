@@ -209,7 +209,7 @@ class DocGenScan(lo: Long, hi: Long, rowsPerPartition: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocGenReaderFactory(required.fieldNames)
+    new DocGenReaderFactory(required.fieldNames, columnar = true)
 }
 
 object DocGenAggScan {
@@ -417,8 +417,63 @@ object DocGenQueries {
   }
 }
 
-class DocGenReaderFactory(fields: Array[String])
+/** Row and COLUMNAR readers over a generated doc_id range. The columnar
+  * path (batch scans only; the streaming face stays row-based) fills
+  * reused [[org.apache.spark.sql.execution.vectorized.OnHeapColumnVector]]s
+  * in 4096-row chunks and hands Spark whole
+  * [[org.apache.spark.sql.vectorized.ColumnarBatch]]es — the same
+  * contract the vectorized parquet reader uses, so the scan feeds
+  * WholeStageCodegen through ColumnarToRow with no per-row boxing. */
+class DocGenReaderFactory(fields: Array[String], columnar: Boolean = false)
   extends PartitionReaderFactory {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val part = p.asInstanceOf[DocGenPartition]
+    new PartitionReader[ColumnarBatch] {
+      private val ChunkRows = 4096
+      private val schema = StructType(fields.map(f =>
+        DocGen.Schema(DocGen.Schema.fieldIndex(f))))
+      private val vectors = OnHeapColumnVector.allocateColumns(ChunkRows, schema)
+      private val batch =
+        new ColumnarBatch(vectors.toArray[ColumnVector])
+      private var cur = part.start
+
+      override def next(): Boolean = {
+        if (cur >= part.end) return false
+        val n = math.min(ChunkRows.toLong, part.end - cur).toInt
+        vectors.foreach(_.reset())
+        var i = 0
+        while (i < n) {
+          val id = cur + i
+          var c = 0
+          while (c < fields.length) {
+            fields(c) match {
+              case "doc_id" => vectors(c).putLong(i, id)
+              case "lang" =>
+                vectors(c).putByteArray(i, DocGen.langOf(id).getBytes("UTF-8"))
+              case "source" =>
+                vectors(c).putByteArray(i, DocGen.sourceOf(id).getBytes("UTF-8"))
+              case "text" =>
+                vectors(c).putByteArray(i, DocGen.textOf(id).getBytes("UTF-8"))
+              case "n_chars" => vectors(c).putInt(i, DocGen.nCharsOf(id))
+            }
+            c += 1
+          }
+          i += 1
+        }
+        batch.setNumRows(n)
+        cur += n
+        true
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = batch.close()
+    }
+  }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[DocGenPartition]
     new PartitionReader[InternalRow] {

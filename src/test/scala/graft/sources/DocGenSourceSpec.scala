@@ -135,6 +135,26 @@ class DocGenSourceSpec extends SparkSpecBase {
     assert(en === (0L until 15000 by 5).map(id => 32 * (1 + id % 4)).sum)
   }
 
+  // ---- columnar read path ----
+
+  test("batch scans are columnar: ColumnarToRow feeds codegen; values match the row-based reader") {
+    val df = docs(9000, rpp = 4000) // partitions bigger and smaller than the 4096 chunk
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"columnar path inactive in:\n$plan")
+    // the row-based reader is the twin (streaming face keeps it): values equal
+    val viaRows = spark.readStream.format("graft-docs")
+      .option("rows", 9000).option("rowsPerBatch", 9000)
+      .option("rowsPerPartition", 4000).load()
+    val q = viaRows.writeStream.format("memory").queryName("docgen_rowtwin")
+      .option("checkpointLocation", tmpDir("docgen-rowtwin")).start()
+    try {
+      q.processAllAvailable()
+      assert(df.orderBy("doc_id").collect().toSeq ===
+        spark.table("docgen_rowtwin").orderBy("doc_id").collect().toSeq)
+    } finally q.stop()
+  }
+
   // ---- streaming face (MICRO_BATCH_READ) ----
 
   private def docStream(rows: Long, rowsPerBatch: Long) =
