@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{aggregate, Expression => V2Expression, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -53,6 +53,11 @@ class DocGen extends TableProvider with DataSourceRegister {
 }
 
 object DocGen {
+  /** Observability hook for tests: (narrowed lo, narrowed hi, id count)
+    * of the most recent runtime filter any scan received. */
+  val lastRuntimeFilter =
+    new java.util.concurrent.atomic.AtomicReference[(Long, Long, Int)]()
+
   val Schema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("lang", StringType, nullable = false),
@@ -172,10 +177,38 @@ case class DocGenPartition(start: Long, end: Long) extends InputPartition
 
 class DocGenScan(lo: Long, hi: Long, rowsPerPartition: Long,
                  required: StructType, rowsPerBatch: Long = 1000L)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // ---- runtime filtering (the DSv2 analogue of dynamic partition
+  // pruning): after a joined dim side materializes, Spark hands the scan
+  // an IN-list of doc_ids; partitions containing none of them are never
+  // planned. Advisory — the join above re-checks exactly, so partial
+  // pruning (range narrowing + per-partition membership) is sound.
+  private var runtimeIds: Option[Set[Long]] = None
+  private var rlo = lo
+  private var rhi = hi
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("doc_id", vs) if vs.nonEmpty =>
+      val ids = vs.collect { case l: java.lang.Long => l.longValue() }.toSet
+      if (ids.nonEmpty) {
+        rlo = math.max(rlo, ids.min)
+        rhi = math.min(rhi, ids.max + 1)
+        runtimeIds = Some(ids)
+        DocGen.lastRuntimeFilter.set((rlo, rhi, ids.size))
+      }
+    case EqualTo("doc_id", v: Long) =>
+      rlo = math.max(rlo, v); rhi = math.min(rhi, v + 1)
+      DocGen.lastRuntimeFilter.set((rlo, rhi, 1))
+    case _ => () // unhandled runtime predicates stay advisory no-ops
+  }
 
   /** Streaming face of the same table: offsets are plain doc_id
     * watermarks (`initial = lo`, advancing `rowsPerBatch` per micro-batch
@@ -202,9 +235,14 @@ class DocGenScan(lo: Long, hi: Long, rowsPerPartition: Long,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    if (hi <= lo) Array.empty
-    else (lo until hi by rowsPerPartition).map { s =>
-      DocGenPartition(s, math.min(s + rowsPerPartition, hi))
+    if (rhi <= rlo) Array.empty
+    else (rlo until rhi by rowsPerPartition).flatMap { s =>
+      val e = math.min(s + rowsPerPartition, rhi)
+      val keep = runtimeIds match {
+        case Some(ids) => ids.exists(id => id >= s && id < e)
+        case None => true
+      }
+      if (keep) Some(DocGenPartition(s, e)) else None
     }.toArray[InputPartition]
   }
 
@@ -294,7 +332,7 @@ class DocGenAggScan(lo: Long, hi: Long, agg: aggregate.Aggregation)
       if (byKey.isEmpty && groupCols.isEmpty)
         // global aggregate over an empty range still yields one row
         Seq(Seq.empty[String] -> (0L, -1L, -1L))
-      else byKey.toSeq.sortBy(_._1.mkString(" "))
+      else byKey.toSeq.sortBy(_._1.mkString("\u0000"))
     groups.map { case (key, (cnt, minId, maxId)) =>
       val aggVals: Array[Any] = agg.aggregateExpressions.map[Any] {
         case _: aggregate.CountStar => cnt

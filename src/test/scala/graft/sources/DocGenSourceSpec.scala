@@ -135,6 +135,31 @@ class DocGenSourceSpec extends SparkSpecBase {
     assert(en === (0L until 15000 by 5).map(id => 32 * (1 + id % 4)).sum)
   }
 
+  // ---- runtime filtering (dynamic pruning via a joined dim) ----
+
+  test("a broadcast dim join pushes a runtime IN-filter: untouched partitions never planned") {
+    DocGen.lastRuntimeFilter.set(null)
+    import spark.implicits._
+    // the dim must be a real scan with a selective predicate — a folded
+    // LocalRelation never triggers the dynamic-pruning heuristic
+    val dimPath = tmpDir("rf-dim")
+    (Seq((5003L, "a"), (5007L, "b"), (5900L, "c")) ++
+      (0L until 200L).map(i => (2000000L + i, "zzz")))
+      .toDF("id", "tag").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") =!= "zzz")
+    val joined = docs(1000000, rpp = 100)
+      .join(broadcast(dim), col("doc_id") === col("id"))
+      .select("doc_id", "lang", "tag")
+    val rows = joined.orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(5003L, 5007L, 5900L))
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("dynamicpruningexpression"), "no DPP filter in the plan")
+    val rf = DocGen.lastRuntimeFilter.get
+    assert(rf != null, "runtime filter never reached the scan")
+    val (rlo, rhi, n) = rf
+    assert(rlo === 5003L && rhi === 5901L && n === 3)
+  }
+
   // ---- columnar read path ----
 
   test("batch scans are columnar: ColumnarToRow feeds codegen; values match the row-based reader") {
