@@ -291,6 +291,14 @@ object SparkEntry {
     //      from range(n) ----
     "q116_docgen_census"       -> ((s, _) =>
       graft.sources.DocGenQueries.corpusCensus(s)),
+    // ---- BANDED interval-overlap join (month bands restore an
+    //      equi-join; the theta spelling would plan an NLJ) ----
+    "q117_interval_overlap"    -> ((s, d) =>
+      TemporalOps.intervalOverlapCensus(graft.core.Tables.lineitem(s, d))),
+    // ---- ORC round trip (q12's oracle gates the format) ----
+    "q118_orc_roundtrip"       -> ((s, d) => Medallion.goldOrcRoundtrip(s, d)),
+    // ---- headered CSV round trip with explicit read schema ----
+    "q119_csv_roundtrip"       -> ((s, d) => Medallion.goldCsvRoundtrip(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -1614,6 +1622,43 @@ object SparkEntry {
         |       MIN(substr(text, 1, 8)) AS min_prefix,
         |       MAX(substr(text, 1, 8)) AS max_prefix
         |FROM g GROUP BY 1, 2 ORDER BY lang ASC, source ASC""".stripMargin,
+    // q117: the oracle is the PLAIN theta join — the banded Spark plan
+    // must be semantically identical to the quadratic spelling.
+    "q117_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT l_orderkey, l_quantity,
+        |         CAST(l_shipdate AS DATE) AS s,
+        |         CAST(l_shipdate AS DATE) + l_linenumber * 7 AS e
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT CAST(date_trunc('month', MIN(s)) AS DATE) AS lo,
+        |         CAST(date_trunc('month', MAX(s)) AS DATE) AS hi
+        |  FROM iv),
+        |w AS (
+        |  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |                                     CAST(hi AS TIMESTAMP),
+        |                                     INTERVAL 1 MONTH)) AS DATE) AS w_start
+        |  FROM b),
+        |ww AS (SELECT w_start, w_start + 9 AS w_end FROM w)
+        |SELECT w_start, w_end, COUNT(*) AS n_lines,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM ww JOIN iv ON s <= w_end AND w_start <= e
+        |GROUP BY 1, 2 ORDER BY w_start ASC""".stripMargin,
+    // q118/q119: format round trips are gated by q12's oracle — any
+    // type or value loss through ORC/CSV io breaks the hash.
+    "q118_orc_roundtrip" ->
+      (silverCte +
+        """
+          |SELECT user_id, event_date, COUNT(*) AS listen_count,
+          |       COUNT(DISTINCT event_type) AS unique_types
+          |FROM silver GROUP BY 1, 2 ORDER BY user_id, event_date""".stripMargin),
+    "q119_csv_roundtrip" ->
+      (silverCte +
+        """
+          |SELECT user_id, event_date, COUNT(*) AS listen_count,
+          |       COUNT(DISTINCT event_type) AS unique_types
+          |FROM silver GROUP BY 1, 2 ORDER BY user_id, event_date""".stripMargin),
     "q47_sessions" ->
       (silverCte +
         """, flagged AS (

@@ -233,6 +233,51 @@ object TemporalOps {
     * (user, day) key both sides already shuffle on. No driver-side
     * calendar, no cross join with a global date dimension (which at
     * 100 TB would fan every user to the full corpus span). */
+  /** BANDED interval-overlap join — the missing temporal primitive next
+    * to as-of: "which shipping intervals [l_shipdate, l_receiptdate]
+    * overlap each audit window". The naive spelling
+    * (`ON s <= w_end AND w_start <= r`) is a pure theta join — Spark
+    * plans BroadcastNestedLoopJoin, O(rows × windows), a scale-killer.
+    * Banding restores an equi-join: each interval explodes over the
+    * months it spans (ship→receipt spans ≤ ~3 months in TPC-H-ish data,
+    * so the explode factor is a small constant), each window lives in
+    * exactly ONE month (its start month, by construction — 10-day
+    * windows never cross a month boundary), and the join key is the
+    * month. A window-month pair matches once, so no dedup is needed —
+    * then the exact overlap predicate filters within the band. One
+    * broadcast hash join, linear in lineitem.
+    *
+    * The fixture carries only l_shipdate, so the delivery interval is
+    * derived deterministically: [ship, ship + l_linenumber*7 days] —
+    * integer arithmetic both engines reproduce bit-exactly. Windows are
+    * the first decade [1st, 10th] of every month in the shipdate span,
+    * the cross-engine-reproducible stand-in for a promotions dim. */
+  def intervalOverlapCensus(lineitem: DataFrame): DataFrame = {
+    val intervals = lineitem.select(
+      col("l_orderkey"), col("l_quantity"),
+      col("l_shipdate").cast("date").as("s"),
+      date_add(col("l_shipdate").cast("date"),
+        col("l_linenumber") * lit(7)).as("e"))
+    val windows = intervals
+      .agg(date_trunc("month", min(col("s"))).cast("date").as("lo"),
+           date_trunc("month", max(col("s"))).cast("date").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 month"))).as("w_start"))
+      .select(col("w_start"), date_add(col("w_start"), 9).as("w_end"),
+        col("w_start").as("m")) // a window's band IS its start month
+    val banded = intervals.withColumn("m", explode(sequence(
+      date_trunc("month", col("s")).cast("date"),
+      date_trunc("month", col("e")).cast("date"),
+      expr("interval 1 month"))))
+    banded.join(broadcast(windows), Seq("m"))
+      .filter(col("s") <= col("w_end") && col("w_start") <= col("e"))
+      .groupBy(col("w_start"), col("w_end"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("w_start").asc)
+  }
+
   def calendarGapFill(silver: DataFrame): DataFrame = {
     val daily = graft.pipeline.EventsPipeline.goldDailyOf(silver)
       .select(col("user_id"), col("event_date"), col("listen_count"))

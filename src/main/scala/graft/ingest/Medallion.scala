@@ -220,6 +220,42 @@ object Medallion {
       .orderBy(col("event_id").asc)
   }
 
+  // -------------------------------------------- ORC / CSV round trips
+  private val orcScratch =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, String]]())
+  private val csvScratch =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, String]]())
+
+  /** q118: gold daily through an ORC round trip — the columnar format a
+    * warehouse interchange actually hits beside parquet. Same memoized
+    * write-once/read-many contract as the NDJSON trip; the oracle is
+    * q12's, so any type or value loss in ORC io fails the gate. */
+  def goldOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = scratchFor(orcScratch, spark, dir)(p =>
+      graft.pipeline.EventsPipeline.goldDaily(spark, dir)
+        .write.mode("overwrite").orc(p))
+    spark.read.orc(scratch)
+      .orderBy(col("user_id").asc, col("event_date").asc)
+  }
+
+  /** q119: gold daily through a headered CSV round trip with an EXPLICIT
+    * read schema — the "export to spreadsheet, ingest back" path. CSV is
+    * stringly-typed, so the schema'd read (not inferSchema) is the
+    * contract: dates and longs must survive textual serialization. */
+  def goldCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = scratchFor(csvScratch, spark, dir)(p =>
+      graft.pipeline.EventsPipeline.goldDaily(spark, dir)
+        .write.mode("overwrite").option("header", "true").csv(p))
+    spark.read
+      .schema("user_id BIGINT, event_date DATE, listen_count BIGINT, unique_types BIGINT")
+      .option("header", "true").csv(scratch)
+      .orderBy(col("user_id").asc, col("event_date").asc)
+  }
+
   // ----------------------------------------------------- catalog / DDL
 
   /** Bucketed fact tables: the physical layout that makes repeated

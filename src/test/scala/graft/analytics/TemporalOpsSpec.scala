@@ -134,4 +134,32 @@ class TemporalOpsSpec extends SparkSpecBase {
     assert(joined.count() > 0)
     assert(joined.filter(col("cnt_7d_rows") =!= col("cnt_7d")).count() === 0)
   }
+
+  test("banded interval-overlap join: no NLJ, equals the theta-join twin") {
+    val li = Tables.lineitem(spark, sf)
+    val banded = TemporalOps.intervalOverlapCensus(li)
+    banded.collect()
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"banded join degenerated to a product:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "month-band join not broadcast")
+    // the quadratic theta spelling is the semantic twin
+    val iv = li.select(col("l_orderkey"), col("l_quantity"),
+      col("l_shipdate").cast("date").as("s"),
+      date_add(col("l_shipdate").cast("date"), col("l_linenumber") * lit(7)).as("e"))
+    val windows = iv
+      .agg(date_trunc("month", min(col("s"))).cast("date").as("lo"),
+           date_trunc("month", max(col("s"))).cast("date").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 month"))).as("w_start"))
+      .select(col("w_start"), date_add(col("w_start"), 9).as("w_end"))
+    val theta = iv.join(windows,
+        col("s") <= col("w_end") && col("w_start") <= col("e"))
+      .groupBy(col("w_start"), col("w_end"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("w_start").asc)
+    assert(banded.collect().toSeq === theta.collect().toSeq)
+  }
 }
