@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Diagnostics, Graphs, History, Reports, StarQueries, TemporalOps}
+import graft.analytics.{Diagnostics, Graphs, History, Incremental, Reports, StarQueries, TemporalOps}
 import graft.ingest.Medallion
 import graft.llm.{Curation, Decontaminate, DupClusters, EmbedDedup, Multimodal, Scrub, Similarity, TextDedup, TextStats}
 import graft.pipeline.EventsPipeline
@@ -299,6 +299,14 @@ object SparkEntry {
     "q118_orc_roundtrip"       -> ((s, d) => Medallion.goldOrcRoundtrip(s, d)),
     // ---- headered CSV round trip with explicit read schema ----
     "q119_csv_roundtrip"       -> ((s, d) => Medallion.goldCsvRoundtrip(s, d)),
+    // ---- bigram LM count table (transform+explode, one shuffle,
+    //      integer-ppm conditionals) ----
+    "q120_bigram_lm"           -> ((s, d) => graft.llm.TextStats.bigramCounts(s, d)),
+    // ---- source-vs-corpus lang-distribution drift, exact L1 ppm over
+    //      the full source × lang grid ----
+    "q121_source_drift"        -> ((s, d) => graft.llm.TextStats.sourceDrift(s, d)),
+    // ---- snapshot diff: content-hash full-outer reconciliation ----
+    "q122_corpus_diff"         -> ((s, d) => Incremental.corpusDiff(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -1659,6 +1667,65 @@ object SparkEntry {
           |SELECT user_id, event_date, COUNT(*) AS listen_count,
           |       COUNT(DISTINCT event_type) AS unique_types
           |FROM silver GROUP BY 1, 2 ORDER BY user_id, event_date""".stripMargin),
+    // q120: adjacent-pair extraction via 1-based list indexing; integer
+    // floor-division ppm conditionals — bit-exact across engines.
+    "q120_bigram_lm" ->
+      s"""WITH t AS (SELECT lang, str_split($duckNorm, ' ') AS w FROM documents),
+         |idx AS (SELECT lang, w, unnest(generate_series(1, len(w)-1)) AS i FROM t),
+         |bg AS (SELECT lang, w[i] AS w1, w[i+1] AS w2 FROM idx),
+         |c AS (SELECT lang, w1, w2, COUNT(*) AS cnt FROM bg GROUP BY 1, 2, 3),
+         |ctx AS (SELECT lang, w1, CAST(SUM(cnt) AS BIGINT) AS ctx_cnt
+         |        FROM c GROUP BY 1, 2),
+         |j AS (SELECT c.lang, c.w1, c.w2, c.cnt, ctx.ctx_cnt,
+         |             c.cnt * 1000000 // ctx.ctx_cnt AS p_ppm
+         |      FROM c JOIN ctx ON c.lang = ctx.lang AND c.w1 = ctx.w1),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+         |        ORDER BY cnt DESC, w1 ASC, w2 ASC) AS BIGINT) AS rank FROM j)
+         |SELECT lang, w1, w2, cnt, ctx_cnt, CAST(p_ppm AS BIGINT) AS p_ppm, rank
+         |FROM r WHERE rank <= 15 ORDER BY lang ASC, rank ASC""".stripMargin,
+    // q121: L1 over the FULL source × lang grid (absent langs still
+    // contribute the corpus share); integer ppm floor division.
+    "q121_source_drift" ->
+      """WITH c AS (SELECT source, lang, COUNT(*) AS cnt
+        |           FROM documents GROUP BY 1, 2),
+        |grid AS (SELECT s.source, l.lang
+        |         FROM (SELECT DISTINCT source FROM documents) s
+        |         CROSS JOIN (SELECT DISTINCT lang FROM documents) l),
+        |filled AS (SELECT grid.source, grid.lang,
+        |                  COALESCE(c.cnt, 0) AS cnt
+        |           FROM grid LEFT JOIN c
+        |             ON grid.source = c.source AND grid.lang = c.lang),
+        |tot AS (SELECT source, lang, cnt,
+        |               CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS src_total,
+        |               CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+        |               CAST(SUM(cnt) OVER () AS BIGINT) AS grand_total
+        |        FROM filled)
+        |SELECT source, MAX(src_total) AS n_docs,
+        |       CAST(SUM(abs(cnt * 1000000 // src_total
+        |                    - lang_total * 1000000 // grand_total)) AS BIGINT) AS l1_drift_ppm
+        |FROM tot GROUP BY 1 ORDER BY source ASC""".stripMargin,
+    // q122: the oracle rebuilds snapshot B from the same id residues and
+    // diffs by content hash — full-outer reconciliation census.
+    "q122_corpus_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 89 = 0 THEN text || ' edited'
+        |                  ELSE text END) AS hb
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, md5(text) FROM documents
+        |  WHERE doc_id % 101 = 0),
+        |d AS (
+        |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |         CASE WHEN b.hb IS NULL THEN 'removed'
+        |              WHEN a.ha IS NULL THEN 'added'
+        |              WHEN a.ha <> b.hb THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT status, COUNT(*) AS n_docs,
+        |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM d GROUP BY 1 ORDER BY status ASC""".stripMargin,
     "q47_sessions" ->
       (silverCte +
         """, flagged AS (

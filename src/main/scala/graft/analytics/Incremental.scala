@@ -3,6 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.Tables
 import graft.pipeline.EventsPipeline
 
 /** Incremental aggregate (materialized-view) maintenance: keep a gold
@@ -62,4 +63,45 @@ object Incremental {
     merge(base, delta)
       .orderBy(col("user_id").asc, col("event_date").asc)
   }
+
+  // ----------------------------------------------- snapshot diff (q122)
+
+  /** Deterministic "later snapshot" of the corpus for the diff op:
+    * doc_id % 97 == 0 removed, % 89 == 0 edited (text appended),
+    * % 101 == 0 re-added under a shifted id. Pure functions of doc_id —
+    * the oracle rebuilds the identical snapshot. */
+  def snapshotB(docs: DataFrame): DataFrame = {
+    val kept = docs.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 89 === 0, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")))
+    val added = docs.filter(col("doc_id") % 101 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    kept.unionByName(added)
+  }
+
+  /** q122: corpus snapshot diff — the reconciliation op between two
+    * dataset versions (ingest audit, replication check, vendor refresh).
+    * Each side reduces to (doc_id, content-hash) — at 100 TB the text
+    * itself never moves, only 32-byte digests — then ONE full-outer
+    * hash-shuffle join on doc_id classifies every id as
+    * added/removed/changed/unchanged, and the census aggregates per
+    * status. Linear, two scans, one shuffle. */
+  def corpusDiff(docs: DataFrame): DataFrame = {
+    val a = docs.select(col("doc_id"), md5(col("text")).as("ha"))
+    val b = snapshotB(docs).select(col("doc_id"), md5(col("text")).as("hb"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("hb").isNull, "removed")
+          .when(col("ha").isNull, "added")
+          .when(col("ha") =!= col("hb"), "changed")
+          .otherwise("unchanged"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("status").asc)
+  }
+
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame =
+    corpusDiff(Tables.documents(spark, dir))
 }

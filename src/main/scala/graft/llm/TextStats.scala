@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -316,6 +317,75 @@ object TextStats {
       .orderBy(col("weight").desc, col("pair").asc)
       .limit(k)
   }
+
+  /** q120: bigram LM count table per lang — the first-order conditional
+    * counts a tokenizer/LM bootstrap materializes from the corpus. Each
+    * doc emits its n-1 adjacent token pairs (one `transform`+`explode`,
+    * no self-join), then ONE shuffle on (lang, w1, w2); context counts
+    * ride a window over the already-clustered (lang, w1). Conditional
+    * probability is exact integer ppm: cnt*1e6 floor-div ctx_cnt, no
+    * IEEE drift across engines. Top-k per lang with a full deterministic
+    * tiebreak. At corpus scale this is the canonical count-table build:
+    * linear explode, one wide shuffle, no driver state. */
+  def bigramCounts(docs: DataFrame, k: Int = 15): DataFrame = {
+    val bigrams = docs
+      .select(col("lang"), split(norm, " ").as("w"))
+      .select(col("lang"), explode(expr(
+        "transform(slice(w, 1, size(w)-1), (x, i) -> " +
+          "struct(x AS w1, element_at(w, i+2) AS w2))")).as("bg"))
+      .select(col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counted = bigrams.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val withCtx = counted.withColumn("ctx_cnt",
+      sum(col("cnt")).over(Window.partitionBy(col("lang"), col("w1"))))
+    withCtx
+      .withColumn("p_ppm", (col("cnt") * lit(1000000L)) / col("ctx_cnt"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("w1"), col("w2"), col("cnt"),
+        col("ctx_cnt"), col("p_ppm").cast("long").as("p_ppm"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("lang").asc, col("rank").asc)
+  }
+
+  def bigramCounts(spark: SparkSession, dir: String): DataFrame =
+    bigramCounts(Tables.documents(spark, dir))
+
+  /** q121: source-vs-corpus distribution drift, exact integer ppm — the
+    * monitoring op a training pipeline runs to catch a source whose
+    * language mix shifts between snapshots. L1 distance between each
+    * source's lang distribution and the corpus distribution, over the
+    * FULL source × lang grid (an absent lang still contributes the
+    * corpus share to the distance — counts-only grouping would silently
+    * drop it). The grid is |sources|×|langs| (tiny) so it broadcasts;
+    * the corpus is aggregated once. */
+  def sourceDrift(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = docs.select(col("source")).distinct()
+      .crossJoin(docs.select(col("lang")).distinct())
+    val full = grid.join(counts, Seq("source", "lang"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val withTotals = full
+      .withColumn("src_total",
+        sum(col("cnt")).over(Window.partitionBy(col("source"))))
+      .withColumn("lang_total",
+        sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+      .withColumn("grand_total",
+        sum(col("cnt")).over(Window.partitionBy()))
+    withTotals
+      .withColumn("src_share_ppm", (col("cnt") * lit(1000000L)) / col("src_total"))
+      .withColumn("corpus_share_ppm", (col("lang_total") * lit(1000000L)) / col("grand_total"))
+      .groupBy(col("source"))
+      .agg(max(col("src_total")).as("n_docs"),
+        sum(abs(col("src_share_ppm").cast("long") -
+                col("corpus_share_ppm").cast("long"))).as("l1_drift_ppm"))
+      .orderBy(col("source").asc)
+  }
+
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame =
+    sourceDrift(Tables.documents(spark, dir))
 
   def bpeMergeCandidates(spark: SparkSession, dir: String): DataFrame =
     bpeMergeCandidates(Tables.documents(spark, dir))

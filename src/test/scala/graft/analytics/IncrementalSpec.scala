@@ -37,4 +37,18 @@ class IncrementalSpec extends SparkSpecBase {
     val empty = Incremental.goldPartial(silver.filter(lit(false)))
     assertSame(stored, Incremental.merge(stored, empty))
   }
+
+  test("corpus diff census reconciles with the residue classes that built snapshot B") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val byStatus = Incremental.corpusDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    val removed = docs.filter(col("doc_id") % 97 === 0).count()
+    val added = docs.filter(col("doc_id") % 101 === 0).count()
+    val changed = docs.filter(col("doc_id") % 89 === 0 && col("doc_id") % 97 =!= 0).count()
+    val total = docs.count()
+    assert(byStatus.getOrElse("removed", 0L) === removed)
+    assert(byStatus.getOrElse("added", 0L) === added)
+    assert(byStatus.getOrElse("changed", 0L) === changed)
+    assert(byStatus.getOrElse("unchanged", 0L) === total - removed - changed)
+  }
 }

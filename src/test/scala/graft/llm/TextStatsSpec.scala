@@ -116,4 +116,37 @@ class TextStatsSpec extends SparkSpecBase {
     // single-char 'x' contributes nothing
     assert(got === Map("ab" -> 6L, "ba" -> 3L, "cd" -> 1L))
   }
+
+  test("bigram table: ranks dense per lang, counts non-increasing, ppm is exact floor division") {
+    val out = TextStats.bigramCounts(spark, sf).collect()
+    val byLang = out.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rows) =>
+      val ranks = rows.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks === (1L to rows.length), s"$lang ranks not dense")
+      val cnts = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("cnt"))
+      assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+        s"$lang counts not non-increasing")
+    }
+    out.foreach { r =>
+      assert(r.getAs[Long]("p_ppm") ===
+        r.getAs[Long]("cnt") * 1000000L / r.getAs[Long]("ctx_cnt"))
+      assert(r.getAs[Long]("cnt") <= r.getAs[Long]("ctx_cnt"))
+    }
+  }
+
+  test("source drift: a perfectly uniform corpus has zero L1 drift") {
+    import spark.implicits._
+    val uniform = (for {
+      s <- Seq("a", "b"); l <- Seq("x", "y", "z"); i <- 1 to 4
+    } yield (s, l, i)).toDF("source", "lang", "i")
+    val drift = TextStats.sourceDrift(uniform).collect()
+    assert(drift.length === 2)
+    assert(drift.forall(_.getAs[Long]("l1_drift_ppm") === 0L))
+    // removing one lang entirely from source b produces positive drift
+    // that includes the missing lang's corpus-share term
+    val skewed = uniform.filter(!(col("source") === "b" && col("lang") === "z"))
+    val d2 = TextStats.sourceDrift(skewed).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("l1_drift_ppm")).toMap
+    assert(d2("a") > 0 && d2("b") > 0)
+  }
 }
