@@ -307,6 +307,10 @@ object SparkEntry {
     "q121_source_drift"        -> ((s, d) => graft.llm.TextStats.sourceDrift(s, d)),
     // ---- snapshot diff: content-hash full-outer reconciliation ----
     "q122_corpus_diff"         -> ((s, d) => Incremental.corpusDiff(s, d)),
+    // ---- catalog-plugin route: SQL over a virtual graft.gen table with
+    //      V2 function consistency folded into the gate ----
+    "q123_catalog_census"      -> ((s, _) =>
+      graft.sources.DocGenQueries.catalogCensus(s)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -1726,6 +1730,21 @@ object SparkEntry {
         |SELECT status, COUNT(*) AS n_docs,
         |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM d GROUP BY 1 ORDER BY status ASC""".stripMargin,
+    // q123: same rebuild as q116 + a zero mismatch column (the oracle
+    // recomputes lang/source from the residues, so mismatches must be 0).
+    "q123_catalog_census" ->
+      """WITH g AS (
+        |  SELECT r.range AS doc_id,
+        |         ['en','de','fr','es','pt'][CAST(r.range % 5 AS INT) + 1] AS lang,
+        |         ['web','books','code'][CAST(r.range % 3 AS INT) + 1] AS source,
+        |         repeat(md5(CAST(r.range AS VARCHAR)), CAST(1 + r.range % 4 AS INT)) AS text,
+        |         32 * CAST(1 + r.range % 4 AS INT) AS n_chars
+        |  FROM range(20000) r)
+        |SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+        |       MIN(substr(text, 1, 8)) AS min_prefix,
+        |       MAX(substr(text, 1, 8)) AS max_prefix,
+        |       CAST(0 AS BIGINT) AS fn_mismatches
+        |FROM g GROUP BY 1, 2 ORDER BY lang ASC, source ASC""".stripMargin,
     "q47_sessions" ->
       (silverCte +
         """, flagged AS (

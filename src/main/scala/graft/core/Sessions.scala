@@ -48,6 +48,12 @@ object Sessions {
         spark.experimental.extraStrategies =
           spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
       }
+      // catalog plugin: graft.gen.docs_<n> virtual tables + graft.fn.*
+      // V2 functions (respect an operator-supplied override)
+      if (!spark.conf.getOption("spark.sql.catalog.graft").isDefined) {
+        spark.conf.set("spark.sql.catalog.graft",
+          "graft.sources.GraftCatalog")
+      }
     }
     spark
   }

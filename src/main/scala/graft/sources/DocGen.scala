@@ -453,6 +453,26 @@ object DocGenQueries {
         max(substring(col("text"), 1, 8)).as("max_prefix"))
       .orderBy(col("lang").asc, col("source").asc)
   }
+
+  /** q123: the SAME census routed through the catalog plugin — pure SQL
+    * against a virtual `graft.gen.docs_<n>` table plus the `graft.fn`
+    * V2 functions, so the catalog path (resolution, pushdown, codegen'd
+    * function invocation) is hash-gated exactly like the format path.
+    * The fn consistency column is computed per row and must be 0. */
+  def catalogCensus(spark: SparkSession, rows: Long = 20000): DataFrame = {
+    graft.core.Sessions.ensure(spark)
+    spark.sql(
+      s"""SELECT lang, source, COUNT(*) AS n_docs,
+         |       SUM(CAST(n_chars AS BIGINT)) AS sum_chars,
+         |       MIN(substring(text, 1, 8)) AS min_prefix,
+         |       MAX(substring(text, 1, 8)) AS max_prefix,
+         |       SUM(CASE WHEN graft.fn.doc_lang(doc_id) <> lang
+         |                  OR graft.fn.doc_source(doc_id) <> source
+         |                THEN 1 ELSE 0 END) AS fn_mismatches
+         |FROM graft.gen.docs_$rows
+         |GROUP BY lang, source
+         |ORDER BY lang ASC, source ASC""".stripMargin)
+  }
 }
 
 /** Row and COLUMNAR readers over a generated doc_id range. The columnar
