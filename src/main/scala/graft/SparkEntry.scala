@@ -311,6 +311,12 @@ object SparkEntry {
     //      V2 function consistency folded into the gate ----
     "q123_catalog_census"      -> ((s, _) =>
       graft.sources.DocGenQueries.catalogCensus(s)),
+    // ---- equi-depth histogram (deterministic ntile over a total order) ----
+    "q124_equidepth_hist"      -> ((s, d) =>
+      TemporalOps.equidepthHistogram(EventsPipeline.silver(s, d))),
+    // ---- MAD robust outlier census (two discrete medians, 3·MAD fence) ----
+    "q125_mad_outliers"        -> ((s, d) =>
+      TemporalOps.madOutliers(EventsPipeline.silver(s, d))),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -1745,6 +1751,50 @@ object SparkEntry {
         |       MAX(substr(text, 1, 8)) AS max_prefix,
         |       CAST(0 AS BIGINT) AS fn_mismatches
         |FROM g GROUP BY 1, 2 ORDER BY lang ASC, source ASC""".stripMargin,
+    // q124/q125: ntile and the discrete medians ride the same total
+    // order ((value, event_id) NULLS excluded) in both engines.
+    "q124_equidepth_hist" ->
+      (silverCte +
+        """, tiled AS (
+          |  SELECT event_type, value,
+          |         CAST(ntile(4) OVER (PARTITION BY event_type
+          |           ORDER BY value ASC, event_id ASC) AS BIGINT) AS bucket
+          |  FROM silver WHERE value IS NOT NULL)
+          |SELECT event_type, bucket,
+          |       COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+          |FROM tiled GROUP BY event_type, bucket
+          |ORDER BY event_type ASC, bucket ASC""".stripMargin),
+    "q125_mad_outliers" ->
+      (silverCte +
+        """, vals AS (
+          |  SELECT event_type, event_id, value FROM silver
+          |  WHERE value IS NOT NULL),
+          |m AS (
+          |  SELECT event_type, value AS med FROM (
+          |    SELECT event_type, event_id, value,
+          |           row_number() OVER (PARTITION BY event_type
+          |             ORDER BY value ASC, event_id ASC) AS rn,
+          |           COUNT(*) OVER (PARTITION BY event_type) AS cnt
+          |    FROM vals) t
+          |  WHERE rn = (cnt + 1) // 2),
+          |dev AS (
+          |  SELECT v.event_type, v.event_id, v.value, m.med,
+          |         abs(v.value - m.med) AS absdev
+          |  FROM vals v JOIN m ON v.event_type = m.event_type),
+          |md AS (
+          |  SELECT event_type, absdev AS mad FROM (
+          |    SELECT event_type, event_id, absdev,
+          |           row_number() OVER (PARTITION BY event_type
+          |             ORDER BY absdev ASC, event_id ASC) AS rn,
+          |           COUNT(*) OVER (PARTITION BY event_type) AS cnt
+          |    FROM dev) t
+          |  WHERE rn = (cnt + 1) // 2)
+          |SELECT d.event_type, COUNT(*) AS n,
+          |       MAX(d.med) AS median_value, MAX(md.mad) AS mad,
+          |       CAST(SUM(CASE WHEN d.absdev > md.mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+          |       MIN(CASE WHEN d.absdev > md.mad * 3.0 THEN d.event_id END) AS first_outlier_id
+          |FROM dev d JOIN md ON d.event_type = md.event_type
+          |GROUP BY d.event_type ORDER BY d.event_type ASC""".stripMargin),
     "q47_sessions" ->
       (silverCte +
         """, flagged AS (

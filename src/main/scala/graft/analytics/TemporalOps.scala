@@ -134,6 +134,60 @@ object TemporalOps {
       .orderBy(col("event_type").asc)
   }
 
+  /** q124: EQUI-DEPTH histogram per event_type — the partner of q88's
+    * equi-width `width_bucket`: bucket populations are equal by
+    * construction and the boundaries are the data, which is what an
+    * optimizer's histogram statistics and a monitoring dashboard
+    * actually want. `ntile` over a TOTAL order ((value, event_id) — the
+    * tiebreak makes bucket assignment deterministic, not just bucket
+    * sizes) is one window over the per-type clustering; no second pass,
+    * no percentile approximation. */
+  def equidepthHistogram(silver: DataFrame, buckets: Int = 4): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").asc_nulls_last, col("event_id").asc)
+    silver.filter(col("value").isNotNull)
+      .withColumn("bucket", ntile(buckets).over(w).cast("long"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .orderBy(col("event_type").asc, col("bucket").asc)
+  }
+
+  /** q125: MAD-based robust outliers — the q111 z-score census's robust
+    * sibling: median and median-absolute-deviation shrug off the very
+    * outliers that inflate a mean/stddev fence. Two discrete-median
+    * passes (the q50 machinery: row_number over a total order, pick
+    * (cnt+1) div 2), both riding the same per-type clustering; the fence
+    * is |v − median| > 3·MAD. All arithmetic is IEEE double subtraction/
+    * comparison — deterministic across engines, no transcendentals. */
+  def madOutliers(silver: DataFrame): DataFrame = {
+    val vals = silver.filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"))
+    def discreteMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col(valueCol).asc, col("event_id").asc)
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("event_type"), col(valueCol).as(out))
+    }
+    val med = discreteMedian(vals, "value", "med")
+    val dev = vals.join(broadcast(med), Seq("event_type"))
+      .withColumn("absdev", abs(col("value") - col("med")))
+    val mad = discreteMedian(
+      dev.select(col("event_type"), col("event_id"), col("absdev")),
+      "absdev", "mad")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("is_outlier", col("absdev") > col("mad") * lit(3.0d))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("median_value"),
+        max(col("mad")).as("mad"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+        min(when(col("is_outlier"), col("event_id"))).as("first_outlier_id"))
+      .orderBy(col("event_type").asc)
+  }
+
   /** Sessionization (gaps-and-islands): a new session starts when the gap
     * to the previous event of the same user exceeds `gapSeconds`. Per-user
     * window — partitions cleanly, one shuffle on user_id (reused from the

@@ -162,4 +162,30 @@ class TemporalOpsSpec extends SparkSpecBase {
       .orderBy(col("w_start").asc)
     assert(banded.collect().toSeq === theta.collect().toSeq)
   }
+
+  test("equi-depth buckets: populations within 1, boundaries monotone per type") {
+    val rows = TemporalOps.equidepthHistogram(silver).collect()
+    rows.groupBy(_.getString(0)).foreach { case (tpe, bs) =>
+      val sizes = bs.map(_.getAs[Long]("n"))
+      assert(sizes.max - sizes.min <= 1, s"$tpe buckets unbalanced: ${sizes.toSeq}")
+      val ordered = bs.sortBy(_.getAs[Long]("bucket"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"),
+            s"$tpe boundaries overlap")
+        case _ => ()
+      }
+    }
+  }
+
+  test("MAD fence is robust: outliers are a strict minority and stats are sane") {
+    val rows = TemporalOps.madOutliers(silver).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val out = r.getAs[Long]("n_outliers")
+      assert(r.getAs[Double]("mad") >= 0.0)
+      assert(out >= 0 && out * 2 < n, s"fence flagged $out of $n")
+    }
+  }
 }
