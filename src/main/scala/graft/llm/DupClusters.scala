@@ -55,8 +55,13 @@ object DupClusters {
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .distinct()
         .localCheckpoint(true)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Half-step init: label(x) = min(x, min neighbor) — exactly what the
+    // first loop round would compute from identity labels, for one
+    // aggregation instead of a join+aggregation+count round. Band-clique
+    // components (the dedup norm) finish in ONE verification round.
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .withColumnRenamed("src", "node")
       .localCheckpoint(true)
     var changed = 1L
     var iters = 0
