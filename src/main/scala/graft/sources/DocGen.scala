@@ -394,8 +394,16 @@ case class DocGenOffset(v: Long)
 class DocGenMicroBatchStream(lo: Long, hi: Long, rowsPerPartition: Long,
                              rowsPerBatch: Long, fields: Array[String])
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  /** Trigger.AvailableNow: snapshot "everything available" at query
+    * start and drain only up to it. The corpus is finite and immutable,
+    * so the snapshot IS `hi` — latestOffset already paces toward it in
+    * rowsPerBatch steps and stops, which is exactly the
+    * batches-until-snapshot contract. Nothing to pin. */
+  override def prepareForTriggerAvailableNow(): Unit = ()
 
   override def initialOffset(): Offset = DocGenOffset(lo)
 

@@ -202,6 +202,18 @@ class DocGenSourceSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the finite corpus and terminates on its own") {
+    val q = docStream(1300, 400).writeStream
+      .format("graft-audit").option("runId", "availnow-1")
+      .option("checkpointLocation", tmpDir("docgen-availnow"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "AvailableNow query did not self-terminate")
+    val epochs = AuditSink.epochResults("availnow-1")
+    assert(epochs.map(_._2.rows).sum === 1300)
+    // paced by rowsPerBatch, not one giant batch: 400+400+400+100
+    assert(epochs.map(_._2.rows).filter(_ > 0) === Seq(400L, 400L, 400L, 100L))
+  }
+
   test("checkpoint restart resumes mid-corpus with no re-delivery (exactly-once)") {
     val ckpt = tmpDir("docgen-restart-ckpt")
     val out = tmpDir("docgen-restart-out")
