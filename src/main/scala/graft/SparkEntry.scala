@@ -317,6 +317,14 @@ object SparkEntry {
     // ---- MAD robust outlier census (two discrete medians, 3·MAD fence) ----
     "q125_mad_outliers"        -> ((s, d) =>
       TemporalOps.madOutliers(EventsPipeline.silver(s, d))),
+    // ---- int8-quantized ANN (exact integer-valued arithmetic; recall
+    //      vs full precision pinned in SimilaritySpec) ----
+    "q126_knn_quantized"       -> ((s, d) => Similarity.knnQuantized(s, d)),
+    // ---- token-budget allocation (4-row level census + boundary-only
+    //      prefix sum) ----
+    "q127_budget_allocation"   -> ((s, d) => Curation.budgetAllocation(s, d)),
+    // ---- quality-aware canonical per duplicate cluster ----
+    "q128_best_of_cluster"     -> ((s, d) => DupClusters.bestOfClusters(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -1795,6 +1803,115 @@ object SparkEntry {
           |       MIN(CASE WHEN d.absdev > md.mad * 3.0 THEN d.event_id END) AS first_outlier_id
           |FROM dev d JOIN md ON d.event_type = md.event_type
           |GROUP BY d.event_type ORDER BY d.event_type ASC""".stripMargin),
+    // q126: per-vector symmetric int8 quantization; every number derives
+    // from exact integer-valued arithmetic, so the ranking hash-matches.
+    "q126_knn_quantized" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, e,
+        |         greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) AS scale
+        |  FROM v),
+        |qt AS (
+        |  SELECT vec_id,
+        |         list_transform(e, x -> CAST(CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT) AS DOUBLE)) AS q
+        |  FROM s),
+        |n AS (
+        |  SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS nrm FROM qt),
+        |qs AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn FROM n WHERE vec_id < 10),
+        |cos AS (
+        |  SELECT qs.query_id, n.vec_id AS neighbor_id,
+        |         list_dot_product(qs.qq, n.q) / (qs.qn * n.nrm) AS qcos
+        |  FROM qs, n WHERE n.vec_id <> qs.query_id),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS INTEGER) AS "rank"
+        |  FROM cos)
+        |SELECT query_id, "rank", neighbor_id, qcos FROM r
+        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    // q127: same level-census + boundary-prefix-sum algorithm, spelled in
+    // SQL — keep_all / boundary decisions are identical by construction.
+    "q127_budget_allocation" ->
+      s"""WITH n AS (SELECT doc_id, $duckNorm AS norm FROM documents),
+         |t AS (SELECT doc_id, norm, str_split(norm, ' ') AS w FROM n),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS toks,
+         |    CAST(len(w) >= 20 AND len(w) <= 1000 AS INTEGER)
+         |      + CAST(len(list_filter(w, x -> x IN ($duckStops))) > 0 AS INTEGER)
+         |      + CAST(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(w) >= 2.0
+         |             AND CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(w) <= 12.0 AS INTEGER) AS quality
+         |  FROM t),
+         |feats AS (
+         |  SELECT f.doc_id, f.toks, f.quality, d.source
+         |  FROM f JOIN documents d ON f.doc_id = d.doc_id),
+         |census AS (SELECT quality, CAST(SUM(toks) AS BIGINT) AS level_toks
+         |           FROM feats GROUP BY 1),
+         |cum AS (
+         |  SELECT quality, level_toks,
+         |         COALESCE(CAST(SUM(level_toks) OVER (ORDER BY quality DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS above_toks
+         |  FROM census),
+         |tot AS (SELECT CAST(SUM(toks) // 3 AS BIGINT) AS budget FROM feats),
+         |lvl AS (
+         |  SELECT c.quality,
+         |         (c.above_toks + c.level_toks <= t.budget) AS keep_all,
+         |         (NOT (c.above_toks + c.level_toks <= t.budget))
+         |           AND c.above_toks < t.budget AS is_boundary,
+         |         t.budget - c.above_toks AS remaining
+         |  FROM cum c, tot t),
+         |tagged AS (
+         |  SELECT feats.*, lvl.keep_all, lvl.is_boundary, lvl.remaining
+         |  FROM feats JOIN lvl ON feats.quality = lvl.quality),
+         |bkept AS (
+         |  SELECT doc_id, source, toks FROM (
+         |    SELECT *, CAST(SUM(toks) OVER (PARTITION BY quality
+         |      ORDER BY doc_id ASC) AS BIGINT) AS cum
+         |    FROM tagged WHERE is_boundary) x
+         |  WHERE cum <= remaining),
+         |kept AS (
+         |  SELECT doc_id, source, toks FROM tagged WHERE keep_all
+         |  UNION ALL SELECT doc_id, source, toks FROM bkept)
+         |SELECT source, COUNT(*) AS n_kept, CAST(SUM(toks) AS BIGINT) AS tokens_kept
+         |FROM kept GROUP BY 1 ORDER BY source ASC""".stripMargin,
+    // q128: q60's transitive closure + q32's quality, argmax by
+    // (quality DESC, doc_id ASC) per cluster.
+    "q128_best_of_cluster" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashOracle
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r
+         |  JOIN edges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src),
+         |lab AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |nn AS (SELECT doc_id, $duckNorm AS norm FROM documents),
+         |tt AS (SELECT doc_id, norm, str_split(norm, ' ') AS w FROM nn),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(len(w) >= 20 AND len(w) <= 1000 AS INTEGER)
+         |      + CAST(len(list_filter(w, x -> x IN ($duckStops))) > 0 AS INTEGER)
+         |      + CAST(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(w) >= 2.0
+         |             AND CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(w) <= 12.0 AS INTEGER) AS quality
+         |  FROM tt),
+         |m AS (
+         |  SELECT lab.cluster_id, lab.doc_id, q.quality,
+         |         row_number() OVER (PARTITION BY lab.cluster_id
+         |           ORDER BY q.quality DESC, lab.doc_id ASC) AS rn
+         |  FROM lab JOIN q ON lab.doc_id = q.doc_id)
+         |SELECT cluster_id, COUNT(*) AS n_members,
+         |       MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+         |       CAST(MAX(CASE WHEN rn = 1 THEN quality END) AS INTEGER) AS kept_quality,
+         |       CAST(MIN(quality) AS INTEGER) AS worst_quality
+         |FROM m GROUP BY 1 ORDER BY cluster_id ASC""".stripMargin,
     "q47_sessions" ->
       (silverCte +
         """, flagged AS (

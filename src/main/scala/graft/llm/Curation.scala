@@ -273,4 +273,56 @@ object Curation {
 
   def packGreedy(spark: SparkSession, dir: String): DataFrame =
     packGreedy(Tables.documents(spark, dir))
+
+  /** q127: token-budget allocation — "spend at most B tokens, best docs
+    * first", the curation decision every mixture pipeline makes. Greedy
+    * by (quality DESC, doc_id ASC), implemented the way it scales: a
+    * 4-row QUALITY-LEVEL CENSUS (one aggregation) decides each level
+    * wholesale — fully kept when tokens-above + level ≤ B, dropped when
+    * tokens-above ≥ B — and only the single BOUNDARY level ranks docs
+    * with a running token sum against the remaining budget. The
+    * inherently sequential prefix-sum therefore touches one level's
+    * docs, not the corpus (production shards that level further; here it
+    * is the documented sequential step). Budget derives from the data
+    * (total/3) so the operator is scale-free. No driver-side scalars —
+    * the census and totals ride broadcast joins. */
+  def budgetAllocation(docs: DataFrame): DataFrame = {
+    val feats = TextStats.qualityScore(docs)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("toks"),
+        col("quality"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val census = feats.groupBy(col("quality"))
+      .agg(sum(col("toks")).as("level_toks"))
+    // 4 rows: the unpartitioned window is driver-scale by construction
+    val wDesc = Window.orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = feats.agg(sum(col("toks")).as("total_toks"))
+      .select(expr("CAST(total_toks DIV 3 AS BIGINT)").as("budget"))
+    val levels = census
+      .withColumn("above_toks",
+        coalesce(sum(col("level_toks")).over(wDesc), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .withColumn("keep_all",
+        col("above_toks") + col("level_toks") <= col("budget"))
+      .withColumn("is_boundary",
+        !col("keep_all") && col("above_toks") < col("budget"))
+      .withColumn("remaining", col("budget") - col("above_toks"))
+      .select(col("quality"), col("keep_all"), col("is_boundary"),
+        col("remaining"))
+    val tagged = feats.join(broadcast(levels), Seq("quality"))
+    val boundaryKept = tagged.filter(col("is_boundary"))
+      .withColumn("cum", sum(col("toks")).over(
+        Window.partitionBy(col("quality")).orderBy(col("doc_id").asc)))
+      .filter(col("cum") <= col("remaining"))
+      .select(col("doc_id"), col("source"), col("toks"))
+    tagged.filter(col("keep_all"))
+      .select(col("doc_id"), col("source"), col("toks"))
+      .unionByName(boundaryKept)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("tokens_kept"))
+      .orderBy(col("source").asc)
+  }
+
+  def budgetAllocation(spark: SparkSession, dir: String): DataFrame =
+    budgetAllocation(Tables.documents(spark, dir))
 }

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -115,4 +116,28 @@ object DupClusters {
 
   def dedupKeepList(spark: SparkSession, dir: String): DataFrame =
     dedupKeepList(Tables.documents(spark, dir))
+
+  /** q128: QUALITY-AWARE canonical per duplicate cluster — production
+    * dedup keeps the best copy, not the lowest id: argmax by
+    * (quality DESC, doc_id ASC) within each cluster. The cluster frame
+    * is pair-graph-sized, so it broadcasts onto the quality features and
+    * the per-cluster window ranks only cluster members (a vanishing
+    * fraction of the corpus), never the full dataset. */
+  def bestOfClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val clusters = connectedComponents(TextDedup.minhashNearDups(docs))
+    val members = TextStats.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+      .join(broadcast(clusters.select(col("doc_id"), col("cluster_id"))),
+        Seq("doc_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    members.withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("doc_id"))).as("kept_doc"),
+        max(when(col("rn") === 1, col("quality"))).as("kept_quality"),
+        min(col("quality")).as("worst_quality"))
+      .orderBy(col("cluster_id").asc)
+  }
 }

@@ -89,6 +89,40 @@ object Similarity {
   def knnExact(spark: SparkSession, dir: String): DataFrame =
     knnExact(Tables.embeddings(spark, dir))
 
+  /** q126: top-k over INT8-QUANTIZED embeddings — the 4× storage/bandwidth
+    * lever a 100 TB vector corpus reaches for before any index. Per-vector
+    * symmetric quantization: scale = max|e_i|, q_i = floor(e_i·127/scale
+    * + 0.5) ∈ [-127, 127]. Every downstream number is derived from exact
+    * integer-valued arithmetic (dot of integer-valued doubles ≤ 2^53 is
+    * IEEE-exact; sqrt/division are deterministic), so the quantized
+    * ranking hash-matches the oracle — and the SPEC measures recall
+    * against the full-precision q34 ranking (the quantization-loss
+    * contract, ≥ 0.8 @ k=5). */
+  def knnQuantized(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val quant = vecs(embeddings)
+      .withColumn("scale",
+        greatest(expr("array_max(transform(v, x -> abs(x)))"), lit(1e-30)))
+      .withColumn("qd", expr(
+        "transform(v, x -> CAST(CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT) AS DOUBLE))"))
+      .withColumn("nrm", sqrt(dot(col("qd"), col("qd"))))
+      .select(col("vec_id"), col("qd"), col("nrm"))
+    val queries = quant.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("qd").as("qq"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    quant.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qq"), col("qd")) / (col("qn") * col("nrm"))).as("qcos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("qcos"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  def knnQuantized(spark: SparkSession, dir: String): DataFrame =
+    knnQuantized(Tables.embeddings(spark, dir))
+
   /** 16-bit sign signature per vector: bit p set iff dot(v, plane_p) > 0,
     * where plane_p is the corpus vector with vec_id = p. Computed as a
     * broadcast join against the plane set + one groupBy — the corpus is

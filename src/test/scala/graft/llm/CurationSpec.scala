@@ -176,4 +176,34 @@ class CurationSpec extends SparkSpecBase {
       .filter(col("prev_tokens") + col("first_toks") <= 512)
     assert(viol.count() === 0)
   }
+
+  test("budget allocation: kept tokens fit the budget and the greedy order is respected") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf)
+    val feats = TextStats.qualityScore(docs)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("toks"), col("quality"))
+    val budget = feats.agg(expr("CAST(SUM(toks) DIV 3 AS BIGINT)")).head().getLong(0)
+    val out = Curation.budgetAllocation(spark, sf).collect()
+    val keptTokens = out.map(_.getAs[Long]("tokens_kept")).sum
+    assert(keptTokens <= budget, s"kept $keptTokens > budget $budget")
+    // tightness: the cheapest unkept doc would not have fit... the greedy
+    // boundary means budget - keptTokens < max doc size of the boundary
+    // level; weaker but checkable: adding the smallest dropped doc of the
+    // best dropped quality level overflows OR everything is kept
+    val keptN = out.map(_.getAs[Long]("n_kept")).sum
+    val totalN = feats.count()
+    if (keptN < totalN) {
+      val headroom = budget - keptTokens
+      // no DROPPED doc from a FULLY-KEPT-or-boundary level with
+      // doc_id-order priority could still fit: reconstruct the greedy
+      // frontier - the next doc in (quality DESC, doc_id ASC) order after
+      // the kept set must overflow
+      val ordered = feats.orderBy(col("quality").desc, col("doc_id").asc)
+        .select("toks").collect().map(_.getLong(0))
+      var cum = 0L
+      var i = 0
+      while (i < ordered.length && cum + ordered(i) <= budget) { cum += ordered(i); i += 1 }
+      assert(keptTokens === cum, s"greedy prefix mismatch: engine $keptTokens vs replay $cum")
+    }
+  }
 }

@@ -51,4 +51,24 @@ class DupClustersSpec extends SparkSpecBase {
       .count()
     assert(bad === 0L)
   }
+
+  test("best-of-cluster keeps the max-quality member with min-id tiebreak") {
+    import org.apache.spark.sql.functions._
+    val best = DupClusters.bestOfClusters(spark, sf).collect()
+    val clusters = DupClusters.dupClusters(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+    val quality = TextStats.qualityScore(graft.core.Tables.documents(spark, sf))
+      .select("doc_id", "quality").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("quality")).toMap
+    val byCluster = clusters.groupBy(_._2)
+    assert(best.length === byCluster.size)
+    best.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val members = byCluster(cid).map(_._1)
+      assert(r.getAs[Long]("n_members") === members.length)
+      val expected = members.map(d => (quality(d), d)).sortBy { case (q, d) => (-q, d) }.head._2
+      assert(r.getAs[Long]("kept_doc") === expected,
+        s"cluster $cid kept ${r.getAs[Long]("kept_doc")} expected $expected")
+    }
+  }
 }

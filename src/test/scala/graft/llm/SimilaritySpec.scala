@@ -105,4 +105,13 @@ class SimilaritySpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"),
       s"corpus-wide cartesian leaked into:\n$plan")
   }
+
+  test("int8-quantized top-k keeps recall >= 0.8 vs full precision") {
+    val exact = Similarity.knnExact(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val quant = Similarity.knnQuantized(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall $recall < 0.8")
+  }
 }
