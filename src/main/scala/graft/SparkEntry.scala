@@ -325,6 +325,8 @@ object SparkEntry {
     "q127_budget_allocation"   -> ((s, d) => Curation.budgetAllocation(s, d)),
     // ---- quality-aware canonical per duplicate cluster ----
     "q128_best_of_cluster"     -> ((s, d) => DupClusters.bestOfClusters(s, d)),
+    // ---- MERGE INTO semantics as a single full-outer shuffle ----
+    "q129_merge_upsert"        -> ((s, d) => Incremental.mergeUpsert(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -1912,6 +1914,39 @@ object SparkEntry {
          |       CAST(MAX(CASE WHEN rn = 1 THEN quality END) AS INTEGER) AS kept_quality,
          |       CAST(MIN(quality) AS INTEGER) AS worst_quality
          |FROM m GROUP BY 1 ORDER BY cluster_id ASC""".stripMargin,
+    // q129: the same WHEN MATCHED/NOT MATCHED algebra in SQL.
+    "q129_merge_upsert" ->
+      (silverCte +
+        """, tgt AS (
+          |  SELECT user_id, event_date, COUNT(*) AS listen_count,
+          |         COUNT(DISTINCT event_type) AS unique_types
+          |  FROM silver WHERE event_id % 3 <> 0 GROUP BY 1, 2),
+          |chg AS (
+          |  SELECT user_id, event_date, COUNT(*) AS listen_count,
+          |         COUNT(DISTINCT event_type) AS unique_types,
+          |         CASE WHEN user_id % 10 = 0 THEN 'delete' ELSE 'upsert' END AS op
+          |  FROM silver WHERE event_id % 3 = 0 GROUP BY 1, 2),
+          |j AS (
+          |  SELECT COALESCE(t.user_id, c.user_id) AS user_id,
+          |         COALESCE(t.event_date, c.event_date) AS event_date,
+          |         t.listen_count AS tl, t.unique_types AS tu,
+          |         c.listen_count AS cl, c.unique_types AS cu, c.op
+          |  FROM tgt t FULL OUTER JOIN chg c
+          |    ON t.user_id = c.user_id AND t.event_date = c.event_date),
+          |acted AS (
+          |  SELECT *,
+          |    CASE WHEN op IS NULL THEN 'keep'
+          |         WHEN op = 'delete' THEN
+          |           CASE WHEN tl IS NOT NULL THEN 'delete' ELSE 'skip' END
+          |         WHEN tl IS NOT NULL THEN 'update'
+          |         ELSE 'insert' END AS action
+          |  FROM j)
+          |SELECT user_id, event_date,
+          |       CASE WHEN action = 'keep' THEN tl ELSE cl END AS listen_count,
+          |       CASE WHEN action = 'keep' THEN tu ELSE cu END AS unique_types,
+          |       action
+          |FROM acted WHERE action IN ('keep', 'update', 'insert')
+          |ORDER BY user_id ASC, event_date ASC""".stripMargin),
     "q47_sessions" ->
       (silverCte +
         """, flagged AS (

@@ -104,4 +104,46 @@ object Incremental {
 
   def corpusDiff(spark: SparkSession, dir: String): DataFrame =
     corpusDiff(Tables.documents(spark, dir))
+
+  // ------------------------------------------- MERGE semantics (q129)
+
+  /** q129: MERGE INTO as a composition — the warehouse upsert the
+    * reference runs through Iceberg's MERGE (transform_job.py), spelled
+    * engine-side so the SEMANTICS are portable and gate-checkable:
+    * WHEN MATCHED AND op='delete' THEN DELETE, WHEN MATCHED THEN UPDATE,
+    * WHEN NOT MATCHED AND op<>'delete' THEN INSERT. One full-outer
+    * hash-shuffle join on the merge key — the same single-shuffle shape
+    * a table format's MERGE compiles to before file rewriting.
+    *
+    * Target and change set are carved deterministically from the events:
+    * target = gold over event_id % 3 != 0; changes = gold over
+    * event_id % 3 == 0, with users ending in 0 as deletes. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val silver = EventsPipeline.silver(spark, dir)
+    def gold(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"), col("event_date"))
+        .agg(count(lit(1)).as("listen_count"),
+          countDistinct(col("event_type")).as("unique_types"))
+    val target = gold(silver.filter(col("event_id") % 3 =!= 0))
+    val changes = gold(silver.filter(col("event_id") % 3 === 0))
+      .withColumn("op",
+        when(col("user_id") % 10 === 0, lit("delete")).otherwise(lit("upsert")))
+    target.as("t")
+      .join(changes.as("c"), Seq("user_id", "event_date"), "full_outer")
+      .withColumn("action",
+        when(col("c.op").isNull, lit("keep"))            // no change row
+          .when(col("c.op") === "delete",
+            when(col("t.listen_count").isNotNull, lit("delete"))
+              .otherwise(lit("skip")))                    // delete unmatched: no-op
+          .when(col("t.listen_count").isNotNull, lit("update"))
+          .otherwise(lit("insert")))
+      .filter(col("action").isin("keep", "update", "insert"))
+      .select(col("user_id"), col("event_date"),
+        when(col("action") === "keep", col("t.listen_count"))
+          .otherwise(col("c.listen_count")).as("listen_count"),
+        when(col("action") === "keep", col("t.unique_types"))
+          .otherwise(col("c.unique_types")).as("unique_types"),
+        col("action"))
+      .orderBy(col("user_id").asc, col("event_date").asc)
+  }
 }

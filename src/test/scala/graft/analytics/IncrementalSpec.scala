@@ -51,4 +51,23 @@ class IncrementalSpec extends SparkSpecBase {
     assert(byStatus.getOrElse("changed", 0L) === changed)
     assert(byStatus.getOrElse("unchanged", 0L) === total - removed - changed)
   }
+
+  test("merge algebra: actions reconcile with the matched/unmatched carves") {
+    import org.apache.spark.sql.functions._
+    val silver = EventsPipeline.silver(spark, sf)
+    def keys(f: org.apache.spark.sql.Column) = silver.filter(f)
+      .select("user_id", "event_date").distinct()
+    val t = keys(col("event_id") % 3 =!= 0)
+    val c = keys(col("event_id") % 3 === 0)
+    val deletes = c.filter(col("user_id") % 10 === 0)
+    val upserts = c.filter(col("user_id") % 10 =!= 0)
+    val out = Incremental.mergeUpsert(spark, sf)
+    val byAction = out.groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byAction.getOrElse("update", 0L) === upserts.intersect(t).count())
+    assert(byAction.getOrElse("insert", 0L) === upserts.except(t).count())
+    assert(byAction.getOrElse("keep", 0L) === t.except(c).count())
+    // deleted keys are gone entirely
+    assert(out.join(deletes, Seq("user_id", "event_date")).count() === 0)
+  }
 }
