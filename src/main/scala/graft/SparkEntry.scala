@@ -327,6 +327,9 @@ object SparkEntry {
     "q128_best_of_cluster"     -> ((s, d) => DupClusters.bestOfClusters(s, d)),
     // ---- MERGE INTO semantics as a single full-outer shuffle ----
     "q129_merge_upsert"        -> ((s, d) => Incremental.mergeUpsert(s, d)),
+    // ---- tier retention census (the reference's S3 lifecycle policy
+    //      as an auditable engine operator) ----
+    "q130_retention_plan"      -> ((s, d) => Medallion.retentionPlan(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -1947,6 +1950,31 @@ object SparkEntry {
           |       action
           |FROM acted WHERE action IN ('keep', 'update', 'insert')
           |ORDER BY user_id ASC, event_date ASC""".stripMargin),
+    // q130: per-tier expiry census against the data's own max date.
+    "q130_retention_plan" ->
+      (silverCte +
+        """, mx AS (SELECT MAX(event_date) AS asof FROM silver),
+          |g AS (SELECT user_id, event_date FROM silver GROUP BY 1, 2),
+          |c AS (
+          |  SELECT 'bronze' AS tier, CAST(mx.asof - 21 AS DATE) AS cutoff,
+          |         COUNT(DISTINCT CASE WHEN b.event_date < mx.asof - 21 THEN b.event_date END) AS expiring_dates,
+          |         CAST(SUM(CASE WHEN b.event_date < mx.asof - 21 THEN 1 ELSE 0 END) AS BIGINT) AS expiring_rows,
+          |         CAST(SUM(CASE WHEN b.event_date >= mx.asof - 21 THEN 1 ELSE 0 END) AS BIGINT) AS kept_rows
+          |  FROM bronze b, mx GROUP BY 2
+          |  UNION ALL
+          |  SELECT 'silver', CAST(mx.asof - 14 AS DATE),
+          |         COUNT(DISTINCT CASE WHEN s.event_date < mx.asof - 14 THEN s.event_date END),
+          |         CAST(SUM(CASE WHEN s.event_date < mx.asof - 14 THEN 1 ELSE 0 END) AS BIGINT),
+          |         CAST(SUM(CASE WHEN s.event_date >= mx.asof - 14 THEN 1 ELSE 0 END) AS BIGINT)
+          |  FROM silver s, mx GROUP BY 2
+          |  UNION ALL
+          |  SELECT 'gold', CAST(mx.asof - 7 AS DATE),
+          |         COUNT(DISTINCT CASE WHEN g.event_date < mx.asof - 7 THEN g.event_date END),
+          |         CAST(SUM(CASE WHEN g.event_date < mx.asof - 7 THEN 1 ELSE 0 END) AS BIGINT),
+          |         CAST(SUM(CASE WHEN g.event_date >= mx.asof - 7 THEN 1 ELSE 0 END) AS BIGINT)
+          |  FROM g, mx GROUP BY 2)
+          |SELECT tier, cutoff, expiring_dates, expiring_rows, kept_rows
+          |FROM c ORDER BY tier ASC""".stripMargin),
     "q47_sessions" ->
       (silverCte +
         """, flagged AS (

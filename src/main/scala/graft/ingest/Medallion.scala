@@ -256,6 +256,65 @@ object Medallion {
       .orderBy(col("user_id").asc, col("event_date").asc)
   }
 
+  // --------------------------------------------------- retention (q130)
+
+  /** q130: tier retention census — the reference expires tiers through an
+    * S3 lifecycle policy (`terraform/modules/s3/main.tf`: gold 30 d /
+    * silver 60 d / bronze 90 d); here the same policy is an ENGINE
+    * operator, so it is auditable (this census) and executable
+    * ([[retentionSweep]]) without cloud infra. "Now" is the data's own
+    * max event_date — deterministic and scale-free; the defaults
+    * compress the reference's 30/60/90 to 7/14/21 so all three verdicts
+    * exercise at fixture spans. The census is one aggregation per tier
+    * over the date column — partition-pruned at 100 TB since every tier
+    * materializes partitioned by event_date or user_id. */
+  def retentionPlan(spark: SparkSession, dir: String,
+                    goldDays: Int = 7, silverDays: Int = 14,
+                    bronzeDays: Int = 21): DataFrame = {
+    import graft.pipeline.EventsPipeline
+    val silver = EventsPipeline.silver(spark, dir)
+    val asOf = silver.agg(max(col("event_date")).as("asof"))
+    def census(tierName: String, df: DataFrame, days: Int): DataFrame =
+      df.crossJoin(broadcast(asOf))
+        .withColumn("cutoff", date_sub(col("asof"), days))
+        .groupBy(col("cutoff"))
+        .agg(
+          countDistinct(when(col("event_date") < col("cutoff"),
+            col("event_date"))).as("expiring_dates"),
+          sum(when(col("event_date") < col("cutoff"), 1L).otherwise(0L))
+            .as("expiring_rows"),
+          sum(when(col("event_date") >= col("cutoff"), 1L).otherwise(0L))
+            .as("kept_rows"))
+        .select(lit(tierName).as("tier"), col("cutoff"),
+          col("expiring_dates"), col("expiring_rows"), col("kept_rows"))
+    census("bronze", EventsPipeline.bronze(spark, dir), bronzeDays)
+      .unionByName(census("silver", silver, silverDays))
+      .unionByName(census("gold",
+        EventsPipeline.goldDaily(spark, dir), goldDays))
+      .orderBy(col("tier").asc)
+  }
+
+  /** Execute the plan on an event_date-partitioned tier directory:
+    * delete expired partition DIRECTORIES (metadata-linear, never a
+    * rewrite — the date twin of `Forget.dropUserPartitions`). Returns
+    * the number of partitions removed. */
+  def retentionSweep(spark: SparkSession, tierPath: String,
+                     cutoff: java.time.LocalDate): Int = {
+    val root = new org.apache.hadoop.fs.Path(tierPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    fs.listStatus(root).count { st =>
+      val name = st.getPath.getName
+      name.startsWith("event_date=") && {
+        val d = name.stripPrefix("event_date=")
+        try {
+          java.time.LocalDate.parse(d).isBefore(cutoff) &&
+            fs.delete(st.getPath, true)
+        } catch { case _: java.time.format.DateTimeParseException => false }
+      }
+    }
+  }
+
   // ----------------------------------------------------- catalog / DDL
 
   /** Bucketed fact tables: the physical layout that makes repeated

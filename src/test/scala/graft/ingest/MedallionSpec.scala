@@ -76,4 +76,26 @@ class MedallionSpec extends SparkSpecBase {
     assert(a.count() === b.count())
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("retention sweep deletes expired event_date partitions, keeps the rest intact") {
+    import org.apache.spark.sql.functions._
+    val gold = graft.pipeline.EventsPipeline.goldDaily(spark, sf)
+    val path = tmpDir("retention-gold")
+    gold.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    val cutoff = gold.agg(date_sub(max(col("event_date")), 7)).head().getDate(0)
+      .toLocalDate
+    val expectExpired = gold
+      .filter(col("event_date") < lit(java.sql.Date.valueOf(cutoff)))
+      .select("event_date").distinct().count()
+    val removed = Medallion.retentionSweep(spark, path, cutoff)
+    assert(removed.toLong === expectExpired, s"removed $removed of $expectExpired")
+    // survivors read back exactly as the filtered frame
+    val kept = spark.read.parquet(path)
+    val expected = gold.filter(col("event_date") >= lit(java.sql.Date.valueOf(cutoff)))
+    assert(kept.count() === expected.count())
+    assert(kept.select(sum("listen_count")).head().getLong(0) ===
+      expected.select(sum("listen_count")).head().getLong(0))
+    // idempotent: a second sweep removes nothing
+    assert(Medallion.retentionSweep(spark, path, cutoff) === 0)
+  }
 }
