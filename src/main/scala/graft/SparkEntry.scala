@@ -330,6 +330,9 @@ object SparkEntry {
     // ---- tier retention census (the reference's S3 lifecycle policy
     //      as an auditable engine operator) ----
     "q130_retention_plan"      -> ((s, d) => Medallion.retentionPlan(s, d)),
+    // ---- power-of-2 inter-event gap histogram (integer log2 via bin()) ----
+    "q131_gap_histogram"       -> ((s, d) =>
+      TemporalOps.gapHistogram(EventsPipeline.silver(s, d))),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -1975,6 +1978,22 @@ object SparkEntry {
           |  FROM g, mx GROUP BY 2)
           |SELECT tier, cutoff, expiring_dates, expiring_rows, kept_rows
           |FROM c ORDER BY tier ASC""".stripMargin),
+    // q131: gaps via lag over the same (user, ts, event_id) order; the
+    // bucket is length(bin(gap)) — identical integer/string semantics.
+    "q131_gap_histogram" ->
+      (silverCte +
+        """, gaps AS (
+          |  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+          |           PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
+          |  FROM silver),
+          |b AS (
+          |  SELECT gap_us // 1000000 AS gap_s,
+          |         CAST(length(bin(gap_us // 1000000)) AS BIGINT) AS bucket
+          |  FROM gaps WHERE gap_us IS NOT NULL)
+          |SELECT bucket, COUNT(*) AS n_gaps,
+          |       CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+          |       CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+          |FROM b GROUP BY 1 ORDER BY bucket ASC""".stripMargin),
     "q47_sessions" ->
       (silverCte +
         """, flagged AS (

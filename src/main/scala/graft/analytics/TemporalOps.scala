@@ -188,6 +188,27 @@ object TemporalOps {
       .orderBy(col("event_type").asc)
   }
 
+  /** q131: LOG-BUCKETED inter-event gap histogram — the latency/cadence
+    * distribution every event pipeline monitors, with power-of-2 buckets
+    * so the histogram spans µs-to-months in ~40 rows. The bucket is the
+    * INTEGER log2 via `length(bin(gap))` — pure integer/string ops both
+    * engines define identically (no ln(), no IEEE drift). Gaps come from
+    * one lag() over the per-user clustering silver already has. */
+  def gapHistogram(silver: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    silver
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+      .filter(col("gap_us").isNotNull)
+      .withColumn("gap_s", expr("gap_us div 1000000")) // integer division
+      .withColumn("bucket", length(bin(col("gap_s"))).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_s")).as("min_gap_s"), max(col("gap_s")).as("max_gap_s"))
+      .orderBy(col("bucket").asc)
+  }
+
   /** Sessionization (gaps-and-islands): a new session starts when the gap
     * to the previous event of the same user exceeds `gapSeconds`. Per-user
     * window — partitions cleanly, one shuffle on user_id (reused from the

@@ -188,4 +188,21 @@ class TemporalOpsSpec extends SparkSpecBase {
       assert(out >= 0 && out * 2 < n, s"fence flagged $out of $n")
     }
   }
+
+  test("gap histogram: bucket bounds hold and totals reconcile with event counts") {
+    import org.apache.spark.sql.functions._
+    val rows = TemporalOps.gapHistogram(silver).collect()
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val lo = r.getAs[Long]("min_gap_s")
+      val hi = r.getAs[Long]("max_gap_s")
+      // bucket b holds gaps with exactly b binary digits: [2^(b-1), 2^b)
+      assert(lo >= (1L << (b - 1)) || b == 1, s"bucket $b min $lo below bound")
+      assert(hi < (1L << b), s"bucket $b max $hi above bound")
+    }
+    val totalGaps = rows.map(_.getAs[Long]("n_gaps")).sum
+    val expected = silver.select("user_id").distinct().count()
+    assert(totalGaps === silver.count() - expected,
+      "every event except each user's first contributes one gap")
+  }
 }
