@@ -333,6 +333,9 @@ object SparkEntry {
     // ---- power-of-2 inter-event gap histogram (integer log2 via bin()) ----
     "q131_gap_histogram"       -> ((s, d) =>
       TemporalOps.gapHistogram(EventsPipeline.silver(s, d))),
+    // ---- embedding-centroid drift (exact integer-scaled sums; scale
+    //      and mean cancel in the cosine) ----
+    "q132_embedding_drift"     -> ((s, d) => Similarity.embeddingDrift(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -1994,6 +1997,27 @@ object SparkEntry {
           |       CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
           |       CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
           |FROM b GROUP BY 1 ORDER BY bucket ASC""".stripMargin),
+    // q132: HUGEINT sums in DuckDB mirror Spark's decimal sums — both
+    // exact integers, so the final double cosine is identical.
+    "q132_embedding_drift" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |comps AS (
+        |  SELECT label, i AS pos,
+        |         CAST(floor(e[i] * 1000000.0 + 0.5) AS BIGINT) AS c
+        |  FROM v, unnest(generate_series(1, len(e))) AS s(i)),
+        |byl AS (SELECT label, pos, SUM(c) AS ls FROM comps GROUP BY 1, 2),
+        |corp AS (SELECT pos, SUM(c) AS cs FROM comps GROUP BY 1),
+        |cn AS (SELECT SUM(cs * cs) AS cc FROM corp),
+        |counts AS (SELECT label, COUNT(*) AS n_vecs FROM v GROUP BY 1),
+        |agg AS (
+        |  SELECT b.label, SUM(b.ls * c.cs) AS dot, SUM(b.ls * b.ls) AS ll
+        |  FROM byl b JOIN corp c ON b.pos = c.pos GROUP BY 1)
+        |SELECT a.label, counts.n_vecs,
+        |       CAST(a.dot AS DOUBLE)
+        |         / (sqrt(CAST(a.ll AS DOUBLE)) * sqrt(CAST(cn.cc AS DOUBLE))) AS cos_to_corpus
+        |FROM agg a, cn JOIN counts ON a.label = counts.label
+        |ORDER BY a.label ASC""".stripMargin,
     "q47_sessions" ->
       (silverCte +
         """, flagged AS (

@@ -123,6 +123,43 @@ object Similarity {
   def knnQuantized(spark: SparkSession, dir: String): DataFrame =
     knnQuantized(Tables.embeddings(spark, dir))
 
+  /** q132: embedding-centroid drift per label — the vector-space sibling
+    * of the q121 language-mix drift: how far each label's mean embedding
+    * points away from the corpus mean (cosine). Naive double sums are
+    * ORDER-DEPENDENT and would break cross-engine reproducibility, so
+    * components are scaled to integers (×1e6, round-half-up) and summed
+    * EXACTLY in decimal; the scale cancels in the cosine, and mean = sum
+    * / n cancels too, so centroid cosine ≡ cosine of the exact sum
+    * vectors — no division until one final deterministic double. One
+    * posexplode + one shuffle on (label, pos); dims × labels is tiny. */
+  def embeddingDrift(embeddings: DataFrame): DataFrame = {
+    val comps = embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"), expr(
+        "CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS DECIMAL(20,0))").as("c"))
+    val byLabel = comps.groupBy(col("label"), col("pos"))
+      .agg(sum(col("c")).as("ls"))
+    val corpus = comps.groupBy(col("pos")).agg(sum(col("c")).as("cs"))
+    val corpusNorm = corpus
+      .agg(sum(col("cs") * col("cs")).as("cc"))
+    val counts = embeddings.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+    byLabel.join(corpus, Seq("pos"))
+      .groupBy(col("label"))
+      .agg(sum(col("ls") * col("cs")).as("dot"),
+        sum(col("ls") * col("ls")).as("ll"))
+      .crossJoin(broadcast(corpusNorm))
+      .join(counts, Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        (col("dot").cast("double") /
+          (sqrt(col("ll").cast("double")) * sqrt(col("cc").cast("double"))))
+          .as("cos_to_corpus"))
+      .orderBy(col("label").asc)
+  }
+
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame =
+    embeddingDrift(Tables.embeddings(spark, dir))
+
   /** 16-bit sign signature per vector: bit p set iff dot(v, plane_p) > 0,
     * where plane_p is the corpus vector with vec_id = p. Computed as a
     * broadcast join against the plane set + one groupBy — the corpus is

@@ -114,4 +114,21 @@ class SimilaritySpec extends SparkSpecBase {
     val recall = (exact & quant).size.toDouble / exact.size
     assert(recall >= 0.8, s"quantized recall $recall < 0.8")
   }
+
+  test("embedding drift: single-label corpus has cosine ~1; all cosines bounded") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val one = emb.filter(col("label") === lit(emb.select("label").head().get(0)))
+    val solo = Similarity.embeddingDrift(one).collect()
+    assert(solo.length === 1)
+    // sum vec == corpus vec; sqrt(x)*sqrt(x) wobbles the last ulp, so
+    // the cosine is deterministic but not algebraically 1
+    assert(math.abs(solo(0).getAs[Double]("cos_to_corpus") - 1.0) < 1e-12)
+    val all = Similarity.embeddingDrift(emb).collect()
+    assert(all.length > 1)
+    all.foreach { r =>
+      val c = r.getAs[Double]("cos_to_corpus")
+      assert(c > -1.0001 && c <= 1.0001, s"cosine out of range: $c")
+    }
+  }
 }
