@@ -336,6 +336,9 @@ object SparkEntry {
     // ---- embedding-centroid drift (exact integer-scaled sums; scale
     //      and mean cancel in the cosine) ----
     "q132_embedding_drift"     -> ((s, d) => Similarity.embeddingDrift(s, d)),
+    // ---- bigram-LM doc scoring (KenLM/CCNet perplexity-filter stand-in:
+    //      the corpus's own LM scores every doc, integer-exact) ----
+    "q133_doc_lm_score"        -> ((s, d) => TextStats.docLmScore(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -2018,6 +2021,33 @@ object SparkEntry {
         |         / (sqrt(CAST(a.ll AS DOUBLE)) * sqrt(CAST(cn.cc AS DOUBLE))) AS cos_to_corpus
         |FROM agg a, cn JOIN counts ON a.label = counts.label
         |ORDER BY a.label ASC""".stripMargin,
+    // q133: bigram-LM doc scoring — integer-ppm conditional probabilities
+    // from the corpus's own bigram model (q120 machinery), multiplicity-
+    // weighted floor-div mean per doc, keep verdict at 38000 ppm.
+    "q133_doc_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, lang, str_split($duckNorm, ' ') AS w FROM documents),
+         |idx AS (SELECT doc_id, lang, w, unnest(generate_series(1, len(w)-1)) AS i FROM t),
+         |bg AS (SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2 FROM idx),
+         |docbg AS (SELECT doc_id, lang, w1, w2, COUNT(*) AS m
+         |          FROM bg GROUP BY 1, 2, 3, 4),
+         |c AS (SELECT lang, w1, w2, COUNT(*) AS cnt FROM bg GROUP BY 1, 2, 3),
+         |ctx AS (SELECT lang, w1, CAST(SUM(cnt) AS BIGINT) AS ctx_cnt
+         |        FROM c GROUP BY 1, 2),
+         |lm AS (SELECT c.lang, c.w1, c.w2,
+         |              c.cnt * 1000000 // ctx.ctx_cnt AS p_ppm
+         |       FROM c JOIN ctx ON c.lang = ctx.lang AND c.w1 = ctx.w1),
+         |s AS (SELECT d.doc_id, CAST(SUM(d.m) AS BIGINT) AS n_bigrams,
+         |             CAST(SUM(d.m * lm.p_ppm) AS BIGINT) AS sum_ppm
+         |      FROM docbg d JOIN lm ON d.lang = lm.lang
+         |        AND d.w1 = lm.w1 AND d.w2 = lm.w2
+         |      GROUP BY 1)
+         |SELECT docs.doc_id,
+         |       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+         |       COALESCE(s.sum_ppm // s.n_bigrams, 0) AS lm_score_ppm,
+         |       COALESCE(s.sum_ppm // s.n_bigrams, 0) >= 38000 AS keep
+         |FROM (SELECT doc_id FROM documents) docs
+         |LEFT JOIN s ON docs.doc_id = s.doc_id
+         |ORDER BY docs.doc_id ASC""".stripMargin,
     "q47_sessions" ->
       (silverCte +
         """, flagged AS (

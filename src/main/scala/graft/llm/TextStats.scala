@@ -352,6 +352,61 @@ object TextStats {
   def bigramCounts(spark: SparkSession, dir: String): DataFrame =
     bigramCounts(Tables.documents(spark, dir))
 
+  /** q133: per-document bigram-LM score — the KenLM/CCNet "perplexity
+    * filter" stand-in a production curation pipeline runs to drop
+    * low-fluency documents. The corpus's own bigram model (the q120
+    * machinery without the top-k) scores every document: a doc whose
+    * adjacent-pair mix is improbable under the corpus LM gets a low mean
+    * conditional probability and a keep=false verdict.
+    *
+    * Numerics are exact end-to-end so the DuckDB oracle matches
+    * bit-for-bit: conditional probabilities are integer ppm (cnt·1e6
+    * floor-div ctx_cnt) and the doc score is the multiplicity-weighted
+    * integer mean of its bigrams' ppm — no log/exp, no IEEE drift. A real
+    * deployment would swap the ppm mean for a log-prob sum; the dataflow
+    * (and every shuffle) is identical.
+    *
+    * Scale shape (100 TB): doc bigrams are compressed to per-doc
+    * multiplicities BEFORE the LM join, so the join input is distinct
+    * pairs per doc, not corpus tokens; the LM side is vocab²-bounded per
+    * lang (broadcastable for real vocabularies, an ordinary shuffle join
+    * otherwise); the final rollup is one shuffle on doc_id. Docs with no
+    * bigram (< 2 tokens) stay total via a left join, score 0. */
+  def docLmScore(docs: DataFrame, keepPpm: Long = 38000L): DataFrame = {
+    val bigrams = docs
+      .select(col("doc_id"), col("lang"), split(norm, " ").as("w"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(slice(w, 1, size(w)-1), (x, i) -> " +
+          "struct(x AS w1, element_at(w, i+2) AS w2))")).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // per-doc multiplicity compression: join input is distinct pairs/doc
+    val docBg = bigrams.groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    val lm = bigrams.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("ctx_cnt",
+        sum(col("cnt")).over(Window.partitionBy(col("lang"), col("w1"))))
+      .select(col("lang"), col("w1"), col("w2"),
+        ((col("cnt") * lit(1000000L)) / col("ctx_cnt")).cast("long").as("p_ppm"))
+    val scored = docBg.join(lm, Seq("lang", "w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m") * col("p_ppm")).as("sum_ppm"))
+      .select(col("doc_id"), col("n_bigrams"),
+        ((col("sum_ppm")) / col("n_bigrams")).cast("long").as("lm_score_ppm"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score_ppm"), lit(0L)).as("lm_score_ppm"))
+      .withColumn("keep", col("lm_score_ppm") >= keepPpm)
+      .orderBy(col("doc_id").asc)
+  }
+
+  def docLmScore(spark: SparkSession, dir: String): DataFrame =
+    docLmScore(Tables.documents(spark, dir))
+
   /** q121: source-vs-corpus distribution drift, exact integer ppm — the
     * monitoring op a training pipeline runs to catch a source whose
     * language mix shifts between snapshots. L1 distance between each

@@ -149,4 +149,38 @@ class TextStatsSpec extends SparkSpecBase {
       .map(r => r.getString(0) -> r.getAs[Long]("l1_drift_ppm")).toMap
     assert(d2("a") > 0 && d2("b") > 0)
   }
+
+  test("LM score: repeated-bigram doc scores ppm=1e6 share of its context") {
+    import spark.implicits._
+    // corpus of one lang: "a b" appears 3× (2 docs), "a c" once — so
+    // p(b|a) = 750000 ppm, p(c|a) = 250000 ppm exactly.
+    val docs = Seq(
+      (0L, "a b a b", "en", "s", 7L),
+      (1L, "a b", "en", "s", 3L),
+      (2L, "a c", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.docLmScore(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc0 bigrams: (a,b)×2 + (b,a)×1; p(a|b)=1e6 (only continuation)
+    assert(out(0L).getAs[Long]("n_bigrams") === 3L)
+    assert(out(0L).getAs[Long]("lm_score_ppm") === (750000L * 2 + 1000000L) / 3)
+    assert(out(1L).getAs[Long]("lm_score_ppm") === 750000L)
+    assert(out(2L).getAs[Long]("lm_score_ppm") === 250000L)
+    assert(out(2L).getAs[Boolean]("keep")) // 250000 >= 38000
+  }
+
+  test("LM score: total over the corpus, sub-2-token docs score zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "x", "en", "s", 1L), // no bigram
+      (1L, "x y", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.docLmScore(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 2)
+    assert(out(0L).getAs[Long]("n_bigrams") === 0L)
+    assert(out(0L).getAs[Long]("lm_score_ppm") === 0L)
+    assert(!out(0L).getAs[Boolean]("keep"))
+    assert(out(1L).getAs[Long]("lm_score_ppm") === 1000000L)
+  }
 }
