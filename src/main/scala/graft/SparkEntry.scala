@@ -339,6 +339,9 @@ object SparkEntry {
     // ---- bigram-LM doc scoring (KenLM/CCNet perplexity-filter stand-in:
     //      the corpus's own LM scores every doc, integer-exact) ----
     "q133_doc_lm_score"        -> ((s, d) => TextStats.docLmScore(s, d)),
+    // ---- per-lang shingle census via the lazy Generator (bounded
+    //      per-row memory vs explode's full-array materialization) ----
+    "q134_shingle_census"      -> ((s, d) => TextStats.shingleCensus(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -2048,6 +2051,17 @@ object SparkEntry {
          |FROM (SELECT doc_id FROM documents) docs
          |LEFT JOIN s ON docs.doc_id = s.doc_id
          |ORDER BY docs.doc_id ASC""".stripMargin,
+    // q134: per-lang trigram-shingle census — mirrors the lazy generator
+    // with an unnest over 1-based inclusive slices.
+    "q134_shingle_census" ->
+      s"""WITH t AS (SELECT lang, str_split($duckNorm, ' ') AS w FROM documents),
+         |i AS (SELECT lang, w, unnest(generate_series(1, len(w)-2)) AS i FROM t),
+         |g AS (SELECT lang, array_to_string(w[i:i+2], ' ') AS shingle FROM i)
+         |SELECT lang,
+         |       COUNT(DISTINCT shingle) AS distinct_shingles,
+         |       CAST(COUNT(*) AS BIGINT) AS total_shingles
+         |FROM g GROUP BY 1
+         |ORDER BY lang ASC""".stripMargin,
     "q47_sessions" ->
       (silverCte +
         """, flagged AS (

@@ -35,6 +35,7 @@ object Sessions {
       graft.functions.DotProduct.register(spark)
       graft.functions.RollingHash.register(spark)
       graft.functions.IntersectCount.register(spark)
+      graft.functions.WordShingles.register(spark)
       // optimizer rule: fuse size(array_intersect) (idempotent add)
       if (!spark.experimental.extraOptimizations
             .contains(graft.functions.FuseIntersectCount)) {

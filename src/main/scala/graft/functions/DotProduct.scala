@@ -99,6 +99,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier(DotProduct.Name), DotProduct.info, DotProduct.builder))
     ext.injectFunction((FunctionIdentifier(RollingHash.Name), RollingHash.info, RollingHash.builder))
     ext.injectFunction((FunctionIdentifier(IntersectCount.Name), IntersectCount.info, IntersectCount.builder))
+    ext.injectFunction((FunctionIdentifier(WordShingles.Name), WordShingles.info, WordShingles.builder))
     ext.injectOptimizerRule(_ => FuseIntersectCount)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

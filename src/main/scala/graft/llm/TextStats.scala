@@ -352,6 +352,28 @@ object TextStats {
   def bigramCounts(spark: SparkSession, dir: String): DataFrame =
     bigramCounts(Tables.documents(spark, dir))
 
+  /** q134: per-lang k-shingle census through the LAZY shingle generator
+    * ([[graft.functions.WordShingles]]): distinct and total word
+    * trigrams per language — the corpus-profiling pass run before sizing
+    * a MinHash index. The point at 100 TB is the generator: the
+    * explode(transform(...)) composition materializes every document's
+    * full shingle array on the heap before the aggregate consumes it
+    * (O(words·k) per row — an OOM grenade for pathological crawl docs),
+    * while `graft_shingles` streams one shingle at a time into the
+    * partial aggregate, keeping per-row memory flat. Same rows out,
+    * different worst-case memory — WordShinglesSpec pins the parity. */
+  def shingleCensus(docs: DataFrame, k: Int = 3): DataFrame =
+    docs
+      .select(col("lang"), norm.as("t"))
+      .select(col("lang"), expr(s"graft_shingles(t, $k)"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("shingle")).as("distinct_shingles"),
+        count(lit(1)).as("total_shingles"))
+      .orderBy(col("lang").asc)
+
+  def shingleCensus(spark: SparkSession, dir: String): DataFrame =
+    shingleCensus(Tables.documents(spark, dir))
+
   /** q133: per-document bigram-LM score — the KenLM/CCNet "perplexity
     * filter" stand-in a production curation pipeline runs to drop
     * low-fluency documents. The corpus's own bigram model (the q120
