@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Diagnostics, Graphs, History, Incremental, Reports, StarQueries, TemporalOps}
+import graft.analytics.{BloomJoin, Diagnostics, Graphs, History, Incremental, Reports, StarQueries, TemporalOps}
 import graft.ingest.Medallion
 import graft.llm.{Curation, Decontaminate, DupClusters, EmbedDedup, Multimodal, Scrub, Similarity, TextDedup, TextStats}
 import graft.pipeline.EventsPipeline
@@ -342,6 +342,9 @@ object SparkEntry {
     // ---- per-lang shingle census via the lazy Generator (bounded
     //      per-row memory vs explode's full-array materialization) ----
     "q134_shingle_census"      -> ((s, d) => TextStats.shingleCensus(s, d)),
+    // ---- bloom-reduced exact join (probe shuffled only where the key
+    //      fingerprint says it can match; result identical to plain join) ----
+    "q135_bloom_join_revenue"  -> ((s, d) => BloomJoin.urgentItemRevenue(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -2062,6 +2065,15 @@ object SparkEntry {
          |       CAST(COUNT(*) AS BIGINT) AS total_shingles
          |FROM g GROUP BY 1
          |ORDER BY lang ASC""".stripMargin,
+    // q135: the bloom is a shuffle reducer, invisible in the result —
+    // the oracle is the plain exact join.
+    "q135_bloom_join_revenue" ->
+      """SELECT year(o.o_orderdate) AS o_year,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l.l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     "q47_sessions" ->
       (silverCte +
         """, flagged AS (

@@ -100,6 +100,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier(RollingHash.Name), RollingHash.info, RollingHash.builder))
     ext.injectFunction((FunctionIdentifier(IntersectCount.Name), IntersectCount.info, IntersectCount.builder))
     ext.injectFunction((FunctionIdentifier(WordShingles.Name), WordShingles.info, WordShingles.builder))
+    ext.injectFunction((FunctionIdentifier(graft.analytics.BloomJoin.MightContainName),
+      new ExpressionInfo(classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        graft.analytics.BloomJoin.MightContainName),
+      graft.analytics.BloomJoin.mightContainBuilder))
+    ext.injectFunction((FunctionIdentifier(graft.analytics.BloomJoin.BloomAggName),
+      new ExpressionInfo(classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        graft.analytics.BloomJoin.BloomAggName),
+      graft.analytics.BloomJoin.bloomAggBuilder))
     ext.injectOptimizerRule(_ => FuseIntersectCount)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
