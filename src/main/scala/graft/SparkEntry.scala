@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{BloomJoin, Diagnostics, Graphs, History, Incremental, Reports, StarQueries, TemporalOps}
+import graft.analytics.{BloomJoin, Diagnostics, Graphs, History, Incremental, Reports, SkewJoin, StarQueries, TemporalOps}
 import graft.ingest.Medallion
 import graft.llm.{Curation, Decontaminate, DupClusters, EmbedDedup, Multimodal, Scrub, Similarity, TextDedup, TextStats}
 import graft.pipeline.EventsPipeline
@@ -345,6 +345,9 @@ object SparkEntry {
     // ---- bloom-reduced exact join (probe shuffled only where the key
     //      fingerprint says it can match; result identical to plain join) ----
     "q135_bloom_join_revenue"  -> ((s, d) => BloomJoin.urgentItemRevenue(s, d)),
+    // ---- salted skew join (hot fact keys scattered over sub-keys, dim
+    //      replicated to match; result identical to the plain join) ----
+    "q136_salted_join_brands"  -> ((s, d) => SkewJoin.brandRevenueSalted(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -2073,6 +2076,14 @@ object SparkEntry {
         |  COUNT(*) AS n_items
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
+    // q136: salting is a reducer-spreading device, invisible in the
+    // result — the oracle is the plain join.
+    "q136_salted_join_brands" ->
+      """SELECT p.p_brand,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l.l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     "q47_sessions" ->
       (silverCte +
