@@ -348,6 +348,9 @@ object SparkEntry {
     // ---- salted skew join (hot fact keys scattered over sub-keys, dim
     //      replicated to match; result identical to the plain join) ----
     "q136_salted_join_brands"  -> ((s, d) => SkewJoin.brandRevenueSalted(s, d)),
+    // ---- deterministic training-order shuffle + sharding (per-row
+    //      md5 rank; epoch reseed re-deals; no shuffle to assign) ----
+    "q137_training_order"      -> ((s, d) => Curation.trainingOrder(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -2085,6 +2088,15 @@ object SparkEntry {
         |  COUNT(*) AS n_items
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
+    // q137: md5 is the cross-engine pseudo-random rank; shard from the
+    // rank's top 32 bits.
+    "q137_training_order" ->
+      """WITH t AS (
+        |  SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM documents)
+        |SELECT doc_id, ord,
+        |       CAST(('0x' || substr(ord, 1, 8))::BIGINT % 4 AS INTEGER) AS shard
+        |FROM t ORDER BY shard ASC, ord ASC, doc_id ASC""".stripMargin,
     "q47_sessions" ->
       (silverCte +
         """, flagged AS (

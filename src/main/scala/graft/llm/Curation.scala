@@ -325,4 +325,28 @@ object Curation {
 
   def budgetAllocation(spark: SparkSession, dir: String): DataFrame =
     budgetAllocation(Tables.documents(spark, dir))
+
+  /** q137: deterministic training-order shuffle + sharding — the last op
+    * before a corpus ships to dataloaders. Training wants a different
+    * random visit order every epoch, reproducible across reruns and
+    * engines, with rows dealt into balanced shards; `ORDER BY rand()`
+    * fails all three. Every doc gets a pseudo-random rank
+    * `md5(seed:doc_id)` and a shard from the rank's top 32 bits — pure
+    * per-row arithmetic: NO shuffle to assign, no RNG state, restart-safe
+    * like [[trainSplit]], and a new seed ("epoch1") re-deals everything.
+    * The returned global (shard, ord) ordering is the query's
+    * presentation; at 100 TB the writer runs `partitionBy(shard)` +
+    * `sortWithinPartitions(ord)` — same order, no global sort. */
+  def trainingOrder(docs: DataFrame, shards: Int = 4,
+                    seed: String = "epoch0"): DataFrame =
+    docs
+      .select(col("doc_id"),
+        md5(concat_ws(":", lit(seed), col("doc_id"))).as("ord"))
+      .withColumn("shard",
+        (conv(substring(col("ord"), 1, 8), 16, 10).cast("long")
+          % shards).cast("int"))
+      .orderBy(col("shard").asc, col("ord").asc, col("doc_id").asc)
+
+  def trainingOrder(spark: SparkSession, dir: String): DataFrame =
+    trainingOrder(Tables.documents(spark, dir))
 }

@@ -206,4 +206,30 @@ class CurationSpec extends SparkSpecBase {
       assert(keptTokens === cum, s"greedy prefix mismatch: engine $keptTokens vs replay $cum")
     }
   }
+
+  test("training order: total, stable across reruns, re-dealt by epoch seed") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"d$i", "en", "s", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e0a = Curation.trainingOrder(docs, shards = 4, seed = "epoch0")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val e0b = Curation.trainingOrder(docs, shards = 4, seed = "epoch0")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val e1 = Curation.trainingOrder(docs, shards = 4, seed = "epoch1")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // total: every doc appears exactly once, in any epoch
+    assert(e0a.map(_._1).sorted.toSeq === (1L to 200L))
+    assert(e1.map(_._1).sorted.toSeq === (1L to 200L))
+    // reproducible: same seed, same order
+    assert(e0a.toSeq === e0b.toSeq)
+    // re-dealt: a new epoch seed produces a different visit order
+    assert(e0a.map(_._1).toSeq !== e1.map(_._1).toSeq)
+    // sharded: all shards in [0,4) and none starved
+    val byShard = e0a.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byShard.keySet.subsetOf(Set(0, 1, 2, 3)))
+    assert(byShard.size === 4 && byShard.values.min > 20)
+    // ordering invariant: rows sorted by (shard, ord)
+    assert(e0a.map(t => (t._3, t._2)).toSeq ===
+      e0a.map(t => (t._3, t._2)).sortBy(identity).toSeq)
+  }
 }
