@@ -351,6 +351,9 @@ object SparkEntry {
     // ---- deterministic training-order shuffle + sharding (per-row
     //      md5 rank; epoch reseed re-deals; no shuffle to assign) ----
     "q137_training_order"      -> ((s, d) => Curation.trainingOrder(s, d)),
+    // ---- Unicode NFC canonicalization census (graft_nfc codegen'd
+    //      expression, zero-copy ASCII fast path) ----
+    "q138_nfc_census"          -> ((s, d) => TextStats.nfcCensus(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -2097,6 +2100,20 @@ object SparkEntry {
         |SELECT doc_id, ord,
         |       CAST(('0x' || substr(ord, 1, 8))::BIGINT % 4 AS INTEGER) AS shard
         |FROM t ORDER BY shard ASC, ord ASC, doc_id ASC""".stripMargin,
+    // q138: DuckDB's nfc_normalize implements the same Unicode NFC as the
+    // engine's graft_nfc; the decomposed suffix is built from hex so the
+    // SQL stays ASCII. Both engines count string length in code points.
+    "q138_nfc_census" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |         substr(text, 1, 40) ||
+        |         CASE WHEN doc_id % 3 = 0 THEN decode(from_hex('65CC8161CC8A'))
+        |              ELSE 'x' END AS raw
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |       SUM(CASE WHEN nfc_normalize(raw) <> raw THEN 1 ELSE 0 END) AS n_changed,
+        |       SUM(length(raw) - length(nfc_normalize(raw))) AS cp_removed
+        |FROM t GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     "q47_sessions" ->
       (silverCte +
         """, flagged AS (

@@ -36,6 +36,7 @@ object Sessions {
       graft.functions.RollingHash.register(spark)
       graft.functions.IntersectCount.register(spark)
       graft.functions.WordShingles.register(spark)
+      graft.functions.NfcNormalize.register(spark)
       graft.analytics.BloomJoin.register(spark)
       // optimizer rule: fuse size(array_intersect) (idempotent add)
       if (!spark.experimental.extraOptimizations

@@ -100,6 +100,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier(RollingHash.Name), RollingHash.info, RollingHash.builder))
     ext.injectFunction((FunctionIdentifier(IntersectCount.Name), IntersectCount.info, IntersectCount.builder))
     ext.injectFunction((FunctionIdentifier(WordShingles.Name), WordShingles.info, WordShingles.builder))
+    ext.injectFunction((FunctionIdentifier(NfcNormalize.Name), NfcNormalize.info, NfcNormalize.builder))
     ext.injectFunction((FunctionIdentifier(graft.analytics.BloomJoin.MightContainName),
       new ExpressionInfo(classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         graft.analytics.BloomJoin.MightContainName),

@@ -466,4 +466,36 @@ object TextStats {
 
   def bpeMergeCandidates(spark: SparkSession, dir: String): DataFrame =
     bpeMergeCandidates(Tables.documents(spark, dir))
+
+  /** q138: Unicode-canonicalization census — per lang, how many docs are
+    * NOT in NFC and how many code points canonicalization removes. This is
+    * the audit run BEFORE content hashing: every hash-keyed operator
+    * (exact dedup, MinHash, winnowing) treats bytes as identity, so
+    * composed vs decomposed accents split identical texts across dedup
+    * keys; the census quantifies the exposure, `graft_nfc` fixes it.
+    *
+    * The synthetic corpus is pure ASCII (already NFC), so the census
+    * manufactures its own decomposed rows deterministically: docs with
+    * `doc_id % 3 = 0` get a decomposed "éå" suffix (e + U+0301,
+    * a + U+030A — built from hex so source files stay ASCII), the rest a
+    * plain ASCII "x". NFC recomposes each pair to one code point; the
+    * per-lang deltas are exact integers. Scale shape: pure per-row
+    * projection into one 5-group aggregate — one shuffle, and the ASCII
+    * majority never leaves `graft_nfc`'s zero-copy fast path. */
+  def nfcCensus(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"),
+        concat(substring(col("text"), 1, 40),
+          when(col("doc_id") % 3 === 0,
+            decode(unhex(lit("65CC8161CC8A")), "UTF-8")).otherwise(lit("x")))
+          .as("raw"))
+      .withColumn("nfc", expr("graft_nfc(raw)"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nfc") =!= col("raw"), 1L).otherwise(0L)).as("n_changed"),
+        sum(length(col("raw")) - length(col("nfc"))).as("cp_removed"))
+      .orderBy(col("lang").asc)
+
+  def nfcCensus(spark: SparkSession, dir: String): DataFrame =
+    nfcCensus(Tables.documents(spark, dir))
 }
