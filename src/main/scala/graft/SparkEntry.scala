@@ -291,6 +291,10 @@ object SparkEntry {
     //      from range(n) ----
     "q116_docgen_census"       -> ((s, _) =>
       graft.sources.DocGenQueries.corpusCensus(s)),
+    // ---- storage-partitioned join: lang-keyed DSv2 partitions line up
+    //      across both scans, zero shuffle exchanges (SPJ) ----
+    "q139_spj_lang_join"       -> ((s, _) =>
+      graft.sources.DocGenQueries.spjLangJoin(s)),
     // ---- BANDED interval-overlap join (month bands restore an
     //      equi-join; the theta spelling would plan an NLJ) ----
     "q117_interval_overlap"    -> ((s, d) =>
@@ -1677,6 +1681,21 @@ object SparkEntry {
         |       MIN(substr(text, 1, 8)) AS min_prefix,
         |       MAX(substr(text, 1, 8)) AS max_prefix
         |FROM g GROUP BY 1, 2 ORDER BY lang ASC, source ASC""".stripMargin,
+    // q139: the oracle rebuilds both generated corpora and runs the
+    // plain join — the SPJ plan must be value-identical to it.
+    "q139_spj_lang_join" ->
+      """WITH a AS (
+        |  SELECT r.range AS a_id,
+        |         ['en','de','fr','es','pt'][CAST(r.range % 5 AS INT) + 1] AS lang
+        |  FROM range(3000) r),
+        |b AS (
+        |  SELECT r.range AS b_id,
+        |         ['en','de','fr','es','pt'][CAST(r.range % 5 AS INT) + 1] AS lang
+        |  FROM range(1500) r)
+        |SELECT a.lang, COUNT(*) AS n_pairs,
+        |       SUM(a.a_id + b.b_id) AS sum_ids
+        |FROM a JOIN b ON a.lang = b.lang
+        |GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     // q117: the oracle is the PLAIN theta join — the banded Spark plan
     // must be semantically identical to the quadratic spelling.
     "q117_interval_overlap" ->

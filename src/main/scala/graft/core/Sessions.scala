@@ -51,6 +51,10 @@ object Sessions {
         spark.experimental.extraStrategies =
           spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
       }
+      // storage-partitioned joins: let DSv2 scans that report
+      // KeyGroupedPartitioning (DocGen partitionByLang) satisfy join/agg
+      // distributions without an exchange — the Iceberg-SPJ lever
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       // catalog plugin: graft.gen.docs_<n> virtual tables + graft.fn.*
       // V2 functions (respect an operator-supplied override)
       if (!spark.conf.getOption("spark.sql.catalog.graft").isDefined) {

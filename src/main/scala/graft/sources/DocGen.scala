@@ -97,17 +97,20 @@ class DocGenTable(options: CaseInsensitiveStringMap)
   private val rows = options.getLong("rows", 1000L)
   private val rowsPerPartition = options.getLong("rowsPerPartition", 4096L)
   private val rowsPerBatch = options.getLong("rowsPerBatch", 1000L)
+  private val partitionByLang = options.getBoolean("partitionByLang", false)
 
   override def name(): String = s"graft_docs($rows)"
   override def schema(): StructType = DocGen.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new DocGenScanBuilder(rows, rowsPerPartition, rowsPerBatch)
+    new DocGenScanBuilder(rows, rowsPerPartition, rowsPerBatch,
+      partitionByLang)
 }
 
 class DocGenScanBuilder(rows: Long, rowsPerPartition: Long,
-                        rowsPerBatch: Long = 1000L)
+                        rowsPerBatch: Long = 1000L,
+                        partitionByLang: Boolean = false)
   extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit with SupportsPushDownAggregates {
@@ -169,19 +172,51 @@ class DocGenScanBuilder(rows: Long, rowsPerPartition: Long,
     case Some(a) => new DocGenAggScan(math.min(lo, hi), hi, a)
     case None =>
       new DocGenScan(math.min(lo, hi), hi, rowsPerPartition, required,
-        rowsPerBatch)
+        rowsPerBatch, partitionByLang)
   }
 }
 
 case class DocGenPartition(start: Long, end: Long) extends InputPartition
 
+/** One residue class of doc_id mod 5 ≡ one lang value of the generated
+  * corpus — the storage partition for SPJ. [[HasPartitionKey]] exposes the
+  * lang so Spark can line partitions up across scans without shuffling
+  * either side. A range may be empty for its residue; the reader just
+  * yields nothing (the key still participates in planning). */
+case class DocGenLangPartition(start: Long, end: Long, residue: Int)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(
+      Array[Any](UTF8String.fromString(DocGen.langOf(residue.toLong))))
+}
+
 class DocGenScan(lo: Long, hi: Long, rowsPerPartition: Long,
-                 required: StructType, rowsPerBatch: Long = 1000L)
+                 required: StructType, rowsPerBatch: Long = 1000L,
+                 partitionByLang: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics
-  with SupportsRuntimeFiltering {
+  with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // ---- storage-partitioned join (SPJ): with `partitionByLang` the scan
+  // plans ONE partition per lang residue class, each carrying its key via
+  // HasPartitionKey, and reports KeyGroupedPartitioning(identity(lang)).
+  // Under spark.sql.sources.v2.bucketing.enabled, a lang-keyed join of two
+  // such scans (or a lang group-by) satisfies its required distribution
+  // AT THE SOURCE — no shuffle exchange on either side, the lever Iceberg
+  // bucketed tables use. Partition count is pinned at 5 (keys may own
+  // empty ranges) so the report always matches the planned partitions,
+  // runtime narrowing included.
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (partitionByLang)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity("lang")), 5)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        (math.max(0L, hi - lo) / math.max(1L, rowsPerPartition)).toInt + 1)
 
   // ---- runtime filtering (the DSv2 analogue of dynamic partition
   // pruning): after a joined dim side materializes, Spark hands the scan
@@ -235,7 +270,14 @@ class DocGenScan(lo: Long, hi: Long, rowsPerPartition: Long,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    if (rhi <= rlo) Array.empty
+    if (partitionByLang)
+      // exactly 5 keyed partitions, always — the KeyGroupedPartitioning
+      // report must equal the planned count, so runtime narrowing shrinks
+      // ranges (possibly to empty) rather than dropping partitions
+      (0 until 5).map(r =>
+        DocGenLangPartition(math.min(rlo, rhi), rhi, r))
+        .toArray[InputPartition]
+    else if (rhi <= rlo) Array.empty
     else (rlo until rhi by rowsPerPartition).flatMap { s =>
       val e = math.min(s + rowsPerPartition, rhi)
       val keep = runtimeIds match {
@@ -462,6 +504,30 @@ object DocGenQueries {
       .orderBy(col("lang").asc, col("source").asc)
   }
 
+  /** q139: storage-partitioned join — two generated corpora joined on
+    * `lang` with BOTH scans planning lang-keyed partitions
+    * ([[DocGenLangPartition]]) and reporting KeyGroupedPartitioning, so
+    * the join and the following group-by satisfy their distributions at
+    * the source: ZERO shuffle exchanges in the whole plan (asserted in
+    * DocGenSourceSpec with broadcast disabled; here Catalyst may also
+    * elect a broadcast join — either way no exchange is the point). This
+    * is the DSv2 lever Iceberg bucketed tables use to make fact-fact
+    * joins exchange-free at 100 TB; sibling of the session-catalog
+    * bucketed-table proof (q110). */
+  def spjLangJoin(spark: SparkSession, rowsA: Long = 3000,
+                  rowsB: Long = 1500): DataFrame = {
+    graft.core.Sessions.ensure(spark)
+    def side(n: Long) = spark.read.format("graft-docs")
+      .option("rows", n).option("partitionByLang", "true").load()
+    side(rowsA).select(col("lang"), col("doc_id").as("a_id"))
+      .join(side(rowsB).select(col("lang"), col("doc_id").as("b_id")),
+        Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("a_id") + col("b_id")).as("sum_ids"))
+      .orderBy(col("lang").asc)
+  }
+
   /** q123: the SAME census routed through the catalog plugin — pure SQL
     * against a virtual `graft.gen.docs_<n>` table plus the `graft.fn`
     * V2 functions, so the catalog path (resolution, pushdown, codegen'd
@@ -495,7 +561,8 @@ class DocGenReaderFactory(fields: Array[String], columnar: Boolean = false)
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
-  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columnar && p.isInstanceOf[DocGenPartition]
 
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
     val part = p.asInstanceOf[DocGenPartition]
@@ -541,10 +608,16 @@ class DocGenReaderFactory(fields: Array[String], columnar: Boolean = false)
   }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[DocGenPartition]
+    // (start, end, step): a range chunk walks every id; a lang partition
+    // walks only its residue class, first aligned to residue mod 5
+    val (start, end, step) = p match {
+      case DocGenPartition(s, e) => (s, e, 1L)
+      case DocGenLangPartition(s, e, r) =>
+        (s + ((r - s % 5) + 5) % 5, e, 5L)
+    }
     new PartitionReader[InternalRow] {
-      private var id = part.start - 1
-      override def next(): Boolean = { id += 1; id < part.end }
+      private var id = start - step
+      override def next(): Boolean = { id += step; id < end }
       override def get(): InternalRow =
         new GenericInternalRow(fields.map[Any] {
           case "doc_id" => id
