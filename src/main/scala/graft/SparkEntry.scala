@@ -106,6 +106,9 @@ object SparkEntry {
     "q39_sql_top_users"        -> ((s, d) => SqlQueries.topUsersSql(s, d)),
     "q40_sql_active_7day"      -> ((s, d) => SqlQueries.activeUsers7DayThetaSql(s, d)),
     "q41_sql_first_event"      -> ((s, d) => SqlQueries.firstEventSql(s, d)),
+    // ---- NOT IN churn census (null-aware anti join; the NULL law is
+    //      pinned in SqlQueriesSpec) ----
+    "q140_churned_users"       -> ((s, d) => SqlQueries.churnedUsersSql(s, d)),
     // ---- ingest + on-disk writes (S1/S6/S7/S15/U1/U2) ----
     "q42_ndjson_roundtrip"     -> ((s, d) => Medallion.ndjsonRoundtrip(s, d)),
     "q43_gold_epochs_ondisk"   -> ((s, d) => Medallion.goldEpochsOnDisk(s, d)),
@@ -1592,6 +1595,16 @@ object SparkEntry {
           |       event_type AS first_event_type,
           |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
           |FROM ranked WHERE rn = 1 ORDER BY user_id ASC""".stripMargin),
+    // q140: NOT IN (no NULLs in the subquery by construction, so the
+    // null-aware anti join reduces to the churn list on both engines)
+    "q140_churned_users" ->
+      (silverCte +
+        """
+          |SELECT user_id, COUNT(*) AS n_events, MAX(event_date) AS last_date
+          |FROM silver
+          |WHERE user_id NOT IN (
+          |  SELECT user_id FROM silver WHERE event_date >= DATE '2024-01-30')
+          |GROUP BY user_id ORDER BY user_id ASC""".stripMargin),
     "q42_ndjson_roundtrip" ->
       """SELECT event_id, user_id, event_type, value,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,

@@ -62,6 +62,31 @@ object SqlQueries {
          |FROM ranked WHERE rn = 1 ORDER BY user_id ASC""".stripMargin)
   }
 
+  /** q140: churn census via `NOT IN` — the NULL-AWARE anti join. NOT IN
+    * is a different operator from NOT EXISTS under three-valued logic: if
+    * the subquery yields even one NULL, `x NOT IN (...)` is UNKNOWN for
+    * every x and the whole result is EMPTY — the classic silent-wrong-
+    * answer trap in churn/compliance queries. Spark must therefore plan a
+    * null-aware anti join (broadcast with a streamed-side null check),
+    * not a plain LeftAnti; SqlQueriesSpec pins the plan shape AND the
+    * NULL law (poisoning the subquery with one NULL empties the result,
+    * while the NOT EXISTS twin is unaffected). Here `user_id` is
+    * non-null by construction, so the census is the real churn list:
+    * users with no event on/after the cutoff, with their event counts
+    * and last-seen date. Scale shape: the subquery is a distinct over
+    * one column (shuffle to ~|users|), broadcast as the anti side; the
+    * outer aggregate reuses silver's user_id clustering. */
+  def churnedUsersSql(spark: SparkSession, dir: String,
+                      cutoff: String = "2024-01-30"): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      s"""SELECT user_id, COUNT(*) AS n_events, MAX(event_date) AS last_date
+         |FROM $SilverView
+         |WHERE user_id NOT IN (
+         |  SELECT user_id FROM $SilverView WHERE event_date >= DATE '$cutoff')
+         |GROUP BY user_id ORDER BY user_id ASC""".stripMargin)
+  }
+
   /** Correlated LATERAL join: per-nation top-2 customers by order count.
     * The lateral derived table (with its own ORDER BY + LIMIT) is the
     * SQL-standard way to write per-group top-k; Spark decorrelates it

@@ -71,4 +71,38 @@ class SqlQueriesSpec extends SparkSpecBase {
       .orderBy(col("n_name").asc, col("cnt").desc, col("c_custkey").asc)
     assert(lateral.collect().toSeq === top2.collect().toSeq)
   }
+
+  test("NOT IN churn plans a null-aware anti join and matches NOT EXISTS") {
+    val churned = SqlQueries.churnedUsersSql(spark, sf)
+    val rows = churned.collect()
+    assert(rows.nonEmpty, "cutoff should leave some churned users")
+    // plan shape: an anti join whose build side is the subquery (Spark
+    // spells the null-aware variant as LeftAnti + null-check condition)
+    val plan = churned.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected anti join in:\n$plan")
+    // equivalence with the NOT EXISTS twin while the subquery is null-free
+    val twin = spark.sql(
+      s"""SELECT user_id, COUNT(*) AS n_events, MAX(event_date) AS last_date
+         |FROM ${SqlQueries.SilverView} s
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM ${SqlQueries.SilverView} a
+         |  WHERE a.user_id = s.user_id AND a.event_date >= DATE '2024-01-30')
+         |GROUP BY user_id ORDER BY user_id ASC""".stripMargin)
+    assert(churned.collect().toSeq === twin.collect().toSeq)
+  }
+
+  test("the NULL law: one NULL in the subquery empties NOT IN, not NOT EXISTS") {
+    import spark.implicits._
+    Seq(Some(1L), Some(2L), Some(3L)).toDF("id")
+      .createOrReplaceTempView("naaj_outer")
+    Seq(Some(2L), None).toDF("id").createOrReplaceTempView("naaj_inner")
+    val notIn = spark.sql(
+      "SELECT id FROM naaj_outer WHERE id NOT IN (SELECT id FROM naaj_inner)")
+    val notExists = spark.sql(
+      """SELECT o.id FROM naaj_outer o WHERE NOT EXISTS (
+        |  SELECT 1 FROM naaj_inner i WHERE i.id = o.id)""".stripMargin)
+    // three-valued logic: NULL makes every NOT IN predicate UNKNOWN
+    assert(notIn.count() === 0L)
+    assert(notExists.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+  }
 }
