@@ -111,6 +111,9 @@ object SparkEntry {
     "q140_churned_users"       -> ((s, d) => SqlQueries.churnedUsersSql(s, d)),
     // ---- ingest + on-disk writes (S1/S6/S7/S15/U1/U2) ----
     "q42_ndjson_roundtrip"     -> ((s, d) => Medallion.ndjsonRoundtrip(s, d)),
+    // ---- file-level lineage from _metadata hidden columns alone (one
+    //      file per partition dir by construction) ----
+    "q141_file_lineage"        -> ((s, d) => Medallion.fileLineage(s, d)),
     "q43_gold_epochs_ondisk"   -> ((s, d) => Medallion.goldEpochsOnDisk(s, d)),
     // ---- temporal/ordering surface (O2, set-ops, as-of, sessions) ----
     "q44_null_ordering"        -> ((s, d) =>
@@ -1605,6 +1608,13 @@ object SparkEntry {
           |WHERE user_id NOT IN (
           |  SELECT user_id FROM silver WHERE event_date >= DATE '2024-01-30')
           |GROUP BY user_id ORDER BY user_id ASC""".stripMargin),
+    // q141: the repartition-by-key write pins n_files per partition dir
+    // at exactly 1, so the file census is the key census.
+    "q141_file_lineage" ->
+      """SELECT event_type, CAST(1 AS BIGINT) AS n_files,
+        |       COUNT(*) AS n_rows,
+        |       MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
+        |FROM events GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     "q42_ndjson_roundtrip" ->
       """SELECT event_id, user_id, event_type, value,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,

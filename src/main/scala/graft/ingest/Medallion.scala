@@ -256,6 +256,49 @@ object Medallion {
       .orderBy(col("user_id").asc, col("event_date").asc)
   }
 
+  // ------------------------------------------------ file lineage (q141)
+
+  private val lineageScratch =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, String]]())
+
+  /** q141: file-level lineage audit via the `_metadata` hidden columns —
+    * the provenance primitive of a data lake: "which physical file did
+    * this row come from, and what does each file contain?" without any
+    * sidecar catalog. The engine writes events partitioned by
+    * event_type (repartitioned by the key first, so each partition dir
+    * holds EXACTLY one file — the compaction invariant q76's small-file
+    * work targets), reads the tree back, and aggregates per partition
+    * directory keyed ONLY by `_metadata.file_path` parsing — the data's
+    * own `event_type` column is deliberately not read, proving the
+    * lineage columns alone can reconstruct the layout. At 100 TB this
+    * audit is metadata-light: `_metadata` costs nothing to materialize
+    * (it rides the scan), the aggregate is one shuffle over as many
+    * groups as partition dirs. */
+  def fileLineage(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.ensure(spark)
+    val scratch = scratchFor(lineageScratch, spark, dir)(p =>
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type"))
+        .repartition(col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(p))
+    spark.read.parquet(scratch)
+      .select(col("event_id"),
+        col("_metadata.file_path").as("fp"),
+        col("_metadata.file_name").as("fn"))
+      .withColumn("etype",
+        regexp_extract(col("fp"), "event_type=([^/]+)/", 1))
+      .groupBy(col("etype"))
+      .agg(countDistinct(col("fn")).as("n_files"),
+        count(lit(1)).as("n_rows"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .select(col("etype").as("event_type"), col("n_files"),
+        col("n_rows"), col("min_event_id"), col("max_event_id"))
+      .orderBy(col("event_type").asc)
+  }
+
   // --------------------------------------------------- retention (q130)
 
   /** q130: tier retention census — the reference expires tiers through an

@@ -98,4 +98,20 @@ class MedallionSpec extends SparkSpecBase {
     // idempotent: a second sweep removes nothing
     assert(Medallion.retentionSweep(spark, path, cutoff) === 0)
   }
+
+  test("file lineage from _metadata matches the logical key census") {
+    val lineage = Medallion.fileLineage(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(lineage.nonEmpty)
+    // the repartition-by-key write guarantees one physical file per dir
+    assert(lineage.forall(_._2 == 1L), s"expected 1 file/dir: ${lineage.toSeq}")
+    // the path-derived census must equal the data's own key census
+    val expected = graft.core.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)), min(col("event_id")), max(col("event_id")))
+      .collect()
+      .map(r => (r.getString(0), 1L, r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(lineage.toSeq === expected.toSeq)
+  }
 }
