@@ -247,6 +247,10 @@ object SparkEntry {
     "q95_dim_stats"            -> ((s, d) => Similarity.dimStats(s, d)),
     // ---- Z-order curve (multi-column data-skipping layout) ----
     "q96_zorder_curve"         -> ((s, d) => graft.analytics.Layout.zOrderCurve(s, d)),
+    // ---- point-range lookup over the bloom-indexed sorted layout
+    //      (footer audit in LayoutIndexSpec) ----
+    "q142_indexed_lookup"      -> ((s, d) =>
+      graft.analytics.Layout.indexedLayoutLookup(s, d)),
     // ---- blocked fuzzy matching (entity resolution: block → verify) ----
     "q97_fuzzy_part_names"     -> ((s, d) => graft.llm.FuzzyMatch.fuzzyPartNames(s, d)),
     // ---- map-typed profiles + higher-order map functions ----
@@ -1136,6 +1140,12 @@ object SparkEntry {
         |FROM u GROUP BY pos ORDER BY pos ASC""".stripMargin,
     // q96: the identical bit-interleave expression, generated from one
     // source of truth (ZOrder.zValueSql) — exact integer parity.
+    // q142: the indexed layout is a faithful copy of documents — the
+    // point-range read must return exactly the source rows.
+    "q142_indexed_lookup" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id >= 100 AND doc_id < 140
+        |ORDER BY doc_id ASC""".stripMargin,
     "q96_zorder_curve" ->
       s"""SELECT ${graft.functions.ZOrder.zValueSql("l_partkey", "l_suppkey",
             graft.analytics.Layout.CurveBits)} AS z,
