@@ -129,6 +129,10 @@ object SparkEntry {
     "q49_orders_cube"          -> ((s, d) => StarQueries.ordersCube(s, d)),
     "q50_value_quantiles"      -> ((s, d) =>
       TemporalOps.valueQuantiles(EventsPipeline.silver(s, d))),
+    // ---- interpolated percentile_cont (exact lerp on integral data;
+    //      q50 is the discrete form for everything else) ----
+    "q143_percentile_cont"     -> ((s, d) =>
+      TemporalOps.percentileCont(graft.core.Tables.lineitem(s, d))),
     // ---- LLM-data-pipeline: embedding-space dedup (5th dedup family) ----
     "q51_embedding_neardups"   -> ((s, d) => EmbedDedup.embeddingNearDups(s, d)),
     // ---- LLM-data-pipeline: curation (split / sample / mix / budget) ----
@@ -2226,6 +2230,14 @@ object SparkEntry {
         |FROM orders
         |GROUP BY CUBE (o_year, o_orderpriority)
         |ORDER BY o_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    // q143: quantile_cont ≡ Spark percentile — exact lerp because
+    // l_quantity is integral (see TemporalOps.percentileCont).
+    "q143_percentile_cont" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |       quantile_cont(l_quantity, 0.25) AS p25,
+        |       quantile_cont(l_quantity, 0.5) AS p50,
+        |       quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     "q50_value_quantiles" ->
       (silverCte +
         """, ranked AS (

@@ -134,6 +134,27 @@ object TemporalOps {
       .orderBy(col("event_type").asc)
   }
 
+  /** q143: INTERPOLATED quantiles (`percentile_cont` semantics) via
+    * Spark's exact `percentile` aggregate — the continuous partner of
+    * q50's discrete median. Interpolation mixes IEEE arithmetic, so this
+    * is declared cross-engine-exact ONLY for integral-valued columns
+    * (l_quantity is whole units): rank pos `p·(n−1)` has an exactly-
+    * representable fraction for p ∈ {.25, .5, .75}, both operands of the
+    * lerp are exact ints, and `lo + (hi−lo)·f` is then exact in any
+    * IEEE engine regardless of operand order — the quantities both
+    * engines print are bit-identical. For non-integral data use q50's
+    * discrete form; this is the documented boundary between them.
+    * Distributed cost: one partial-aggregated shuffle on the group key
+    * (percentile buffers per group), no window, no global sort. */
+  def percentileCont(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"))
+      .orderBy(col("l_returnflag").asc)
+
   /** q124: EQUI-DEPTH histogram per event_type — the partner of q88's
     * equi-width `width_bucket`: bucket populations are equal by
     * construction and the boundaries are the data, which is what an

@@ -205,4 +205,32 @@ class TemporalOpsSpec extends SparkSpecBase {
     assert(totalGaps === silver.count() - expected,
       "every event except each user's first contributes one gap")
   }
+
+  test("percentile_cont replays the lerp formula exactly on integral data") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // even and odd group sizes, so both the exact-index and the
+    // interpolating cases are exercised
+    val df = (Seq.tabulate(7)(i => ("A", (i * 3 + 1).toDouble)) ++
+      Seq.tabulate(6)(i => ("B", (i * 5 + 2).toDouble)))
+      .toDF("l_returnflag", "l_quantity")
+    val got = TemporalOps.percentileCont(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    def lerp(vs: Seq[Double], p: Double): Double = {
+      val sorted = vs.sorted
+      val pos = p * (sorted.size - 1)
+      val lo = sorted(pos.toInt)
+      val hi = sorted(math.ceil(pos).toInt)
+      lo + (hi - lo) * (pos - pos.toInt)
+    }
+    val expect = Seq(
+      ("A", 7L, lerp((1 to 19 by 3).map(_.toDouble), 0.25),
+        lerp((1 to 19 by 3).map(_.toDouble), 0.5),
+        lerp((1 to 19 by 3).map(_.toDouble), 0.75)),
+      ("B", 6L, lerp((2 to 27 by 5).map(_.toDouble), 0.25),
+        lerp((2 to 27 by 5).map(_.toDouble), 0.5),
+        lerp((2 to 27 by 5).map(_.toDouble), 0.75)))
+    assert(got.toSeq === expect)
+  }
 }
