@@ -372,6 +372,9 @@ object SparkEntry {
     // ---- Unicode NFC canonicalization census (graft_nfc codegen'd
     //      expression, zero-copy ASCII fast path) ----
     "q138_nfc_census"          -> ((s, d) => TextStats.nfcCensus(s, d)),
+    // ---- collation-typed case-insensitive grouping (UTF8_LCASE as a
+    //      property of the type, not a lower() at each use site) ----
+    "q144_collated_census"     -> ((s, d) => TextStats.collatedLangCensus(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -2169,6 +2172,18 @@ object SparkEntry {
         |SELECT lang, COUNT(*) AS n_docs,
         |       SUM(CASE WHEN nfc_normalize(raw) <> raw THEN 1 ELSE 0 END) AS n_changed,
         |       SUM(length(raw) - length(nfc_normalize(raw))) AS cp_removed
+        |FROM t GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
+    // q144: for ASCII keys, UTF8_LCASE grouping coincides with the
+    // lower() spelling — the law CollationSpec pins.
+    "q144_collated_census" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END
+        |           AS lang_mixed
+        |  FROM documents)
+        |SELECT lower(lang_mixed) AS lang, COUNT(*) AS n_docs,
+        |       COUNT(DISTINCT lang_mixed) AS n_spellings,
+        |       MIN(doc_id) AS min_doc_id
         |FROM t GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     "q47_sessions" ->
       (silverCte +

@@ -498,4 +498,34 @@ object TextStats {
 
   def nfcCensus(spark: SparkSession, dir: String): DataFrame =
     nfcCensus(Tables.documents(spark, dir))
+
+  /** q144: case-insensitive census via COLLATION (Spark 4) — grouping,
+    * equality, and ordering under `UTF8_LCASE` as a property of the TYPE,
+    * not a `lower()` call at every use site. That distinction matters at
+    * 100 TB: a collated column states the comparison semantics once, so
+    * every groupBy/join/sort on it is case-insensitive BY CONSTRUCTION
+    * (no silently case-sensitive join because one query forgot the
+    * wrap), and the optimizer still sees the raw column (one projection,
+    * not lower() re-derived in every operator). Mixed-case lang codes
+    * are manufactured deterministically (doc_id parity picks the
+    * casing); the census groups on the collated value and renders the
+    * key through `lower` only for display. The oracle is the `lower()`
+    * spelling — for ASCII the two semantics coincide, which is exactly
+    * the law CollationSpec pins (plus case-insensitive equality and the
+    * class cardinality staying 5, not 10). */
+  def collatedLangCensus(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, upper(col("lang")))
+          .otherwise(col("lang")).as("lang_mixed"))
+      .groupBy(collate(col("lang_mixed"), "UTF8_LCASE").as("lang_ci"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang_mixed")).as("n_spellings"),
+        min(col("doc_id")).as("min_doc_id"))
+      .select(lower(col("lang_ci")).cast("string").as("lang"),
+        col("n_docs"), col("n_spellings"), col("min_doc_id"))
+      .orderBy(col("lang").asc)
+
+  def collatedLangCensus(spark: SparkSession, dir: String): DataFrame =
+    collatedLangCensus(Tables.documents(spark, dir))
 }
