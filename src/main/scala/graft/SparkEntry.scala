@@ -120,6 +120,10 @@ object SparkEntry {
       TemporalOps.prevEventOrdering(EventsPipeline.silver(s, d))),
     "q45_user_date_setops"     -> ((s, d) =>
       TemporalOps.userDateSetOps(EventsPipeline.silver(s, d), "2024-01-05", "2024-01-06")),
+    // ---- BAG-semantics set ops (intersectAll / exceptAll multiplicity
+    //      algebra; q45 is the distinct form) ----
+    "q145_bag_setops"          -> ((s, d) =>
+      TemporalOps.typeBagSetOps(EventsPipeline.silver(s, d), "2024-01-05", "2024-01-06")),
     "q46_asof_join"            -> ((s, d) =>
       TemporalOps.eventOrderAsOf(EventsPipeline.silver(s, d), graft.core.Tables.orders(s, d))),
     "q47_sessions"             -> ((s, d) =>
@@ -1660,6 +1664,22 @@ object SparkEntry {
           |UNION ALL
           |SELECT 'only_first' AS op, user_id FROM (SELECT user_id FROM d1 EXCEPT SELECT user_id FROM d2)
           |ORDER BY op ASC, user_id ASC""".stripMargin),
+    // q145: INTERSECT ALL / EXCEPT ALL have identical multiset semantics
+    // in both engines (min / clamped-difference of multiplicities).
+    "q145_bag_setops" ->
+      (silverCte +
+        """, a AS (
+          |  SELECT event_type FROM silver WHERE event_date = DATE '2024-01-05'),
+          |b AS (
+          |  SELECT event_type FROM silver WHERE event_date = DATE '2024-01-06'),
+          |ia AS (SELECT event_type FROM a INTERSECT ALL SELECT event_type FROM b),
+          |ea AS (SELECT event_type FROM a EXCEPT ALL SELECT event_type FROM b)
+          |SELECT 'intersect_all' AS op, event_type, COUNT(*) AS n
+          |FROM ia GROUP BY 2
+          |UNION ALL
+          |SELECT 'except_all' AS op, event_type, COUNT(*) AS n
+          |FROM ea GROUP BY 2
+          |ORDER BY op ASC, event_type ASC""".stripMargin),
     "q46_asof_join" -> asofOracleSql,
     // q113: the custom PHYSICAL as-of operator computes the identical
     // relation (tiebreak o_orderkey ≡ the oracle's per-(custkey,date)

@@ -35,6 +35,29 @@ object TemporalOps {
       .orderBy(col("op").asc, col("user_id").asc)
   }
 
+  /** q145: BAG-semantics set ops — `intersectAll` / `exceptAll` between
+    * two days' event-type multisets. Distinct set ops (q45) answer "which
+    * members"; the ALL variants answer "how MUCH overlap": intersect-all
+    * multiplicity is min(m₁, m₂) per value, except-all is max(0, m₁−m₂) —
+    * the algebra behind volume reconciliation (how many of yesterday's
+    * events does today match 1:1?) that a distinct op silently collapses.
+    * Spark compiles both to a count-aggregate + `explode(sequence)`
+    * replication — one shuffle per side, no join, scale-safe; the census
+    * on top makes the multiplicities directly visible and oracle-able. */
+  def typeBagSetOps(silver: DataFrame, d1: String, d2: String): DataFrame = {
+    def typesOn(d: String) =
+      silver.filter(col("event_date") === lit(d).cast("date"))
+        .select(col("event_type"))
+    val commonBag = typesOn(d1).intersectAll(typesOn(d2))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("event_type"), col("n"))
+    val extraBag = typesOn(d1).exceptAll(typesOn(d2))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("event_type"), col("n"))
+    commonBag.unionByName(extraBag)
+      .orderBy(col("op").asc, col("event_type").asc)
+  }
+
   /** As-of (backward) join: for each event, the most recent order of the
     * same customer with o_orderdate <= ts.
     *

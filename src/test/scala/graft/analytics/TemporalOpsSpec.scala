@@ -233,4 +233,23 @@ class TemporalOpsSpec extends SparkSpecBase {
         lerp((2 to 27 by 5).map(_.toDouble), 0.75)))
     assert(got.toSeq === expect)
   }
+
+  test("bag set ops follow the multiplicity algebra (min / clamped diff)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // day1 bag: a=3, b=1, c=2 ; day2 bag: a=1, b=2, d=1
+    val rows =
+      Seq.fill(3)(("2024-01-05", "a")) ++ Seq(("2024-01-05", "b")) ++
+      Seq.fill(2)(("2024-01-05", "c")) ++
+      Seq(("2024-01-06", "a")) ++ Seq.fill(2)(("2024-01-06", "b")) ++
+      Seq(("2024-01-06", "d"))
+    val silver = rows.toDF("d", "event_type")
+      .select(col("d").cast("date").as("event_date"), col("event_type"))
+    val got = TemporalOps.typeBagSetOps(silver, "2024-01-05", "2024-01-06")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // intersect_all: min(m1, m2) where > 0 ; except_all: max(0, m1 - m2)
+    assert(got.toSeq === Seq(
+      ("except_all", "a", 2L), ("except_all", "c", 2L),
+      ("intersect_all", "a", 1L), ("intersect_all", "b", 1L)))
+  }
 }
