@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{BloomJoin, Diagnostics, Graphs, History, Incremental, Reports, SkewJoin, StarQueries, TemporalOps}
+import graft.analytics.{BloomJoin, Diagnostics, Funnels, Graphs, History, Incremental, Reports, SkewJoin, StarQueries, TemporalOps}
 import graft.ingest.Medallion
 import graft.llm.{Curation, Decontaminate, DupClusters, EmbedDedup, Multimodal, Scrub, Similarity, TextDedup, TextStats}
 import graft.pipeline.EventsPipeline
@@ -379,6 +379,22 @@ object SparkEntry {
     // ---- collation-typed case-insensitive grouping (UTF8_LCASE as a
     //      property of the type, not a lower() at each use site) ----
     "q144_collated_census"     -> ((s, d) => TextStats.collatedLangCensus(s, d)),
+    // ---- first-order Markov transition matrix over user event
+    //      sequences (lead() pairs, exact ppm rows) ----
+    "q146_event_transitions"   -> ((s, d) => Funnels.eventTransitions(s, d)),
+    // ---- day-over-day volume-spike census (exact integer deltas,
+    //      cross-multiplied ±50% flag — no division) ----
+    "q147_daily_spikes"        -> ((s, d) => Reports.dailySpikeCensus(s, d)),
+    // ---- exact closed-form least-squares trend per type (sufficient
+    //      statistics in one aggregation; all-BIGINT numerators) ----
+    "q148_trend_stats"         -> ((s, d) =>
+      TemporalOps.typeTrendStats(graft.pipeline.EventsPipeline.silver(s, d))),
+    // ---- Spark 4 built-in XML round trip (schema'd read; q12's
+    //      oracle gates type survival through element text) ----
+    "q149_xml_roundtrip"       -> ((s, d) => Medallion.goldXmlRoundtrip(s, d)),
+    // ---- overlapping token-window chunking with per-chunk content
+    //      fingerprints (RAG/training unitization) ----
+    "q150_doc_chunks"          -> ((s, d) => Curation.docChunks(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -2776,5 +2792,81 @@ object SparkEntry {
          |FROM qual q JOIN rep r USING (doc_id) JOIN ded d USING (doc_id)
          |JOIN spl s USING (doc_id)
          |ORDER BY doc_id ASC""".stripMargin,
+    // q146: same (ts, event_id) total order for the lead(); positive
+    // integer ppm via floor-div — bit-identical to Spark's `div`.
+    "q146_event_transitions" ->
+      (silverCte +
+        """, pairs AS (
+          |  SELECT event_type AS prev_type,
+          |         lead(event_type) OVER (
+          |           PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_type
+          |  FROM silver),
+          |t AS (
+          |  SELECT prev_type, next_type, COUNT(*) AS transitions
+          |  FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2)
+          |SELECT prev_type, next_type, transitions,
+          |       CAST(SUM(transitions) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total,
+          |       CAST(transitions * 1000000
+          |         // SUM(transitions) OVER (PARTITION BY prev_type) AS BIGINT) AS prob_ppm
+          |FROM t ORDER BY prev_type ASC, next_type ASC""".stripMargin),
+    // q147: spike flag is the cross-multiplied comparison — no division,
+    // so negative deltas cannot hit floor-vs-truncate divergence.
+    "q147_daily_spikes" ->
+      (silverCte +
+        """, daily AS (
+          |  SELECT event_date, COUNT(*) AS cnt FROM silver GROUP BY 1),
+          |lagged AS (
+          |  SELECT event_date, cnt,
+          |         lag(cnt) OVER (ORDER BY event_date ASC) AS prev_cnt
+          |  FROM daily)
+          |SELECT event_date, cnt, prev_cnt, cnt - prev_cnt AS delta,
+          |       abs(cnt - prev_cnt) * 2 >= prev_cnt AS spike
+          |FROM lagged WHERE prev_cnt IS NOT NULL
+          |ORDER BY event_date ASC""".stripMargin),
+    // q148: sufficient statistics and closed-form numerators are all
+    // exact BIGINT arithmetic — no division anywhere in the output.
+    "q148_trend_stats" ->
+      (silverCte +
+        """, daily AS (
+          |  SELECT event_type,
+          |         CAST(date_diff('day', DATE '1970-01-01', event_date) AS BIGINT) AS x,
+          |         CAST(COUNT(*) AS BIGINT) AS y
+          |  FROM silver GROUP BY event_type, event_date),
+          |s AS (
+          |  SELECT event_type, COUNT(*) AS n_days,
+          |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+          |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+          |         CAST(SUM(x * x) AS BIGINT) AS sxx
+          |  FROM daily GROUP BY 1)
+          |SELECT event_type, n_days,
+          |       n_days * sxy - sx * sy AS slope_num,
+          |       sy * sxx - sx * sxy AS icept_num,
+          |       n_days * sxx - sx * sx AS slope_den
+          |FROM s ORDER BY event_type ASC""".stripMargin),
+    // q149: the XML trip is gated by q12's oracle — any type or value
+    // loss through element-text serialization breaks the hash.
+    "q149_xml_roundtrip" ->
+      (silverCte +
+        """
+          |SELECT user_id, event_date, COUNT(*) AS listen_count,
+          |       COUNT(DISTINCT event_type) AS unique_types
+          |FROM silver GROUP BY 1, 2 ORDER BY user_id, event_date""".stripMargin),
+    // q150: starts via unnest(generate_series(0, n-1, stride)); DuckDB
+    // 1-based inclusive list slicing w[a:b] ≡ Spark slice(w, a, len).
+    "q150_doc_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, str_split($duckNorm, ' ') AS toks FROM documents),
+         |st AS (
+         |  SELECT doc_id, toks,
+         |         unnest(generate_series(0, len(toks) - 1, 48)) AS chunk_start
+         |  FROM t),
+         |c AS (
+         |  SELECT doc_id, chunk_start,
+         |         toks[chunk_start + 1 : chunk_start + 64] AS chunk
+         |  FROM st)
+         |SELECT doc_id, CAST(chunk_start AS INTEGER) AS chunk_start,
+         |       CAST(len(chunk) AS INTEGER) AS chunk_tokens,
+         |       md5(array_to_string(chunk, ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id ASC, chunk_start ASC""".stripMargin,
   )
 }

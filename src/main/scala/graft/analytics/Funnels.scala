@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.pipeline.EventsPipeline
@@ -65,4 +66,35 @@ object Funnels {
 
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
     retentionCohorts(EventsPipeline.silver(spark, dir))
+
+  /** q146: first-order Markov transition matrix over each user's event
+    * sequence — the "what do users do next" primitive behind journey
+    * mining and next-action models. Consecutive-pair extraction is a
+    * single `lead()` over (user, time) with `event_id` as the total-order
+    * tiebreak (same-timestamp events would otherwise make the pairs
+    * nondeterministic across engines); transition probabilities are exact
+    * integer ppm (`cnt * 1e6 div row-total`), so the matrix is bit-stable.
+    *
+    * Scale shape: the window reuses silver's `user_id` hash clustering
+    * (no extra corpus shuffle — the sort is partition-local), and the
+    * pair aggregation reduces to at most |types|² rows before the tiny
+    * row-total window. All counts are map-side-combinable. */
+  def eventTransitions(silver: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = silver
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("prev_type"))
+      .withColumn("next_type", lead(col("prev_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    pairs.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("transitions"))
+      .withColumn("row_total",
+        sum(col("transitions")).over(Window.partitionBy(col("prev_type"))))
+      .withColumn("prob_ppm", expr("transitions * 1000000 div row_total"))
+      .orderBy(col("prev_type").asc, col("next_type").asc)
+  }
+
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame =
+    eventTransitions(EventsPipeline.silver(spark, dir))
 }

@@ -582,4 +582,32 @@ object Reports {
 
   def valueHistogram(spark: SparkSession, dir: String): DataFrame =
     valueHistogram(EventsPipeline.silver(spark, dir))
+
+  /** q147: day-over-day volume-spike census — the monitoring primitive
+    * behind ingest anomaly alerts ("yesterday's partition is 2× / half
+    * of the day before → investigate before training on it"). Change is
+    * kept in EXACT integers: `delta = cnt - prev`, and the spike flag is
+    * the cross-multiplied comparison `|delta| * 2 >= prev` (a ±50%
+    * swing) rather than a ratio — no division, no floats, no
+    * truncation-direction mismatch on negative deltas across engines.
+    *
+    * Scale shape: daily totals first (one map-side-combinable aggregate
+    * down to ~days rows), then a single-partition lag window over that
+    * tiny frame — the window never sees the raw corpus. */
+  def dailySpikeCensus(silver: DataFrame): DataFrame = {
+    val daily = silver.groupBy(col("event_date"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("event_date").asc)
+    daily
+      .withColumn("prev_cnt", lag(col("cnt"), 1).over(w))
+      .filter(col("prev_cnt").isNotNull)
+      .withColumn("delta", col("cnt") - col("prev_cnt"))
+      .withColumn("spike", abs(col("delta")) * 2 >= col("prev_cnt"))
+      .select(col("event_date"), col("cnt"), col("prev_cnt"),
+        col("delta"), col("spike"))
+      .orderBy(col("event_date").asc)
+  }
+
+  def dailySpikeCensus(spark: SparkSession, dir: String): DataFrame =
+    dailySpikeCensus(EventsPipeline.silver(spark, dir))
 }

@@ -411,4 +411,35 @@ object TemporalOps {
         col("listen_count").isNull.as("is_gap"))
       .orderBy(col("user_id").asc, col("event_date").asc)
   }
+
+  /** q148: per-type activity trend as EXACT closed-form least squares.
+    * Distributed regression done the 100 TB way: reduce the corpus to the
+    * five sufficient statistics (n, Σx, Σy, Σxy, Σx²) in ONE map-side-
+    * combinable aggregation — never materializing a per-day frame on the
+    * driver, never iterating. x is the epoch day (integer), y the daily
+    * count, so every statistic and the closed-form numerators
+    *   slope_num = nΣxy − ΣxΣy          (slope = slope_num / slope_den)
+    *   icept_num = ΣyΣx² − ΣxΣxy       (icept = icept_num / slope_den)
+    *   slope_den = nΣx² − (Σx)²
+    * are exact BIGINTs — the division (the only inexact step) is left to
+    * the caller, so the result is bit-stable across engines. A positive
+    * slope_num/slope_den sign pair IS the "growing" verdict. */
+  def typeTrendStats(silver: DataFrame): DataFrame = {
+    val daily = silver.groupBy(col("event_type"), col("event_date"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x", datediff(col("event_date"), lit("1970-01-01")).cast("long"))
+    daily.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope_num", col("n_days") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("icept_num", col("sy") * col("sxx") - col("sx") * col("sxy"))
+      .withColumn("slope_den", col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .select(col("event_type"), col("n_days"), col("slope_num"),
+        col("icept_num"), col("slope_den"))
+      .orderBy(col("event_type").asc)
+  }
 }

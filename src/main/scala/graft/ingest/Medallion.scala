@@ -256,6 +256,27 @@ object Medallion {
       .orderBy(col("user_id").asc, col("event_date").asc)
   }
 
+  private val xmlScratch =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, String]]())
+
+  /** q149: gold daily through Spark 4's BUILT-IN XML source (SPARK-44265)
+    * — the interchange format B2B/feed ingestion still speaks. Same
+    * memoized write-once/read-many contract as the NDJSON/ORC/CSV trips,
+    * and the same q12 oracle gates it: XML is stringly-typed like CSV, so
+    * the EXPLICIT read schema (dates and longs re-parsed from element
+    * text) is the contract under test, not inference. */
+  def goldXmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = scratchFor(xmlScratch, spark, dir)(p =>
+      graft.pipeline.EventsPipeline.goldDaily(spark, dir)
+        .write.mode("overwrite").option("rowTag", "row").format("xml").save(p))
+    spark.read
+      .schema("user_id BIGINT, event_date DATE, listen_count BIGINT, unique_types BIGINT")
+      .option("rowTag", "row").format("xml").load(scratch)
+      .orderBy(col("user_id").asc, col("event_date").asc)
+  }
+
   // ------------------------------------------------ file lineage (q141)
 
   private val lineageScratch =

@@ -349,4 +349,36 @@ object Curation {
 
   def trainingOrder(spark: SparkSession, dir: String): DataFrame =
     trainingOrder(Tables.documents(spark, dir))
+
+  /** q150: fixed-size overlapping token-window chunking — how long
+    * documents become training/RAG units. Windows of `size` tokens start
+    * every `stride` tokens (stride < size ⇒ overlap, so no boundary loses
+    * context); the final short window is kept iff it starts inside the
+    * doc. Each chunk carries its token span and a content fingerprint
+    * (md5 of the re-joined window) so downstream exact-dedup runs at
+    * CHUNK granularity.
+    *
+    * Scale shape: tokenize once, generate starts with `sequence()` and
+    * explode — one narrow pass, no shuffle at all until a downstream op
+    * asks for one; chunk extraction is `slice()` on the already-split
+    * array (codegen'd, no re-scan of the text per chunk). */
+  def docChunks(docs: DataFrame, chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride >= 1 && chunkSize >= stride, "need 1 <= stride <= chunkSize")
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    docs
+      .select(col("doc_id"), split(norm, " ").as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("chunk_start",
+        explode(sequence(lit(0), col("n_toks") - 1, lit(stride))))
+      .withColumn("chunk", slice(col("toks"), col("chunk_start") + 1, lit(chunkSize)))
+      .select(
+        col("doc_id"),
+        col("chunk_start"),
+        size(col("chunk")).as("chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy(col("doc_id").asc, col("chunk_start").asc)
+  }
+
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    docChunks(Tables.documents(spark, dir))
 }

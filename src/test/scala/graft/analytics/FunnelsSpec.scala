@@ -55,4 +55,27 @@ class FunnelsSpec extends SparkSpecBase {
       .select(countDistinct(col("user_id"))).head.getLong(0)
     assert(total === users)
   }
+
+  test("event transitions: lead pairs, exact ppm, row-stochastic") {
+    val silver = silverOf(Seq(
+      // u1: a -> b -> a  (pairs: a->b, b->a)
+      silverRow(1, 1, "a", 10), silverRow(2, 1, "b", 20),
+      silverRow(3, 1, "a", 30),
+      // u2: a -> b       (pair: a->b); no cross-user pair with u1
+      silverRow(4, 2, "a", 40), silverRow(5, 2, "b", 50)))
+    val got = Funnels.eventTransitions(silver).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      ("a", "b", 2L, 1000000L), // both a-pairs go to b
+      ("b", "a", 1L, 1000000L)))
+    // fixture corpus: per-prev ppm sums can only round DOWN from 1e6
+    val rows = Funnels.eventTransitions(
+      graft.pipeline.EventsPipeline.silver(spark, sf)).collect()
+    val byPrev = rows.groupBy(_.getString(0))
+    byPrev.foreach { case (_, rs) =>
+      val ppmSum = rs.map(_.getLong(4)).sum
+      assert(ppmSum <= 1000000L && ppmSum > 1000000L - rs.length)
+      assert(rs.map(_.getLong(2)).sum === rs.head.getLong(3)) // row_total
+    }
+  }
 }

@@ -229,6 +229,27 @@ class ReportsSpec extends SparkSpecBase {
     }
   }
 
+  test("daily spike census: exact deltas and the cross-multiplied ±50% flag") {
+    import spark.implicits._
+    // day counts 4, 6, 3, 3: deltas +2 (4 >= 4, boundary spike), -3
+    // (6 >= 6, boundary spike), 0 (0 >= 3, no spike)
+    val rows = Seq.fill(4)("2024-01-01") ++ Seq.fill(6)("2024-01-02") ++
+      Seq.fill(3)("2024-01-03") ++ Seq.fill(3)("2024-01-04")
+    val tiny = rows.toDF("d").select(col("d").cast("date").as("event_date"))
+    val got = Reports.dailySpikeCensus(tiny).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq === Seq(
+      (6L, 4L, 2L, true), (3L, 6L, -3L, true), (3L, 3L, 0L, false)))
+    // fixture corpus: every consecutive day pair appears exactly once and
+    // deltas telescope back to last-minus-first
+    val fx = Reports.dailySpikeCensus(silver).collect()
+    val daily = silver.groupBy(col("event_date"))
+      .agg(count(lit(1))).orderBy(col("event_date").asc)
+      .collect().map(_.getLong(1))
+    assert(fx.length === daily.length - 1)
+    assert(fx.map(_.getLong(3)).sum === daily.last - daily.head)
+  }
+
   test("value windows: default frame pins last_value to the current row") {
     val out = Reports.valueWindows(silver).cache()
     // the gotcha, as data: default-frame last_value == current row value

@@ -252,4 +252,29 @@ class TemporalOpsSpec extends SparkSpecBase {
       ("except_all", "a", 2L), ("except_all", "c", 2L),
       ("intersect_all", "a", 1L), ("intersect_all", "b", 1L)))
   }
+
+  test("trend stats recover an exact synthetic line and a flat one") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // type "up": y = 2x + 1 over 5 days -> slope exactly 2, intercept 1
+    // type "flat": y = 3 constant -> slope_num 0
+    val base = java.time.LocalDate.of(2024, 1, 1)
+    val rows = (0 until 5).flatMap { d =>
+      val day = base.plusDays(d).toString
+      Seq.fill(2 * (base.plusDays(d).toEpochDay.toInt) + 1)(("up", day)) ++
+        Seq.fill(3)(("flat", day))
+    }
+    val tiny = rows.toDF("event_type", "d")
+      .select(col("event_type"), col("d").cast("date").as("event_date"))
+    val got = TemporalOps.typeTrendStats(tiny).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val byType = got.map(t => t._1 -> t).toMap
+    val (_, nF, sNumF, iNumF, denF) = byType("flat")
+    assert(nF === 5L && sNumF === 0L && iNumF === 3L * denF)
+    val (_, nU, sNumU, iNumU, denU) = byType("up")
+    assert(nU === 5L)
+    assert(sNumU === 2L * denU, "slope must be exactly 2")
+    assert(iNumU === 1L * denU, "intercept must be exactly 1")
+  }
 }

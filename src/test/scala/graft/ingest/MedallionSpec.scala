@@ -51,6 +51,17 @@ class MedallionSpec extends SparkSpecBase {
     assert(viaJson.except(direct).count() === 0)
   }
 
+  test("xml roundtrip restores gold daily bit-exactly through element text") {
+    val direct = EventsPipeline.goldDaily(spark, sf)
+      .orderBy(col("user_id").asc, col("event_date").asc)
+    val viaXml = Medallion.goldXmlRoundtrip(spark, sf)
+    // file reads are nullable-by-construction, so compare names + types
+    assert(viaXml.schema.map(f => (f.name, f.dataType)) ===
+      direct.schema.map(f => (f.name, f.dataType)),
+      "explicit read schema must survive the stringly-typed trip")
+    assert(viaXml.collect().toSeq === direct.collect().toSeq)
+  }
+
   test("DDL + writerV2 table roundtrip through the session catalog") {
     val gold = EventsPipeline.goldDaily(spark, sf)
     Medallion.writeTable(gold, "graft_test.gold_daily")

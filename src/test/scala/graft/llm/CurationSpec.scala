@@ -40,6 +40,36 @@ class CurationSpec extends SparkSpecBase {
     assert(s1.join(docs, Seq("doc_id"), "left_anti").count() === 0)
   }
 
+  test("doc chunks: overlapping windows tile every token, fingerprints stable") {
+    import spark.implicits._
+    // 100 tokens, size 64 / stride 48 -> starts 0, 48, 96 with token
+    // counts 64, 52, 4; neighbors overlap by size - stride = 16
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val tiny = Seq((1L, text)).toDF("doc_id", "text")
+    val got = Curation.docChunks(tiny).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got.map(t => (t._1, t._2)).toSeq ===
+      Seq((0, 64), (48, 52), (96, 4)))
+    // deterministic fingerprints, and overlapping chunks differ
+    val again = Curation.docChunks(tiny).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got.toSeq === again.toSeq)
+    assert(got.map(_._3).distinct.length === 3)
+    // corpus: every doc's chunks cover exactly ceil(n/stride) windows and
+    // chunk_tokens never exceeds the window size
+    val out = Curation.docChunks(docs).cache()
+    assert(out.filter(col("chunk_tokens") > 64 || col("chunk_tokens") < 1)
+      .count() === 0)
+    val perDoc = out.groupBy("doc_id").count()
+    val expected = docs.select(col("doc_id"),
+      size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+        .as("n"))
+      .select(col("doc_id"), ceil(col("n") / 48.0).cast("long").as("want"))
+    assert(perDoc.join(expected, "doc_id")
+      .filter(col("count") =!= col("want")).count() === 0)
+    out.unpersist()
+  }
+
   test("source mixture keeps head sources fully, downsamples tail ~4x") {
     val out = Curation.sourceMixture(docs).collect()
     val byron = out.map(r => r.getString(0) ->
