@@ -1,12 +1,9 @@
 package graft.pipeline
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.storage.StorageLevel
 
 import graft.core.Tables
 
@@ -115,64 +112,16 @@ object EventsPipeline {
     * that is 15 redundant full-table shuffles per report batch. Persisting
     * the deduped frame (MEMORY_AND_DISK, spills instead of OOM) gives every
     * report the materialized-table read the reference gets from Iceberg.
-    *
-    * Eviction is EXPLICIT, twice over (a weak session key can never be
-    * collected here because the cached DataFrames strongly reference their
-    * session — round-2 advice):
-    *  - per-dir LRU: an access-ordered LinkedHashMap capped at
-    *    [[MaxCachedDirs]] unpersists + drops the least-recently-used dir's
-    *    silver when a new dir would exceed the cap;
-    *  - per-session: a listener unpersists and drops every entry when the
-    *    session's SparkContext ends. Sessions cloned off a shared
-    *    long-lived context keep their entries until that context stops
-    *    (the persisted data is per-context anyway). */
-  private val silverCache =
-    new ConcurrentHashMap[SparkSession, java.util.LinkedHashMap[String, DataFrame]]()
+    * Lifecycle (LRU cap + session-end release) lives in
+    * [[graft.core.FrameMemo]]. */
+  private val silverCache = new graft.core.FrameMemo(MaxCachedDirs)
 
-  def silver(spark: SparkSession, dir: String): DataFrame = {
-    val perSession = silverCache.computeIfAbsent(spark, { s =>
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          val evicted = silverCache.remove(s)
-          if (evicted != null) evicted.synchronized {
-            evicted.values.forEach { df =>
-              try df.unpersist(blocking = false) catch { case _: Throwable => () }
-            }
-          }
-        }
-      })
-      // accessOrder=true → iteration order is LRU; removeEldestEntry fires
-      // on insert once the cap is exceeded and releases the evicted persist
-      new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, DataFrame]): Boolean = {
-          val evict = size() > MaxCachedDirs
-          if (evict) {
-            try e.getValue.unpersist(blocking = false)
-            catch { case _: Throwable => () }
-          }
-          evict
-        }
-      }
-    })
-    // LinkedHashMap is not thread-safe and access-order mutates on get —
-    // all per-session map access is synchronized on the map itself
-    perSession.synchronized {
-      var df = perSession.get(dir)
-      if (df == null) {
-        df = silverOf(bronze(spark, dir)).persist(StorageLevel.MEMORY_AND_DISK)
-        perSession.put(dir, df)
-      }
-      df
-    }
-  }
+  def silver(spark: SparkSession, dir: String): DataFrame =
+    silverCache.get(spark, dir)(silverOf(bronze(spark, dir)))
 
   /** Number of dirs currently cached for `spark` (test hook). */
-  def cachedDirCount(spark: SparkSession): Int = {
-    val m = silverCache.get(spark)
-    if (m == null) 0 else m.synchronized { m.size() }
-  }
+  def cachedDirCount(spark: SparkSession): Int =
+    silverCache.cachedCount(spark)
 
   /** Gold daily aggregate: per-user-per-day counts + distincts.
     * Reference: transform_job.py:106-111. Partial aggregation (map-side
