@@ -89,13 +89,15 @@ object EmbedDedup {
     projs.select(col("doc_id") +: bandCols: _*)
   }
 
-  /** Candidate pairs: equi-join on any shared (band, value). */
+  /** Candidate pairs: equi-join on any shared (band, value). The band
+    * frame feeds both self-join sides — persisted so the 100-projection
+    * groupBy upstream runs once, not once per side (5 skinny rows/doc). */
   def candidates(bandVals: DataFrame): DataFrame = {
-    val bands = bandVals.select(col("doc_id"),
+    val bands = graft.core.Caches.scratch(bandVals.select(col("doc_id"),
       explode(array((0 until NumBands).map { b =>
         struct(lit(b).as("band"), col(s"band$b").as("bval"))
       }: _*)).as("e"))
-      .select(col("doc_id"), col("e.band"), col("e.bval"))
+      .select(col("doc_id"), col("e.band"), col("e.bval")))
     val a = bands.select(col("band"), col("bval"), col("doc_id").as("doc_a"))
     val b = bands.select(col("band"), col("bval"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "bval"))

@@ -121,7 +121,11 @@ object TextDedup {
   def minhashCandidates(docs: DataFrame): DataFrame =
     candidatesOf(minhashBands(minhashSignatures(docs)))
 
-  private def candidatesOf(bands: DataFrame): DataFrame = {
+  private def candidatesOf(bandsRaw: DataFrame): DataFrame = {
+    // the band frame feeds BOTH self-join sides: without a persist the
+    // whole signature aggregation upstream runs twice (once per side);
+    // the frame is rows × (band, key) — vanishing vs the shingle pass
+    val bands = graft.core.Caches.scratch(bandsRaw)
     val a = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
     val b = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "bkey"))
@@ -189,7 +193,10 @@ object TextDedup {
     * distance ≤ 3 must agree on ≥1 of 4 chunks), verified with
     * bit_count(xor). */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = MaxHamming): DataFrame = {
-    val sigs = simhashSignatures(docs)
+    // persisted: the chunk frame feeds both self-join sides, and without
+    // it the 32-sum signature groupBy runs twice (same rationale as
+    // candidatesOf); one skinny row per (doc, chunk)
+    val sigs = graft.core.Caches.scratch(simhashSignatures(docs))
     val chunks = sigs.select(
       col("doc_id"), col("simhash"),
       explode(array((0 until SimhashChunks).map { c =>
