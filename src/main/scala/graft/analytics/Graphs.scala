@@ -34,9 +34,11 @@ object Graphs {
   /** Distinct undirected co-purchase edges (u < v) from lineitem. */
   private[analytics] def coPurchaseEdges(li: DataFrame): DataFrame = {
     // per-order part sets first: duplicate (order, part) lines must not
-    // create self-pairs or inflate multiplicity
-    val op = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+    // create self-pairs or inflate multiplicity; persisted — the frame
+    // feeds both self-join sides
+    val op = Caches.scratch(
+      li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct())
     op.as("a").join(op.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v"))
@@ -60,13 +62,14 @@ object Graphs {
     * catalog². Full (weight desc, neighbor asc) tiebreak keeps the
     * result deterministic. */
   def itemItemRecs(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val op = Tables.lineitem(spark, dir)
+    val op = Caches.scratch(Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val pairW = op.as("a").join(op.as("b"),
+      .distinct())
+    // persisted: the weighted pair list feeds both union arms below
+    val pairW = Caches.scratch(op.as("a").join(op.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("w"))
+      .agg(count(lit(1)).as("w")))
     val sym = pairW.select(col("u").as("part"), col("v").as("rec"), col("w"))
       .unionAll(pairW.select(col("v").as("part"), col("u").as("rec"), col("w")))
     val win = org.apache.spark.sql.expressions.Window
