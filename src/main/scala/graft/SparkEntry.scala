@@ -395,6 +395,19 @@ object SparkEntry {
     // ---- overlapping token-window chunking with per-chunk content
     //      fingerprints (RAG/training unitization) ----
     "q150_doc_chunks"          -> ((s, d) => Curation.docChunks(s, d)),
+    // ---- Heaps-law vocabulary-growth curve (word first-seen buckets,
+    //      cumulative vocab size — all exact integers) ----
+    "q151_vocab_growth"        -> ((s, d) => TextStats.vocabGrowth(s, d)),
+    // ---- exact per-group trimmed mean over integral quantities
+    //      (robust aggregation; only division is a final integer div) ----
+    "q152_trimmed_means"       -> ((s, d) =>
+      TemporalOps.trimmedMeans(graft.core.Tables.lineitem(s, d))),
+    // ---- k-anonymity census over behavioral profiles (privacy risk
+    //      surface; canonical fingerprint grouping) ----
+    "q153_kanonymity"          -> ((s, d) => Reports.kAnonymityCensus(s, d)),
+    // ---- power-of-two length-bucket binning with padding-waste ppm
+    //      (the whole-doc complement of sequence packing) ----
+    "q154_length_buckets"      -> ((s, d) => Curation.lengthBuckets(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -2868,5 +2881,79 @@ object SparkEntry {
          |       CAST(len(chunk) AS INTEGER) AS chunk_tokens,
          |       md5(array_to_string(chunk, ' ')) AS chunk_md5
          |FROM c ORDER BY doc_id ASC, chunk_start ASC""".stripMargin,
+    // q151: first-seen is MIN(doc_id) per word type — deterministic in
+    // ingestion order; all counts/sums are exact BIGINTs.
+    "q151_vocab_growth" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
+         |words AS (SELECT doc_id, unnest(w) AS word FROM n),
+         |fs AS (SELECT word, MIN(doc_id) AS first_doc FROM words GROUP BY 1),
+         |b AS (
+         |  SELECT first_doc // 500 AS bucket, COUNT(*) AS new_words
+         |  FROM fs GROUP BY 1)
+         |SELECT bucket, new_words,
+         |       CAST(SUM(new_words) OVER (
+         |         ORDER BY bucket ASC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |         AS vocab_size
+         |FROM b ORDER BY bucket ASC""".stripMargin,
+    // q152: the kept multiset depends only on the sorted value order, so
+    // no tiebreak is needed; kept_sum is an exact BIGINT and the milli
+    // mean is floor division on non-negative operands (≡ Spark div).
+    "q152_trimmed_means" ->
+      """WITH v AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, q,
+        |         row_number() OVER (
+        |           PARTITION BY l_returnflag ORDER BY q ASC) AS rn,
+        |         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM v),
+        |kept AS (
+        |  SELECT l_returnflag, q, n FROM r
+        |  WHERE rn > n * 5 // 100 AND rn <= n - n * 5 // 100)
+        |SELECT l_returnflag, MAX(n) AS n_total, COUNT(*) AS n_kept,
+        |       CAST(SUM(q) AS BIGINT) AS kept_sum,
+        |       CAST(SUM(q) * 1000 // COUNT(*) AS BIGINT) AS trimmed_mean_milli
+        |FROM kept GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
+    // q153: canonical profile serialization sorts the combined
+    // "type:count" strings (binary order in both engines), so the md5
+    // fingerprints agree byte-for-byte.
+    "q153_kanonymity" ->
+      (silverCte +
+        """, pt AS (
+          |  SELECT user_id,
+          |         event_type || ':' || CAST(COUNT(*) AS VARCHAR) AS s
+          |  FROM silver GROUP BY user_id, event_type),
+          |pr AS (
+          |  SELECT user_id, md5(string_agg(s, '|' ORDER BY s ASC)) AS profile
+          |  FROM pt GROUP BY user_id),
+          |kk AS (SELECT profile, COUNT(*) AS k FROM pr GROUP BY 1)
+          |SELECT k, COUNT(*) AS n_profiles,
+          |       CAST(k * COUNT(*) AS BIGINT) AS n_users
+          |FROM kk GROUP BY k ORDER BY k ASC""".stripMargin),
+    // q154: pad_len = 1 << length(bin(n-1)) — identical integer bit
+    // arithmetic in both engines; no float log2 at power-of-two cells.
+    "q154_length_buckets" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(len(str_split($duckNorm, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, n_tokens,
+         |         CASE WHEN n_tokens <= 1 THEN CAST(1 AS BIGINT)
+         |              ELSE (CAST(1 AS BIGINT)
+         |                    << CAST(length(bin(n_tokens - 1)) AS INTEGER))
+         |         END AS pad_len
+         |  FROM t),
+         |g AS (
+         |  SELECT pad_len, COUNT(*) AS n_docs,
+         |         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |  FROM p GROUP BY 1)
+         |SELECT pad_len, n_docs, total_tokens,
+         |       pad_len * n_docs AS padded_tokens,
+         |       (pad_len * n_docs - total_tokens) * 1000000
+         |         // (pad_len * n_docs) AS waste_ppm
+         |FROM g ORDER BY pad_len ASC""".stripMargin,
   )
 }

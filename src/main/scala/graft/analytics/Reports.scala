@@ -610,4 +610,36 @@ object Reports {
 
   def dailySpikeCensus(spark: SparkSession, dir: String): DataFrame =
     dailySpikeCensus(EventsPipeline.silver(spark, dir))
+
+  /** q153: k-anonymity census over behavioral profiles — the re-
+    * identification risk measurement that complements the PII scrub (q70)
+    * and erasure propagation (q77): a user whose (event_type → count)
+    * profile is UNIQUE in the corpus is re-identifiable from "anonymized"
+    * event data; k-anonymity buckets users by how many share their exact
+    * profile. Output: one row per k with the number of distinct profiles
+    * and users at that k (k=1 is the risk surface).
+    *
+    * The profile fingerprint is md5 over the canonical serialization
+    * (sorted "type:count" parts joined with '|') — deterministic, engine-
+    * portable, and GROUPABLE at 100 TB: profiles shuffle as 32-char keys,
+    * never as structs. Scale shape: the (user, type) aggregate reuses
+    * silver's user_id partitioning (no extra exchange before the user
+    * rollup), then two tiny keyed shuffles (profile, k). */
+  def kAnonymityCensus(silver: DataFrame): DataFrame = {
+    val perType = silver.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val profiles = perType
+      .select(col("user_id"),
+        concat_ws(":", col("event_type"), col("cnt")).as("s"))
+      .groupBy(col("user_id"))
+      .agg(md5(array_join(sort_array(collect_list(col("s"))), "|")).as("profile"))
+    profiles.groupBy(col("profile")).agg(count(lit(1)).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_profiles"))
+      .select(col("k"), col("n_profiles"),
+        (col("k") * col("n_profiles")).as("n_users"))
+      .orderBy(col("k").asc)
+  }
+
+  def kAnonymityCensus(spark: SparkSession, dir: String): DataFrame =
+    kAnonymityCensus(EventsPipeline.silver(spark, dir))
 }

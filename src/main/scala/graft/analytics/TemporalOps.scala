@@ -442,4 +442,40 @@ object TemporalOps {
         col("icept_num"), col("slope_den"))
       .orderBy(col("event_type").asc)
   }
+
+  /** q152: EXACT per-group trimmed mean — drop the lowest and highest
+    * `trimPct`% of values (floor counts), aggregate the middle. The robust
+    * central-tendency sibling of the MAD outlier census (q125): MAD flags
+    * the tails, trimming prices them out of the estimate.
+    *
+    * Exactness contract: l_quantity carries integral values (the same fact
+    * q143 exploits), so the kept-set sum is an exact BIGINT and the only
+    * division is a final integer `div` to milli-units — bit-stable across
+    * engines. The trim boundary depends only on the SORTED VALUE multiset
+    * (any two rows tied at the boundary are interchangeable), so no
+    * tiebreak column is needed for the sum to be deterministic.
+    *
+    * Scale: exact trimming is a per-group sort — the honest cost, same
+    * contract as the exact-median family (q50). The groups here are the
+    * handful of return flags, each sorted in parallel by range partition;
+    * when groups are corpus-sized the scale path is approximate bounds
+    * (approx_percentile at the trim fractions) + a one-pass bounded
+    * aggregate, trading exactness for a sort-free plan. */
+  def trimmedMeans(li: DataFrame, trimPct: Int = 5): DataFrame = {
+    val v = li.select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("q"))
+    val byQ = Window.partitionBy(col("l_returnflag")).orderBy(col("q").asc)
+    val all = Window.partitionBy(col("l_returnflag"))
+    v.withColumn("rn", row_number().over(byQ))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("lo", expr(s"n * $trimPct div 100"))
+      .filter(col("rn") > col("lo") && col("rn") <= col("n") - col("lo"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(col("n")).as("n_total"),
+        count(lit(1)).as("n_kept"),
+        sum(col("q")).as("kept_sum"))
+      .withColumn("trimmed_mean_milli", expr("kept_sum * 1000 div n_kept"))
+      .orderBy(col("l_returnflag").asc)
+  }
 }

@@ -381,4 +381,37 @@ object Curation {
 
   def docChunks(spark: SparkSession, dir: String): DataFrame =
     docChunks(Tables.documents(spark, dir))
+
+  /** q154: length-bucketed batch binning — the padding-waste ledger of a
+    * fixed-shape training/inference batcher. Each document is assigned to
+    * the power-of-two bucket that would hold it (pad_len = smallest 2^k ≥
+    * n_tokens), and per bucket the census reports real tokens vs padded
+    * tokens and the waste in ppm. The complement of sequence PACKING
+    * (q94/q107): packing eliminates padding by concatenation; binning
+    * quantifies what padding costs when documents must stay whole (SFT,
+    * inference serving).
+    *
+    * pad_len is pure integer bit-arithmetic — `1 << length(bin(n-1))` —
+    * identical in Spark and DuckDB (no float log2, whose boundary cells at
+    * exact powers of two are rounding-dependent). One narrow projection +
+    * one tiny groupBy: embarrassingly scalable. */
+  def lengthBuckets(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    docs
+      .select(col("doc_id"),
+        size(split(norm, " ")).cast("long").as("n_tokens"))
+      .withColumn("pad_len",
+        when(col("n_tokens") <= 1, lit(1L))
+          .otherwise(expr(
+            "shiftleft(cast(1 as bigint), cast(length(bin(n_tokens - 1)) as int))")))
+      .groupBy(col("pad_len"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("padded_tokens", col("pad_len") * col("n_docs"))
+      .withColumn("waste_ppm",
+        expr("(padded_tokens - total_tokens) * 1000000 div padded_tokens"))
+      .orderBy(col("pad_len").asc)
+  }
+
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    lengthBuckets(Tables.documents(spark, dir))
 }

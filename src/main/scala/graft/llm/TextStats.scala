@@ -528,4 +528,37 @@ object TextStats {
 
   def collatedLangCensus(spark: SparkSession, dir: String): DataFrame =
     collatedLangCensus(Tables.documents(spark, dir))
+
+  /** q151: vocabulary-growth curve — how many NEW word types each block of
+    * `bucketDocs` documents contributes, plus the running vocabulary size.
+    * The Heaps-law census every tokenizer-training and corpus-scaling
+    * decision starts from: a flattening curve says more data stops buying
+    * vocabulary coverage.
+    *
+    * Scale shape: one explode + one groupBy(word) with a map-side-
+    * combinable `min` — the canonical word-count shuffle, linear in corpus
+    * tokens. The cumulative window runs over the BUCKET frame (corpus/
+    * `bucketDocs` rows, thousands at 100 TB), not over words, so the
+    * single-partition window is a rounding error. First-seen is defined by
+    * doc_id order (ingestion order), making the curve deterministic and
+    * engine-portable — all exact integers. */
+  def vocabGrowth(docs: DataFrame, bucketDocs: Int = 500): DataFrame = {
+    val words = docs
+      .withColumn("norm", norm)
+      .select(col("doc_id"), explode(split(col("norm"), " ")).as("word"))
+    val firstSeen = words.groupBy(col("word"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val buckets = firstSeen
+      .groupBy(expr(s"first_doc div $bucketDocs").as("bucket"))
+      .agg(count(lit(1)).as("new_words"))
+    buckets
+      .withColumn("vocab_size",
+        sum(col("new_words")).over(
+          Window.orderBy(col("bucket").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("bucket").asc)
+  }
+
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    vocabGrowth(Tables.documents(spark, dir))
 }

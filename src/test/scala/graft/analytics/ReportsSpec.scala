@@ -265,4 +265,19 @@ class ReportsSpec extends SparkSpecBase {
     assert(out.filter(col("second_cnt").isNull)
       .join(perUser.filter(col("days") > 1), "user_id").count() === 0)
   }
+
+  test("k-anonymity groups identical behavioral profiles") {
+    import spark.implicits._
+    // users 1,2 share profile {a:2, b:1}; user 3 is unique {a:1};
+    // count order inside the type must matter (user 4: {a:1, b:2})
+    val silver = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"),
+      (2L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "a"),
+      (4L, "a"), (4L, "b"), (4L, "b"))
+      .toDF("user_id", "event_type")
+    val out = Reports.kAnonymityCensus(silver).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L, 2L), (2L, 1L, 2L)))
+  }
 }

@@ -277,4 +277,20 @@ class TemporalOpsSpec extends SparkSpecBase {
     assert(sNumU === 2L * denU, "slope must be exactly 2")
     assert(iNumU === 1L * denU, "intercept must be exactly 1")
   }
+
+  test("trimmed mean drops exactly the floor-count tails per group") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // group A: 1..40 -> lo = 40*5 div 100 = 2: drop {1,2,39,40},
+    // keep 36 values summing 3..38 = 738; group B: 10 values -> lo=0,
+    // nothing trimmed
+    val li = ((1 to 40).map(q => ("A", q.toDouble)) ++
+      (1 to 10).map(q => ("B", q.toDouble)))
+      .toDF("l_returnflag", "l_quantity")
+    val rows = TemporalOps.trimmedMeans(li).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows("A") === ((40L, 36L, 738L, 738L * 1000 / 36)))
+    assert(rows("B") === ((10L, 10L, 55L, 5500L)))
+  }
 }

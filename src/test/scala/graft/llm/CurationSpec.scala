@@ -262,4 +262,33 @@ class CurationSpec extends SparkSpecBase {
     assert(e0a.map(t => (t._3, t._2)).toSeq ===
       e0a.map(t => (t._3, t._2)).sortBy(identity).toSeq)
   }
+
+  test("length buckets use exact power-of-two pads and account all tokens") {
+    import spark.implicits._
+    // token counts 1,2,3,4,5 -> pads 1,2,4,4,8
+    val docs = Seq(
+      (0L, "w", "en", "s", 1L),
+      (1L, "w w", "en", "s", 3L),
+      (2L, "w w w", "en", "s", 5L),
+      (3L, "w w w w", "en", "s", 7L),
+      (4L, "w w w w w", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curation.lengthBuckets(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 1L, 1L, 0L),
+      (2L, 1L, 2L, 2L, 0L),
+      (4L, 2L, 7L, 8L, 125000L),
+      (8L, 1L, 5L, 8L, 375000L)))
+    // corpus laws at sf: every doc lands in exactly one bucket, pads are
+    // powers of two, and waste is non-negative
+    val corpus = Curation.lengthBuckets(graft.core.Tables.documents(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val nDocs = graft.core.Tables.documents(spark, sf).count()
+    assert(corpus.map(_._2).sum === nDocs)
+    assert(corpus.forall(t => (t._1 & (t._1 - 1)) == 0L))
+    assert(corpus.forall(t => t._4 >= t._3 && t._5 >= 0L))
+  }
 }

@@ -183,4 +183,24 @@ class TextStatsSpec extends SparkSpecBase {
     assert(!out(0L).getAs[Boolean]("keep"))
     assert(out(1L).getAs[Long]("lm_score_ppm") === 1000000L)
   }
+
+  test("vocab growth buckets first-seen words and accumulates exactly") {
+    import spark.implicits._
+    // bucket 0 (docs 0-1): types a b c; bucket 1 (docs 2-3): new type d
+    // only (a reappears, must not recount)
+    val docs = Seq(
+      (0L, "a b", "en", "s", 3L), (1L, "b c", "en", "s", 3L),
+      (2L, "a d", "en", "s", 3L), (3L, "d d", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.vocabGrowth(docs, bucketDocs = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((0L, 3L, 3L), (1L, 1L, 4L)))
+    // corpus law: final vocab_size == distinct normalized word types
+    val types = TextStats.vocabGrowth(graft.core.Tables.documents(spark, sf))
+    val last = types.orderBy(org.apache.spark.sql.functions.col("bucket").desc)
+      .limit(1).collect()(0).getLong(2)
+    val sumNew = types.agg(org.apache.spark.sql.functions.sum("new_words"))
+      .collect()(0).getLong(0)
+    assert(last === sumNew, "cumulative tail must equal the sum of arrivals")
+  }
 }
