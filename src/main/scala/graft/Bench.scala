@@ -164,8 +164,17 @@ object Bench {
     // steady-state, same semantics every round has recorded), but no
     // query's scratch survives into the next one (round-3 review: the
     // storage pool accumulated every operator's intermediates forever).
+    // The warm-up pass is also the COLD timing: first execution per query,
+    // shared memo frames (silver, dup clusters) not yet built. Recorded as
+    // `cold_sec` so the headline warm number (min of iters) and the cold
+    // cost are both in the JSON — round-4 review: q60's 0.03 s warm time
+    // was mistakable for its real cost without this column. (Queries
+    // sharing a memo frame attribute its build to whichever of them runs
+    // first in sorted order — cold_sec is first-use cost, not a per-query
+    // isolated cold run.)
+    val coldSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     names.foreach { n =>
-      try runOnce(n)
+      try coldSec(n) = runOnce(n)
       catch { case e: Throwable => errors(n) = Option(e.getMessage).getOrElse(e.getClass.getName) }
       finally Caches.releaseScratch(spark)
     }
@@ -211,6 +220,8 @@ object Bench {
     val itersJson = iterTimes
       .map { case (k, ts) => jstr(k) + ":" + ts.map(num).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    val coldJson = coldSec
+      .map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
     val gcJson = gcTimes.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val stealJson = stealPcts
       .map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
@@ -222,7 +233,7 @@ object Bench {
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":$iters,""" +
-        s""""iter_sec":$itersJson,"gc_ms":$gcJson,"steal_pct":$stealJson,"probe_ms":$probeJson,"pprobe_ms":$pprobeJson,"loadavg_start":${num(load0)},"loadavg_end":${num(loadAvg())},""" +
+        s""""iter_sec":$itersJson,"cold_sec":$coldJson,"gc_ms":$gcJson,"steal_pct":$stealJson,"probe_ms":$probeJson,"pprobe_ms":$pprobeJson,"loadavg_start":${num(load0)},"loadavg_end":${num(loadAvg())},""" +
         s""""rss_mib":${num(peakRssMib())},"wall_sec":${num(wallSec)}}"""
 
     println(line)

@@ -936,7 +936,7 @@ object SparkEntry {
       (silverCte +
         """
           |SELECT user_id, event_date, COUNT(*) AS listen_count,
-          |       SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+          |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
           |       MIN(event_id) AS first_event_id
           |FROM silver GROUP BY 1, 2
           |ORDER BY user_id ASC, event_date ASC""".stripMargin),
@@ -945,11 +945,11 @@ object SparkEntry {
       (silverCte +
         """
           |SELECT user_id,
-          |       COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
-          |       COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error,
-          |       COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
-          |       COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
-          |       COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view
+          |       CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+          |       CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error,
+          |       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+          |       CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+          |       CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view
           |FROM silver GROUP BY 1 ORDER BY user_id ASC""".stripMargin),
     // q83: identical ntile tie-break (count DESC, user_id ASC).
     "q83_user_quartiles" ->
@@ -960,7 +960,8 @@ object SparkEntry {
           |  SELECT *, ntile(4) OVER (
           |    ORDER BY listen_count DESC, user_id ASC) AS quartile
           |  FROM counts)
-          |SELECT quartile, COUNT(*) AS users, SUM(listen_count) AS listens,
+          |SELECT quartile, COUNT(*) AS users,
+          |       CAST(SUM(listen_count) AS BIGINT) AS listens,
           |       MIN(listen_count) AS min_listens,
           |       MAX(listen_count) AS max_listens
           |FROM tiled GROUP BY 1 ORDER BY quartile ASC""".stripMargin),
@@ -1022,7 +1023,11 @@ object SparkEntry {
         |       violations = 0 AS pass
         |FROM rules
         |ORDER BY table_name ASC, check_name ASC""".stripMargin,
-    // q86: same df-threshold rarity rule, exact ppm.
+    // q86: same df-threshold rarity rule, exact ppm. Integer SUMs are
+    // CAST to BIGINT: DuckDB's integer SUM returns HUGEINT, which
+    // surfaces as decimal128(38,0) in arrow and breaks the driver's
+    // dtype-sensitive hash even when values are equal (r4 lesson —
+    // every r4 hash-FAIL had exactly this mismatch).
     "q86_rare_word_ratio" ->
       s"""WITH words AS (
          |  SELECT doc_id, unnest(str_split($duckNorm, ' ')) AS w FROM documents),
@@ -1031,11 +1036,11 @@ object SparkEntry {
          |rare AS (
          |  SELECT w FROM (SELECT w, COUNT(*) AS df FROM wc GROUP BY 1)
          |  WHERE df < 3)
-         |SELECT wc.doc_id, SUM(wc.cnt) AS n_tokens,
-         |       COALESCE(SUM(CASE WHEN r.w IS NOT NULL THEN wc.cnt END), 0)
-         |         AS rare_tokens,
-         |       COALESCE(SUM(CASE WHEN r.w IS NOT NULL THEN wc.cnt END), 0)
-         |         * 1000000 // SUM(wc.cnt) AS rare_ppm,
+         |SELECT wc.doc_id, CAST(SUM(wc.cnt) AS BIGINT) AS n_tokens,
+         |       CAST(COALESCE(SUM(CASE WHEN r.w IS NOT NULL THEN wc.cnt END), 0)
+         |         AS BIGINT) AS rare_tokens,
+         |       CAST(COALESCE(SUM(CASE WHEN r.w IS NOT NULL THEN wc.cnt END), 0)
+         |         * 1000000 // SUM(wc.cnt) AS BIGINT) AS rare_ppm,
          |       COALESCE(SUM(CASE WHEN r.w IS NOT NULL THEN wc.cnt END), 0)
          |         * 1000000 // SUM(wc.cnt) > 200000 AS oov_heavy
          |FROM wc LEFT JOIN rare r USING (w)
@@ -1095,7 +1100,7 @@ object SparkEntry {
           |  SELECT user_id, event_date, COUNT(*) AS listen_count
           |  FROM silver GROUP BY 1, 2)
           |SELECT user_id, event_date, listen_count,
-          |       SUM(listen_count) OVER w AS cnt_7d,
+          |       CAST(SUM(listen_count) OVER w AS BIGINT) AS cnt_7d,
           |       COUNT(*) OVER w AS active_days_7d
           |FROM daily
           |WINDOW w AS (PARTITION BY user_id ORDER BY event_date
@@ -1113,7 +1118,7 @@ object SparkEntry {
           |       COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
           |       COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view
           |  FROM silver GROUP BY 1)
-          |SELECT user_id, event_type, cnt
+          |SELECT user_id, event_type, CAST(cnt AS BIGINT) AS cnt
           |FROM wide UNPIVOT (cnt FOR event_type IN (click, error, purchase, signup, view))
           |ORDER BY user_id ASC, event_type ASC""".stripMargin),
     // q93: same degree-ordered orientation on both sides; exact integer
@@ -1161,8 +1166,8 @@ object SparkEntry {
          |    PARTITION BY source ORDER BY doc_id ASC
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
          |  FROM toks)
-         |SELECT source, start_offset // 512 AS chunk_id,
-         |       COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+         |SELECT source, CAST(start_offset // 512 AS BIGINT) AS chunk_id,
+         |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
          |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM off GROUP BY 1, 2
          |ORDER BY source ASC, chunk_id ASC""".stripMargin,
@@ -1174,8 +1179,8 @@ object SparkEntry {
         |         CAST(unnest(embedding) AS DOUBLE) AS x
         |  FROM embeddings)
         |SELECT pos, COUNT(*) AS n, MIN(x) AS lo, MAX(x) AS hi,
-        |       SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS n_positive,
-        |       SUM(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS n_zero,
+        |       CAST(SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+        |       CAST(SUM(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
         |       MAX(x) - MIN(x) AS range
         |FROM u GROUP BY pos ORDER BY pos ASC""".stripMargin,
     // q96: the identical bit-interleave expression, generated from one
@@ -1235,7 +1240,7 @@ object SparkEntry {
          |  SELECT wc, unnest([substring(w, i, 2)
          |                     for i in range(1, length(w))]) AS pair
          |  FROM words WHERE length(w) >= 2)
-         |SELECT pair, SUM(wc) AS weight
+         |SELECT pair, CAST(SUM(wc) AS BIGINT) AS weight
          |FROM pairs GROUP BY pair
          |ORDER BY weight DESC, pair ASC LIMIT 30""".stripMargin,
     // q100: generate_series per user ≡ sequence(); DATE arithmetic only,
@@ -1319,8 +1324,11 @@ object SparkEntry {
         |FROM ranked WHERE rk <= 3
         |ORDER BY part ASC, rk ASC""".stripMargin,
     // q105: identical decimal pipeline — scale-2 casts, scale-4 products,
-    // no division; final CASTs pin precision AND scale on both sides so
-    // the serialized strings agree digit for digit.
+    // no division. The scale-4 moment columns are FLOORed to whole-unit
+    // BIGINTs on both sides: their scaled int128 magnitudes exceed 2^53
+    // at sf0.01, where decimal→double canonicalizations can differ in
+    // the last ulp between engines (the r4 hash-FAIL); floor-then-cast
+    // is exact integer arithmetic in both.
     "q105_exact_moments" ->
       """WITH li AS (
         |  SELECT l_returnflag,
@@ -1335,14 +1343,14 @@ object SparkEntry {
         |SELECT l_returnflag, n,
         |       CAST(sx AS DECIMAL(38,2)) AS sum_x,
         |       CAST(sy AS DECIMAL(38,2)) AS sum_y,
-        |       CAST(sxx AS DECIMAL(38,4)) AS sum_xx,
-        |       CAST(sxy AS DECIMAL(38,4)) AS sum_xy,
-        |       CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(27,4))
-        |            - CAST(sx AS DECIMAL(19,2)) * CAST(sy AS DECIMAL(19,2))
-        |            AS DECIMAL(38,4)) AS cov_num,
-        |       CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(27,4))
-        |            - CAST(sx AS DECIMAL(19,2)) * CAST(sx AS DECIMAL(19,2))
-        |            AS DECIMAL(38,4)) AS var_num
+        |       CAST(FLOOR(sxx) AS BIGINT) AS sum_xx_w,
+        |       CAST(FLOOR(sxy) AS BIGINT) AS sum_xy_w,
+        |       CAST(FLOOR(CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(27,4))
+        |            - CAST(sx AS DECIMAL(19,2)) * CAST(sy AS DECIMAL(19,2)))
+        |            AS BIGINT) AS cov_num_w,
+        |       CAST(FLOOR(CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(27,4))
+        |            - CAST(sx AS DECIMAL(19,2)) * CAST(sx AS DECIMAL(19,2)))
+        |            AS BIGINT) AS var_num_w
         |FROM agg ORDER BY l_returnflag ASC""".stripMargin,
     // q106: DuckDB's JSON probe plays the variant path; integer `//`
     // matches `div`; the absent path is null in both engines.
@@ -1375,9 +1383,10 @@ object SparkEntry {
          |         CASE WHEN w.fill + t.n_tokens > 512
          |              THEN t.n_tokens ELSE w.fill + t.n_tokens END
          |  FROM toks t JOIN walk w ON t.source = w.source AND t.rn = w.rn + 1)
-         |SELECT source, chunk_id, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+         |SELECT source, chunk_id, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
          |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
-         |       GREATEST(0, 512 - SUM(n_tokens)) AS padding
+         |       CAST(GREATEST(0, 512 - SUM(n_tokens)) AS BIGINT) AS padding
          |FROM walk GROUP BY 1, 2
          |ORDER BY source ASC, chunk_id ASC""".stripMargin,
     // q108: same rows as the q13 window spelling, with the rank emitted;
@@ -1448,7 +1457,8 @@ object SparkEntry {
           |           > CAST(9 * var_num AS DECIMAL(38,4)) AS is_outlier
           |  FROM f)
           |SELECT event_type, COUNT(*) AS n_rows,
-          |       SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS n_outliers,
+          |       CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_outliers,
           |       MIN(CASE WHEN is_outlier THEN x END) AS min_outlier_value,
           |       MAX(CASE WHEN is_outlier THEN x END) AS max_outlier_value
           |FROM g GROUP BY 1 ORDER BY event_type ASC""".stripMargin),
@@ -1461,9 +1471,9 @@ object SparkEntry {
           |r AS (
           |  SELECT x, row_number() OVER (ORDER BY x ASC, user_id ASC) AS i
           |  FROM counts)
-          |SELECT COUNT(*) AS n, SUM(x) AS sum_x,
-          |       (2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)) * 1000000
-          |         // (COUNT(*) * SUM(x)) AS gini_ppm
+          |SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sum_x,
+          |       CAST((2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)) * 1000000
+          |         // (COUNT(*) * SUM(x)) AS BIGINT) AS gini_ppm
           |FROM r""".stripMargin),
     // q89: sequential folds — DuckDB list_reduce with a prepended 0 seed
     // reproduces Spark's aggregate() fold order exactly.
@@ -1751,7 +1761,7 @@ object SparkEntry {
         |r3 AS (SELECT d.v AS node, 150000 + (SUM(p.r // g.deg) * 17) // 20 AS r
         |       FROM r2 p JOIN deg g ON g.u = p.node JOIN dir d ON d.u = p.node
         |       GROUP BY d.v),
-        |top AS (SELECT node, r AS rank_ppm,
+        |top AS (SELECT node, CAST(r AS BIGINT) AS rank_ppm,
         |               row_number() OVER (ORDER BY r DESC, node ASC) AS rank
         |        FROM r3 ORDER BY r DESC, node ASC LIMIT 10)
         |SELECT rank, node, rank_ppm FROM top ORDER BY rank ASC""".stripMargin,
@@ -1766,7 +1776,8 @@ object SparkEntry {
         |         repeat(md5(CAST(r.range AS VARCHAR)), CAST(1 + r.range % 4 AS INT)) AS text,
         |         32 * CAST(1 + r.range % 4 AS INT) AS n_chars
         |  FROM range(20000) r)
-        |SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |       MIN(substr(text, 1, 8)) AS min_prefix,
         |       MAX(substr(text, 1, 8)) AS max_prefix
         |FROM g GROUP BY 1, 2 ORDER BY lang ASC, source ASC""".stripMargin,
@@ -1782,7 +1793,7 @@ object SparkEntry {
         |         ['en','de','fr','es','pt'][CAST(r.range % 5 AS INT) + 1] AS lang
         |  FROM range(1500) r)
         |SELECT a.lang, COUNT(*) AS n_pairs,
-        |       SUM(a.a_id + b.b_id) AS sum_ids
+        |       CAST(SUM(a.a_id + b.b_id) AS BIGINT) AS sum_ids
         |FROM a JOIN b ON a.lang = b.lang
         |GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     // q117: the oracle is the PLAIN theta join — the banded Spark plan
@@ -1891,7 +1902,8 @@ object SparkEntry {
         |         repeat(md5(CAST(r.range AS VARCHAR)), CAST(1 + r.range % 4 AS INT)) AS text,
         |         32 * CAST(1 + r.range % 4 AS INT) AS n_chars
         |  FROM range(20000) r)
-        |SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |       MIN(substr(text, 1, 8)) AS min_prefix,
         |       MAX(substr(text, 1, 8)) AS max_prefix,
         |       CAST(0 AS BIGINT) AS fn_mismatches
@@ -2219,8 +2231,10 @@ object SparkEntry {
         |              ELSE 'x' END AS raw
         |  FROM documents)
         |SELECT lang, COUNT(*) AS n_docs,
-        |       SUM(CASE WHEN nfc_normalize(raw) <> raw THEN 1 ELSE 0 END) AS n_changed,
-        |       SUM(length(raw) - length(nfc_normalize(raw))) AS cp_removed
+        |       CAST(SUM(CASE WHEN nfc_normalize(raw) <> raw THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_changed,
+        |       CAST(SUM(length(raw) - length(nfc_normalize(raw)))
+        |         AS BIGINT) AS cp_removed
         |FROM t GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     // q144: for ASCII keys, UTF8_LCASE grouping coincides with the
     // lower() spelling — the law CollationSpec pins.
@@ -2582,7 +2596,7 @@ object SparkEntry {
         |         len(regexp_extract_all(props, '[0-9]+')) AS n_redactions
         |  FROM events)
         |SELECT event_type, COUNT(*) AS events,
-        |       SUM(n_redactions) AS total_redactions,
+        |       CAST(SUM(n_redactions) AS BIGINT) AS total_redactions,
         |       COUNT(DISTINCT props_redacted) AS distinct_shapes
         |FROM red GROUP BY 1 ORDER BY event_type ASC""".stripMargin,
     // q71: 2-gram document frequency ≥ 5% of docs ⇒ boilerplate.
@@ -2649,9 +2663,10 @@ object SparkEntry {
         |                    sv.slabel ASC) AS rn
         |  FROM n nn, sv)
         |SELECT slabel, COUNT(*) AS n_vectors,
-        |       SUM(CASE WHEN label = slabel THEN 1 ELSE 0 END) AS n_same_label,
-        |       SUM(CASE WHEN label = slabel THEN 1 ELSE 0 END) * 10000
-        |         // COUNT(*) AS purity_bps,
+        |       CAST(SUM(CASE WHEN label = slabel THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_same_label,
+        |       CAST(SUM(CASE WHEN label = slabel THEN 1 ELSE 0 END) * 10000
+        |         // COUNT(*) AS BIGINT) AS purity_bps,
         |       MIN(cos) AS min_cos, MAX(cos) AS max_cos
         |FROM ranks WHERE rn = 1
         |GROUP BY slabel ORDER BY slabel ASC""".stripMargin,
@@ -2666,8 +2681,9 @@ object SparkEntry {
         |         row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS rank
         |  FROM counts ORDER BY cnt DESC, user_id ASC LIMIT 10)
         |SELECT t.rank, t.user_id, t.cnt,
-        |       t.cnt * 1000000 // tt.total_rows AS share_ppm,
-        |       t.cnt * tt.n_keys * 1000000 // tt.total_rows AS x_uniform_ppm
+        |       CAST(t.cnt * 1000000 // tt.total_rows AS BIGINT) AS share_ppm,
+        |       CAST(t.cnt * tt.n_keys * 1000000 // tt.total_rows AS BIGINT)
+        |         AS x_uniform_ppm
         |FROM topk t, totals tt
         |ORDER BY t.rank ASC""".stripMargin,
     // q75: floor(sqrt) weights are engine-exact (IEEE sqrt + floor);
@@ -2683,8 +2699,8 @@ object SparkEntry {
         |  FROM counts, w),
         |rates AS (
         |  SELECT source, n_docs, weight,
-        |         LEAST(1000000, ((weight * c.c_scale) // w.w_total)
-        |                        * 1000000 // n_docs) AS keep_ppm
+        |         CAST(LEAST(1000000, ((weight * c.c_scale) // w.w_total)
+        |                        * 1000000 // n_docs) AS BIGINT) AS keep_ppm
         |  FROM counts, w, c),
         |kept AS (
         |  SELECT d.source, r.n_docs, r.weight, r.keep_ppm,

@@ -139,8 +139,11 @@ object Reports {
       .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
       .select(
         col("hour"), col("cnt"),
-        expr("CAST((cnt * 20000 + total) div (2 * total) AS DECIMAL(12,0))" +
-          " * CAST(0.01 AS DECIMAL(3,2))").as("pct_round2"))
+        // Final cast pins DECIMAL(15,2): Spark's multiply infers (16,2)
+        // while DuckDB's infers (15,2) for the same operand types, and
+        // the driver gate needs the arrow dtypes to agree exactly.
+        expr("CAST(CAST((cnt * 20000 + total) div (2 * total) AS DECIMAL(12,0))" +
+          " * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(15,2))").as("pct_round2"))
       .orderBy(col("hour").asc)
   }
 

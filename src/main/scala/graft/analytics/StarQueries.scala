@@ -265,14 +265,19 @@ object StarQueries {
         col("l_returnflag"), col("n"),
         col("sx").cast("decimal(38,2)").as("sum_x"),
         col("sy").cast("decimal(38,2)").as("sum_y"),
-        col("sxx").cast("decimal(38,4)").as("sum_xx"),
-        col("sxy").cast("decimal(38,4)").as("sum_xy"),
-        (col("n").cast("decimal(10,0)") * col("sxy").cast("decimal(27,4)") -
+        // Scale-4 moments are floored to whole-unit longs: their scaled
+        // magnitudes pass 2^53 at sf0.01 and decimal→double canon can
+        // differ in the last ulp between engines; floor-then-cast stays
+        // in exact integer arithmetic on both sides. floor() (not a bare
+        // long cast) so negative covariances round toward -inf in both.
+        floor(col("sxx")).cast("long").as("sum_xx_w"),
+        floor(col("sxy")).cast("long").as("sum_xy_w"),
+        floor(col("n").cast("decimal(10,0)") * col("sxy").cast("decimal(27,4)") -
           col("sx").cast("decimal(18,2)") * col("sy").cast("decimal(18,2)"))
-          .cast("decimal(38,4)").as("cov_num"),
-        (col("n").cast("decimal(10,0)") * col("sxx").cast("decimal(27,4)") -
+          .cast("long").as("cov_num_w"),
+        floor(col("n").cast("decimal(10,0)") * col("sxx").cast("decimal(27,4)") -
           col("sx").cast("decimal(18,2)") * col("sx").cast("decimal(18,2)"))
-          .cast("decimal(38,4)").as("var_num"))
+          .cast("long").as("var_num_w"))
       .orderBy(col("l_returnflag").asc)
   }
 }

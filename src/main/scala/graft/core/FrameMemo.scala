@@ -1,6 +1,6 @@
 package graft.core
 
-import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.{ConcurrentHashMap, ExecutionException, FutureTask}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
@@ -12,12 +12,24 @@ import org.apache.spark.storage.StorageLevel
   * frames are built once per (session, key) and persisted, the way a
   * production deployment would materialize them as tables.
   *
+  * Concurrency: the per-session map is only ever held long enough to
+  * install or look up a [[FutureTask]] placeholder; the build itself (which
+  * for the cluster frame runs real Spark jobs) executes OUTSIDE the lock on
+  * the first caller's thread, so a slow build on one key never blocks memo
+  * lookups for other keys on the same session (round-4 advice — the bench
+  * serialized here under contention). Concurrent callers of the same key
+  * still see exactly one build: they block on the same task. A failed build
+  * is removed from the map so the next caller retries instead of caching
+  * the failure.
+  *
   * Eviction is EXPLICIT, twice over (a weak session key can never be
   * collected here because the cached DataFrames strongly reference their
   * session — round-2 advice):
   *  - per-key LRU: an access-ordered LinkedHashMap capped at `cap`
   *    unpersists + drops the least-recently-used key's frame when a new
-  *    key would exceed the cap;
+  *    key would exceed the cap. If the evicted entry is still building,
+  *    it is flagged and the builder unpersists its own result on
+  *    completion.
   *  - per-session: a listener unpersists and drops every entry when the
   *    session's SparkContext ends. Sessions cloned off a shared
   *    long-lived context keep their entries until that context stops
@@ -25,12 +37,26 @@ import org.apache.spark.storage.StorageLevel
   */
 final class FrameMemo(cap: Int) {
 
+  private type Slot = FutureTask[DataFrame]
+
   private val cache =
-    new ConcurrentHashMap[SparkSession, java.util.LinkedHashMap[String, DataFrame]]()
+    new ConcurrentHashMap[SparkSession, java.util.LinkedHashMap[String, Slot]]()
+
+  /** Slots evicted (LRU or app-end) before their build finished; the
+    * builder thread unpersists its own frame after completing. */
+  private val evictedInFlight =
+    ConcurrentHashMap.newKeySet[Slot]()
+
+  private def unpersistQuietly(slot: Slot): Unit =
+    if (slot.isDone) {
+      try slot.get().unpersist(blocking = false)
+      catch { case _: Throwable => () }
+    } else {
+      evictedInFlight.add(slot)
+    }
 
   /** The memoized frame for (spark, key), building + persisting on miss.
-    * The build runs inside the map lock: concurrent callers of the same
-    * key see one build, and the LRU order mutates safely. */
+    * One build per key; the build runs outside the map lock. */
   def get(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val perSession = cache.computeIfAbsent(spark, { s =>
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -38,35 +64,51 @@ final class FrameMemo(cap: Int) {
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           val evicted = cache.remove(s)
           if (evicted != null) evicted.synchronized {
-            evicted.values.forEach { df =>
-              try df.unpersist(blocking = false) catch { case _: Throwable => () }
-            }
+            evicted.values.forEach(unpersistQuietly)
           }
         }
       })
       // accessOrder=true → iteration order is LRU; removeEldestEntry fires
       // on insert once the cap is exceeded and releases the evicted persist
-      new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+      new java.util.LinkedHashMap[String, Slot](16, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[String, DataFrame]): Boolean = {
+            e: java.util.Map.Entry[String, Slot]): Boolean = {
           val evict = size() > cap
-          if (evict) {
-            try e.getValue.unpersist(blocking = false)
-            catch { case _: Throwable => () }
-          }
+          if (evict) unpersistQuietly(e.getValue)
           evict
         }
       }
     })
     // LinkedHashMap is not thread-safe and access-order mutates on get —
-    // all per-session map access is synchronized on the map itself
+    // map access is synchronized on the map itself, but only around the
+    // placeholder install/lookup, never around the build
+    var slot: Slot = null
+    var owner = false
     perSession.synchronized {
-      var df = perSession.get(key)
-      if (df == null) {
-        df = build.persist(StorageLevel.MEMORY_AND_DISK)
-        perSession.put(key, df)
+      slot = perSession.get(key)
+      if (slot == null) {
+        slot = new FutureTask[DataFrame](() =>
+          build.persist(StorageLevel.MEMORY_AND_DISK))
+        perSession.put(key, slot)
+        owner = true
+      }
+    }
+    if (owner) slot.run()
+    try {
+      val df = slot.get()
+      if (evictedInFlight.remove(slot)) {
+        // evicted while building: nobody else will release the persist
+        try df.unpersist(blocking = false) catch { case _: Throwable => () }
       }
       df
+    } catch {
+      case e: ExecutionException =>
+        // a failed build must not poison the key — drop it so callers retry
+        perSession.synchronized {
+          if (perSession.get(key) eq slot) perSession.remove(key)
+        }
+        evictedInFlight.remove(slot)
+        throw e.getCause
     }
   }
 

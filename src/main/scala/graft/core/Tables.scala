@@ -23,16 +23,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * ([PARQUET_TYPE_ILLEGAL]); DuckDB reads it natively. Read nanos as long
-    * (nanosAsLong conf, set once by [[Sessions.ensure]]) and rebuild a
-    * microsecond TimestampType with integer division — `ts div 1000` stays
-    * in long arithmetic (a double round-trip would lose precision above
-    * 2^53 ns ≈ 104 days). */
+  /** `events.ts` has shipped under three physical parquet encodings across
+    * testdata generations, so the load is schema-adaptive on the dtype Spark
+    * actually reads:
+    *   - TIMESTAMP(NANOS) → LongType (via the nanosAsLong conf, set once by
+    *     [[Sessions.ensure]]; Spark otherwise rejects nanos with
+    *     [PARQUET_TYPE_ILLEGAL]). Rebuild micros with `ts div 1000` — long
+    *     integer division, since a double round-trip loses precision above
+    *     2^53 ns ≈ 104 days.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TimestampNTZType. The
+    *     session TZ is pinned UTC, so casting to TimestampType is
+    *     value-preserving and matches DuckDB's native read.
+    *   - TIMESTAMP(MICROS, UTC) → TimestampType. Pass through. */
   def events(s: SparkSession, d: String): DataFrame = {
     Sessions.ensure(s)
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = table(s, d, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(s"unsupported events.ts type: $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -93,10 +93,12 @@ class StarQueriesSpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
     a.foreach { r =>
       val (cv, n) = d(r.getString(0))
-      val covFromDecimal =
-        r.getAs[java.math.BigDecimal]("cov_num").doubleValue() / (n.toDouble * n)
-      assert(math.abs(covFromDecimal - cv) <= math.abs(cv) * 1e-9 + 1e-6,
-        s"decimal $covFromDecimal vs double $cv")
+      // cov_num_w is the FLOORed whole-unit numerator (scale-4 fraction
+      // dropped), so the tolerance is the flooring loss (<1) plus double
+      // rounding in covar_pop
+      val covFromLong = r.getAs[Long]("cov_num_w").toDouble / (n.toDouble * n)
+      assert(math.abs(covFromLong - cv) <= math.abs(cv) * 1e-9 + 1.0 / n,
+        s"floored-long $covFromLong vs double $cv")
     }
   }
 }

@@ -41,4 +41,66 @@ class FrameMemoSpec extends SparkSpecBase {
     assert(x.count() === 5 && y.count() === 7)
     assert(memo.cachedCount(spark) === 2)
   }
+
+  test("a slow build on one key does not block other keys (round-4 advice)") {
+    val memo = new FrameMemo(4)
+    val slowStarted = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val fastDone = new java.util.concurrent.CountDownLatch(1)
+
+    val slow = new Thread(() =>
+      memo.get(spark, "slow") {
+        slowStarted.countDown()
+        // hold the build (NOT any lock) until the fast key proves progress
+        assert(release.await(30, java.util.concurrent.TimeUnit.SECONDS),
+          "deadlock: fast key never completed while slow build was running")
+        spark.range(1).toDF()
+      })
+    slow.start()
+    assert(slowStarted.await(10, java.util.concurrent.TimeUnit.SECONDS))
+
+    val fast = new Thread(() => {
+      memo.get(spark, "fast")(spark.range(2).toDF())
+      fastDone.countDown()
+    })
+    fast.start()
+    // the fast key must complete while the slow key is mid-build
+    assert(fastDone.await(10, java.util.concurrent.TimeUnit.SECONDS),
+      "memo lookup for an independent key blocked behind a slow build")
+    release.countDown()
+    slow.join(30000)
+    fast.join(30000)
+    assert(memo.cachedCount(spark) === 2)
+  }
+
+  test("concurrent gets of the SAME key build once; both see the frame") {
+    val memo = new FrameMemo(4)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[AnyRef]()
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => results.add(memo.get(spark, "shared") {
+        builds.incrementAndGet()
+        Thread.sleep(50)
+        spark.range(9).toDF()
+      }))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(30000))
+    assert(builds.get() === 1, "same key must build exactly once")
+    assert(results.size === 4)
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.forall(_ eq results.peek()), "all callers share one frame")
+  }
+
+  test("a failed build is not cached; the next get retries") {
+    val memo = new FrameMemo(4)
+    var attempts = 0
+    val boom = intercept[RuntimeException] {
+      memo.get(spark, "flaky") { attempts += 1; sys.error("transient") }
+    }
+    assert(boom.getMessage === "transient")
+    val ok = memo.get(spark, "flaky") { attempts += 1; spark.range(3).toDF() }
+    assert(attempts === 2, "failed build must not poison the key")
+    assert(ok.count() === 3)
+  }
 }

@@ -51,6 +51,19 @@ def main():
             print(f"FAIL {name}: schema oracle={ocols} spark={scols}")
             n_fail += 1
             continue
+        # Arrow dtype drift is a driver-gate killer even when values are
+        # equal (r4: every hash-FAIL was a DuckDB HUGEINT/decimal128(38,0)
+        # vs Spark int64 mismatch). int32-vs-int64 is tolerated (proven
+        # benign in r4 gates); anything decimal-flavored is a hard fail.
+        otypes = {f.name: str(f.type) for f in odf.schema}
+        stypes = {f.name: str(f.type) for f in sdf.schema}
+        tdiffs = [(c, stypes[c], otypes[c]) for c in ocols
+                  if stypes[c] != otypes[c]
+                  and {stypes[c], otypes[c]} != {"int32", "int64"}]
+        if tdiffs:
+            print(f"FAIL {name}: arrow dtype drift (col, spark, oracle): {tdiffs}")
+            n_fail += 1
+            continue
         if odf.num_rows != sdf.num_rows:
             print(f"FAIL {name}: rows oracle={odf.num_rows} spark={sdf.num_rows}")
             n_fail += 1
