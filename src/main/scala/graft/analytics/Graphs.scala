@@ -35,15 +35,28 @@ object Graphs {
   private[analytics] def coPurchaseEdges(li: DataFrame): DataFrame = {
     // per-order part sets first: duplicate (order, part) lines must not
     // create self-pairs or inflate multiplicity; persisted — the frame
-    // feeds both self-join sides
+    // feeds both self-join sides. The explicit repartition pins a full-
+    // width hash partitioning on the join key: the self-join's OUTPUT is
+    // quadratic per order while its input is a few MB, so AQE's
+    // size-based coalescing would otherwise run the expansion nearly
+    // serial. (Sizing partitions to the expansion, not the input, is the
+    // same rule that matters at 100 TB.)
     val op = Caches.scratch(
       li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct())
+        .distinct()
+        .repartition(fullWidth(li), col("ok")))
     op.as("a").join(op.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v"))
       .distinct()
   }
+
+  /** The session's configured shuffle width — the explicit partition
+    * count for operators whose output expands far beyond their input
+    * (pair self-joins, per-iteration graph joins), where AQE's
+    * input-size-based coalescing picks too few partitions. */
+  private def fullWidth(df: DataFrame): Int =
+    math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
 
   /** Global triangle census: one row (n_nodes, n_edges, n_triangles).
     * Exact integer counts — engine-portable. */
@@ -62,9 +75,13 @@ object Graphs {
     * catalog². Full (weight desc, neighbor asc) tiebreak keeps the
     * result deterministic. */
   def itemItemRecs(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val op = Caches.scratch(Tables.lineitem(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    // pinned width: the ok-self-join expands quadratically per order
+    // (see coPurchaseEdges) — AQE must not coalesce it to the input size
+    val op = Caches.scratch(li
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct())
+      .distinct()
+      .repartition(fullWidth(li), col("ok")))
     // persisted: the weighted pair list feeds both union arms below
     val pairW = Caches.scratch(op.as("a").join(op.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
@@ -148,10 +165,16 @@ object Graphs {
   /** [[pageRankPpm]] over an arbitrary undirected (u, v) edge list. */
   def pageRankPpmOf(undirected: DataFrame,
                     iters: Int = 3, topK: Int = 10): DataFrame = {
-    // direct both ways; out-degree per source
+    // direct both ways; out-degree per source. Pinned to full shuffle
+    // width on the join key: every iteration equi-joins this edge list,
+    // and the persisted hash partitioning (a) is reused by all rounds'
+    // joins without re-exchanging the edges and (b) keeps the per-round
+    // join at full parallelism instead of AQE's byte-sized estimate of
+    // the (small-in-bytes, CPU-dense) rank join.
     val directed = Caches.scratch(
       undirected.select(col("u"), col("v"))
-        .unionAll(undirected.select(col("v").as("u"), col("u").as("v"))))
+        .unionAll(undirected.select(col("v").as("u"), col("u").as("v")))
+        .repartition(fullWidth(undirected), col("u")))
     val deg = Caches.scratch(
       directed.groupBy(col("u")).agg(count(lit(1)).as("deg")))
     var ranks = deg.select(col("u").as("node"), lit(1000000L).as("rank_ppm"))

@@ -77,6 +77,20 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // AQE sizes post-shuffle partitions by data volume instead of
+      // cloning the parallelism: without this, every shuffle of a few MB
+      // still schedules `cpus` reduce tasks, and task setup dominates
+      // small stages. Spark's own docs recommend parallelismFirst=false
+      // in production; at cluster scale it is the same lever that stops
+      // a 100 TB job's final small aggregations from fanning out into
+      // thousands of millisecond tasks.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // 8m, not the 64m default: compressed shuffle bytes under-represent
+      // CPU cost for the narrow-row, join/agg-dense shapes here (a 100 MB
+      // pair shuffle is tens of millions of rows of downstream work). 8m
+      // keeps such stages parallel while single-MB reduction outputs
+      // still coalesce to one task.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     ensure(spark)
