@@ -408,6 +408,14 @@ object SparkEntry {
     // ---- power-of-two length-bucket binning with padding-waste ppm
     //      (the whole-doc complement of sequence packing) ----
     "q154_length_buckets"      -> ((s, d) => Curation.lengthBuckets(s, d)),
+    // ---- grouped greedy packing: first-fit fold bounded to fixed-size
+    //      doc groups so the sequential chain is O(group), not O(source)
+    //      — the scalable form of q107 ----
+    "q155_grouped_packing"     -> ((s, d) => Curation.packGreedyGrouped(s, d)),
+    // ---- cluster-balanced curation sample: top-k per quantizer cell by
+    //      quality — diversity-preserving selection across the embedding
+    //      space (embeddings × documents on the shared id) ----
+    "q156_cluster_sample"      -> ((s, d) => Similarity.clusterBalancedSample(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -2971,5 +2979,86 @@ object SparkEntry {
          |       (pad_len * n_docs - total_tokens) * 1000000
          |         // (pad_len * n_docs) AS waste_ppm
          |FROM g ORDER BY pad_len ASC""".stripMargin,
+    // q155: the q107 recursive walk, additionally partitioned by the
+    // per-source rank group ((rank-1) // 100) — the recursion is 100
+    // deep regardless of corpus size, mirroring the bounded sequential
+    // chain that makes the Spark side scale. rn within a group is pure
+    // modular arithmetic on the source rank (no nested window), and the
+    // flattened chunk id uses the same stride-100 layout.
+    "q155_grouped_packing" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT source, doc_id,
+         |         CAST(len(str_split($duckNorm, ' ')) AS BIGINT) AS n_tokens,
+         |         row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn_all
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, doc_id, n_tokens,
+         |         CAST((rn_all - 1) // 100 AS BIGINT) AS grp,
+         |         CAST((rn_all - 1) % 100 + 1 AS BIGINT) AS rn
+         |  FROM toks),
+         |walk AS (
+         |  SELECT source, grp, doc_id, n_tokens, rn,
+         |         CAST(0 AS BIGINT) AS chunk_local, n_tokens AS fill
+         |  FROM g WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.source, t.grp, t.doc_id, t.n_tokens, t.rn,
+         |         CASE WHEN w.fill + t.n_tokens > 512
+         |              THEN w.chunk_local + 1 ELSE w.chunk_local END,
+         |         CASE WHEN w.fill + t.n_tokens > 512
+         |              THEN t.n_tokens ELSE w.fill + t.n_tokens END
+         |  FROM g t JOIN walk w
+         |    ON t.source = w.source AND t.grp = w.grp AND t.rn = w.rn + 1)
+         |SELECT source, CAST(grp * 100 + chunk_local AS BIGINT) AS chunk_id,
+         |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+         |       CAST(GREATEST(0, 512 - SUM(n_tokens)) AS BIGINT) AS padding
+         |FROM walk GROUP BY 1, 2
+         |ORDER BY source ASC, chunk_id ASC""".stripMargin,
+    // q156: q73's seed quantizer assignment joined with q32's integer
+    // quality score; per-cell top-k on the exact integer triple
+    // (quality desc, n_tokens desc, doc_id asc) — no doubles survive
+    // into the output.
+    "q156_cluster_sample" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |seeds AS (SELECT label AS slabel0, MIN(vec_id) AS svid FROM v GROUP BY 1),
+         |sv AS (
+         |  SELECT s.slabel0 AS slabel, nn.e AS se, nn.nrm AS snrm
+         |  FROM seeds s JOIN n nn ON nn.vec_id = s.svid),
+         |ranks AS (
+         |  SELECT nn.vec_id, sv.slabel,
+         |         row_number() OVER (
+         |           PARTITION BY nn.vec_id
+         |           ORDER BY list_dot_product(nn.e, sv.se) / (nn.nrm * sv.snrm) DESC,
+         |                    sv.slabel ASC) AS rn
+         |  FROM n nn, sv),
+         |assigned AS (SELECT vec_id, slabel FROM ranks WHERE rn = 1),
+         |nd AS (SELECT doc_id, $duckNorm AS norm FROM documents),
+         |t AS (SELECT doc_id, norm, str_split(norm, ' ') AS w FROM nd),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(len(w) AS INTEGER) AS n_tokens,
+         |    CAST(len(list_filter(w, x -> x IN ($duckStops))) AS INTEGER) AS stop_cnt,
+         |    CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(w) AS mean_token_len
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(n_tokens >= 20 AND n_tokens <= 1000 AS INTEGER)
+         |      + CAST(stop_cnt > 0 AS INTEGER)
+         |      + CAST(mean_token_len >= 2.0 AND mean_token_len <= 12.0 AS INTEGER)
+         |      AS quality
+         |  FROM f),
+         |rk AS (
+         |  SELECT a.slabel,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY a.slabel
+         |           ORDER BY q.quality DESC, q.n_tokens DESC, q.doc_id ASC)
+         |         AS INTEGER) AS rk,
+         |         q.doc_id, q.quality, q.n_tokens
+         |  FROM assigned a JOIN q ON q.doc_id = a.vec_id)
+         |SELECT slabel, rk, doc_id, quality, n_tokens
+         |FROM rk WHERE rk <= 5
+         |ORDER BY slabel ASC, rk ASC""".stripMargin,
   )
 }

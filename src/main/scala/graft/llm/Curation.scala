@@ -274,6 +274,72 @@ object Curation {
   def packGreedy(spark: SparkSession, dir: String): DataFrame =
     packGreedy(Tables.documents(spark, dir))
 
+  /** GROUPED greedy packing — the 100 TB form of [[packGreedy]]. The pure
+    * greedy fold is a single sequential chain per source; at corpus scale
+    * one hot source serializes the whole stage. Here each source's doc
+    * stream is cut into fixed-size GROUPS of `groupDocs` documents (by
+    * per-source rank, so the cut is data-independent and deterministic)
+    * and the first-fit fold runs independently inside every (source,
+    * group): sequential work is bounded at `groupDocs` docs regardless of
+    * corpus size, groups pack in parallel across executors, and a group
+    * boundary simply forces a chunk break — the only divergence from the
+    * global greedy, costing at most one partial chunk of padding per
+    * group. Chunk ids are (group, local-chunk) pairs flattened with a
+    * fixed stride so they stay globally ordered per source.
+    *
+    * Same mapPartitions discipline as [[packGreedy]]: repartition on the
+    * (source, grp) fold key + sorted within partitions, so per-group
+    * state never crosses an executor boundary. */
+  def packGreedyGrouped(docs: DataFrame, budget: Long = 512,
+                        groupDocs: Int = 100): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val toks = docs
+      .withColumn("norm", norm)
+      .select(col("source"), col("doc_id"),
+        size(split(col("norm"), " ")).cast("long").as("n_tokens"))
+    // per-source rank → group: a distributed partitioned sort, the one
+    // corpus-wide step, and it is windowed per source, never global
+    val ranked = toks.withColumn("grp",
+      expr(s"(row_number() OVER (PARTITION BY source ORDER BY doc_id ASC)" +
+        s" - 1) div $groupDocs").cast("long"))
+    val placed = ranked
+      .repartition(col("source"), col("grp"))
+      .sortWithinPartitions(col("source"), col("grp"), col("doc_id"))
+      .as[(String, Long, Long, Long)]
+      .mapPartitions { it =>
+        var curSource: String = null
+        var curGrp = -1L
+        var fill = 0L
+        var chunk = 0L
+        it.map { case (src, id, n, grp) =>
+          if (src != curSource || grp != curGrp) {
+            curSource = src; curGrp = grp; chunk = 0L; fill = 0L
+          }
+          if (fill > 0 && fill + n > budget) { chunk += 1L; fill = 0L }
+          fill += n
+          (src, grp, id, n, chunk)
+        }
+      }
+      .toDF("source", "grp", "doc_id", "n_tokens", "chunk_local")
+    placed
+      // stride = groupDocs: a group of g docs can open at most g chunks,
+      // so (grp * stride + local) is collision-free and source-ordered
+      .withColumn("chunk_id", col("grp") * groupDocs + col("chunk_local"))
+      .groupBy(col("source"), col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .withColumn("padding", greatest(lit(0L), lit(budget) - col("n_tokens")))
+      .orderBy(col("source").asc, col("chunk_id").asc)
+  }
+
+  def packGreedyGrouped(spark: SparkSession, dir: String): DataFrame =
+    packGreedyGrouped(Tables.documents(spark, dir))
+
   /** q127: token-budget allocation — "spend at most B tokens, best docs
     * first", the curation decision every mixture pipeline makes. Greedy
     * by (quality DESC, doc_id ASC), implemented the way it scales: a

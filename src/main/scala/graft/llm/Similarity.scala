@@ -252,6 +252,41 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
   }
 
+  /** Cluster-balanced curation sample — the diversity-preserving
+    * selection step of an embedding-aware data pipeline: assign every
+    * vector to its quantizer cell (same seed quantizer as the IVF index /
+    * cluster profile), join the document metadata on the shared id space,
+    * and keep the top-`k` docs PER CELL by quality — so the sample spans
+    * the embedding space instead of letting one dense region dominate,
+    * the standard fix for semantic redundancy in curated corpora.
+    *
+    * Scale shape: the quantizer join broadcasts the k-cell seed table;
+    * the per-cell ranking window partitions by cell (cell-sized frames,
+    * never corpus-wide); ties break on the exact integer triple
+    * (quality desc, n_tokens desc, doc_id asc), so the selection is
+    * deterministic and engine-portable. */
+  def clusterBalancedSample(embeddings: DataFrame, docs: DataFrame,
+                            k: Int = 5): DataFrame = {
+    val assigned = cellRanks(vecsNormed(embeddings), ivfSeeds(embeddings))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("slabel"))
+    val quality = TextStats.qualityScore(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val w = Window.partitionBy(col("slabel"))
+      .orderBy(col("quality").desc, col("n_tokens").desc, col("doc_id").asc)
+    assigned
+      .join(quality, assigned("vec_id") === quality("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("slabel"), col("rk"), col("doc_id"),
+        col("quality"), col("n_tokens"))
+      .orderBy(col("slabel").asc, col("rk").asc)
+  }
+
+  def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame =
+    clusterBalancedSample(Tables.embeddings(spark, dir),
+      Tables.documents(spark, dir))
+
   /** Sampled-k-means coarse quantizer — the centroid QUALITY upgrade over
     * [[ivfSeeds]], for engine-internal use (a better quantizer tightens
     * cells, so equal probe budgets recall more; the seed path stays the

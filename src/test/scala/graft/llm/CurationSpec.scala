@@ -207,6 +207,33 @@ class CurationSpec extends SparkSpecBase {
     assert(viol.count() === 0)
   }
 
+  test("grouped greedy packing: bounded chains, equals pure greedy at one group") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf)
+    val out = Curation.packGreedyGrouped(spark, sf).cache()
+    // conservation: same token total as the other packing spellings
+    assert(out.agg(sum("n_tokens")).head.getLong(0) ===
+      Curation.packSequences(spark, sf).agg(sum("n_tokens")).head.getLong(0))
+    // budget respected except single oversized docs
+    assert(out.filter(col("n_tokens") > 512 && col("n_docs") > 1).count() === 0)
+    // each group holds at most groupDocs docs and a group of g docs can
+    // open at most g chunks (so the stride-100 id layout never collides)
+    val perGroup = out.withColumn("grp", expr("chunk_id div 100"))
+      .groupBy("source", "grp")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_docs").as("docs_in_group"))
+    assert(perGroup.filter(col("docs_in_group") > 100).count() === 0)
+    assert(perGroup.filter(col("n_chunks") > col("docs_in_group")).count() === 0)
+    // with the group larger than any source, grouped == pure greedy
+    val one = Curation.packGreedyGrouped(docs, groupDocs = 1000000)
+      .select("source", "chunk_id", "n_docs", "n_tokens", "first_doc",
+        "last_doc", "padding")
+    // chunk ids differ by the stride layout only when multiple groups
+    // exist; at one group per source they coincide with pure greedy's
+    val pure = Curation.packGreedy(docs)
+    assert(one.exceptAll(pure).count() === 0)
+    assert(pure.exceptAll(one).count() === 0)
+  }
+
   test("budget allocation: kept tokens fit the budget and the greedy order is respected") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Tables.documents(spark, sf)

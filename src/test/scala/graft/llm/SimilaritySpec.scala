@@ -131,4 +131,32 @@ class SimilaritySpec extends SparkSpecBase {
       assert(c > -1.0001 && c <= 1.0001, s"cosine out of range: $c")
     }
   }
+
+  test("cluster-balanced sample: k per cell, quality-ordered, deterministic") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val docs = graft.core.Tables.documents(spark, sf)
+    val out = Similarity.clusterBalancedSample(emb, docs, k = 5).collect()
+    val byCell = out.groupBy(_.getAs[Int]("slabel"))
+    // every quantizer cell contributes, none more than k
+    assert(byCell.size ===
+      emb.select("label").distinct().count().toInt)
+    byCell.foreach { case (cell, rows) =>
+      assert(rows.length <= 5, s"cell $cell overfull")
+      // ranks dense from 1; quality non-increasing along the rank
+      assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq ===
+        (1 to rows.length).toSeq)
+      val ordered = rows.sortBy(_.getAs[Int]("rk"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Int]("quality") >= b.getAs[Int]("quality"))
+        case _ =>
+      }
+    }
+    // a doc appears at most once (cells partition the corpus)
+    val ids = out.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length === ids.length)
+    // deterministic: a rebuild returns the identical selection
+    val again = Similarity.clusterBalancedSample(emb, docs, k = 5).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
