@@ -28,7 +28,12 @@ import graft.core.Tables
 object SkewJoin {
 
   /** Exact inner equi-join `fact.factKey = dim.dimKey`, fact keys salted
-    * across `salts` sub-keys, dim replicated to match. */
+    * across `salts` sub-keys, dim replicated to match.
+    *
+    * Project the fact to the needed columns BEFORE calling this: the salt
+    * hashes the whole row (`struct(*)`), which pins every column of the
+    * input against Catalyst's column pruning — salting a pre-projected
+    * frame keeps the scan and the shuffle narrow. */
   def saltedJoin(fact: DataFrame, dim: DataFrame,
                  factKey: String, dimKey: String, salts: Int = 16): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
@@ -50,8 +55,13 @@ object SkewJoin {
   def brandRevenueSalted(spark: SparkSession, dir: String): DataFrame = {
     val discPrice = col("l_extendedprice").cast("decimal(18,2)") *
       (lit(1).cast("decimal(9,4)") - col("l_discount").cast("decimal(9,4)"))
-    saltedJoin(Tables.lineitem(spark, dir), Tables.part(spark, dir),
-        "l_partkey", "p_partkey", salts = 8)
+    // pre-projected: the salt hash pins whatever columns it sees, so the
+    // fact side must already be only (key, measures) — 3 columns shuffle
+    // instead of the full 16-column lineitem
+    val fact = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val dim = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    saltedJoin(fact, dim, "l_partkey", "p_partkey", salts = 8)
       .groupBy(col("p_brand"))
       .agg(sum(discPrice).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))

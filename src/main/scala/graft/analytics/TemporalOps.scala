@@ -455,26 +455,36 @@ object TemporalOps {
     * (any two rows tied at the boundary are interchangeable), so no
     * tiebreak column is needed for the sum to be deterministic.
     *
-    * Scale: exact trimming is a per-group sort — the honest cost, same
-    * contract as the exact-median family (q50). The groups here are the
-    * handful of return flags, each sorted in parallel by range partition;
-    * when groups are corpus-sized the scale path is approximate bounds
-    * (approx_percentile at the trim fractions) + a one-pass bounded
-    * aggregate, trading exactness for a sort-free plan. */
+    * Scale: computed on the VALUE HISTOGRAM, not the rows — one map-side-
+    * combinable groupBy((group, value)) collapses the corpus to
+    * |groups|×|distinct values| rows; the cumulative window and the
+    * rank-interval arithmetic then run on that tiny frame. A row at
+    * value v occupies ranks (cum−c, cum]; the kept band is (lo, n−lo];
+    * their overlap length is the kept count for v — exactly the rows a
+    * per-row row_number filter would keep, with no corpus-wide sort
+    * anywhere. (For continuous values the histogram degenerates to the
+    * row count and a per-group sort is the honest fallback.) */
   def trimmedMeans(li: DataFrame, trimPct: Int = 5): DataFrame = {
-    val v = li.select(col("l_returnflag"),
-      col("l_quantity").cast("long").as("q"))
+    val hist = li.select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("l_returnflag"), col("q"))
+      .agg(count(lit(1)).as("c"))
     val byQ = Window.partitionBy(col("l_returnflag")).orderBy(col("q").asc)
     val all = Window.partitionBy(col("l_returnflag"))
-    v.withColumn("rn", row_number().over(byQ))
-      .withColumn("n", count(lit(1)).over(all))
+    hist
+      .withColumn("cum", sum(col("c")).over(byQ))
+      .withColumn("n", sum(col("c")).over(all))
       .withColumn("lo", expr(s"n * $trimPct div 100"))
-      .filter(col("rn") > col("lo") && col("rn") <= col("n") - col("lo"))
+      // kept rows at this value = |(cum-c, cum] ∩ (lo, n-lo]|
+      .withColumn("kept_c",
+        greatest(lit(0L),
+          least(col("cum"), col("n") - col("lo")) -
+            greatest(col("cum") - col("c"), col("lo"))))
       .groupBy(col("l_returnflag"))
       .agg(
         max(col("n")).as("n_total"),
-        count(lit(1)).as("n_kept"),
-        sum(col("q")).as("kept_sum"))
+        sum(col("kept_c")).as("n_kept"),
+        sum(col("q") * col("kept_c")).as("kept_sum"))
       .withColumn("trimmed_mean_milli", expr("kept_sum * 1000 div n_kept"))
       .orderBy(col("l_returnflag").asc)
   }

@@ -91,6 +91,11 @@ object Sessions {
       // keeps such stages parallel while single-MB reduction outputs
       // still coalesce to one task.
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      // the generated-class cache defaults to 100 entries; a session
+      // running the whole 150+-query surface holds far more codegen
+      // units than that, and evictions mean re-Janino-compiling hot
+      // queries on every run
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     ensure(spark)

@@ -183,11 +183,15 @@ object TextStats {
     val termCounts = graft.core.Caches.scratch(
       words.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("cnt")))
-    val docLen = termCounts.groupBy(col("doc_id")).agg(sum(col("cnt")).as("len"))
+    // doc length as a doc-partitioned window over the term counts, not a
+    // separate aggregate + join back: one exchange of the corpus-sized
+    // frame instead of two (the window's partition is doc-sized)
+    val withLen = termCounts.withColumn("len",
+      sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
     val termDf = termCounts.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("ndocs"))
-    val scored = termCounts
-      .join(docLen, Seq("doc_id"))
+    val scored = withLen
       .join(termDf, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
