@@ -183,19 +183,30 @@ object StarQueries {
   /** Gini coefficient of the per-user listen distribution, in exact
     * integer parts-per-million: G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx) with
     * xᵢ ascending — the standard inequality measure over engagement (or
-    * any long-tailed corpus weight). Ranks come from a total-order
-    * window over the users-sized count table; every term is int64 and
-    * the single `div` makes the ppm value engine-exact. */
+    * any long-tailed corpus weight).
+    *
+    * Computed on the VALUE HISTOGRAM, never a corpus-wide rank: the
+    * ranks of a tied value form one consecutive run, so Σi over the run
+    * is c·cum_prev + c(c+1)/2 regardless of how the tie breaks — the
+    * per-row row_number spelling (the oracle) and this collapse are
+    * identical by construction. The single global window therefore runs
+    * over |distinct per-user counts| rows (hundreds), not users; all
+    * int64, one final `div`, engine-exact. */
   def giniPpm(spark: SparkSession, silver: DataFrame): DataFrame = {
     graft.core.Sessions.ensure(spark)
     val counts = silver.groupBy(col("user_id"))
       .agg(count(lit(1)).as("x"))
-    val w = Window.orderBy(col("x").asc, col("user_id").asc)
-    counts.withColumn("i", row_number().over(w))
+    val hist = counts.groupBy(col("x")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("x").asc)
+    hist
+      .withColumn("cum", sum(col("c")).over(w))
+      // Σ of the run's consecutive ranks (cum-c, cum]
+      .withColumn("run_sum_i",
+        expr("(cum - c) * c + (c * (c + 1)) div 2"))
       .agg(
-        count(lit(1)).as("n"),
-        sum(col("x")).as("sum_x"),
-        sum(col("i") * col("x")).as("sum_ix"))
+        sum(col("c")).as("n"),
+        sum(col("x") * col("c")).as("sum_x"),
+        sum(col("x") * col("run_sum_i")).as("sum_ix"))
       .select(
         col("n"), col("sum_x"),
         expr("(2 * sum_ix - (n + 1) * sum_x) * 1000000 div (n * sum_x)")
