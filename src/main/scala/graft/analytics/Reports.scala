@@ -486,11 +486,32 @@ object Reports {
   def rankDistributions(silver: DataFrame): DataFrame = {
     val counts = silver.groupBy(col("user_id"))
       .agg(count(lit(1)).as("listen_count"))
-    val w = Window.orderBy(col("listen_count").asc, col("user_id").asc)
-    counts.select(
-      col("user_id"), col("listen_count"),
-      percent_rank().over(w).as("pr"),
-      cume_dist().over(w).as("cd"))
+    // Global rank decomposed so no corpus-wide single-partition sort
+    // exists: under the unique total order (listen_count, user_id) the
+    // rank is (rows with smaller count) + (rank among the tied count);
+    // the former comes from a cumulative window over the VALUE HISTOGRAM
+    // (distinct-count-sized), the latter from a window partitioned by
+    // the tied value (tie-group-sized). percent_rank = (rank-1)/(n-1)
+    // and cume_dist = rank/n (every row is its own peer group under the
+    // unique order) then reproduce the builtin definitions exactly.
+    val hist = counts.groupBy(col("listen_count")).agg(count(lit(1)).as("c"))
+    val hw = Window.orderBy(col("listen_count").asc)
+    val cums = hist
+      .withColumn("cum_prev", sum(col("c")).over(hw) - col("c"))
+      .select(col("listen_count"), col("cum_prev"))
+    val total = counts.agg(count(lit(1)).as("n"))
+    val local = Window.partitionBy(col("listen_count"))
+      .orderBy(col("user_id").asc)
+    counts
+      .join(broadcast(cums), Seq("listen_count"))
+      .crossJoin(broadcast(total))
+      .withColumn("rank", col("cum_prev") + row_number().over(local))
+      .select(
+        col("user_id"), col("listen_count"),
+        when(col("n") === 1, lit(0.0))
+          .otherwise((col("rank") - 1).cast("double") / (col("n") - 1))
+          .as("pr"),
+        (col("rank").cast("double") / col("n")).as("cd"))
       .orderBy(col("user_id").asc)
   }
 
@@ -551,9 +572,28 @@ object Reports {
   def userQuartiles(silver: DataFrame): DataFrame = {
     val counts = silver.groupBy(col("user_id"))
       .agg(count(lit(1)).as("listen_count"))
-    val w = Window.orderBy(col("listen_count").desc, col("user_id").asc)
+    // ntile is pure arithmetic on the global rank (first n%k tiles get
+    // ceil(n/k) rows), and the rank decomposes exactly as in
+    // [[rankDistributions]]: histogram cumulative for the value part,
+    // tie-group window for the user part — no corpus-wide sort.
+    val hist = counts.groupBy(col("listen_count")).agg(count(lit(1)).as("c"))
+    val hw = Window.orderBy(col("listen_count").desc)
+    val cums = hist
+      .withColumn("cum_prev", sum(col("c")).over(hw) - col("c"))
+      .select(col("listen_count"), col("cum_prev"))
+    val total = counts.agg(count(lit(1)).as("n"))
+    val local = Window.partitionBy(col("listen_count"))
+      .orderBy(col("user_id").asc)
     counts
-      .withColumn("quartile", ntile(4).over(w))
+      .join(broadcast(cums), Seq("listen_count"))
+      .crossJoin(broadcast(total))
+      .withColumn("rank", col("cum_prev") + row_number().over(local))
+      .withColumn("quartile",
+        expr("""CASE WHEN rank <= (n % 4) * (n div 4 + 1)
+               |     THEN (rank - 1) div (n div 4 + 1) + 1
+               |     ELSE n % 4 + (rank - 1 - (n % 4) * (n div 4 + 1))
+               |          div (n div 4) + 1 END""".stripMargin)
+          .cast("int"))
       .groupBy(col("quartile"))
       .agg(
         count(lit(1)).as("users"),
