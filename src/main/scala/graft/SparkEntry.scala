@@ -416,6 +416,9 @@ object SparkEntry {
     //      quality — diversity-preserving selection across the embedding
     //      space (embeddings × documents on the shared id) ----
     "q156_cluster_sample"      -> ((s, d) => Similarity.clusterBalancedSample(s, d)),
+    // ---- asymmetric containment dedup (|A∩B|/|A| over shingle sets;
+    //      rare-shingle candidate generation, bounded fan-out) ----
+    "q157_containment_dups"    -> ((s, d) => TextDedup.containmentDups(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -3060,5 +3063,48 @@ object SparkEntry {
          |SELECT slabel, rk, doc_id, quality, n_tokens
          |FROM rk WHERE rk <= 5
          |ORDER BY slabel ASC, rk ASC""".stripMargin,
+    // q157: same 3-word shingles as the minhash family; candidates from
+    // shared shingles with df in [2, 64]; exact intersection count via a
+    // shingle-keyed join; direction = smaller set (tie → lower id). All
+    // COUNT-derived BIGINTs — no HUGEINT anywhere.
+    "q157_containment_dups" ->
+      s"""WITH nd AS (
+         |  SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(1, len(w) - 1),
+         |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
+         |  FROM nd WHERE len(w) >= 3),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |rare AS (
+         |  SELECT shingle FROM (
+         |    SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+         |  WHERE df BETWEEN 2 AND 64),
+         |rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM rsh a JOIN rsh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2),
+         |d AS (
+         |  SELECT it.doc_a, it.doc_b, it.shared, sa.n AS na, sb.n AS nb
+         |  FROM inter it
+         |  JOIN sizes sa ON sa.doc_id = it.doc_a
+         |  JOIN sizes sb ON sb.doc_id = it.doc_b)
+         |SELECT CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS contained_id,
+         |       CASE WHEN na <= nb THEN doc_b ELSE doc_a END AS container_id,
+         |       CAST(LEAST(na, nb) AS BIGINT) AS n_contained,
+         |       CAST(GREATEST(na, nb) AS BIGINT) AS n_container,
+         |       CAST(shared AS BIGINT) AS shared,
+         |       CAST(shared * 1000000 // LEAST(na, nb) AS BIGINT)
+         |         AS containment_ppm
+         |FROM d
+         |WHERE shared * 1000000 // LEAST(na, nb) >= 800000
+         |ORDER BY contained_id ASC, container_id ASC""".stripMargin,
   )
 }

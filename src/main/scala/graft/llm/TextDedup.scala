@@ -297,6 +297,71 @@ object TextDedup {
   def ngramJaccardDups(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardDups(Tables.documents(spark, dir))
 
+  // ----------------------------------------------------------- containment
+
+  val ContainMinPpm = 800000L  // |A∩B| / |A| threshold (ppm)
+  val ContainDfCap = 64        // candidate shingles must be this rare
+
+  /** ASYMMETRIC containment near-dup — |A∩B| / |A| with A the smaller
+    * shingle set. The symmetric families (minhash/Jaccard q27/q29) are
+    * blind to inclusion: a paragraph quoted inside a much larger doc has
+    * tiny Jaccard but containment ≈ 1, and shipping both the quote and
+    * the quoting doc to training double-counts the text. This operator
+    * emits (contained, container) pairs above a ppm threshold.
+    *
+    * Scale shape: candidates come from SHARED RARE SHINGLES — a shingle
+    * appearing in 2..[[ContainDfCap]] docs pairs the docs that share it,
+    * so per-shingle fan-out is df² ≤ cap² and corpus-frequent shingles
+    * (boilerplate) never generate pairs; this is the deterministic,
+    * oracle-replicable stand-in for LSH candidate generation, and it is
+    * exact for any pair sharing at least one sub-cap shingle (a contained
+    * doc whose every shingle is boilerplate-frequent is by definition not
+    * distinctive content). Verification counts the exact intersection by
+    * a shingle-keyed join restricted to candidate pairs; all integers,
+    * one final `div`. */
+  def containmentDups(docs: DataFrame, minPpm: Long = ContainMinPpm,
+                      dfCap: Int = ContainDfCap): DataFrame = {
+    val sh = graft.core.Caches.scratch(shingles(docs, MinhashK))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+      .select(col("shingle"))
+    val rsh = sh.join(rare, Seq("shingle"))
+    val cand = rsh.as("a").join(rsh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sh.as("sb"), col("sb.doc_id") === col("doc_b") &&
+        col("sb.shingle") === col("sa.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        Seq("doc_b"))
+      // direction: the smaller set is the containment candidate; ties
+      // resolve to the lower id (doc_a, by candidate construction)
+      .withColumn("contained_id",
+        when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b")))
+      .withColumn("container_id",
+        when(col("n_a") <= col("n_b"), col("doc_b")).otherwise(col("doc_a")))
+      .withColumn("n_contained", least(col("n_a"), col("n_b")))
+      .withColumn("n_container", greatest(col("n_a"), col("n_b")))
+      .withColumn("containment_ppm",
+        expr("shared * 1000000 div n_contained"))
+      .filter(col("containment_ppm") >= minPpm)
+      .select(col("contained_id"), col("container_id"), col("n_contained"),
+        col("n_container"), col("shared"), col("containment_ppm"))
+      .orderBy(col("contained_id").asc, col("container_id").asc)
+  }
+
+  def containmentDups(spark: SparkSession, dir: String): DataFrame =
+    containmentDups(Tables.documents(spark, dir))
+
   // ------------------------------------------------- winnowed fingerprints
 
   val WinnowK = 10       // rolling-hash window (bytes; expression's exact-int64 max)

@@ -246,4 +246,45 @@ class TextDedupSpec extends SparkSpecBase {
     val out = TextDedup.incrementalDedup(fixture).collect()
     assert(out.length === 1 && out.head.getBoolean(2))
   }
+
+  test("containment: a quoted paragraph is caught even at tiny jaccard") {
+    import spark.implicits._
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    // container: the quote embedded in 10x unrelated distinctive text —
+    // jaccard(quote, container) is tiny but containment is 1.0
+    val filler = (0 until 100)
+      .map(i => s"unique$i filler$i token$i").mkString(" ")
+    val fixture = Seq(
+      (1L, quote, "en", "a", quote.length.toLong),
+      (2L, s"$filler $quote", "en", "b", 1000L),
+      (3L, "completely different words entirely here now", "en", "c", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextDedup.containmentDups(fixture).collect()
+    assert(out.length === 1, s"expected exactly the planted pair, got ${out.toSeq}")
+    val r = out.head
+    assert(r.getAs[Long]("contained_id") === 1L)
+    assert(r.getAs[Long]("container_id") === 2L)
+    assert(r.getAs[Long]("containment_ppm") === 1000000L,
+      "full inclusion must score exactly 1.0")
+    // sanity: the symmetric jaccard of the planted pair IS tiny — the
+    // pair exists only because containment is asymmetric
+    val nSmall = r.getAs[Long]("n_contained")
+    val nLarge = r.getAs[Long]("n_container")
+    val shared = r.getAs[Long]("shared")
+    assert(shared * 1000000 / (nSmall + nLarge - shared) < 200000,
+      "fixture failed to make jaccard small; test is not probing asymmetry")
+  }
+
+  test("containment direction is deterministic on equal-size sets") {
+    import spark.implicits._
+    val text = "one two three four five six seven eight"
+    val fixture = Seq(
+      (7L, text, "en", "a", 40L),
+      (9L, text, "en", "b", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextDedup.containmentDups(fixture).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("contained_id") === 7L, "tie must go to lower id")
+    assert(out.head.getAs[Long]("container_id") === 9L)
+  }
 }
