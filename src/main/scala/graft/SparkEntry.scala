@@ -419,6 +419,9 @@ object SparkEntry {
     // ---- asymmetric containment dedup (|A∩B|/|A| over shingle sets;
     //      rare-shingle candidate generation, bounded fan-out) ----
     "q157_containment_dups"    -> ((s, d) => TextDedup.containmentDups(s, d)),
+    // ---- cross-split leakage census: near-dup pairs straddling the
+    //      train/val/test boundary (eval-contamination audit) ----
+    "q158_split_leakage"       -> ((s, d) => Curation.splitLeakage(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -459,7 +462,31 @@ object SparkEntry {
     (mins, bands)
   }
 
-  private def minhashOracle: String = {
+  /** q158: the q27 pair machinery wrapped in a split census — pairs CTE
+    * text shared via [[minhashPairSql]] so the two oracles cannot drift. */
+  private def splitLeakageOracle: String =
+    s"""$minhashPairSql,
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80 THEN 'train'
+       |         WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |lab AS (
+       |  SELECT LEAST(pa.split, pb.split) AS split_lo,
+       |         GREATEST(pa.split, pb.split) AS split_hi,
+       |         p.doc_a
+       |  FROM pairs p
+       |  JOIN sp pa ON pa.doc_id = p.doc_a
+       |  JOIN sp pb ON pb.doc_id = p.doc_b)
+       |SELECT split_lo, split_hi, split_lo <> split_hi AS is_leak,
+       |       COUNT(*) AS n_pairs, MIN(doc_a) AS first_doc_a
+       |FROM lab GROUP BY 1, 2
+       |ORDER BY split_lo ASC, split_hi ASC""".stripMargin
+
+  /** The q27 minhash near-dup pairs as an open WITH-clause (ends in a
+    * `pairs` CTE) so census oracles can build on the identical pair set. */
+  private def minhashPairSql: String = {
     import graft.llm.TextDedup.MinhashP
     val (mins, bands) = minhashCtes
     s"""WITH nd AS (
@@ -489,15 +516,20 @@ object SparkEntry {
        |  FROM cand c
        |  JOIN sh sa ON sa.doc_id = c.doc_a
        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-       |  GROUP BY 1, 2)
-       |SELECT it.doc_a, it.doc_b,
-       |       CAST(it.icnt AS DOUBLE) / (sa.n + sb.n - it.icnt) AS jaccard
-       |FROM inter it
-       |JOIN sizes sa ON sa.doc_id = it.doc_a
-       |JOIN sizes sb ON sb.doc_id = it.doc_b
-       |WHERE CAST(it.icnt AS DOUBLE) / (sa.n + sb.n - it.icnt) >= 0.8
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT it.doc_a, it.doc_b,
+       |         CAST(it.icnt AS DOUBLE) / (sa.n + sb.n - it.icnt) AS jaccard
+       |  FROM inter it
+       |  JOIN sizes sa ON sa.doc_id = it.doc_a
+       |  JOIN sizes sb ON sb.doc_id = it.doc_b
+       |  WHERE CAST(it.icnt AS DOUBLE) / (sa.n + sb.n - it.icnt) >= 0.8)""".stripMargin
   }
+
+  private def minhashOracle: String =
+    s"""$minhashPairSql
+       |SELECT doc_a, doc_b, jaccard FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q76: same minhash family, ONE-SIDED candidate join (incoming % 5 = 0
     * vs existing), per-incoming verdict. */
@@ -3106,5 +3138,6 @@ object SparkEntry {
          |FROM d
          |WHERE shared * 1000000 // LEAST(na, nb) >= 800000
          |ORDER BY contained_id ASC, container_id ASC""".stripMargin,
+    "q158_split_leakage" -> splitLeakageOracle,
   )
 }

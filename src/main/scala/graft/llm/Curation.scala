@@ -34,6 +34,41 @@ object Curation {
         .otherwise(lit("test")))
   }
 
+  /** q158: CROSS-SPLIT LEAKAGE census — near-dup pairs that straddle the
+    * train/val/test boundary. A random-ish hash split assigns near-
+    * duplicate documents independently, so some twins land with one copy
+    * in train and one in test: the eval set then "grades" memorization.
+    * This is the standard decontamination audit run BEFORE publishing a
+    * split; the fix (e.g. splitting by q60's dup-cluster id instead of
+    * doc id) starts from exactly this census.
+    *
+    * Composes the banded minhash pair generation (q27 — never all-pairs)
+    * with the q52 hash split; everything after is a 3×3-key census, so
+    * the whole operator costs one extra broadcast-sized join over the
+    * near-dup pass. */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val pairs = TextDedup.minhashNearDups(docs)
+    val splits = withSplit(docs).select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+        Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+        Seq("doc_b"))
+      .withColumn("split_lo", least(col("sa"), col("sb")))
+      .withColumn("split_hi", greatest(col("sa"), col("sb")))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        min(col("doc_a")).as("first_doc_a"))
+      .withColumn("is_leak", col("split_lo") =!= col("split_hi"))
+      .select(col("split_lo"), col("split_hi"), col("is_leak"),
+        col("n_pairs"), col("first_doc_a"))
+      .orderBy(col("split_lo").asc, col("split_hi").asc)
+  }
+
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakage(Tables.documents(spark, dir))
+
   /** Split audit: docs and chars per (split, lang) — the report a pipeline
     * checks before training to confirm the split is balanced per stratum. */
   def trainSplitSummary(docs: DataFrame): DataFrame =

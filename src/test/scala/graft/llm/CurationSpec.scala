@@ -234,6 +234,26 @@ class CurationSpec extends SparkSpecBase {
     assert(pure.exceptAll(one).count() === 0)
   }
 
+  test("split leakage: pair census is consistent with the near-dup pass") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf)
+    val out = Curation.splitLeakage(spark, sf).collect()
+    // census total == total near-dup pairs (nothing dropped or doubled)
+    val totalPairs = graft.llm.TextDedup.minhashNearDups(docs).count()
+    assert(out.map(_.getAs[Long]("n_pairs")).sum === totalPairs)
+    // is_leak is exactly the off-diagonal predicate
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("is_leak") ===
+        (r.getAs[String]("split_lo") != r.getAs[String]("split_hi")))
+    }
+    // split keys come from the fixed domain, canonically ordered
+    val dom = Set("train", "val", "test")
+    out.foreach { r =>
+      assert(dom(r.getAs[String]("split_lo")) && dom(r.getAs[String]("split_hi")))
+      assert(r.getAs[String]("split_lo") <= r.getAs[String]("split_hi"))
+    }
+  }
+
   test("budget allocation: kept tokens fit the budget and the greedy order is respected") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Tables.documents(spark, sf)
