@@ -422,6 +422,9 @@ object SparkEntry {
     // ---- cross-split leakage census: near-dup pairs straddling the
     //      train/val/test boundary (eval-contamination audit) ----
     "q158_split_leakage"       -> ((s, d) => Curation.splitLeakage(s, d)),
+    // ---- leakage-FREE split: hash keyed by dup-cluster id so twins
+    //      travel together; straddle count derived as zero ----
+    "q159_cluster_split"       -> ((s, d) => Curation.clusterSplit(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -3139,5 +3142,43 @@ object SparkEntry {
          |WHERE shared * 1000000 // LEAST(na, nb) >= 800000
          |ORDER BY contained_id ASC, container_id ASC""".stripMargin,
     "q158_split_leakage" -> splitLeakageOracle,
+    // q159: q78's recursive closure, split keyed by COALESCE(cluster_id,
+    // doc_id); the straddle count is DERIVED zero on both sides (each
+    // engine runs its own clustering + split), not a literal.
+    "q159_cluster_split" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashOracle
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r
+         |  JOIN edges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src),
+         |lab AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |keyed AS (
+         |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS ckey
+         |  FROM documents d LEFT JOIN lab l USING (doc_id)),
+         |s AS (
+         |  SELECT doc_id, ckey,
+         |    CASE WHEN CAST('0x' || substr(md5('split:' || CAST(ckey AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80 THEN 'train'
+         |         WHEN CAST('0x' || substr(md5('split:' || CAST(ckey AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM keyed),
+         |crossed AS (
+         |  SELECT CAST(COALESCE(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0)
+         |         AS BIGINT) AS clusters_split_across
+         |  FROM (SELECT ckey, COUNT(DISTINCT split) AS ns FROM s GROUP BY 1))
+         |SELECT split, COUNT(*) AS n_docs,
+         |       COUNT(DISTINCT ckey) AS n_clusters, clusters_split_across
+         |FROM s CROSS JOIN crossed
+         |GROUP BY split, clusters_split_across
+         |ORDER BY split ASC""".stripMargin,
   )
 }

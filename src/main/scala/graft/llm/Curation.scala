@@ -69,6 +69,51 @@ object Curation {
   def splitLeakage(spark: SparkSession, dir: String): DataFrame =
     splitLeakage(Tables.documents(spark, dir))
 
+  /** q159: LEAKAGE-FREE split — the fix for the hazard q158 reports.
+    * Documents are split by the hash of their DUP-CLUSTER id (canonical
+    * doc id; singletons key on themselves), so every member of a
+    * duplicate cluster lands in the same split by construction and no
+    * near-dup pair can straddle train/test. The census emits per-split
+    * doc/cluster counts plus the straddling-cluster count, which both
+    * engines must derive as zero from their own pipelines (a computed
+    * invariant, not a literal).
+    *
+    * Scale: the cluster frame is pair-graph-sized and broadcasts onto
+    * the corpus (same shape as the keep-list join); the split is the
+    * usual shuffle-free hash rule, just keyed one level up. */
+  def clusterSplit(docs: DataFrame, trainPct: Int = 80,
+                   valPct: Int = 10): DataFrame =
+    clusterSplitOf(DupClusters.dedupKeepList(docs), trainPct, valPct)
+
+  /** [[clusterSplit]] over an already-resolved keep list (the
+    * (spark, dir) path reuses the memoized cluster frame). */
+  private def clusterSplitOf(keep: DataFrame, trainPct: Int,
+                             valPct: Int): DataFrame = {
+    val keyed = keep
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("ckey"))
+    val bucket = h60(concat(lit("split:"), col("ckey").cast("string"))) % 100
+    val labeled = keyed.withColumn("split",
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+    val crossed = labeled.groupBy(col("ckey"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .agg(sum(when(col("n_splits") > 1, 1L).otherwise(0L))
+        .as("clusters_split_across"))
+    labeled
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("ckey")).as("n_clusters"))
+      .crossJoin(broadcast(crossed))
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        col("clusters_split_across"))
+      .orderBy(col("split").asc)
+  }
+
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame =
+    clusterSplitOf(DupClusters.dedupKeepList(spark, dir), 80, 10)
+
   /** Split audit: docs and chars per (split, lang) — the report a pipeline
     * checks before training to confirm the split is balanced per stratum. */
   def trainSplitSummary(docs: DataFrame): DataFrame =

@@ -254,6 +254,32 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("cluster split: no cluster straddles; doc total conserved") {
+    import org.apache.spark.sql.functions._
+    val out = Curation.clusterSplit(spark, sf).collect()
+    val docs = graft.core.Tables.documents(spark, sf)
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    out.foreach(r => assert(r.getAs[Long]("clusters_split_across") === 0L,
+      "cluster-keyed split must never separate a cluster"))
+    // the q158 hazard is gone under cluster keying: rebuild the per-doc
+    // split labels the same way and check every near-dup pair agrees
+    val keyed = graft.llm.DupClusters.dedupKeepList(spark, sf)
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("ckey"))
+    val bucket = conv(substring(
+      md5(concat(lit("split:"), col("ckey").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 100
+    val labels = keyed.withColumn("split",
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+    val pairs = graft.llm.TextDedup.minhashNearDups(docs)
+    val straddling = pairs
+      .join(labels.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(labels.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(straddling.count() === 0,
+      "a near-dup pair crossed the split despite cluster keying")
+  }
+
   test("budget allocation: kept tokens fit the budget and the greedy order is respected") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Tables.documents(spark, sf)
