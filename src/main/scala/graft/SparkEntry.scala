@@ -3099,9 +3099,10 @@ object SparkEntry {
          |FROM rk WHERE rk <= 5
          |ORDER BY slabel ASC, rk ASC""".stripMargin,
     // q157: same 3-word shingles as the minhash family; candidates from
-    // shared shingles with df in [2, 64]; exact intersection count via a
-    // shingle-keyed join; direction = smaller set (tie → lower id). All
-    // COUNT-derived BIGINTs — no HUGEINT anywhere.
+    // shared shingles with df in [2, 64], gated at >= 8 shared rare
+    // shingles (support gate mirrors TextDedup.ContainMinShared); exact
+    // intersection count via a shingle-keyed join; direction = smaller
+    // set (tie → lower id). All COUNT-derived BIGINTs — no HUGEINT.
     "q157_containment_dups" ->
       s"""WITH nd AS (
          |  SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
@@ -3117,9 +3118,10 @@ object SparkEntry {
          |  WHERE df BETWEEN 2 AND 64),
          |rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
          |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM rsh a JOIN rsh b
-         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 8),
          |inter AS (
          |  SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
          |  FROM cand c

@@ -299,8 +299,9 @@ object TextDedup {
 
   // ----------------------------------------------------------- containment
 
-  val ContainMinPpm = 800000L  // |A∩B| / |A| threshold (ppm)
-  val ContainDfCap = 64        // candidate shingles must be this rare
+  val ContainMinPpm = 800000L   // |A∩B| / |A| threshold (ppm)
+  val ContainDfCap = 64         // candidate shingles must be this rare
+  val ContainMinShared = 8      // rare shingles a pair must share to verify
 
   /** ASYMMETRIC containment near-dup — |A∩B| / |A| with A the smaller
     * shingle set. The symmetric families (minhash/Jaccard q27/q29) are
@@ -312,15 +313,19 @@ object TextDedup {
     * Scale shape: candidates come from SHARED RARE SHINGLES — a shingle
     * appearing in 2..[[ContainDfCap]] docs pairs the docs that share it,
     * so per-shingle fan-out is df² ≤ cap² and corpus-frequent shingles
-    * (boilerplate) never generate pairs; this is the deterministic,
-    * oracle-replicable stand-in for LSH candidate generation, and it is
-    * exact for any pair sharing at least one sub-cap shingle (a contained
-    * doc whose every shingle is boilerplate-frequent is by definition not
-    * distinctive content). Verification counts the exact intersection by
-    * a shingle-keyed join restricted to candidate pairs; all integers,
-    * one final `div`. */
+    * (boilerplate) never generate pairs. Pairs must share at least
+    * [[ContainMinShared]] rare shingles before the exact verify runs —
+    * the same candidate-support gate as winnowing's MinSharedFps, and
+    * the step that keeps verification linear: a genuinely contained doc
+    * shares most of its shingle set (sf0.1: 1.13 M single-shingle
+    * collisions vs 256 pairs with support ≥ 8 — the gate is 4000× on
+    * verify input), while a doc distinctive only below that support has
+    * no containment story to find. Verification counts the exact
+    * intersection by a shingle-keyed join restricted to gated pairs; all
+    * integers, one final `div`. */
   def containmentDups(docs: DataFrame, minPpm: Long = ContainMinPpm,
-                      dfCap: Int = ContainDfCap): DataFrame = {
+                      dfCap: Int = ContainDfCap,
+                      minShared: Int = ContainMinShared): DataFrame = {
     val sh = graft.core.Caches.scratch(shingles(docs, MinhashK))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -330,8 +335,10 @@ object TextDedup {
     val cand = rsh.as("a").join(rsh.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("rare_shared"))
+      .filter(col("rare_shared") >= minShared)
+      .select(col("doc_a"), col("doc_b"))
     val inter = cand
       .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
       .join(sh.as("sb"), col("sb.doc_id") === col("doc_b") &&

@@ -277,10 +277,11 @@ class TextDedupSpec extends SparkSpecBase {
 
   test("containment direction is deterministic on equal-size sets") {
     import spark.implicits._
-    val text = "one two three four five six seven eight"
+    // 12 words -> 10 shingles, above the >=8 shared-rare support gate
+    val text = "one two three four five six seven eight nine ten eleven twelve"
     val fixture = Seq(
-      (7L, text, "en", "a", 40L),
-      (9L, text, "en", "b", 40L))
+      (7L, text, "en", "a", 62L),
+      (9L, text, "en", "b", 62L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val out = TextDedup.containmentDups(fixture).collect()
     assert(out.length === 1)
