@@ -195,4 +195,49 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.contains("WindowGroupLimit"),
       s"rank-limit pushdown missing in:\n$plan")
   }
+
+  test("containment dedup: keyed joins only, no cartesian/NLJ") {
+    val plan = graft.llm.TextDedup
+      .containmentDups(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"all-pairs join leaked into the containment plan:\n$plan")
+  }
+
+  test("cluster-balanced sample: quantizer seeds broadcast, top-k rank-limited") {
+    val plan = graft.llm.Similarity
+      .clusterBalancedSample(Tables.embeddings(spark, sf),
+        Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    // the seed side must come in as a broadcast (the quantizer crossJoin
+    // over a k-row seed table renders as a broadcast NLJ — that IS the
+    // intended plan; what must never appear is an unbroadcast cartesian)
+    assert(plan.contains("BroadcastExchange"),
+      s"seed table not broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"unbroadcast cartesian in the sample plan:\n$plan")
+    // per-cell top-k must rank-limit before the shuffle
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing in:\n$plan")
+  }
+
+  test("rank decomposition: ntile/percent_rank builtins are gone from the plans") {
+    // the histogram rewrite replaces the corpus-wide ranking builtins
+    // with closed-form arithmetic: the plans must contain NO ntile /
+    // percent_rank / cume_dist applications (their windowspecs were the
+    // single-partition users-sized sorts), and the remaining row_number
+    // must ride the tie-group partitioning on the value column. The
+    // SinglePartition exchanges still present feed histogram-sized
+    // frames (distinct count values) — that is the design.
+    val silver = EventsPipeline.silver(spark, sf)
+    for (df <- Seq(graft.analytics.Reports.userQuartiles(silver),
+                   graft.analytics.Reports.rankDistributions(silver))) {
+      val plan = df.queryExecution.executedPlan.toString
+      for (fn <- Seq("ntile(", "percent_rank(", "cume_dist("))
+        assert(!plan.contains(fn),
+          s"$fn builtin resurfaced (global ranking window) in:\n$plan")
+      assert(plan.contains("hashpartitioning(listen_count"),
+        s"tie-group window lost its value partitioning in:\n$plan")
+    }
+  }
 }
