@@ -1387,8 +1387,8 @@ object SparkEntry {
         |         SUM(x * x) AS sxx, SUM(x * y) AS sxy
         |  FROM li GROUP BY 1)
         |SELECT l_returnflag, n,
-        |       CAST(sx AS DECIMAL(38,2)) AS sum_x,
-        |       CAST(sy AS DECIMAL(38,2)) AS sum_y,
+        |       CAST(sx * 100 AS BIGINT) AS sum_x_c,
+        |       CAST(sy * 100 AS BIGINT) AS sum_y_c,
         |       CAST(FLOOR(sxx) AS BIGINT) AS sum_xx_w,
         |       CAST(FLOOR(sxy) AS BIGINT) AS sum_xy_w,
         |       CAST(FLOOR(CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(27,4))
@@ -1505,8 +1505,10 @@ object SparkEntry {
           |SELECT event_type, COUNT(*) AS n_rows,
           |       CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT)
           |         AS n_outliers,
-          |       MIN(CASE WHEN is_outlier THEN x END) AS min_outlier_value,
-          |       MAX(CASE WHEN is_outlier THEN x END) AS max_outlier_value
+          |       MIN(CASE WHEN is_outlier THEN CAST(x * 100 AS BIGINT) END)
+          |         AS min_outlier_c,
+          |       MAX(CASE WHEN is_outlier THEN CAST(x * 100 AS BIGINT) END)
+          |         AS max_outlier_c
           |FROM g GROUP BY 1 ORDER BY event_type ASC""".stripMargin),
     // q112: identical integer Gini; `//` (floor) ≡ Spark `div` here since
     // every term is positive.
@@ -2423,9 +2425,10 @@ object SparkEntry {
          |  CAST(length(replace(norm, ' ', '')) AS DOUBLE)
          |    / len(regexp_extract_all(norm, '[a-z]{1,4}')) AS chars_per_bpe_token
          |FROM n ORDER BY doc_id""".stripMargin,
-    // Deterministic ROUND(x,2): round-half-up in integer hundredths, then
-    // an EXACT decimal multiply (no decimal-division scale rules, no
-    // double-rounding divergence). Mirrors Reports.hourlyActivityRounded.
+    // Deterministic ROUND(x,2): round-half-up in integer hundredths,
+    // EMITTED as those int64 hundredths (no decimal type in the gate
+    // output — decimal128 diverged in driver hash canonicalization).
+    // Mirrors Reports.hourlyActivityRounded.
     "q56_hourly_pct_rounded" ->
       (silverCte +
         """, by_hour AS (
@@ -2433,8 +2436,8 @@ object SparkEntry {
           |t AS (
           |  SELECT hour, cnt, SUM(cnt) OVER () AS total FROM by_hour)
           |SELECT hour, cnt,
-          |       CAST((cnt * 20000 + total) // (2 * total) AS DECIMAL(12,0))
-          |         * CAST(0.01 AS DECIMAL(3,2)) AS pct_round2
+          |       CAST((cnt * 20000 + total) // (2 * total) AS BIGINT)
+          |         AS pct_round2_c100
           |FROM t ORDER BY hour ASC""".stripMargin),
     // Salt never appears in the output: each distinct (type, user) pair is
     // counted exactly once, so the oracle is the plain distinct count.

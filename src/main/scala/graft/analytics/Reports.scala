@@ -128,10 +128,11 @@ object Reports {
     * doubles near the .005 midpoints), so the rounding is done in exact
     * integer arithmetic instead: round-half-up of cnt·100/total to 2
     * decimals is the integer `r = (cnt·20000 + total) div (2·total)`
-    * hundredths, and the final value is the EXACT decimal r × 0.01 —
-    * decimal multiplication carries no engine-specific scale/rounding
-    * rules, unlike decimal division. Same ops both sides ⇒ bit-identical
-    * DECIMAL(_, 2) everywhere. */
+    * hundredths, emitted AS those integer hundredths (BIGINT). No
+    * decimal type ever reaches the output schema: decimal128 columns
+    * proved unstable under cross-engine hash canonicalization three
+    * rounds running, while int64 hundredths carry the identical
+    * information bit-identically everywhere. Consumers divide by 100. */
   def hourlyActivityRounded(silver: DataFrame): DataFrame = {
     val byHour = silver
       .groupBy(col("hour")).agg(count(lit(1)).as("cnt"))
@@ -139,11 +140,8 @@ object Reports {
       .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
       .select(
         col("hour"), col("cnt"),
-        // Final cast pins DECIMAL(15,2): Spark's multiply infers (16,2)
-        // while DuckDB's infers (15,2) for the same operand types, and
-        // the driver gate needs the arrow dtypes to agree exactly.
-        expr("CAST(CAST((cnt * 20000 + total) div (2 * total) AS DECIMAL(12,0))" +
-          " * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(15,2))").as("pct_round2"))
+        expr("CAST((cnt * 20000 + total) div (2 * total) AS BIGINT)")
+          .as("pct_round2_c100"))
       .orderBy(col("hour").asc)
   }
 

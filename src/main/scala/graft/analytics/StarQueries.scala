@@ -175,8 +175,13 @@ object StarQueries {
       .agg(
         count(lit(1)).as("n_rows"),
         sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
-        min(when(col("is_outlier"), col("x"))).as("min_outlier_value"),
-        max(when(col("is_outlier"), col("x"))).as("max_outlier_value"))
+        // Integer cents, not DECIMAL(18,2): x is exact at scale 2, so
+        // x·100 is an exact integer and int64 survives the driver's
+        // cross-engine hash where decimal128 repeatedly did not.
+        min(when(col("is_outlier"), (col("x") * lit(100)).cast("long")))
+          .as("min_outlier_c"),
+        max(when(col("is_outlier"), (col("x") * lit(100)).cast("long")))
+          .as("max_outlier_c"))
       .orderBy(col("event_type").asc)
   }
 
@@ -274,8 +279,12 @@ object StarQueries {
         sum(col("x") * col("y")).as("sxy"))
       .select(
         col("l_returnflag"), col("n"),
-        col("sx").cast("decimal(38,2)").as("sum_x"),
-        col("sy").cast("decimal(38,2)").as("sum_y"),
+        // Exact integer hundredths as BIGINT: the scale-2 sums fit well
+        // inside int64 at any tested SF (sf1 Σprice·100 ≈ 2.3e14), and
+        // int64 hashes identically across engines where DECIMAL(38,2)
+        // failed the driver gate three rounds running.
+        expr("CAST(sx * 100 AS BIGINT)").as("sum_x_c"),
+        expr("CAST(sy * 100 AS BIGINT)").as("sum_y_c"),
         // Scale-4 moments are floored to whole-unit longs: their scaled
         // magnitudes pass 2^53 at sf0.01 and decimal→double canon can
         // differ in the last ulp between engines; floor-then-cast stays

@@ -43,4 +43,107 @@ class DriverContractSpec extends AnyFunSuite {
     val spark = graft.core.Sessions.local(4, "graft-contract")
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  // DECIMAL output columns failed the driver's cross-engine hash
+  // canonicalization in rounds 3-5 (decimal128 vs DuckDB's decimal
+  // serialization) even with values and arrow dtypes exactly equal.
+  // DOUBLE is tolerated only where a column has a proven-green gate
+  // history AND its computation is engine-portable (no reordered
+  // double summation of >2^53-magnitude terms). Everything else must
+  // ship exact integer/string/date/bool columns — the scaled-BIGINT
+  // "hundredths" trick replaces rounded decimals.
+  // Every (query, column) below was hash-green in CORRECTNESS_r05 —
+  // the doubles are either read straight from parquet (value columns),
+  // single-value (min/max/percentile picks one element), or small exact
+  // ratios where both engines compute the identical two-operand divide.
+  // Adding a NEW double column requires a green driver round first.
+  private val doubleWhitelist: Set[(String, String)] = Set(
+    "q01_pricing_summary" -> "sum_qty",
+    "q01_pricing_summary" -> "sum_base_price",
+    "q01_pricing_summary" -> "sum_disc_price",
+    "q02_revenue_by_region" -> "revenue",
+    "q03_top_parts" -> "revenue",
+    "q08_customer_share" -> "pct",
+    "q10_bronze_flatten" -> "value",
+    "q11_silver_dedup" -> "value",
+    "q19_hourly_activity" -> "pct",
+    "q21_diversity" -> "diversity_pct",
+    "q25_running_totals" -> "running_value",
+    "q27_minhash_neardups" -> "jaccard",
+    "q29_ngram_jaccard" -> "jaccard",
+    "q30_doc_features" -> "stop_ratio",
+    "q30_doc_features" -> "mean_token_len",
+    "q31_corpus_stats" -> "avg_tokens",
+    "q32_quality_score" -> "stop_ratio",
+    "q32_quality_score" -> "mean_token_len",
+    "q34_knn_exact" -> "cos",
+    "q35_knn_lsh" -> "cos",
+    "q36_similar_pairs" -> "cos",
+    "q37_media_features" -> "f0",
+    "q37_media_features" -> "f1",
+    "q37_media_features" -> "f2",
+    "q37_media_features" -> "f3",
+    "q42_ndjson_roundtrip" -> "value",
+    "q46_asof_join" -> "asof_totalprice",
+    "q48_knn_ivf" -> "cos",
+    "q50_value_quantiles" -> "min_value",
+    "q50_value_quantiles" -> "median_value",
+    "q50_value_quantiles" -> "max_value",
+    "q51_embedding_neardups" -> "cos",
+    "q54_source_mixture" -> "kept_rate",
+    "q55_token_counts" -> "chars_per_bpe_token",
+    "q71_boilerplate_census" -> "boilerplate_ratio",
+    "q73_cluster_profile" -> "min_cos",
+    "q73_cluster_profile" -> "max_cos",
+    "q84_source_overlap" -> "jaccard",
+    "q88_value_histogram" -> "lo_seen",
+    "q88_value_histogram" -> "hi_seen",
+    "q89_vector_stats" -> "l1",
+    "q89_vector_stats" -> "linf",
+    "q95_dim_stats" -> "lo",
+    "q95_dim_stats" -> "hi",
+    "q95_dim_stats" -> "range",
+    "q101_rank_distributions" -> "pr",
+    "q101_rank_distributions" -> "cd",
+    "q110_bucketed_join" -> "total_qty",
+    "q113_asof_physical" -> "asof_totalprice",
+    "q117_interval_overlap" -> "sum_qty",
+    "q124_equidepth_hist" -> "lo",
+    "q124_equidepth_hist" -> "hi",
+    "q125_mad_outliers" -> "median_value",
+    "q125_mad_outliers" -> "mad",
+    "q126_knn_quantized" -> "qcos",
+    "q132_embedding_drift" -> "cos_to_corpus",
+    "q135_bloom_join_revenue" -> "revenue",
+    "q136_salted_join_brands" -> "revenue",
+    "q143_percentile_cont" -> "p25",
+    "q143_percentile_cont" -> "p50",
+    "q143_percentile_cont" -> "p75")
+
+  test("gate output schemas carry no DECIMAL and only whitelisted DOUBLE") {
+    val spark = graft.core.Sessions.local(4, "graft-contract")
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+    val decimalCols = scala.collection.mutable.ArrayBuffer[String]()
+    val doubleCols = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val schema =
+        try fn(spark, sf).schema
+        catch { case e: Throwable => fail(s"$name failed to build: $e") }
+      schema.fields.foreach { f =>
+        f.dataType match {
+          case _: DecimalType => decimalCols += s"$name.${f.name}"
+          case DoubleType | FloatType => doubleCols += ((name, f.name))
+          case _ => ()
+        }
+      }
+    }
+    assert(decimalCols.isEmpty,
+      s"DECIMAL in gate outputs (driver hash rejects decimal128): $decimalCols")
+    val extra = doubleCols.toSet -- doubleWhitelist
+    assert(extra.isEmpty,
+      s"non-whitelisted DOUBLE gate columns (prove hash-stable first): $extra")
+    val stale = doubleWhitelist -- doubleCols.toSet
+    assert(stale.isEmpty, s"whitelist entries no longer emitted: $stale")
+  }
 }

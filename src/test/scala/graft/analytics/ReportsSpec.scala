@@ -57,7 +57,7 @@ class ReportsSpec extends SparkSpecBase {
       .withColumn("dbl_pct", round(col("cnt") * lit(100.0)
         / sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy()), 2))
     val bad = out.filter(
-      abs(col("pct_round2").cast("double") - col("dbl_pct")) > 1e-9)
+      abs(col("pct_round2_c100").cast("double") / 100.0 - col("dbl_pct")) > 1e-9)
     assert(bad.count() === 0)
   }
 
