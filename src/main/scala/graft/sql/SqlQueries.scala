@@ -125,20 +125,16 @@ object SqlQueries {
     // materialize the edge list ONCE before recursing: a CTE inside the
     // recursion is re-evaluated every level, so the expensive pair
     // self-join would run per hop — iterate over a cached frame instead
-    // (the same rule as the hand-rolled iterative ops)
-    val op = graft.core.Tables.lineitem(spark, dir)
-      .select(org.apache.spark.sql.functions.col("l_orderkey").as("ok"),
-        org.apache.spark.sql.functions.col("l_partkey").as("pk"))
-      .distinct()
+    // (the same rule as the hand-rolled iterative ops). The pair
+    // self-join itself comes from the MEMOIZED co-purchase scaffold
+    // shared with q93/q104/q115 (Graphs.coPurchasePairs); only the cheap
+    // symmetrization is scratched here so each recursion level scans a
+    // cached frame directly.
+    import org.apache.spark.sql.functions.col
+    val pairs = graft.analytics.Graphs.coPurchasePairs(spark, dir)
     val edges = graft.core.Caches.scratch(
-      op.as("a").join(op.as("b"),
-          org.apache.spark.sql.functions.col("a.ok") ===
-            org.apache.spark.sql.functions.col("b.ok") &&
-            org.apache.spark.sql.functions.col("a.pk") =!=
-              org.apache.spark.sql.functions.col("b.pk"))
-        .select(org.apache.spark.sql.functions.col("a.pk").as("u"),
-          org.apache.spark.sql.functions.col("b.pk").as("v"))
-        .distinct())
+      pairs.select(col("u"), col("v"))
+        .unionAll(pairs.select(col("v").as("u"), col("u").as("v"))))
     edges.createOrReplaceTempView("sq_edges")
     spark.sql(
       """WITH RECURSIVE walk(pk, hops) AS (

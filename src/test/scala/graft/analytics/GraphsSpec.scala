@@ -78,6 +78,20 @@ class GraphsSpec extends SparkSpecBase {
     assert(got === Seq((1, 2L, 1741625L), (2, 1L, 629187L), (3, 3L, 629187L)))
   }
 
+  test("graph kernels share one memoized pair scaffold per dir") {
+    // q93/q104/q109/q115 all start from coPurchasePairs; after running
+    // two of them the memo must hold exactly one frame for this dir, and
+    // the scaffold must agree with the per-call edge builder
+    Graphs.coPurchaseTriangles(spark, sf).collect()
+    Graphs.itemItemRecs(spark, sf).collect()
+    assert(Graphs.cachedPairCount(spark) >= 1)
+    val fromMemo = Graphs.coPurchasePairs(spark, sf)
+      .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Graphs.coPurchaseEdges(graft.core.Tables.lineitem(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromMemo === direct)
+  }
+
   test("pagerank ppm on sf data: dense ranks, floor ≥ base mass, deterministic") {
     val a = Graphs.pageRankPpm(spark, sf).collect()
     val b = Graphs.pageRankPpm(spark, sf).collect()
