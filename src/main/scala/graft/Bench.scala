@@ -239,6 +239,22 @@ object Bench {
     println(line)
     try Files.writeString(Paths.get("BENCH.json"), line + "\n")
     catch { case _: Throwable => () }
+    // Round-stamped FULL copy (round-5 review: the driver's BENCH_r{N}.json
+    // snapshot keeps only the stdout line's last 2000 chars, so per-query
+    // warm/cold data was lost to history and pprobe_ms masqueraded as
+    // timings two rounds running). BENCH_full_r{N}.json is a name the
+    // driver never writes, so the full record survives in git per round.
+    try {
+      val progress = Paths.get("PROGRESS.jsonl")
+      if (Files.exists(progress)) {
+        val last = Files.readAllLines(progress).asScala.lastOption.getOrElse("")
+        val m = """"round":\s*(\d+)""".r.findFirstMatchIn(last)
+        m.foreach { r =>
+          Files.writeString(
+            Paths.get(f"BENCH_full_r${r.group(1).toInt}%02d.json"), line + "\n")
+        }
+      }
+    } catch { case _: Throwable => () }
     spark.stop()
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
   }

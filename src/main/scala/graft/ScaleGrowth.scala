@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.{Caches, Sessions, Tables}
+import graft.llm.{EmbedDedup, TextDedup}
+
+/** Two-scale-point audit of the dedup/ANN candidate volumes (round-5 review
+  * stretch item): every near-dup family in this engine claims its candidate
+  * generation is LINEAR in corpus size because of an explicit collision cap
+  * (LSH bands, df-capped inverted indexes, block subsharding). This main
+  * MEASURES that claim instead of asserting it: it counts the
+  * candidate-stage rows at two scale factors and records the growth ratio
+  * next to the document-count ratio in `SCALE_GROWTH.json`. A family whose
+  * candidate ratio is bounded by a small multiple of the doc ratio is
+  * shuffling O(n) pairs at 100 TB; a super-linear ratio here would be the
+  * earliest possible warning that a cap is not holding.
+  *
+  * Counted stages (all public operator stages, no test-only forks):
+  *  - minhash_cand:   banded-LSH candidate pairs (q27's join input)
+  *  - ngram_block_pairs: Σ n·(n−1)/2 over (lang, source, band, subshard)
+  *    blocks — the exact comparison count the blocked Jaccard (q29) pays
+  *  - contain_rare_collisions: Σ df·(df−1)/2 over shingles with df in
+  *    [2, ContainDfCap] — q157's pre-gate candidate volume
+  *  - contain_gated: pairs surviving the ≥ ContainMinShared support gate
+  *    (q157's verify input)
+  *  - winnow_collisions: Σ df·(df−1)/2 over fingerprints with df ≤ MaxFpDf
+  *    — q59's inverted-index join output bound
+  *  - embed_cand: sign-LSH band-bucket candidate pairs (q51's verify input)
+  *  - cdc_chunks: content-defined chunks (q65 — linear by construction;
+  *    counted as the control row)
+  *
+  * Usage: `./run_local.sh graft.ScaleGrowth sfDirA sfDirB [out.json]`
+  * (defaults: sf0.01 vs sf0.1 → SCALE_GROWTH.json).
+  */
+object ScaleGrowth {
+
+  /** Σ df·(df−1)/2 of group sizes of `cols` in `df` with size in
+    * [lo, hi] — the pair count an inverted-index self-join on those keys
+    * would emit. */
+  private def pairSum(df: DataFrame, lo: Long, hi: Long, cols: String*): Long = {
+    val g = df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= lo && col("n") <= hi)
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("pairs"))
+    g.head().getLong(0)
+  }
+
+  private def measure(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Seq[(String, Long)] = {
+    val docs = Tables.documents(spark, dir)
+    def timedCount(name: String)(f: => Long): (String, Long) = {
+      val v = f
+      Caches.releaseScratch(spark)
+      name -> v
+    }
+    Seq(
+      timedCount("n_docs")(docs.count()),
+      timedCount("minhash_cand")(TextDedup.minhashCandidates(docs).count()),
+      timedCount("ngram_block_pairs") {
+        pairSum(TextDedup.ngramBlocks(docs), 2L, Long.MaxValue,
+          "lang", "source", "band", "subshard")
+      },
+      timedCount("contain_rare_collisions") {
+        pairSum(TextDedup.shingles(docs, TextDedup.MinhashK),
+          2L, TextDedup.ContainDfCap.toLong, "shingle")
+      },
+      timedCount("contain_gated") {
+        val sh = Caches.scratch(TextDedup.shingles(docs, TextDedup.MinhashK))
+        val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= TextDedup.ContainDfCap)
+          .select(col("shingle"))
+        val rsh = sh.join(rare, Seq("shingle"))
+        rsh.as("a").join(rsh.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id"), col("b.doc_id"))
+          .agg(count(lit(1)).as("rare_shared"))
+          .filter(col("rare_shared") >= TextDedup.ContainMinShared)
+          .count()
+      },
+      timedCount("winnow_collisions") {
+        pairSum(TextDedup.winnowFingerprints(docs),
+          2L, TextDedup.MaxFpDf.toLong, "fp")
+      },
+      timedCount("embed_cand") {
+        EmbedDedup.candidates(
+          EmbedDedup.bandValues(EmbedDedup.tfVectors(docs))).count()
+      },
+      timedCount("cdc_chunks")(TextDedup.cdcChunks(docs).count()))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val dirB = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val out = if (args.length > 2) args(2) else "SCALE_GROWTH.json"
+    val spark = Sessions.local(Sessions.defaultCpus, "graft-scale-growth")
+
+    val a = measure(spark, dirA).toMap
+    val b = measure(spark, dirB).toMap
+    val docsRatio = b("n_docs").toDouble / math.max(1L, a("n_docs"))
+
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val keys = Seq("n_docs", "minhash_cand", "ngram_block_pairs",
+      "contain_rare_collisions", "contain_gated", "winnow_collisions",
+      "embed_cand", "cdc_chunks")
+    val rows = keys.map { k =>
+      val ratio = if (a(k) == 0L) -1.0 else b(k).toDouble / a(k)
+      // "linear" = candidate growth within 2x of doc growth (slack covers
+      // density effects: more docs per band/block at higher sf). A zero
+      // count at the small scale is reported, not ratio'd.
+      val linear = a(k) == 0L || ratio <= 2.0 * docsRatio
+      s""""$k":{"a":${a(k)},"b":${b(k)},"ratio":${num(ratio)},"linear":$linear}"""
+    }
+    val line =
+      s"""{"dir_a":"$dirA","dir_b":"$dirB","docs_ratio":${num(docsRatio)},""" +
+        s""""slack":2.0,"counts":{${rows.mkString(",")}},""" +
+        s""""generated_utc":"${java.time.Instant.now().toString}"}"""
+    println(line)
+    Files.writeString(Paths.get(out), line + "\n")
+    spark.stop()
+    val nonlinear = keys.filter { k =>
+      a(k) != 0L && b(k).toDouble / a(k) > 2.0 * docsRatio
+    }
+    if (nonlinear.nonEmpty) {
+      System.err.println(s"[scale-growth] SUPER-LINEAR: ${nonlinear.mkString(", ")}")
+      sys.exit(1)
+    }
+  }
+}

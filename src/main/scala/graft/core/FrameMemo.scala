@@ -53,6 +53,17 @@ final class FrameMemo(cap: Int) {
       catch { case _: Throwable => () }
     } else {
       evictedInFlight.add(slot)
+      // TOCTOU close-out (round-5 advice): the task may have completed
+      // between the isDone check above and the add — in that window the
+      // finishing caller in get() has already looked at the set, found it
+      // empty, and moved on, so nobody would ever release the persist.
+      // Re-check now that the flag is visible: if the task is done, race
+      // the finisher on the same remove(); exactly one side wins and that
+      // side unpersists.
+      if (slot.isDone && evictedInFlight.remove(slot)) {
+        try slot.get().unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      }
     }
 
   /** The memoized frame for (spark, key), building + persisting on miss.

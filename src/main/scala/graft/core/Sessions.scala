@@ -94,7 +94,15 @@ object Sessions {
       // the generated-class cache defaults to 100 entries; a session
       // running the whole 150+-query surface holds far more codegen
       // units than that, and evictions mean re-Janino-compiling hot
-      // queries on every run
+      // queries on every run. NOTE (round-5 advice): this is a STATIC
+      // SQL conf — it only takes effect when this builder constructs the
+      // JVM's FIRST session, and is silently ignored (warning only) if
+      // any session already exists. That first-session condition holds
+      // for every engine entry point: Bench/Verify fork fresh JVMs
+      // (run_local.sh, `run / fork := true`) and the test JVM's session
+      // is also built here (SparkSpecBase → Sessions.local). A
+      // driver-supplied session keeps its own value; there is no dynamic
+      // override to attempt.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
