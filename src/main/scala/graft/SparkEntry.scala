@@ -425,6 +425,14 @@ object SparkEntry {
     // ---- leakage-FREE split: hash keyed by dup-cluster id so twins
     //      travel together; straddle count derived as zero ----
     "q159_cluster_split"       -> ((s, d) => Curation.clusterSplit(s, d)),
+    // ---- per-doc duplication coverage: fraction of a doc's chars in
+    //      CDC chunks shared verbatim with other docs (Gopher-style
+    //      partial-duplication gate; linear, no pair joins) ----
+    "q160_dup_coverage"        -> ((s, d) => TextDedup.dupCoverage(s, d)),
+    // ---- recall@5 audit of every approximate ANN variant (int8 /
+    //      IVF / LSH) against the exact ranking — the index-acceptance
+    //      number; output is |queries|-sized integers ----
+    "q161_ann_recall"          -> ((s, d) => Similarity.annRecallAudit(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -446,6 +454,41 @@ object SparkEntry {
   // ------------------------------------------------------------------
 
   private val duckNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** Shared CDC-chunking CTE chain (q58 polynomial rolling hash, cut where
+    * hash ≡ 0 mod 64) ending in `chunks(doc_id, chunk)` — used by the q65
+    * chunk census and the q160 per-doc duplication coverage. */
+  private lazy val cdcChunksOracle =
+    s"""n AS (
+       |  SELECT doc_id, regexp_replace($duckNorm, '[^ -~]', '', 'g') AS s
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, s,
+       |         list_transform(range(1, len(s) - 6), i ->
+       |           CAST(ascii(substr(s, i,     1)) AS BIGINT) * 27512614111 +
+       |           CAST(ascii(substr(s, i + 1, 1)) AS BIGINT) * 887503681 +
+       |           CAST(ascii(substr(s, i + 2, 1)) AS BIGINT) * 28629151 +
+       |           CAST(ascii(substr(s, i + 3, 1)) AS BIGINT) * 923521 +
+       |           CAST(ascii(substr(s, i + 4, 1)) AS BIGINT) * 29791 +
+       |           CAST(ascii(substr(s, i + 5, 1)) AS BIGINT) * 961 +
+       |           CAST(ascii(substr(s, i + 6, 1)) AS BIGINT) * 31 +
+       |           CAST(ascii(substr(s, i + 7, 1)) AS BIGINT)) AS rh
+       |  FROM n),
+       |cuts AS (
+       |  SELECT doc_id, s,
+       |         list_filter(range(1, len(rh) + 1), i -> rh[i] % 64 = 0) AS cs
+       |  FROM w),
+       |bounds AS (
+       |  SELECT doc_id, s,
+       |         list_concat(list_concat([0], list_transform(cs, i -> i + 7)),
+       |                     [len(s)]) AS bs
+       |  FROM cuts),
+       |chunks AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(bs)), j ->
+       |           substr(s, CAST(bs[j] AS BIGINT) + 1,
+       |                  CAST(bs[j + 1] AS BIGINT) - CAST(bs[j] AS BIGINT)))) AS chunk
+       |  FROM bounds)""".stripMargin
 
   private def duckStops: String =
     graft.llm.TextStats.Stopwords.map(s => s"'$s'").mkString(", ")
@@ -2784,36 +2827,7 @@ object SparkEntry {
     // CDC chunking: cut after any 8-byte window whose q58-polynomial hash
     // is ≡ 0 mod 64; census of chunks recurring across documents.
     "q65_chunk_dedup" ->
-      s"""WITH n AS (
-         |  SELECT doc_id, regexp_replace($duckNorm, '[^ -~]', '', 'g') AS s
-         |  FROM documents),
-         |w AS (
-         |  SELECT doc_id, s,
-         |         list_transform(range(1, len(s) - 6), i ->
-         |           CAST(ascii(substr(s, i,     1)) AS BIGINT) * 27512614111 +
-         |           CAST(ascii(substr(s, i + 1, 1)) AS BIGINT) * 887503681 +
-         |           CAST(ascii(substr(s, i + 2, 1)) AS BIGINT) * 28629151 +
-         |           CAST(ascii(substr(s, i + 3, 1)) AS BIGINT) * 923521 +
-         |           CAST(ascii(substr(s, i + 4, 1)) AS BIGINT) * 29791 +
-         |           CAST(ascii(substr(s, i + 5, 1)) AS BIGINT) * 961 +
-         |           CAST(ascii(substr(s, i + 6, 1)) AS BIGINT) * 31 +
-         |           CAST(ascii(substr(s, i + 7, 1)) AS BIGINT)) AS rh
-         |  FROM n),
-         |cuts AS (
-         |  SELECT doc_id, s,
-         |         list_filter(range(1, len(rh) + 1), i -> rh[i] % 64 = 0) AS cs
-         |  FROM w),
-         |bounds AS (
-         |  SELECT doc_id, s,
-         |         list_concat(list_concat([0], list_transform(cs, i -> i + 7)),
-         |                     [len(s)]) AS bs
-         |  FROM cuts),
-         |chunks AS (
-         |  SELECT doc_id,
-         |         unnest(list_transform(range(1, len(bs)), j ->
-         |           substr(s, CAST(bs[j] AS BIGINT) + 1,
-         |                  CAST(bs[j + 1] AS BIGINT) - CAST(bs[j] AS BIGINT)))) AS chunk
-         |  FROM bounds)
+      s"""WITH $cdcChunksOracle
          |SELECT md5(chunk) AS chunk_hash,
          |       CAST(MIN(len(chunk)) AS INTEGER) AS chunk_len,
          |       COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
@@ -3185,5 +3199,144 @@ object SparkEntry {
          |FROM s CROSS JOIN crossed
          |GROUP BY split, clusters_split_across
          |ORDER BY split ASC""".stripMargin,
+    // q160: per-doc duplication coverage over the q65 CDC chunks — chars
+    // in cross-doc-shared chunks as exact integer ppm of the doc's chars.
+    "q160_dup_coverage" ->
+      s"""WITH $cdcChunksOracle,
+         |ch AS (
+         |  SELECT doc_id, md5(chunk) AS h, len(chunk) AS l
+         |  FROM chunks WHERE chunk <> ''),
+         |shared AS (
+         |  SELECT h FROM ch GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+         |per AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |         CAST(SUM(l) AS BIGINT) AS n_chars
+         |  FROM ch GROUP BY 1),
+         |dup AS (
+         |  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS dup_chunks,
+         |         CAST(SUM(c.l) AS BIGINT) AS dup_chars
+         |  FROM ch c JOIN shared s ON s.h = c.h GROUP BY 1)
+         |SELECT p.doc_id, p.n_chunks, d.dup_chunks, p.n_chars, d.dup_chars,
+         |       CAST((d.dup_chars * 1000000) // p.n_chars AS BIGINT) AS dup_char_ppm
+         |FROM per p JOIN dup d ON d.doc_id = p.doc_id
+         |ORDER BY p.doc_id ASC""".stripMargin,
+    // q161: recall@5 of each approximate ANN variant vs the exact q34
+    // ranking — the q126/q48/q35 CTE chains composed with renamed CTEs,
+    // hits counted by joining top-5 sets (bit-identical cos both engines
+    // ⇒ identical rankings ⇒ integer-exact recall).
+    "q161_ann_recall" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |eq AS (SELECT vec_id AS query_id, e, nrm FROM n WHERE vec_id < 10),
+         |ecos AS (
+         |  SELECT q.query_id, x.vec_id AS neighbor_id,
+         |         list_dot_product(q.e, x.e) / (q.nrm * x.nrm) AS cos
+         |  FROM eq q, n x WHERE x.vec_id <> q.query_id),
+         |etop AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+         |    FROM ecos) WHERE rn <= 5),
+         |seeds AS (SELECT label AS slabel0, MIN(vec_id) AS svid FROM v GROUP BY 1),
+         |sv AS (
+         |  SELECT s.slabel0 AS slabel, nn.e AS se, nn.nrm AS snrm
+         |  FROM seeds s JOIN n nn ON nn.vec_id = s.svid),
+         |ranks AS (
+         |  SELECT nn.vec_id, sv.slabel,
+         |         row_number() OVER (
+         |           PARTITION BY nn.vec_id
+         |           ORDER BY list_dot_product(nn.e, sv.se) / (nn.nrm * sv.snrm) DESC,
+         |                    sv.slabel ASC) AS rn
+         |  FROM n nn, sv),
+         |assigned AS (SELECT vec_id, slabel FROM ranks WHERE rn = 1),
+         |probeset AS (
+         |  SELECT vec_id AS query_id, slabel FROM ranks
+         |  WHERE rn <= 2 AND vec_id < 10),
+         |icand AS (
+         |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probeset p JOIN assigned a ON a.slabel = p.slabel
+         |  WHERE a.vec_id <> p.query_id),
+         |icos AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         list_dot_product(qv.e, nv.e) / (qv.nrm * nv.nrm) AS cos
+         |  FROM icand c
+         |  JOIN n qv ON qv.vec_id = c.query_id
+         |  JOIN n nv ON nv.vec_id = c.neighbor_id),
+         |itop AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+         |    FROM icos) WHERE rn <= 5),
+         |planes AS (SELECT vec_id AS plane_id, e AS pv FROM v WHERE vec_id < 16),
+         |bits AS (
+         |  SELECT v.vec_id,
+         |         CASE WHEN list_dot_product(e, pv) > 0
+         |              THEN (CAST(1 AS BIGINT) << CAST(plane_id AS INTEGER))
+         |              ELSE CAST(0 AS BIGINT) END AS bit
+         |  FROM v, planes),
+         |sigs AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS sig FROM bits GROUP BY 1),
+         |bands AS (
+         |  SELECT vec_id, c.c AS band, (sig >> (c.c * 4)) & 15 AS bval
+         |  FROM sigs, (VALUES (0), (1), (2), (3)) c(c)),
+         |lcand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM bands q JOIN bands b ON q.band = b.band AND q.bval = b.bval
+         |  WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id),
+         |lcos AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         list_dot_product(qv.e, nv.e) / (qv.nrm * nv.nrm) AS cos
+         |  FROM lcand c
+         |  JOIN n qv ON qv.vec_id = c.query_id
+         |  JOIN n nv ON nv.vec_id = c.neighbor_id),
+         |ltop AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+         |    FROM lcos) WHERE rn <= 5),
+         |s8 AS (
+         |  SELECT vec_id, e,
+         |         greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) AS scale
+         |  FROM v),
+         |qt AS (
+         |  SELECT vec_id,
+         |         list_transform(e, x -> CAST(CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT) AS DOUBLE)) AS q
+         |  FROM s8),
+         |n8 AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS nrm FROM qt),
+         |q8 AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn FROM n8 WHERE vec_id < 10),
+         |q8cos AS (
+         |  SELECT q8.query_id, n8.vec_id AS neighbor_id,
+         |         list_dot_product(q8.qq, n8.q) / (q8.qn * n8.nrm) AS qc
+         |  FROM q8, n8 WHERE n8.vec_id <> q8.query_id),
+         |qtop AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY qc DESC, neighbor_id ASC) AS rn
+         |    FROM q8cos) WHERE rn <= 5),
+         |audit AS (
+         |  SELECT 'int8' AS method, e.query_id,
+         |         CAST(COUNT(*) AS BIGINT) AS k,
+         |         CAST(COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+         |           THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+         |  FROM etop e LEFT JOIN qtop a
+         |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |  GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'ivf', e.query_id, CAST(COUNT(*) AS BIGINT),
+         |         CAST(COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+         |           THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |  FROM etop e LEFT JOIN itop a
+         |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |  GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'lsh', e.query_id, CAST(COUNT(*) AS BIGINT),
+         |         CAST(COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+         |           THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |  FROM etop e LEFT JOIN ltop a
+         |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |  GROUP BY 1, 2)
+         |SELECT method, query_id, k, hits,
+         |       CAST((hits * 1000000) // k AS BIGINT) AS recall_ppm
+         |FROM audit ORDER BY method ASC, query_id ASC""".stripMargin,
   )
 }

@@ -501,4 +501,41 @@ object Similarity {
 
   def dimStats(spark: SparkSession, dir: String): DataFrame =
     dimStats(Tables.embeddings(spark, dir))
+
+  /** Recall@k audit of every approximate ANN variant against the exact
+    * brute-force ranking — the acceptance test a production vector index
+    * ships with (an ANN path without a measured recall number is a
+    * guess). One row per (method, query): how many of the exact top-k
+    * the approximate top-k recovered, as exact integer ppm.
+    *
+    * Scale shape: the per-variant top-k frames are k rows per query —
+    * the audit joins and aggregates frames of size |queries|·k, trivially
+    * small at any corpus scale; the expensive parts are the underlying
+    * searches themselves, each already bounded (bucketed probes /
+    * banded LSH / brute-force on the int8-compressed corpus). The exact
+    * frame is computed once and reused by all three comparisons. */
+  def annRecallAudit(embeddings: DataFrame, numQueries: Int = 10,
+                     k: Int = 5): DataFrame = {
+    val exact = graft.core.Caches.scratch(
+      knnExact(embeddings, numQueries, k)
+        .select(col("query_id"), col("neighbor_id")))
+    def recallOf(method: String, approx: DataFrame): DataFrame =
+      exact.join(
+          approx.select(col("query_id"), col("neighbor_id"))
+            .withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          coalesce(sum(col("hit")), lit(0L)).as("hits"))
+        .select(lit(method).as("method"), col("query_id"),
+          col("k").cast("long").as("k"), col("hits").cast("long").as("hits"))
+        .withColumn("recall_ppm", expr("hits * 1000000 div k").cast("long"))
+    recallOf("int8", knnQuantized(embeddings, numQueries, k))
+      .unionByName(recallOf("ivf", knnIvf(embeddings, numQueries, k = k)))
+      .unionByName(recallOf("lsh", knnLsh(embeddings, numQueries, k)))
+      .orderBy(col("method").asc, col("query_id").asc)
+  }
+
+  def annRecallAudit(spark: SparkSession, dir: String): DataFrame =
+    annRecallAudit(Tables.embeddings(spark, dir))
 }

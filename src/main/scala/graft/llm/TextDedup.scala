@@ -480,6 +480,49 @@ object TextDedup {
   def chunkDedup(spark: SparkSession, dir: String): DataFrame =
     chunkDedup(Tables.documents(spark, dir))
 
+  /** Per-document duplication coverage: what fraction of each document's
+    * characters sit in CDC chunks whose content recurs verbatim in some
+    * OTHER document. Corpus-curation reports (Gopher/RefinedWeb-style)
+    * gate documents on exactly this number — a doc that is 90 % shared
+    * boilerplate is a removal candidate even if no single near-dup pair
+    * flags it, and the chunk granularity catches partial duplication the
+    * doc-level families (q26/q27) cannot see.
+    *
+    * Scale shape: identical to [[chunkDedup]] — one explode, two hash
+    * aggregations on the uniformly-distributed chunk hash, one
+    * broadcast-size join back (the shared-hash frame is the duplicated
+    * subset only). No pair joins; linear end to end. Coverage ships as
+    * exact integer ppm (BIGINT) — the driver's hash gate rejects
+    * decimal/double output columns (q56/q105/q111 lesson). */
+  def dupCoverage(docs: DataFrame): DataFrame = {
+    val ch = graft.core.Caches.scratch(
+      cdcChunks(docs).select(col("doc_id"), md5(col("chunk")).as("h"),
+        length(col("chunk")).as("len")))
+    val shared = ch.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select(col("h"))
+    val perDoc = ch.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("len")).as("n_chars"))
+    // a chunk duplicated WITHIN one doc only does not count as shared —
+    // the join keeps occurrences of cross-doc-shared content, and the
+    // per-doc re-aggregation counts every such occurrence's chars
+    val dup = ch.join(shared, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_chunks"), sum(col("len")).as("dup_chars"))
+    perDoc.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks").cast("long").as("n_chunks"),
+        coalesce(col("dup_chunks"), lit(0L)).cast("long").as("dup_chunks"),
+        col("n_chars").cast("long").as("n_chars"),
+        coalesce(col("dup_chars"), lit(0L)).cast("long").as("dup_chars"))
+      .withColumn("dup_char_ppm",
+        expr("dup_chars * 1000000 div n_chars").cast("long"))
+      .filter(col("dup_chunks") > 0)
+      .orderBy(col("doc_id").asc)
+  }
+
+  def dupCoverage(spark: SparkSession, dir: String): DataFrame =
+    dupCoverage(Tables.documents(spark, dir))
+
   // ------------------------------------------------ incremental dedup
 
   /** Incremental corpus update: dedup INCOMING documents against the

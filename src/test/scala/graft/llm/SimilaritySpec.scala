@@ -45,6 +45,27 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ivf.size === exact.size) // full k returned per query
   }
 
+  test("ann recall audit agrees with the set-based recall per method") {
+    val audit = Similarity.annRecallAudit(emb).collect()
+    assert(audit.length === 3 * 10, s"3 methods x 10 queries expected: ${audit.length}")
+    audit.foreach { r =>
+      val (k, hits, ppm) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(k === 5L && hits >= 0L && hits <= k, s"bad audit row: $r")
+      assert(ppm === hits * 1000000L / k, s"ppm not exact: $r")
+    }
+    // cross-check one method against the independently computed set recall
+    val exact = Similarity.knnExact(emb).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.knnIvf(emb).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfHits = audit.filter(_.getString(0) == "ivf").map(_.getLong(3)).sum
+    assert(ivfHits === exact.intersect(ivf).size.toLong,
+      s"audit ivf hits $ivfHits != set recall ${exact.intersect(ivf).size}")
+    // int8 quantization loses little: the documented >= 0.8 recall contract
+    val int8Hits = audit.filter(_.getString(0) == "int8").map(_.getLong(3)).sum
+    assert(int8Hits >= (0.8 * exact.size).toLong, s"int8 recall too low: $int8Hits")
+  }
+
   test("kmeans ivf: recall at equal probe budget >= the seed-cell variant") {
     val exact = Similarity.knnExact(emb).select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

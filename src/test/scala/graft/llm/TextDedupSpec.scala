@@ -166,6 +166,32 @@ class TextDedupSpec extends SparkSpecBase {
     assert(census.filter(col("n_docs") === 2).count() === shared)
   }
 
+  test("dup coverage: shared paragraph shows in both holders, unique doc absent") {
+    import spark.implicits._
+    val para = ("annotated corpus snapshots rotate nightly through the archival tier; " +
+      "compaction merges small files into 512mb targets before the catalog swap. ") * 2
+    val docs = Seq(
+      (1L, s"$para unique tail for document one here.", "en", "srcC", 0L),
+      (2L, s"different head text! $para", "en", "srcC", 0L),
+      (3L, "entirely unrelated content with no shared spans at all in it.", "en", "srcC", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cov = TextDedup.dupCoverage(docs).collect()
+    val byId = cov.map(r => r.getLong(0) -> r).toMap
+    assert(byId.keySet === Set(1L, 2L), s"expected docs 1,2 only: ${cov.mkString}")
+    cov.foreach { r =>
+      val (nc, dc, nch, dch, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(dc >= 1 && dc <= nc, s"chunk counts inconsistent: $r")
+      assert(dch >= dc && dch <= nch, s"char counts inconsistent: $r")
+      assert(ppm === dch * 1000000L / nch, s"ppm not exact integer div: $r")
+    }
+    // a large share of each holder's chars sits in the shared paragraph
+    // (the chunks touching the unique head/tail are mixed-content and
+    // don't count — content-defined boundaries confine, not erase, them)
+    assert(byId(1L).getLong(5) > 400000L && byId(2L).getLong(5) > 400000L,
+      s"shared-paragraph coverage too low: ${cov.mkString}")
+  }
+
   test("blocks below the cap stay whole (single subshard, no recall loss)") {
     val blocks = TextDedup.ngramBlocks(docs)
       .groupBy("lang", "source", "band")
