@@ -690,7 +690,8 @@ object SparkEntry {
     * hashed-TF sparse vectors, integer sign-projection LSH, exact sparse
     * cosine on candidates. All-integer until the final division. */
   private def embedDedupOracle: String = {
-    import graft.llm.EmbedDedup.{NumBuckets, NumPlanes, BandBits, WeightMod, CosThreshold}
+    import graft.llm.EmbedDedup.{NumBuckets, NumPlanes, BandBits, WeightMod,
+      CosThreshold, MaxBandBucketDocs}
     s"""WITH nd AS (
        |  SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
        |words AS (SELECT doc_id, unnest(w) AS word FROM nd),
@@ -709,10 +710,18 @@ object SparkEntry {
        |  SELECT doc_id, plane // $BandBits AS band,
        |         CAST(SUM(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << CAST(plane % $BandBits AS INTEGER)) ELSE 0 END) AS BIGINT) AS bval
        |  FROM proj GROUP BY 1, 2),
+       |bcensus AS (
+       |  SELECT band, bval, COUNT(*) AS bdocs FROM bands GROUP BY 1, 2),
+       |bsub AS (
+       |  SELECT bands.doc_id, bands.band, bands.bval,
+       |         CAST('0x' || substr(md5(CAST(bands.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |           % ((bdocs + ${MaxBandBucketDocs - 1}) // $MaxBandBucketDocs) AS sub
+       |  FROM bands JOIN bcensus USING (band, bval)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+       |  FROM bsub a JOIN bsub b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.sub = b.sub
+       |       AND a.doc_id < b.doc_id),
        |dots AS (
        |  SELECT c.doc_a, c.doc_b, SUM(ta.cnt * tb.cnt) AS dt
        |  FROM cand c
