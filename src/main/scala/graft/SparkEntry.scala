@@ -433,6 +433,10 @@ object SparkEntry {
     //      IVF / LSH) against the exact ranking — the index-acceptance
     //      number; output is |queries|-sized integers ----
     "q161_ann_recall"          -> ((s, d) => Similarity.annRecallAudit(s, d)),
+    // ---- SemDeDup-style semantic dedup census: within-cell pairwise
+    //      embedding cosine at the paper's 0.9 threshold; per-cell
+    //      docs / pairs / removed / kept ----
+    "q162_semantic_dedup"      -> ((s, d) => EmbedDedup.semanticDedup(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -3347,5 +3351,56 @@ object SparkEntry {
          |SELECT method, query_id, k, hits,
          |       CAST((hits * 1000000) // k AS BIGINT) AS recall_ppm
          |FROM audit ORDER BY method ASC, query_id ASC""".stripMargin,
+    // q162: SemDeDup census — q51's exact integer-TF cosine verify,
+    // restricted to (lang, source) cells, at the 0.9 semantic threshold;
+    // per-cell docs / pairs / removed(lower-id survivor rule) / kept.
+    "q162_semantic_dedup" ->
+      s"""WITH nd AS (
+         |  SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
+         |words AS (SELECT doc_id, unnest(w) AS word FROM nd),
+         |tf AS (
+         |  SELECT doc_id,
+         |         CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % 64 AS bucket,
+         |         COUNT(*) AS cnt
+         |  FROM words GROUP BY 1, 2),
+         |norms AS (
+         |  SELECT doc_id, sqrt(CAST(SUM(cnt * cnt) AS DOUBLE)) AS nrm
+         |  FROM tf GROUP BY 1),
+         |meta AS (
+         |  SELECT d.doc_id, d.lang, d.source
+         |  FROM documents d JOIN (SELECT DISTINCT doc_id FROM tf) t
+         |    USING (doc_id)),
+         |dots AS (
+         |  SELECT ma.lang, ma.source, ma.doc_id AS da, mb.doc_id AS db,
+         |         SUM(ta.cnt * tb.cnt) AS dt
+         |  FROM meta ma
+         |  JOIN meta mb ON ma.lang = mb.lang AND ma.source = mb.source
+         |    AND ma.doc_id < mb.doc_id
+         |  JOIN tf ta ON ta.doc_id = ma.doc_id
+         |  JOIN tf tb ON tb.doc_id = mb.doc_id AND tb.bucket = ta.bucket
+         |  GROUP BY 1, 2, 3, 4),
+         |pairs AS (
+         |  SELECT d.lang, d.source, d.da, d.db
+         |  FROM dots d
+         |  JOIN norms na ON na.doc_id = d.da
+         |  JOIN norms nb ON nb.doc_id = d.db
+         |  WHERE CAST(d.dt AS DOUBLE) / (na.nrm * nb.nrm) >= 0.9),
+         |pc AS (
+         |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |  FROM pairs GROUP BY 1, 2),
+         |rm AS (
+         |  SELECT lang, source, CAST(COUNT(DISTINCT db) AS BIGINT) AS n_removed
+         |  FROM pairs GROUP BY 1, 2),
+         |base AS (
+         |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM meta GROUP BY 1, 2)
+         |SELECT base.lang, base.source, base.n_docs,
+         |       CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |       CAST(COALESCE(rm.n_removed, 0) AS BIGINT) AS n_removed,
+         |       CAST(base.n_docs - COALESCE(rm.n_removed, 0) AS BIGINT) AS n_kept
+         |FROM base
+         |LEFT JOIN pc USING (lang, source)
+         |LEFT JOIN rm USING (lang, source)
+         |ORDER BY base.lang ASC, base.source ASC""".stripMargin,
   )
 }

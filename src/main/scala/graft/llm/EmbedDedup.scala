@@ -169,6 +169,62 @@ object EmbedDedup {
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDups(Tables.documents(spark, dir))
 
+  /** SemDeDup-style semantic dedup census (Abbas et al. 2023): compare
+    * documents pairwise WITHIN a cell only, in embedding space, and mark
+    * every doc that has a more-canonical (lower-id) neighbor at cosine ≥
+    * `minCos` for removal — the lowest id of each similarity group
+    * survives. The lexical families (q27/q51 at 0.97+) catch copies;
+    * this runs at the paper's looser semantic threshold (0.9) where
+    * paraphrase-level redundancy lives, and reports the per-cell census
+    * a curation pipeline acts on: docs, in-cell dup pairs, removed, kept.
+    *
+    * Cells here are (lang, source) — the deterministic, oracle-mirrorable
+    * stand-in for the paper's k-means cells (the mechanism under audit is
+    * within-cell-only comparison; the quantizer is pluggable, and a
+    * production deployment would pass [[graft.llm.Similarity.kmeansCells]]
+    * assignments instead). Scale shape: faithful to the paper — the
+    * pairwise stage is intentionally within-cell all-pairs and CELL COUNT
+    * is the scale knob (grow k with the corpus to hold cell size
+    * constant); the join is keyed on the cell, a hash shuffle bounded by
+    * (max cell size)·n, never a corpus cross-join. Outputs are exact
+    * integers; the only doubles are the cosine comparisons, bit-identical
+    * in both engines (integer TF dot, fixed operand order). */
+  def semanticDedup(docs: DataFrame, minCos: Double = 0.9): DataFrame = {
+    graft.core.Sessions.ensure(docs.sparkSession)
+    val dot = graft.functions.DotProduct.Name
+    val meta = docs.select(col("doc_id"), col("lang"), col("source"))
+    val dense = graft.core.Caches.scratch(
+      denseVectors(tfVectors(docs))
+        .withColumn("nrm", sqrt(call_function(dot, col("v"), col("v"))))
+        .join(meta, Seq("doc_id")))
+    val a = dense.select(col("lang"), col("source"),
+      col("doc_id").as("doc_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = dense.select(col("lang"), col("source"),
+      col("doc_id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("lang", "source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(call_function(dot, col("va"), col("vb")) /
+        (col("na") * col("nb")) >= minCos)
+      .select(col("lang"), col("source"), col("doc_a"), col("doc_b"))
+    val pairCounts = pairs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val removed = pairs.select(col("lang"), col("source"), col("doc_b"))
+      .distinct()
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_removed"))
+    dense.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(pairCounts, Seq("lang", "source"), "left")
+      .join(removed, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("n_docs"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .withColumn("n_kept", col("n_docs") - col("n_removed"))
+      .orderBy(col("lang").asc, col("source").asc)
+  }
+
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(Tables.documents(spark, dir))
+
   /** Brute-force variant (all pairs via the bucket inverted index, no LSH
     * filter) — the recall baseline for tests; not registered as a query. */
   def embeddingNearDupsExact(docs: DataFrame, minCos: Double = CosThreshold): DataFrame = {

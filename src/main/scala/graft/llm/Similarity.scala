@@ -538,4 +538,5 @@ object Similarity {
 
   def annRecallAudit(spark: SparkSession, dir: String): DataFrame =
     annRecallAudit(Tables.embeddings(spark, dir))
+
 }

@@ -45,4 +45,23 @@ class EmbedDedupSpec extends SparkSpecBase {
     assert(out.forall(r => r.getLong(0) < r.getLong(1)))
     assert(out.forall(_.getAs[Double]("cos") >= EmbedDedup.CosThreshold))
   }
+
+  test("semantic dedup: same-cell planted copy removed, cross-cell copy kept") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    val fixture = Seq(
+      (1L, text, "en", "web", text.length.toLong),          // survivor (min id)
+      (2L, text, "en", "web", text.length.toLong),          // same-cell dup → removed
+      (3L, text, "en", "books", text.length.toLong),        // same text, other cell → kept
+      (4L, "completely different words in this one nothing shared truly",
+        "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = EmbedDedup.semanticDedup(fixture).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // (en, web): 3 docs, 1 pair (1,2), doc 2 removed, 2 kept
+    assert(out(("en", "web")) === ((3L, 1L, 1L, 2L)), s"web cell: $out")
+    // (en, books): the identical text never meets doc 1/2 — cells isolate
+    assert(out(("en", "books")) === ((1L, 0L, 0L, 1L)), s"books cell: $out")
+  }
 }
