@@ -437,6 +437,10 @@ object SparkEntry {
     //      embedding cosine at the paper's 0.9 threshold; per-cell
     //      docs / pairs / removed / kept ----
     "q162_semantic_dedup"      -> ((s, d) => EmbedDedup.semanticDedup(s, d)),
+    // ---- post-dedup token budget per source: docs/tokens before vs
+    //      after the q78 keep-list, savings as exact ppm (the KPI the
+    //      q54 mixture weights re-balance against) ----
+    "q163_dedup_token_budget"  -> ((s, d) => Curation.dedupTokenBudget(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -3402,5 +3406,42 @@ object SparkEntry {
          |LEFT JOIN pc USING (lang, source)
          |LEFT JOIN rm USING (lang, source)
          |ORDER BY base.lang ASC, base.source ASC""".stripMargin,
+    // q163: the q78 keep rule (recursive dup-cluster closure, canonical =
+    // cluster min) aggregated into per-source doc/token budgets.
+    "q163_dedup_token_budget" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashOracle
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r
+         |  JOIN edges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src),
+         |lab AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |keepx AS (
+         |  SELECT d.doc_id, d.source,
+         |         COALESCE(l.doc_id = l.cluster_id, TRUE) AS kept
+         |  FROM documents d LEFT JOIN lab l USING (doc_id)),
+         |toks AS (
+         |  SELECT doc_id,
+         |         CAST(len(str_split($duckNorm, ' ')) AS BIGINT) AS ws_tokens
+         |  FROM documents)
+         |SELECT k.source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN k.kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(t.ws_tokens) AS BIGINT) AS tokens_total,
+         |  CAST(SUM(CASE WHEN k.kept THEN t.ws_tokens ELSE 0 END) AS BIGINT)
+         |    AS tokens_kept,
+         |  CAST((SUM(t.ws_tokens) - SUM(CASE WHEN k.kept THEN t.ws_tokens ELSE 0 END))
+         |    * 1000000 // SUM(t.ws_tokens) AS BIGINT) AS savings_ppm
+         |FROM keepx k JOIN toks t USING (doc_id)
+         |GROUP BY 1 ORDER BY k.source ASC""".stripMargin,
   )
 }

@@ -46,8 +46,10 @@ object Curation {
     * with the q52 hash split; everything after is a 3×3-key census, so
     * the whole operator costs one extra broadcast-sized join over the
     * near-dup pass. */
-  def splitLeakage(docs: DataFrame): DataFrame = {
-    val pairs = TextDedup.minhashNearDups(docs)
+  def splitLeakage(docs: DataFrame): DataFrame =
+    splitLeakageFrom(TextDedup.minhashNearDups(docs), docs)
+
+  private def splitLeakageFrom(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val splits = withSplit(docs).select(col("doc_id"), col("split"))
     pairs
       .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")),
@@ -67,7 +69,9 @@ object Curation {
   }
 
   def splitLeakage(spark: SparkSession, dir: String): DataFrame =
-    splitLeakage(Tables.documents(spark, dir))
+    // the (spark, dir) near-dup overload reads the memoized shingle frame
+    splitLeakageFrom(TextDedup.minhashNearDups(spark, dir),
+      Tables.documents(spark, dir))
 
   /** q159: LEAKAGE-FREE split — the fix for the hazard q158 reports.
     * Documents are split by the hash of their DUP-CLUSTER id (canonical
@@ -560,4 +564,39 @@ object Curation {
 
   def lengthBuckets(spark: SparkSession, dir: String): DataFrame =
     lengthBuckets(Tables.documents(spark, dir))
+
+  /** q163: the token budget a dedup pass actually buys, per source — the
+    * KPI a curation run reports to justify itself: documents and
+    * whitespace tokens before/after the q78 keep-list, with the token
+    * savings as exact integer ppm. Sources differ wildly in duplication
+    * (a crawl source full of template pages loses a large share; an
+    * edited source loses ~nothing), and the per-source budget is what the
+    * q54 mixture weights are re-balanced against after dedup.
+    *
+    * Scale shape: the keep-list join is the broadcast of a
+    * pair-graph-sized frame (see dedupKeepList — the corpus is never
+    * shuffled to apply its own dedup); token counts are one linear
+    * projection; the aggregation keys on `source` (tiny reduce side).
+    * The cluster frame and the shingle frame behind it are both
+    * session-memoized, so this query costs one corpus scan warm. */
+  def dedupTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keep = graft.llm.DupClusters.dedupKeepList(spark, dir)
+      .select(col("doc_id"), col("kept"))
+    val toks = TextDedup.normalized(docs)
+      .select(col("doc_id"),
+        size(split(col("norm"), " ")).cast("long").as("ws_tokens"))
+    docs.select(col("doc_id"), col("source"))
+      .join(toks, Seq("doc_id"))
+      .join(keep, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("ws_tokens")).as("tokens_total"),
+        sum(when(col("kept"), col("ws_tokens")).otherwise(0L)).as("tokens_kept"))
+      .withColumn("savings_ppm",
+        expr("(tokens_total - tokens_kept) * 1000000 div tokens_total")
+          .cast("long"))
+      .orderBy(col("source").asc)
+  }
 }

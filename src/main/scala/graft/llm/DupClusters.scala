@@ -106,9 +106,10 @@ object DupClusters {
   def clustersFor(spark: SparkSession, dir: String): DataFrame =
     clusterCache.get(spark, dir) {
       // the component loop checkpoints eagerly, so the returned frame has
-      // no dependency on minhash scratch; the caller's releaseScratch
-      // contract (Bench/Verify run it per query) reclaims that scratch
-      connectedComponents(TextDedup.minhashNearDups(Tables.documents(spark, dir)))
+      // no dependency on shingle/minhash intermediates; the (spark, dir)
+      // overload reads the memoized shingle frame (TextDedup.shinglesFor),
+      // so a cold cluster build shares the one shingle materialization
+      connectedComponents(TextDedup.minhashNearDups(spark, dir))
     }
 
   /** Test hook: number of cluster frames cached for `spark`. */

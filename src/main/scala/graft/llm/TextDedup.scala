@@ -72,6 +72,21 @@ object TextDedup {
             i => concat_ws(" ", slice(col("w"), i + 1, lit(k)))))).as("shingle"))
   }
 
+  /** Memoized [[MinhashK]]-shingle frame per (session, data dir) — the
+    * materialized-table pattern (same [[graft.core.FrameMemo]] discipline
+    * as the silver events frame, the dup-cluster frame, and the
+    * co-purchase pair scaffold): minhash dedup (q27), containment (q157),
+    * incremental dedup (q76), the dup-cluster memo, and the split-leakage
+    * census all start from this exact frame, and each was re-exploding and
+    * re-hashing it per query. A production deployment stores the shingle
+    * index as a table; a long-lived session materializes it once. The
+    * docs-parameterized operator overloads keep per-call scratch persists
+    * (callers may pass arbitrary frames — nothing to key a memo on). */
+  private val shingleCache = new graft.core.FrameMemo(4)
+  def shinglesFor(spark: SparkSession, dir: String): DataFrame =
+    shingleCache.get(spark, dir)(
+      shingles(Tables.documents(spark, dir), MinhashK))
+
   // -------------------------------------------------------------- minhash
 
   val MinhashK = 3          // shingle width (words)
@@ -137,13 +152,17 @@ object TextDedup {
     * shingle sets, kept at `minJaccard`. Output is deterministic and
     * engine-portable (integer intersection/union counts, one double
     * division). */
-  def minhashNearDups(docs: DataFrame, minJaccard: Double = 0.8): DataFrame = {
+  def minhashNearDups(docs: DataFrame, minJaccard: Double = 0.8): DataFrame =
     // One shingle pass feeds signatures, sizes AND verification: the
-    // explode + 32 md5s per shingle dominate the operator, and without the
+    // explode + md5 per shingle dominate the operator, and without the
     // persist the DAG recomputes them three times (round-2 bench: 8 s →
     // ~3 s at sf0.1). Scratch-registered so the caller can release it after
     // materializing (round-3 review: these persists leaked forever).
-    val sh = graft.core.Caches.scratch(shingles(docs, MinhashK))
+    minhashNearDupsFrom(
+      graft.core.Caches.scratch(shingles(docs, MinhashK)), minJaccard)
+
+  private def minhashNearDupsFrom(sh: DataFrame,
+                                  minJaccard: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val cand = candidatesOf(minhashBands(signaturesOf(sh)))
     val inter = cand
@@ -161,7 +180,7 @@ object TextDedup {
   }
 
   def minhashNearDups(spark: SparkSession, dir: String): DataFrame =
-    minhashNearDups(Tables.documents(spark, dir))
+    minhashNearDupsFrom(shinglesFor(spark, dir), minJaccard = 0.8)
 
   // -------------------------------------------------------------- simhash
 
@@ -325,8 +344,12 @@ object TextDedup {
     * integers, one final `div`. */
   def containmentDups(docs: DataFrame, minPpm: Long = ContainMinPpm,
                       dfCap: Int = ContainDfCap,
-                      minShared: Int = ContainMinShared): DataFrame = {
-    val sh = graft.core.Caches.scratch(shingles(docs, MinhashK))
+                      minShared: Int = ContainMinShared): DataFrame =
+    containmentDupsFrom(graft.core.Caches.scratch(shingles(docs, MinhashK)),
+      minPpm, dfCap, minShared)
+
+  private def containmentDupsFrom(sh: DataFrame, minPpm: Long, dfCap: Int,
+                                  minShared: Int): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= dfCap)
@@ -367,7 +390,8 @@ object TextDedup {
   }
 
   def containmentDups(spark: SparkSession, dir: String): DataFrame =
-    containmentDups(Tables.documents(spark, dir))
+    containmentDupsFrom(shinglesFor(spark, dir),
+      ContainMinPpm, ContainDfCap, ContainMinShared)
 
   // ------------------------------------------------- winnowed fingerprints
 
@@ -539,8 +563,12 @@ object TextDedup {
     * Output: one row per incoming doc with its count of verified
     * (Jaccard ≥ minJaccard) existing near-dups and the is_new verdict. */
   def incrementalDedup(docs: DataFrame, mod: Int = 5,
-                       minJaccard: Double = 0.8): DataFrame = {
-    val sh = graft.core.Caches.scratch(shingles(docs, MinhashK))
+                       minJaccard: Double = 0.8): DataFrame =
+    incrementalDedupFrom(graft.core.Caches.scratch(shingles(docs, MinhashK)),
+      docs, mod, minJaccard)
+
+  private def incrementalDedupFrom(sh: DataFrame, docs: DataFrame, mod: Int,
+                                   minJaccard: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val bands = minhashBands(signaturesOf(sh))
     val in = bands.filter(col("doc_id") % mod === 0)
@@ -568,5 +596,6 @@ object TextDedup {
   }
 
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
-    incrementalDedup(Tables.documents(spark, dir))
+    incrementalDedupFrom(shinglesFor(spark, dir),
+      Tables.documents(spark, dir), mod = 5, minJaccard = 0.8)
 }

@@ -364,4 +364,26 @@ class CurationSpec extends SparkSpecBase {
     assert(corpus.forall(t => (t._1 & (t._1 - 1)) == 0L))
     assert(corpus.forall(t => t._4 >= t._3 && t._5 >= 0L))
   }
+
+  test("dedup token budget reconciles with the keep list per source") {
+    val out = Curation.dedupTokenBudget(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    out.values.foreach { case (nd, nk, tt, tk, ppm) =>
+      assert(nk <= nd && tk <= tt, s"kept exceeds total: $out")
+      assert(ppm === (tt - tk) * 1000000L / tt, s"ppm not exact: $out")
+    }
+    // totals reconcile against the keep list computed independently
+    val docs = graft.core.Tables.documents(spark, sf)
+    val keepByDoc = graft.llm.DupClusters.dedupKeepList(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expectedKept = srcOf.groupBy(_._2)
+      .view.mapValues(_.count { case (id, _) => keepByDoc(id) }).toMap
+    out.foreach { case (src, (nd, nk, _, _, _)) =>
+      assert(nk === expectedKept(src).toLong, s"$src kept mismatch")
+    }
+    assert(out.values.map(_._1).sum === docs.count())
+  }
 }
