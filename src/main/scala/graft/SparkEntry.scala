@@ -441,6 +441,12 @@ object SparkEntry {
     //      after the q78 keep-list, savings as exact ppm (the KPI the
     //      q54 mixture weights re-balance against) ----
     "q163_dedup_token_budget"  -> ((s, d) => Curation.dedupTokenBudget(s, d)),
+    // ---- cross-lingual dup census: near-dup pairs per unordered lang
+    //      pair; off-diagonal = translation/re-tag double counting ----
+    "q164_cross_lingual_dups"  -> ((s, d) => DupClusters.crossLingualDups(s, d)),
+    // ---- duplicate-cluster size histogram (pairs vs template
+    //      families — the power-law lever report) ----
+    "q165_cluster_sizes"       -> ((s, d) => DupClusters.clusterSizeHistogram(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -3443,5 +3449,45 @@ object SparkEntry {
          |    * 1000000 // SUM(t.ws_tokens) AS BIGINT) AS savings_ppm
          |FROM keepx k JOIN toks t USING (doc_id)
          |GROUP BY 1 ORDER BY k.source ASC""".stripMargin,
+    // q164: the q27 near-dup pairs labeled with both members' languages,
+    // counted per unordered lang pair; off-diagonal = cross-lingual dups.
+    "q164_cross_lingual_dups" ->
+      s"""WITH pairs AS (
+         |$minhashOracle
+         |),
+         |lp AS (
+         |  SELECT LEAST(da.lang, db.lang) AS lang_lo,
+         |         GREATEST(da.lang, db.lang) AS lang_hi
+         |  FROM pairs p
+         |  JOIN documents da ON da.doc_id = p.doc_a
+         |  JOIN documents db ON db.doc_id = p.doc_b)
+         |SELECT lang_lo, lang_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       lang_lo <> lang_hi AS is_cross
+         |FROM lp GROUP BY 1, 2 ORDER BY lang_lo ASC, lang_hi ASC""".stripMargin,
+    // q165: cluster sizes from the recursive closure (same lab CTE the
+    // q78/q159/q60 oracles use), folded into a size histogram.
+    "q165_cluster_sizes" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashOracle
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r
+         |  JOIN edges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src),
+         |lab AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |sizes AS (
+         |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM lab GROUP BY 1)
+         |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+         |FROM sizes GROUP BY 1 ORDER BY cluster_size ASC""".stripMargin,
   )
 }

@@ -167,4 +167,46 @@ object DupClusters {
         min(col("quality")).as("worst_quality"))
       .orderBy(col("cluster_id").asc)
   }
+
+  /** q164: cross-lingual duplicate census — the near-dup pairs (q27)
+    * labeled with both members' languages, counted per unordered lang
+    * pair. Off-diagonal rows are translation/re-tag duplicates: text that
+    * survived lexical dedup *within* each language silo but is the same
+    * document twice in the corpus — double-counted training mass and a
+    * language-mix distortion (the q54 mixture weights count it in both
+    * languages). A production curation report always splits dup mass
+    * into within-lang vs cross-lang for exactly that reason. The pair
+    * frame is candidate-sized, the lang join broadcasts the two-column
+    * doc projection, and the census reduce side is |langs|² rows. */
+  def crossLingualDups(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = TextDedup.minhashNearDups(spark, dir)
+    val langs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+    pairs
+      .join(langs.select(col("doc_id").as("doc_a"), col("lang").as("la")),
+        Seq("doc_a"))
+      .join(langs.select(col("doc_id").as("doc_b"), col("lang").as("lb")),
+        Seq("doc_b"))
+      .withColumn("lang_lo", least(col("la"), col("lb")))
+      .withColumn("lang_hi", greatest(col("la"), col("lb")))
+      .groupBy(col("lang_lo"), col("lang_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_cross", (col("lang_lo") =!= col("lang_hi")).cast("boolean"))
+      .orderBy(col("lang_lo").asc, col("lang_hi").asc)
+  }
+
+  /** q165: duplicate-cluster size histogram — how much of the corpus sits
+    * in pairs vs large template families. Real web corpora are power-law
+    * here, and the histogram is the number that justifies cluster-level
+    * levers (a 10 000-member boilerplate family wants source-level
+    * exclusion, not 9 999 pair deletions). Sizes come from the memoized
+    * cluster frame (clusters of size ≥ 2 by construction — singletons
+    * never enter the pair graph); two tiny aggregations. */
+  def clusterSizeHistogram(spark: SparkSession, dir: String): DataFrame =
+    clustersFor(spark, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy(col("cluster_size").asc)
 }

@@ -71,4 +71,28 @@ class DupClustersSpec extends SparkSpecBase {
         s"cluster $cid kept ${r.getAs[Long]("kept_doc")} expected $expected")
     }
   }
+
+  test("cross-lingual census accounts every near-dup pair exactly once") {
+    val nPairs = TextDedup.minhashNearDups(spark, sf).count()
+    val census = DupClusters.crossLingualDups(spark, sf).collect()
+    assert(census.map(_.getAs[Long]("n_pairs")).sum === nPairs)
+    census.foreach { r =>
+      val (lo, hi) = (r.getString(0), r.getString(1))
+      assert(lo <= hi, s"unordered key not canonical: $r")
+      assert(r.getAs[Boolean]("is_cross") === (lo != hi))
+    }
+  }
+
+  test("cluster size histogram conserves clusters and docs") {
+    val clusters = DupClusters.dupClusters(spark, sf)
+    val hist = DupClusters.clusterSizeHistogram(spark, sf).collect()
+    assert(hist.map(_.getAs[Long]("n_docs")).sum === clusters.count())
+    assert(hist.map(_.getAs[Long]("n_clusters")).sum ===
+      clusters.select("cluster_id").distinct().count())
+    hist.foreach { r =>
+      assert(r.getAs[Long]("cluster_size") >= 2L, s"singleton in histogram: $r")
+      assert(r.getAs[Long]("n_docs") ===
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+    }
+  }
 }
