@@ -240,4 +240,31 @@ class PlanAuditSpec extends SparkSpecBase {
         s"tie-group window lost its value partitioning in:\n$plan")
     }
   }
+
+  test("dup coverage: chunk-hash aggregations only, no pair joins") {
+    val plan = graft.llm.TextDedup
+      .dupCoverage(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"pair join leaked into the chunk-coverage plan:\n$plan")
+  }
+
+  test("semantic dedup: within-cell join is cell-keyed, never a cross join") {
+    val plan = graft.llm.EmbedDedup
+      .semanticDedup(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"corpus cross-join leaked into the SemDeDup plan:\n$plan")
+    assert(plan.contains("lang") && plan.contains("source"),
+      s"cell keys missing from the join plan:\n$plan")
+  }
+
+  test("dedup token budget: keep-list joins broadcast onto the corpus scan") {
+    val plan = graft.llm.Curation
+      .dedupTokenBudget(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"keep list not broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
 }
