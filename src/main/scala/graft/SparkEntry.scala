@@ -447,6 +447,9 @@ object SparkEntry {
     // ---- duplicate-cluster size histogram (pairs vs template
     //      families — the power-law lever report) ----
     "q165_cluster_sizes"       -> ((s, d) => DupClusters.clusterSizeHistogram(s, d)),
+    // ---- paragraph-level dedup census (RefinedWeb unit: newline
+    //      paragraphs hashed corpus-wide, shared mass as exact ppm) ----
+    "q166_paragraph_dedup"     -> ((s, d) => TextDedup.paragraphDedup(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -3489,5 +3492,26 @@ object SparkEntry {
          |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
          |       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
          |FROM sizes GROUP BY 1 ORDER BY cluster_size ASC""".stripMargin,
+    // q166: paragraph-level dedup census — newline paragraphs, trimmed,
+    // hashed; "shared" = the paragraph text occurs in >1 distinct doc.
+    "q166_paragraph_dedup" ->
+      s"""WITH paras AS (
+         |  SELECT doc_id, source,
+         |         unnest(str_split(text, chr(10))) AS p
+         |  FROM documents),
+         |ph AS (
+         |  SELECT doc_id, source, md5(trim(p)) AS h, len(trim(p)) AS l
+         |  FROM paras WHERE len(trim(p)) > 0),
+         |shared AS (
+         |  SELECT h FROM ph GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1)
+         |SELECT p.source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_paras,
+         |  CAST(COUNT(DISTINCT p.h) AS BIGINT) AS n_distinct_paras,
+         |  CAST(SUM(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_paras,
+         |  CAST(SUM(CASE WHEN s.h IS NOT NULL THEN p.l ELSE 0 END)
+         |    * 1000000 // SUM(p.l) AS BIGINT) AS dup_char_ppm
+         |FROM ph p LEFT JOIN shared s ON s.h = p.h
+         |GROUP BY p.source ORDER BY p.source ASC""".stripMargin,
   )
 }

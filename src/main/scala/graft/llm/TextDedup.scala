@@ -547,6 +547,59 @@ object TextDedup {
   def dupCoverage(spark: SparkSession, dir: String): DataFrame =
     dupCoverage(Tables.documents(spark, dir))
 
+  // ------------------------------------------------ paragraph dedup
+
+  /** Paragraph-level dedup census per source (the RefinedWeb/CCNet
+    * recipe): explode documents into newline-delimited paragraphs, hash
+    * each, and measure how much of each source's paragraph mass recurs
+    * verbatim in MORE THAN ONE document. Paragraph granularity sits
+    * between the whole-doc families (q26/q27) and the content-defined
+    * chunks (q65/q160): it catches copied boilerplate blocks that neither
+    * a doc fingerprint nor a shingle band flags, and it is the unit
+    * production web-corpus dedup actually removes.
+    *
+    * Scale shape: one explode (linear in corpus bytes), two hash
+    * aggregations keyed by the uniformly-distributed paragraph md5, and
+    * one shuffle join of occurrences against the shared-hash subset —
+    * both sides already partitioned by `h` from the groupBy, so the join
+    * reuses the aggregation's partitioning. No pair joins, no broadcast
+    * of anything corpus-sized. Coverage ships as exact integer ppm
+    * (BIGINT) — the driver's hash gate rejects decimal/double output. */
+  def paragraphDedup(docs: DataFrame): DataFrame = {
+    val paras = graft.core.Caches.scratch(docs
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), "\n", -1)).as("p0"))
+      .select(col("doc_id"), col("source"), trim(col("p0")).as("para"))
+      .filter(length(col("para")) > 0)
+      .select(col("doc_id"), col("source"), md5(col("para")).as("h"),
+        length(col("para")).as("len")))
+    val shared = paras.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select(col("h"))
+    // a paragraph repeated only WITHIN one doc is not shared content; the
+    // left join marks occurrences of cross-doc paragraphs and the census
+    // charges every such occurrence's chars to its source
+    paras.join(shared.withColumn("is_dup", lit(1L)), Seq("h"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        countDistinct(col("h")).as("n_distinct_paras"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_paras"),
+        sum(col("len")).as("n_chars"),
+        sum(when(col("is_dup").isNotNull, col("len")).otherwise(lit(0L)))
+          .as("dup_chars"))
+      .select(col("source"),
+        col("n_paras").cast("long").as("n_paras"),
+        col("n_distinct_paras").cast("long").as("n_distinct_paras"),
+        col("n_dup_paras").cast("long").as("n_dup_paras"),
+        expr("dup_chars * 1000000 div n_chars").cast("long")
+          .as("dup_char_ppm"))
+      .orderBy(col("source").asc)
+  }
+
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
+    paragraphDedup(Tables.documents(spark, dir))
+
   // ------------------------------------------------ incremental dedup
 
   /** Incremental corpus update: dedup INCOMING documents against the

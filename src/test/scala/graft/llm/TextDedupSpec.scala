@@ -192,6 +192,41 @@ class TextDedupSpec extends SparkSpecBase {
       s"shared-paragraph coverage too low: ${cov.mkString}")
   }
 
+  test("paragraph dedup: cross-doc paragraph counted, within-doc repeat not") {
+    import spark.implicits._
+    val shared = "this exact boilerplate footer appears in several documents."
+    val docs = Seq(
+      (1L, s"unique opening line one.\n$shared", "en", "srcA", 0L),
+      (2L, s"unique opening line two.\n$shared\n", "en", "srcA", 0L),
+      // doc 3 repeats ITS OWN paragraph twice — not cross-doc, not dup
+      (3L, "solo paragraph.\nsolo paragraph.", "en", "srcB", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextDedup.paragraphDedup(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("srcA")
+    // srcA: 4 paragraphs, 3 distinct, 2 occurrences of the shared one
+    assert(a.getLong(1) === 4L && a.getLong(2) === 3L && a.getLong(3) === 2L,
+      s"srcA census wrong: $a")
+    assert(a.getLong(4) ===
+      2L * shared.length * 1000000L /
+        (2L * shared.length + "unique opening line one.".length
+          + "unique opening line two.".length),
+      s"srcA ppm wrong: $a")
+    val b = out("srcB")
+    assert(b.getLong(1) === 2L && b.getLong(2) === 1L && b.getLong(3) === 0L
+      && b.getLong(4) === 0L, s"within-doc repeat leaked into dup count: $b")
+  }
+
+  test("paragraph dedup: corpus census is per-source, ppm bounded") {
+    val out = TextDedup.paragraphDedup(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), s"dup > total: $r")
+      assert(r.getLong(2) <= r.getLong(1), s"distinct > total: $r")
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L, s"ppm range: $r")
+    }
+  }
+
   test("blocks below the cap stay whole (single subshard, no recall loss)") {
     val blocks = TextDedup.ngramBlocks(docs)
       .groupBy("lang", "source", "band")
