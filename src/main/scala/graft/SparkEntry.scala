@@ -450,6 +450,9 @@ object SparkEntry {
     // ---- paragraph-level dedup census (RefinedWeb unit: newline
     //      paragraphs hashed corpus-wide, shared mass as exact ppm) ----
     "q166_paragraph_dedup"     -> ((s, d) => TextDedup.paragraphDedup(s, d)),
+    // ---- Pareto skyline (cheapest-for-its-size frontier) via the
+    //      sort-based two-level prefix-max, never a quadratic join ----
+    "q167_part_skyline"        -> ((s, d) => StarQueries.partSkyline(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -3513,5 +3516,29 @@ object SparkEntry {
          |    * 1000000 // SUM(p.l) AS BIGINT) AS dup_char_ppm
          |FROM ph p LEFT JOIN shared s ON s.h = p.h
          |GROUP BY p.source ORDER BY p.source ASC""".stripMargin,
+    // q167: identical two-level window formulation on both sides — the
+    // NOT EXISTS self-join oracle would be quadratic in DuckDB too.
+    "q167_part_skyline" ->
+      s"""WITH dp AS (
+         |  SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+         |         CAST(p_size AS BIGINT) AS psize,
+         |         CAST(COUNT(*) AS BIGINT) AS n_parts,
+         |         CAST(MIN(p_partkey) AS BIGINT) AS min_partkey
+         |  FROM part GROUP BY 1, 2),
+         |b AS (SELECT *, price_c // 10000 AS bucket FROM dp),
+         |run AS (
+         |  SELECT *, MAX(psize) OVER (PARTITION BY bucket
+         |      ORDER BY price_c ASC, psize DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
+         |  FROM b),
+         |pref AS (
+         |  SELECT bucket, MAX(bmax) OVER (ORDER BY bucket ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |  FROM (SELECT bucket, MAX(psize) AS bmax FROM b GROUP BY 1))
+         |SELECT r.price_c, r.psize, r.n_parts, r.min_partkey
+         |FROM run r JOIN pref p USING (bucket)
+         |WHERE GREATEST(COALESCE(r.run_max, -1), COALESCE(p.prev_max, -1))
+         |      < r.psize
+         |ORDER BY r.price_c ASC""".stripMargin,
   )
 }

@@ -300,4 +300,53 @@ object StarQueries {
           .cast("long").as("var_num_w"))
       .orderBy(col("l_returnflag").asc)
   }
+
+  /** 2-D Pareto skyline over part — the cheapest-for-its-size frontier
+    * (minimize retail price, maximize size): a part is on the skyline iff
+    * no other part is at most as expensive AND at least as large with one
+    * strict. The classic formulation is a quadratic NOT EXISTS self-join;
+    * at 100 TB that is a non-starter, so this is the sort-based
+    * linear-scan skyline (Börzsönyi et al., "The Skyline Operator",
+    * ICDE'01) decomposed for a distributed engine:
+    *
+    *  1. collapse to distinct (price, size) pairs (one hash shuffle);
+    *  2. bucket by price band; within each bucket a window ordered by
+    *     (price asc, size desc) carries the running max size over
+    *     strictly-preceding rows — partition-parallel, no global sort;
+    *  3. one bucket-level aggregate (rows = #buckets, trivially small)
+    *     feeds a prefix-max window across buckets — every row in an
+    *     earlier bucket has strictly smaller price, so its max size is
+    *     the only cross-bucket fact needed;
+    *  4. dominated ⇔ max(within-bucket running max, earlier-bucket
+    *     prefix max) ≥ own size. The tiny bucket frame broadcasts back.
+    *
+    * Same two-level prefix decomposition as the packing prefix sums
+    * (q94): the only single-partition window runs over bucket count, not
+    * corpus rows. Prices ship as exact integer cents (BIGINT) — the
+    * driver gate rejects decimal/double output columns. */
+  def partSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val dp = Tables.part(spark, dir)
+      .select(round(col("p_retailprice") * 100).cast("long").as("price_c"),
+        col("p_size").cast("long").as("psize"), col("p_partkey"))
+      .groupBy(col("price_c"), col("psize"))
+      .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("min_partkey"))
+      .withColumn("bucket", expr("price_c div 10000"))
+    val inBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("price_c").asc, col("psize").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val acrossBuckets = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = dp.groupBy(col("bucket")).agg(max(col("psize")).as("bmax"))
+      .withColumn("prev_max", max(col("bmax")).over(acrossBuckets))
+      .select(col("bucket"), col("prev_max"))
+    dp.withColumn("run_max", max(col("psize")).over(inBucket))
+      .join(broadcast(prefix), Seq("bucket"))
+      // sizes are ≥ 1, so -1 is a safe "nothing precedes" sentinel on
+      // both engines (Spark's greatest skips nulls, DuckDB's does not —
+      // coalescing first keeps the predicate engine-portable)
+      .filter(greatest(coalesce(col("run_max"), lit(-1L)),
+        coalesce(col("prev_max"), lit(-1L))) < col("psize"))
+      .select(col("price_c"), col("psize"), col("n_parts"), col("min_partkey"))
+      .orderBy(col("price_c").asc)
+  }
 }

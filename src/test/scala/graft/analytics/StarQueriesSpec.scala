@@ -101,4 +101,27 @@ class StarQueriesSpec extends SparkSpecBase {
         s"floored-long $covFromLong vs double $cv")
     }
   }
+
+  test("part skyline matches the brute-force dominance definition") {
+    val sky = StarQueries.partSkyline(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = graft.core.Tables.part(spark, sf)
+      .select(round(col("p_retailprice") * 100).cast("long").as("c"),
+        col("p_size").cast("long").as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = pairs.filter { case (c, s) =>
+      !pairs.exists { case (c2, s2) =>
+        c2 <= c && s2 >= s && (c2 < c || s2 > s)
+      }
+    }.toSet
+    assert(sky === brute,
+      s"skyline mismatch: missing=${brute -- sky} extra=${sky -- brute}")
+    // frontier shape: sorted by price, sizes strictly increase
+    val byPrice = sky.toSeq.sortBy(_._1)
+    byPrice.sliding(2).foreach {
+      case Seq((c1, s1), (c2, s2)) =>
+        assert(c1 < c2 && s1 < s2, s"not a frontier: ($c1,$s1) then ($c2,$s2)")
+      case _ => ()
+    }
+  }
 }
