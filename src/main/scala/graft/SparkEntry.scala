@@ -453,6 +453,9 @@ object SparkEntry {
     // ---- Pareto skyline (cheapest-for-its-size frontier) via the
     //      sort-based two-level prefix-max, never a quadratic join ----
     "q167_part_skyline"        -> ((s, d) => StarQueries.partSkyline(s, d)),
+    // ---- market-basket lift between event types (user-co-partitioned
+    //      self-join, domain-bounded expansion, integer-ppm lift) ----
+    "q168_type_lift"           -> ((s, d) => Reports.typeLift(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -3540,5 +3543,29 @@ object SparkEntry {
          |WHERE GREATEST(COALESCE(r.run_max, -1), COALESCE(p.prev_max, -1))
          |      < r.psize
          |ORDER BY r.price_c ASC""".stripMargin,
+    // q168: unordered type-pair lift over distinct (user, type); all
+    // arithmetic integer (ppm), so bit-equal across engines.
+    "q168_type_lift" ->
+      (silverCte +
+        """,
+          |ut AS (SELECT DISTINCT user_id, event_type FROM silver),
+          |tot AS (
+          |  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+          |per AS (
+          |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+          |pairs AS (
+          |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+          |         CAST(COUNT(*) AS BIGINT) AS n_both
+          |  FROM ut a
+          |  JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+          |  GROUP BY 1, 2)
+          |SELECT p.type_a, p.type_b, pa.n AS n_a, pb.n AS n_b, p.n_both,
+          |       CAST(p.n_both * t.n_users * 1000000 // (pa.n * pb.n) AS BIGINT)
+          |         AS lift_ppm
+          |FROM pairs p
+          |JOIN per pa ON pa.event_type = p.type_a
+          |JOIN per pb ON pb.event_type = p.type_b
+          |CROSS JOIN tot t
+          |ORDER BY p.type_a ASC, p.type_b ASC""".stripMargin),
   )
 }

@@ -683,4 +683,47 @@ object Reports {
 
   def kAnonymityCensus(spark: SparkSession, dir: String): DataFrame =
     kAnonymityCensus(EventsPipeline.silver(spark, dir))
+
+  /** Market-basket co-occurrence LIFT between event types: for every
+    * unordered type pair, how much more often users exhibit both than
+    * independence predicts — lift = P(a∧b) / (P(a)·P(b)), shipped as
+    * exact integer ppm (n_both·n_users·10⁶ div n_a·n_b) so no
+    * double/decimal touches the gate. The association-rule primitive
+    * (Agrawal & Srikant's market-basket setting) every behavioral
+    * analytics stack exposes.
+    *
+    * Scale shape: one distinct on (user, type) — reusing silver's
+    * user_id hash partitioning — then a SELF-JOIN CO-PARTITIONED ON
+    * user_id whose per-user expansion is bounded by the type-domain
+    * size (pairs per user ≤ |types|², and |types| is a domain constant,
+    * not a data scale). Per-type counts and the grand total are
+    * domain-sized and broadcast. Nothing here grows faster than the
+    * distinct (user, type) frame itself. */
+  def typeLift(silver: DataFrame): DataFrame = {
+    val ut = graft.core.Caches.scratch(
+      silver.select(col("user_id"), col("event_type")).distinct())
+    val totals = ut.agg(countDistinct(col("user_id")).as("n_users"))
+    val per = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(per.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(per.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("type_a"), col("type_b"),
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        col("n_both").cast("long").as("n_both"),
+        expr("n_both * n_users * 1000000 div (n_a * n_b)").cast("long")
+          .as("lift_ppm"))
+      .orderBy(col("type_a").asc, col("type_b").asc)
+  }
+
+  def typeLift(spark: SparkSession, dir: String): DataFrame =
+    typeLift(EventsPipeline.silver(spark, dir))
 }

@@ -280,4 +280,33 @@ class ReportsSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq === Seq((1L, 2L, 2L), (2L, 1L, 2L)))
   }
+
+  test("type lift: independence = 1e6 ppm, positive association above") {
+    import spark.implicits._
+    // 4 users: a∧b together for 1,2; c for everyone (independent of both)
+    val sv = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "c"), (4L, "c"))
+      .toDF("user_id", "event_type")
+    val out = Reports.typeLift(sv).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // (a,b): n_a=2 n_b=2 both=2 → lift = 2*4/(2*2) = 2.0 → 2_000_000 ppm
+    assert(out(("a", "b")) === ((2L, 2L, 2L, 2000000L)))
+    // (a,c): c is universal → lift exactly 1.0
+    assert(out(("a", "c")) === ((2L, 4L, 2L, 1000000L)))
+    assert(out(("b", "c"))._4 === 1000000L)
+  }
+
+  test("type lift over the fixture is pairwise-complete and bounded") {
+    val types = silver.select("event_type").distinct().count()
+    val out = Reports.typeLift(silver).collect()
+    assert(out.length === (types * (types - 1) / 2),
+      "every unordered type pair should co-occur somewhere in the fixture")
+    out.foreach { r =>
+      assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)), s"n_both bound: $r")
+      assert(r.getLong(5) > 0L, s"lift must be positive when n_both > 0: $r")
+    }
+  }
 }
