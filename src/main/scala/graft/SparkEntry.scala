@@ -456,6 +456,12 @@ object SparkEntry {
     // ---- market-basket lift between event types (user-co-partitioned
     //      self-join, domain-bounded expansion, integer-ppm lift) ----
     "q168_type_lift"           -> ((s, d) => Reports.typeLift(s, d)),
+    // ---- weighted systematic sample by char mass: PPS selection from
+    //      pure integer prefix sums, zero RNG, bit-reproducible ----
+    "q169_systematic_sample"   -> ((s, d) => Curation.systematicSample(s, d)),
+    // ---- per-doc shingle novelty vs all lower doc_ids (diminishing-
+    //      returns curve; reuses the memoized shingle frame) ----
+    "q170_novelty_curve"       -> ((s, d) => TextStats.noveltyCurve(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -3567,5 +3573,38 @@ object SparkEntry {
           |JOIN per pb ON pb.event_type = p.type_b
           |CROSS JOIN tot t
           |ORDER BY p.type_a ASC, p.type_b ASC""".stripMargin),
+    // q169: per-source cumulative chars; pick docs whose weight interval
+    // crosses a 2000-char stride boundary. Integer arithmetic only.
+    "q169_systematic_sample" ->
+      """WITH c AS (
+        |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |         CAST(SUM(n_chars) OVER (PARTITION BY source
+        |           ORDER BY doc_id ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum
+        |  FROM documents)
+        |SELECT source, doc_id, n_chars,
+        |       CAST((cum - n_chars) // 2000 AS BIGINT) AS pick_idx
+        |FROM c WHERE cum // 2000 > (cum - n_chars) // 2000
+        |ORDER BY source ASC, doc_id ASC""".stripMargin,
+    // q170: corpus-wide first holder per 3-shingle (same shingle CTE as
+    // the minhash family), per-doc novel fraction as integer ppm.
+    "q170_novelty_curve" ->
+      s"""WITH nd AS (
+         |  SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(1, len(w) - 1),
+         |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
+         |  FROM nd WHERE len(w) >= 3),
+         |fst AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+         |SELECT s.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+         |    * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+         |FROM sh s JOIN fst f USING (shingle)
+         |GROUP BY s.doc_id ORDER BY s.doc_id ASC""".stripMargin,
   )
 }

@@ -599,4 +599,35 @@ object Curation {
           .cast("long"))
       .orderBy(col("source").asc)
   }
+
+  /** Weighted SYSTEMATIC sample: walk each source's documents in doc_id
+    * order along the cumulative-character axis and pick every document
+    * whose weight interval crosses a `stride`-char boundary. Selection
+    * probability is proportional to weight (docs ≥ stride chars are
+    * always taken), yet there is NO randomness anywhere — pure integer
+    * prefix arithmetic, so the sample is reproducible bit-for-bit across
+    * engines, runs, and restarts (the property the q52/q53 hash-split
+    * family gives Bernoulli sampling, extended here to
+    * probability-proportional-to-size). Classic PPS systematic sampling
+    * (Madow), the epoch-construction primitive when examples must be
+    * drawn by token mass rather than per-document.
+    *
+    * Scale shape: identical to [[packSequences]] — per-source prefix sums
+    * (one shuffle on source; at 100 TB the key widens to (source,
+    * file-split) to keep each prefix partition-sized), then a stateless
+    * boundary filter. No global sort, no RNG state. */
+  def systematicSample(docs: DataFrame, stride: Long = 2000L): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("source"), col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .filter(expr(s"cum div $stride") > expr(s"(cum - n_chars) div $stride"))
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        expr(s"(cum - n_chars) div $stride").cast("long").as("pick_idx"))
+      .orderBy(col("source").asc, col("doc_id").asc)
+  }
+
+  def systematicSample(spark: SparkSession, dir: String): DataFrame =
+    systematicSample(Tables.documents(spark, dir))
 }

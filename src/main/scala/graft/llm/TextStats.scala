@@ -565,4 +565,41 @@ object TextStats {
 
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame =
     vocabGrowth(Tables.documents(spark, dir))
+
+  /** Per-document shingle NOVELTY: the fraction of a document's distinct
+    * word 3-shingles never seen in any lower-doc_id document. The
+    * corpus-ordered novelty curve is the diminishing-returns instrument
+    * for data collection (novelty collapsing toward zero within a source
+    * means more of that source buys nothing new), and per-doc novelty is
+    * a curation score orthogonal to the dup families: a doc can be
+    * pairwise-unique (q27 finds nothing) yet contribute zero novel
+    * n-grams.
+    *
+    * Scale shape: reuses the memoized [[TextDedup.shinglesFor]] frame;
+    * one groupBy(shingle) for the corpus-wide first holder, one join back
+    * on shingle (co-partitioned with the aggregation — no extra
+    * exchange), one per-doc rollup. Linear; novelty ships as exact
+    * integer ppm. Docs with < 3 words have no shingles and are absent,
+    * matching the shingle-family convention. */
+  def noveltyCurve(docs: DataFrame): DataFrame =
+    noveltyCurveFrom(TextDedup.shingles(docs, TextDedup.MinhashK))
+
+  private def noveltyCurveFrom(sh: DataFrame): DataFrame = {
+    val first = sh.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"),
+        col("n_shingles").cast("long").as("n_shingles"),
+        col("n_novel").cast("long").as("n_novel"),
+        expr("n_novel * 1000000 div n_shingles").cast("long")
+          .as("novelty_ppm"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  def noveltyCurve(spark: SparkSession, dir: String): DataFrame =
+    noveltyCurveFrom(TextDedup.shinglesFor(spark, dir))
 }

@@ -386,4 +386,33 @@ class CurationSpec extends SparkSpecBase {
     }
     assert(out.values.map(_._1).sum === docs.count())
   }
+
+  test("systematic sample: boundary crossings exact, heavy docs always in") {
+    import spark.implicits._
+    val fix = Seq(
+      // source A, stride 100: cum = 60, 120, 150, 260
+      (1L, "sA", 60L), (2L, "sA", 60L), (3L, "sA", 30L), (4L, "sA", 110L),
+      // source B: one doc far above stride picks exactly once
+      (5L, "sB", 350L))
+      .toDF("doc_id", "source", "n_chars")
+      .withColumn("text", lit("x")).withColumn("lang", lit("en"))
+    val out = Curation.systematicSample(fix, stride = 100L).collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+    // doc2 crosses 100, doc4 crosses 200, doc5 crosses 0/100/200 once
+    assert(out.toSeq === Seq((2L, 0L), (4L, 1L), (5L, 0L)))
+  }
+
+  test("systematic sample: corpus pick mass tracks stride budget") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val stride = 2000L
+    val picks = Curation.systematicSample(docs, stride)
+    val n = picks.count()
+    val totals = docs.groupBy("source")
+      .agg(sum("n_chars").as("t")).collect()
+      .map(r => r.getAs[Long]("t") / stride).sum
+    // every full stride interval yields at most one pick; crossings
+    // equal floor(total/stride) ± #sources boundary effects
+    assert(math.abs(n - totals) <= docs.select("source").distinct().count(),
+      s"picks $n vs stride intervals $totals")
+  }
 }

@@ -203,4 +203,31 @@ class TextStatsSpec extends SparkSpecBase {
       .collect()(0).getLong(0)
     assert(last === sumNew, "cumulative tail must equal the sum of arrivals")
   }
+
+  test("novelty curve: first doc fully novel, exact copy fully stale") {
+    import spark.implicits._
+    val fix = Seq(
+      (1L, "alpha beta gamma delta", "en", "s", 0L),
+      (2L, "alpha beta gamma delta", "en", "s", 0L), // copy of doc 1
+      (3L, "zeta eta theta iota", "en", "s", 0L))    // all new
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.noveltyCurve(fix).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === ((2L, 2L, 1000000L)), s"doc1: ${out(1L)}")
+    assert(out(2L) === ((2L, 0L, 0L)), s"copy must be 0-novel: ${out(2L)}")
+    assert(out(3L) === ((2L, 2L, 1000000L)))
+  }
+
+  test("novelty curve: totals reconcile with the distinct shingle count") {
+    val out = TextStats.noveltyCurve(docs)
+    val novelSum = out.agg(sum("n_novel")).collect()(0).getLong(0)
+    val distinctShingles = TextDedup
+      .shingles(docs, TextDedup.MinhashK)
+      .select("shingle").distinct().count()
+    // every distinct shingle is novel in exactly one doc (its first)
+    assert(novelSum === distinctShingles)
+    out.collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"novel > total: $r")
+    }
+  }
 }
