@@ -106,16 +106,30 @@ object Graphs {
     * catalog². Full (weight desc, neighbor asc) tiebreak keeps the
     * result deterministic. */
   def itemItemRecs(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
     // the memoized scaffold IS the weighted pair list, already persisted —
     // it feeds both union arms below at zero extra build cost
     val pairW = coPurchasePairs(spark, dir)
     val sym = pairW.select(col("u").as("part"), col("v").as("rec"), col("w"))
       .unionAll(pairW.select(col("v").as("part"), col("u").as("rec"), col("w")))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("part").orderBy(col("w").desc, col("rec").asc)
-    sym.withColumn("rk", row_number().over(win))
-      .filter(col("rk") <= k)
-      .select(col("part"), col("rk"), col("rec"), col("w"))
+    // bounded top-k Aggregator, not a window: the window formulation
+    // shuffles + sorts the FULL symmetrized pair list (2|E| rows) per
+    // run, while the Aggregator partial-combines map-side so only ≤k
+    // rows per part cross the wire — the per-group TakeOrdered. Output
+    // is row-for-row the row_number() formulation (same w desc, rec asc
+    // tiebreak; GraphsSpec pins it).
+    val top = new graft.functions.TopKPairsAgg(k).toColumn
+    sym.select(col("part").cast("long"), col("rec").cast("long"),
+        col("w").cast("long")).as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(top.name("top"))
+      .flatMap { case (part, lst) =>
+        lst.iterator.zipWithIndex.map { case ((rec, w), i) =>
+          (part, i + 1, rec, w)
+        }
+      }
+      .toDF("part", "rk", "rec", "w")
       .orderBy(col("part").asc, col("rk").asc)
   }
 

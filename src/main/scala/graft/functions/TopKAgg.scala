@@ -44,3 +44,36 @@ class TopKAgg(k: Int)
   override def outputEncoder: Encoder[Seq[(Int, Long)]] =
     ExpressionEncoder[Seq[(Int, Long)]]()
 }
+
+/** [[TopKAgg]] for (neighbor: Long, weight: Long) pairs — top-k by
+  * weight desc, neighbor asc. Same bounded-buffer partial aggregation;
+  * used by the co-purchase recommender (q104), where it turns the
+  * window formulation's full shuffle+sort of every symmetrized pair
+  * into a map-side-combined shuffle of ≤k rows per part. */
+class TopKPairsAgg(k: Int)
+  extends Aggregator[(Long, Long), List[(Long, Long)], Seq[(Long, Long)]] {
+
+  private def better(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+
+  private def insert(buf: List[(Long, Long)], x: (Long, Long)): List[(Long, Long)] = {
+    val (le, gt) = buf.partition(better(_, x))
+    (le ::: (x :: gt)).take(k)
+  }
+
+  override def zero: List[(Long, Long)] = Nil
+
+  override def reduce(buf: List[(Long, Long)], row: (Long, Long)): List[(Long, Long)] =
+    insert(buf, row)
+
+  override def merge(a: List[(Long, Long)], b: List[(Long, Long)]): List[(Long, Long)] =
+    b.foldLeft(a)(insert)
+
+  override def finish(buf: List[(Long, Long)]): Seq[(Long, Long)] = buf
+
+  override def bufferEncoder: Encoder[List[(Long, Long)]] =
+    ExpressionEncoder[List[(Long, Long)]]()
+
+  override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+    ExpressionEncoder[Seq[(Long, Long)]]()
+}
