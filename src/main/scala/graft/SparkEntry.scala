@@ -462,6 +462,12 @@ object SparkEntry {
     // ---- per-doc shingle novelty vs all lower doc_ids (diminishing-
     //      returns curve; reuses the memoized shingle frame) ----
     "q170_novelty_curve"       -> ((s, d) => TextStats.noveltyCurve(s, d)),
+    // ---- chi-squared lang×source independence census, fraction-free
+    //      integer arithmetic with a pinned flooring order ----
+    "q171_chi2_census"         -> ((s, d) => TextStats.chi2Census(s, d)),
+    // ---- Benford leading-digit census from exact integer cents (no
+    //      log10/pow near-power-of-ten ulp hazards) ----
+    "q172_benford_census"      -> ((s, d) => StarQueries.benfordCensus(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -3606,5 +3612,37 @@ object SparkEntry {
          |    * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
          |FROM sh s JOIN fst f USING (shingle)
          |GROUP BY s.doc_id ORDER BY s.doc_id ASC""".stripMargin,
+    // q171: χ² terms with every fraction cleared and the flooring order
+    // pinned: ((d² // (r·c)) · 1e6) // N, d = O·N − R·C.
+    "q171_chi2_census" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |c AS (SELECT source, CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells)
+        |SELECT ce.lang, ce.source, ce.n,
+        |  CAST(r.r * c.c // t.nn AS BIGINT) AS expected_fl,
+        |  CAST((((ce.n * t.nn - r.r * c.c) * (ce.n * t.nn - r.r * c.c))
+        |    // (r.r * c.c) * 1000000) // t.nn AS BIGINT) AS chi2_ppm
+        |FROM cells ce
+        |JOIN r ON r.lang = ce.lang
+        |JOIN c ON c.source = ce.source
+        |CROSS JOIN t
+        |ORDER BY ce.lang ASC, ce.source ASC""".stripMargin,
+    // q172: leading digit from the decimal string of exact integer
+    // cents — integer→string is exact in both engines.
+    "q172_benford_census" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |           AS VARCHAR), 1, 1) AS INTEGER) AS lead_digit
+        |  FROM orders),
+        |g AS (
+        |  SELECT lead_digit, CAST(COUNT(*) AS BIGINT) AS n_orders FROM d
+        |  GROUP BY 1)
+        |SELECT lead_digit, n_orders,
+        |       CAST(n_orders * 1000000 //
+        |            (SELECT SUM(n_orders) FROM g) AS BIGINT) AS share_ppm
+        |FROM g ORDER BY lead_digit ASC""".stripMargin,
   )
 }

