@@ -468,6 +468,15 @@ object SparkEntry {
     // ---- Benford leading-digit census from exact integer cents (no
     //      log10/pow near-power-of-ten ulp hazards) ----
     "q172_benford_census"      -> ((s, d) => StarQueries.benfordCensus(s, d)),
+    // ---- dedup survivorship: per-source absorbed/cross-absorbed docs
+    //      under the min-id keep rule (source-mixture bias audit) ----
+    "q173_dedup_survivorship"  -> ((s, d) => DupClusters.survivorshipBySource(s, d)),
+    // ---- second-order sequence motifs (3-grams over user event
+    //      sequences, conditional ppm vs the (a,b) prefix) ----
+    "q174_motif_census"        -> ((s, d) => Funnels.motifCensus(s, d)),
+    // ---- fulfillment-latency histogram per priority (fact-to-fact
+    //      equi-join, exact integer day gaps, week buckets) ----
+    "q175_ship_latency"        -> ((s, d) => StarQueries.shipLatency(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -3644,5 +3653,85 @@ object SparkEntry {
         |       CAST(n_orders * 1000000 //
         |            (SELECT SUM(n_orders) FROM g) AS BIGINT) AS share_ppm
         |FROM g ORDER BY lead_digit ASC""".stripMargin,
+    // q173: the q159/q165 recursive closure labeled with sources; kept =
+    // (doc is its cluster's min id); canonical source looked up via the
+    // cluster key.
+    "q173_dedup_survivorship" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashOracle
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r
+         |  JOIN edges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src),
+         |lab AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |keyed AS (
+         |  SELECT d.doc_id, d.source,
+         |         COALESCE(l.cluster_id, d.doc_id) AS ckey,
+         |         COALESCE(l.cluster_id, d.doc_id) = d.doc_id AS kept
+         |  FROM documents d LEFT JOIN lab l USING (doc_id)),
+         |rm AS (
+         |  SELECT k.source, c.source AS canon_source
+         |  FROM keyed k JOIN documents c ON c.doc_id = k.ckey
+         |  WHERE NOT k.kept),
+         |tot AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_kept
+         |  FROM keyed GROUP BY 1),
+         |ab AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_absorbed,
+         |         CAST(SUM(CASE WHEN canon_source <> source THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS absorbed_cross
+         |  FROM rm GROUP BY 1)
+         |SELECT t.source, t.n_docs, t.n_kept,
+         |       CAST(COALESCE(a.n_absorbed, 0) AS BIGINT) AS n_absorbed,
+         |       CAST(COALESCE(a.absorbed_cross, 0) AS BIGINT) AS absorbed_cross,
+         |       CAST(COALESCE(a.n_absorbed, 0) * 1000000 // t.n_docs AS BIGINT)
+         |         AS absorbed_ppm
+         |FROM tot t LEFT JOIN ab a USING (source)
+         |ORDER BY t.source ASC""".stripMargin,
+    // q174: two leads over the same (user, ts, event_id) order; motif
+    // counts conditional on the (t1, t2) prefix total.
+    "q174_motif_census" ->
+      (silverCte +
+        """,
+          |tr AS (
+          |  SELECT event_type AS t1,
+          |         lead(event_type, 1) OVER (PARTITION BY user_id
+          |           ORDER BY ts ASC, event_id ASC) AS t2,
+          |         lead(event_type, 2) OVER (PARTITION BY user_id
+          |           ORDER BY ts ASC, event_id ASC) AS t3
+          |  FROM silver),
+          |m AS (
+          |  SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM tr WHERE t3 IS NOT NULL GROUP BY 1, 2, 3)
+          |SELECT t1, t2, t3, n,
+          |       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY t1, t2)
+          |         AS BIGINT) AS cond_ppm
+          |FROM m ORDER BY t1 ASC, t2 ASC, t3 ASC""".stripMargin),
+    // q175: exact integer day gaps (both engines datediff on DATE),
+    // bucketed by week per priority.
+    "q175_ship_latency" ->
+      """SELECT o.o_orderpriority,
+        |       CAST((date_diff('day', CAST(o.o_orderdate AS DATE),
+        |              CAST(l.l_shipdate AS DATE)) + 70000) // 7 - 10000
+        |         AS BIGINT) AS wk_bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       CAST(MIN(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |              CAST(l.l_shipdate AS DATE))) AS BIGINT) AS min_days,
+        |       CAST(MAX(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |              CAST(l.l_shipdate AS DATE))) AS BIGINT) AS max_days
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY o.o_orderpriority ASC, wk_bucket ASC""".stripMargin,
   )
 }

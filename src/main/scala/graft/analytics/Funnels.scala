@@ -97,4 +97,37 @@ object Funnels {
 
   def eventTransitions(spark: SparkSession, dir: String): DataFrame =
     eventTransitions(EventsPipeline.silver(spark, dir))
+
+  /** Second-order sequence motifs: every consecutive TRIPLE in each
+    * user's event sequence, counted corpus-wide — the 3-gram
+    * generalization of [[eventTransitions]], and the point where journey
+    * mining starts distinguishing "play→skip→play" churn loops from
+    * plain transition noise. Conditional probability is against the
+    * (a, b) prefix total, as exact integer ppm.
+    *
+    * Scale shape: two `lead()`s over the SAME (user, ts, event_id)
+    * window — one partition-local sort feeding both, reusing silver's
+    * user_id clustering; the motif aggregation reduces to ≤ |types|³
+    * rows (a domain constant) before the prefix-total window. */
+  def motifCensus(silver: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val triples = silver
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("t1"))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .filter(col("t3").isNotNull)
+    triples.groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prefix_total",
+        sum(col("n")).over(Window.partitionBy(col("t1"), col("t2"))))
+      .select(col("t1"), col("t2"), col("t3"),
+        col("n").cast("long").as("n"),
+        expr("n * 1000000 div prefix_total").cast("long").as("cond_ppm"))
+      .orderBy(col("t1").asc, col("t2").asc, col("t3").asc)
+  }
+
+  def motifCensus(spark: SparkSession, dir: String): DataFrame =
+    motifCensus(EventsPipeline.silver(spark, dir))
 }

@@ -370,4 +370,37 @@ object StarQueries {
         expr("n_orders * 1000000 div total").cast("long").as("share_ppm"))
       .orderBy(col("lead_digit").asc)
   }
+
+  /** Fulfillment-latency census: order→ship day gaps per order priority,
+    * bucketed by week — the SLA distribution report (TPC-H Q12's shipping
+    * analysis, generalized to the full latency histogram). Latency is
+    * exact integer days (`datediff` on dates in both engines), so the
+    * histogram is bit-stable.
+    *
+    * Scale shape: one fact-to-fact equi-join on the order key — both
+    * sides shuffle-partition on `o_orderkey`/`l_orderkey`, the natural
+    * co-partitioning a production layout would bucket both tables by
+    * (q110 demonstrates the exchange-free form) — then a domain-sized
+    * (priority × week) aggregation, map-side combinable. */
+  def shipLatency(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      .join(li, Seq("o_orderkey"))
+      .withColumn("lat_days",
+        datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long"))
+      // dates are synthetic and gaps go negative; Spark's `div` truncates
+      // toward zero while DuckDB's `//` floors, so shift into the
+      // positive range before dividing (floor ≡ truncate there) and
+      // shift back — pure integer, identical in both engines
+      .withColumn("wk_bucket",
+        expr("(lat_days + 70000) div 7 - 10000").cast("long"))
+      .groupBy(col("o_orderpriority"), col("wk_bucket"))
+      .agg(count(lit(1)).as("n_items"),
+        min(col("lat_days")).as("min_days"),
+        max(col("lat_days")).as("max_days"))
+      .orderBy(col("o_orderpriority").asc, col("wk_bucket").asc)
+  }
 }

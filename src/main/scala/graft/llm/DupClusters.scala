@@ -209,4 +209,51 @@ object DupClusters {
       .agg(count(lit(1)).as("n_clusters"))
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
       .orderBy(col("cluster_size").asc)
+
+  /** Dedup SURVIVORSHIP census per source — does the min-doc_id keep rule
+    * systematically absorb one source into another? Per source: docs in,
+    * docs kept, docs absorbed (removed as duplicates), and of those how
+    * many were absorbed by a canonical living in a DIFFERENT source
+    * (`absorbed_cross`). A high cross-absorption count means dedup is
+    * silently rewriting the source mixture the q54/q75 weights were
+    * tuned against — the bias audit a production dedup pass publishes
+    * alongside its savings number.
+    *
+    * Scale shape: the memoized cluster frame broadcasts onto the corpus
+    * id/source projection (keep-list shape, q78); the canonical-source
+    * lookup joins the REMOVED subset only (pair-graph-sized, broadcast)
+    * against the same projection. Two domain-sized censuses close it
+    * out. */
+  def survivorshipBySource(spark: SparkSession, dir: String): DataFrame = {
+    val srcOf = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val keyed = srcOf
+      .join(broadcast(clustersFor(spark, dir)
+        .select(col("doc_id"), col("cluster_id"), col("is_canonical"))),
+        Seq("doc_id"), "left")
+      .select(col("source"),
+        coalesce(col("cluster_id"), col("doc_id")).as("ckey"),
+        coalesce(col("is_canonical"), lit(true)).as("kept"))
+    val removed = keyed.filter(!col("kept"))
+      .select(col("source"), col("ckey"))
+    val absorbed = srcOf
+      .select(col("doc_id").as("ckey"), col("source").as("canon_source"))
+      .join(broadcast(removed), Seq("ckey"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_absorbed"),
+        sum(when(col("canon_source") =!= col("source"), 1L).otherwise(0L))
+          .as("absorbed_cross"))
+    keyed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .join(broadcast(absorbed), Seq("source"), "left")
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        col("n_kept").cast("long").as("n_kept"),
+        coalesce(col("n_absorbed"), lit(0L)).cast("long").as("n_absorbed"),
+        coalesce(col("absorbed_cross"), lit(0L)).cast("long")
+          .as("absorbed_cross"))
+      .withColumn("absorbed_ppm",
+        expr("n_absorbed * 1000000 div n_docs").cast("long"))
+      .orderBy(col("source").asc)
+  }
 }

@@ -78,4 +78,42 @@ class FunnelsSpec extends SparkSpecBase {
       assert(rs.map(_.getLong(2)).sum === rs.head.getLong(3)) // row_total
     }
   }
+
+  test("motif census: hand-traced triples, prefix-conditional ppm") {
+    import spark.implicits._
+    // user 1: a b a b  -> (a,b,a), (b,a,b); user 2: a b c -> (a,b,c)
+    val sv = Seq(
+      (1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "a"), (4L, 1L, "b"),
+      (5L, 2L, "a"), (6L, 2L, "b"), (7L, 2L, "c"))
+      .toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", col("event_id").cast("timestamp"))
+    val got = Funnels.motifCensus(sv).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      ("a", "b", "a", 1L, 500000L),
+      ("a", "b", "c", 1L, 500000L),
+      ("b", "a", "b", 1L, 1000000L)))
+    // corpus: motif totals reconcile with the transition pair counts
+    val silver = graft.pipeline.EventsPipeline.silver(spark, sf)
+    val motifs = Funnels.motifCensus(silver)
+    val perUser = silver.groupBy("user_id").count().collect()
+      .map(r => math.max(0L, r.getLong(1) - 2)).sum
+    assert(motifs.agg(sum("n")).head.getLong(0) === perUser,
+      "triple count must be n_events - 2 per user")
+  }
+
+  test("ship latency: buckets tile the exact day-gap range, floor on negatives") {
+    val out = StarQueries.shipLatency(spark, sf).collect()
+    out.foreach { r =>
+      val (b, lo, hi) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(lo <= hi)
+      // min/max sit inside the week bucket [7b, 7b+6] — including the
+      // negative buckets (floor semantics, not truncate-toward-zero)
+      assert(lo >= 7 * b && hi <= 7 * b + 6, s"bucket breach: $r")
+    }
+    val total = out.map(_.getLong(2)).sum
+    assert(total === graft.core.Tables.lineitem(spark, sf).count())
+    assert(out.exists(_.getLong(1) < 0), "fixture has negative gaps")
+  }
 }

@@ -95,4 +95,28 @@ class DupClustersSpec extends SparkSpecBase {
         r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
     }
   }
+
+  test("survivorship census reconciles with the keep list per source") {
+    val out = DupClusters.survivorshipBySource(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val docs = Tables.documents(spark, sf)
+    val keep = DupClusters.dedupKeepList(spark, sf)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val perSrc = keep.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet === perSrc.keySet)
+    out.foreach { case (src, r) =>
+      val (n, k) = perSrc(src)
+      assert(r.getAs[Long]("n_docs") === n, s"$src docs")
+      assert(r.getAs[Long]("n_kept") === k, s"$src kept")
+      assert(r.getAs[Long]("n_absorbed") === n - k, s"$src absorbed")
+      assert(r.getAs[Long]("absorbed_cross") <= r.getAs[Long]("n_absorbed"))
+      assert(r.getAs[Long]("absorbed_ppm") === (n - k) * 1000000L / n)
+    }
+    // the fixture plants cross-source templates: the audit must see them
+    assert(out.values.map(_.getAs[Long]("absorbed_cross")).sum > 0L,
+      "no cross-source absorption detected on the template corpus")
+  }
 }
