@@ -477,6 +477,9 @@ object SparkEntry {
     // ---- fulfillment-latency histogram per priority (fact-to-fact
     //      equi-join, exact integer day gaps, week buckets) ----
     "q175_ship_latency"        -> ((s, d) => StarQueries.shipLatency(s, d)),
+    // ---- char-mass-weighted length percentiles per source (decomposed
+    //      value histogram, integer cross-multiplication, no sorts) ----
+    "q176_weighted_length_pct" -> ((s, d) => TextStats.weightedLengthPercentiles(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -3733,5 +3736,27 @@ object SparkEntry {
         |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1, 2
         |ORDER BY o.o_orderpriority ASC, wk_bucket ASC""".stripMargin,
+    // q176: cumulative char mass over the per-source length histogram;
+    // percentile picks by integer cross-multiplication.
+    "q176_weighted_length_pct" ->
+      """WITH hist AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS len,
+        |         CAST(SUM(n_chars) AS BIGINT) AS w
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (
+        |  SELECT source, len, w,
+        |         CAST(SUM(w) OVER (PARTITION BY source ORDER BY len ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum,
+        |         CAST(SUM(w) OVER (PARTITION BY source) AS BIGINT) AS total
+        |  FROM hist)
+        |SELECT source,
+        |  CAST(MIN(CASE WHEN cum * 100 >= total * 25 THEN len END) AS BIGINT)
+        |    AS p25_len,
+        |  CAST(MIN(CASE WHEN cum * 100 >= total * 50 THEN len END) AS BIGINT)
+        |    AS p50_len,
+        |  CAST(MIN(CASE WHEN cum * 100 >= total * 75 THEN len END) AS BIGINT)
+        |    AS p75_len
+        |FROM c GROUP BY source ORDER BY source ASC""".stripMargin,
   )
 }

@@ -638,4 +638,40 @@ object TextStats {
 
   def chi2Census(spark: SparkSession, dir: String): DataFrame =
     chi2Census(Tables.documents(spark, dir))
+
+  /** Char-mass-WEIGHTED doc-length percentiles per source: the length L
+    * such that 25/50/75 % of the source's characters live in docs of
+    * length ≤ L. Token-weighted (not doc-weighted) percentiles are what
+    * sizing decisions actually need — packing efficiency and truncation
+    * loss are functions of where the MASS sits, and a count-weighted
+    * median badly misreads a corpus whose few long docs hold most of the
+    * tokens.
+    *
+    * Exact and integer-only via the decomposed-histogram pattern
+    * (q83/q143/q152): one (source, length) aggregation, cumulative sums
+    * over the per-source VALUE histogram (domain-sized, never corpus
+    * rows), threshold picks by integer cross-multiplication — no
+    * percentile_cont, no sort of the corpus, no floats. */
+  def weightedLengthPercentiles(docs: DataFrame): DataFrame = {
+    val hist = docs
+      .groupBy(col("source"), col("n_chars").cast("long").as("len"))
+      .agg(sum(col("n_chars")).cast("long").as("w"))
+    val cumWin = Window.partitionBy(col("source")).orderBy(col("len").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("w")).over(cumWin))
+      .withColumn("total", sum(col("w")).over(Window.partitionBy(col("source"))))
+    cum.groupBy(col("source"))
+      .agg(
+        min(when(col("cum") * 100 >= col("total") * 25, col("len")))
+          .as("p25_len"),
+        min(when(col("cum") * 100 >= col("total") * 50, col("len")))
+          .as("p50_len"),
+        min(when(col("cum") * 100 >= col("total") * 75, col("len")))
+          .as("p75_len"))
+      .orderBy(col("source").asc)
+  }
+
+  def weightedLengthPercentiles(spark: SparkSession, dir: String): DataFrame =
+    weightedLengthPercentiles(Tables.documents(spark, dir))
 }

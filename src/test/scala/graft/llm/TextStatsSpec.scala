@@ -261,4 +261,34 @@ class TextStatsSpec extends SparkSpecBase {
       s"complete dependence must produce a large statistic: ${depOut.mkString}")
     out.unpersist()
   }
+
+  test("weighted length percentiles: hand-traced mass thresholds") {
+    import spark.implicits._
+    // source s: lengths 10, 10, 80 → mass 100; cum: 20 (len 10), 100
+    // (len 80). 25% (25) falls past 20 → p25 = 80; p50/p75 = 80 too.
+    // source t: single len 50 → all three are 50.
+    val fix = Seq(
+      (1L, "x", "en", "s", 10L), (2L, "x", "en", "s", 10L),
+      (3L, "x", "en", "s", 80L), (4L, "x", "en", "t", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.weightedLengthPercentiles(fix).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("s") === ((80L, 80L, 80L)), s"s: ${out("s")}")
+    assert(out("t") === ((50L, 50L, 50L)))
+  }
+
+  test("weighted length percentiles are ordered and within range per source") {
+    val out = TextStats.weightedLengthPercentiles(docs).collect()
+    val ranges = docs.groupBy("source")
+      .agg(min("n_chars").as("lo"), max("n_chars").as("hi")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (p25, p50, p75) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (lo, hi) = ranges(r.getString(0))
+      assert(p25 <= p50 && p50 <= p75, s"not monotone: $r")
+      assert(p25 >= lo && p75 <= hi, s"outside value range: $r")
+    }
+  }
 }
