@@ -267,4 +267,45 @@ class PlanAuditSpec extends SparkSpecBase {
       s"keep list not broadcast in:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
   }
+
+  test("paragraph dedup: hash aggregations only, no pair joins") {
+    val plan = graft.llm.TextDedup
+      .paragraphDedup(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"pair join leaked into the paragraph-dedup plan:\n$plan")
+  }
+
+  test("skyline: windowed prefix max, never a dominance nested loop") {
+    val plan = graft.analytics.StarQueries
+      .partSkyline(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"quadratic dominance join in the skyline plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket prefix frame not broadcast in:\n$plan")
+  }
+
+  test("survivorship: cluster and absorbed frames broadcast onto the corpus") {
+    val plan = graft.llm.DupClusters
+      .survivorshipBySource(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cluster frame not broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("systematic sample and weighted percentiles: no corpus-global window") {
+    // both decompose to per-source partitions; an unpartitioned window
+    // here would be the single-reducer corpus sort the design forbids
+    Seq(
+      graft.llm.Curation.systematicSample(spark, sf),
+      graft.llm.TextStats.weightedLengthPercentiles(spark, sf)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      val windows = plan.linesIterator.filter(_.contains("Window")).mkString("\n")
+      assert(!windows.contains("partitionBy=[]"),
+        s"unpartitioned window over the corpus:\n$windows")
+    }
+  }
 }
