@@ -480,6 +480,12 @@ object SparkEntry {
     // ---- char-mass-weighted length percentiles per source (decomposed
     //      value histogram, integer cross-multiplication, no sorts) ----
     "q176_weighted_length_pct" -> ((s, d) => TextStats.weightedLengthPercentiles(s, d)),
+    // ---- quality × duplication interaction (q32 ∘ q160 composition:
+    //      are the passes redundant or orthogonal?) ----
+    "q177_quality_dup_interaction" -> ((s, d) => TextStats.qualityDupInteraction(s, d)),
+    // ---- LSH transfer-curve calibration: band agreement vs exact
+    //      Jaccard per candidate pair, incl. pure-collision pairs ----
+    "q178_lsh_calibration"     -> ((s, d) => TextDedup.lshCalibration(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -623,6 +629,57 @@ object SparkEntry {
     s"""$minhashPairSql
        |SELECT doc_a, doc_b, jaccard FROM pairs
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q178: the q27 CTE chain up to `bands`, then a band-count candidate
+    * aggregation and an UNFILTERED integer-ppm Jaccard census per
+    * shared-band tier (left join keeps pure-collision pairs at 0). */
+  private def lshCalibrationOracle: String = {
+    import graft.llm.TextDedup.MinhashP
+    val (mins, bands) = minhashCtes
+    s"""WITH nd AS (
+       |  SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, len(w) - 1),
+       |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
+       |  FROM nd WHERE len(w) >= 3),
+       |based AS (
+       |  SELECT doc_id,
+       |         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $MinhashP AS hb
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM based GROUP BY doc_id),
+       |bands AS (
+       |  $bands),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(COUNT(*) AS BIGINT) AS shared_bands
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS icnt
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT c.shared_bands,
+       |         CAST(COALESCE(it.icnt, 0) * 1000000
+       |           // (sa.n + sb.n - COALESCE(it.icnt, 0)) AS BIGINT) AS jacc_ppm
+       |  FROM cand c
+       |  LEFT JOIN inter it ON it.doc_a = c.doc_a AND it.doc_b = c.doc_b
+       |  JOIN sizes sa ON sa.doc_id = c.doc_a
+       |  JOIN sizes sb ON sb.doc_id = c.doc_b)
+       |SELECT shared_bands, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |       CAST(SUM(jacc_ppm) // COUNT(*) AS BIGINT) AS mean_jacc_ppm,
+       |       CAST(MIN(jacc_ppm) AS BIGINT) AS min_jacc_ppm,
+       |       CAST(MAX(jacc_ppm) AS BIGINT) AS max_jacc_ppm
+       |FROM j GROUP BY 1 ORDER BY shared_bands ASC""".stripMargin
+  }
 
   /** q76: same minhash family, ONE-SIDED candidate join (incoming % 5 = 0
     * vs existing), per-incoming verdict. */
@@ -3758,5 +3815,43 @@ object SparkEntry {
         |  CAST(MIN(CASE WHEN cum * 100 >= total * 75 THEN len END) AS BIGINT)
         |    AS p75_len
         |FROM c GROUP BY source ORDER BY source ASC""".stripMargin,
+    // q177: the q32 quality CTE crossed with the q160 coverage CTE,
+    // coverage kept for zero-dup docs (left join, coalesce 0).
+    "q177_quality_dup_interaction" ->
+      s"""WITH $cdcChunksOracle,
+         |ch AS (
+         |  SELECT doc_id, md5(chunk) AS h, len(chunk) AS l
+         |  FROM chunks WHERE chunk <> ''),
+         |shared AS (
+         |  SELECT h FROM ch GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+         |per AS (
+         |  SELECT doc_id, CAST(SUM(l) AS BIGINT) AS n_chars FROM ch GROUP BY 1),
+         |dup AS (
+         |  SELECT c.doc_id, CAST(SUM(c.l) AS BIGINT) AS dup_chars
+         |  FROM ch c JOIN shared s ON s.h = c.h GROUP BY 1),
+         |cov AS (
+         |  SELECT p.doc_id,
+         |         CAST(COALESCE(d.dup_chars, 0) * 1000000 // p.n_chars
+         |           AS BIGINT) AS dup_ppm
+         |  FROM per p LEFT JOIN dup d USING (doc_id)),
+         |qn AS (SELECT doc_id, $duckNorm AS norm FROM documents),
+         |qt AS (SELECT doc_id, norm, str_split(norm, ' ') AS w FROM qn),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(len(w) >= 20 AND len(w) <= 1000 AS INTEGER)
+         |    + CAST(len(list_filter(w, x -> x IN ($duckStops))) > 0 AS INTEGER)
+         |    + CAST(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(w) >= 2.0
+         |        AND CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(w) <= 12.0
+         |        AS INTEGER) AS quality
+         |  FROM qt)
+         |SELECT q.quality, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN c.dup_ppm > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_docs,
+         |  CAST(SUM(c.dup_ppm) // COUNT(*) AS BIGINT) AS mean_dup_ppm
+         |FROM q JOIN cov c USING (doc_id)
+         |GROUP BY 1 ORDER BY q.quality ASC""".stripMargin,
+    // q178: the q27 band machinery with the candidate DISTINCT replaced
+    // by a shared-band COUNT; Jaccard unfiltered, collisions kept at 0.
+    "q178_lsh_calibration" -> lshCalibrationOracle,
   )
 }

@@ -651,4 +651,59 @@ object TextDedup {
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
     incrementalDedupFrom(shinglesFor(spark, dir),
       Tables.documents(spark, dir), mod = 5, minJaccard = 0.8)
+
+  // ------------------------------------------------ LSH calibration
+
+  /** LSH ESTIMATOR CALIBRATION: for every banded-minhash candidate pair,
+    * how does the number of agreeing bands track the exact Jaccard? The
+    * S-curve audit every LSH deployment publishes before trusting its
+    * thresholds — band agreement is the probabilistic estimate, exact
+    * Jaccard the truth, and this census is the measured transfer curve
+    * (the q161 recall-audit idea, applied to the q27 text family).
+    * A band count whose mean Jaccard sits below the tuning target means
+    * the banding parameters are mis-set for this corpus.
+    *
+    * Scale shape: identical joins to [[minhashNearDups]] — the band join
+    * GROUPS instead of DISTINCTs (same shuffle), the shingle
+    * intersection runs only on candidates, and the census reduces to at
+    * most [[NumBands]] rows. Pairs sharing a band via pure min-hash
+    * collision (no common shingle) are kept at Jaccard 0 — the left
+    * join, not dropped — because false candidates are exactly what a
+    * calibration must count. */
+  def lshCalibration(docs: DataFrame): DataFrame =
+    lshCalibrationFrom(graft.core.Caches.scratch(shingles(docs, MinhashK)))
+
+  private def lshCalibrationFrom(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val bands = minhashBands(signaturesOf(sh))
+    val cand = graft.core.Caches.scratch(
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared_bands")))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("icnt"))
+    cand.join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("ic", coalesce(col("icnt"), lit(0L)))
+      .withColumn("jacc_ppm", expr("ic * 1000000 div (na + nb - ic)"))
+      .groupBy(col("shared_bands"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("jacc_ppm")).as("s"),
+        min(col("jacc_ppm")).as("min_jacc_ppm"),
+        max(col("jacc_ppm")).as("max_jacc_ppm"))
+      .select(col("shared_bands").cast("long").as("shared_bands"),
+        col("n_pairs").cast("long").as("n_pairs"),
+        expr("s div n_pairs").cast("long").as("mean_jacc_ppm"),
+        col("min_jacc_ppm").cast("long").as("min_jacc_ppm"),
+        col("max_jacc_ppm").cast("long").as("max_jacc_ppm"))
+      .orderBy(col("shared_bands").asc)
+  }
+
+  def lshCalibration(spark: SparkSession, dir: String): DataFrame =
+    lshCalibrationFrom(shinglesFor(spark, dir))
 }

@@ -674,4 +674,47 @@ object TextStats {
 
   def weightedLengthPercentiles(spark: SparkSession, dir: String): DataFrame =
     weightedLengthPercentiles(Tables.documents(spark, dir))
+
+  /** Quality × duplication INTERACTION census — operators composed: the
+    * q32 quality score crossed with the q160 chunk-level duplication
+    * coverage, per quality tier. "Are low-quality docs also the
+    * duplicated ones?" decides whether quality filtering and dedup are
+    * redundant passes or orthogonal ones — if the mass they remove
+    * overlaps, the pipeline runs the cheaper pass first and shrinks the
+    * expensive one's input.
+    *
+    * Scale shape: both inputs are existing linear passes; the join is
+    * doc-keyed (both sides partition on doc_id), and the census is
+    * 4 rows. Coverage here INCLUDES zero-dup docs (unlike q160's
+    * report, which lists only affected docs) — a mean over survivors
+    * only would bias the interaction. */
+  def qualityDupInteraction(docs: DataFrame): DataFrame = {
+    val ch = graft.core.Caches.scratch(
+      TextDedup.cdcChunks(docs).select(col("doc_id"), md5(col("chunk")).as("h"),
+        length(col("chunk")).as("len")))
+    val shared = ch.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select(col("h"))
+    val per = ch.groupBy(col("doc_id")).agg(sum(col("len")).as("n_chars"))
+    val dup = ch.join(shared, Seq("h"))
+      .groupBy(col("doc_id")).agg(sum(col("len")).as("dup_chars"))
+    val cov = per.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        expr("coalesce(dup_chars, 0) * 1000000 div n_chars").cast("long")
+          .as("dup_ppm"))
+    qualityScore(docs).select(col("doc_id"), col("quality"))
+      .join(cov, Seq("doc_id"))
+      .groupBy(col("quality"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup_ppm") > 0, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("dup_ppm")).as("s"))
+      .select(col("quality"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_dup_docs").cast("long").as("n_dup_docs"),
+        expr("s div n_docs").cast("long").as("mean_dup_ppm"))
+      .orderBy(col("quality").asc)
+  }
+
+  def qualityDupInteraction(spark: SparkSession, dir: String): DataFrame =
+    qualityDupInteraction(Tables.documents(spark, dir))
 }

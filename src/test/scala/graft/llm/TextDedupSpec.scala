@@ -227,6 +227,29 @@ class TextDedupSpec extends SparkSpecBase {
     }
   }
 
+  test("lsh calibration: transfer curve is monotone and contains the planted dups") {
+    val out = TextDedup.lshCalibration(planted).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) >= 1 && r.getLong(0) <= TextDedup.NumBands.toLong)
+      assert(r.getLong(2) >= r.getLong(3) && r.getLong(2) <= r.getLong(4),
+        s"mean outside [min, max]: $r")
+    }
+    // the exact copy shares all bands at jaccard 1e6 — the top band tier
+    // must exist and its max must be exactly 1e6
+    val full = out.filter(_.getLong(0) === TextDedup.NumBands.toLong)
+    assert(full.nonEmpty && full.head.getLong(4) === 1000000L,
+      s"planted exact dup missing from the all-bands tier: ${out.mkString}")
+    // S-curve sanity: strict per-tier monotonicity is a population
+    // property, not a small-sample one — assert the ends of the curve
+    // instead (low agreement ⇒ low similarity, full agreement ⇒ high)
+    val means = out.sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(means.head < means.last,
+      s"calibration curve flat or inverted: ${means.toSeq}")
+    assert(full.head.getLong(2) > 800000L,
+      s"all-bands tier mean suspiciously low: ${full.head}")
+  }
+
   test("blocks below the cap stay whole (single subshard, no recall loss)") {
     val blocks = TextDedup.ngramBlocks(docs)
       .groupBy("lang", "source", "band")

@@ -278,6 +278,21 @@ class TextStatsSpec extends SparkSpecBase {
     assert(out("t") === ((50L, 50L, 50L)))
   }
 
+  test("quality-dup interaction: tiers partition the corpus, means bounded") {
+    val out = TextStats.qualityDupInteraction(docs).collect()
+    assert(out.map(_.getInt(0)).toSet.subsetOf(Set(0, 1, 2, 3)))
+    assert(out.map(_.getLong(1)).sum === docs.count(),
+      "every doc must land in exactly one quality tier")
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"dup docs > docs: $r")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L, s"mean ppm: $r")
+      // a tier with zero dup docs must have zero mean coverage
+      if (r.getLong(2) === 0L) assert(r.getLong(3) === 0L, s"ghost coverage: $r")
+    }
+    // the template corpus is heavily chunk-shared: some tier must see it
+    assert(out.map(_.getLong(2)).sum > 0L)
+  }
+
   test("weighted length percentiles are ordered and within range per source") {
     val out = TextStats.weightedLengthPercentiles(docs).collect()
     val ranges = docs.groupBy("source")
