@@ -486,6 +486,9 @@ object SparkEntry {
     // ---- LSH transfer-curve calibration: band agreement vs exact
     //      Jaccard per candidate pair, incl. pure-collision pairs ----
     "q178_lsh_calibration"     -> ((s, d) => TextDedup.lshCalibration(s, d)),
+    // ---- binaryFile source: opaque-blob ingestion with end-to-end
+    //      md5 byte-integrity verification (the multimodal scan) ----
+    "q179_binary_ingest"       -> ((s, d) => Medallion.binaryIngestCensus(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -3853,5 +3856,14 @@ object SparkEntry {
     // q178: the q27 band machinery with the candidate DISTINCT replaced
     // by a shared-band COUNT; Jaccard unfiltered, collisions kept at 0.
     "q178_lsh_calibration" -> lshCalibrationOracle,
+    // q179: the engine verifies bytes through a real write→binaryFile
+    // scan; the oracle states the invariant census directly (ASCII text
+    // ⇒ n_verified = n_files, byte length via encoded octets).
+    "q179_binary_ingest" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |       CAST(COUNT(*) AS BIGINT) AS n_verified
+        |FROM documents WHERE doc_id % 7 = 0
+        |GROUP BY 1 ORDER BY source ASC""".stripMargin,
   )
 }

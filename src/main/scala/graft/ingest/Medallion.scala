@@ -277,6 +277,56 @@ object Medallion {
       .orderBy(col("user_id").asc, col("event_date").asc)
   }
 
+  private val binScratch =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, String]]())
+
+  /** q179: the `binaryFile` DataSource — Spark's opaque-blob ingestion
+    * path, the scan every multimodal pipeline starts from (images/audio
+    * land as bytes + metadata; llm.Multimodal decodes downstream of
+    * exactly this scan). The fixture carve (doc_id % 7 = 0, coprime with the source stride so every source appears) is written
+    * out as one .bin per doc by a DISTRIBUTED foreachPartition (no
+    * driver collect), then read back as (path, length, content); the
+    * census re-derives each blob's doc via the filename, recomputes
+    * md5(content), and compares against md5 of the source text — so
+    * `n_verified` is an actual end-to-end byte-integrity check, not a
+    * count: any truncation or transcoding in the write/scan path fails
+    * the oracle. The text is ASCII by construction, so char length ==
+    * byte length on both engines (the oracle still uses octet_length
+    * over encoded bytes, not char count). */
+  def binaryIngestCensus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val carve = docs.filter(col("doc_id") % 7 === 0)
+    val scratch = scratchFor(binScratch, spark, dir) { p =>
+      carve.select(col("doc_id"), col("text"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          val base = java.nio.file.Paths.get(p)
+          java.nio.file.Files.createDirectories(base)
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              base.resolve(s"${r.getLong(0)}.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+    }
+    val blobs = spark.read.format("binaryFile").load(scratch)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("length"), md5(col("content")).as("got"))
+    blobs
+      .join(carve.select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("want")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("length")).as("total_bytes"),
+        sum(when(col("got") === col("want"), 1L).otherwise(0L)).as("n_verified"))
+      .select(col("source"), col("n_files").cast("long").as("n_files"),
+        col("total_bytes").cast("long").as("total_bytes"),
+        col("n_verified").cast("long").as("n_verified"))
+      .orderBy(col("source").asc)
+  }
+
   // ------------------------------------------------ file lineage (q141)
 
   private val lineageScratch =

@@ -125,4 +125,26 @@ class MedallionSpec extends SparkSpecBase {
       .sortBy(_._1)
     assert(lineage.toSeq === expected.toSeq)
   }
+
+  test("binary ingest: every blob byte-verified, totals match the carve") {
+    val out = Medallion.binaryIngestCensus(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every written blob must md5-verify against its source text
+    out.foreach { r =>
+      assert(r.getLong(3) === r.getLong(1),
+        s"byte integrity failed for ${r.getString(0)}: $r")
+    }
+    val expected = graft.core.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 7 === 0)
+      .groupBy("source").agg(count(lit(1)).as("n"),
+        sum(length(col("text"))).as("b")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out.foreach { r =>
+      val (n, b) = expected(r.getString(0))
+      assert(r.getLong(1) === n && r.getLong(2) === b, s"census drift: $r")
+    }
+    // memoized scratch: a second call reuses the written files
+    val again = Medallion.binaryIngestCensus(spark, sf).collect()
+    assert(again.map(_.toString).toSeq === out.map(_.toString).toSeq)
+  }
 }
