@@ -489,6 +489,9 @@ object SparkEntry {
     // ---- binaryFile source: opaque-blob ingestion with end-to-end
     //      md5 byte-integrity verification (the multimodal scan) ----
     "q179_binary_ingest"       -> ((s, d) => Medallion.binaryIngestCensus(s, d)),
+    // ---- RFM segmentation: stable integer bucket rules (quarters /
+    //      log2-orders / $50k cents), never rank-relative ----
+    "q180_rfm_segments"        -> ((s, d) => StarQueries.rfmSegments(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -3865,5 +3868,26 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_verified
         |FROM documents WHERE doc_id % 7 = 0
         |GROUP BY 1 ORDER BY source ASC""".stripMargin,
+    // q180: per-customer aggregate, corpus max date as the recency
+    // anchor, the q154 bit-length trick for integer log2 buckets.
+    "q180_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         MAX(CAST(o_orderdate AS DATE)) AS last_order,
+        |         CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS dmax FROM orders)
+        |SELECT
+        |  CAST(date_diff('day', p.last_order, m.dmax) // 90 AS BIGINT)
+        |    AS r_bucket,
+        |  CAST(length(bin(p.n_orders)) - 1 AS BIGINT) AS f_bucket,
+        |  CAST(p.cents // 5000000 AS BIGINT) AS m_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(MIN(p.o_custkey) AS BIGINT) AS min_custkey
+        |FROM per p CROSS JOIN mx m
+        |GROUP BY 1, 2, 3
+        |ORDER BY r_bucket ASC, f_bucket ASC, m_bucket ASC""".stripMargin,
   )
 }

