@@ -492,6 +492,9 @@ object SparkEntry {
     // ---- RFM segmentation: stable integer bucket rules (quarters /
     //      log2-orders / $50k cents), never rank-relative ----
     "q180_rfm_segments"        -> ((s, d) => StarQueries.rfmSegments(s, d)),
+    // ---- within-label cosine decile histogram: the distance-
+    //      distribution audit behind any semantic-dedup threshold ----
+    "q181_cosine_histogram"    -> ((s, d) => Similarity.cosineHistogram(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -3889,5 +3892,20 @@ object SparkEntry {
         |FROM per p CROSS JOIN mx m
         |GROUP BY 1, 2, 3
         |ORDER BY r_bucket ASC, f_bucket ASC, m_bucket ASC""".stripMargin,
+    // q181: same dot/norm operand order as q34 ⇒ identical doubles ⇒
+    // identical floors; pairs within label cells only.
+    "q181_cosine_histogram" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |p AS (
+        |  SELECT a.label,
+        |         list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT label, CAST(floor(cos * 10) AS BIGINT) AS cos_decile,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM p GROUP BY 1, 2 ORDER BY label ASC, cos_decile ASC""".stripMargin,
   )
 }

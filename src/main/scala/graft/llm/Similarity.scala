@@ -539,4 +539,34 @@ object Similarity {
   def annRecallAudit(spark: SparkSession, dir: String): DataFrame =
     annRecallAudit(Tables.embeddings(spark, dir))
 
+  /** Within-label pairwise COSINE HISTOGRAM (decile buckets) — the
+    * distance-distribution audit that justifies a semantic-dedup or ANN
+    * threshold before anyone commits to it (q162 hard-codes 0.9; this
+    * is the curve that says whether 0.9 splits the mass). The q178
+    * calibration idea, applied to the embedding space.
+    *
+    * Bucketing floors identical IEEE doubles, so it is engine-portable
+    * the same way the q34 exact ranking is (both engines compute the
+    * same dot/norm in the same operand order).
+    *
+    * Scale shape: pairs are generated WITHIN label cells only — the
+    * same bounded-cell contract as SemDeDup (cell size is the knob; at
+    * corpus scale cells come from k-means (q48) and oversized cells get
+    * subsampled before pairing). Join is label-keyed, output is
+    * |labels| × 21 rows. */
+  def cosineHistogram(embeddings: DataFrame): DataFrame = {
+    val c = vecsNormed(embeddings)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+    c.as("a").join(c.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"),
+        cosinePre(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cos"))
+      .select(col("label"), floor(col("cos") * 10).cast("long").as("cos_decile"))
+      .groupBy(col("label"), col("cos_decile"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("label").asc, col("cos_decile").asc)
+  }
+
+  def cosineHistogram(spark: SparkSession, dir: String): DataFrame =
+    cosineHistogram(Tables.embeddings(spark, dir))
 }

@@ -180,4 +180,23 @@ class SimilaritySpec extends SparkSpecBase {
     val again = Similarity.clusterBalancedSample(emb, docs, k = 5).collect()
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("cosine histogram: pair conservation per label, deciles in range") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val out = Similarity.cosineHistogram(emb).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // cosine ∈ [-1, 1] ⇒ decile ∈ [-10, 10]
+      assert(r.getLong(1) >= -10L && r.getLong(1) <= 10L, s"decile range: $r")
+      assert(r.getLong(2) > 0L)
+    }
+    // Σ pairs per label = n·(n−1)/2 of that label's vectors
+    val sizes = emb.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val got = out.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    got.foreach { case (label, n) =>
+      val s = sizes(label)
+      assert(n === s * (s - 1) / 2, s"label $label pair count")
+    }
+  }
 }
