@@ -128,6 +128,31 @@ object Bench {
     (System.nanoTime() - t0) / 1e6
   }
 
+  /** Per-stage shuffle/input byte tally — the metric that actually
+    * predicts 100 TB behavior (a query's wall time at toy scale is
+    * scheduling-bound; its SHUFFLE VOLUME is scale-invariant per row and
+    * is what explodes at 1000×). Stage-completion events are async, so
+    * snapshots drain the listener bus first (GraftListenerBridge). */
+  private final class ShuffleTally
+    extends org.apache.spark.scheduler.SparkListener {
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val write = new java.util.concurrent.atomic.AtomicLong
+    val input = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = s.stageInfo.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        input.addAndGet(m.inputMetrics.bytesRead)
+      }
+    }
+    def snapshot(sc: org.apache.spark.SparkContext): (Long, Long, Long) = {
+      org.apache.spark.GraftListenerBridge.drain(sc)
+      (read.get, write.get, input.get)
+    }
+  }
+
   /** Peak RSS (VmHWM) in MiB from /proc/self/status; -1 if unavailable. */
   private def peakRssMib(): Double =
     try {
@@ -184,6 +209,12 @@ object Bench {
     val stealPcts = scala.collection.mutable.LinkedHashMap[String, Double]()
     val probeMs = scala.collection.mutable.LinkedHashMap[String, Double]()
     val pprobeMs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // Per-query shuffle/input volume (MiB, averaged over the measured
+    // iterations): the scale-invariant cost axis next to wall time.
+    val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val inputMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
     cpuProbeMs(); parallelProbeMs() // JIT warm-up for the probe loops
     val results: Seq[(String, Double)] = names.map { n =>
       if (errors.contains(n)) n -> -1.0
@@ -193,7 +224,11 @@ object Bench {
           pprobeMs(n) = parallelProbeMs()
           val gc0 = gcMillis()
           val st0 = cpuSteal()
+          val (r0, w0, i0) = tally.snapshot(spark.sparkContext)
           val ts = (1 to iters).map(_ => runOnce(n))
+          val (r1, w1, i1) = tally.snapshot(spark.sparkContext)
+          shuffleMb(n) = ((r1 - r0) + (w1 - w0)) / 1048576.0 / iters
+          inputMb(n) = (i1 - i0) / 1048576.0 / iters
           gcTimes(n) = gcMillis() - gc0
           stealPcts(n) = stealPct(st0, cpuSteal())
           iterTimes(n) = ts
@@ -229,11 +264,16 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
     val pprobeJson = pprobeMs
       .map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
+    val shuffleJson = shuffleMb
+      .map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
+    val inputJson = inputMb
+      .map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":$iters,""" +
-        s""""iter_sec":$itersJson,"cold_sec":$coldJson,"gc_ms":$gcJson,"steal_pct":$stealJson,"probe_ms":$probeJson,"pprobe_ms":$pprobeJson,"loadavg_start":${num(load0)},"loadavg_end":${num(loadAvg())},""" +
+        s""""iter_sec":$itersJson,"cold_sec":$coldJson,"gc_ms":$gcJson,"steal_pct":$stealJson,"probe_ms":$probeJson,"pprobe_ms":$pprobeJson,""" +
+        s""""shuffle_mb":$shuffleJson,"input_mb":$inputJson,"loadavg_start":${num(load0)},"loadavg_end":${num(loadAvg())},""" +
         s""""rss_mib":${num(peakRssMib())},"wall_sec":${num(wallSec)}}"""
 
     println(line)
