@@ -3479,14 +3479,15 @@ object SparkEntry {
          |  SELECT d.doc_id, d.lang, d.source
          |  FROM documents d JOIN (SELECT DISTINCT doc_id FROM tf) t
          |    USING (doc_id)),
+         |tfm AS (
+         |  SELECT t.doc_id, t.bucket, t.cnt, m.lang, m.source
+         |  FROM tf t JOIN meta m USING (doc_id)),
          |dots AS (
-         |  SELECT ma.lang, ma.source, ma.doc_id AS da, mb.doc_id AS db,
-         |         SUM(ta.cnt * tb.cnt) AS dt
-         |  FROM meta ma
-         |  JOIN meta mb ON ma.lang = mb.lang AND ma.source = mb.source
-         |    AND ma.doc_id < mb.doc_id
-         |  JOIN tf ta ON ta.doc_id = ma.doc_id
-         |  JOIN tf tb ON tb.doc_id = mb.doc_id AND tb.bucket = ta.bucket
+         |  SELECT a.lang, a.source, a.doc_id AS da, b.doc_id AS db,
+         |         SUM(a.cnt * b.cnt) AS dt
+         |  FROM tfm a
+         |  JOIN tfm b ON a.lang = b.lang AND a.source = b.source
+         |    AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2, 3, 4),
          |pairs AS (
          |  SELECT d.lang, d.source, d.da, d.db
