@@ -495,6 +495,12 @@ object SparkEntry {
     // ---- within-label cosine decile histogram: the distance-
     //      distribution audit behind any semantic-dedup threshold ----
     "q181_cosine_histogram"    -> ((s, d) => Similarity.cosineHistogram(s, d)),
+    // ---- OOV census vs corpus top-K vocab (TakeOrdered vocab,
+    //      broadcast back; tokenizer-coverage audit) ----
+    "q182_oov_census"          -> ((s, d) => TextStats.oovCensus(s, d)),
+    // ---- cross-series covariance between type daily volumes (exact
+    //      int64 numerators on a domain-sized matrix) ----
+    "q183_type_covariance"     -> ((s, d) => Reports.typeCovariance(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -3908,5 +3914,41 @@ object SparkEntry {
         |SELECT label, CAST(floor(cos * 10) AS BIGINT) AS cos_decile,
         |       CAST(COUNT(*) AS BIGINT) AS n_pairs
         |FROM p GROUP BY 1, 2 ORDER BY label ASC, cos_decile ASC""".stripMargin,
+    // q182: top-K vocab with a total (count desc, word asc) tiebreak;
+    // OOV = token not in the vocab, as integer ppm per source.
+    "q182_oov_census" ->
+      s"""WITH wds AS (
+         |  SELECT source, unnest(str_split($duckNorm, ' ')) AS word
+         |  FROM documents),
+         |c AS (SELECT word, COUNT(*) AS cnt FROM wds GROUP BY 1),
+         |v AS (SELECT word FROM c ORDER BY cnt DESC, word ASC LIMIT 30)
+         |SELECT w.source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS oov_tokens,
+         |  CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) * 1000000
+         |    // COUNT(*) AS BIGINT) AS oov_ppm
+         |FROM wds w LEFT JOIN v ON v.word = w.word
+         |GROUP BY 1 ORDER BY w.source ASC""".stripMargin,
+    // q183: daily (date, type) matrix self-joined within date; exact
+    // integer covariance numerators n·Σxy − Σx·Σy.
+    "q183_type_covariance" ->
+      (silverCte +
+        """,
+          |daily AS (
+          |  SELECT event_date, event_type, CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM silver GROUP BY 1, 2),
+          |p AS (
+          |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+          |         CAST(COUNT(*) AS BIGINT) AS n_days,
+          |         CAST(SUM(a.n) AS BIGINT) AS sx,
+          |         CAST(SUM(b.n) AS BIGINT) AS sy,
+          |         CAST(SUM(a.n * b.n) AS BIGINT) AS sxy
+          |  FROM daily a
+          |  JOIN daily b ON a.event_date = b.event_date
+          |    AND a.event_type < b.event_type
+          |  GROUP BY 1, 2)
+          |SELECT type_a, type_b, n_days, sx AS sum_x, sy AS sum_y,
+          |       CAST(n_days * sxy - sx * sy AS BIGINT) AS cov_num
+          |FROM p ORDER BY type_a ASC, type_b ASC""".stripMargin),
   )
 }

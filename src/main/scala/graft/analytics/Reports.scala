@@ -726,4 +726,40 @@ object Reports {
 
   def typeLift(spark: SparkSession, dir: String): DataFrame =
     typeLift(EventsPipeline.silver(spark, dir))
+
+  /** Cross-SERIES covariance between event types' daily volumes: for
+    * every unordered type pair, the exact integer covariance numerator
+    * n·Σxy − Σx·Σy over the days both series exist — do types move
+    * together day to day? Complements q105 (within-row moments) and
+    * q168 (user-level lift): this is the time-series association. All
+    * arithmetic is int64-exact (daily counts are small; products are
+    * bounded by days·max² which sits far inside the long range at any
+    * realistic scale), so no decimal/double reaches the gate.
+    *
+    * Scale shape: the daily (date, type) matrix is days × |types| —
+    * tiny regardless of corpus size — so the pair self-join and the
+    * census are post-aggregation work on a domain-sized frame; the
+    * corpus pays exactly one grouped count. */
+  def typeCovariance(silver: DataFrame): DataFrame = {
+    val daily = graft.core.Caches.scratch(
+      silver.groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n")))
+    daily.as("a").join(daily.as("b"),
+        col("a.event_date") === col("b.event_date") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("a.n")).as("sx"), sum(col("b.n")).as("sy"),
+        sum(col("a.n") * col("b.n")).as("sxy"))
+      .select(col("type_a"), col("type_b"),
+        col("n_days").cast("long").as("n_days"),
+        col("sx").cast("long").as("sum_x"),
+        col("sy").cast("long").as("sum_y"),
+        expr("n_days * sxy - sx * sy").cast("long").as("cov_num"))
+      .orderBy(col("type_a").asc, col("type_b").asc)
+  }
+
+  def typeCovariance(spark: SparkSession, dir: String): DataFrame =
+    typeCovariance(EventsPipeline.silver(spark, dir))
 }

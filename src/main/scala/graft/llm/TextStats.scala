@@ -717,4 +717,35 @@ object TextStats {
 
   def qualityDupInteraction(spark: SparkSession, dir: String): DataFrame =
     qualityDupInteraction(Tables.documents(spark, dir))
+
+  /** Out-of-vocabulary census per source against a corpus-derived
+    * top-K vocabulary — the tokenizer-coverage audit: a source whose
+    * token mass falls outside the vocabulary will fragment into long
+    * byte-level token sequences at training time, so its effective
+    * cost per document is higher than its char count suggests.
+    *
+    * The vocabulary is the top-K words by corpus frequency with a
+    * total (count desc, word asc) tiebreak — deterministic in both
+    * engines. Scale shape: word counts are one hash aggregation; the
+    * top-K is a TakeOrdered (never a global sort); the K-row vocab
+    * broadcasts back onto the token stream. */
+  def oovCensus(docs: DataFrame, vocabK: Int = 30): DataFrame = {
+    val words = graft.core.Caches.scratch(docs.select(col("source"),
+      explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+        .as("word")))
+    val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc).limit(vocabK)
+      .select(col("word"))
+    words.join(broadcast(vocab.withColumn("iv", lit(1L))), Seq("word"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .select(col("source"), col("n_tokens").cast("long").as("n_tokens"),
+        col("oov_tokens").cast("long").as("oov_tokens"),
+        expr("oov_tokens * 1000000 div n_tokens").cast("long").as("oov_ppm"))
+      .orderBy(col("source").asc)
+  }
+
+  def oovCensus(spark: SparkSession, dir: String): DataFrame =
+    oovCensus(Tables.documents(spark, dir))
 }

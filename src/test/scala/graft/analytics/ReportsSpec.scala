@@ -299,6 +299,34 @@ class ReportsSpec extends SparkSpecBase {
     assert(out(("b", "c"))._4 === 1000000L)
   }
 
+  test("type covariance: hand-traced numerator signs") {
+    import spark.implicits._
+    // days 1..3: a = (1, 2, 3), b = (2, 4, 6) co-moving; c = (3, 2, 1)
+    // counter-moving. cov_num(a,b) = 3*28 - 6*12 = 12 > 0;
+    // cov_num(a,c) = 3*10 - 6*6 = -6 < 0.
+    def rows(t: String, counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (c, d) => (1 to c).map(i =>
+        (d.toLong * 1000 + i + t.hashCode.abs % 7, t,
+          java.sql.Date.valueOf(f"2024-01-${d + 1}%02d")))
+    }
+    val sv = (rows("a", Seq(1, 2, 3)) ++ rows("b", Seq(2, 4, 6)) ++
+      rows("c", Seq(3, 2, 1)))
+      .toDF("event_id", "event_type", "event_date")
+    val out = Reports.typeCovariance(sv).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(5)).toMap
+    assert(out(("a", "b")) === 12L, s"co-moving pair: $out")
+    assert(out(("a", "c")) === -6L, s"counter-moving pair: $out")
+    assert(out(("b", "c")) === -12L)
+  }
+
+  test("type covariance over the fixture: symmetric-complete, days bounded") {
+    val out = Reports.typeCovariance(silver).collect()
+    val types = silver.select("event_type").distinct().count()
+    assert(out.length === types * (types - 1) / 2)
+    val days = silver.select("event_date").distinct().count()
+    out.foreach(r => assert(r.getLong(2) <= days, s"n_days > days: $r"))
+  }
+
   test("type lift over the fixture is pairwise-complete and bounded") {
     val types = silver.select("event_type").distinct().count()
     val out = Reports.typeLift(silver).collect()

@@ -293,6 +293,35 @@ class TextStatsSpec extends SparkSpecBase {
     assert(out.map(_.getLong(2)).sum > 0L)
   }
 
+  test("oov census: planted rare word is OOV, head words are not") {
+    import spark.implicits._
+    // 30 head words dominate; "zyzzyva" appears once → outside top-30
+    val head = (1 to 30).map(i => s"w$i")
+    val base = (1L to 40L).map(id =>
+      (id, (head ++ head).mkString(" "), "en", "sA", 0L))
+    val rare = Seq((99L, s"${head.head} zyzzyva", "en", "sB", 0L))
+    val docs = (base ++ rare)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.oovCensus(docs, vocabK = 30).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("sA") === ((2400L, 0L, 0L)), s"head source: ${out("sA")}")
+    assert(out("sB") === ((2L, 1L, 500000L)), s"rare holder: ${out("sB")}")
+  }
+
+  test("oov census over the corpus: ppm bounded, tokens reconcile") {
+    val out = TextStats.oovCensus(docs).collect()
+    assert(out.nonEmpty)
+    val totalTokens = out.map(_.getLong(1)).sum
+    assert(totalTokens > 0)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"oov > tokens: $r")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L)
+    }
+    // the fixture vocab is larger than 30 words → some OOV must exist
+    assert(out.map(_.getLong(2)).sum > 0, "no OOV tokens found at K=30")
+  }
+
   test("weighted length percentiles are ordered and within range per source") {
     val out = TextStats.weightedLengthPercentiles(docs).collect()
     val ranges = docs.groupBy("source")
