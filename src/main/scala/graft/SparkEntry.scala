@@ -501,6 +501,9 @@ object SparkEntry {
     // ---- cross-series covariance between type daily volumes (exact
     //      int64 numerators on a domain-sized matrix) ----
     "q183_type_covariance"     -> ((s, d) => Reports.typeCovariance(s, d)),
+    // ---- Merkle bucket checksums (xor row digests per id bucket —
+    //      the replica anti-entropy / migration-audit primitive) ----
+    "q184_merkle_buckets"      -> ((s, d) => Diagnostics.merkleBuckets(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -3950,5 +3953,14 @@ object SparkEntry {
           |SELECT type_a, type_b, n_days, sx AS sum_x, sy AS sum_y,
           |       CAST(n_days * sxy - sx * sy AS BIGINT) AS cov_num
           |FROM p ORDER BY type_a ASC, type_b ASC""".stripMargin),
+    // q184: same 60-bit md5 row digest, xor-folded per id bucket —
+    // order/partition independent in both engines.
+    "q184_merkle_buckets" ->
+      """SELECT CAST(doc_id % 64 AS BIGINT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(bit_xor(CAST('0x' || substr(md5(
+        |         concat_ws('|', doc_id, text, lang, source)), 1, 15) AS BIGINT))
+        |         AS BIGINT) AS checksum
+        |FROM documents GROUP BY 1 ORDER BY bucket ASC""".stripMargin,
   )
 }

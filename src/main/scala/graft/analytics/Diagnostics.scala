@@ -96,4 +96,32 @@ object Diagnostics {
         col("estimate_sound"))
       .orderBy(col("rank").asc)
   }
+
+  /** Merkle-style BUCKET CHECKSUMS over the documents table — the
+    * anti-entropy primitive: two replicas (or a table before/after a
+    * migration) compare 64 bucket digests instead of 100 TB of rows,
+    * then re-sync only the buckets whose checksums differ (the
+    * Dynamo/Cassandra repair idea, expressed relationally). XOR is the
+    * right fold: order- and partition-independent (so the digest is
+    * identical on any cluster layout), self-inverse (a vanished row
+    * flips the digest), and overflow-free where an int sum would wrap
+    * differently across engines.
+    *
+    * One scan, one 64-row aggregation; the row digest covers every
+    * content column so any field-level drift (not just missing rows)
+    * changes the bucket. */
+  def merkleBuckets(docs: DataFrame, buckets: Int = 64): DataFrame =
+    docs.select((col("doc_id") % buckets).as("bucket"),
+        conv(substring(md5(concat_ws("|",
+          col("doc_id"), col("text"), col("lang"), col("source"))), 1, 15),
+          16, 10).cast("long").as("h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(h)").cast("long").as("checksum"))
+      .select(col("bucket").cast("long").as("bucket"),
+        col("n_docs").cast("long").as("n_docs"), col("checksum"))
+      .orderBy(col("bucket").asc)
+
+  def merkleBuckets(spark: SparkSession, dir: String): DataFrame =
+    merkleBuckets(Tables.documents(spark, dir))
 }

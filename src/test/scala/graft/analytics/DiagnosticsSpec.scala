@@ -34,4 +34,21 @@ class DiagnosticsSpec extends SparkSpecBase {
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected distributed top-k in:\n$plan")
   }
+
+  test("merkle buckets: partition-layout invariant, drift-sensitive") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val a = Diagnostics.merkleBuckets(docs).collect()
+    assert(a.map(_.getLong(1)).sum === docs.count())
+    // identical content under a different physical layout → identical digests
+    val b = Diagnostics.merkleBuckets(docs.repartition(7)).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq,
+      "checksums must not depend on partitioning or row order")
+    // a single-field drift in a single row flips exactly that bucket
+    import org.apache.spark.sql.functions._
+    val drifted = Diagnostics.merkleBuckets(docs.withColumn("lang",
+      when(col("doc_id") === 5, lit("xx")).otherwise(col("lang")))).collect()
+    val diff = a.zip(drifted).filter { case (x, y) => x.toString != y.toString }
+    assert(diff.length === 1 && diff.head._1.getLong(0) === 5L % 64,
+      s"expected exactly bucket 5 to drift: ${diff.map(_._1).mkString}")
+  }
 }
