@@ -504,6 +504,12 @@ object SparkEntry {
     // ---- Merkle bucket checksums (xor row digests per id bucket —
     //      the replica anti-entropy / migration-audit primitive) ----
     "q184_merkle_buckets"      -> ((s, d) => Diagnostics.merkleBuckets(s, d)),
+    // ---- orders→lineitem fan-out histogram incl. zero-child parents
+    //      (the join-cardinality profile behind 100 TB join sizing) ----
+    "q185_fanout_histogram"    -> ((s, d) => Diagnostics.fanoutHistogram(s, d)),
+    // ---- top-decile activity concentration (count-histogram
+    //      decomposition, ties-whole rule, no user-level sort) ----
+    "q186_concentration"       -> ((s, d) => Diagnostics.concentrationCensus(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -3962,5 +3968,44 @@ object SparkEntry {
         |         concat_ws('|', doc_id, text, lang, source)), 1, 15) AS BIGINT))
         |         AS BIGINT) AS checksum
         |FROM documents GROUP BY 1 ORDER BY bucket ASC""".stripMargin,
+    // q185: left join keeps zero-lineitem orders in the fanout profile.
+    "q185_fanout_histogram" ->
+      """WITH f AS (
+        |  SELECT o.o_orderkey, CAST(COALESCE(c.n, 0) AS BIGINT) AS fanout
+        |  FROM orders o LEFT JOIN (
+        |    SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1) c
+        |    ON c.l_orderkey = o.o_orderkey)
+        |SELECT fanout, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(fanout * COUNT(*) AS BIGINT) AS n_lineitems
+        |FROM f GROUP BY 1 ORDER BY fanout ASC""".stripMargin,
+    // q186: cumulative windows over the count HISTOGRAM (descending),
+    // decile cut by integer cross-multiplication, ties included whole.
+    "q186_concentration" ->
+      (silverCte +
+        """,
+          |pu AS (
+          |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM silver GROUP BY 1),
+          |h AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS nu FROM pu GROUP BY 1),
+          |t AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS total_users,
+          |         CAST(SUM(c) AS BIGINT) AS total_events
+          |  FROM pu),
+          |cw AS (
+          |  SELECT c,
+          |    CAST(SUM(nu) OVER (ORDER BY c DESC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum_users,
+          |    CAST(SUM(c * nu) OVER (ORDER BY c DESC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum_events
+          |  FROM h)
+          |SELECT cw.cum_users AS top_users, t.total_users,
+          |       cw.cum_events AS top_events, t.total_events,
+          |       CAST(cw.cum_events * 1000000 // t.total_events AS BIGINT)
+          |         AS share_ppm
+          |FROM cw CROSS JOIN t
+          |WHERE cw.cum_users * 10 >= t.total_users
+          |ORDER BY cw.c DESC LIMIT 1""".stripMargin),
   )
 }

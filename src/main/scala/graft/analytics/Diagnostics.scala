@@ -124,4 +124,64 @@ object Diagnostics {
 
   def merkleBuckets(spark: SparkSession, dir: String): DataFrame =
     merkleBuckets(Tables.documents(spark, dir))
+
+  /** Join FAN-OUT histogram for orders → lineitem: how many orders have
+    * 0, 1, 2, … lineitems. The cardinality profile every join planner
+    * (human or cost-based) needs before sizing a 100 TB fact-to-fact
+    * join — expected output rows = Σ fanout·matches, skew = the
+    * histogram's tail. Zero-child parents are kept via the left join
+    * (they vanish from an inner-join profile and then surprise the
+    * reconciliation). One shuffle on the join key, then a
+    * histogram-sized aggregation. */
+  def fanoutHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o_orderkey"))
+    o.join(li.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n_items")),
+        Seq("o_orderkey"), "left")
+      .select(coalesce(col("n_items"), lit(0L)).as("fanout"))
+      .groupBy(col("fanout"))
+      .agg(count(lit(1)).as("n_orders"))
+      .select(col("fanout").cast("long").as("fanout"),
+        col("n_orders").cast("long").as("n_orders"),
+        (col("fanout") * col("n_orders")).cast("long").as("n_lineitems"))
+      .orderBy(col("fanout").asc)
+  }
+
+  /** Top-decile CONCENTRATION census over user activity: what share of
+    * all events belongs to the most-active 10 % of users. The
+    * complement of the gini census (q112): one number a capacity plan
+    * or an abuse review reads first. Exact and sort-free via the
+    * count-histogram decomposition (same pattern as the rank
+    * decompositions): users collapse to (listen_count → n_users)
+    * pairs, a cumulative window runs over the HISTOGRAM (distinct
+    * count values, not users), and the decile cut is integer
+    * cross-multiplication. Users tied at the cut count are included in
+    * full — the deterministic rule both engines state identically. */
+  def concentrationCensus(spark: SparkSession, silver: DataFrame): DataFrame = {
+    val perUser = silver.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val hist = perUser.groupBy(col("c")).agg(count(lit(1)).as("nu"))
+    val w = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum_users", sum(col("nu")).over(w))
+      .withColumn("cum_events", sum(col("c") * col("nu")).over(w))
+      .crossJoin(broadcast(
+        perUser.agg(count(lit(1)).as("total_users"),
+          sum(col("c")).as("total_events"))))
+      // smallest top set (by descending count, ties whole) covering ≥10%
+      .filter(col("cum_users") * 10 >= col("total_users"))
+      .orderBy(col("c").desc)
+      .limit(1)
+      .select(
+        col("cum_users").cast("long").as("top_users"),
+        col("total_users").cast("long").as("total_users"),
+        col("cum_events").cast("long").as("top_events"),
+        col("total_events").cast("long").as("total_events"),
+        expr("cum_events * 1000000 div total_events").cast("long")
+          .as("share_ppm"))
+  }
+
+  def concentrationCensus(spark: SparkSession, dir: String): DataFrame =
+    concentrationCensus(spark, graft.pipeline.EventsPipeline.silver(spark, dir))
 }

@@ -51,4 +51,34 @@ class DiagnosticsSpec extends SparkSpecBase {
     assert(diff.length === 1 && diff.head._1.getLong(0) === 5L % 64,
       s"expected exactly bucket 5 to drift: ${diff.map(_._1).mkString}")
   }
+
+  test("fanout histogram conserves both sides of the join") {
+    val out = Diagnostics.fanoutHistogram(spark, sf).collect()
+    val orders = graft.core.Tables.orders(spark, sf).count()
+    val lineitems = graft.core.Tables.lineitem(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum === orders)
+    assert(out.map(_.getLong(2)).sum === lineitems)
+    out.foreach(r =>
+      assert(r.getLong(2) === r.getLong(0) * r.getLong(1), s"row math: $r"))
+  }
+
+  test("concentration: top decile holds a super-proportional share") {
+    val silver = graft.pipeline.EventsPipeline.silver(spark, sf)
+    val r = Diagnostics.concentrationCensus(spark, silver).head()
+    val (tu, total, te, totalE, ppm) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(tu * 10 >= total, "must cover at least a decile of users")
+    assert(te <= totalE && ppm === te * 1000000L / totalE)
+    // the top users' event share must be at least their user share
+    assert(ppm.toDouble / 1e6 >= tu.toDouble / total - 1e-9,
+      s"top users below proportional: $r")
+    // brute-force check: sort users by count desc, take the tie-whole cut
+    val counts = silver.groupBy("user_id").count().collect()
+      .map(_.getLong(1)).sorted.reverse
+    val need = (total + 9) / 10
+    var cut = need.toInt - 1
+    while (cut + 1 < counts.length && counts(cut + 1) == counts(cut)) cut += 1
+    val expectedTop = counts.take(cut + 1).sum
+    assert(te === expectedTop, s"tie-whole cut mismatch: $te vs $expectedTop")
+  }
 }
