@@ -510,6 +510,9 @@ object SparkEntry {
     // ---- top-decile activity concentration (count-histogram
     //      decomposition, ties-whole rule, no user-level sort) ----
     "q186_concentration"       -> ((s, d) => Diagnostics.concentrationCensus(s, d)),
+    // ---- supply-side revenue rollup (closes dimension coverage:
+    //      lineitem ⋈ broadcast supplier ⋈ broadcast nation) ----
+    "q187_supplier_revenue"    -> ((s, d) => StarQueries.revenueBySupplierNation(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -4007,5 +4010,18 @@ object SparkEntry {
           |FROM cw CROSS JOIN t
           |WHERE cw.cum_users * 10 >= t.total_users
           |ORDER BY cw.c DESC LIMIT 1""".stripMargin),
+    // q187: the q02 revenue idiom on the supply side (same decimal
+    // operand casts so the double is bit-identical).
+    "q187_supplier_revenue" ->
+      """SELECT n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(9,4)) - CAST(l.l_discount AS DECIMAL(9,4))))
+        |    AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items,
+        |  CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY n.n_name ASC""".stripMargin,
   )
 }

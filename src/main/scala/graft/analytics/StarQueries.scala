@@ -371,6 +371,25 @@ object StarQueries {
       .orderBy(col("lead_digit").asc)
   }
 
+  /** Revenue by SUPPLIER nation — the supply-side mirror of q02's
+    * customer-side rollup, closing dimension coverage (supplier was the
+    * one table no gate query joined). Same broadcast-chain shape:
+    * lineitem ⋈ broadcast(supplier) ⋈ broadcast(nation), zero fact-side
+    * shuffle before the aggregate; decimal-accumulated revenue and an
+    * exact integer account-balance sum in cents. */
+  def revenueBySupplierNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    li.join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsumExact(discPrice).as("revenue"),
+        count(lit(1)).as("n_items"),
+        countDistinct(col("s_suppkey")).as("n_suppliers"))
+      .orderBy(col("n_name").asc)
+  }
+
   /** RFM customer segmentation — the classic marketing cube: Recency
     * (quarters since last order, against the corpus max date so the
     * result is data-relative, not wall-clock), Frequency (order count

@@ -125,6 +125,19 @@ class StarQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("supplier revenue: broadcast chain covers all lineitems once") {
+    val out = StarQueries.revenueBySupplierNation(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.map(_.getAs[Long]("n_items")).sum ===
+      graft.core.Tables.lineitem(spark, sf).count())
+    assert(rows.map(_.getAs[Long]("n_suppliers")).sum ===
+      graft.core.Tables.supplier(spark, sf).count(),
+      "every supplier belongs to exactly one nation")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dims not broadcast:\n$plan")
+    out.unpersist()
+  }
+
   test("rfm segments partition all customers with sane bucket values") {
     val out = StarQueries.rfmSegments(spark, sf).collect()
     val customers = graft.core.Tables.orders(spark, sf)
