@@ -513,6 +513,18 @@ object SparkEntry {
     // ---- supply-side revenue rollup (closes dimension coverage:
     //      lineitem ⋈ broadcast supplier ⋈ broadcast nation) ----
     "q187_supplier_revenue"    -> ((s, d) => StarQueries.revenueBySupplierNation(s, d)),
+    // ---- two-sample Kolmogorov–Smirnov drift distance (two-level
+    //      prefix sum — no global sort; exact integer statistic) ----
+    "q188_ks_distance"         -> ((s, d) => Reports.ksDistance(s, d)),
+    // ---- l-diversity census over (type, hour) QI cells (companion
+    //      privacy gauge to the q153 k-anonymity profiles) ----
+    "q189_l_diversity"         -> ((s, d) => Reports.lDiversityCensus(s, d)),
+    // ---- degree assortativity (exact int64 Pearson terms over the
+    //      memoized co-purchase edge scaffold) ----
+    "q190_assortativity"       -> ((s, d) => Graphs.degreeAssortativity(s, d)),
+    // ---- exact 64-char-window duplication mass per source (Lee et
+    //      al. exact-substring census at fixed granularity) ----
+    "q191_window_dup_mass"     -> ((s, d) => TextDedup.windowDupMass(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -4016,12 +4028,94 @@ object SparkEntry {
       """SELECT n.n_name,
         |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
         |    * (CAST(1 AS DECIMAL(9,4)) - CAST(l.l_discount AS DECIMAL(9,4))))
-        |    AS DOUBLE) AS revenue,
+        |    * 10000 AS BIGINT) AS revenue_c4,
         |  COUNT(*) AS n_items,
         |  CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers
         |FROM lineitem l
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
         |GROUP BY 1 ORDER BY n.n_name ASC""".stripMargin,
+    // q188: the oracle runs the textbook single-window cumulative; the
+    // engine's two-level prefix sum must agree exactly. Values quantize
+    // to integer cents (FLOOR on the same IEEE double both sides), so
+    // the whole statistic is int64.
+    "q188_ks_distance" ->
+      (silverCte +
+        """, grid AS (
+          |  SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v_c,
+          |         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+          |           AS BIGINT) AS c1,
+          |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          |           AS BIGINT) AS c2
+          |  FROM silver
+          |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+          |  GROUP BY 1),
+          |cum AS (
+          |  SELECT CAST(SUM(c1) OVER (ORDER BY v_c ASC ROWS UNBOUNDED PRECEDING)
+          |           AS BIGINT) AS cum1,
+          |         CAST(SUM(c2) OVER (ORDER BY v_c ASC ROWS UNBOUNDED PRECEDING)
+          |           AS BIGINT) AS cum2
+          |  FROM grid),
+          |n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+          |             CAST(SUM(c2) AS BIGINT) AS n2 FROM grid)
+          |SELECT n.n1, n.n2,
+          |       CAST(MAX(ABS(n.n2 * cum.cum1 - n.n1 * cum.cum2)) AS BIGINT)
+          |         AS ks_num,
+          |       CAST(MAX(ABS(n.n2 * cum.cum1 - n.n1 * cum.cum2)) * 1000000
+          |            // (n.n1 * n.n2) AS BIGINT) AS ks_ppm
+          |FROM cum CROSS JOIN n GROUP BY n.n1, n.n2""".stripMargin),
+    "q189_l_diversity" ->
+      (silverCte +
+        """, qi AS (
+          |  SELECT event_type, hour, COUNT(DISTINCT user_id) AS l
+          |  FROM silver GROUP BY 1, 2)
+          |SELECT event_type, COUNT(*) AS n_cells,
+          |       CAST(MIN(l) AS BIGINT) AS min_l,
+          |       CAST(MAX(l) AS BIGINT) AS max_l,
+          |       CAST(SUM(CASE WHEN l < 5 THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS cells_below_5
+          |FROM qi GROUP BY 1 ORDER BY event_type ASC""".stripMargin),
+    // q190: same edge/degree CTEs as q93; Pearson terms stay integer.
+    "q190_assortativity" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |edges AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (
+        |  SELECT n, COUNT(*) AS d FROM (
+        |    SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT du.d AS du, dv.d AS dv
+        |  FROM edges e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+        |s AS (
+        |  SELECT COUNT(*) AS m, CAST(SUM(du + dv) AS BIGINT) AS sx,
+        |         CAST(SUM(du * dv) AS BIGINT) AS sxyh,
+        |         CAST(SUM(du * du + dv * dv) AS BIGINT) AS sxx
+        |  FROM j)
+        |SELECT m AS n_edges, CAST(4 * m * sxyh - sx * sx AS BIGINT) AS r_num,
+        |       CAST(2 * m * sxx - sx * sx AS BIGINT) AS r_den
+        |FROM s""".stripMargin,
+    // q191: generate_series is end-inclusive in both engines; substr is
+    // 1-based in both; md5('') is consistent, so empty docs are safe.
+    "q191_window_dup_mass" ->
+      s"""WITH nd AS (SELECT source, $duckNorm AS s FROM documents),
+         |st AS (
+         |  SELECT source, s,
+         |         unnest(generate_series(1, greatest(len(s) - 63, 1), 32)) AS i
+         |  FROM nd),
+         |w AS (SELECT source, md5(substr(s, i, 64)) AS wh FROM st),
+         |occ AS (SELECT wh, source, COUNT(*) AS occ FROM w GROUP BY 1, 2),
+         |g AS (SELECT wh, CAST(SUM(occ) AS BIGINT) AS total_occ
+         |      FROM occ GROUP BY 1)
+         |SELECT o.source, CAST(SUM(o.occ) AS BIGINT) AS n_windows,
+         |       COUNT(*) AS n_distinct,
+         |       CAST(SUM(CASE WHEN g.total_occ > 1 THEN o.occ ELSE 0 END)
+         |         AS BIGINT) AS dup_occ,
+         |       CAST(SUM(CASE WHEN g.total_occ > 1 THEN o.occ ELSE 0 END)
+         |            * 1000000 // SUM(o.occ) AS BIGINT) AS dup_ppm
+         |FROM occ o JOIN g USING (wh)
+         |GROUP BY 1 ORDER BY o.source ASC""".stripMargin,
   )
 }

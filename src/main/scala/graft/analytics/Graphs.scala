@@ -241,4 +241,40 @@ object Graphs {
       .orderBy(col("rank").asc)
     out
   }
+
+  /** q188-family: degree assortativity of the co-purchase graph — do
+    * high-degree parts co-occur with other high-degree parts (r > 0) or
+    * with leaves (r < 0)? Newman's r is the Pearson correlation of the
+    * endpoint degrees over the DIRECTED edge view (each undirected edge
+    * counted both ways). Degrees are integers, so every Pearson term is
+    * exact int64: with n = 2m directed pairs, Sx = Σ(dᵤ+dᵥ),
+    * Sxy = 2·Σdᵤdᵥ, Sxx = Σ(dᵤ²+dᵥ²), we ship r_num = n·Sxy − Sx² and
+    * r_den = n·Sxx − Sx² (symmetric, so one denominator factor) —
+    * r = r_num / r_den, no double in the gate. (Bound: with max degree
+    * d and m edges, terms are ≤ 2m·d² — inside int64 for any graph
+    * whose edge list fits a cluster.)
+    *
+    * Scale shape: reuses the memoized pair scaffold; two nodes-frame
+    * shuffle joins tag each edge with its endpoint degrees (no
+    * broadcast — the degree frame is |V|-sized), then a single global
+    * aggregate. Nothing beyond the edge list is ever materialized. */
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame =
+    degreeAssortativityOf(coPurchasePairs(spark, dir).select(col("u"), col("v")))
+
+  /** Assortativity over arbitrary undirected (u < v) distinct edges. */
+  private[analytics] def degreeAssortativityOf(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    edges
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("du") + col("dv")).as("sx"),
+        sum(col("du") * col("dv")).as("sxyh"),
+        sum(col("du") * col("du") + col("dv") * col("dv")).as("sxx"))
+      .select(col("m").cast("long").as("n_edges"),
+        expr("4 * m * sxyh - sx * sx").cast("long").as("r_num"),
+        expr("2 * m * sxx - sx * sx").cast("long").as("r_den"))
+  }
 }

@@ -762,4 +762,98 @@ object Reports {
 
   def typeCovariance(spark: SparkSession, dir: String): DataFrame =
     typeCovariance(EventsPipeline.silver(spark, dir))
+
+  /** q188: two-sample Kolmogorov–Smirnov distance between the `value`
+    * distributions of two event types — the canonical nonparametric
+    * drift test (did the purchase-amount distribution shift vs clicks?).
+    * Values are quantized to exact integer cents first, so the entire
+    * statistic is integer arithmetic: with per-value counts c₁/c₂ and
+    * cumulative sums C₁/C₂, D = max |n₂·C₁(v) − n₁·C₂(v)| / (n₁·n₂).
+    * We ship the numerator, the sample sizes, and the floor-ppm — no
+    * double ever reaches the gate.
+    *
+    * Scale shape — the textbook formulation sorts the union of both
+    * samples globally; at 100 TB that single-partition window is the
+    * bottleneck. Here the cumulative is a TWO-LEVEL PREFIX SUM over the
+    * distinct-value grid: within-bucket running sums run as ordinary
+    * hash-partitioned windows (bucket = coarse value range, each a few
+    * thousand grid rows), and the bucket-level offsets come from a
+    * bucket-count frame that is range-sized (hundreds of rows),
+    * window-summed and broadcast back. No stage ever sees more than a
+    * bucket of ordered data — the same scan-light decomposition as the
+    * rank-histogram quartiles (q83). */
+  def ksDistance(silver: DataFrame,
+      typeA: String = "click", typeB: String = "purchase"): DataFrame = {
+    // distinct-value grid with per-side counts: one corpus shuffle
+    val grid = graft.core.Caches.scratch(
+      silver
+        .filter(col("event_type").isin(typeA, typeB) && col("value").isNotNull)
+        .select(floor(col("value") * 100).cast("long").as("v_c"),
+          when(col("event_type") === typeA, 1L).otherwise(0L).as("is_a"))
+        .groupBy(col("v_c"))
+        .agg(sum(col("is_a")).as("c1"), sum(lit(1L) - col("is_a")).as("c2"))
+        // coarse range bucket for the two-level prefix (internal only —
+        // any deterministic order-preserving bucketing works)
+        .withColumn("b", floor(col("v_c") / lit(1000L))))
+    // level 1: within-bucket running sums (hash-partitioned windows)
+    val wIn = Window.partitionBy(col("b")).orderBy(col("v_c").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = grid
+      .withColumn("r1", sum(col("c1")).over(wIn))
+      .withColumn("r2", sum(col("c2")).over(wIn))
+    // level 2: EXCLUSIVE bucket prefix offsets from the bucket-count
+    // frame (range-sized, so the single-partition window is safe)
+    val wB = Window.orderBy(col("b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val buckets = grid.groupBy(col("b"))
+      .agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+    val offsets = buckets
+      .withColumn("o1", sum(col("t1")).over(wB) - col("t1"))
+      .withColumn("o2", sum(col("t2")).over(wB) - col("t2"))
+      .select(col("b"), col("o1"), col("o2"))
+    val totals = buckets.agg(
+      sum(col("t1")).cast("long").as("n1"),
+      sum(col("t2")).cast("long").as("n2"))
+    within
+      .join(broadcast(offsets), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(col("n1"), col("n2"),
+        abs(col("n2") * (col("o1") + col("r1")) -
+          col("n1") * (col("o2") + col("r2"))).as("d"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("d")).cast("long").as("ks_num"))
+      .select(col("n1"), col("n2"), col("ks_num"),
+        expr("ks_num * 1000000 div (n1 * n2)").cast("long").as("ks_ppm"))
+  }
+
+  def ksDistance(spark: SparkSession, dir: String): DataFrame =
+    ksDistance(EventsPipeline.silver(spark, dir))
+
+  /** q189: l-diversity census — the companion privacy gauge to the
+    * k-anonymity profile census (q153). Quasi-identifier = the
+    * (event_type, hour) cell an "anonymized" event exposes; sensitive
+    * attribute = the user behind it. A QI cell whose events all belong
+    * to l distinct users resists attribute disclosure up to l; cells
+    * with tiny l are the leakage surface. Output: per event_type, the
+    * number of QI cells, the min/max l over its cells, and how many
+    * cells fall below the l=5 disclosure threshold.
+    *
+    * Scale shape: one (type, hour, user) distinct — the QI domain is
+    * |types|·24 cells so everything after the distinct is domain-sized.
+    * Exact integer output only. */
+  def lDiversityCensus(silver: DataFrame): DataFrame =
+    silver
+      .select(col("event_type"), col("hour"), col("user_id"))
+      .distinct()
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("l"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_cells"),
+        min(col("l")).as("min_l"),
+        max(col("l")).as("max_l"),
+        sum(when(col("l") < 5, 1L).otherwise(0L)).cast("long").as("cells_below_5"))
+      .orderBy(col("event_type").asc)
+
+  def lDiversityCensus(spark: SparkSession, dir: String): DataFrame =
+    lDiversityCensus(EventsPipeline.silver(spark, dir))
 }

@@ -384,7 +384,10 @@ object StarQueries {
     li.join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(dsumExact(discPrice).as("revenue"),
+      // revenue ships as exact integer ten-thousandths (discPrice is
+      // exact at 4 decimals: 2dp price × 2dp discount factor) — the
+      // decimal sum never reaches the gate as DECIMAL or DOUBLE
+      .agg((sum(discPrice) * 10000).cast("long").as("revenue_c4"),
         count(lit(1)).as("n_items"),
         countDistinct(col("s_suppkey")).as("n_suppliers"))
       .orderBy(col("n_name").asc)

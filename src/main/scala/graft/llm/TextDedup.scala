@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Caches, Tables}
 
 /** Deduplication operators for LLM training-data pipelines, over the
   * `documents` table (doc_id, text, lang, source, n_chars).
@@ -706,4 +706,49 @@ object TextDedup {
 
   def lshCalibration(spark: SparkSession, dir: String): DataFrame =
     lshCalibrationFrom(shinglesFor(spark, dir))
+
+  /** q191: exact fixed-window duplication mass per source — the
+    * character-level exact-substring census behind "deduplicating
+    * training data makes language models better" (Lee et al., ACL'22):
+    * slide a 64-char window at stride 32 over the normalized text and
+    * measure, per source, how much window mass is duplicated anywhere in
+    * the corpus. Finer than paragraph dedup (q166: structural units) and
+    * exact where MinHash (q27) is probabilistic — boilerplate repeated
+    * INSIDE otherwise-distinct docs shows up here and nowhere else.
+    * Documents shorter than one window contribute their whole text as a
+    * single window, so short-doc duplication is not invisible.
+    *
+    * Scale shape: windows explode to ~len/32 rows per doc (linear in
+    * corpus bytes, same order as the shingle frame), keyed by md5 —
+    * GROUPed, never pair-joined. Two shuffles: (window-hash) for the
+    * global occurrence counts, (source) for the census. Window hashes
+    * are uniform 32-char keys, so no skew lever is needed; integer ppm
+    * output only. */
+  def windowDupMass(docs: DataFrame, win: Int = 64, stride: Int = 32): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val wins = docs
+      .select(col("source"), norm.as("s"))
+      .select(col("source"),
+        posexplode(expr(
+          s"transform(sequence(1, greatest(length(s) - ${win - 1}, 1), $stride)," +
+            s" i -> substring(s, i, $win))")))
+      .select(col("source"), md5(col("col")).as("wh"))
+    val occ = Caches.scratch(
+      wins.groupBy(col("wh"), col("source")).agg(count(lit(1)).as("occ")))
+    val global = occ.groupBy(col("wh"))
+      .agg(sum(col("occ")).as("total_occ"))
+    occ.join(global, Seq("wh"))
+      .groupBy(col("source"))
+      .agg(sum(col("occ")).cast("long").as("n_windows"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("total_occ") > 1, col("occ")).otherwise(0L))
+          .cast("long").as("dup_occ"))
+      .select(col("source"), col("n_windows"), col("n_distinct"),
+        col("dup_occ"),
+        expr("dup_occ * 1000000 div n_windows").cast("long").as("dup_ppm"))
+      .orderBy(col("source").asc)
+  }
+
+  def windowDupMass(spark: SparkSession, dir: String): DataFrame =
+    windowDupMass(Tables.documents(spark, dir))
 }

@@ -101,4 +101,28 @@ class GraphsSpec extends SparkSpecBase {
     val ranks = a.map(_.getLong(2))
     assert(ranks.zip(ranks.tail).forall { case (x, y) => x >= y })
   }
+
+  test("assortativity: star graph is exactly r = -1, path graph hand-traced") {
+    import spark.implicits._
+    // star K1,3: hub degree 3, leaves 1 — perfectly disassortative
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("u", "v")
+    val s = Graphs.degreeAssortativityOf(star).head
+    assert(s.getAs[Long]("n_edges") === 3L)
+    assert(s.getAs[Long]("r_num") === -s.getAs[Long]("r_den"))
+    assert(s.getAs[Long]("r_den") > 0L)
+    // path 1-2-3: degrees 1,2,1; directed pairs x=[1,2,2,1], y=[2,1,1,2]
+    // n=4 Sx=6 Sxy=2*(2+2)=8 Sxx=10 → num=32-36=-4, den=40-36=4 → r=-1
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val p = Graphs.degreeAssortativityOf(path).head
+    assert(p.getAs[Long]("r_num") === -4L)
+    assert(p.getAs[Long]("r_den") === 4L)
+  }
+
+  test("assortativity on sf data: Cauchy-Schwarz bound and nonzero den") {
+    val r = Graphs.degreeAssortativity(spark, sf).head
+    val (num, den) = (r.getAs[Long]("r_num"), r.getAs[Long]("r_den"))
+    assert(den > 0L, "degenerate graph: all degrees equal")
+    assert(math.abs(num) <= den, "correlation outside [-1, 1]")
+    assert(r.getAs[Long]("n_edges") > 0L)
+  }
 }

@@ -327,6 +327,61 @@ class ReportsSpec extends SparkSpecBase {
     out.foreach(r => assert(r.getLong(2) <= days, s"n_days > days: $r"))
   }
 
+  test("KS distance: two-level prefix sum equals the naive global window") {
+    // naive single-window replica over the same quantized grid
+    import org.apache.spark.sql.expressions.Window
+    val grid = silver
+      .filter(col("event_type").isin("click", "purchase") &&
+        col("value").isNotNull)
+      .select(floor(col("value") * 100).cast("long").as("v_c"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("a"))
+      .groupBy("v_c")
+      .agg(sum(col("a")).as("c1"), sum(lit(1L) - col("a")).as("c2"))
+    val w = Window.orderBy(col("v_c").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n1 = grid.agg(sum("c1")).head.getLong(0)
+    val n2 = grid.agg(sum("c2")).head.getLong(0)
+    val naive = grid
+      .withColumn("d", abs(lit(n2) * sum(col("c1")).over(w) -
+        lit(n1) * sum(col("c2")).over(w)))
+      .agg(max("d")).head.getLong(0)
+    val out = Reports.ksDistance(silver).head
+    assert(out.getAs[Long]("n1") === n1)
+    assert(out.getAs[Long]("n2") === n2)
+    assert(out.getAs[Long]("ks_num") === naive)
+    assert(out.getAs[Long]("ks_ppm") === naive * 1000000L / (n1 * n2))
+  }
+
+  test("KS distance: identical samples give zero, disjoint give ~1") {
+    import spark.implicits._
+    def ev(t: String, vs: Seq[Double]) = vs.zipWithIndex.map {
+      case (v, i) => (i.toLong, t, v)
+    }
+    // same values on both sides → every cumulative matches → D = 0
+    val same = (ev("click", Seq(1.0, 2.0, 3.0)) ++
+      ev("purchase", Seq(1.0, 2.0, 3.0)))
+      .toDF("event_id", "event_type", "value")
+    assert(Reports.ksDistance(same).head.getAs[Long]("ks_num") === 0L)
+    // fully separated supports → D = 1 → ppm = 1e6
+    val split = (ev("click", Seq(1.0, 2.0)) ++
+      ev("purchase", Seq(10.0, 20.0)))
+      .toDF("event_id", "event_type", "value")
+    assert(Reports.ksDistance(split).head.getAs[Long]("ks_ppm") === 1000000L)
+  }
+
+  test("l-diversity census: cells partition, l bounded by users") {
+    val out = Reports.lDiversityCensus(silver).collect()
+    val types = silver.select("event_type").distinct().count()
+    assert(out.length === types)
+    val users = silver.select("user_id").distinct().count()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_cells") <= 24L, s"more cells than hours: $r")
+      assert(r.getAs[Long]("min_l") >= 1L)
+      assert(r.getAs[Long]("max_l") <= users)
+      assert(r.getAs[Long]("min_l") <= r.getAs[Long]("max_l"))
+    }
+  }
+
   test("type lift over the fixture is pairwise-complete and bounded") {
     val types = silver.select("event_type").distinct().count()
     val out = Reports.typeLift(silver).collect()

@@ -372,4 +372,31 @@ class TextDedupSpec extends SparkSpecBase {
     assert(out.head.getAs[Long]("contained_id") === 7L, "tie must go to lower id")
     assert(out.head.getAs[Long]("container_id") === 9L)
   }
+
+  test("window dup mass: planted cross-doc repeat found, short docs visible") {
+    import spark.implicits._
+    val boiler = "x" * 96 // spans windows at starts 1 and 33 in a 96-char doc
+    val uniqA = (1 to 120).map(i => ('a' + i % 26).toChar).mkString
+    val fixture = Seq(
+      (1L, boiler, "en", "web", 96L),  // identical 96-char doc...
+      (2L, boiler, "en", "web", 96L),  // ...so every window duplicated
+      (3L, uniqA, "en", "web", 120L),  // unique long doc
+      (4L, "tiny", "en", "short", 4L), // sub-window doc: one window
+      (5L, "tiny", "en", "short", 4L)) // duplicated whole-text window
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextDedup.windowDupMass(fixture).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val web = out("web")
+    // 96-char docs: starts sequence(1, 33, 32) = (1, 33) → 2 windows each;
+    // 120-char doc: sequence(1, 57, 32) = (1, 33) → 2 windows
+    assert(web.getAs[Long]("n_windows") === 6L)
+    assert(web.getAs[Long]("dup_occ") === 4L,
+      "all four boiler windows collapse to one x^64 hash with 4 occurrences")
+    assert(web.getAs[Long]("dup_ppm") === 4L * 1000000L / 6L)
+    val short = out("short")
+    assert(short.getAs[Long]("n_windows") === 2L)
+    assert(short.getAs[Long]("n_distinct") === 1L)
+    assert(short.getAs[Long]("dup_occ") === 2L, "short docs must not be invisible")
+    assert(short.getAs[Long]("dup_ppm") === 1000000L)
+  }
 }
