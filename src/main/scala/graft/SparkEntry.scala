@@ -525,6 +525,15 @@ object SparkEntry {
     // ---- exact 64-char-window duplication mass per source (Lee et
     //      al. exact-substring census at fixed granularity) ----
     "q191_window_dup_mass"     -> ((s, d) => TextDedup.windowDupMass(s, d)),
+    // ---- stationary distribution of the type-transition chain
+    //      (integer-ppm power iteration; matrix is model-state-sized) ----
+    "q192_markov_stationary"   -> ((s, d) => Funnels.markovStationary(s, d)),
+    // ---- time-weighted value integral per user (step-function ∫v·dt;
+    //      num/den shipped separately — no negative division) ----
+    "q193_time_weighted_value" -> ((s, d) => TemporalOps.timeWeightedValue(s, d)),
+    // ---- half-life decayed engagement (exact integer shift decay,
+    //      data-relative reference date) ----
+    "q194_decayed_engagement"  -> ((s, d) => TemporalOps.decayedEngagement(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -4117,5 +4126,85 @@ object SparkEntry {
          |            * 1000000 // SUM(o.occ) AS BIGINT) AS dup_ppm
          |FROM occ o JOIN g USING (wh)
          |GROUP BY 1 ORDER BY o.source ASC""".stripMargin,
+    // q192: the 20 power-iteration rounds are UNROLLED as chained CTEs
+    // (standard SQL forbids aggregation in a recursive term). Each term
+    // floor-divides before summing, exactly like the engine's integer
+    // iteration, so the two are bit-identical.
+    "q192_markov_stationary" ->
+      (silverCte + markovOracleTail(20)),
+    // q193: gaps via date_diff('second', ...) ≡ Spark unix_timestamp
+    // difference (both reduce to floor-second subtraction); numerator
+    // and denominator ship separately — value_cents can be negative and
+    // a negative `div` is where the engines' division semantics split.
+    "q193_time_weighted_value" ->
+      (silverCte +
+        """, stepped AS (
+          |  SELECT user_id,
+          |         CAST(FLOOR(value * 100) AS BIGINT) AS v_c,
+          |         date_diff('second', ts,
+          |           lead(ts) OVER (
+          |             PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+          |           AS gap_s
+          |  FROM silver WHERE value IS NOT NULL)
+          |SELECT user_id, COUNT(*) AS n_holds,
+          |       CAST(SUM(gap_s) AS BIGINT) AS total_secs,
+          |       CAST(SUM(v_c * gap_s) AS BIGINT) AS twa_num
+          |FROM stepped WHERE gap_s IS NOT NULL
+          |GROUP BY 1 ORDER BY user_id ASC""".stripMargin),
+    // q194: decay is an exact integer shift (1::BIGINT << weeks), capped
+    // at 62; reference date is the corpus max so the score reproduces.
+    "q194_decayed_engagement" ->
+      (silverCte +
+        """, mx AS (SELECT MAX(event_date) AS max_date FROM silver),
+          |aged AS (
+          |  SELECT user_id, event_date,
+          |         1000000 // (CAST(1 AS BIGINT) << LEAST(
+          |           date_diff('day', event_date, max_date) // 7, 62))
+          |           AS decay_ppm
+          |  FROM silver CROSS JOIN mx)
+          |SELECT user_id, COUNT(*) AS n_events,
+          |       CAST(SUM(decay_ppm) AS BIGINT) AS score_ppm,
+          |       MAX(event_date) AS last_date
+          |FROM aged GROUP BY 1 ORDER BY user_id ASC""".stripMargin),
   )
+
+  /** Oracle tail for q192: transition-ppm matrix + `iters` unrolled
+    * power-iteration CTEs + the state-complete final projection. */
+  private def markovOracleTail(iters: Int): String = {
+    val head =
+      """, pairs AS (
+        |  SELECT event_type AS prev_type,
+        |         lead(event_type) OVER (
+        |           PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |           AS next_type
+        |  FROM silver),
+        |t AS (
+        |  SELECT prev_type, next_type, COUNT(*) AS c
+        |  FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |p AS (
+        |  SELECT prev_type, next_type,
+        |         CAST(c * 1000000
+        |           // SUM(c) OVER (PARTITION BY prev_type) AS BIGINT) AS p_ppm
+        |  FROM t),
+        |states AS (
+        |  SELECT DISTINCT prev_type AS st FROM p
+        |  UNION SELECT DISTINCT next_type FROM p),
+        |it0 AS (
+        |  SELECT st AS cur,
+        |         CAST(1000000 // (SELECT COUNT(*) FROM states) AS BIGINT) AS v
+        |  FROM states)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""it$k AS (
+         |  SELECT p.next_type AS cur,
+         |         CAST(SUM(it${k - 1}.v * p.p_ppm // 1000000) AS BIGINT) AS v
+         |  FROM it${k - 1} JOIN p ON p.prev_type = it${k - 1}.cur
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    val tail =
+      s"""SELECT s.st AS event_type,
+         |       CAST(COALESCE(it$iters.v, 0) AS BIGINT) AS stationary_ppm
+         |FROM states s LEFT JOIN it$iters ON it$iters.cur = s.st
+         |ORDER BY event_type ASC""".stripMargin
+    head + rounds + tail
+  }
 }

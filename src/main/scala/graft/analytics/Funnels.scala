@@ -130,4 +130,53 @@ object Funnels {
 
   def motifCensus(spark: SparkSession, dir: String): DataFrame =
     motifCensus(EventsPipeline.silver(spark, dir))
+
+  /** q192: stationary distribution of the event-type Markov chain —
+    * where does user behavior settle if the observed transition matrix
+    * keeps acting? The long-run companion to the one-step transition
+    * census (q146): power-iterate v ← vP for a fixed 20 rounds, all in
+    * integer ppm (each term floor-divided before summing, so the
+    * iteration is bit-identical in any engine; mass lost to flooring is
+    * deterministic and tiny).
+    *
+    * Scale shape: the corpus pays ONE pass — the same lag-window
+    * transition count as q146. The transition matrix is |types|² rows,
+    * a domain constant, so collecting it to the driver is model-state
+    * scale (the k-means-centroid rule: k rows, not data rows), and the
+    * 20 iterations are driver arithmetic on a 5×5 matrix rather than 20
+    * scheduled no-op jobs. */
+  def markovStationary(silver: DataFrame, iters: Int = 20): DataFrame = {
+    val spark = silver.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = silver
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("prev_type"))
+      .withColumn("next_type", lead(col("prev_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val p = pairs.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("r",
+        sum(col("c")).over(Window.partitionBy(col("prev_type"))))
+      .select(col("prev_type"), col("next_type"),
+        expr("c * 1000000 div r").cast("long").as("p_ppm"))
+      .collect()
+      .map(r0 => (r0.getString(0), r0.getString(1), r0.getLong(2)))
+    val states = p.flatMap(x => Seq(x._1, x._2)).distinct.sorted.toSeq
+    val byNext = p.groupBy(_._2)
+    var v: Map[String, Long] =
+      states.map(_ -> 1000000L / states.length).toMap
+    for (_ <- 1 to iters) {
+      v = states.map { j =>
+        j -> byNext.getOrElse(j, Array.empty[(String, String, Long)])
+          .map { case (i, _, pp) => v(i) * pp / 1000000L }.sum
+      }.toMap
+    }
+    states.map(s0 => (s0, v(s0))).toDF("event_type", "stationary_ppm")
+      .orderBy(col("event_type").asc)
+  }
+
+  def markovStationary(spark: SparkSession, dir: String): DataFrame =
+    markovStationary(EventsPipeline.silver(spark, dir))
 }

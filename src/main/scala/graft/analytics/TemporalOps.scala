@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -488,4 +488,68 @@ object TemporalOps {
       .withColumn("trimmed_mean_milli", expr("kept_sum * 1000 div n_kept"))
       .orderBy(col("l_returnflag").asc)
   }
+
+  /** q193: time-weighted value integral per user — the step-function
+    * integral ∫v·dt where each event's value holds until the user's
+    * next event (the IoT/metrics "time-weighted average" primitive that
+    * plain AVG gets wrong when samples are irregular). All integer:
+    * value quantizes to cents via FLOOR (consistent IEEE both engines),
+    * gaps are epoch-second differences. We ship the numerator and the
+    * denominator separately — values can be negative and a negative
+    * integer division is exactly where Spark's truncating `div` and
+    * DuckDB's flooring `//` disagree (q175 lesson), so the gate carries
+    * no division at all.
+    *
+    * Scale shape: one lead() over silver's existing (user, ts)
+    * clustering, then a per-user rollup on the same partitioning — no
+    * extra exchange. */
+  def timeWeightedValue(silver: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    silver
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("v_c"))
+      .withColumn("gap_s",
+        unix_timestamp(lead(col("ts"), 1).over(w)) -
+          unix_timestamp(col("ts")))
+      .filter(col("gap_s").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_holds"),
+        sum(col("gap_s")).cast("long").as("total_secs"),
+        sum(col("v_c") * col("gap_s")).cast("long").as("twa_num"))
+      .orderBy(col("user_id").asc)
+  }
+
+  def timeWeightedValue(spark: SparkSession, dir: String): DataFrame =
+    timeWeightedValue(graft.pipeline.EventsPipeline.silver(spark, dir))
+
+  /** q194: half-life-decayed engagement score per user — recency-
+    * weighted activity where an event aged w whole weeks (against the
+    * CORPUS max date, so the score is data-relative and reproducible,
+    * not wall-clock) contributes 10⁶ ⁄ 2ʷ ppm. The decay is an exact
+    * integer shift (`div (1 << w)`), not a float pow — the scoring stays
+    * bit-portable and the gate integer-only. The recency primitive
+    * behind every engagement/churn ranking.
+    *
+    * Scale shape: the corpus max date is one scalar broadcast; the
+    * score is a single grouped sum reusing silver's user partitioning.
+    * Shift capped at 62 so pathological date ranges can't overflow. */
+  def decayedEngagement(silver: DataFrame): DataFrame = {
+    val maxDate = silver.agg(max(col("event_date")).as("max_date"))
+    silver
+      .crossJoin(broadcast(maxDate))
+      .withColumn("age_w",
+        least(expr("datediff(max_date, event_date) div 7"), lit(62L)).cast("int"))
+      .withColumn("decay_ppm",
+        expr("1000000 div shiftleft(cast(1 as bigint), age_w)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(col("decay_ppm")).cast("long").as("score_ppm"),
+        max(col("event_date")).as("last_date"))
+      .orderBy(col("user_id").asc)
+  }
+
+  def decayedEngagement(spark: SparkSession, dir: String): DataFrame =
+    decayedEngagement(graft.pipeline.EventsPipeline.silver(spark, dir))
 }

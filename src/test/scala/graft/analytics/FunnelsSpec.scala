@@ -116,4 +116,42 @@ class FunnelsSpec extends SparkSpecBase {
     assert(total === graft.core.Tables.lineitem(spark, sf).count())
     assert(out.exists(_.getLong(1) < 0), "fixture has negative gaps")
   }
+
+  test("markov stationary: deterministic 2-cycle settles at the uniform point") {
+    // one user alternating a,b,a,b,a → P is the exact 2-cycle; the
+    // uniform start is already stationary, so 20 iterations change nothing
+    val silver = silverOf(Seq(
+      silverRow(1, 1, "a", 10), silverRow(2, 1, "b", 20),
+      silverRow(3, 1, "a", 30), silverRow(4, 1, "b", 40),
+      silverRow(5, 1, "a", 50)))
+    val out = Funnels.markovStationary(silver).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 500000L, "b" -> 500000L))
+  }
+
+  test("markov stationary: skewed chain converges near its exact fixpoint") {
+    // a a a a b a → P(a→a)=3/4, P(a→b)=1/4, P(b→a)=1; fixpoint
+    // (800000, 200000) in ppm
+    val silver = silverOf(Seq(
+      silverRow(1, 1, "a", 10), silverRow(2, 1, "a", 20),
+      silverRow(3, 1, "a", 30), silverRow(4, 1, "a", 40),
+      silverRow(5, 1, "b", 50), silverRow(6, 1, "a", 60)))
+    val out = Funnels.markovStationary(silver).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(out("a") - 800000L) <= 100L, s"a off fixpoint: $out")
+    assert(math.abs(out("b") - 200000L) <= 100L, s"b off fixpoint: $out")
+    // repeatable bit-for-bit (floored integer arithmetic, no float path)
+    val again = Funnels.markovStationary(silver).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === out)
+  }
+
+  test("markov stationary on sf data: mass bounded, all types present") {
+    val out = Funnels.markovStationary(
+      graft.pipeline.EventsPipeline.silver(spark, sf)).collect()
+    assert(out.length === 5)
+    val mass = out.map(_.getLong(1)).sum
+    assert(mass <= 1000000L, "flooring can only lose mass")
+    assert(mass >= 990000L, "lost more mass than 20 floors can explain")
+  }
 }

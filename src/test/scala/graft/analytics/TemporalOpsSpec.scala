@@ -293,4 +293,51 @@ class TemporalOpsSpec extends SparkSpecBase {
     assert(rows("A") === ((40L, 36L, 738L, 738L * 1000 / 36)))
     assert(rows("B") === ((10L, 10L, 55L, 5500L)))
   }
+
+  test("time-weighted value: step integral hand-traced, negatives exact") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val silver = Seq(
+      // u1: 1.0 held 10 s, then 3.0 held 30 s, last event open-ended
+      (1L, ts(0), 1L, 1.0), (2L, ts(10), 1L, 3.0), (3L, ts(40), 1L, 99.0),
+      // u2: a negative value held 20 s — numerator must floor-quantize
+      // the VALUE (-250 cents), never divide
+      (4L, ts(0), 2L, -2.5), (5L, ts(20), 2L, 1.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = TemporalOps.timeWeightedValue(silver).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) === ((2L, 40L, 100L * 10 + 300L * 30)))
+    assert(out(2L) === ((1L, 20L, -250L * 20)))
+  }
+
+  test("decayed engagement: shift decay hand-traced against corpus max date") {
+    import spark.implicits._
+    def d(daysBefore: Int) =
+      java.sql.Date.valueOf(java.time.LocalDate.of(2024, 3, 1).minusDays(daysBefore))
+    val silver = Seq(
+      // u1: events 0, 10, 21 days before the corpus max → weeks 0, 1, 3
+      (1L, d(0)), (1L, d(10)), (1L, d(21)),
+      // u2: one stale event 70 days back → week 10
+      (2L, d(70)))
+      .toDF("user_id", "event_date")
+    val out = TemporalOps.decayedEngagement(silver).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((3L, 1000000L + 500000L + 125000L)))
+    assert(out(2L) === ((1L, 1000000L / 1024)))
+  }
+
+  test("time-weighted value and decay on sf data: invariants hold") {
+    val silver = graft.pipeline.EventsPipeline.silver(spark, sf)
+    TemporalOps.timeWeightedValue(silver).collect().foreach { r =>
+      assert(r.getLong(2) > 0L, "holds must have positive total duration")
+    }
+    val users = silver.select("user_id").distinct().count()
+    val dec = TemporalOps.decayedEngagement(silver).collect()
+    assert(dec.length === users)
+    dec.foreach { r =>
+      assert(r.getLong(2) > 0L && r.getLong(2) <= r.getLong(1) * 1000000L,
+        s"score outside (0, n_events*1e6]: $r")
+    }
+  }
 }
