@@ -534,6 +534,13 @@ object SparkEntry {
     // ---- half-life decayed engagement (exact integer shift decay,
     //      data-relative reference date) ----
     "q194_decayed_engagement"  -> ((s, d) => TemporalOps.decayedEngagement(s, d)),
+    // ---- bounded-round k-core peeling (k=80 converges in 5 rounds on
+    //      this graph; rounds fixed so both engines compute the same
+    //      relation) ----
+    "q195_kcore_census"        -> ((s, d) => Graphs.kCoreCensus(s, d)),
+    // ---- as-of join with a 30-day staleness tolerance (merge_asof
+    //      tolerance semantics; zero extra data movement) ----
+    "q196_asof_tolerance"      -> ((s, d) => TemporalOps.eventOrderAsOfTolerance(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -4166,7 +4173,60 @@ object SparkEntry {
           |       CAST(SUM(decay_ppm) AS BIGINT) AS score_ppm,
           |       MAX(event_date) AS last_date
           |FROM aged GROUP BY 1 ORDER BY user_id ASC""".stripMargin),
+    "q195_kcore_census" -> kCoreOracleSql(80, 8),
+    // q196: DuckDB's native ASOF LEFT JOIN + a CASE staleness cutoff —
+    // both match columns null together when the 30-day tolerance trips.
+    "q196_asof_tolerance" ->
+      (silverCte +
+        """, ordd AS (
+          |  SELECT o_custkey, o_orderdate, o_orderkey
+          |  FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY o_custkey, o_orderdate
+          |      ORDER BY o_orderkey DESC) AS rn
+          |    FROM orders) WHERE rn = 1)
+          |SELECT s.event_id, s.user_id,
+          |       CASE WHEN date_diff('day', o.o_orderdate, CAST(s.ts AS DATE)) <= 30
+          |            THEN o.o_orderkey END AS asof_orderkey,
+          |       CAST(CASE WHEN date_diff('day', o.o_orderdate, CAST(s.ts AS DATE)) <= 30
+          |            THEN date_diff('day', o.o_orderdate, CAST(s.ts AS DATE))
+          |            END AS INTEGER) AS asof_age_days
+          |FROM silver s
+          |ASOF LEFT JOIN ordd o
+          |  ON s.user_id = o.o_custkey AND s.ts >= o.o_orderdate
+          |ORDER BY s.event_id ASC""".stripMargin),
   )
+
+  /** Oracle SQL for q195: the q93 edge CTEs + `rounds` unrolled peel
+    * rounds (degree recount → keep-list → double semi-join), closing
+    * with the node/edge census of the surviving subgraph. */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    // every e_r is AS MATERIALIZED: DuckDB inlines plain CTEs at each
+    // reference, and each round references its predecessor three times —
+    // unmaterialized, the plan (and the parquet open count) grows 3^r
+    val head =
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk)""".stripMargin
+    val peels = (1 to rounds).map { r =>
+      s"""d$r AS (
+         |  SELECT n, COUNT(*) AS d FROM (
+         |    SELECT u AS n FROM e${r - 1} UNION ALL SELECT v FROM e${r - 1})
+         |  GROUP BY 1),
+         |k$r AS (SELECT n FROM d$r WHERE d >= $k),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM e${r - 1} e
+         |  JOIN k$r a ON a.n = e.u JOIN k$r b ON b.n = e.v)""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    head + peels +
+      s"""SELECT CAST($k AS BIGINT) AS core_k,
+         |       (SELECT COUNT(DISTINCT n) FROM (
+         |          SELECT u AS n FROM e$rounds
+         |          UNION ALL SELECT v FROM e$rounds)) AS n_nodes,
+         |       (SELECT COUNT(*) FROM e$rounds) AS n_edges""".stripMargin
+  }
 
   /** Oracle tail for q192: transition-ppm matrix + `iters` unrolled
     * power-iteration CTEs + the state-complete final projection. */

@@ -552,4 +552,50 @@ object TemporalOps {
 
   def decayedEngagement(spark: SparkSession, dir: String): DataFrame =
     decayedEngagement(graft.pipeline.EventsPipeline.silver(spark, dir))
+
+  /** q196: as-of join WITH TOLERANCE — pandas `merge_asof(tolerance=)`
+    * semantics: each event takes the most recent same-customer order,
+    * but a match older than `days` is discarded (nulled), not carried.
+    * The staleness cutoff is what production feature-lookup joins
+    * actually need: "the last price, unless it's a month stale".
+    *
+    * Same scale-safe union+running-window plan as [[eventOrderAsOf]]
+    * (one key shuffle, no nested-loop theta join); the tolerance is a
+    * post-filter on the carried match date, so it adds zero data
+    * movement. Age ships in whole days (exact integers); both match
+    * columns null out together when the tolerance trips. */
+  def eventOrderAsOfTolerance(silver: DataFrame, orders: DataFrame,
+      days: Int = 30): DataFrame = {
+    val rightDedup = orders
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+          .orderBy(col("o_orderkey").desc)))
+      .filter(col("rn") === 1)
+    val leftTagged = silver.select(
+      col("user_id").as("k"), col("ts").as("t"), lit(1).as("side"),
+      col("event_id"),
+      lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("date").as("o_date"))
+    val rightTagged = rightDedup.select(
+      col("o_custkey").as("k"), col("o_orderdate").as("t"), lit(0).as("side"),
+      lit(null).cast("long").as("event_id"),
+      col("o_orderkey"), col("o_orderdate").as("o_date"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("side").asc, col("o_orderkey").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    leftTagged.unionByName(rightTagged)
+      .withColumn("mk", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("md", last(col("o_date"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .withColumn("age_days", datediff(col("t").cast("date"), col("md")))
+      .select(col("event_id"), col("k").as("user_id"),
+        when(col("age_days") <= days, col("mk")).as("asof_orderkey"),
+        when(col("age_days") <= days, col("age_days")).as("asof_age_days"))
+      .orderBy(col("event_id").asc)
+  }
+
+  def eventOrderAsOfTolerance(spark: SparkSession, dir: String): DataFrame =
+    eventOrderAsOfTolerance(
+      graft.pipeline.EventsPipeline.silver(spark, dir),
+      graft.core.Tables.orders(spark, dir))
 }

@@ -118,6 +118,22 @@ class GraphsSpec extends SparkSpecBase {
     assert(p.getAs[Long]("r_den") === 4L)
   }
 
+  test("k-core: pendant chain peels off, core survives, cascade needs rounds") {
+    import spark.implicits._
+    // K5 (all degrees 4) + pendant chain 5-6-7: k=3 strips 6 and 7
+    val g = (for { u <- 1L to 5L; v <- (u + 1) to 5L } yield (u, v)) ++
+      Seq((5L, 6L), (6L, 7L))
+    val r = Graphs.kCoreCensusOf(g.toDF("u", "v"), k = 3, rounds = 3).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 5L, 10L)))
+    // path graph, k=2: each round only exposes the next endpoints —
+    // one round is NOT enough, the cascade must iterate to empty
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val p = Graphs.kCoreCensusOf(path, k = 2, rounds = 3).head
+    assert((p.getLong(1), p.getLong(2)) === ((0L, 0L)))
+    val oneRound = Graphs.kCoreCensusOf(path, k = 2, rounds = 1).head
+    assert(oneRound.getLong(2) === 1L, "round 1 alone leaves the middle edge")
+  }
+
   test("assortativity on sf data: Cauchy-Schwarz bound and nonzero den") {
     val r = Graphs.degreeAssortativity(spark, sf).head
     val (num, den) = (r.getAs[Long]("r_num"), r.getAs[Long]("r_den"))

@@ -327,6 +327,40 @@ class TemporalOpsSpec extends SparkSpecBase {
     assert(out(2L) === ((1L, 1000000L / 1024)))
   }
 
+  test("asof tolerance: fresh match carried with age, stale match nulled") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-$day%02d 12:00:00")
+    def dt(day: Int) = java.sql.Date.valueOf(f"2024-02-$day%02d")
+    val silver = Seq(
+      (1L, ts(5), 1L),   // order on Feb 20 → 14 days: within 30
+      (2L, ts(25), 2L))  // order on Feb 1 → 53 days: stale, nulled
+      .toDF("event_id", "ts", "user_id")
+    val orders = Seq(
+      (100L, 1L, dt(20)), (200L, 2L, dt(1)))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val out = TemporalOps.eventOrderAsOfTolerance(silver, orders).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out(1L) === ((Some(100L), Some(14))))
+    assert(out(2L) === ((None, None)), "stale match must null BOTH columns")
+  }
+
+  test("asof tolerance agrees with the untolerated asof inside the window") {
+    val silver = graft.pipeline.EventsPipeline.silver(spark, sf)
+    val orders = graft.core.Tables.orders(spark, sf)
+    val tol = TemporalOps.eventOrderAsOfTolerance(silver, orders)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    val plain = TemporalOps.eventOrderAsOf(silver, orders)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(tol.keySet === plain.keySet, "left semantics: every event survives")
+    tol.foreach { case (id, mk) =>
+      if (mk.isDefined) assert(mk === plain(id),
+        s"within tolerance the match must be the plain asof match ($id)")
+    }
+    assert(tol.values.exists(_.isEmpty) || plain.values.forall(_.isDefined),
+      "fixture should exercise at least one nulled (stale/no-match) row")
+  }
+
   test("time-weighted value and decay on sf data: invariants hold") {
     val silver = graft.pipeline.EventsPipeline.silver(spark, sf)
     TemporalOps.timeWeightedValue(silver).collect().foreach { r =>
