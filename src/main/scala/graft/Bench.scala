@@ -175,7 +175,19 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
+    // SPARK_GRAFT_EXPLAIN=1: dump each query's formatted physical plan to
+    // stderr before timing (stdout stays one parseable JSON line).
+    val explainPlans = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
+
     def runOnce(name: String): Double = {
+      if (explainPlans) {
+        System.err.println(s"==== plan $name ====")
+        System.err.println(
+          SparkEntry.queries(name)(spark, sfDir).queryExecution
+            .explainString(org.apache.spark.sql.execution.FormattedMode))
+      }
+      // plan construction stays inside the timed span (unchanged
+      // methodology — the explain above builds a separate DataFrame)
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

@@ -541,6 +541,9 @@ object SparkEntry {
     // ---- as-of join with a 30-day staleness tolerance (merge_asof
     //      tolerance semantics; zero extra data movement) ----
     "q196_asof_tolerance"      -> ((s, d) => TemporalOps.eventOrderAsOfTolerance(s, d)),
+    // ---- product-quantization ANN: int8-grid subvector codes + an
+    //      asymmetric-distance LUT scan, all int64-exact ----
+    "q197_knn_pq"              -> ((s, d) => Similarity.knnPq(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -4195,6 +4198,54 @@ object SparkEntry {
           |ASOF LEFT JOIN ordd o
           |  ON s.user_id = o.o_custkey AND s.ts >= o.o_orderdate
           |ORDER BY s.event_id ASC""".stripMargin),
+    // q197: subspace L2² via the exact dot identity (integer-valued
+    // doubles ≤ 2^53 — bit-equal to the engine's zip_with integer fold);
+    // int8 grid exactly as q126.
+    "q197_knn_pq" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, e,
+        |         greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) AS scale
+        |  FROM v),
+        |qt AS (
+        |  SELECT vec_id,
+        |         list_transform(e,
+        |           x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT)) AS qi
+        |  FROM s),
+        |sub AS (
+        |  SELECT vec_id, j AS sub_m,
+        |         qi[j * (len(qi) // 8) + 1 : (j + 1) * (len(qi) // 8)] AS sv
+        |  FROM qt CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) js),
+        |cb AS (SELECT sub_m, vec_id AS code_id, sv AS cw
+        |       FROM sub WHERE vec_id < 16),
+        |encd AS (
+        |  SELECT s.vec_id, s.sub_m, c.code_id,
+        |         CAST(list_dot_product(CAST(s.sv AS DOUBLE[]), CAST(s.sv AS DOUBLE[]))
+        |            + list_dot_product(CAST(c.cw AS DOUBLE[]), CAST(c.cw AS DOUBLE[]))
+        |            - 2 * list_dot_product(CAST(s.sv AS DOUBLE[]), CAST(c.cw AS DOUBLE[]))
+        |           AS BIGINT) AS d
+        |  FROM sub s JOIN cb c USING (sub_m)),
+        |enc AS (
+        |  SELECT vec_id, sub_m, code_id AS code FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY vec_id, sub_m ORDER BY d ASC, code_id ASC) AS rn
+        |    FROM encd) WHERE rn = 1),
+        |lut AS (
+        |  SELECT e2.vec_id AS query_id, e2.sub_m, e2.code_id AS code, e2.d
+        |  FROM encd e2 WHERE e2.vec_id < 10),
+        |adc AS (
+        |  SELECT l.query_id, e.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS adc
+        |  FROM enc e JOIN lut l ON l.sub_m = e.sub_m AND l.code = e.code
+        |  WHERE e.vec_id <> l.query_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC)
+        |    AS INTEGER) AS "rank"
+        |  FROM adc)
+        |SELECT query_id, "rank", neighbor_id, adc FROM r
+        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
   )
 
   /** Oracle SQL for q195: the q93 edge CTEs + `rounds` unrolled peel

@@ -388,12 +388,20 @@ object TemporalOps {
       date_trunc("month", col("s")).cast("date"),
       date_trunc("month", col("e")).cast("date"),
       expr("interval 1 month"))))
+    // TWO-LEVEL aggregate instead of count+sum+countDistinct in one agg:
+    // the mixed distinct/non-distinct form plans an Expand that doubles
+    // every row through the shuffle. Pre-aggregating per (window, order)
+    // keeps the shuffle at the order grain with map-side combine, and
+    // the distinct-order count becomes a plain count of groups.
     banded.join(broadcast(windows), Seq("m"))
       .filter(col("s") <= col("w_end") && col("w_start") <= col("e"))
+      .groupBy(col("w_start"), col("w_end"), col("l_orderkey"))
+      .agg(count(lit(1)).as("c"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
       .groupBy(col("w_start"), col("w_end"))
-      .agg(count(lit(1)).as("n_lines"),
-        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
-        countDistinct(col("l_orderkey")).as("n_orders"))
+      .agg(sum(col("c")).cast("long").as("n_lines"),
+        sum(col("q")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_orders"))
       .orderBy(col("w_start").asc)
   }
 

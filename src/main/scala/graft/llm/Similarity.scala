@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Caches, Tables}
 
 /** Similarity search over the `embeddings` table
   * (vec_id, embedding array<float>, label).
@@ -569,4 +569,73 @@ object Similarity {
 
   def cosineHistogram(spark: SparkSession, dir: String): DataFrame =
     cosineHistogram(Tables.embeddings(spark, dir))
+
+  /** q197: PRODUCT-QUANTIZATION top-k (Jégou et al., PAMI'11) — the
+    * memory-compression ANN a production vector store actually deploys:
+    * each vector stores M=8 one-byte codes (16× smaller than int8, 32×
+    * smaller than fp32), and query scans run entirely in the compressed
+    * domain via an asymmetric-distance LUT.
+    *
+    * Engine-portable by construction: vectors first quantize to the
+    * int8 grid (the q126 contract), so every subspace distance is an
+    * exact int64 sum of squared integer differences — no float reaches
+    * the ranking OR the gate. The codebook here is the subvectors of
+    * the `codebookSize` lowest-id vectors (a deterministic training
+    * sample both engines can derive); a deployment swaps in per-subspace
+    * sampled-Lloyd centroids ([[kmeansCells]]) without touching the
+    * encode/scan shape — fitting is pluggable, the operator is the
+    * encode + ADC scan.
+    *
+    * Scale shape: encode joins the corpus×M subvector frame against a
+    * BROADCAST M×16-row codebook and arg-mins per (vector, subspace);
+    * the query scan joins the encoded corpus against a broadcast
+    * queries×M×16 LUT and partial-aggregates map-side to (query,
+    * vector) — the per-vector work is M lookups + M adds, never a
+    * d-dim float op. Driver holds k rows per query. */
+  def knnPq(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+      m: Int = 8, codebookSize: Int = 16): DataFrame = {
+    val quant = vecs(embeddings)
+      .withColumn("scale",
+        greatest(expr("array_max(transform(v, x -> abs(x)))"), lit(1e-30)))
+      .withColumn("qi", expr(
+        "transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT))"))
+      .select(col("vec_id"), col("qi"))
+    // corpus×M subvector frame (slice is 1-based; d_sub derived per row)
+    val sub = Caches.scratch(quant
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, $m - 1), " +
+          s"j -> slice(qi, j * (size(qi) div $m) + 1, size(qi) div $m))")))
+      .select(col("vec_id"), col("pos").as("sub_m"), col("col").as("sv")))
+    val codebook = sub.filter(col("vec_id") < codebookSize)
+      .select(col("sub_m"), col("vec_id").as("code_id"), col("sv").as("cw"))
+    val l2 = "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0 AS BIGINT), (acc, z) -> acc + z)"
+    // encode: nearest codeword per (vector, subspace); min over the
+    // (distance, code_id) struct = distance-then-lowest-code tiebreak
+    val enc = sub.join(broadcast(codebook), Seq("sub_m"))
+      .select(col("vec_id"), col("sub_m"), col("code_id"), expr(l2).as("d"))
+      .groupBy(col("vec_id"), col("sub_m"))
+      .agg(min(struct(col("d"), col("code_id"))).as("best"))
+      .select(col("vec_id"), col("sub_m"), col("best.code_id").as("code"))
+    // asymmetric-distance LUT: query subvector → every codeword
+    val lut = sub.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("sub_m"), col("sv"))
+      .join(broadcast(codebook), Seq("sub_m"))
+      .select(col("query_id"), col("sub_m"), col("code_id").as("code"),
+        expr(l2).as("d"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    enc.join(broadcast(lut), Seq("sub_m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).cast("long").as("adc"))
+      .withColumn("neighbor_id", col("vec_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  def knnPq(spark: SparkSession, dir: String): DataFrame =
+    knnPq(Tables.embeddings(spark, dir))
 }

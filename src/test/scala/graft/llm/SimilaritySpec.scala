@@ -199,4 +199,49 @@ class SimilaritySpec extends SparkSpecBase {
       assert(n === s * (s - 1) / 2, s"label $label pair count")
     }
   }
+
+  test("pq knn: clustered fixture retrieves same-pattern vectors at ADC 0") {
+    import spark.implicits._
+    // 64 vectors = 16 distinct patterns × 4 exact copies; the codebook
+    // (first 16 vectors) contains every pattern, so copies encode with
+    // zero distortion and ADC to a same-pattern query is exactly 0
+    // mod 17 (> 16 patterns, coprime): patterns c, c' collide in a
+    // subvector iff 5c ≡ 5c' (mod 17) iff c = c' — all 16 distinct in
+    // every subspace (mod 13 bit: pattern 13 duplicated pattern 0)
+    def pattern(c: Int): Seq[Float] =
+      (0 until 64).map(i => ((c * 5 + i * 3) % 17 - 8).toFloat)
+    val emb = (0 until 64)
+      .map(id => (id.toLong, pattern(id % 16), id % 16))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnPq(emb).collect()
+    (0L until 10L).foreach { q =>
+      val mine = out.filter(_.getLong(0) == q).sortBy(_.getInt(1))
+      // ranks 1-3: the three other exact copies of the query's pattern,
+      // ascending id, all at ADC distance 0
+      val copies = (0L until 64L).filter(v => v != q && v % 16 == q % 16)
+      assert(mine.take(3).map(_.getLong(2)).toSeq === copies.take(3),
+        s"query $q same-pattern copies not top-ranked")
+      mine.take(3).foreach(r => assert(r.getLong(3) === 0L,
+        s"exact copy must sit at ADC 0: $r"))
+    }
+  }
+
+  test("pq knn vs exact L2: compressed scan keeps nonzero recall on sf data") {
+    // codebookSize = corpus size makes every vector its own nearest
+    // codeword (zero distortion), so knnPq degenerates to EXACT int8 L2 —
+    // the uncompressed reference the compressed scan is measured against
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val n = emb.count().toInt
+    val exact = Similarity.knnPq(emb, codebookSize = n).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.knnPq(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(pq.size === exact.size)
+    val overlap = (pq & exact).size
+    // PQ on unclustered synthetic vectors is the distance-concentration
+    // worst case — recall is legitimately modest; the floor documents
+    // "far better than random" (random ≈ k/n), not production quality
+    assert(overlap * 10 >= pq.size,
+      s"recall collapsed to noise: $overlap of ${pq.size}")
+  }
 }
