@@ -544,6 +544,14 @@ object SparkEntry {
     // ---- product-quantization ANN: int8-grid subvector codes + an
     //      asymmetric-distance LUT scan, all int64-exact ----
     "q197_knn_pq"              -> ((s, d) => Similarity.knnPq(s, d)),
+    // ---- event-time disorder (per-user Spearman between arrival and
+    //      event-time order — watermark sizing evidence) ----
+    "q198_disorder_census"     -> ((s, d) => Reports.disorderCensus(s, d)),
+    // ---- weighted (multiset) Jaccard verify of the minhash candidates ----
+    "q199_weighted_jaccard"    -> ((s, d) => TextDedup.weightedJaccard(s, d)),
+    // ---- last-touch attribution with a 7-day lookback (running
+    //      ignoreNulls carry — the self-join-free as-of shape) ----
+    "q200_attribution"         -> ((s, d) => Funnels.lastTouchAttribution(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -4246,7 +4254,98 @@ object SparkEntry {
         |  FROM adc)
         |SELECT query_id, "rank", neighbor_id, adc FROM r
         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    // q198: ranks are integers and the one division has positive
+    // operands; negative rho appears only through the final subtraction.
+    "q198_disorder_census" ->
+      (silverCte +
+        """, rk AS (
+          |  SELECT user_id,
+          |         row_number() OVER (
+          |           PARTITION BY user_id ORDER BY event_id ASC) AS ra,
+          |         row_number() OVER (
+          |           PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rt
+          |  FROM silver),
+          |s AS (
+          |  SELECT user_id, COUNT(*) AS n,
+          |         CAST(SUM((rt - ra) * (rt - ra)) AS BIGINT) AS sum_d2
+          |  FROM rk GROUP BY 1 HAVING COUNT(*) >= 2)
+          |SELECT user_id, n, sum_d2,
+          |       CAST(1000000 - (6 * sum_d2 * 1000000 // (n * n * n - n))
+          |         AS BIGINT) AS rho_ppm
+          |FROM s ORDER BY user_id ASC""".stripMargin),
+    "q199_weighted_jaccard" -> weightedJaccardOracle,
+    // q200: two IGNORE NULLS carries read from the same last
+    // non-purchase row; the 7-day lookback is in floor seconds
+    // (date_diff('second') ≡ Spark unix_timestamp difference).
+    "q200_attribution" ->
+      (silverCte +
+        """, t AS (
+          |  SELECT user_id, ts, event_id, event_type,
+          |         last_value(CASE WHEN event_type <> 'purchase'
+          |                    THEN ts END IGNORE NULLS) OVER w AS t_ts,
+          |         last_value(CASE WHEN event_type <> 'purchase'
+          |                    THEN event_type END IGNORE NULLS) OVER w AS t_type
+          |  FROM silver
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+          |               ROWS UNBOUNDED PRECEDING)),
+          |p AS (
+          |  SELECT CASE WHEN t_ts IS NOT NULL
+          |              AND date_diff('second', t_ts, ts) <= 604800
+          |              THEN t_type ELSE 'none' END AS attributed
+          |  FROM t WHERE event_type = 'purchase'),
+          |c AS (SELECT attributed, COUNT(*) AS conversions FROM p GROUP BY 1),
+          |tot AS (SELECT CAST(SUM(conversions) AS BIGINT) AS total FROM c)
+          |SELECT attributed, CAST(conversions AS BIGINT) AS conversions,
+          |       CAST(conversions * 1000000 // total AS BIGINT) AS share_ppm
+          |FROM c CROSS JOIN tot ORDER BY attributed ASC""".stripMargin),
   )
+
+  /** Oracle SQL for q199: the q27 candidate CTEs (shared text via
+    * [[minhashCtes]]) + word-tf weighted-Jaccard verification. */
+  private def weightedJaccardOracle: String = {
+    import graft.llm.TextDedup.MinhashP
+    val (mins, bands) = minhashCtes
+    s"""WITH nd AS (
+       |  SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, len(w) - 1),
+       |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
+       |  FROM nd WHERE len(w) >= 3),
+       |based AS (
+       |  SELECT doc_id,
+       |         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $MinhashP AS hb
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM based GROUP BY doc_id),
+       |bands AS (
+       |  $bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |tf AS (
+       |  SELECT doc_id, wd, COUNT(*) AS c FROM (
+       |    SELECT doc_id, unnest(w) AS wd FROM nd) GROUP BY 1, 2),
+       |tsz AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY 1),
+       |wint AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(SUM(LEAST(ta.c, tb.c)) AS BIGINT) AS wmin
+       |  FROM cand c
+       |  JOIN tf ta ON ta.doc_id = c.doc_a
+       |  JOIN tf tb ON tb.doc_id = c.doc_b AND tb.wd = ta.wd
+       |  GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b, sa.n AS n_a, sb.n AS n_b,
+       |       CAST(COALESCE(wi.wmin, 0) AS BIGINT) AS w_inter,
+       |       CAST(COALESCE(wi.wmin, 0) * 1000000
+       |         // (sa.n + sb.n - COALESCE(wi.wmin, 0)) AS BIGINT) AS wj_ppm
+       |FROM cand c
+       |LEFT JOIN wint wi ON wi.doc_a = c.doc_a AND wi.doc_b = c.doc_b
+       |JOIN tsz sa ON sa.doc_id = c.doc_a
+       |JOIN tsz sb ON sb.doc_id = c.doc_b
+       |ORDER BY c.doc_a ASC, c.doc_b ASC""".stripMargin
+  }
 
   /** Oracle SQL for q195: the q93 edge CTEs + `rounds` unrolled peel
     * rounds (degree recount → keep-list → double semi-join), closing

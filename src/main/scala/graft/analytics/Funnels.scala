@@ -179,4 +179,46 @@ object Funnels {
 
   def markovStationary(spark: SparkSession, dir: String): DataFrame =
     markovStationary(EventsPipeline.silver(spark, dir))
+
+  /** q200: last-touch attribution — every purchase credits the user's
+    * most recent PRECEDING non-purchase event within a 7-day lookback;
+    * older or absent touches attribute to 'none'. The conversion-
+    * credit primitive of marketing analytics, and the self-join-free
+    * formulation: ONE running `last(..., ignoreNulls)` window over
+    * silver's existing (user, time) clustering carries the touch
+    * forward — the same union-free as-of shape as q46, with the
+    * lookback as a pure post-filter.
+    *
+    * Output: per attributed touch type, conversions and share (exact
+    * integer ppm vs all purchases). */
+  def lastTouchAttribution(silver: DataFrame,
+      lookbackDays: Int = 7): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touched = silver
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("touch", last(
+        when(col("event_type") =!= "purchase",
+          struct(col("ts").as("t_ts"), col("event_type").as("t_type"))),
+        ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attributed",
+        when(col("touch").isNotNull &&
+          unix_timestamp(col("ts")) - unix_timestamp(col("touch.t_ts")) <=
+            lookbackDays.toLong * 86400L,
+          col("touch.t_type")).otherwise(lit("none")))
+    val census = touched.groupBy(col("attributed"))
+      .agg(count(lit(1)).as("conversions"))
+    census
+      .crossJoin(broadcast(
+        census.agg(sum(col("conversions")).as("total"))))
+      .select(col("attributed"), col("conversions").cast("long"),
+        expr("conversions * 1000000 div total").cast("long").as("share_ppm"))
+      .orderBy(col("attributed").asc)
+  }
+
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame =
+    lastTouchAttribution(EventsPipeline.silver(spark, dir))
 }

@@ -856,4 +856,41 @@ object Reports {
 
   def lDiversityCensus(spark: SparkSession, dir: String): DataFrame =
     lDiversityCensus(EventsPipeline.silver(spark, dir))
+
+  /** q198: event-time disorder census — per user, the Spearman rank
+    * agreement between ARRIVAL order (event_id) and EVENT-TIME order
+    * (ts): ρ = 1 − 6Σd²⁄(n³−n). The out-of-orderness measurement that
+    * sizes streaming watermarks and late-data buffers: ρ ≈ 1e6 ppm means
+    * arrivals track event time; low ρ means deep reordering. Exact
+    * integers throughout — ranks are integers, the only division has a
+    * positive numerator and denominator (negative ρ appears only via
+    * the final subtraction, after all division).
+    *
+    * Scale shape: two ranking windows over the SAME (user) partition —
+    * silver's existing user_id clustering, one partition-local sort
+    * each, then a per-user rollup on the same keys. No global sort. */
+  def disorderCensus(silver: DataFrame): DataFrame = {
+    val byArrival = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_id").asc)
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    silver
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("ra", row_number().over(byArrival))
+      .withColumn("rt", row_number().over(byTime))
+      .withColumn("d", col("rt") - col("ra"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d") * col("d")).as("sum_d2"))
+      .filter(col("n") >= 2)
+      .select(col("user_id"), col("n").cast("long").as("n"),
+        col("sum_d2").cast("long").as("sum_d2"),
+        (lit(1000000L) -
+          expr("6 * sum_d2 * 1000000 div (n * n * n - n)")).cast("long")
+          .as("rho_ppm"))
+      .orderBy(col("user_id").asc)
+  }
+
+  def disorderCensus(spark: SparkSession, dir: String): DataFrame =
+    disorderCensus(EventsPipeline.silver(spark, dir))
 }

@@ -751,4 +751,52 @@ object TextDedup {
 
   def windowDupMass(spark: SparkSession, dir: String): DataFrame =
     windowDupMass(Tables.documents(spark, dir))
+
+  /** q199: WEIGHTED (multiset) Jaccard verification of the minhash band
+    * candidates — Σ min(tf) ⁄ Σ max(tf) over word frequencies, the
+    * repetition-aware similarity that set Jaccard (q27) is blind to: a
+    * doc that repeats its template 10× and one that states it once are
+    * set-identical but multiset-distant. Shipped UNFILTERED per
+    * candidate pair (like the q178 calibration), all integer: Σmax
+    * = n_a + n_b − Σmin, so one intersection aggregate suffices.
+    *
+    * Scale shape: candidates come from the same banded-LSH generation
+    * as q27 (never all-pairs); verification joins the pair list against
+    * the word-tf frame co-partitioned on doc — the standard
+    * candidate-verify shape with tf rows instead of shingle rows. */
+  def weightedJaccard(docs: DataFrame): DataFrame = {
+    val sh = graft.core.Caches.scratch(shingles(docs, MinhashK))
+    weightedJaccardFrom(sh, docs)
+  }
+
+  private def weightedJaccardFrom(sh: DataFrame, docs: DataFrame): DataFrame = {
+    val cand = candidatesOf(minhashBands(signaturesOf(sh)))
+    val tf = graft.core.Caches.scratch(
+      normalized(docs)
+        .select(col("doc_id"), explode(split(col("norm"), " ")).as("wd"))
+        .groupBy(col("doc_id"), col("wd")).agg(count(lit(1)).as("c")))
+    val sizes = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    val wint = cand
+      .join(tf.select(col("doc_id").as("doc_a"), col("wd"),
+        col("c").as("ca")), Seq("doc_a"))
+      .join(tf.select(col("doc_id").as("doc_b"), col("wd"),
+        col("c").as("cb")), Seq("doc_b", "wd"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("ca"), col("cb"))).as("wmin"))
+    cand.join(wint, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        Seq("doc_b"))
+      .withColumn("w_inter", coalesce(col("wmin"), lit(0L)))
+      .select(col("doc_a"), col("doc_b"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        col("w_inter").cast("long").as("w_inter"),
+        expr("w_inter * 1000000 div (n_a + n_b - w_inter)").cast("long")
+          .as("wj_ppm"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  def weightedJaccard(spark: SparkSession, dir: String): DataFrame =
+    weightedJaccardFrom(shinglesFor(spark, dir), Tables.documents(spark, dir))
 }

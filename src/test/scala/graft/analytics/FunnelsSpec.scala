@@ -146,6 +146,26 @@ class FunnelsSpec extends SparkSpecBase {
     assert(again === out)
   }
 
+  test("last-touch attribution: lookback honored, orphans go to none") {
+    val day = 86400L
+    val silver = silverOf(Seq(
+      // u1: view then purchase next day → attributed to view
+      silverRow(1, 1, "view", 0), silverRow(2, 1, "purchase", day),
+      // u2: click then purchase 8 days later → outside 7d → none
+      silverRow(3, 2, "click", 0), silverRow(4, 2, "purchase", 8 * day),
+      // u3: purchase with no preceding touch at all → none
+      silverRow(5, 3, "purchase", 0),
+      // u4: one view credits BOTH later purchases (within window)
+      silverRow(6, 4, "view", 0), silverRow(7, 4, "purchase", day),
+      silverRow(8, 4, "purchase", 2 * day)))
+    val out = Funnels.lastTouchAttribution(silver).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("view") === ((3L, 3L * 1000000L / 5L)))
+    assert(out("none")._1 === 2L)
+    assert(!out.contains("click"), "stale click must not appear as a bucket")
+    assert(out.values.map(_._1).sum === 5L, "every purchase attributed once")
+  }
+
   test("markov stationary on sf data: mass bounded, all types present") {
     val out = Funnels.markovStationary(
       graft.pipeline.EventsPipeline.silver(spark, sf)).collect()

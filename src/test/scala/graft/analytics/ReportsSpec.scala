@@ -382,6 +382,31 @@ class ReportsSpec extends SparkSpecBase {
     }
   }
 
+  test("disorder census: in-order user at 1e6 ppm, reversed user at -1e6") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val sv = Seq(
+      // u1: event_id order == ts order → rho = 1e6 exactly
+      (1L, ts(10), 1L), (2L, ts(20), 1L), (3L, ts(30), 1L), (4L, ts(40), 1L),
+      // u2: ts fully reversed vs event_id → rho = -1e6 exactly
+      (5L, ts(40), 2L), (6L, ts(30), 2L), (7L, ts(20), 2L), (8L, ts(10), 2L))
+      .toDF("event_id", "ts", "user_id")
+    val out = Reports.disorderCensus(sv).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === ((0L, 1000000L)))
+    assert(out(2L)._2 === -1000000L)
+  }
+
+  test("disorder census on sf data: rho within [-1e6, 1e6], users complete") {
+    val out = Reports.disorderCensus(silver).collect()
+    assert(out.length === silver.select("user_id").distinct().count())
+    out.foreach { r =>
+      val rho = r.getLong(3)
+      assert(rho >= -1000000L && rho <= 1000000L, s"rho out of range: $r")
+      assert(r.getLong(2) >= 0L)
+    }
+  }
+
   test("type lift over the fixture is pairwise-complete and bounded") {
     val types = silver.select("event_type").distinct().count()
     val out = Reports.typeLift(silver).collect()

@@ -373,6 +373,32 @@ class TextDedupSpec extends SparkSpecBase {
     assert(out.head.getAs[Long]("container_id") === 9L)
   }
 
+  test("weighted jaccard: exact doubling halves the multiset similarity") {
+    import spark.implicits._
+    val s = "alpha beta gamma delta epsilon zeta eta theta"
+    val fixture = Seq(
+      (1L, s, "en", "a", 47L),            // the sentence once
+      (2L, s + " " + s, "en", "a", 95L))  // the sentence twice
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextDedup.weightedJaccard(fixture).collect()
+    assert(out.length === 1, "doubled doc must band-collide with its half")
+    val r = out.head
+    // multisets: 8 words ×1 vs ×2 → Σmin = 8, Σmax = 16 → exactly 1/2,
+    // where SET jaccard of the pair is 10/12 — the signal q27 cannot see
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((8L, 16L, 8L)))
+    assert(r.getLong(5) === 500000L)
+  }
+
+  test("weighted jaccard on sf data: bounded by sizes, never above 1e6") {
+    val out = TextDedup.weightedJaccard(
+      graft.core.Tables.documents(spark, sf)).collect()
+    out.foreach { r =>
+      assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)),
+        s"intersection above a side: $r")
+      assert(r.getLong(5) >= 0L && r.getLong(5) <= 1000000L)
+    }
+  }
+
   test("window dup mass: planted cross-doc repeat found, short docs visible") {
     import spark.implicits._
     val boiler = "x" * 96 // spans windows at starts 1 and 33 in a 96-char doc
