@@ -301,16 +301,38 @@ object Graphs {
 
   private[analytics] def kCoreCensusOf(edges0: DataFrame,
       k: Int, rounds: Int): DataFrame = {
+    // Peel by ANTI-joining against the REMOVED set, not semi-joining
+    // against the keep-list: after the first round only a trickle of
+    // nodes falls below k, so the anti side is tiny and AQE broadcasts
+    // it — the edge list crosses the wire once per round for the degree
+    // count and never for the filter. (At a scale where round-1 removals
+    // exceed the broadcast threshold AQE falls back to a shuffle join —
+    // same relation, graceful degradation.) A round with zero removals
+    // is a fixpoint: every later round is a no-op by definition, so we
+    // exit early — the fixed `rounds` bound stays the SEMANTIC contract
+    // shared with the unrolled oracle, while converged rounds cost
+    // nothing.
     var edges = edges0
-    for (_ <- 1 to rounds) {
-      val deg = edges.select(col("u").as("n"))
-        .unionAll(edges.select(col("v").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
-      val keep = deg.filter(col("d") >= k).select(col("n"))
-      edges = edges
-        .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
-        .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
+      round += 1
+      val bad = Caches.scratch(
+        edges.select(col("u").as("n"))
+          .unionAll(edges.select(col("v").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+          .filter(col("d") < k).select(col("n")))
+      if (bad.isEmpty) converged = true
+      else {
+        // scratch-persist (lazy) rather than localCheckpoint (eager):
+        // the next round's degree count materializes the cache as a
+        // side effect, so each round pays ONE pass over the surviving
+        // edges instead of a checkpoint write plus a read. The cached
+        // frame also cuts lineage for execution purposes.
+        edges = Caches.scratch(edges
+          .join(bad.select(col("n").as("u")), Seq("u"), "left_anti")
+          .join(bad.select(col("n").as("v")), Seq("v"), "left_anti"))
+      }
     }
     val nNodes = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
