@@ -182,9 +182,18 @@ object Bench {
     def runOnce(name: String): Double = {
       if (explainPlans) {
         System.err.println(s"==== plan $name ====")
-        System.err.println(
+        // The explain builds a SECOND DataFrame (the timed span below
+        // constructs its own): builders that run driver work at
+        // construction pay it twice here, and a pathological plan can
+        // make explainString itself hang — never let the opt-in
+        // diagnostic pass kill the bench proper.
+        try System.err.println(
           SparkEntry.queries(name)(spark, sfDir).queryExecution
             .explainString(org.apache.spark.sql.execution.FormattedMode))
+        catch {
+          case e: Throwable =>
+            System.err.println(s"(explain failed: ${e.getClass.getSimpleName}: ${e.getMessage})")
+        }
       }
       // plan construction stays inside the timed span (unchanged
       // methodology — the explain above builds a separate DataFrame)

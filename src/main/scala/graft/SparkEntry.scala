@@ -4053,9 +4053,9 @@ object SparkEntry {
     // operand casts so the double is bit-identical).
     "q187_supplier_revenue" ->
       """SELECT n.n_name,
-        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-        |    * (CAST(1 AS DECIMAL(9,4)) - CAST(l.l_discount AS DECIMAL(9,4))))
-        |    * 10000 AS BIGINT) AS revenue_c4,
+        |  CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(9,4)) - CAST(l.l_discount AS DECIMAL(9,4)))
+        |    * 10000 AS BIGINT)) AS BIGINT) AS revenue_c4,
         |  COUNT(*) AS n_items,
         |  CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers
         |FROM lineitem l
@@ -4090,7 +4090,9 @@ object SparkEntry {
           |         AS ks_num,
           |       CAST(MAX(ABS(n.n2 * cum.cum1 - n.n1 * cum.cum2)) * 1000000
           |            // (n.n1 * n.n2) AS BIGINT) AS ks_ppm
-          |FROM cum CROSS JOIN n GROUP BY n.n1, n.n2""".stripMargin),
+          |FROM cum CROSS JOIN n
+          |WHERE n.n1 > 0 AND n.n2 > 0
+          |GROUP BY n.n1, n.n2""".stripMargin),
     "q189_l_diversity" ->
       (silverCte +
         """, qi AS (

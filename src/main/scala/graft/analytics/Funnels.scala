@@ -164,6 +164,11 @@ object Funnels {
       .collect()
       .map(r0 => (r0.getString(0), r0.getString(1), r0.getLong(2)))
     val states = p.flatMap(x => Seq(x._1, x._2)).distinct.sorted.toSeq
+    // Degenerate corpus (no transitions at all — empty silver, or one
+    // event per user): there is no chain, so the stationary
+    // distribution is the empty relation, not a division by zero.
+    if (states.isEmpty)
+      return Seq.empty[(String, Long)].toDF("event_type", "stationary_ppm")
     val byNext = p.groupBy(_._2)
     var v: Map[String, Long] =
       states.map(_ -> 1000000L / states.length).toMap

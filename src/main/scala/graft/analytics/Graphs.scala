@@ -324,14 +324,17 @@ object Graphs {
           .filter(col("d") < k).select(col("n")))
       if (bad.isEmpty) converged = true
       else {
-        // scratch-persist (lazy) rather than localCheckpoint (eager):
-        // the next round's degree count materializes the cache as a
-        // side effect, so each round pays ONE pass over the surviving
-        // edges instead of a checkpoint write plus a read. The cached
-        // frame also cuts lineage for execution purposes.
-        edges = Caches.scratch(edges
+        // EAGER localCheckpoint, not a lazy persist: persist dedups
+        // EXECUTION but Catalyst still re-analyzes the full logical
+        // plan, which here references the prior round's edges three
+        // times (degree count + both anti-joins via `bad`) — ~5× plan
+        // growth per round, exponential analysis. Checkpointing makes
+        // each round's plan a constant-size join(LogicalRDD, bad) —
+        // the same discipline as connectedComponents (DupClusters).
+        edges = edges
           .join(bad.select(col("n").as("u")), Seq("u"), "left_anti")
-          .join(bad.select(col("n").as("v")), Seq("v"), "left_anti"))
+          .join(bad.select(col("n").as("v")), Seq("v"), "left_anti")
+          .localCheckpoint(true)
       }
     }
     val nNodes = edges.select(col("u").as("n"))

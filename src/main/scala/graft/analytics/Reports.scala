@@ -822,6 +822,11 @@ object Reports {
           col("n1") * (col("o2") + col("r2"))).as("d"))
       .groupBy(col("n1"), col("n2"))
       .agg(max(col("d")).cast("long").as("ks_num"))
+      // emit NO row when either sample is empty (n1*n2 = 0): Spark's
+      // div would return null where the oracle's // raises, so the
+      // guard keeps both engines' behavior identical — a KS distance
+      // between an empty sample and anything is undefined anyway
+      .filter(col("n1") > 0 && col("n2") > 0)
       .select(col("n1"), col("n2"), col("ks_num"),
         expr("ks_num * 1000000 div (n1 * n2)").cast("long").as("ks_ppm"))
   }

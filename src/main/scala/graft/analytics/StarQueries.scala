@@ -385,9 +385,12 @@ object StarQueries {
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       // revenue ships as exact integer ten-thousandths (discPrice is
-      // exact at 4 decimals: 2dp price × 2dp discount factor) — the
-      // decimal sum never reaches the gate as DECIMAL or DOUBLE
-      .agg((sum(discPrice) * 10000).cast("long").as("revenue_c4"),
+      // exact at 4 decimals: 2dp price × 2dp discount factor).
+      // Quantize PER ROW before summing: the aggregate is then a plain
+      // bigint sum — no decimal-to-long cast semantics (Spark truncates,
+      // DuckDB rounds) in play and no decimal(38,6) overflow risk when
+      // sum(decimal) * 10000 would exceed precision at large scale
+      .agg(sum((discPrice * 10000).cast("long")).cast("long").as("revenue_c4"),
         count(lit(1)).as("n_items"),
         countDistinct(col("s_suppkey")).as("n_suppliers"))
       .orderBy(col("n_name").asc)

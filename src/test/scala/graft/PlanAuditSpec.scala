@@ -308,4 +308,24 @@ class PlanAuditSpec extends SparkSpecBase {
         s"unpartitioned window over the corpus:\n$windows")
     }
   }
+
+  test("iterative queries keep a bounded logical plan (lineage truncated per round)") {
+    // Every driver-side loop (peeling, label propagation, BFS, pagerank)
+    // MUST truncate lineage each round — a lazy persist dedups execution
+    // but Catalyst still re-analyzes the full logical tree, which grows
+    // geometrically when a round references its predecessor more than
+    // once (the round-6 q195 incident: ~5x/round, 2 GiB plan strings,
+    // analyzer hang). One un-truncated round at these tiny test inputs
+    // already blows far past this cap, so the bound is a tripwire, not
+    // a tuning knob.
+    val MaxPlanChars = 1000000
+    Seq("q60_dup_clusters", "q109_recursive_reach", "q115_pagerank_ppm",
+        "q195_kcore_census").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      val n = df.queryExecution.analyzed.toString.length
+      assert(n < MaxPlanChars,
+        s"$name analyzed plan is $n chars — an iterative round is not truncating lineage")
+      graft.core.Caches.releaseScratch(spark)
+    }
+  }
 }
