@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{BloomJoin, Diagnostics, Funnels, Graphs, History, Incremental, Reports, SkewJoin, StarQueries, TemporalOps}
+import graft.analytics.{Bitmaps, BloomJoin, Diagnostics, Funnels, Graphs, History, Incremental, Reports, SkewJoin, StarQueries, TemporalOps}
 import graft.ingest.Medallion
 import graft.llm.{Curation, Decontaminate, DupClusters, EmbedDedup, Multimodal, Scrub, Similarity, TextDedup, TextStats}
 import graft.pipeline.EventsPipeline
@@ -552,6 +552,18 @@ object SparkEntry {
     // ---- last-touch attribution with a 7-day lookback (running
     //      ignoreNulls carry — the self-join-free as-of shape) ----
     "q200_attribution"         -> ((s, d) => Funnels.lastTouchAttribution(s, d)),
+    // ---- bitmap-index retention: per-user int64 activity bitmap via
+    //      bit_or, week masks replace the cohort self-join ----
+    "q201_bitmap_retention"    -> ((s, d) => Bitmaps.bitmapRetention(s, d)),
+    // ---- reciprocal-rank fusion of the exact and int8 rankings
+    //      (integer RRF — rank arithmetic only, no float scores) ----
+    "q202_rrf_fusion"          -> ((s, d) => Similarity.rrfFusion(s, d)),
+    // ---- autocorrelation sufficient statistics of the daily count at
+    //      lags 1..7 (seasonality probe, exact int64 like q148) ----
+    "q203_acf_daily"           -> ((s, d) => TemporalOps.acfDailyStats(s, d)),
+    // ---- perceptual-hash (aHash) near-dup census: 64-bit block-average
+    //      fingerprint, 4-band pigeonhole Hamming join ----
+    "q204_phash_dups"          -> ((s, d) => Multimodal.perceptualHashDups(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -4300,6 +4312,169 @@ object SparkEntry {
           |SELECT attributed, CAST(conversions AS BIGINT) AS conversions,
           |       CAST(conversions * 1000000 // total AS BIGINT) AS share_ppm
           |FROM c CROSS JOIN tot ORDER BY attributed ASC""".stripMargin),
+    // q201: identical bitmap construction — bit_or of day bits, week
+    // masks; all-integer, so engines agree bit for bit.
+    "q201_bitmap_retention" ->
+      (silverCte +
+        """, d0 AS (SELECT MIN(event_date) AS d0 FROM silver),
+          |bm AS (
+          |  SELECT user_id, bit_or(1::BIGINT << d) AS bm
+          |  FROM (SELECT user_id,
+          |               date_diff('day', d0.d0, event_date) AS d
+          |        FROM silver CROSS JOIN d0) t
+          |  WHERE d >= 0 AND d < 28 GROUP BY user_id),
+          |wk AS (SELECT CAST(w AS INTEGER) AS week
+          |       FROM (VALUES (0), (1), (2)) v(w)),
+          |r AS (
+          |  SELECT week,
+          |         CASE WHEN ((bm >> (week * 7)) & 127) <> 0
+          |              THEN 1 ELSE 0 END AS a,
+          |         CASE WHEN ((bm >> (week * 7 + 7)) & 127) <> 0
+          |              THEN 1 ELSE 0 END AS b2
+          |  FROM bm CROSS JOIN wk)
+          |SELECT week, CAST(SUM(a) AS BIGINT) AS active_users,
+          |       CAST(SUM(a * b2) AS BIGINT) AS retained_users,
+          |       CAST(SUM(a * b2) * 1000000 // SUM(a) AS BIGINT)
+          |         AS retention_ppm
+          |FROM r GROUP BY week HAVING SUM(a) > 0
+          |ORDER BY week ASC""".stripMargin),
+    // q202: the q34 (float cosine) and q126 (int8 cosine) rank CTEs at
+    // kCand=20, fused with integer reciprocal-rank scores.
+    "q202_rrf_fusion" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < 10),
+         |cosf AS (
+         |  SELECT qv.query_id, nv.vec_id AS neighbor_id, $duckCos AS cos
+         |  FROM q qv, v nv WHERE nv.vec_id <> qv.query_id),
+         |ra AS (
+         |  SELECT query_id, neighbor_id, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+         |    AS INTEGER) AS rank_a
+         |  FROM cosf),
+         |s AS (
+         |  SELECT vec_id, e,
+         |         greatest(list_max(list_transform(e, x -> abs(x))), 1e-30)
+         |           AS scale
+         |  FROM v),
+         |qt AS (
+         |  SELECT vec_id,
+         |         list_transform(e, x -> CAST(CAST(floor(x * 127.0 / scale
+         |           + 0.5) AS BIGINT) AS DOUBLE)) AS qd
+         |  FROM s),
+         |n2 AS (
+         |  SELECT vec_id, qd, sqrt(list_dot_product(qd, qd)) AS nrm FROM qt),
+         |qs AS (SELECT vec_id AS query_id, qd AS qq, nrm AS qn
+         |       FROM n2 WHERE vec_id < 10),
+         |cosq AS (
+         |  SELECT qs.query_id, n2.vec_id AS neighbor_id,
+         |         list_dot_product(qs.qq, n2.qd) / (qs.qn * n2.nrm) AS qcos
+         |  FROM qs, n2 WHERE n2.vec_id <> qs.query_id),
+         |rb AS (
+         |  SELECT query_id, neighbor_id, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC)
+         |    AS INTEGER) AS rank_b
+         |  FROM cosq),
+         |fa AS (SELECT * FROM ra WHERE rank_a <= 20),
+         |fb AS (SELECT * FROM rb WHERE rank_b <= 20),
+         |f AS (
+         |  SELECT COALESCE(fa.query_id, fb.query_id) AS query_id,
+         |         COALESCE(fa.neighbor_id, fb.neighbor_id) AS neighbor_id,
+         |         CAST(COALESCE(1000000 // (60 + rank_a), 0)
+         |            + COALESCE(1000000 // (60 + rank_b), 0) AS BIGINT)
+         |           AS score_ppm
+         |  FROM fa FULL OUTER JOIN fb
+         |    ON fa.query_id = fb.query_id
+         |   AND fa.neighbor_id = fb.neighbor_id),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score_ppm DESC, neighbor_id ASC)
+         |    AS INTEGER) AS "rank"
+         |  FROM f)
+         |SELECT query_id, "rank", neighbor_id, score_ppm FROM r
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    // q203: textbook single-window leads over the zero-filled calendar
+    // spine; statistics are exact int64 on both sides.
+    "q203_acf_daily" ->
+      (silverCte +
+        """, daily0 AS (
+          |  SELECT event_date, CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM silver GROUP BY 1),
+          |b AS (SELECT MIN(event_date) AS dlo, MAX(event_date) AS dhi
+          |      FROM daily0),
+          |spine AS (
+          |  SELECT CAST(unnest(generate_series(dlo, dhi, INTERVAL 1 DAY))
+          |         AS DATE) AS event_date
+          |  FROM b),
+          |daily AS (
+          |  SELECT s.event_date, COALESCE(c, 0) AS c
+          |  FROM spine s LEFT JOIN daily0 USING (event_date)),
+          |l AS (
+          |  SELECT c,
+          |         lead(c, 1) OVER w AS c1, lead(c, 2) OVER w AS c2,
+          |         lead(c, 3) OVER w AS c3, lead(c, 4) OVER w AS c4,
+          |         lead(c, 5) OVER w AS c5, lead(c, 6) OVER w AS c6,
+          |         lead(c, 7) OVER w AS c7
+          |  FROM daily WINDOW w AS (ORDER BY event_date ASC)),
+          |lags AS (
+          |  SELECT 1 AS lag, c, c1 AS cl FROM l
+          |  UNION ALL SELECT 2, c, c2 FROM l
+          |  UNION ALL SELECT 3, c, c3 FROM l
+          |  UNION ALL SELECT 4, c, c4 FROM l
+          |  UNION ALL SELECT 5, c, c5 FROM l
+          |  UNION ALL SELECT 6, c, c6 FROM l
+          |  UNION ALL SELECT 7, c, c7 FROM l),
+          |agg AS (
+          |  SELECT lag, CAST(COUNT(cl) AS BIGINT) AS n_pairs,
+          |         CAST(COALESCE(SUM(c * cl), 0) AS BIGINT) AS sxy
+          |  FROM lags GROUP BY 1),
+          |t AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+          |         CAST(SUM(c) AS BIGINT) AS s_total,
+          |         CAST(SUM(c * c) AS BIGINT) AS s_sq
+          |  FROM daily)
+          |SELECT lag, n_pairs, sxy, n_days, s_total, s_sq
+          |FROM agg CROSS JOIN t ORDER BY lag ASC""".stripMargin),
+    // q204: same text-raster aHash (nested list lambdas mirror the
+    // engine's nested higher-order functions), same 4-band pigeonhole.
+    "q204_phash_dups" ->
+      """WITH h0 AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, 64), i ->
+        |           list_sum(list_transform(range(1, 5), j ->
+        |             ascii(substr(text, i * 4 + j, 1))))) AS cells
+        |  FROM documents WHERE length(text) >= 256),
+        |h1 AS (SELECT doc_id, cells,
+        |              CAST(list_sum(cells) AS BIGINT) AS total FROM h0),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 32), i ->
+        |      CASE WHEN cells[i + 1] * 64 > total
+        |           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS h_lo,
+        |    CAST(list_sum(list_transform(range(32, 64), i ->
+        |      CASE WHEN cells[i + 1] * 64 > total
+        |           THEN (1::BIGINT << (i - 32)) ELSE 0 END)) AS BIGINT)
+        |      AS h_hi
+        |  FROM h1),
+        |bands AS (
+        |  SELECT doc_id, h_lo, h_hi, c.b,
+        |         CASE WHEN c.b = 0 THEN h_lo & 65535
+        |              WHEN c.b = 1 THEN (h_lo >> 16) & 65535
+        |              WHEN c.b = 2 THEN h_hi & 65535
+        |              ELSE (h_hi >> 16) & 65535 END AS bv
+        |  FROM h CROSS JOIN (VALUES (0), (1), (2), (3)) c(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.h_lo AS lo_a, a.h_hi AS hi_a,
+        |         b.h_lo AS lo_b, b.h_hi AS hi_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |       CAST(bit_count(xor(lo_a, lo_b))
+        |          + bit_count(xor(hi_a, hi_b)) AS INTEGER) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 3
+        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via

@@ -1,0 +1,69 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.EventsPipeline
+
+/** Bitmap-index aggregation — the roaring-bitmap idiom expressed with
+  * nothing but built-in integer ops, so it stays inside whole-stage
+  * codegen. Reference semantics: cohort retention like the reference's
+  * week-over-week report (SURVEY §2.4 retention family, cf.
+  * notebooks/analysis.ipynb), but the ENGINE computes it from per-user
+  * activity bitmaps instead of a week×week self-join.
+  *
+  * Why this matters at 100 TB: the naive retention query joins the
+  * distinct (user, week) activity frame to itself — a shuffle whose
+  * size is |active users| × |weeks| on BOTH sides, twice. The bitmap
+  * formulation folds a user's whole activity history into ONE int64
+  * (`bit_or(1L << day)`), so the corpus is touched once by a map-side
+  * combinable aggregate, and every week-pair statistic afterwards is
+  * mask arithmetic on a |users|-row frame. At a billion users that is
+  * the difference between re-shuffling the event log per cohort matrix
+  * cell and one groupBy. The same trick backs segment-overlap /
+  * audience-intersection engines (Druid's, ClickHouse's groupBitmap):
+  * AND/OR/XOR of bitmaps replace joins entirely.
+  */
+object Bitmaps {
+
+  /** q201: 4-week bitmap retention matrix. Day index = days since the
+    * corpus' first event date; only the first 28 days participate (the
+    * observation window — one int64 holds up to 63 days, so a quarter
+    * fits; longer horizons shard into (user, epoch-week-block) rows).
+    * For each week w ∈ {0,1,2}: users active in week w, users active in
+    * BOTH w and w+1, and the retention ratio in ppm (integer div —
+    * exact in both engines).
+    *
+    * Scale shape: one broadcast of the 1-row min-date frame, one
+    * map-side-combinable bit_or groupBy over the events, then a
+    * 3×|users| expand aggregated to 3 rows. No self-join, no distinct
+    * (user, week) materialization, no shuffle beyond the single
+    * per-user hash. */
+  def bitmapRetention(silver: DataFrame): DataFrame = {
+    val spark = silver.sparkSession
+    val base = silver.select(col("user_id"), col("event_date"))
+    val d0 = base.agg(min(col("event_date")).as("d0"))
+    val bm = base.crossJoin(broadcast(d0))
+      .select(col("user_id"), datediff(col("event_date"), col("d0")).as("d"))
+      .filter(col("d") >= 0 && col("d") < 28)
+      .groupBy(col("user_id"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), d))").as("bm"))
+    val weeks = spark.range(3).select(col("id").cast("int").as("week"))
+    bm.crossJoin(broadcast(weeks))
+      .select(col("week"),
+        (expr("shiftright(bm, week * 7) & 127") =!= 0).as("a"),
+        (expr("shiftright(bm, week * 7 + 7) & 127") =!= 0).as("b"))
+      .groupBy(col("week"))
+      .agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("active_users"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("retained_users"))
+      .filter(col("active_users") > 0)
+      .select(col("week"), col("active_users"), col("retained_users"),
+        expr("retained_users * 1000000 div active_users").cast("long")
+          .as("retention_ppm"))
+      .orderBy(col("week").asc)
+  }
+
+  def bitmapRetention(spark: SparkSession, dir: String): DataFrame =
+    bitmapRetention(EventsPipeline.silver(spark, dir))
+}

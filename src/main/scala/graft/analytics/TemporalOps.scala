@@ -606,4 +606,56 @@ object TemporalOps {
     eventOrderAsOfTolerance(
       graft.pipeline.EventsPipeline.silver(spark, dir),
       graft.core.Tables.orders(spark, dir))
+
+  /** q203: autocorrelation sufficient statistics of the daily event
+    * count at lags 1..maxLag — the seasonality probe (lag-7 spike =
+    * weekly cycle) a load-forecasting pipeline runs before fitting
+    * anything. Same philosophy as [[typeTrendStats]]: reduce the corpus
+    * to exact int64 sufficient statistics and leave the one inexact
+    * division to the caller, so the result hash-matches any engine.
+    * Per lag k: n_pairs (overlap length) and sxy = Σ_d c_d·c_{d+k};
+    * alongside corpus constants n_days, s_total = Σc, s_sq = Σc² —
+    * enough to form r_k = (n·sxy_k − s²·(n−k)/n …) in any convention
+    * the analyst prefers.
+    *
+    * Scale shape: the corpus collapses to a |days|-sized daily frame
+    * first (one map-side-combinable count), the calendar spine is
+    * generated (`sequence` + explode, zero-filled — "no data" is an
+    * observation), and only THEN does the single-partition ordered
+    * window run — over a calendar-domain frame (a decade is ~3,650
+    * rows), the same bounded-domain exemption as the ksDistance bucket
+    * offsets. maxLag leads come out of ONE window pass. */
+  def acfDailyStats(silver: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily0 = silver.groupBy(col("event_date"))
+      .agg(count(lit(1)).as("c"))
+    val spine = daily0
+      .agg(min(col("event_date")).as("d0"), max(col("event_date")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)"))
+        .as("event_date"))
+    val daily = spine.join(daily0, Seq("event_date"), "left")
+      .select(col("event_date"), coalesce(col("c"), lit(0L)).as("c"))
+    val w = Window.orderBy(col("event_date").asc)
+    val leads = (1 to maxLag).foldLeft(daily) { (df, k) =>
+      df.withColumn(s"c$k", lead(col("c"), k).over(w))
+    }
+    val stacked = leads
+      .select(explode(array((1 to maxLag).map { k =>
+        struct(lit(k).as("lag"), (col("c") * col(s"c$k")).as("xy"))
+      }: _*)).as("p"))
+      .select(col("p.lag").as("lag"), col("p.xy").as("xy"))
+      .groupBy(col("lag"))
+      .agg(count(col("xy")).as("n_pairs"),
+        coalesce(sum(col("xy")), lit(0L)).cast("long").as("sxy"))
+    val totals = daily.agg(
+      count(lit(1)).as("n_days"),
+      sum(col("c")).cast("long").as("s_total"),
+      sum(col("c") * col("c")).cast("long").as("s_sq"))
+    stacked.crossJoin(broadcast(totals))
+      .select(col("lag"), col("n_pairs"), col("sxy"),
+        col("n_days"), col("s_total"), col("s_sq"))
+      .orderBy(col("lag").asc)
+  }
+
+  def acfDailyStats(spark: SparkSession, dir: String): DataFrame =
+    acfDailyStats(graft.pipeline.EventsPipeline.silver(spark, dir))
 }

@@ -123,6 +123,43 @@ object Similarity {
   def knnQuantized(spark: SparkSession, dir: String): DataFrame =
     knnQuantized(Tables.embeddings(spark, dir))
 
+  /** q202: reciprocal-rank fusion of two retrieval rankings — the
+    * standard way a retrieval pipeline combines heterogeneous scorers
+    * (here: full-precision cosine vs int8-quantized cosine; in
+    * production: dense ANN vs lexical BM25) without calibrating their
+    * score scales. RRF(d) = Σ_lists 1/(K + rank_list(d)), K = 60
+    * (Cormack et al. 2009). Ranks are INTEGERS, so with ppm integer
+    * division the fused score is exact int64 arithmetic — no float
+    * comparison ever reaches the gate; the two input rankings are
+    * themselves hash-proven (q34/q126).
+    *
+    * Scale shape: both candidate rankings are |queries|·kCand-sized
+    * (top-20 per query), so the fusion join, scoring, and re-rank all
+    * run on frames proportional to the QUERY set, not the corpus — the
+    * corpus is touched only inside the two upstream top-k scans, which
+    * keep their own broadcast/window shapes. */
+  def rrfFusion(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+      kCand: Int = 20, rrfK: Int = 60): DataFrame = {
+    val a = knnExact(embeddings, numQueries, kCand)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_a"))
+    val b = knnQuantized(embeddings, numQueries, kCand)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_b"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("neighbor_id").asc)
+    a.join(b, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        (coalesce(expr(s"1000000 div ($rrfK + rank_a)"), lit(0L)) +
+         coalesce(expr(s"1000000 div ($rrfK + rank_b)"), lit(0L)))
+          .cast("long").as("score_ppm"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score_ppm"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame =
+    rrfFusion(Tables.embeddings(spark, dir))
+
   /** q132: embedding-centroid drift per label — the vector-space sibling
     * of the q121 language-mix drift: how far each label's mean embedding
     * points away from the corpus mean (cosine). Naive double sums are

@@ -1,0 +1,47 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.pipeline.EventsPipeline
+
+class BitmapsSpec extends SparkSpecBase {
+
+  test("bitmap retention equals the naive distinct-week self-join") {
+    val silver = EventsPipeline.silver(spark, sf)
+    val out = Bitmaps.bitmapRetention(silver).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.nonEmpty, "observation window produced no weeks")
+
+    // the formulation the bitmap replaces: distinct (user, week) frame
+    // joined to itself on user across adjacent weeks
+    val base = silver.select(col("user_id"), col("event_date"))
+    val d0 = base.agg(min(col("event_date")).as("d0"))
+    val uw = base.crossJoin(d0)
+      .select(col("user_id"), datediff(col("event_date"), col("d0")).as("d"))
+      .filter(col("d") >= 0 && col("d") < 28)
+      .select(col("user_id"), expr("d div 7").as("w"))
+      .distinct().cache()
+    for (w <- 0 to 2 if out.contains(w)) {
+      val act = uw.filter(col("w") === w).count()
+      val ret = uw.filter(col("w") === w).select("user_id")
+        .join(uw.filter(col("w") === w + 1).select("user_id"), "user_id")
+        .count()
+      assert(out(w)._1 === act, s"active_users week $w")
+      assert(out(w)._2 === ret, s"retained_users week $w")
+      assert(out(w)._3 === ret * 1000000L / act, s"retention_ppm week $w")
+    }
+    uw.unpersist()
+  }
+
+  test("bitmap retention: retained never exceeds active, weeks ordered") {
+    val rows = Bitmaps.bitmapRetention(EventsPipeline.silver(spark, sf))
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq === rows.map(_.getInt(0)).sorted.toSeq)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+    }
+  }
+}

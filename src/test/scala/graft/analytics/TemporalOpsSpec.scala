@@ -374,4 +374,28 @@ class TemporalOpsSpec extends SparkSpecBase {
         s"score outside (0, n_events*1e6]: $r")
     }
   }
+
+  test("acf daily stats agree with a driver-side recompute of the gap-filled series") {
+    val silver = EventsPipeline.silver(spark, sf)
+    val out = TemporalOps.acfDailyStats(silver).collect()
+    assert(out.map(_.getInt(0)).toSeq === (1 to 7))
+
+    val daily = silver.groupBy(col("event_date")).count().collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    val lo = daily.keys.minBy(_.toEpochDay)
+    val hi = daily.keys.maxBy(_.toEpochDay)
+    val c = (lo.toEpochDay to hi.toEpochDay)
+      .map(d => daily.getOrElse(java.time.LocalDate.ofEpochDay(d), 0L))
+      .toArray
+    val n = c.length
+    out.foreach { row =>
+      val k = row.getInt(0)
+      assert(row.getLong(1) === (n - k).toLong, s"n_pairs lag $k")
+      val sxy = (0 until n - k).map(i => c(i) * c(i + k)).sum
+      assert(row.getLong(2) === sxy, s"sxy lag $k")
+      assert(row.getLong(3) === n.toLong)
+      assert(row.getLong(4) === c.sum)
+      assert(row.getLong(5) === c.map(x => x * x).sum)
+    }
+  }
 }

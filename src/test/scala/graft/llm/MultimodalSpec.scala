@@ -136,4 +136,44 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out.isDefined)
     assert(out.get.n_frames === 4 && out.get.n_sampled === 2) // indices 0, 3
   }
+
+  test("aHash of a real image: half-split pattern is exact, inversion mirrors it") {
+    // 16×16, left half dark (40), right half bright (220): in the 8×8
+    // grid, cells with gx >= 4 sit above the global mean → each row
+    // byte is 0xF0, packed rows 0–3 into lo and 4–7 into hi
+    def half(dark: Int, bright: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v = if (x < 8) dark else bright
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val (lo, hi) = Multimodal.aHashImage(half(40, 220))
+    assert(lo === 0xF0F0F0F0L && hi === 0xF0F0F0F0L)
+    val (lo2, hi2) = Multimodal.aHashImage(half(220, 40))
+    assert(lo2 === 0x0F0F0F0FL && hi2 === 0x0F0F0F0FL)
+    // Hamming distance between the two is all 64 bits
+    assert(java.lang.Long.bitCount(lo ^ lo2) +
+      java.lang.Long.bitCount(hi ^ hi2) === 64)
+  }
+
+  test("perceptual-hash dups: banding finds exactly the brute-force pairs in radius") {
+    val docs = Tables.documents(spark, sf)
+    val hashes = Multimodal.perceptualHashes(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hashes.nonEmpty)
+    val brute = (for {
+      a <- hashes; b <- hashes if a._1 < b._1
+      hd = java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3)
+      if hd <= 3
+    } yield (a._1, b._1, hd)).toSet
+    val out = Multimodal.perceptualHashDups(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // ≤ 3 bit flips across 4 bands always leave one band intact, so the
+    // banded join is COMPLETE within the radius — set equality, not ⊆
+    assert(out === brute)
+  }
 }

@@ -244,4 +244,25 @@ class SimilaritySpec extends SparkSpecBase {
     assert(overlap * 10 >= pq.size,
       s"recall collapsed to noise: $overlap of ${pq.size}")
   }
+
+  test("rrf fusion: scores are the exact sum of reciprocal-rank contributions") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val ra = Similarity.knnExact(emb, 10, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val rb = Similarity.knnQuantized(emb, 10, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val fused = Similarity.rrfFusion(emb).collect()
+    assert(fused.nonEmpty)
+    fused.foreach { row =>
+      val key = (row.getLong(0), row.getLong(2))
+      val expect =
+        ra.get(key).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        rb.get(key).map(r => 1000000L / (60 + r)).getOrElse(0L)
+      assert(row.getLong(3) === expect, s"score for $key")
+      assert(expect > 0L, "fused result must come from at least one list")
+    }
+    fused.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to 5), s"ranks for query $q")
+    }
+  }
 }
