@@ -564,6 +564,12 @@ object SparkEntry {
     // ---- perceptual-hash (aHash) near-dup census: 64-bit block-average
     //      fingerprint, 4-band pigeonhole Hamming join ----
     "q204_phash_dups"          -> ((s, d) => Multimodal.perceptualHashDups(s, d)),
+    // ---- full cohort triangle from the q201 bitmaps (first-active-week
+    //      cohorts, zero self-joins) ----
+    "q205_cohort_matrix"       -> ((s, d) => Bitmaps.cohortMatrix(s, d)),
+    // ---- local clustering-coefficient deciles (per-node triangles via
+    //      the q93 orientation, all-integer coefficients) ----
+    "q206_clustering_coeff"    -> ((s, d) => Graphs.clusteringCoefficients(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -4475,6 +4481,82 @@ object SparkEntry {
         |FROM cand
         |WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 3
         |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    // q205: same bitmap + CASE cohort assignment; every cell statistic
+    // is integer, so the matrix is bit-identical across engines.
+    "q205_cohort_matrix" ->
+      (silverCte +
+        """, d0 AS (SELECT MIN(event_date) AS d0 FROM silver),
+          |bm0 AS (
+          |  SELECT user_id, bit_or(1::BIGINT << d) AS bm
+          |  FROM (SELECT user_id,
+          |               date_diff('day', d0.d0, event_date) AS d
+          |        FROM silver CROSS JOIN d0) t
+          |  WHERE d >= 0 AND d < 28 GROUP BY user_id),
+          |bm AS (
+          |  SELECT bm,
+          |         CAST(CASE WHEN (bm & 127) <> 0 THEN 0
+          |                   WHEN ((bm >> 7) & 127) <> 0 THEN 1
+          |                   WHEN ((bm >> 14) & 127) <> 0 THEN 2
+          |                   ELSE 3 END AS INTEGER) AS cohort
+          |  FROM bm0),
+          |wk AS (SELECT CAST(w AS INTEGER) AS week
+          |       FROM (VALUES (0), (1), (2), (3)) v(w)),
+          |cells AS (
+          |  SELECT cohort, week, CAST(COUNT(*) AS BIGINT) AS n_active
+          |  FROM bm CROSS JOIN wk
+          |  WHERE week >= cohort AND ((bm >> (week * 7)) & 127) <> 0
+          |  GROUP BY cohort, week),
+          |sizes AS (
+          |  SELECT cohort, n_active AS cohort_size FROM cells
+          |  WHERE week = cohort)
+          |SELECT c.cohort, c.week, c.n_active, s.cohort_size,
+          |       CAST(c.n_active * 1000000 // s.cohort_size AS BIGINT)
+          |         AS active_ppm
+          |FROM cells c JOIN sizes s ON s.cohort = c.cohort
+          |ORDER BY c.cohort ASC, c.week ASC""".stripMargin),
+    // q206: the q93 orientation CTEs, extended from a global triangle
+    // count to per-node counts (each triangle credited to its three
+    // corners) and integer coefficient deciles.
+    "q206_clustering_coeff" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |edges AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (
+        |  SELECT n, COUNT(*) AS d FROM (
+        |    SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
+        |  GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+        |              THEN e.u ELSE e.v END AS src,
+        |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+        |              THEN e.v ELSE e.u END AS dst
+        |  FROM edges e
+        |  JOIN deg du ON du.n = e.u
+        |  JOIN deg dv ON dv.n = e.v),
+        |od AS (SELECT o.src, o.dst, d.d AS dst_d FROM o JOIN deg d ON d.n = o.dst),
+        |w AS (
+        |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM od e1 JOIN od e2 ON e1.src = e2.src
+        |   AND (e1.dst_d < e2.dst_d OR (e1.dst_d = e2.dst_d AND e1.dst < e2.dst))),
+        |tri AS (
+        |  SELECT w.a, w.b, w.c FROM w JOIN o ON o.src = w.b AND o.dst = w.c),
+        |tn AS (
+        |  SELECT n, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+        |    SELECT a AS n FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY 1),
+        |cc AS (
+        |  SELECT COALESCE(tn.tri, 0) AS tri, deg.d
+        |  FROM deg LEFT JOIN tn ON tn.n = deg.n
+        |  WHERE deg.d >= 2)
+        |SELECT CAST((2 * tri * 1000000 // (d * (d - 1))) // 100000
+        |            AS INTEGER) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |       CAST(SUM(tri) AS BIGINT) AS sum_triangles
+        |FROM cc GROUP BY 1 ORDER BY bucket ASC""".stripMargin,
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via

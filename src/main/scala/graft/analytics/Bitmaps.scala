@@ -66,4 +66,46 @@ object Bitmaps {
 
   def bitmapRetention(spark: SparkSession, dir: String): DataFrame =
     bitmapRetention(EventsPipeline.silver(spark, dir))
+
+  /** q205: the full cohort triangle from the same bitmaps — cohort =
+    * the user's FIRST active week in the window, and for every
+    * (cohort, week ≥ cohort) cell: how many of the cohort were active
+    * that week, as count + ppm of cohort size. The classic retention
+    * heat-map, again with zero self-joins: cohort assignment is a CASE
+    * over the four week masks of one int64, the matrix is one groupBy
+    * over a 4-weeks-per-user expand. */
+  def cohortMatrix(silver: DataFrame): DataFrame = {
+    val spark = silver.sparkSession
+    val base = silver.select(col("user_id"), col("event_date"))
+    val d0 = base.agg(min(col("event_date")).as("d0"))
+    val bm = base.crossJoin(broadcast(d0))
+      .select(col("user_id"), datediff(col("event_date"), col("d0")).as("d"))
+      .filter(col("d") >= 0 && col("d") < 28)
+      .groupBy(col("user_id"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), d))").as("bm"))
+      .select(col("bm"),
+        expr(
+          """CASE WHEN (bm & 127) <> 0 THEN 0
+            |     WHEN (shiftright(bm, 7) & 127) <> 0 THEN 1
+            |     WHEN (shiftright(bm, 14) & 127) <> 0 THEN 2
+            |     ELSE 3 END""".stripMargin).cast("int").as("cohort"))
+    val weeks = spark.range(4).select(col("id").cast("int").as("week"))
+    val cells = bm.crossJoin(broadcast(weeks))
+      .filter(col("week") >= col("cohort"))
+      .filter(expr("(shiftright(bm, week * 7) & 127) <> 0"))
+      .groupBy(col("cohort"), col("week"))
+      .agg(count(lit(1)).as("n_active"))
+    // cohort size = the cohort's own-week cell (first activity is in
+    // the cohort week by definition, so that cell counts everyone)
+    val sizes = cells.filter(col("week") === col("cohort"))
+      .select(col("cohort"), col("n_active").as("cohort_size"))
+    cells.join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("week"), col("n_active"), col("cohort_size"),
+        expr("n_active * 1000000 div cohort_size").cast("long")
+          .as("active_ppm"))
+      .orderBy(col("cohort").asc, col("week").asc)
+  }
+
+  def cohortMatrix(spark: SparkSession, dir: String): DataFrame =
+    cohortMatrix(EventsPipeline.silver(spark, dir))
 }

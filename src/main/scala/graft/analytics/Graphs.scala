@@ -133,14 +133,17 @@ object Graphs {
       .orderBy(col("part").asc, col("rk").asc)
   }
 
-  /** Triangle census over arbitrary undirected (u < v) distinct edges. */
-  def triangleCensus(edges0: DataFrame): DataFrame = {
+  /** Shared degree-ordered-orientation scaffold: degrees, oriented
+    * edges (low-(deg, id) → high), and sorted out-adjacency lists
+    * (≤ O(√m) neighbors per node by construction). The nodes-sized
+    * degree table is broadcast so orientation adds no shuffle over the
+    * edge list. */
+  private def orientedAdjacency(edges0: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val edges = Caches.scratch(edges0) // scanned by deg, orient, census
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
-    // orient low-(deg, id) → high-(deg, id); broadcast the nodes-sized
-    // degree table so orientation adds no shuffle over the edge list
     val lower = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     val oriented = Caches.scratch(edges
@@ -151,9 +154,14 @@ object Graphs {
       .select(
         when(lower, col("u")).otherwise(col("v")).as("src"),
         when(lower, col("v")).otherwise(col("u")).as("dst")))
-    // out-adjacency lists: ≤ O(√m) neighbors per node by construction
     val adj = oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    (edges, deg, oriented, adj)
+  }
+
+  /** Triangle census over arbitrary undirected (u < v) distinct edges. */
+  def triangleCensus(edges0: DataFrame): DataFrame = {
+    val (edges, deg, oriented, adj) = orientedAdjacency(edges0)
     val triangles = oriented
       .join(broadcast(adj).select(col("src"), col("nbrs").as("src_nbrs")),
         "src")
@@ -166,6 +174,52 @@ object Graphs {
       .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
       .crossJoin(triangles)
   }
+
+  /** q206: local clustering-coefficient census — the per-node texture
+    * statistic the global triangle count (q93) and the k-core density
+    * cut (q195) both flatten: cc(n) = 2·tri(n) / (d(n)·(d(n)−1)),
+    * bucketed into deciles of exact ppm. Community-rich regions pile
+    * into high buckets; star-like hubs land at zero — the shape signal
+    * a graph-based curation pass (e.g. co-citation spam detection)
+    * reads.
+    *
+    * Scale shape: same degree-ordered orientation as q93, so each
+    * triangle is ENUMERATED exactly once (explode of the wedge/edge
+    * intersection — output-sized, the irreducible cost of per-node
+    * counts) and credited to its three corners with a narrow 3-way
+    * union + one keyed count. Coefficients and buckets are all integer
+    * arithmetic (2·tri·10⁶ div d(d−1), then div 10⁵), bit-identical in
+    * any engine. */
+  def clusteringCoefficientCensus(edges0: DataFrame): DataFrame = {
+    val (_, deg, oriented, adj) = orientedAdjacency(edges0)
+    // every triangle enumerated once (explode of the wedge/edge
+    // intersection), then credited to its three corners by a SECOND
+    // explode over the corner array — one pass over the enumeration,
+    // not a 3-arm union that would recompute it per arm
+    val perNode = oriented
+      .join(broadcast(adj).select(col("src"), col("nbrs").as("src_nbrs")),
+        "src")
+      .join(broadcast(adj).select(col("src").as("dst"),
+        col("nbrs").as("dst_nbrs")), "dst")
+      .select(col("src"), col("dst"),
+        explode(array_intersect(col("src_nbrs"), col("dst_nbrs"))).as("w"))
+      .select(explode(array(col("src"), col("dst"), col("w"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("n"), "left")
+      .filter(col("d") >= 2)
+      .select(coalesce(col("tri"), lit(0L)).as("tri"), col("d"))
+      .select(col("tri"),
+        expr("(2 * tri * 1000000 div (d * (d - 1))) div 100000")
+          .cast("int").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("tri")).cast("long").as("sum_triangles"))
+      .orderBy(col("bucket").asc)
+  }
+
+  def clusteringCoefficients(spark: SparkSession, dir: String): DataFrame =
+    clusteringCoefficientCensus(
+      coPurchasePairs(spark, dir).select(col("u"), col("v")))
 
   /** PageRank over the undirected co-purchase graph, in EXACT integer
     * parts-per-million — the iterative "Pregel on DataFrames" kernel the

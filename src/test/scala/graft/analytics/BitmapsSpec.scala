@@ -35,6 +35,35 @@ class BitmapsSpec extends SparkSpecBase {
     uw.unpersist()
   }
 
+  test("cohort matrix equals the naive first-week/any-week join") {
+    val silver = EventsPipeline.silver(spark, sf)
+    val out = Bitmaps.cohortMatrix(silver).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.nonEmpty)
+
+    val base = silver.select(col("user_id"), col("event_date"))
+    val d0 = base.agg(min(col("event_date")).as("d0"))
+    val uw = base.crossJoin(d0)
+      .select(col("user_id"), datediff(col("event_date"), col("d0")).as("d"))
+      .filter(col("d") >= 0 && col("d") < 28)
+      .select(col("user_id"), expr("d div 7").as("w"))
+      .distinct().cache()
+    val cohorts = uw.groupBy("user_id").agg(min(col("w")).as("cohort"))
+    val naive = uw.join(cohorts, "user_id")
+      .groupBy(col("cohort"), col("w")).count().collect()
+      .map(r => (r.getAs[Number](0).intValue, r.getAs[Number](1).intValue)
+        -> r.getLong(2))
+      .toMap
+    uw.unpersist()
+    assert(out.keySet === naive.keySet)
+    out.foreach { case (k @ (cohort, _), (nAct, size, ppm)) =>
+      assert(nAct === naive(k), s"cell $k")
+      assert(size === naive((cohort, cohort)), s"cohort size for $k")
+      assert(ppm === nAct * 1000000L / size, s"ppm for $k")
+    }
+  }
+
   test("bitmap retention: retained never exceeds active, weeks ordered") {
     val rows = Bitmaps.bitmapRetention(EventsPipeline.silver(spark, sf))
       .collect()

@@ -141,4 +141,41 @@ class GraphsSpec extends SparkSpecBase {
     assert(math.abs(num) <= den, "correlation outside [-1, 1]")
     assert(r.getAs[Long]("n_edges") > 0L)
   }
+
+  test("clustering coefficients: crafted graph buckets exactly, census conserves") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: every K4 node has cc = 1 (bucket 10, 3 triangles
+    // each); pendant 5 on node 4 drops 4's cc to 3/6 (bucket 5); node 5
+    // has degree 1 → excluded
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("u", "v")
+    val out = Graphs.clusteringCoefficientCensus(edges).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(10 -> ((3L, 9L)), 5 -> ((1L, 3L))))
+  }
+
+  test("clustering coefficients: brute-force per-node counts on a pseudo-random graph") {
+    import spark.implicits._
+    val n = 40
+    val pairs = for {
+      u <- 1 to n; v <- (u + 1) to n
+      if (u * 7919 + v * 104729) % 5 == 0
+    } yield (u.toLong, v.toLong)
+    val out = Graphs.clusteringCoefficientCensus(pairs.toDF("u", "v"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val e = pairs.toSet
+    def has(a: Long, b: Long) = e((a min b, a max b))
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val deg = nodes.map(x => x -> pairs.count(p => p._1 == x || p._2 == x)).toMap
+    val brute = nodes.filter(deg(_) >= 2).map { x =>
+      val nb = nodes.filter(y => y != x && has(x, y))
+      val tri = (for { a <- nb; b <- nb if a < b && has(a, b) } yield 1).size.toLong
+      val d = deg(x).toLong
+      (2 * tri * 1000000L / (d * (d - 1)) / 100000L).toInt -> tri
+    }
+    val expected = brute.groupBy(_._1)
+      .map { case (b, xs) => b -> ((xs.size.toLong, xs.map(_._2).sum)) }
+    assert(out === expected)
+  }
 }
