@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.core.{Caches, Sessions, Tables}
-import graft.llm.{EmbedDedup, TextDedup}
+import graft.llm.{EmbedDedup, Multimodal, TextDedup}
 
 /** Multi-scale-point audit of the dedup/ANN candidate volumes (round-5 review
   * stretch item): every near-dup family in this engine claims its candidate
@@ -109,7 +109,22 @@ object ScaleGrowth {
         EmbedDedup.candidates(
           EmbedDedup.bandValues(EmbedDedup.tfVectors(docs))).count()
       },
-      timedCount("cdc_chunks")(TextDedup.cdcChunks(docs).count()))
+      timedCount("cdc_chunks")(TextDedup.cdcChunks(docs).count()),
+      timedCount("phash_band_pairs") {
+        // candidate pairs of the q204 banded Hamming join; no hard cap
+        // (16-bit band values spread 65536 ways), so the growth-ratio
+        // criterion applies
+        val bands = Multimodal.perceptualHashes(docs)
+          .select(explode(expr(
+            """array(
+              |  struct(0 AS b, h_lo & 65535 AS bv),
+              |  struct(1 AS b, shiftright(h_lo, 16) & 65535 AS bv),
+              |  struct(2 AS b, h_hi & 65535 AS bv),
+              |  struct(3 AS b, shiftright(h_hi, 16) & 65535 AS bv))"""
+              .stripMargin)).as("x"))
+          .select(col("x.b").as("b"), col("x.bv").as("bv"))
+        pairSum(bands, 2L, Long.MaxValue, "b", "bv")
+      })
   }
 
   /** The documented linear-in-corpus candidate bound per capped family,

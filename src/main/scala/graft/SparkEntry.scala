@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.{Bitmaps, BloomJoin, Diagnostics, Funnels, Graphs, History, Incremental, Reports, SkewJoin, StarQueries, TemporalOps}
 import graft.ingest.Medallion
-import graft.llm.{Curation, Decontaminate, DupClusters, EmbedDedup, Multimodal, Scrub, Similarity, TextDedup, TextStats}
+import graft.llm.{Curation, Decontaminate, DupClusters, EmbedDedup, Multimodal, Scrub, Search, Similarity, TextDedup, TextStats}
 import graft.pipeline.EventsPipeline
 import graft.sql.SqlQueries
 
@@ -570,6 +570,15 @@ object SparkEntry {
     // ---- local clustering-coefficient deciles (per-node triangles via
     //      the q93 orientation, all-integer coefficients) ----
     "q206_clustering_coeff"    -> ((s, d) => Graphs.clusteringCoefficients(s, d)),
+    // ---- segment-overlap matrix via bitmap pattern counting (corpus
+    //      read once for all T*(T-1)/2 pairs) ----
+    "q207_segment_overlap"     -> ((s, d) => Bitmaps.segmentOverlap(s, d)),
+    // ---- inverted-index conjunctive search (posting-list intersection,
+    //      data-derived 3-term query at df ranks 100-102) ----
+    "q208_conjunctive_search"  -> ((s, d) => Search.conjunctiveSearch(s, d)),
+    // ---- event-study census: activity 7 days before vs after each
+    //      user's first purchase (difference-around-anchor design) ----
+    "q209_prepost_census"      -> ((s, d) => TemporalOps.prePostFirstPurchase(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -4557,6 +4566,84 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_nodes,
         |       CAST(SUM(tri) AS BIGINT) AS sum_triangles
         |FROM cc GROUP BY 1 ORDER BY bucket ASC""".stripMargin,
+    // q207: identical pattern-count formulation — bit_or of segment
+    // bits, pairwise stats from the tiny pattern frame.
+    "q207_segment_overlap" ->
+      (silverCte +
+        """, tidx AS (
+          |  SELECT event_type,
+          |         CAST(row_number() OVER (ORDER BY event_type ASC) - 1
+          |              AS INTEGER) AS ti
+          |  FROM (SELECT DISTINCT event_type FROM silver)),
+          |pat AS (
+          |  SELECT s.user_id, bit_or(1::BIGINT << t.ti) AS pat
+          |  FROM silver s JOIN tidx t ON t.event_type = s.event_type
+          |  GROUP BY s.user_id),
+          |pc AS (SELECT pat, CAST(COUNT(*) AS BIGINT) AS n_users
+          |       FROM pat GROUP BY 1),
+          |pr AS (
+          |  SELECT a.event_type AS type_a, a.ti AS ta,
+          |         b.event_type AS type_b, b.ti AS tb
+          |  FROM tidx a CROSS JOIN tidx b WHERE a.ti < b.ti),
+          |agg AS (
+          |  SELECT type_a, type_b,
+          |    CAST(SUM(CASE WHEN ((pat >> ta) & 1) = 1
+          |             THEN n_users ELSE 0 END) AS BIGINT) AS n_a,
+          |    CAST(SUM(CASE WHEN ((pat >> tb) & 1) = 1
+          |             THEN n_users ELSE 0 END) AS BIGINT) AS n_b,
+          |    CAST(SUM(CASE WHEN ((pat >> ta) & 1) = 1
+          |              AND ((pat >> tb) & 1) = 1
+          |             THEN n_users ELSE 0 END) AS BIGINT) AS n_both
+          |  FROM pr CROSS JOIN pc GROUP BY type_a, type_b)
+          |SELECT type_a, type_b, n_a, n_b, n_both,
+          |       CAST(n_both * 1000000 // (n_a + n_b - n_both) AS BIGINT)
+          |         AS jaccard_ppm
+          |FROM agg ORDER BY type_a ASC, type_b ASC""".stripMargin),
+    // q208: same posting stream, same (df desc, token asc) total order
+    // on the query terms — the AND is a grouped distinct count.
+    "q208_conjunctive_search" ->
+      """WITH post AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(str_split(text, ' ')) AS token
+        |    FROM documents)
+        |  WHERE length(token) > 0),
+        |dfc AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM post GROUP BY 1),
+        |top AS (
+        |  SELECT token,
+        |         row_number() OVER (ORDER BY df DESC, token ASC) AS r
+        |  FROM dfc),
+        |q AS (SELECT token FROM top WHERE r BETWEEN 10 AND 12),
+        |hits AS (
+        |  SELECT doc_id, CAST(COUNT(DISTINCT p.token) AS BIGINT) AS n_terms
+        |  FROM post p JOIN q USING (token)
+        |  GROUP BY doc_id HAVING COUNT(DISTINCT p.token) = 3)
+        |SELECT h.doc_id, h.n_terms, d.n_chars
+        |FROM hits h JOIN documents d USING (doc_id)
+        |ORDER BY h.doc_id ASC""".stripMargin,
+    // q209: same anchor join; day deltas and counts are all integer.
+    "q209_prepost_census" ->
+      (silverCte +
+        """, anchors AS (
+          |  SELECT user_id, MIN(event_date) AS anchor
+          |  FROM silver WHERE event_type = 'purchase' GROUP BY 1),
+          |dd AS (
+          |  SELECT s.event_type,
+          |         date_diff('day', a.anchor, s.event_date) AS dd
+          |  FROM silver s JOIN anchors a ON a.user_id = s.user_id),
+          |agg AS (
+          |  SELECT event_type,
+          |         CAST(SUM(CASE WHEN dd < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |           AS n_pre,
+          |         CAST(SUM(CASE WHEN dd >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |           AS n_post
+          |  FROM dd WHERE dd >= -7 AND dd <= 6
+          |  GROUP BY 1)
+          |SELECT event_type, n_pre, n_post,
+          |       CAST(n_post * 1000000 // n_pre AS BIGINT) AS lift_ppm
+          |FROM agg WHERE n_pre > 0
+          |ORDER BY event_type ASC""".stripMargin),
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via

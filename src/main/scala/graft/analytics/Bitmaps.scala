@@ -108,4 +108,52 @@ object Bitmaps {
 
   def cohortMatrix(spark: SparkSession, dir: String): DataFrame =
     cohortMatrix(EventsPipeline.silver(spark, dir))
+
+  /** q207: segment-overlap matrix (audience intersection) via bitmap
+    * PATTERN COUNTING — the third bitmap trick after per-user masks
+    * (q201) and cohort CASEs (q205). Naive pairwise overlap of T
+    * segments needs T² semi-joins over the corpus; instead each user
+    * folds into one bit-pattern of segment membership (bit i = did
+    * event_type i), the corpus collapses to ≤ 2^T pattern-count rows,
+    * and every pairwise statistic is then arithmetic on that tiny
+    * frame. For T segments the corpus is read ONCE regardless of how
+    * many of the T·(T−1)/2 pairs are reported — the Druid/ClickHouse
+    * audience-engine shape.
+    *
+    * Output per (type_a < type_b): both segment sizes, the exact
+    * intersection, and Jaccard in ppm — all integers. Segment indices
+    * come from a row_number over the DISTINCT type frame (domain-sized;
+    * the single-partition window is the same bounded-domain exemption
+    * as every other range-sized window here). */
+  def segmentOverlap(silver: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tIdx = silver.select(col("event_type")).distinct()
+      .withColumn("ti",
+        row_number().over(Window.orderBy(col("event_type"))) - 1)
+    val patterns = silver.select(col("user_id"), col("event_type"))
+      .join(broadcast(tIdx), Seq("event_type"))
+      .groupBy(col("user_id"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), ti))").as("pat"))
+      .groupBy(col("pat")).agg(count(lit(1)).as("n_users"))
+    val pairs = tIdx.select(col("event_type").as("type_a"), col("ti").as("ta"))
+      .crossJoin(tIdx.select(col("event_type").as("type_b"), col("ti").as("tb")))
+      .filter(col("ta") < col("tb"))
+    pairs.crossJoin(patterns)
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(
+        sum(when(expr("(shiftright(pat, ta) & 1) = 1"), col("n_users"))
+          .otherwise(0L)).as("n_a"),
+        sum(when(expr("(shiftright(pat, tb) & 1) = 1"), col("n_users"))
+          .otherwise(0L)).as("n_b"),
+        sum(when(expr("(shiftright(pat, ta) & 1) = 1 AND (shiftright(pat, tb) & 1) = 1"),
+          col("n_users")).otherwise(0L)).as("n_both"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        expr("n_both * 1000000 div (n_a + n_b - n_both)").cast("long")
+          .as("jaccard_ppm"))
+      .orderBy(col("type_a").asc, col("type_b").asc)
+  }
+
+  def segmentOverlap(spark: SparkSession, dir: String): DataFrame =
+    segmentOverlap(EventsPipeline.silver(spark, dir))
 }

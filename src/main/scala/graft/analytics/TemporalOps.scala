@@ -658,4 +658,45 @@ object TemporalOps {
 
   def acfDailyStats(spark: SparkSession, dir: String): DataFrame =
     acfDailyStats(graft.pipeline.EventsPipeline.silver(spark, dir))
+
+  /** q209: pre/post first-conversion activity census — the event-study
+    * (difference-around-anchor) design: for each user who ever
+    * purchases, anchor = their FIRST purchase date, then per event
+    * type count events in the 7 days before ([anchor−7, anchor−1]) vs
+    * the 7 days from the anchor ([anchor, anchor+6]) and ship the
+    * post/pre ratio in ppm. Distinct from q168 (co-occurrence
+    * association) and q200 (which single touch gets credit): this
+    * measures how behavior CHANGES around conversion. (The anchor is
+    * an event, not an order — the synthetic orders live in a different
+    * date epoch than events, so a cross-table anchor would be the
+    * empty relation.)
+    *
+    * Scale shape: anchors are one map-side-combinable min per
+    * converting user; the events⋈anchors equi-join is a plain
+    * key-hash shuffle with the anchor side pre-aggregated to one row
+    * per user. The ±7-day band filter needs the anchor so it sits just
+    * above the join, pruning rows before the final groupBy. Types with
+    * no pre-window activity are excluded (matching the oracle; a ratio
+    * over zero is undefined anyway). */
+  def prePostFirstPurchase(silver: DataFrame): DataFrame = {
+    val anchors = silver.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(col("event_date")).as("anchor"))
+    silver.select(col("user_id"), col("event_type"), col("event_date"))
+      .join(anchors, Seq("user_id"))
+      .select(col("event_type"),
+        datediff(col("event_date"), col("anchor")).as("dd"))
+      .filter(col("dd") >= -7 && col("dd") <= 6)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("dd") < 0, 1L).otherwise(0L)).as("n_pre"),
+        sum(when(col("dd") >= 0, 1L).otherwise(0L)).as("n_post"))
+      .filter(col("n_pre") > 0)
+      .select(col("event_type"), col("n_pre"), col("n_post"),
+        expr("n_post * 1000000 div n_pre").cast("long").as("lift_ppm"))
+      .orderBy(col("event_type").asc)
+  }
+
+  def prePostFirstPurchase(spark: SparkSession, dir: String): DataFrame =
+    prePostFirstPurchase(graft.pipeline.EventsPipeline.silver(spark, dir))
 }

@@ -378,7 +378,7 @@ object Multimodal {
     * re-evaluating the whole raster ~65× per row. Binding cells and
     * total to lambda variables evaluates each exactly once (measured:
     * 30× faster at sf0.001). */
-  private[llm] def perceptualHashes(docs: DataFrame): DataFrame =
+  private[graft] def perceptualHashes(docs: DataFrame): DataFrame =
     docs.filter(length(col("text")) >= 256)
       .select(col("doc_id"), expr(
         """transform(

@@ -64,6 +64,28 @@ class BitmapsSpec extends SparkSpecBase {
     }
   }
 
+  test("segment overlap equals naive per-type distinct user sets") {
+    val silver = EventsPipeline.silver(spark, sf)
+    val rows = Bitmaps.segmentOverlap(silver).collect()
+    val sets = silver.select(col("event_type"), col("user_id")).distinct()
+      .collect()
+      .groupBy(_.get(0).toString)
+      .map { case (t, rs) => t -> rs.map(_.get(1).toString).toSet }
+    val types = sets.keys.toSeq.sorted
+    // every unordered type pair reported exactly once
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet ===
+      (for { a <- types; b <- types if a < b } yield (a, b)).toSet)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (sa, sb) = (sets(a), sets(b))
+      val both = (sa & sb).size.toLong
+      assert(r.getLong(2) === sa.size.toLong, s"n_a for ($a,$b)")
+      assert(r.getLong(3) === sb.size.toLong, s"n_b for ($a,$b)")
+      assert(r.getLong(4) === both, s"n_both for ($a,$b)")
+      assert(r.getLong(5) === both * 1000000L / (sa.size + sb.size - both))
+    }
+  }
+
   test("bitmap retention: retained never exceeds active, weeks ordered") {
     val rows = Bitmaps.bitmapRetention(EventsPipeline.silver(spark, sf))
       .collect()

@@ -375,6 +375,35 @@ class TemporalOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("pre/post first-purchase census matches a driver-side recompute") {
+    val silver = EventsPipeline.silver(spark, sf)
+    val out = TemporalOps.prePostFirstPurchase(silver).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val anchors = silver.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(col("event_date")).as("a")).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getDate(1).toLocalDate)
+      .toMap
+    val tallies = collection.mutable.Map[String, (Long, Long)]()
+    silver.select(col("user_id"), col("event_type"), col("event_date"))
+      .collect().foreach { r =>
+        anchors.get(r.getAs[Number](0).longValue).foreach { a =>
+          val dd = java.time.temporal.ChronoUnit.DAYS
+            .between(a, r.getDate(2).toLocalDate)
+          if (dd >= -7 && dd <= 6) {
+            val t = r.getString(1)
+            val (p, q) = tallies.getOrElse(t, (0L, 0L))
+            tallies(t) = if (dd < 0) (p + 1, q) else (p, q + 1)
+          }
+        }
+      }
+    val expected = tallies.toMap.filter(_._2._1 > 0)
+      .map { case (t, (p, q)) => t -> ((p, q, q * 1000000L / p)) }
+    assert(out === expected)
+    assert(out.nonEmpty)
+  }
+
   test("acf daily stats agree with a driver-side recompute of the gap-filled series") {
     val silver = EventsPipeline.silver(spark, sf)
     val out = TemporalOps.acfDailyStats(silver).collect()
