@@ -111,19 +111,10 @@ object ScaleGrowth {
       },
       timedCount("cdc_chunks")(TextDedup.cdcChunks(docs).count()),
       timedCount("phash_band_pairs") {
-        // candidate pairs of the q204 banded Hamming join; no hard cap
-        // (16-bit band values spread 65536 ways), so the growth-ratio
-        // criterion applies
-        val bands = Multimodal.perceptualHashes(docs)
-          .select(explode(expr(
-            """array(
-              |  struct(0 AS b, h_lo & 65535 AS bv),
-              |  struct(1 AS b, shiftright(h_lo, 16) & 65535 AS bv),
-              |  struct(2 AS b, h_hi & 65535 AS bv),
-              |  struct(3 AS b, shiftright(h_hi, 16) & 65535 AS bv))"""
-              .stripMargin)).as("x"))
-          .select(col("x.b").as("b"), col("x.bv").as("bv"))
-        pairSum(bands, 2L, Long.MaxValue, "b", "bv")
+        // candidate pairs of the q204 banded Hamming join, after the
+        // adaptive subshard cap — bounded by 4·n_docs·(cap−1)/2
+        pairSum(Multimodal.phashBands(docs), 2L, Long.MaxValue,
+          "b", "bv", "sub")
       })
   }
 
@@ -147,7 +138,10 @@ object ScaleGrowth {
       counts("n_fp_rows") * (TextDedup.MaxFpDf - 1) / 2,
     // NumBands buckets per doc, each subsharded to ≤ cap docs
     "embed_cand" ->
-      counts("n_docs") * EmbedDedup.NumBands * (EmbedDedup.MaxBandBucketDocs - 1) / 2)
+      counts("n_docs") * EmbedDedup.NumBands * (EmbedDedup.MaxBandBucketDocs - 1) / 2,
+    // 4 band postings per doc, each bucket subsharded to ≤ cap docs
+    "phash_band_pairs" ->
+      counts("n_docs") * 4 * (Multimodal.MaxPhashBandDocs - 1) / 2)
 
   def main(args: Array[String]): Unit = {
     val (dirs, out) = {
@@ -167,7 +161,7 @@ object ScaleGrowth {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val keys = Seq("n_docs", "n_shingle_rows", "n_fp_rows", "minhash_cand",
       "ngram_block_pairs", "contain_rare_collisions", "contain_gated",
-      "winnow_collisions", "embed_cand", "cdc_chunks")
+      "winnow_collisions", "embed_cand", "cdc_chunks", "phash_band_pairs")
     // bound at EVERY point, judged at the largest (the saturated regime)
     val lastBounds = capBound(last)
     def ok(k: String): Boolean = lastBounds.get(k) match {

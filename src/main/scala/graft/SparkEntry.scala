@@ -4471,19 +4471,27 @@ object SparkEntry {
         |           THEN (1::BIGINT << (i - 32)) ELSE 0 END)) AS BIGINT)
         |      AS h_hi
         |  FROM h1),
-        |bands AS (
+        |bands0 AS (
         |  SELECT doc_id, h_lo, h_hi, c.b,
         |         CASE WHEN c.b = 0 THEN h_lo & 65535
         |              WHEN c.b = 1 THEN (h_lo >> 16) & 65535
         |              WHEN c.b = 2 THEN h_hi & 65535
         |              ELSE (h_hi >> 16) & 65535 END AS bv
         |  FROM h CROSS JOIN (VALUES (0), (1), (2), (3)) c(b)),
+        |census AS (
+        |  SELECT b, bv, COUNT(*) AS bdocs FROM bands0 GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT x.doc_id, x.h_lo, x.h_hi, x.b, x.bv,
+        |         CAST('0x' || substr(md5(CAST(x.doc_id AS VARCHAR)), 1, 15)
+        |              AS BIGINT) % ((c.bdocs + 63) // 64) AS sub
+        |  FROM bands0 x JOIN census c USING (b, bv)),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |         a.h_lo AS lo_a, a.h_hi AS hi_a,
         |         b.h_lo AS lo_b, b.h_hi AS hi_b
         |  FROM bands a JOIN bands b
-        |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |    ON a.b = b.b AND a.bv = b.bv AND a.sub = b.sub
+        |   AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b,
         |       CAST(bit_count(xor(lo_a, lo_b))
         |          + bit_count(xor(hi_a, hi_b)) AS INTEGER) AS hamming

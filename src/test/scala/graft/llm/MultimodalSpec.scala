@@ -164,6 +164,16 @@ class MultimodalSpec extends SparkSpecBase {
     val hashes = Multimodal.perceptualHashes(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(hashes.nonEmpty)
+    // completeness precondition: no band bucket over the subshard cap
+    // (holds on the fixture corpus — every bucket here is single-digit)
+    val maxBucket = (for (b <- 0 until 4) yield {
+      hashes.groupBy { h =>
+        val half = if (b < 2) h._2 else h._3
+        (half >> (16 * (b % 2))) & 65535
+      }.values.map(_.size).max
+    }).max
+    assert(maxBucket <= Multimodal.MaxPhashBandDocs,
+      "fixture corpus saturated a bucket; equality claim no longer applies")
     val brute = (for {
       a <- hashes; b <- hashes if a._1 < b._1
       hd = java.lang.Long.bitCount(a._2 ^ b._2) +
@@ -172,8 +182,36 @@ class MultimodalSpec extends SparkSpecBase {
     } yield (a._1, b._1, hd)).toSet
     val out = Multimodal.perceptualHashDups(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    // ≤ 3 bit flips across 4 bands always leave one band intact, so the
-    // banded join is COMPLETE within the radius — set equality, not ⊆
+    // ≤ 3 bit flips across 4 bands always leave one band intact, so with
+    // every bucket under the cap the banded join is COMPLETE within the
+    // radius — set equality, not ⊆
     assert(out === brute)
+  }
+
+  test("perceptual-hash dups: oversized buckets are subshard-capped, output stays subset") {
+    import spark.implicits._
+    // 200 identical rasters: one bucket of 200 per band — nsub = 4, so
+    // candidates collapse from 200·199/2 per band to ≤ the cap bound
+    val text = Seq.fill(64)("abcd").mkString("")
+    val docs = (1L to 200L).map(i => (i, text)).toDF("doc_id", "text")
+    val bands = Multimodal.phashBands(docs)
+    val maxShard = bands.groupBy("b", "bv", "sub").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+    // hash-mod sharding is uneven but each shard must stay well under
+    // the un-capped bucket size; the PAIR bound is what matters
+    val pairBound = 200L * 4 * (Multimodal.MaxPhashBandDocs - 1) / 2
+    val candPairs = bands.groupBy("b", "bv", "sub").count()
+      .agg(org.apache.spark.sql.functions
+        .sum(org.apache.spark.sql.functions.expr("count * (count - 1) div 2")))
+      .head.getLong(0)
+    assert(candPairs <= pairBound,
+      s"candidate pairs $candPairs exceed the linear bound $pairBound")
+    assert(maxShard < 200L, "subsharding did not split the oversized bucket")
+    // and the reported dups are still a subset of true near-dups (all
+    // identical here, hamming 0)
+    val out = Multimodal.perceptualHashDups(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getInt(2) === 0))
+    graft.core.Caches.releaseScratch(spark)
   }
 }
