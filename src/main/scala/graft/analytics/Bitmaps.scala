@@ -90,11 +90,13 @@ object Bitmaps {
             |     WHEN (shiftright(bm, 14) & 127) <> 0 THEN 2
             |     ELSE 3 END""".stripMargin).cast("int").as("cohort"))
     val weeks = spark.range(4).select(col("id").cast("int").as("week"))
-    val cells = bm.crossJoin(broadcast(weeks))
+    // cells feed both the matrix and the cohort-size lookup — scratch
+    // so the corpus-side pipeline (bitmap groupBy + expand) runs once
+    val cells = graft.core.Caches.scratch(bm.crossJoin(broadcast(weeks))
       .filter(col("week") >= col("cohort"))
       .filter(expr("(shiftright(bm, week * 7) & 127) <> 0"))
       .groupBy(col("cohort"), col("week"))
-      .agg(count(lit(1)).as("n_active"))
+      .agg(count(lit(1)).as("n_active")))
     // cohort size = the cohort's own-week cell (first activity is in
     // the cohort week by definition, so that cell counts everyone)
     val sizes = cells.filter(col("week") === col("cohort"))

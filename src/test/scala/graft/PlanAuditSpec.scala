@@ -309,6 +309,41 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("bitmap family: one corpus aggregation, no self-joins") {
+    // the whole point of the bitmap formulation is that retention /
+    // cohort / overlap statistics need NO join of the user-activity
+    // frame to itself — only broadcast joins of domain-sized frames
+    // (min-date scalar, week list, type index) are allowed
+    Seq(
+      graft.analytics.Bitmaps.bitmapRetention(spark, sf),
+      graft.analytics.Bitmaps.cohortMatrix(spark, sf),
+      graft.analytics.Bitmaps.segmentOverlap(spark, sf)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"corpus-sized join leaked into a bitmap plan:\n$plan")
+      // count DISTINCT shuffle nodes (a scratch-cached subtree renders
+      // its exchanges once per cache-scan site — same plan_id, one
+      // execution): user-bitmap groupBy + a handful of domain-sized
+      // aggs; a corpus self-join formulation would add per-pair
+      // exchanges
+      val shuffles = "Exchange hashpartitioning[^\\[]*\\[plan_id=(\\d+)\\]".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet
+      assert(shuffles.size <= 6,
+        s"bitmap plan has ${shuffles.size} distinct shuffles:\n$plan")
+    }
+  }
+
+  test("conjunctive search: term ranking is a TakeOrdered, not a global sort") {
+    val plan = graft.llm.Search
+      .conjunctiveSearch(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k term selection missing from:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term set not broadcast in:\n$plan")
+  }
+
   test("iterative queries keep a bounded logical plan (lineage truncated per round)") {
     // Every driver-side loop (peeling, label propagation, BFS, pagerank)
     // MUST truncate lineage each round — a lazy persist dedups execution
