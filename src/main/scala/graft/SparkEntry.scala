@@ -579,6 +579,12 @@ object SparkEntry {
     // ---- event-study census: activity 7 days before vs after each
     //      user's first purchase (difference-around-anchor design) ----
     "q209_prepost_census"      -> ((s, d) => TemporalOps.prePostFirstPurchase(s, d)),
+    // ---- positional phrase search: per-doc occurrences of the corpus'
+    //      top bigram (adjacency via the bigram explode) ----
+    "q210_phrase_count"        -> ((s, d) => Search.phraseCount(s, d)),
+    // ---- single-term BM25 top-10 in exact cross-multiplied int64
+    //      (k1=6/5, b=3/4; term = df rank 5) ----
+    "q211_bm25_topk"           -> ((s, d) => Search.bm25TopK(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -4652,6 +4658,59 @@ object SparkEntry {
           |       CAST(n_post * 1000000 // n_pre AS BIGINT) AS lift_ppm
           |FROM agg WHERE n_pre > 0
           |ORDER BY event_type ASC""".stripMargin),
+    // q210: same bigram stream (1-based list indexing mirrors the
+    // engine's slice/element_at), same (cnt desc, lexicographic) top-1.
+    "q210_phrase_count" ->
+      """WITH w AS (
+        |  SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(w)), i ->
+        |           struct_pack(w1 := w[i], w2 := w[i + 1]))) AS bg
+        |  FROM w),
+        |b2 AS (
+        |  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bg
+        |  WHERE length(bg.w1) > 0 AND length(bg.w2) > 0),
+        |top AS (
+        |  SELECT w1, w2 FROM (
+        |    SELECT w1, w2, COUNT(*) AS cnt FROM b2 GROUP BY 1, 2)
+        |  ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1)
+        |SELECT b2.doc_id, t.w1, t.w2,
+        |       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |FROM b2 JOIN top t USING (w1, w2)
+        |GROUP BY b2.doc_id, t.w1, t.w2
+        |ORDER BY b2.doc_id ASC""".stripMargin,
+    // q211: identical integer cross-multiplied BM25; the df-rank-5 term
+    // comes from the same (df desc, token asc) total order.
+    "q211_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(str_split(text, ' ')) AS token
+        |    FROM documents)
+        |  WHERE length(token) > 0),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+        |       FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS s,
+        |               CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+        |dfc AS (
+        |  SELECT token, COUNT(*) AS df FROM (
+        |    SELECT DISTINCT doc_id, token FROM toks)
+        |  GROUP BY 1),
+        |q AS (
+        |  SELECT token FROM (
+        |    SELECT token, row_number() OVER (
+        |      ORDER BY df DESC, token ASC) AS r
+        |    FROM dfc)
+        |  WHERE r = 5),
+        |tf AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM toks JOIN q USING (token) GROUP BY 1)
+        |SELECT tf.doc_id, tf.tf, dl.dl,
+        |       CAST(44 * s * tf * 1000000
+        |            // (20 * s * tf + 6 * s + 18 * n * dl.dl) AS BIGINT)
+        |         AS score_ppm
+        |FROM tf JOIN dl USING (doc_id) CROSS JOIN tot
+        |ORDER BY score_ppm DESC, tf.doc_id ASC LIMIT 10""".stripMargin,
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via
