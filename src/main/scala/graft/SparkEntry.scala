@@ -585,6 +585,9 @@ object SparkEntry {
     // ---- single-term BM25 top-10 in exact cross-multiplied int64
     //      (k1=6/5, b=3/4; term = df rank 5) ----
     "q211_bm25_topk"           -> ((s, d) => Search.bm25TopK(s, d)),
+    // ---- PMI collocation top-20 (symmetric lift over the bigram event
+    //      space, exact int64; support floor 5) ----
+    "q212_pmi_collocations"    -> ((s, d) => TextStats.pmiCollocations(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -4711,6 +4714,30 @@ object SparkEntry {
         |         AS score_ppm
         |FROM tf JOIN dl USING (doc_id) CROSS JOIN tot
         |ORDER BY score_ppm DESC, tf.doc_id ASC LIMIT 10""".stripMargin,
+    // q212: same bigram event space over the normalized text; lift is
+    // exact integer division both sides.
+    "q212_pmi_collocations" ->
+      s"""WITH w AS (
+         |  SELECT str_split($duckNorm, ' ') AS w FROM documents),
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, len(w)), i ->
+         |    struct_pack(w1 := w[i], w2 := w[i + 1]))) AS bg
+         |  FROM w),
+         |b2 AS (
+         |  SELECT bg.w1 AS w1, bg.w2 AS w2 FROM bg
+         |  WHERE length(bg.w1) > 0 AND length(bg.w2) > 0),
+         |c AS (
+         |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM b2 GROUP BY 1, 2),
+         |l AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS ca FROM c GROUP BY 1),
+         |r AS (SELECT w2, CAST(SUM(c) AS BIGINT) AS cb FROM c GROUP BY 1),
+         |t AS (SELECT CAST(SUM(c) AS BIGINT) AS bt FROM c)
+         |SELECT c.w1, c.w2, c.c AS c_ab, l.ca AS c_a, r.cb AS c_b,
+         |       CAST(c.c * bt * 1000000 // (l.ca * r.cb) AS BIGINT)
+         |         AS lift_ppm
+         |FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
+         |WHERE c.c >= 5
+         |ORDER BY lift_ppm DESC, c.w1 ASC, c.w2 ASC LIMIT 20""".stripMargin,
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via

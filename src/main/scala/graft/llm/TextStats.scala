@@ -748,4 +748,51 @@ object TextStats {
 
   def oovCensus(spark: SparkSession, dir: String): DataFrame =
     oovCensus(Tables.documents(spark, dir))
+
+  /** q212: PMI collocation ranking — which word pairs co-occur
+    * adjacently far more than their marginals predict. The association
+    * number behind collocation extraction and phrase-vocabulary
+    * induction (word2vec-phrases style), complementing q120 (which
+    * ships CONDITIONAL bigram probability, direction-asymmetric) with
+    * the symmetric lift. All arithmetic is exact int64 over the bigram
+    * event space: lift_ppm = c_ab·B·10⁶ div (c_a·c_b), B = total
+    * bigrams, c_a/c_b the first/second-position marginals — PMI’s
+    * exp() is monotone, so ranking by lift IS ranking by PMI with no
+    * transcendental in the gate. Support floor c_ab ≥ minCount keeps
+    * rare-pair noise out (textbook practice).
+    *
+    * Scale shape: one bigram count (map-side combinable) feeds the two
+    * vocabulary-sized marginal aggregations and the scored join (both
+    * joins are vocab-keyed); top-k is a TakeOrdered. At a corpus where
+    * c·B·10⁶ nears int64 (B ≳ 3·10⁶ tokens per engine-comparable
+    * shard), quantize B to ppm first. */
+  def pmiCollocations(docs: DataFrame, k: Int = 20,
+      minCount: Int = 5): DataFrame = {
+    val bigrams = docs
+      .select(split(norm, " ").as("w"))
+      .select(explode(expr(
+        """transform(slice(w, 1, size(w) - 1), (x, i) ->
+          |  struct(x AS w1, element_at(w, i + 2) AS w2))"""
+          .stripMargin)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+    val counts = graft.core.Caches.scratch(
+      bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c")))
+    val left = counts.groupBy(col("w1")).agg(sum(col("c")).as("ca"))
+    val right = counts.groupBy(col("w2")).agg(sum(col("c")).as("cb"))
+    val tot = counts.agg(sum(col("c")).cast("long").as("bt"))
+    counts.filter(col("c") >= minCount)
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c").cast("long").as("c_ab"),
+        col("ca").cast("long").as("c_a"), col("cb").cast("long").as("c_b"),
+        expr("c * bt * 1000000 div (ca * cb)").cast("long").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+      .orderBy(col("lift_ppm").desc, col("w1").asc, col("w2").asc)
+  }
+
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
+    pmiCollocations(Tables.documents(spark, dir))
 }

@@ -335,4 +335,27 @@ class TextStatsSpec extends SparkSpecBase {
       assert(p25 >= lo && p75 <= hi, s"outside value range: $r")
     }
   }
+
+  test("pmi collocations: lifts match a driver-side recompute, top-20 order exact") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextStats.pmiCollocations(docs).collect()
+    graft.core.Caches.releaseScratch(spark)
+    assert(out.nonEmpty)
+
+    val bigrams = docs.select("text").collect().flatMap { r =>
+      r.getString(0).toLowerCase.trim.replaceAll("\\s+", " ")
+        .split(" ").toSeq.sliding(2)
+        .collect { case Seq(a, b) if a.nonEmpty && b.nonEmpty => (a, b) }
+    }
+    val cab = bigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val ca = cab.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val cb = cab.groupBy(_._1._2).map { case (b, m) => b -> m.values.sum }
+    val bt = cab.values.sum
+    val expected = cab.toSeq.filter(_._2 >= 5).map { case ((a, b), c) =>
+      (a, b, c, ca(a), cb(b), c * bt * 1000000L / (ca(a) * cb(b)))
+    }.sortBy { case (a, b, _, _, _, lift) => (-lift, a, b) }.take(20)
+    val got = out.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+  }
 }
