@@ -588,6 +588,12 @@ object SparkEntry {
     // ---- PMI collocation top-20 (symmetric lift over the bigram event
     //      space, exact int64; support floor 5) ----
     "q212_pmi_collocations"    -> ((s, d) => TextStats.pmiCollocations(s, d)),
+    // ---- dup-cluster dilution audit: verified vs implied pairs per
+    //      cluster size (the union-find over-merge number) ----
+    "q213_cluster_dilution"    -> ((s, d) => DupClusters.clusterDilution(s, d)),
+    // ---- top-10 3-event user paths (sequential pattern mining one
+    //      order above the q146 transition matrix) ----
+    "q214_event_trigrams"      -> ((s, d) => Funnels.eventTrigrams(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -4738,6 +4744,57 @@ object SparkEntry {
          |FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
          |WHERE c.c >= 5
          |ORDER BY lift_ppm DESC, c.w1 ASC, c.w2 ASC LIMIT 20""".stripMargin,
+    // q213: the q60 closure CTEs extended with the verified-pair census;
+    // all counts integer.
+    "q213_cluster_dilution" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashOracle
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r
+         |  JOIN edges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src),
+         |lab AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |sizes AS (
+         |  SELECT cluster_id, COUNT(*) AS k FROM lab
+         |  GROUP BY 1 HAVING COUNT(*) >= 2),
+         |direct AS (
+         |  SELECT l.cluster_id, COUNT(*) AS dp
+         |  FROM pairs p JOIN lab l ON l.doc_id = p.doc_a
+         |  GROUP BY 1),
+         |per AS (
+         |  SELECT s.k, COALESCE(d.dp, 0) AS dp, s.k * (s.k - 1) // 2 AS tp
+         |  FROM sizes s LEFT JOIN direct d USING (cluster_id))
+         |SELECT CAST(k AS BIGINT) AS cluster_size,
+         |       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |       CAST(SUM(dp) AS BIGINT) AS direct_pairs,
+         |       CAST(SUM(tp) AS BIGINT) AS total_pairs,
+         |       CAST(SUM(dp) * 1000000 // SUM(tp) AS BIGINT) AS direct_ppm
+         |FROM per GROUP BY k ORDER BY cluster_size ASC""".stripMargin,
+    // q214: two leads over the same (ts, event_id) user order; top-10
+    // with full lexicographic tiebreak.
+    "q214_event_trigrams" ->
+      (silverCte +
+        """, tri AS (
+          |  SELECT event_type AS t1,
+          |         lead(event_type, 1) OVER w AS t2,
+          |         lead(event_type, 2) OVER w AS t3
+          |  FROM silver
+          |  WINDOW w AS (PARTITION BY user_id
+          |               ORDER BY ts ASC, event_id ASC))
+          |SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n_paths
+          |FROM tri WHERE t3 IS NOT NULL
+          |GROUP BY t1, t2, t3
+          |ORDER BY n_paths DESC, t1 ASC, t2 ASC, t3 ASC
+          |LIMIT 10""".stripMargin),
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via

@@ -98,6 +98,39 @@ object Funnels {
   def eventTransitions(spark: SparkSession, dir: String): DataFrame =
     eventTransitions(EventsPipeline.silver(spark, dir))
 
+  /** q214: top-k 3-event paths — sequential pattern mining one order up
+    * from the q146 transition matrix: the most common (t₁→t₂→t₃)
+    * user journeys, counted over every consecutive event triple. Where
+    * pairwise transitions say "what follows a click", the trigram
+    * ranking says "which whole path dominates" — the journey-mining
+    * primitive behind funnel DISCOVERY (q79 measures a funnel you
+    * already know).
+    *
+    * Scale shape: both leads come from ONE window pass that reuses
+    * silver's user_id clustering (no extra shuffle before the
+    * aggregate, the q11 dedup rule); the count is map-side combinable
+    * over a |types|³-bounded key space and top-k is a TakeOrdered. */
+  def eventTrigrams(silver: DataFrame, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    silver
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("t1"))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("t1").asc, col("t2").asc,
+        col("t3").asc)
+      .limit(k)
+      .orderBy(col("n_paths").desc, col("t1").asc, col("t2").asc,
+        col("t3").asc)
+  }
+
+  def eventTrigrams(spark: SparkSession, dir: String): DataFrame =
+    eventTrigrams(EventsPipeline.silver(spark, dir))
+
   /** Second-order sequence motifs: every consecutive TRIPLE in each
     * user's event sequence, counted corpus-wide — the 3-gram
     * generalization of [[eventTransitions]], and the point where journey

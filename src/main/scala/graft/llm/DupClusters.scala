@@ -256,4 +256,46 @@ object DupClusters {
         expr("n_absorbed * 1000000 div n_docs").cast("long"))
       .orderBy(col("source").asc)
   }
+
+  /** q213: cluster dilution audit — how much of each dup cluster is
+    * TRANSITIVE rather than directly verified. Connected components
+    * merge on any chain of near-dup pairs, so a size-k cluster implies
+    * k·(k−1)/2 "duplicate" relations while only the verified pairs were
+    * ever measured ≥ the Jaccard threshold; the gap is exactly what
+    * union-find-style dedup over-merges (A≈B, B≈C but A̸≈C). Per
+    * cluster size: cluster count, verified (direct) pairs, implied
+    * pairs, and direct/implied in ppm — the number a curation team
+    * checks before trusting keep-one-per-cluster at 100 TB, where a
+    * single mega-cluster silently deleting distinct documents is the
+    * classic dedup failure.
+    *
+    * Scale shape: both inputs are pair-graph-sized (tiny vs corpus) and
+    * memoized (cluster frame, shingle pass); the audit is two keyed
+    * aggregations and one broadcast-scale join — nothing touches the
+    * corpus. */
+  def clusterDilution(spark: SparkSession, dir: String): DataFrame = {
+    val cl = clustersFor(spark, dir).select(col("cluster_id"), col("doc_id"))
+    val pairs = TextDedup.minhashNearDups(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val sizes = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("k"))
+      .filter(col("k") >= 2)
+    // every verified pair is intra-cluster by construction (clusters are
+    // the closure OF these pairs), so one endpoint determines the cluster
+    val direct = pairs
+      .join(cl.select(col("doc_id").as("doc_a"), col("cluster_id")),
+        Seq("doc_a"))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("dp"))
+    sizes.join(direct, Seq("cluster_id"), "left")
+      .select(col("k"), coalesce(col("dp"), lit(0L)).as("dp"),
+        expr("k * (k - 1) div 2").as("tp"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("dp")).cast("long").as("direct_pairs"),
+        sum(col("tp")).cast("long").as("total_pairs"))
+      .select(col("k").cast("long").as("cluster_size"), col("n_clusters"),
+        col("direct_pairs"), col("total_pairs"),
+        expr("direct_pairs * 1000000 div total_pairs").cast("long")
+          .as("direct_ppm"))
+      .orderBy(col("cluster_size").asc)
+  }
 }

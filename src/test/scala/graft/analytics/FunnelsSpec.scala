@@ -174,4 +174,29 @@ class FunnelsSpec extends SparkSpecBase {
     assert(mass <= 1000000L, "flooring can only lose mass")
     assert(mass >= 990000L, "lost more mass than 20 floors can explain")
   }
+
+  test("event trigrams match a driver-side path scan") {
+    val silver = graft.pipeline.EventsPipeline.silver(spark, sf)
+    val out = Funnels.eventTrigrams(silver).collect()
+    assert(out.nonEmpty && out.length <= 10)
+
+    val byUser = silver.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")).collect()
+      .groupBy(_.get(0).toString)
+    val counts = collection.mutable.Map[(String, String, String), Long]()
+    byUser.values.foreach { rows =>
+      val seq = rows.sortBy(r => (r.getTimestamp(1).getTime, r.getLong(2)))
+        .map(_.getString(3)).toSeq
+      seq.sliding(3).foreach {
+        case Seq(a, b, c) =>
+          counts((a, b, c)) = counts.getOrElse((a, b, c), 0L) + 1
+        case _ =>
+      }
+    }
+    val expected = counts.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(10)
+      .map { case ((a, b, c), n) => (a, b, c, n) }
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getString(2),
+      r.getLong(3))).toSeq === expected)
+  }
 }

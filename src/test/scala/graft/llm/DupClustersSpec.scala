@@ -119,4 +119,31 @@ class DupClustersSpec extends SparkSpecBase {
     assert(out.values.map(_.getAs[Long]("absorbed_cross")).sum > 0L,
       "no cross-source absorption detected on the template corpus")
   }
+
+  test("cluster dilution reconciles with clusters and verified pairs") {
+    val out = DupClusters.clusterDilution(spark, sf).collect()
+    graft.core.Caches.releaseScratch(spark)
+    assert(out.nonEmpty, "no clusters on the sf corpus")
+    out.foreach { r =>
+      val (k, nc, dp, tp, ppm) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(tp === nc * (k * (k - 1) / 2), s"implied pairs for size $k")
+      // a connected size-k cluster needs >= k-1 direct pairs (a spanning
+      // tree) and can't exceed the implied count
+      assert(dp >= nc * (k - 1), s"too few direct pairs for size $k")
+      assert(dp <= tp, s"direct exceeds implied for size $k")
+      assert(ppm === dp * 1000000L / tp)
+    }
+    // every verified pair lands in exactly one cluster row
+    val totalDirect = out.map(_.getLong(2)).sum
+    val nPairs = TextDedup.minhashNearDups(spark, sf).count()
+    graft.core.Caches.releaseScratch(spark)
+    assert(totalDirect === nPairs, "pair census does not reconcile")
+    // cluster size census agrees with the cluster frame itself
+    val sizes = DupClusters.dupClusters(spark, sf)
+      .groupBy(col("cluster_id")).count()
+      .groupBy(col("count")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap === sizes)
+  }
 }
