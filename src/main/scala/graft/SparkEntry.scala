@@ -594,6 +594,12 @@ object SparkEntry {
     // ---- top-10 3-event user paths (sequential pattern mining one
     //      order above the q146 transition matrix) ----
     "q214_event_trigrams"      -> ((s, d) => Funnels.eventTrigrams(s, d)),
+    // ---- int8 quantization-error census (per-vector worst residual in
+    //      quantization-step units, 0.05 buckets) ----
+    "q215_quant_error"         -> ((s, d) => Similarity.quantErrorCensus(s, d)),
+    // ---- market-basket frequent part triples (ordered 3-way self-join,
+    //      output-bounded by C(basket,3)) ----
+    "q216_frequent_triples"    -> ((s, d) => StarQueries.frequentTriples(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -4795,6 +4801,39 @@ object SparkEntry {
           |GROUP BY t1, t2, t3
           |ORDER BY n_paths DESC, t1 ASC, t2 ASC, t3 ASC
           |LIMIT 10""".stripMargin),
+    // q215: identical per-element residual expression; floor-scaled
+    // integers are the only values reaching the gate.
+    "q215_quant_error" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, e,
+        |         greatest(list_max(list_transform(e, x -> abs(x))), 1e-30)
+        |           AS scale
+        |  FROM v),
+        |r AS (
+        |  SELECT vec_id,
+        |         list_max(list_transform(e, x ->
+        |           abs(x * 127.0 / scale
+        |               - floor(x * 127.0 / scale + 0.5)))) AS maxr
+        |  FROM s)
+        |SELECT CAST(floor(maxr * 20) AS INTEGER) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |       CAST(MAX(CAST(floor(maxr * 1000000) AS BIGINT)) AS BIGINT)
+        |         AS max_residual_ppm
+        |FROM r GROUP BY 1 ORDER BY bucket ASC""".stripMargin,
+    // q216: same ordered 3-way self-join over distinct (order, part).
+    "q216_frequent_triples" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+        |SELECT a.pk AS p1, b.pk AS p2, c.pk AS p3,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM op a
+        |JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        |JOIN op c ON b.ok = c.ok AND b.pk < c.pk
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_orders DESC, p1 ASC, p2 ASC, p3 ASC
+        |LIMIT 10""".stripMargin,
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via

@@ -460,4 +460,43 @@ object StarQueries {
         max(col("lat_days")).as("max_days"))
       .orderBy(col("o_orderpriority").asc, col("wk_bucket").asc)
   }
+
+  /** q216: top-k frequent part TRIPLES — market-basket mining one order
+    * above the pairwise co-purchase scaffold (q93/q104 stop at pairs):
+    * which 3-item combinations co-occur in the most orders. The
+    * Apriori-without-the-iterations shape: baskets are small (TPC-H
+    * orders carry ≤ 7 lines), so the ordered 3-way self-join expands
+    * each order to at most C(m,3) = 35 rows — output-bounded, never
+    * corpus².
+    *
+    * Scale shape: the distinct (order, part) frame is built once,
+    * scratch-persisted (it feeds all three join sides), and explicitly
+    * repartitioned full-width on the order key — the same rule as the
+    * co-purchase scaffold: the join's OUTPUT is cubic-per-basket while
+    * its input is small, so AQE's input-sized coalescing must not run
+    * the expansion serial. At a corpus with pathological basket sizes,
+    * cap baskets first (the q29 block-cap discipline). Top-k is a
+    * TakeOrdered with full lexicographic tiebreak. */
+  def frequentTriples(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val width = math.max(1,
+      spark.sessionState.conf.numShufflePartitions)
+    val op = graft.core.Caches.scratch(li
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .repartition(width, col("ok")))
+    op.as("a")
+      .join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .join(op.as("c"),
+        col("b.ok") === col("c.ok") && col("b.pk") < col("c.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"),
+        col("c.pk").as("p3"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1").asc, col("p2").asc,
+        col("p3").asc)
+      .limit(k)
+      .orderBy(col("n_orders").desc, col("p1").asc, col("p2").asc,
+        col("p3").asc)
+  }
 }

@@ -160,6 +160,37 @@ object Similarity {
   def rrfFusion(spark: SparkSession, dir: String): DataFrame =
     rrfFusion(Tables.embeddings(spark, dir))
 
+  /** q215: int8 quantization-error census — the DIRECT error gauge
+    * behind q126's recall number: per vector, the worst per-element
+    * residual |e_i·127/scale − round(e_i·127/scale)| in units of the
+    * quantization step (∈ [0, 0.5] by construction), histogrammed in
+    * 0.05-wide buckets. A corpus whose residual mass piles near 0.5
+    * loses ranking fidelity at 4× compression; one piling near 0 is
+    * quantization-friendly. Every residual is computed by the same
+    * per-element IEEE expression in either engine and only order-
+    * independent reductions (max, count) touch doubles — the gate
+    * ships floor-scaled integers.
+    *
+    * Scale shape: row-local higher-order functions, one
+    * |buckets|-keyed aggregate; nothing pairwise. */
+  def quantErrorCensus(embeddings: DataFrame): DataFrame =
+    vecs(embeddings)
+      .withColumn("scale",
+        greatest(expr("array_max(transform(v, x -> abs(x)))"), lit(1e-30)))
+      .withColumn("maxr", expr(
+        """array_max(transform(v, x ->
+          |  abs(x * 127.0 / scale - floor(x * 127.0 / scale + 0.5d))))"""
+          .stripMargin))
+      .select(floor(col("maxr") * 20).cast("int").as("bucket"),
+        floor(col("maxr") * 1000000).cast("long").as("r_ppm"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"),
+        max(col("r_ppm")).as("max_residual_ppm"))
+      .orderBy(col("bucket").asc)
+
+  def quantErrorCensus(spark: SparkSession, dir: String): DataFrame =
+    quantErrorCensus(Tables.embeddings(spark, dir))
+
   /** q132: embedding-centroid drift per label — the vector-space sibling
     * of the q121 language-mix drift: how far each label's mean embedding
     * points away from the corpus mean (cosine). Naive double sums are

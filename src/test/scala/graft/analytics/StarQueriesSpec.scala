@@ -172,4 +172,26 @@ class StarQueriesSpec extends SparkSpecBase {
       assert(d >= 1 && d <= 9)
     }
   }
+
+  test("frequent triples match a driver-side basket scan") {
+    val out = StarQueries.frequentTriples(spark, sf).collect()
+    graft.core.Caches.releaseScratch(spark)
+    assert(out.nonEmpty && out.length <= 10)
+
+    val baskets = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .groupBy(_.getLong(0)).values
+      .map(_.map(_.getLong(1)).sorted.toSeq)
+    val counts = collection.mutable.Map[(Long, Long, Long), Long]()
+    baskets.foreach { ps =>
+      ps.combinations(3).foreach { case Seq(a, b, c) =>
+        counts((a, b, c)) = counts.getOrElse((a, b, c), 0L) + 1
+      }
+    }
+    val expected = counts.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(10)
+      .map { case ((a, b, c), n) => (a, b, c, n) }
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq === expected)
+  }
 }

@@ -265,4 +265,28 @@ class SimilaritySpec extends SparkSpecBase {
       assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to 5), s"ranks for query $q")
     }
   }
+
+  test("quant-error census: residuals bounded by half a step, counts conserve") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val out = Similarity.quantErrorCensus(emb).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) <= 10, s"bucket out of range: $r")
+      assert(r.getLong(2) <= 500000L, s"residual beyond half a step: $r")
+      assert(r.getLong(2) >= r.getInt(0) * 50000L, s"ppm below its bucket floor: $r")
+    }
+    assert(out.map(_.getLong(1)).sum === emb.count())
+  }
+
+  test("quant-error census: hand-built vectors land in the right buckets") {
+    import spark.implicits._
+    // scale = 127: elements are integers in step units -> residual 0
+    val exact = (1L, "a", Array(127.0f, 64.0f, 0.0f))
+    // scale = 127: 63.5 sits exactly between steps -> residual 0.5
+    val worst = (2L, "a", Array(127.0f, 63.5f, 0.0f))
+    val df = Seq(exact, worst).toDF("vec_id", "label", "embedding")
+    val out = Similarity.quantErrorCensus(df).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out === Map(0 -> 1L, 10 -> 1L))
+  }
 }
