@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.{Bitmaps, BloomJoin, Diagnostics, Funnels, Graphs, History, Incremental, Reports, SkewJoin, StarQueries, TemporalOps}
 import graft.ingest.Medallion
-import graft.llm.{Curation, Decontaminate, DupClusters, EmbedDedup, Multimodal, Scrub, Search, Similarity, TextDedup, TextStats}
+import graft.llm.{Coverage, Curation, Decontaminate, DupClusters, EmbedDedup, Multimodal, Scrub, Search, Similarity, TextDedup, TextStats}
 import graft.pipeline.EventsPipeline
 import graft.sql.SqlQueries
 
@@ -600,6 +600,9 @@ object SparkEntry {
     // ---- market-basket frequent part triples (ordered 3-way self-join,
     //      output-bounded by C(basket,3)) ----
     "q216_frequent_triples"    -> ((s, d) => StarQueries.frequentTriples(s, d)),
+    // ---- greedy max-coverage source selection (5 driver-side rounds of
+    //      one anti-join + argmax each; submodular mixture planning) ----
+    "q217_coverage_greedy"     -> ((s, d) => Coverage.coverageGreedy(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -4834,6 +4837,9 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY n_orders DESC, p1 ASC, p2 ASC, p3 ASC
         |LIMIT 10""".stripMargin,
+    // q217: the greedy loop unrolled as CTE rounds — each round's pick,
+    // anti-joined remainder, and accumulated cover as materialized CTEs.
+    "q217_coverage_greedy" -> coverageGreedyOracle(5),
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via
@@ -4952,5 +4958,53 @@ object SparkEntry {
          |FROM states s LEFT JOIN it$iters ON it$iters.cur = s.st
          |ORDER BY event_type ASC""".stripMargin
     head + rounds + tail
+  }
+
+  /** Oracle SQL for q217: the greedy max-coverage loop unrolled — round
+    * K counts each unpicked source's shingles outside c(K−1), picks the
+    * (m desc, source asc) max, and extends the cover. A round with no
+    * candidate rows yields an empty pick CTE and its output row (and
+    * all later ones) vanish — the same early stop as the engine loop. */
+  private def coverageGreedyOracle(rounds: Int): String = {
+    val head =
+      s"""WITH nd AS (
+         |  SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(1, len(w) - 1),
+         |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
+         |  FROM nd WHERE len(w) >= 3),
+         |m AS (
+         |  SELECT DISTINCT d.source, s.shingle
+         |  FROM sh s JOIN documents d USING (doc_id)),
+         |r1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS m
+         |       FROM m GROUP BY 1),
+         |p1 AS (SELECT source, m FROM r1
+         |       ORDER BY m DESC, source ASC LIMIT 1),
+         |c1 AS (SELECT DISTINCT m.shingle FROM m JOIN p1 USING (source))"""
+        .stripMargin
+    val later = (2 to rounds).map { k =>
+      val prevPicks = (1 until k)
+        .map(i => s"SELECT source FROM p$i").mkString(" UNION ALL ")
+      s"""r$k AS (
+         |  SELECT m.source, CAST(COUNT(*) AS BIGINT) AS m
+         |  FROM m ANTI JOIN c${k - 1} USING (shingle)
+         |  WHERE m.source NOT IN ($prevPicks)
+         |  GROUP BY 1),
+         |p$k AS (SELECT source, m FROM r$k
+         |        ORDER BY m DESC, source ASC LIMIT 1),
+         |c$k AS (SELECT shingle FROM c${k - 1}
+         |        UNION
+         |        SELECT m.shingle FROM m JOIN p$k USING (source))"""
+        .stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    val rows = (1 to rounds).map { k =>
+      val froms = (1 to k).map(i => s"p$i").mkString(", ")
+      val cum = (1 to k).map(i => s"p$i.m").mkString(" + ")
+      s"""SELECT CAST($k AS INTEGER) AS "round", p$k.source,
+         |       p$k.m AS marginal_new, CAST($cum AS BIGINT) AS cum_covered
+         |FROM $froms""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    head + later + rows + "\nORDER BY \"round\" ASC"
   }
 }

@@ -1,0 +1,46 @@
+package graft.llm
+
+import graft.SparkSpecBase
+import graft.core.Tables
+
+class CoverageSpec extends SparkSpecBase {
+
+  test("greedy coverage matches a driver-side greedy over collected shingle sets") {
+    val out = Coverage.coverageGreedy(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    graft.core.Caches.releaseScratch(spark)
+    assert(out.nonEmpty)
+
+    // driver-side replica of the greedy with the same tiebreak
+    val docSrc = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySource = TextDedup.shinglesFor(spark, sf).collect()
+      .map(r => docSrc(r.getLong(0)) -> r.getString(1))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    graft.core.Caches.releaseScratch(spark)
+    var covered = Set.empty[String]
+    var picked = Set.empty[String]
+    val expect = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
+    var r = 0
+    var stop = false
+    while (r < 5 && !stop) {
+      r += 1
+      val cands = bySource.view
+        .filterKeys(s => !picked(s))
+        .mapValues(sh => (sh -- covered).size).toMap
+        .filter(_._2 > 0)
+      if (cands.isEmpty) stop = true
+      else {
+        val (src, m) = cands.toSeq.minBy { case (s, m) => (-m, s) }
+        picked += src
+        covered ++= bySource(src)
+        expect += ((r, src, m.toLong, covered.size.toLong))
+      }
+    }
+    assert(out.toSeq === expect.toSeq)
+    // submodularity: marginal gains never increase round over round
+    val gains = out.map(_._3)
+    assert(gains.zip(gains.tail).forall { case (a, b) => b <= a },
+      s"marginals increased: ${gains.mkString(",")}")
+  }
+}
