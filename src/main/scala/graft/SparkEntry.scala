@@ -603,6 +603,9 @@ object SparkEntry {
     // ---- greedy max-coverage source selection (5 driver-side rounds of
     //      one anti-join + argmax each; submodular mixture planning) ----
     "q217_coverage_greedy"     -> ((s, d) => Coverage.coverageGreedy(s, d)),
+    // ---- dedup-aware contrastive negatives (deterministic md5 rank,
+    //      near-dup cluster exclusion) ----
+    "q218_negative_samples"    -> ((s, d) => Coverage.negativeSamples(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -4840,6 +4843,47 @@ object SparkEntry {
     // q217: the greedy loop unrolled as CTE rounds — each round's pick,
     // anti-joined remainder, and accumulated cover as materialized CTEs.
     "q217_coverage_greedy" -> coverageGreedyOracle(5),
+    // q218: the q60 closure supplies cluster ids; the hash rank is the
+    // same 60-bit md5 integer on both sides.
+    "q218_negative_samples" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashOracle
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r
+         |  JOIN edges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src),
+         |lab AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |q AS (
+         |  SELECT d.doc_id AS query_id, l.cluster_id AS qc
+         |  FROM documents d LEFT JOIN lab l USING (doc_id)
+         |  WHERE d.doc_id < 10),
+         |c AS (
+         |  SELECT d.doc_id AS neg_id, l.cluster_id AS nc
+         |  FROM documents d LEFT JOIN lab l USING (doc_id)),
+         |s AS (
+         |  SELECT q.query_id, c.neg_id,
+         |         CAST('0x' || substr(md5(CAST(q.query_id AS VARCHAR)
+         |           || ':' || CAST(c.neg_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |           AS h
+         |  FROM q CROSS JOIN c
+         |  WHERE c.neg_id <> q.query_id
+         |    AND (q.qc IS NULL OR c.nc IS NULL OR q.qc <> c.nc)),
+         |r AS (
+         |  SELECT query_id, neg_id, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY h ASC, neg_id ASC)
+         |    AS INTEGER) AS "rank"
+         |  FROM s)
+         |SELECT query_id, "rank", neg_id FROM r
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via

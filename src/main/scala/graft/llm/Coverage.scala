@@ -70,4 +70,46 @@ object Coverage {
     out.toSeq.toDF("round", "source", "marginal_new", "cum_covered")
       .orderBy(col("round").asc)
   }
+
+  /** q218: dedup-aware contrastive negative sampling — for each of the
+    * first `numQueries` docs, `k` pseudo-random negatives drawn by a
+    * DETERMINISTIC per-(query, candidate) hash rank (md5, the engine's
+    * reproducible-randomness idiom: same sample on any engine, any
+    * partitioning, any rerun), excluding the query itself and every
+    * member of its near-dup cluster — the subtle contrastive-training
+    * bug this operator exists to prevent: a "negative" that is a
+    * near-duplicate of the anchor teaches the model to collapse.
+    *
+    * Scale shape: the query set broadcasts against the corpus (rows =
+    * |docs|·numQueries — at real scale the candidate pool is a
+    * per-query hash-bucket sample first, same rank function); the
+    * cluster exclusion is one broadcast join of the pair-graph-sized
+    * cluster frame; ranking is a per-query window over the candidate
+    * pool. */
+  def negativeSamples(spark: SparkSession, dir: String,
+      numQueries: Int = 10, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val clusters = DupClusters.dupClusters(spark, dir)
+      .select(col("cluster_id"), col("doc_id"))
+    val queries = docs.filter(col("doc_id") < numQueries)
+      .select(col("doc_id").as("query_id"))
+      .join(clusters.select(col("doc_id").as("query_id"),
+        col("cluster_id").as("qc")), Seq("query_id"), "left")
+    val cands = docs.select(col("doc_id").as("neg_id"))
+      .join(broadcast(clusters.select(col("doc_id").as("neg_id"),
+        col("cluster_id").as("nc"))), Seq("neg_id"), "left")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("h").asc, col("neg_id").asc)
+    cands.crossJoin(broadcast(queries))
+      .filter(col("neg_id") =!= col("query_id"))
+      .filter(col("qc").isNull || col("nc").isNull || col("qc") =!= col("nc"))
+      .select(col("query_id"), col("neg_id"),
+        expr("CAST(conv(substring(md5(concat(CAST(query_id AS STRING), ':', " +
+          "CAST(neg_id AS STRING))), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neg_id"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
 }

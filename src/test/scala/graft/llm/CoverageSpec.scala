@@ -43,4 +43,29 @@ class CoverageSpec extends SparkSpecBase {
     assert(gains.zip(gains.tail).forall { case (a, b) => b <= a },
       s"marginals increased: ${gains.mkString(",")}")
   }
+
+  test("negative samples: deterministic, k per query, never self or same-cluster") {
+    val out = Coverage.negativeSamples(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    graft.core.Caches.releaseScratch(spark)
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1 to 5), s"ranks for query $q")
+      assert(rows.forall(_._3 != q), s"self sampled as negative for $q")
+    }
+    val cluster = DupClusters.dupClusters(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    out.foreach { case (q, _, n) =>
+      (cluster.get(q), cluster.get(n)) match {
+        case (Some(a), Some(b)) =>
+          assert(a != b, s"near-dup $n sampled as negative for $q")
+        case _ =>
+      }
+    }
+    // rerun is bit-identical (hash rank, no RNG)
+    val again = Coverage.negativeSamples(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    graft.core.Caches.releaseScratch(spark)
+    assert(out.toSeq === again.toSeq)
+  }
 }
