@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.{Bitmaps, BloomJoin, Diagnostics, Funnels, Graphs, History, Incremental, Reports, SkewJoin, StarQueries, TemporalOps}
 import graft.ingest.Medallion
-import graft.llm.{Coverage, Curation, Decontaminate, DupClusters, EmbedDedup, Multimodal, Scrub, Search, Similarity, TextDedup, TextStats}
+import graft.llm.{Coverage, Curation, Datasheet, Decontaminate, DupClusters, EmbedDedup, Multimodal, Scrub, Search, Similarity, TextDedup, TextStats}
 import graft.pipeline.EventsPipeline
 import graft.sql.SqlQueries
 
@@ -606,6 +606,12 @@ object SparkEntry {
     // ---- dedup-aware contrastive negatives (deterministic md5 rank,
     //      near-dup cluster exclusion) ----
     "q218_negative_samples"    -> ((s, d) => Coverage.negativeSamples(s, d)),
+    // ---- vocab-size sweep: per-source OOV occurrence mass at top-8/16/
+    //      24 vocabularies (the tokenizer-budget curve) ----
+    "q219_vocab_sweep"         -> ((s, d) => TextStats.vocabSweep(s, d)),
+    // ---- corpus datasheet: one (metric, value) relation of size,
+    //      composition, vocabulary, and duplication health ----
+    "q220_corpus_datasheet"    -> ((s, d) => Datasheet.datasheet(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -4884,6 +4890,84 @@ object SparkEntry {
          |  FROM s)
          |SELECT query_id, "rank", neg_id FROM r
          |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    // q219: same occurrence counts, same global (cnt desc, token asc)
+    // rank, same 3-size expand.
+    "q219_vocab_sweep" ->
+      s"""WITH occ AS (
+         |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+         |    SELECT source, unnest(str_split($duckNorm, ' ')) AS token
+         |    FROM documents)
+         |  WHERE length(token) > 0 GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT token, row_number() OVER (
+         |    ORDER BY SUM(n) DESC, token ASC) AS "rank"
+         |  FROM occ GROUP BY token),
+         |sz AS (SELECT CAST(s AS INTEGER) AS vocab_size
+         |       FROM (VALUES (8), (16), (24)) v(s))
+         |SELECT sz.vocab_size, occ.source,
+         |       CAST(SUM(occ.n) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(CASE WHEN r."rank" > sz.vocab_size
+         |                THEN occ.n ELSE 0 END) AS BIGINT) AS oov_tokens,
+         |       CAST(SUM(CASE WHEN r."rank" > sz.vocab_size
+         |                THEN occ.n ELSE 0 END) * 1000000
+         |            // SUM(occ.n) AS BIGINT) AS oov_ppm
+         |FROM occ JOIN ranked r USING (token) CROSS JOIN sz
+         |GROUP BY sz.vocab_size, occ.source
+         |ORDER BY sz.vocab_size ASC, occ.source ASC""".stripMargin,
+    // q220: each metric as a scalar CTE UNION ALL'd; near-dup docs via
+    // the q60 closure.
+    "q220_corpus_datasheet" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashOracle
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r
+         |  JOIN edges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src),
+         |lab AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |nd0 AS (
+         |  SELECT doc_id, $duckNorm AS norm, source, lang, n_chars
+         |  FROM documents),
+         |toks AS (
+         |  SELECT token FROM (
+         |    SELECT unnest(str_split(norm, ' ')) AS token FROM nd0)
+         |  WHERE length(token) > 0),
+         |fp AS (
+         |  SELECT md5(norm) AS f, COUNT(*) AS c FROM nd0 GROUP BY 1)
+         |SELECT * FROM (
+         |  SELECT '01_docs' AS metric,
+         |         CAST(COUNT(*) AS BIGINT) AS value FROM nd0
+         |  UNION ALL
+         |  SELECT '02_sources', CAST(COUNT(DISTINCT source) AS BIGINT)
+         |  FROM nd0
+         |  UNION ALL
+         |  SELECT '03_langs', CAST(COUNT(DISTINCT lang) AS BIGINT) FROM nd0
+         |  UNION ALL
+         |  SELECT '04_chars_total', CAST(SUM(n_chars) AS BIGINT) FROM nd0
+         |  UNION ALL
+         |  SELECT '05_tokens_total', CAST(COUNT(*) AS BIGINT) FROM toks
+         |  UNION ALL
+         |  SELECT '06_vocab_size', CAST(COUNT(DISTINCT token) AS BIGINT)
+         |  FROM toks
+         |  UNION ALL
+         |  SELECT '07_tokens_per_doc_ppm',
+         |         CAST((SELECT COUNT(*) FROM toks) * 1000000
+         |              // (SELECT COUNT(*) FROM nd0) AS BIGINT)
+         |  UNION ALL
+         |  SELECT '08_exact_dup_docs',
+         |         CAST(COALESCE(SUM(c), 0) AS BIGINT)
+         |  FROM fp WHERE c >= 2
+         |  UNION ALL
+         |  SELECT '09_neardup_docs', CAST(COUNT(*) AS BIGINT) FROM lab
+         |) ORDER BY metric ASC""".stripMargin,
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via

@@ -1,0 +1,62 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** q220: the corpus datasheet — the "datasheet for datasets" headline
+  * block every corpus release ships: size, composition, vocabulary,
+  * and duplication health, as ONE (metric, value) relation so a
+  * release gate can diff two corpus snapshots row by row. Composes the
+  * engine's existing passes (normalized tokens, exact-hash dedup, the
+  * memoized near-dup closure) rather than re-deriving them.
+  *
+  * Scale shape: every metric is a map-side-combinable aggregate or a
+  * reuse of a pair-graph-sized memoized frame; the union glues 1-row
+  * frames. Values are exact int64 (the one ratio ships in ppm).
+  */
+object Datasheet {
+
+  private def norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+
+  def datasheet(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nd = docs.select(col("doc_id"), norm.as("norm"), col("source"),
+      col("lang"), col("n_chars"))
+    def one(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("metric"), col("value").cast("long").as("value"))
+
+    val base = nd.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_chars")).as("chars_total"))
+    val toks = nd
+      .select(explode(split(col("norm"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .agg(count(lit(1)).as("tokens_total"),
+        countDistinct(col("token")).as("vocab_size"))
+    // docs sharing an exact normalized-content hash with another doc
+    val exactDups = nd.groupBy(md5(col("norm")).as("f"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .agg(coalesce(sum(col("c")), lit(0L)).as("value"))
+    // docs inside any near-dup cluster (memoized closure frame)
+    val nearDups = DupClusters.dupClusters(spark, dir)
+      .agg(count(lit(1)).as("value"))
+
+    val wide = base.crossJoin(toks)
+    one("01_docs", wide.select(col("n_docs").as("value")))
+      .unionByName(one("02_sources", wide.select(col("n_sources").as("value"))))
+      .unionByName(one("03_langs", wide.select(col("n_langs").as("value"))))
+      .unionByName(one("04_chars_total", wide.select(col("chars_total").as("value"))))
+      .unionByName(one("05_tokens_total", wide.select(col("tokens_total").as("value"))))
+      .unionByName(one("06_vocab_size", wide.select(col("vocab_size").as("value"))))
+      .unionByName(one("07_tokens_per_doc_ppm",
+        wide.select(expr("tokens_total * 1000000 div n_docs").as("value"))))
+      .unionByName(one("08_exact_dup_docs", exactDups))
+      .unionByName(one("09_neardup_docs", nearDups))
+      .orderBy(col("metric").asc)
+  }
+}

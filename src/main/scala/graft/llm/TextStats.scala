@@ -795,4 +795,49 @@ object TextStats {
 
   def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
     pmiCollocations(Tables.documents(spark, dir))
+
+  /** q219: vocabulary-size sweep — the OOV-mass curve behind tokenizer
+    * sizing: for each candidate vocab size s (top-s tokens by corpus
+    * frequency, deterministic (count desc, token asc) order), the
+    * fraction of each source's token OCCURRENCES that falls outside
+    * the vocab. Where q182 audits one fixed vocab, the sweep shows the
+    * size/coverage trade-off per source — the curve you read before
+    * committing a BPE budget.
+    *
+    * Scale shape: one token pass builds the (source, token) occurrence
+    * counts (map-side combinable); the global rank lives on the
+    * vocabulary-sized frame (bounded-domain window exemption) and
+    * broadcasts back; the sweep is a 3-row expand of the per-
+    * (source, token) frame, never of the corpus. */
+  def vocabSweep(docs: DataFrame,
+      sizes: Seq[Int] = Seq(8, 16, 24)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val occ = docs
+      .select(col("source"), explode(split(norm, " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n"))
+    val ranked = occ.groupBy(col("token"))
+      .agg(sum(col("n")).as("cnt"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("token").asc)))
+      .select(col("token"), col("rank"))
+    val sz = sizes.toDF("vocab_size")
+    occ.join(broadcast(ranked), Seq("token"))
+      .crossJoin(broadcast(sz))
+      .groupBy(col("vocab_size"), col("source"))
+      .agg(sum(col("n")).cast("long").as("n_tokens"),
+        sum(when(col("rank") > col("vocab_size"), col("n"))
+          .otherwise(0L)).cast("long").as("oov_tokens"))
+      .select(col("vocab_size"), col("source"), col("n_tokens"),
+        col("oov_tokens"),
+        expr("oov_tokens * 1000000 div n_tokens").cast("long")
+          .as("oov_ppm"))
+      .orderBy(col("vocab_size").asc, col("source").asc)
+  }
+
+  def vocabSweep(spark: SparkSession, dir: String): DataFrame =
+    vocabSweep(Tables.documents(spark, dir))
 }

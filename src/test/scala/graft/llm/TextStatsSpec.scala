@@ -358,4 +358,21 @@ class TextStatsSpec extends SparkSpecBase {
       r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
     assert(got === expected)
   }
+
+  test("vocab sweep: totals constant per source, OOV mass shrinks as vocab grows") {
+    val out = TextStats.vocabSweep(Tables.documents(spark, sf)).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.nonEmpty)
+    val sources = out.keys.map(_._2).toSet
+    sources.foreach { s =>
+      val bySize = Seq(8, 16, 24).map(v => out((v, s)))
+      assert(bySize.map(_._1).distinct.size === 1,
+        s"token total varies with vocab size for $s")
+      val oov = bySize.map(_._2)
+      assert(oov.zip(oov.tail).forall { case (a, b) => b <= a },
+        s"OOV mass grew with a larger vocab for $s: $oov")
+      oov.zip(bySize.map(_._1)).foreach { case (o, t) => assert(o <= t) }
+    }
+  }
 }
