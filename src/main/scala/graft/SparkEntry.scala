@@ -612,6 +612,12 @@ object SparkEntry {
     // ---- corpus datasheet: one (metric, value) relation of size,
     //      composition, vocabulary, and duplication health ----
     "q220_corpus_datasheet"    -> ((s, d) => Datasheet.datasheet(s, d)),
+    // ---- cross-source window provenance (who copies whom, at the q191
+    //      exact-substring granularity) ----
+    "q221_window_provenance"   -> ((s, d) => TextDedup.windowProvenance(s, d)),
+    // ---- A/A balance census (deterministic md5 arm split; the
+    //      sample-ratio-mismatch sanity check) ----
+    "q222_aa_balance"          -> ((s, d) => Reports.aaBalance(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -4968,6 +4974,49 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT '09_neardup_docs', CAST(COUNT(*) AS BIGINT) FROM lab
          |) ORDER BY metric ASC""".stripMargin,
+    // q221: the q191 window/occ CTEs, self-joined on the hash with the
+    // source-pair expansion.
+    "q221_window_provenance" ->
+      s"""WITH nd AS (SELECT source, $duckNorm AS s FROM documents),
+         |st AS (
+         |  SELECT source, s,
+         |         unnest(generate_series(1, greatest(len(s) - 63, 1), 32)) AS i
+         |  FROM nd),
+         |w AS (SELECT source, md5(substr(s, i, 64)) AS wh FROM st),
+         |occ AS (SELECT wh, source, COUNT(*) AS occ FROM w GROUP BY 1, 2)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |       CAST(COUNT(*) AS BIGINT) AS shared_windows,
+         |       CAST(SUM(least(a.occ, b.occ)) AS BIGINT) AS min_shared_occ
+         |FROM occ a JOIN occ b
+         |  ON a.wh = b.wh AND a.source < b.source
+         |GROUP BY 1, 2
+         |ORDER BY shared_windows DESC, src_a ASC, src_b ASC""".stripMargin,
+    // q222: identical md5 parity and integer share arithmetic.
+    "q222_aa_balance" ->
+      (silverCte +
+        """, tagged AS (
+          |  SELECT event_type,
+          |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+          |              AS BIGINT) % 2 AS arm
+          |  FROM silver),
+          |tot AS (
+          |  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |           AS tot_a,
+          |         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |           AS tot_b
+          |  FROM tagged)
+          |SELECT event_type,
+          |       CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_a,
+          |       CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_b,
+          |       CAST(abs(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+          |                * 1000000 // tot_a
+          |              - SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+          |                * 1000000 // tot_b) AS BIGINT) AS share_diff_ppm
+          |FROM tagged CROSS JOIN tot
+          |GROUP BY event_type, tot_a, tot_b
+          |ORDER BY event_type ASC""".stripMargin),
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via

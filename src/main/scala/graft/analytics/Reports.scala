@@ -898,4 +898,38 @@ object Reports {
 
   def disorderCensus(spark: SparkSession, dir: String): DataFrame =
     disorderCensus(EventsPipeline.silver(spark, dir))
+
+  /** q222: A/A balance census — the experimentation-platform sanity
+    * check run before trusting any A/B readout: hash-split users into
+    * two arms with a DETERMINISTIC md5 parity (no RNG — the same user
+    * lands in the same arm on any engine or rerun, the product
+    * bucketing contract) and compare the arms' behavioral mix. Large
+    * per-type share gaps on an A/A split mean the bucketing hash or
+    * the pipeline is biased — the sample-ratio-mismatch family of
+    * bugs. Ships per type: both arm counts and the absolute share
+    * difference in ppm (exact integer arithmetic), plus each arm's
+    * user count under 'users' pseudo-type rows folded as columns.
+    *
+    * Scale shape: arm assignment is a row-local hash; the census is
+    * one map-side-combinable aggregate over (type, arm) — nothing
+    * user-keyed shuffles beyond silver's existing clustering. */
+  def aaBalance(silver: DataFrame): DataFrame = {
+    val arm = (conv(substring(md5(col("user_id").cast("string")), 1, 15),
+      16, 10).cast("long") % 2).as("arm")
+    val tagged = silver.select(col("event_type"), col("user_id"), arm)
+    val totals = tagged.groupBy(col("arm")).agg(count(lit(1)).as("t"))
+    val t0 = totals.filter(col("arm") === 0).select(col("t").as("tot_a"))
+    val t1 = totals.filter(col("arm") === 1).select(col("t").as("tot_b"))
+    tagged.groupBy(col("event_type"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      .crossJoin(broadcast(t0)).crossJoin(broadcast(t1))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        expr("""abs(n_a * 1000000 div tot_a - n_b * 1000000 div tot_b)""")
+          .cast("long").as("share_diff_ppm"))
+      .orderBy(col("event_type").asc)
+  }
+
+  def aaBalance(spark: SparkSession, dir: String): DataFrame =
+    aaBalance(EventsPipeline.silver(spark, dir))
 }

@@ -752,6 +752,44 @@ object TextDedup {
   def windowDupMass(spark: SparkSession, dir: String): DataFrame =
     windowDupMass(Tables.documents(spark, dir))
 
+  /** q221: cross-source window provenance — WHO copies WHOM, at the
+    * exact-substring granularity of q191: for every source pair, how
+    * many distinct 64-char windows they share verbatim. q84's source
+    * overlap answers this at whole-doc shingle scale; the window matrix
+    * exposes boilerplate/partial-copy flows between feeds that
+    * doc-level similarity dilutes away.
+    *
+    * Scale shape: the (window-hash, source) occurrence frame (already
+    * the q191 reduction — corpus collapses to distinct hashes × ≤
+    * |sources| rows) self-joins on the hash key; the pair expansion
+    * per hash is bounded by C(|sources|, 2) — a domain constant, so
+    * output ≤ 190 rows here and |sources|²/2 anywhere. No corpus-sized
+    * pair join exists. */
+  def windowProvenance(docs: DataFrame, win: Int = 64,
+      stride: Int = 32): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val wins = docs
+      .select(col("source"), norm.as("s"))
+      .select(col("source"),
+        posexplode(expr(
+          s"transform(sequence(1, greatest(length(s) - ${win - 1}, 1), $stride)," +
+            s" i -> substring(s, i, $win))")))
+      .select(col("source"), md5(col("col")).as("wh"))
+    val occ = Caches.scratch(
+      wins.groupBy(col("wh"), col("source")).agg(count(lit(1)).as("occ")))
+    occ.as("a").join(occ.as("b"),
+        col("a.wh") === col("b.wh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_windows"),
+        sum(least(col("a.occ"), col("b.occ"))).cast("long")
+          .as("min_shared_occ"))
+      .orderBy(col("shared_windows").desc, col("src_a").asc,
+        col("src_b").asc)
+  }
+
+  def windowProvenance(spark: SparkSession, dir: String): DataFrame =
+    windowProvenance(Tables.documents(spark, dir))
+
   /** q199: WEIGHTED (multiset) Jaccard verification of the minhash band
     * candidates — Σ min(tf) ⁄ Σ max(tf) over word frequencies, the
     * repetition-aware similarity that set Jaccard (q27) is blind to: a

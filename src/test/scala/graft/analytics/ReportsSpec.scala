@@ -417,4 +417,20 @@ class ReportsSpec extends SparkSpecBase {
       assert(r.getLong(5) > 0L, s"lift must be positive when n_both > 0: $r")
     }
   }
+
+  test("A/A balance: counts conserve, split is deterministic, diffs bounded") {
+    val silver = graft.pipeline.EventsPipeline.silver(spark, sf)
+    val out = Reports.aaBalance(silver).collect()
+    assert(out.nonEmpty)
+    val byType = silver.groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === byType(r.getString(0)),
+        s"arms do not conserve for ${r.getString(0)}")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+    }
+    val again = Reports.aaBalance(silver).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq,
+      "hash split must be bit-repeatable")
+  }
 }

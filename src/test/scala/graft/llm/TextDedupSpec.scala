@@ -425,4 +425,34 @@ class TextDedupSpec extends SparkSpecBase {
     assert(short.getAs[Long]("dup_occ") === 2L, "short docs must not be invisible")
     assert(short.getAs[Long]("dup_ppm") === 1000000L)
   }
+
+  test("window provenance: planted cross-source copy surfaces as a source pair") {
+    import spark.implicits._
+    val boiler = "y" * 96 // one distinct x^64 window hash, present twice/doc
+    val uniq = (1 to 120).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val fixture = Seq(
+      (1L, boiler, "en", "feedA", 96L), // boiler in A...
+      (2L, boiler, "en", "feedB", 96L), // ...and B: cross-source copy
+      (3L, uniq, "en", "feedC", 120L))  // C shares nothing
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextDedup.windowProvenance(fixture).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    graft.core.Caches.releaseScratch(spark)
+    // only the (A, B) pair shares windows: 1 distinct hash, min occ 2
+    assert(out.keySet === Set(("feedA", "feedB")))
+    assert(out(("feedA", "feedB")) === ((1L, 2L)))
+  }
+
+  test("window provenance on sf data: pairs ordered, bounded by the source domain") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val nSources = docs.select("source").distinct().count()
+    val out = TextDedup.windowProvenance(docs).collect()
+    graft.core.Caches.releaseScratch(spark)
+    assert(out.length <= nSources * (nSources - 1) / 2)
+    out.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pair not canonically ordered")
+      assert(r.getLong(2) >= 1L && r.getLong(3) >= 1L)
+    }
+  }
 }
