@@ -618,6 +618,12 @@ object SparkEntry {
     // ---- A/A balance census (deterministic md5 arm split; the
     //      sample-ratio-mismatch sanity check) ----
     "q222_aa_balance"          -> ((s, d) => Reports.aaBalance(s, d)),
+    // ---- order-backlog aging: status x data-relative age quarter,
+    //      exact value cents ----
+    "q223_backlog_aging"       -> ((s, d) => StarQueries.orderBacklogAging(s, d)),
+    // ---- session handoff matrix: last action of session n vs first of
+    //      session n+1, per user ----
+    "q224_session_handoffs"    -> ((s, d) => TemporalOps.sessionHandoffs(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -5017,6 +5023,61 @@ object SparkEntry {
           |FROM tagged CROSS JOIN tot
           |GROUP BY event_type, tot_a, tot_b
           |ORDER BY event_type ASC""".stripMargin),
+    // q223: same data-relative anchor; both engines round 2dp-exact
+    // doubles to identical cents.
+    "q223_backlog_aging" ->
+      """WITH a AS (SELECT MAX(o_orderdate) AS d1 FROM orders)
+        |SELECT o_orderstatus,
+        |       CAST(date_diff('day', o_orderdate, a.d1) // 90 AS INTEGER)
+        |         AS age_q,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
+        |FROM orders CROSS JOIN a
+        |GROUP BY 1, 2 ORDER BY o_orderstatus ASC, age_q ASC""".stripMargin,
+    // q224: the q47 session CTEs carrying event_type; first/last per
+    // session via symmetric row_numbers, handoff via per-user lead.
+    "q224_session_handoffs" ->
+      (silverCte +
+        """, flagged AS (
+          |  SELECT user_id, event_id, ts, event_type,
+          |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+          |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+          |         ELSE 0 END AS new_session
+          |  FROM silver
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+          |numbered AS (
+          |  SELECT user_id, ts, event_id, event_type,
+          |    SUM(new_session) OVER (
+          |      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS session_no
+          |  FROM flagged),
+          |ranked AS (
+          |  SELECT user_id, session_no, event_type,
+          |    row_number() OVER (PARTITION BY user_id, session_no
+          |      ORDER BY ts ASC, event_id ASC) AS rf,
+          |    row_number() OVER (PARTITION BY user_id, session_no
+          |      ORDER BY ts DESC, event_id DESC) AS rl
+          |  FROM numbered),
+          |sessions AS (
+          |  SELECT user_id, session_no,
+          |    MAX(CASE WHEN rf = 1 THEN event_type END) AS entry_type,
+          |    MAX(CASE WHEN rl = 1 THEN event_type END) AS exit_type
+          |  FROM ranked GROUP BY 1, 2),
+          |h AS (
+          |  SELECT exit_type, lead(entry_type) OVER (
+          |    PARTITION BY user_id ORDER BY session_no ASC) AS next_entry
+          |  FROM sessions),
+          |agg AS (
+          |  SELECT exit_type, next_entry,
+          |         CAST(COUNT(*) AS BIGINT) AS n_handoffs
+          |  FROM h WHERE next_entry IS NOT NULL GROUP BY 1, 2),
+          |t AS (SELECT CAST(SUM(n_handoffs) AS BIGINT) AS t FROM agg)
+          |SELECT exit_type, next_entry, n_handoffs,
+          |       CAST(n_handoffs * 1000000 // t AS BIGINT) AS share_ppm
+          |FROM agg CROSS JOIN t
+          |ORDER BY exit_type ASC, next_entry ASC""".stripMargin),
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via

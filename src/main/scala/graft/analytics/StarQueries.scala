@@ -477,6 +477,30 @@ object StarQueries {
     * the expansion serial. At a corpus with pathological basket sizes,
     * cap baskets first (the q29 block-cap discipline). Top-k is a
     * TakeOrdered with full lexicographic tiebreak. */
+  /** q223: order-backlog aging — the receivables-style lifecycle report
+    * closing the orders surface: per order status and data-relative age
+    * quarter (90-day buckets against the corpus max order date, so the
+    * report is reproducible, not wall-clock), order count and exact
+    * total value in cents. The ops question it answers: how much value
+    * sits in un-finished orders, and how stale is it.
+    *
+    * Scale shape: one broadcast scalar anchor (max date), one
+    * map-side-combinable aggregate over a status×quarter-bounded key
+    * space. o_totalprice is a 2dp-exact double, so round(×100) cents
+    * are exact int64 (the established money discipline). */
+  def orderBacklogAging(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val anchor = o.agg(max(col("o_orderdate")).as("d1"))
+    o.crossJoin(broadcast(anchor))
+      .select(col("o_orderstatus"),
+        expr("datediff(d1, o_orderdate) div 90").cast("int").as("age_q"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("o_orderstatus"), col("age_q"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).cast("long").as("value_cents"))
+      .orderBy(col("o_orderstatus").asc, col("age_q").asc)
+  }
+
   def frequentTriples(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val width = math.max(1,

@@ -699,4 +699,50 @@ object TemporalOps {
 
   def prePostFirstPurchase(spark: SparkSession, dir: String): DataFrame =
     prePostFirstPurchase(graft.pipeline.EventsPipeline.silver(spark, dir))
+
+  /** q224: session handoff matrix — how a user's LAST action in one
+    * session relates to their FIRST action in the next: the
+    * return-intent signal session-level aggregates (q47/q87) flatten
+    * and the event-level transition matrix (q146) conflates with
+    * within-session flow. A (exit_type → entry_type) cell census over
+    * consecutive session pairs per user, with the transition share in
+    * ppm.
+    *
+    * Scale shape: reuses [[sessionize]]'s single user-clustered window
+    * pass to tag session numbers, reduces to one row per session
+    * (first/last type via the same window — min/max_by over
+    * (ts, event_id)), then a per-user lead for the handoff — every
+    * step stays on silver's user_id clustering; the final census is
+    * |types|²-bounded. */
+  def sessionHandoffs(silver: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val newSession = when(
+      unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+        > gapSeconds * 1000000L, 1)
+      .otherwise(when(lag(col("ts"), 1).over(byUser).isNull, 1).otherwise(0))
+    val sessions = silver
+      .withColumn("new_session", newSession)
+      .withColumn("session_no",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        expr("min_by(event_type, struct(ts, event_id))").as("entry_type"),
+        expr("max_by(event_type, struct(ts, event_id))").as("exit_type"))
+    val wS = Window.partitionBy("user_id").orderBy(col("session_no").asc)
+    val handoffs = sessions
+      .withColumn("next_entry", lead(col("entry_type"), 1).over(wS))
+      .filter(col("next_entry").isNotNull)
+      .groupBy(col("exit_type"), col("next_entry"))
+      .agg(count(lit(1)).as("n_handoffs"))
+    val total = handoffs.agg(sum(col("n_handoffs")).as("t"))
+    handoffs.crossJoin(broadcast(total))
+      .select(col("exit_type"), col("next_entry"), col("n_handoffs"),
+        expr("n_handoffs * 1000000 div t").cast("long").as("share_ppm"))
+      .orderBy(col("exit_type").asc, col("next_entry").asc)
+  }
+
+  def sessionHandoffs(spark: SparkSession, dir: String): DataFrame =
+    sessionHandoffs(graft.pipeline.EventsPipeline.silver(spark, dir))
 }

@@ -173,6 +173,17 @@ class StarQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("backlog aging conserves order count and total cents") {
+    val out = StarQueries.orderBacklogAging(spark, sf).collect()
+    assert(out.nonEmpty)
+    val o = graft.core.Tables.orders(spark, sf)
+    assert(out.map(_.getLong(2)).sum === o.count())
+    val cents = o.select(
+      sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))).head.getLong(0)
+    assert(out.map(_.getLong(3)).sum === cents)
+    out.foreach(r => assert(r.getInt(1) >= 0, s"negative age: $r"))
+  }
+
   test("frequent triples match a driver-side basket scan") {
     val out = StarQueries.frequentTriples(spark, sf).collect()
     graft.core.Caches.releaseScratch(spark)

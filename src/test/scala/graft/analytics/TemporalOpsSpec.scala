@@ -375,6 +375,19 @@ class TemporalOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("session handoffs conserve against per-user session counts") {
+    val silver = EventsPipeline.silver(spark, sf)
+    val out = TemporalOps.sessionHandoffs(silver).collect()
+    assert(out.nonEmpty)
+    // every consecutive session pair is exactly one handoff
+    val sessionsPerUser = TemporalOps.sessionize(silver)
+      .groupBy("user_id").count().collect().map(_.getLong(1))
+    val expectedHandoffs = sessionsPerUser.map(_ - 1).sum
+    assert(out.map(_.getLong(2)).sum === expectedHandoffs)
+    val shares = out.map(_.getLong(3))
+    assert(shares.sum <= 1000000L && shares.sum >= 1000000L - out.length)
+  }
+
   test("pre/post first-purchase census matches a driver-side recompute") {
     val silver = EventsPipeline.silver(spark, sf)
     val out = TemporalOps.prePostFirstPurchase(silver).collect()
