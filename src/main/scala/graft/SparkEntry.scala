@@ -624,6 +624,9 @@ object SparkEntry {
     // ---- session handoff matrix: last action of session n vs first of
     //      session n+1, per user ----
     "q224_session_handoffs"    -> ((s, d) => TemporalOps.sessionHandoffs(s, d)),
+    // ---- order<->lineitem value-consistency audit (header total vs
+    //      exact integer line-units sum; childless orders counted) ----
+    "q225_order_consistency"   -> ((s, d) => StarQueries.orderConsistency(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -5078,6 +5081,32 @@ object SparkEntry {
           |       CAST(n_handoffs * 1000000 // t AS BIGINT) AS share_ppm
           |FROM agg CROSS JOIN t
           |ORDER BY exit_type ASC, next_entry ASC""".stripMargin),
+    // q225: identical integer cents/pct units — no computed double is
+    // ever rounded on either side.
+    "q225_order_consistency" ->
+      """WITH lines AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |           * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+        |           AS BIGINT) AS lines_u
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT o.o_orderstatus,
+        |         CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000
+        |           AS header_u,
+        |         l.lines_u,
+        |         abs(CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000
+        |             - COALESCE(l.lines_u, 0)) AS err_u
+        |  FROM orders o LEFT JOIN lines l USING (o_orderkey))
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |       CAST(SUM(CASE WHEN lines_u IS NOT NULL AND err_u = 0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |       CAST(SUM(CASE WHEN lines_u IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_childless,
+        |       CAST(MAX(err_u * 1000000 // header_u) AS BIGINT)
+        |         AS max_err_ppm
+        |FROM j GROUP BY 1 ORDER BY o_orderstatus ASC""".stripMargin,
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via

@@ -501,6 +501,51 @@ object StarQueries {
       .orderBy(col("o_orderstatus").asc, col("age_q").asc)
   }
 
+  /** q225: order↔lineitem value-consistency audit — the referential
+    * data-quality check a warehouse runs on every load: does each
+    * order's header total agree with the sum of its line values
+    * (extprice·(1−disc)·(1+tax))? Ships per status: order count, how
+    * many match exactly, how many carry NO lines at all, and the worst
+    * relative error in ppm. On the synthetic tables header totals are
+    * independent of lines — the audit deterministically MEASURES that
+    * inconsistency, which is exactly its job.
+    *
+    * Numeric discipline: all three money columns are 2dp-exact
+    * doubles, so round(×100) cents/percent units are exact int64;
+    * line value is compared in cents·pct·pct units (p·(100−d)·(100+t)
+    * vs header·100·100) so no computed double is ever rounded — the
+    * round-1 half-even trap never arises.
+    *
+    * Scale shape: one map-side-combinable per-order line aggregate,
+    * one key-hash join to headers (left join keeps childless orders),
+    * one status-keyed census. */
+  def orderConsistency(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val lines = li.select(col("l_orderkey").as("o_orderkey"),
+        (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+          (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")) *
+          (lit(100L) + expr("CAST(round(l_tax * 100) AS BIGINT)")))
+          .as("line_u"))
+      .groupBy(col("o_orderkey"))
+      .agg(sum(col("line_u")).as("lines_u"))
+    o.select(col("o_orderkey"), col("o_orderstatus"),
+        (expr("CAST(round(o_totalprice * 100) AS BIGINT)") * 10000L)
+          .as("header_u"))
+      .join(lines, Seq("o_orderkey"), "left")
+      .select(col("o_orderstatus"), col("header_u"),
+        col("lines_u"),
+        abs(col("header_u") - coalesce(col("lines_u"), lit(0L))).as("err_u"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("lines_u").isNotNull &&
+          col("err_u") === 0L, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("lines_u").isNull, 1L).otherwise(0L)).as("n_childless"),
+        max(expr("err_u * 1000000 div header_u")).cast("long")
+          .as("max_err_ppm"))
+      .orderBy(col("o_orderstatus").asc)
+  }
+
   def frequentTriples(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val width = math.max(1,

@@ -173,6 +173,23 @@ class StarQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("order consistency audit: counts conserve, childless = anti-join count") {
+    val out = StarQueries.orderConsistency(spark, sf).collect()
+    assert(out.nonEmpty)
+    val o = graft.core.Tables.orders(spark, sf)
+    val li = graft.core.Tables.lineitem(spark, sf)
+    assert(out.map(_.getLong(1)).sum === o.count())
+    val childless = o.join(
+      li.select(col("l_orderkey").as("o_orderkey")).distinct(),
+      Seq("o_orderkey"), "left_anti").count()
+    assert(out.map(_.getLong(3)).sum === childless)
+    out.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) <= r.getLong(1),
+        s"exact + childless exceed orders: $r")
+      assert(r.getLong(4) >= 0L)
+    }
+  }
+
   test("backlog aging conserves order count and total cents") {
     val out = StarQueries.orderBacklogAging(spark, sf).collect()
     assert(out.nonEmpty)
