@@ -21,6 +21,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     EventsPipeline.goldTop3Days(spark, "/root/testdata/sf0.001")
 
+  /** Queries DELIBERATELY without an oracle (driver records a rows-only
+    * check): operators whose computation is not SQL-expressible in
+    * DuckDB. Each must say why here and carry a property spec instead.
+    * - q226: zlib DEFLATE has no DuckDB twin; TextStatsSpec pins the
+    *   repetitive-vs-diverse discrimination property and determinism. */
+  val NoOracleQueries: Set[String] = Set("q226_compression_quality")
+
   /** Shared oracle CTE: the events medallion (bronze flatten + silver
     * enrichment/dedup) as DuckDB SQL, kept in lockstep with
     * [[graft.pipeline.EventsPipeline]]. */
@@ -627,6 +634,10 @@ object SparkEntry {
     // ---- order<->lineitem value-consistency audit (header total vs
     //      exact integer line-units sum; childless orders counted) ----
     "q225_order_consistency"   -> ((s, d) => StarQueries.orderConsistency(s, d)),
+    // ---- compression-ratio quality proxy (deflate ppm per source; no
+    //      SQL twin — deliberately omitted from oracleSql, so the
+    //      driver records its rows-only check) ----
+    "q226_compression_quality" -> ((s, d) => TextStats.compressionQuality(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {

@@ -840,4 +840,55 @@ object TextStats {
 
   def vocabSweep(spark: SparkSession, dir: String): DataFrame =
     vocabSweep(Tables.documents(spark, dir))
+
+  /** q226: compression-ratio quality proxy — the Gopher/RefinedWeb
+    * heuristic: highly compressible text is repetitive boilerplate,
+    * incompressible text is often noise; the useful middle band is
+    * where natural language lives. Per source: doc count, mean
+    * deflate ratio in ppm (compressed/raw bytes), and how many docs
+    * fall under a "too compressible" floor. DEFLATE (level 9) is
+    * deterministic for a given zlib, so the per-session result is
+    * bit-stable; it is NOT cross-engine reproducible (no SQL twin), so
+    * this operator ships with the rows-only driver check and a spec
+    * that pins the discrimination property instead.
+    *
+    * Scale shape: the codec runs inside the same batched
+    * `mapPartitions` contract as the multimodal decoders (per-batch
+    * Deflater reuse, lazy iterator); everything after is one
+    * combinable aggregate. */
+  def compressionQuality(docs: DataFrame,
+      floorPpm: Long = 300000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ratios = docs.select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(
+          java.util.zip.Deflater.BEST_COMPRESSION)
+        val buf = new Array[Byte](1 << 16)
+        rows.map { case (id, src, text) =>
+          val raw = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          (id, src, raw.length.toLong, n)
+        }
+      }
+      .toDF("doc_id", "source", "raw_bytes", "deflate_bytes")
+      .filter(col("raw_bytes") > 0)
+      .select(col("source"),
+        expr("deflate_bytes * 1000000 div raw_bytes").as("ratio_ppm"))
+    ratios.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(ratio_ppm) div count(1)").cast("long")
+          .as("mean_ratio_ppm"),
+        sum(when(col("ratio_ppm") < floorPpm, 1L).otherwise(0L))
+          .as("n_too_compressible"))
+      .orderBy(col("source").asc)
+  }
+
+  def compressionQuality(spark: SparkSession, dir: String): DataFrame =
+    compressionQuality(Tables.documents(spark, dir))
 }

@@ -10,8 +10,13 @@ class DriverContractSpec extends AnyFunSuite {
   test("queries and oracleSql cover exactly the same keys") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).toSeq.sorted}")
+    // the documented not-SQL-expressible set is the ONLY allowed gap —
+    // anything else missing an oracle is a silently weakened gate
+    assert((q -- o) === SparkEntry.NoOracleQueries,
+      s"queries without oracle beyond the documented set: ${(q -- o -- SparkEntry.NoOracleQueries).toSeq.sorted}")
     assert((o -- q).isEmpty, s"dangling oracles: ${(o -- q).toSeq.sorted}")
+    assert((SparkEntry.NoOracleQueries -- q).isEmpty,
+      "NoOracleQueries names a nonexistent query")
   }
 
   test("query keys are unique, well-formed, and densely numbered") {

@@ -359,6 +359,28 @@ class TextStatsSpec extends SparkSpecBase {
     assert(got === expected)
   }
 
+  test("compression quality: repetitive text compresses far below diverse text") {
+    import spark.implicits._
+    val rep = Seq.fill(200)("spam spam spam").mkString(" ")
+    val div = (1 to 400).map(i => (i * 2654435761L % 99991).toString).mkString(" ")
+    val fixture = Seq(
+      (1L, rep, "en", "repetitive", rep.length.toLong),
+      (2L, div, "en", "diverse", div.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.compressionQuality(fixture).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val (repRatio, repFlag) = out("repetitive")
+    val (divRatio, _) = out("diverse")
+    assert(repRatio < divRatio / 4,
+      s"repetition not discriminated: $repRatio vs $divRatio")
+    assert(repFlag === 1L, "repetitive doc must trip the floor")
+    assert(divRatio <= 1100000L, "deflate can only expand slightly")
+    // deterministic across runs (same JVM zlib, reset per doc)
+    val again = TextStats.compressionQuality(fixture).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out === again)
+  }
+
   test("vocab sweep: totals constant per source, OOV mass shrinks as vocab grows") {
     val out = TextStats.vocabSweep(Tables.documents(spark, sf)).collect()
       .map(r => (r.getInt(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
