@@ -29,6 +29,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // STATIC SQL conf (round-6 advice): set it on the launch command line so
+  // it binds no matter which code path constructs the JVM's first session;
+  // SparkConf loads every spark.* system property at construction.
+  "-Dspark.sql.codegen.cache.maxEntries=5000",
   // local[32] on a 128 GiB box: 24g keeps the persisted silver/shingle/tf
   // frames + shuffle buffers comfortably in heap (8g showed GC pressure
   // when several persist-heavy dedup queries ran in one bench session)
