@@ -14,6 +14,10 @@ run / fork := true
 // Pass forked-run stdout through raw (no [info] prefix) so Bench's JSON
 // line stays machine-parseable when invoked via sbt.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// No "[success] Total time" trailer: Bench's compact JSON contract line
+// must be the LAST stdout line the driver sees (round-7 advice item 1).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -262,15 +262,6 @@ object Bench {
       }
     }
 
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
-    // Locale.ROOT: the f-interpolator uses the default locale, which on a
-    // comma-decimal JVM would emit invalid JSON numbers.
-    def num(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v.take(200)) }.mkString("{", ",", "}")
     val itersJson = iterTimes
@@ -297,7 +288,13 @@ object Bench {
         s""""shuffle_mb":$shuffleJson,"input_mb":$inputJson,"loadavg_start":${num(load0)},"loadavg_end":${num(loadAvg())},""" +
         s""""rss_mib":${num(peakRssMib())},"wall_sec":${num(wallSec)}}"""
 
-    println(line)
+    // FULL telemetry (60 KB at 226 queries) goes to files ONLY. Rounds 4-7
+    // printed it to stdout, where System.out's 8 KiB buffer split it into
+    // ~8 write() calls; the driver merges Spark's stderr into the same
+    // stream, so WARN/shutdown log lines interleaved MID-LINE and the
+    // official BENCH_r{N}.json came back `parsed: null` (round 3, whose
+    // line was under 8 KiB, was the last round that parsed). Stdout now
+    // gets only the compact contract line, emitted last (see below).
     try Files.writeString(Paths.get("BENCH.json"), line + "\n")
     catch { case _: Throwable => () }
     // Round-stamped FULL copy (round-5 review: the driver's BENCH_r{N}.json
@@ -316,7 +313,54 @@ object Bench {
         }
       }
     } catch { case _: Throwable => () }
+
+    // The driver's machine-readable line. Emission discipline (round-7
+    // advice item 1, root cause above):
+    //  1. compact — contract fields only, ~28 bytes/query, so one query
+    //     suite fits a single 8 KiB PrintStream buffer flush (BenchLineSpec
+    //     pins the budget as the query count grows);
+    //  2. LAST — after spark.stop() and a stderr flush, so no Spark
+    //     executor/logging thread is writing to the merged stream while the
+    //     line goes out;
+    //  3. one write() straight to FileDescriptor.out — no buffering layer
+    //     that could split the line into interleavable chunks.
+    val compactLine = renderCompact(results, errors, sfDir, iters)
     spark.stop()
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
+    System.err.flush()
+    System.out.flush()
+    val rawOut = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+    rawOut.write((compactLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    rawOut.flush()
+  }
+
+  /** JSON string literal (quotes, backslashes, control chars escaped). */
+  private[graft] def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  // Locale.ROOT: the f-interpolator uses the default locale, which on a
+  // comma-decimal JVM would emit invalid JSON numbers.
+  private[graft] def num(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+
+  /** The stdout contract line: metric/value/unit/queries/errors/sf/iters —
+    * exactly the round-3 shape (the last one the driver parsed), with the
+    * per-query telemetry left to BENCH.json / BENCH_full_r{N}.json. Values
+    * at 3 decimals (1 ms resolution — stdout is the gate, the files carry
+    * the 4-decimal record). */
+  private[graft] def renderCompact(
+      results: Seq[(String, Double)],
+      errors: scala.collection.Map[String, String],
+      sfDir: String,
+      iters: Int): String = {
+    def num3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => jstr(k) + ":" + num3(v) }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v.take(120)) }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":$iters}"""
   }
 }
