@@ -89,6 +89,11 @@ object Multimodal {
     * memory manager sees one batch at a time. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
+    // Resource audit (round-7): all four extract* blocks hold only JVM
+    // heap objects (ImageIO buffers, ByteBuffers), so nothing here needs
+    // explicit release. A deployment codec holding NATIVE memory must
+    // register graft.core.Resources.closeOnExhaust exactly as
+    // TextStats.compressionQuality does for its Deflater.
     media.mapPartitions { records =>
       records.grouped(BatchSize).flatMap { batch =>
         // per-batch decoder/model initialization would go here

@@ -866,15 +866,19 @@ object TextStats {
         val deflater = new java.util.zip.Deflater(
           java.util.zip.Deflater.BEST_COMPRESSION)
         val buf = new Array[Byte](1 << 16)
-        rows.map { case (id, src, text) =>
-          val raw = text.getBytes("UTF-8")
-          deflater.reset()
-          deflater.setInput(raw)
-          deflater.finish()
-          var n = 0L
-          while (!deflater.finished()) n += deflater.deflate(buf)
-          (id, src, raw.length.toLong, n)
-        }
+        // Deflater wraps NATIVE zlib memory: release it deterministically
+        // (exhaustion or task completion), not at GC finalization —
+        // round-7 review found it accumulating across a long bench JVM.
+        graft.core.Resources.closeOnExhaust(
+          rows.map { case (id, src, text) =>
+            val raw = text.getBytes("UTF-8")
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            var n = 0L
+            while (!deflater.finished()) n += deflater.deflate(buf)
+            (id, src, raw.length.toLong, n)
+          })(deflater.end())
       }
       .toDF("doc_id", "source", "raw_bytes", "deflate_bytes")
       .filter(col("raw_bytes") > 0)
