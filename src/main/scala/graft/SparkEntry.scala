@@ -581,7 +581,7 @@ object SparkEntry {
     //      read once for all T*(T-1)/2 pairs) ----
     "q207_segment_overlap"     -> ((s, d) => Bitmaps.segmentOverlap(s, d)),
     // ---- inverted-index conjunctive search (posting-list intersection,
-    //      data-derived 3-term query at df ranks 100-102) ----
+    //      data-derived 3-term query at df ranks 10-12) ----
     "q208_conjunctive_search"  -> ((s, d) => Search.conjunctiveSearch(s, d)),
     // ---- event-study census: activity 7 days before vs after each
     //      user's first purchase (difference-around-anchor design) ----
@@ -5035,6 +5035,7 @@ object SparkEntry {
           |              - SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
           |                * 1000000 // tot_b) AS BIGINT) AS share_diff_ppm
           |FROM tagged CROSS JOIN tot
+          |WHERE tot_a > 0 AND tot_b > 0
           |GROUP BY event_type, tot_a, tot_b
           |ORDER BY event_type ASC""".stripMargin),
     // q223: same data-relative anchor; both engines round 2dp-exact

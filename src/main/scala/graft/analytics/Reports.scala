@@ -924,6 +924,13 @@ object Reports {
       .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
       .crossJoin(broadcast(t0)).crossJoin(broadcast(t1))
+      // Empty-arm guard (round-7 advice): if either arm has zero events,
+      // emit NO rows on both engines — Spark's `div` would yield NULLs
+      // where DuckDB's `//` raises, the ksDistance/markovStationary
+      // divergence class. (An empty arm also empties t0/t1 and thus the
+      // cross join, but the filter makes the contract explicit and covers
+      // a 0-count row arriving any other way.)
+      .filter(col("tot_a") > 0 && col("tot_b") > 0)
       .select(col("event_type"), col("n_a"), col("n_b"),
         expr("""abs(n_a * 1000000 div tot_a - n_b * 1000000 div tot_b)""")
           .cast("long").as("share_diff_ppm"))

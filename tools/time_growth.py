@@ -16,11 +16,12 @@ growth: counts prove the algorithmic bound, times prove the engine
 actually delivers it.
 """
 import json
+import re
 import sys
 
 SLACK = 2.0
 MIN_SEC = 0.5
-DATA_RATIO = 10.0  # sf0.01 -> sf0.1
+FALLBACK_DATA_RATIO = 10.0  # sf0.01 -> sf0.1
 
 
 def load(path):
@@ -28,9 +29,20 @@ def load(path):
         return json.loads(f.read().strip().splitlines()[-1])
 
 
+def sf_of(bench):
+    """Scale factor from the bench's sf dir (".../sf0.1" -> 0.1)."""
+    m = re.search(r"sf([0-9.]+)/?$", str(bench.get("sf", "")))
+    return float(m.group(1)) if m else None
+
+
 def main():
     small, large = load(sys.argv[1]), load(sys.argv[2])
     out_path = sys.argv[3] if len(sys.argv) > 3 else "TIME_GROWTH.json"
+    # Derive the data ratio from the inputs' sf fields (round-7 advice:
+    # a hardcoded 10.0 silently mis-judges non-adjacent scale points,
+    # e.g. sf0.001 vs sf0.1 is 100x).
+    sf_s, sf_l = sf_of(small), sf_of(large)
+    DATA_RATIO = (sf_l / sf_s) if sf_s and sf_l else FALLBACK_DATA_RATIO
     qs = sorted(set(small["queries"]) & set(large["queries"]))
     rows, flagged = {}, []
     for q in qs:
