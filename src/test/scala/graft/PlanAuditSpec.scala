@@ -344,6 +344,41 @@ class PlanAuditSpec extends SparkSpecBase {
       s"query-term set not broadcast in:\n$plan")
   }
 
+  test("no global window sits above an unreduced (corpus-cardinality) child") {
+    // Round-7 review: "WindowExec: No Partition Defined" warnings are fine
+    // when the frame is domain-sized (histogram buckets, daily spine, band
+    // counts) and a single-reducer disaster when the frame is the corpus.
+    // The enforceable form of that discipline: every unpartitioned Window
+    // in every query's optimized plan must have a REDUCING operator below
+    // it — an Aggregate / GlobalLimit / Deduplicate that collapsed the
+    // corpus to domain cardinality before the single-partition sort. A
+    // window straight over a scan-shaped subtree fails here, not at 100 TB.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def reduced(p: LogicalPlan): Boolean = p.exists {
+      case _: Aggregate => true
+      case _: GlobalLimit => true
+      case _: Deduplicate => true
+      case _ => false
+    }
+    def globalWindowsOverCorpus(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case w: Window if w.partitionSpec.isEmpty && !reduced(w.child) =>
+          s"global window over unreduced child:\n${w.child.treeString.take(800)}"
+      }
+    // negative control: the detector must trip on the forbidden shape
+    val bad = Tables.documents(spark, sf)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+    assert(globalWindowsOverCorpus(bad).nonEmpty,
+      "detector failed to flag a corpus-global row_number")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      try globalWindowsOverCorpus(SparkEntry.queries(name)(spark, sf))
+        .map(m => s"$name: $m")
+      finally graft.core.Caches.releaseScratch(spark)
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n\n"))
+  }
+
   test("iterative queries keep a bounded logical plan (lineage truncated per round)") {
     // Every driver-side loop (peeling, label propagation, BFS, pagerank)
     // MUST truncate lineage each round — a lazy persist dedups execution
