@@ -86,17 +86,27 @@ object Ledger {
     * re-executing the plan would re-list the directory, so a file landing
     * mid-tick would be written to the ledger without ever being processed —
     * silently lost forever. The collected lists are file names/hashes, not
-    * data — small by construction (bounded by files-per-tick), the same
-    * pattern as Structured Streaming's file-source batch planning. */
-  def ingestTick(spark: SparkSession, inDir: String, ledgerDir: String)
+    * data, and every one is BOUNDED by `maxFilesPerTick` (round-7 review:
+    * the first scan of a 100 M-object bucket would otherwise materialize
+    * every path on the driver) — the remainder lands on subsequent ticks,
+    * the same admission control as Structured Streaming's
+    * `maxFilesPerTrigger`. At continuous-ingest scale prefer the streaming
+    * checkpoint path (graft.streaming.StreamingIngest), whose file-source
+    * log never round-trips the full listing through a collect. */
+  def ingestTick(spark: SparkSession, inDir: String, ledgerDir: String,
+                 maxFilesPerTick: Int = 10000)
                 (process: Seq[String] => Unit): Long = {
     val ledger = readLedger(spark, ledgerDir)
     // Stage 1: metadata-only anti-join — already-ledgered (path,len,mtime)
-    // triples are skipped with zero content reads.
+    // triples are skipped with zero content reads. The limit caps the
+    // driver-side snapshot; WHICH files make this tick is arbitrary, the
+    // rest are still fresh next tick (no ordering guarantee needed for
+    // idempotent ingest).
     val seenMeta = ledger.select(col("path"), col("length"), col("modification_time"))
     val freshPaths = fileMeta(spark, inDir)
       .join(seenMeta, Seq("path", "length", "modification_time"), "left_anti")
-      .select(col("path")).collect().map(_.getString(0)).toSeq
+      .select(col("path")).limit(maxFilesPerTick)
+      .collect().map(_.getString(0)).toSeq
     if (freshPaths.isEmpty) return 0L
 
     // Stage 2: hash ONLY the fresh paths — collected ONCE so content is

@@ -28,4 +28,22 @@ class LedgerSpec extends SparkSpecBase {
     Files.write(Paths.get(in, "d.csv"), "{\"x\":4}".getBytes)
     assert(run() === 0)
   }
+
+  test("maxFilesPerTick bounds the driver snapshot; backlog drains across ticks") {
+    // Round-7 review: a first scan of a huge bucket must not collect every
+    // path at once. With the cap at 2, a 5-file backlog takes 3 ticks —
+    // every file exactly once, no tick materializing more than 2 paths.
+    val in = tmpDir("ledger-cap-in-")
+    val ledger = tmpDir("ledger-cap-") + "/ledger"
+    (1 to 5).foreach(i =>
+      Files.write(Paths.get(in, s"f$i.json"), s"""{"x":$i}""".getBytes))
+    var seen = Set.empty[String]
+    def run(): Long =
+      Ledger.ingestTick(spark, in, ledger, maxFilesPerTick = 2)(p => seen ++= p)
+    assert(run() === 2)
+    assert(run() === 2)
+    assert(run() === 1)
+    assert(run() === 0)
+    assert(seen.size === 5)
+  }
 }
