@@ -3578,6 +3578,57 @@ object SparkEntry {
          |    SELECT query_id, neighbor_id, row_number() OVER (
          |      PARTITION BY query_id ORDER BY qc DESC, neighbor_id ASC) AS rn
          |    FROM q8cos) WHERE rn <= 5),
+         |pqt AS (
+         |  SELECT vec_id,
+         |         list_transform(e, x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT)) AS qi
+         |  FROM s8),
+         |psub AS (
+         |  SELECT vec_id, j AS sub_m,
+         |         qi[j * (len(qi) // 8) + 1 : (j + 1) * (len(qi) // 8)] AS sv
+         |  FROM pqt CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) js),
+         |pcb AS (SELECT sub_m, vec_id AS code_id, sv AS cw
+         |        FROM psub WHERE vec_id < 16),
+         |pencd AS (
+         |  SELECT s.vec_id, s.sub_m, c.code_id,
+         |         CAST(list_dot_product(CAST(s.sv AS DOUBLE[]), CAST(s.sv AS DOUBLE[]))
+         |            + list_dot_product(CAST(c.cw AS DOUBLE[]), CAST(c.cw AS DOUBLE[]))
+         |            - 2 * list_dot_product(CAST(s.sv AS DOUBLE[]), CAST(c.cw AS DOUBLE[]))
+         |           AS BIGINT) AS d
+         |  FROM psub s JOIN pcb c USING (sub_m)),
+         |penc AS (
+         |  SELECT vec_id, sub_m, code_id AS code FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id, sub_m ORDER BY d ASC, code_id ASC) AS rn
+         |    FROM pencd) WHERE rn = 1),
+         |plut AS (
+         |  SELECT e2.vec_id AS query_id, e2.sub_m, e2.code_id AS code, e2.d
+         |  FROM pencd e2 WHERE e2.vec_id < 10),
+         |padc AS (
+         |  SELECT l.query_id, e.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS adc
+         |  FROM penc e JOIN plut l ON l.sub_m = e.sub_m AND l.code = e.code
+         |  WHERE e.vec_id <> l.query_id
+         |  GROUP BY 1, 2),
+         |ptop AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rn
+         |    FROM padc) WHERE rn <= 5),
+         |prr AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rn
+         |    FROM padc) WHERE rn <= 50),
+         |prcos AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         list_dot_product(qv.e, nv.e) / (qv.nrm * nv.nrm) AS cos
+         |  FROM prr c
+         |  JOIN n qv ON qv.vec_id = c.query_id
+         |  JOIN n nv ON nv.vec_id = c.neighbor_id),
+         |prtop AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+         |    FROM prcos) WHERE rn <= 5),
          |audit AS (
          |  SELECT 'int8' AS method, e.query_id,
          |         CAST(COUNT(*) AS BIGINT) AS k,
@@ -3598,6 +3649,20 @@ object SparkEntry {
          |         CAST(COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL
          |           THEN 1 ELSE 0 END), 0) AS BIGINT)
          |  FROM etop e LEFT JOIN ltop a
+         |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |  GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'pq', e.query_id, CAST(COUNT(*) AS BIGINT),
+         |         CAST(COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+         |           THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |  FROM etop e LEFT JOIN ptop a
+         |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |  GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'pq_rerank', e.query_id, CAST(COUNT(*) AS BIGINT),
+         |         CAST(COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+         |           THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |  FROM etop e LEFT JOIN prtop a
          |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
          |  GROUP BY 1, 2)
          |SELECT method, query_id, k, hits,
