@@ -638,6 +638,14 @@ object SparkEntry {
     //      SQL twin — deliberately omitted from oracleSql, so the
     //      driver records its rows-only check) ----
     "q226_compression_quality" -> ((s, d) => TextStats.compressionQuality(s, d)),
+    // ---- UNBOUNDED-iteration pagerank: exact integer fixpoint, block
+    //      checkpoints (the 100 TB-honest form of q115's fixed 3 iters;
+    //      converges in 35/46 rounds at sf0.01/sf0.1) ----
+    "q227_pagerank_converged"  -> ((s, d) => Graphs.pageRankConvergedPpm(s, d)),
+    // ---- UNBOUNDED-iteration k-core: peel-cascade census to the true
+    //      fixpoint at k=85 (9 rounds sf0.01 / 38 rounds sf0.1 — beyond
+    //      any useful fixed bound; one row per round) ----
+    "q228_kcore_peel_census"   -> ((s, d) => Graphs.kCorePeelCensus(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -5184,6 +5192,12 @@ object SparkEntry {
         |       CAST(MAX(err_u * 1000000 // header_u) AS BIGINT)
         |         AS max_err_ppm
         |FROM j GROUP BY 1 ORDER BY o_orderstatus ASC""".stripMargin,
+    // q227/q228: unbounded-iteration kernels — the oracle unrolls more
+    // rounds than the measured convergence point (fixpoint rounds are
+    // identities / remove nothing), so "run to convergence" and "run 64
+    // rounds" are the same relation on this data. See the generators.
+    "q227_pagerank_converged" -> pagerankConvergedOracleSql(64),
+    "q228_kcore_peel_census" -> kCorePeelCensusOracleSql(85, 64),
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via
@@ -5236,6 +5250,64 @@ object SparkEntry {
   /** Oracle SQL for q195: the q93 edge CTEs + `rounds` unrolled peel
     * rounds (degree recount → keep-list → double semi-join), closing
     * with the node/edge census of the surviving subgraph. */
+  /** Oracle for q227: `iters` unrolled pagerank rounds. The Spark side
+    * iterates to the exact integer FIXPOINT (35 rounds at sf0.01, 46 at
+    * sf0.1, block-checked so it stops by 40/52); because rounds past the
+    * fixpoint are identities, any unroll count ≥ the convergence point +
+    * check-block slack yields the identical relation — 64 carries that
+    * margin. MATERIALIZED keeps DuckDB from inlining each round into the
+    * next three times over. */
+  private def pagerankConvergedOracleSql(iters: Int): String = {
+    val head =
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+        |dir AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+        |deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM dir GROUP BY 1),
+        |r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM deg)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT d.v AS node, 150000 + (SUM(p.r // g.deg) * 17) // 20 AS r
+         |  FROM r${i - 1} p JOIN deg g ON g.u = p.node JOIN dir d ON d.u = p.node
+         |  GROUP BY d.v)""".stripMargin
+    }.mkString(",\n", ",\n", ",\n")
+    head + rounds +
+      s"""top AS (SELECT node, CAST(r AS BIGINT) AS rank_ppm,
+         |               row_number() OVER (ORDER BY r DESC, node ASC) AS rank
+         |        FROM r$iters ORDER BY r DESC, node ASC LIMIT 10)
+         |SELECT rank, node, rank_ppm FROM top ORDER BY rank ASC""".stripMargin
+  }
+
+  /** Oracle for q228: `rounds` unrolled peel rounds, each emitting its
+    * removal count; post-fixpoint rounds remove 0 nodes and are filtered,
+    * so any unroll count ≥ the cascade length (9 at sf0.01, 38 at sf0.1)
+    * yields the identical census. */
+  private def kCorePeelCensusOracleSql(k: Int, rounds: Int): String = {
+    val head =
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk)""".stripMargin
+    val peels = (1 to rounds).map { r =>
+      s"""d$r AS (
+         |  SELECT n, COUNT(*) AS d FROM (
+         |    SELECT u AS n FROM e${r - 1} UNION ALL SELECT v FROM e${r - 1})
+         |  GROUP BY 1),
+         |b$r AS MATERIALIZED (SELECT n FROM d$r WHERE d < $k),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM e${r - 1} e
+         |  ANTI JOIN b$r a ON a.n = e.u ANTI JOIN b$r b ON b.n = e.v)""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    val census = (1 to rounds)
+      .map(r => s"SELECT $r AS round, (SELECT COUNT(*) FROM b$r) AS n_removed")
+      .mkString(",\ncensus AS (", " UNION ALL ", ")\n")
+    head + peels + census +
+      """SELECT CAST(round AS BIGINT) AS round, CAST(n_removed AS BIGINT) AS n_removed
+        |FROM census WHERE n_removed > 0 ORDER BY round ASC""".stripMargin
+  }
+
   private def kCoreOracleSql(k: Int, rounds: Int): String = {
     // every e_r is AS MATERIALIZED: DuckDB inlines plain CTEs at each
     // reference, and each round references its predecessor three times —

@@ -296,6 +296,130 @@ object Graphs {
     out
   }
 
+  /** q227: PageRank run to the EXACT integer fixpoint — the unbounded-
+    * iteration form of q115 (round-7 stretch item 8). The ppm/floor
+    * arithmetic makes convergence a DECIDABLE equality, not an epsilon
+    * judgement: the rank map is a function of the previous map over a
+    * finite integer lattice, the damping contraction pulls it to a fixed
+    * point (measured: 35 rounds at sf0.01, 46 at sf0.1), and once
+    * r_t == r_{t-1} every later round is identical — so "converged" is a
+    * relation both engines can agree on bit-for-bit, and the oracle can
+    * unroll a SUFFICIENT number of rounds (maxIters=64 here) knowing the
+    * tail rounds are no-ops.
+    *
+    * Scale shape: per round identical to q115 (one keyed join + one
+    * aggregation over the pinned-width edge list). The unbounded loop
+    * adds the two disciplines q115's fixed-3 form deliberately skipped:
+    * an eager `localCheckpoint` every `checkEvery` rounds (lineage grows
+    * linearly per round — a block of 4 is cheap; 46 un-truncated rounds
+    * are not), and a fixpoint test per BLOCK, not per round (an
+    * `except().isEmpty` action costs a job; batching 4 rounds per check
+    * trades ≤3 wasted no-op rounds for 4× fewer driver round-trips). */
+  def pageRankConvergedPpm(spark: SparkSession, dir: String,
+      topK: Int = 10, checkEvery: Int = 4, maxIters: Int = 64): DataFrame =
+    pageRankConvergedPpmOf(
+      coPurchasePairs(spark, dir).select(col("u"), col("v")),
+      topK, checkEvery, maxIters)
+
+  private[analytics] def pageRankConvergedPpmOf(undirected: DataFrame,
+      topK: Int, checkEvery: Int, maxIters: Int): DataFrame = {
+    // Oracle-consistency invariant: maxIters must be a multiple of
+    // checkEvery. The early stop fires at a block boundary t when
+    // r_t == r_{t-checkEvery}, i.e. the sequence is periodic with period
+    // dividing checkEvery from t on; the unrolled oracle evaluates
+    // r_maxIters, and maxIters ≡ t (mod period) holds exactly because
+    // both are multiples of checkEvery — so even a floor-arithmetic
+    // CYCLE (which irregular graphs can enter instead of a fixpoint)
+    // stops on the same phase the oracle lands on.
+    require(maxIters % checkEvery == 0,
+      s"maxIters=$maxIters must be a multiple of checkEvery=$checkEvery")
+    val directed = Caches.scratch(
+      undirected.select(col("u"), col("v"))
+        .unionAll(undirected.select(col("v").as("u"), col("u").as("v")))
+        .repartition(fullWidth(undirected), col("u")))
+    val deg = Caches.scratch(
+      directed.groupBy(col("u")).agg(count(lit(1)).as("deg")))
+    def step(r: DataFrame): DataFrame =
+      directed
+        .join(deg, "u")
+        .join(r, directed("u") === r("node"))
+        .select(col("v"), expr("rank_ppm div deg").as("contrib"))
+        .groupBy(col("v"))
+        .agg(sum(col("contrib")).as("s"))
+        .select(col("v").as("node"),
+          expr("150000 + (s * 17) div 20").as("rank_ppm"))
+    var ranks = deg
+      .select(col("u").as("node"), lit(1000000L).as("rank_ppm"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val block = math.min(checkEvery, maxIters - iter)
+      var next = ranks
+      for (_ <- 1 to block) next = step(next)
+      next = next.localCheckpoint(true)
+      iter += block
+      // exact fixpoint: no (node, rank_ppm) pair changed over the block.
+      // Both sides are checkpointed LogicalRDDs — constant-size plan.
+      converged = next.except(ranks).isEmpty
+      ranks = next
+    }
+    val w = Window.orderBy(col("rank_ppm").desc, col("node").asc)
+    ranks
+      .orderBy(col("rank_ppm").desc, col("node").asc).limit(topK)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("node"), col("rank_ppm"))
+      .orderBy(col("rank").asc)
+  }
+
+  /** q228: k-core peel CASCADE census — the unbounded-iteration k-core
+    * (round-7 stretch item 8): peel under-degree nodes until the true
+    * fixpoint, emitting one row per round (round, n_removed). At k=85
+    * the co-purchase graph is the demonstration case for why the
+    * bounded form (q195, 8 rounds) is an approximation: the cascade
+    * runs 9 rounds at sf0.01 and 38 at sf0.1 before emptying — a fixed
+    * bound either lies or wastes rounds, convergence does neither.
+    *
+    * Scale shape: identical per-round plan to q195 (degree aggregation
+    * + two anti-joins against the removed trickle, AQE-broadcastable),
+    * eager `localCheckpoint` per round (the round references `bad`
+    * twice — lineage would compound), and the per-round removal count
+    * rides the SAME `bad.count()` action the loop already needs for
+    * its fixpoint test, so the census is free. The result frame is
+    * driver-built from ≤ maxRounds scalars — domain-sized by
+    * construction. */
+  def kCorePeelCensus(spark: SparkSession, dir: String,
+      k: Int = 85, maxRounds: Int = 64): DataFrame =
+    kCorePeelCensusOf(spark,
+      coPurchasePairs(spark, dir).select(col("u"), col("v")), k, maxRounds)
+
+  private[analytics] def kCorePeelCensusOf(spark: SparkSession,
+      edges0: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    var edges = edges0
+    val removed = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      round += 1
+      val bad = Caches.scratch(
+        edges.select(col("u").as("n"))
+          .unionAll(edges.select(col("v").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+          .filter(col("d") < k).select(col("n")))
+      val nBad = bad.count()
+      if (nBad == 0L) converged = true
+      else {
+        removed += ((round.toLong, nBad))
+        edges = edges
+          .join(bad.select(col("n").as("u")), Seq("u"), "left_anti")
+          .join(bad.select(col("n").as("v")), Seq("v"), "left_anti")
+          .localCheckpoint(true)
+      }
+    }
+    import spark.implicits._
+    removed.toSeq.toDF("round", "n_removed").orderBy(col("round").asc)
+  }
+
   /** q188-family: degree assortativity of the co-purchase graph — do
     * high-degree parts co-occur with other high-degree parts (r > 0) or
     * with leaves (r < 0)? Newman's r is the Pearson correlation of the

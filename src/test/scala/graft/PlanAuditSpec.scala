@@ -390,7 +390,8 @@ class PlanAuditSpec extends SparkSpecBase {
     // a tuning knob.
     val MaxPlanChars = 1000000
     Seq("q60_dup_clusters", "q109_recursive_reach", "q115_pagerank_ppm",
-        "q195_kcore_census").foreach { name =>
+        "q195_kcore_census", "q227_pagerank_converged",
+        "q228_kcore_peel_census").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val n = df.queryExecution.analyzed.toString.length
       assert(n < MaxPlanChars,

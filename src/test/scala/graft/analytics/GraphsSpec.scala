@@ -134,6 +134,56 @@ class GraphsSpec extends SparkSpecBase {
     assert(oneRound.getLong(2) === 1L, "round 1 alone leaves the middle edge")
   }
 
+  test("converged pagerank: true fixpoint — more iteration budget changes nothing") {
+    import spark.implicits._
+    // K3 triangle: regular graph, so the uniform mass IS the fixpoint —
+    // contrib sum per node = 2·(10⁶ div 2) and 150000 + (10⁶·17) div 20
+    // = 10⁶ again. (A 3-node PATH, by contrast, never reaches an exact
+    // fixpoint — the floor arithmetic drifts on irregular tiny graphs;
+    // oracle consistency there comes from maxIters being a multiple of
+    // checkEvery, so an early cycle-stop and the unrolled oracle land on
+    // the same phase.)
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    val a = Graphs.pageRankConvergedPpmOf(k3, 10, 4, 64).collect().toSeq
+    assert(a.map(_.getLong(2)).forall(_ === 1000000L), s"K3 not uniform: $a")
+    assert(a === Graphs.pageRankConvergedPpmOf(k3, 10, 4, 128).collect().toSeq)
+    assert(a === Graphs.pageRankConvergedPpmOf(k3, 10, 1, 64).collect().toSeq)
+    // sf data reaches an exact fixpoint (26 rounds at sf0.001): the
+    // result must be invariant to the iteration budget and to the
+    // check-block size, deterministic, dense-ranked, non-increasing.
+    val x = Graphs.pageRankConvergedPpm(spark, sf).collect()
+    val y = Graphs.pageRankConvergedPpm(spark, sf, maxIters = 128).collect()
+    assert(x.toSeq === y.toSeq, "sf fixpoint depends on maxIters")
+    assert(x.map(_.getInt(0)).toSeq === (1 to x.length))
+    val ranks = x.map(_.getLong(2))
+    assert(ranks.zip(ranks.tail).forall { case (p, q) => p >= q })
+    graft.core.Caches.releaseScratch(spark)
+  }
+
+  test("k-core peel census: rounds consecutive, removals conserve the node count") {
+    import spark.implicits._
+    // path graph at k=2 dissolves endpoint-pair by endpoint-pair: the
+    // census is the per-round cascade record, and when the core empties
+    // the removal column must sum to |V|.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val census = Graphs.kCorePeelCensusOf(spark, path, k = 2, maxRounds = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(census === Seq((1L, 2L), (2L, 2L)), s"got $census")
+    // sf data at the q228 default: cascade empties the graph, so the
+    // census conserves the corpus node count and rounds are 1..R
+    val sfCensus = Graphs.kCorePeelCensus(spark, sf).collect()
+    assert(sfCensus.map(_.getLong(0)).toSeq ===
+      (1L to sfCensus.length.toLong).toSeq, "rounds not consecutive")
+    val nNodes = Graphs.coPurchasePairs(spark, sf)
+      .select(org.apache.spark.sql.functions.col("u").as("n"))
+      .unionByName(Graphs.coPurchasePairs(spark, sf)
+        .select(org.apache.spark.sql.functions.col("v").as("n")))
+      .distinct().count()
+    assert(sfCensus.map(_.getLong(1)).sum === nNodes,
+      "peel census does not conserve the node count")
+    graft.core.Caches.releaseScratch(spark)
+  }
+
   test("assortativity on sf data: Cauchy-Schwarz bound and nonzero den") {
     val r = Graphs.degreeAssortativity(spark, sf).head
     val (num, den) = (r.getAs[Long]("r_num"), r.getAs[Long]("r_den"))
