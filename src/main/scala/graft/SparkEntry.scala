@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Bitmaps, BloomJoin, Diagnostics, Funnels, Graphs, History, Incremental, Reports, SkewJoin, StarQueries, TemporalOps}
+import graft.analytics.{Bitmaps, BloomJoin, Diagnostics, Funnels, Graphs, History, Incremental, Reports, SkewJoin, Sketches, StarQueries, TemporalOps}
 import graft.ingest.Medallion
 import graft.llm.{Coverage, Curation, Datasheet, Decontaminate, DupClusters, EmbedDedup, Multimodal, Scrub, Search, Similarity, TextDedup, TextStats}
 import graft.pipeline.EventsPipeline
@@ -646,6 +646,15 @@ object SparkEntry {
     //      fixpoint at k=85 (9 rounds sf0.01 / 38 rounds sf0.1 — beyond
     //      any useful fixed bound; one row per round) ----
     "q228_kcore_peel_census"   -> ((s, d) => Graphs.kCorePeelCensus(s, d)),
+    // ---- market-basket association rules: support/confidence/lift in
+    //      exact ppm over the memoized co-purchase scaffold ----
+    "q229_association_rules"   -> ((s, d) => Graphs.associationRules(s, d)),
+    // ---- KMV bottom-k distinct sketch + accuracy audit (mergeable
+    //      cardinality estimation incl. the union-merged _all row) ----
+    "q230_kmv_distinct"        -> ((s, d) => Sketches.kmvDistinct(s, d)),
+    // ---- count-min sketch heavy-hitter audit (d=4 x w=16 forced-
+    //      collision regime; estimate >= truth row-wise) ----
+    "q231_cms_heavy_hitters"   -> ((s, d) => Sketches.cmsHeavyHitters(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -5198,6 +5207,102 @@ object SparkEntry {
     // rounds" are the same relation on this data. See the generators.
     "q227_pagerank_converged" -> pagerankConvergedOracleSql(64),
     "q228_kcore_peel_census" -> kCorePeelCensusOracleSql(85, 64),
+    // q229: all-integer floor arithmetic; lift numerator bounded by
+    // w * n_orders * 1e6 << 2^63.
+    "q229_association_rules" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM op),
+        |pu AS (SELECT pk, COUNT(*) AS n_u FROM op GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.pk AS u, b.pk AS v, COUNT(*) AS w
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+        |bidir AS (
+        |  SELECT u, v, w FROM pairs UNION ALL SELECT v, u, w FROM pairs),
+        |rules AS (
+        |  SELECT r.u, r.v, CAST(r.w AS BIGINT) AS w,
+        |         CAST(r.w * 1000000 // pa.n_u AS BIGINT) AS conf_ppm,
+        |         CAST(r.w * 1000000 // n.n_orders AS BIGINT) AS supp_ppm,
+        |         CAST((r.w * n.n_orders * 1000000) // (pa.n_u * pb.n_u)
+        |           AS BIGINT) AS lift_ppm
+        |  FROM bidir r
+        |  JOIN pu pa ON pa.pk = r.u JOIN pu pb ON pb.pk = r.v
+        |  CROSS JOIN n
+        |  WHERE r.w >= 3)
+        |SELECT u, v, w, conf_ppm, supp_ppm, lift_ppm FROM rules
+        |ORDER BY conf_ppm DESC, lift_ppm DESC, u ASC, v ASC LIMIT 20""".stripMargin,
+    // q230: identical 48-bit md5 hashes, identical bottom-k ranking, and
+    // the KMV estimate (k-1)*2^48 // h_(k) in exact int64.
+    "q230_kmv_distinct" ->
+      """WITH el AS (
+        |  SELECT event_type,
+        |         CAST(user_id AS VARCHAR) || '#' ||
+        |           CAST(CAST(ts AS DATE) AS VARCHAR) AS elem
+        |  FROM events),
+        |pt AS (
+        |  SELECT DISTINCT event_type, elem,
+        |         CAST('0x' || substr(md5(elem), 1, 12) AS BIGINT) AS h
+        |  FROM el),
+        |truth AS (
+        |  SELECT event_type, COUNT(DISTINCT elem) AS n_true FROM pt GROUP BY 1),
+        |hs AS (SELECT DISTINCT event_type, h FROM pt),
+        |bk AS (
+        |  SELECT event_type, h, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY h ASC) AS rn
+        |  FROM hs),
+        |bot AS (SELECT * FROM bk WHERE rn <= 64),
+        |mbot AS (
+        |  SELECT h, row_number() OVER (ORDER BY h ASC) AS rn
+        |  FROM (SELECT DISTINCT h FROM bot)),
+        |truth_all AS (
+        |  SELECT '_all' AS event_type, COUNT(DISTINCT elem) AS n_true FROM pt),
+        |kth AS (
+        |  SELECT event_type, h AS kth_min FROM bot WHERE rn = 64
+        |  UNION ALL
+        |  SELECT '_all', h FROM mbot WHERE rn = 64),
+        |allt AS (
+        |  SELECT event_type, n_true FROM truth
+        |  UNION ALL SELECT event_type, n_true FROM truth_all),
+        |est AS (
+        |  SELECT t.event_type, CAST(64 AS BIGINT) AS k,
+        |         CAST(COALESCE(k.kth_min, 0) AS BIGINT) AS kth_min,
+        |         CAST(CASE WHEN k.kth_min IS NULL THEN t.n_true
+        |              ELSE (63 * 281474976710656) // k.kth_min END
+        |           AS BIGINT) AS est_distinct,
+        |         CAST(t.n_true AS BIGINT) AS n_true
+        |  FROM allt t LEFT JOIN kth k USING (event_type))
+        |SELECT event_type, k, kth_min, est_distinct, n_true,
+        |       CAST(abs(est_distinct - n_true) * 1000000 // n_true AS BIGINT)
+        |         AS err_ppm
+        |FROM est ORDER BY event_type ASC""".stripMargin,
+    // q231: same d x w md5 bucketing; min-over-rows read-back; the
+    // over_ppm subtraction is >= 0 by the CMS guarantee.
+    "q231_cms_heavy_hitters" ->
+      s"""WITH wd AS (
+         |  SELECT unnest(str_split($duckNorm, ' ')) AS word FROM documents),
+         |wf AS (SELECT word FROM wd WHERE length(word) > 0),
+         |counts AS (SELECT word, COUNT(*) AS n_true FROM wf GROUP BY 1),
+         |rws AS (
+         |  SELECT r.r AS cms_row,
+         |         CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || '#' || word), 1, 12)
+         |           AS BIGINT) % 16 AS bucket
+         |  FROM wf CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r),
+         |sketch AS (
+         |  SELECT cms_row, bucket, COUNT(*) AS c FROM rws GROUP BY 1, 2),
+         |top AS (
+         |  SELECT word, n_true FROM counts
+         |  ORDER BY n_true DESC, word ASC LIMIT 10),
+         |probes AS (
+         |  SELECT word, n_true, r.r AS cms_row,
+         |         CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || '#' || word), 1, 12)
+         |           AS BIGINT) % 16 AS bucket
+         |  FROM top CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r)
+         |SELECT p.word, CAST(p.n_true AS BIGINT) AS n_true,
+         |       CAST(MIN(s.c) AS BIGINT) AS cms_est,
+         |       CAST((MIN(s.c) - p.n_true) * 1000000 // p.n_true AS BIGINT)
+         |         AS over_ppm
+         |FROM probes p JOIN sketch s USING (cms_row, bucket)
+         |GROUP BY p.word, p.n_true
+         |ORDER BY n_true DESC, word ASC""".stripMargin,
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via

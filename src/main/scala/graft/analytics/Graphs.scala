@@ -420,6 +420,53 @@ object Graphs {
     removed.toSeq.toDF("round", "n_removed").orderBy(col("round").asc)
   }
 
+  /** q229: market-basket ASSOCIATION RULES over the co-purchase scaffold —
+    * the classic retail-analytics operator the pair family (q93/q104) was
+    * still missing as a first-class relation: for every directed rule
+    * u → v with co-order count w ≥ minW, exact integer support,
+    * confidence, and lift in ppm. All arithmetic is int64 floor division
+    * on non-negative operands (DuckDB `//`-portable); lift's numerator
+    * w · n_orders · 10⁶ stays under 2⁶³ for any corpus whose order count
+    * fits an int (overflow at ~9·10¹⁸).
+    *
+    * Scale shape: rules reuse the memoized pair scaffold (built once per
+    * corpus snapshot); the per-part order counts are one aggregation of
+    * the order-part relation, joined keyed on u and then v; the 1-row
+    * n_orders frame arrives by broadcast; top-N is a TakeOrdered, never a
+    * global sort. */
+  def associationRules(spark: SparkSession, dir: String,
+      minW: Long = 3L, topN: Int = 20): DataFrame =
+    associationRulesOf(coPurchasePairs(spark, dir),
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+      minW, topN)
+
+  /** [[associationRules]] over explicit (u,v,w) pairs and an (ok, pk)
+    * order-part relation (need not be pre-deduplicated). */
+  private[analytics] def associationRulesOf(pairs: DataFrame,
+      orderParts: DataFrame, minW: Long, topN: Int): DataFrame = {
+    val op = Caches.scratch(orderParts.select(col("ok"), col("pk")).distinct())
+    val perPart = op.groupBy(col("pk")).agg(count(lit(1)).as("n_u"))
+    val nOrders = op.select(countDistinct(col("ok")).as("n_orders"))
+    val bidir = pairs.select(col("u"), col("v"), col("w"))
+      .unionAll(pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .filter(col("w") >= minW)
+    bidir
+      .join(perPart.select(col("pk").as("u"), col("n_u").as("orders_u")), Seq("u"))
+      .join(perPart.select(col("pk").as("v"), col("n_u").as("orders_v")), Seq("v"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("u"), col("v"), col("w").cast("long").as("w"),
+        expr("w * 1000000 div orders_u").cast("long").as("conf_ppm"),
+        expr("w * 1000000 div n_orders").cast("long").as("supp_ppm"),
+        expr("(w * n_orders * 1000000) div (orders_u * orders_v)")
+          .cast("long").as("lift_ppm"))
+      .orderBy(col("conf_ppm").desc, col("lift_ppm").desc,
+        col("u").asc, col("v").asc)
+      .limit(topN)
+      .orderBy(col("conf_ppm").desc, col("lift_ppm").desc,
+        col("u").asc, col("v").asc)
+  }
+
   /** q188-family: degree assortativity of the co-purchase graph — do
     * high-degree parts co-occur with other high-degree parts (r > 0) or
     * with leaves (r < 0)? Newman's r is the Pearson correlation of the

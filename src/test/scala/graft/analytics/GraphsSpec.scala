@@ -184,6 +184,24 @@ class GraphsSpec extends SparkSpecBase {
     graft.core.Caches.releaseScratch(spark)
   }
 
+  test("association rules: hand-traced confidence, support, and lift") {
+    import spark.implicits._
+    // orders: 1..3 contain {A=10, B=20}; 4 contains {A} only.
+    //   w(A,B)=3, orders_A=4, orders_B=3, n_orders=4
+    //   A→B: conf 750000, supp 750000, lift (3·4·1e6)//(4·3) = 1000000
+    //   B→A: conf 1000000, supp 750000, lift 1000000
+    val op = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L),
+      (1L, 20L), (2L, 20L), (3L, 20L)).toDF("ok", "pk")
+    val pairs = Seq((10L, 20L, 3L)).toDF("u", "v", "w")
+    val rules = Graphs.associationRulesOf(pairs, op, minW = 3L, topN = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(rules === Seq(
+      (20L, 10L, 3L, 1000000L, 750000L, 1000000L),
+      (10L, 20L, 3L, 750000L, 750000L, 1000000L)))
+    graft.core.Caches.releaseScratch(spark)
+  }
+
   test("assortativity on sf data: Cauchy-Schwarz bound and nonzero den") {
     val r = Graphs.degreeAssortativity(spark, sf).head
     val (num, den) = (r.getAs[Long]("r_num"), r.getAs[Long]("r_den"))
