@@ -655,6 +655,9 @@ object SparkEntry {
     // ---- count-min sketch heavy-hitter audit (d=4 x w=16 forced-
     //      collision regime; estimate >= truth row-wise) ----
     "q231_cms_heavy_hitters"   -> ((s, d) => Sketches.cmsHeavyHitters(s, d)),
+    // ---- exact-threshold Jaccard join via PPJoin prefix filtering
+    //      (deterministic candidates: no false negatives by theorem) ----
+    "q232_prefix_filter_dups"  -> ((s, d) => TextDedup.prefixFilterDups(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -5303,6 +5306,47 @@ object SparkEntry {
          |FROM probes p JOIN sketch s USING (cms_row, bucket)
          |GROUP BY p.word, p.n_true
          |ORDER BY n_true DESC, word ASC""".stripMargin,
+    // q232: same integer ceil ((n*8+999999*?)…) — prefix length
+    // n - (n*800000 + 999999)//1000000 + 1; identical df-asc/shingle-asc
+    // rank; jaccard in exact int ppm.
+    "q232_prefix_filter_dups" ->
+      s"""WITH nd AS (
+         |  SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(1, len(w) - 1),
+         |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
+         |  FROM nd WHERE len(w) >= 3),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |dfq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+         |ord AS (
+         |  SELECT s.doc_id, s.shingle, z.n,
+         |         row_number() OVER (
+         |           PARTITION BY s.doc_id
+         |           ORDER BY d.df ASC, s.shingle ASC) AS rn
+         |  FROM sh s JOIN dfq d USING (shingle) JOIN sz z USING (doc_id)),
+         |pref AS (
+         |  SELECT doc_id, shingle FROM ord
+         |  WHERE rn <= n - (n * 800000 + 999999) // 1000000 + 1),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM pref a JOIN pref b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.da, c.db, COUNT(*) AS i
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.da
+         |  JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
+         |  GROUP BY 1, 2),
+         |res AS (
+         |  SELECT i.da AS doc_a, i.db AS doc_b,
+         |         CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+         |         CAST(i.i AS BIGINT) AS n_inter,
+         |         CAST(i.i * 1000000 // (a.n + b.n - i.i) AS BIGINT) AS jac_ppm
+         |  FROM inter i JOIN sz a ON a.doc_id = i.da JOIN sz b ON b.doc_id = i.db)
+         |SELECT doc_a, doc_b, n_a, n_b, n_inter, jac_ppm FROM res
+         |WHERE jac_ppm >= 800000
+         |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via

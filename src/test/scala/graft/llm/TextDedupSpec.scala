@@ -455,4 +455,30 @@ class TextDedupSpec extends SparkSpecBase {
       assert(r.getLong(2) >= 1L && r.getLong(3) >= 1L)
     }
   }
+
+  test("prefix-filter join equals the exact all-pairs threshold join (no FN/FP)") {
+    // The PPJoin theorem says the prefix candidates contain EVERY pair
+    // with jaccard >= tau; the verify step removes the rest. At test
+    // scale the brute-force all-pairs join is affordable, so the claim is
+    // checkable literally: same pair set, same jaccard values.
+    val got = TextDedup.prefixFilterDups(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5))).toSet
+    val sh = TextDedup.shinglesFor(spark, sf)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .select(col("da"), col("db"),
+        expr("i * 1000000 div (na + nb - i)").cast("long").as("jac"))
+      .filter(col("jac") >= 800000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.core.Caches.releaseScratch(spark)
+    assert(got === brute,
+      s"prefix filter diverges from ground truth: missing=${brute -- got}, extra=${got -- brute}")
+    assert(brute.nonEmpty, "corpus has no qualifying pairs — test is vacuous")
+  }
 }
