@@ -658,6 +658,15 @@ object SparkEntry {
     // ---- exact-threshold Jaccard join via PPJoin prefix filtering
     //      (deterministic candidates: no false negatives by theorem) ----
     "q232_prefix_filter_dups"  -> ((s, d) => TextDedup.prefixFilterDups(s, d)),
+    // ---- weighted single-source cheapest paths (distributed Bellman-
+    //      Ford, cost = 1e6 div w, fixpoint early-exit) ----
+    "q233_cheapest_paths"      -> ((s, d) => Graphs.cheapestPathCensus(s, d)),
+    // ---- priority sampling (Duffield-Lund-Thorup) with the max(w,tau)
+    //      estimator, deterministic md5 uniforms ----
+    "q234_priority_sample"     -> ((s, d) => Curation.prioritySample(s, d)),
+    // ---- optimizer-style join-cardinality estimate (MCV + uniform
+    //      remainder) audited against the exact join size ----
+    "q235_join_card_audit"     -> ((s, d) => Diagnostics.joinCardAudit(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -5347,6 +5356,68 @@ object SparkEntry {
          |SELECT doc_a, doc_b, n_a, n_b, n_inter, jac_ppm FROM res
          |WHERE jac_ppm >= 800000
          |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    // q233: 8 unrolled relaxations (fixpoint at 3-4 on this graph; later
+    // rounds are identities because distances only decrease).
+    "q233_cheapest_paths" -> bellmanFordOracleSql(8),
+    // q234: identical 48-bit md5 uniform, integer priority, DLT
+    // max(w, tau) estimator.
+    "q234_priority_sample" ->
+      """WITH pri AS (
+        |  SELECT doc_id, n_chars,
+        |         n_chars * 281474976710656 //
+        |           (CAST('0x' || substr(md5('prio:' || CAST(doc_id AS VARCHAR)), 1, 12)
+        |             AS BIGINT) + 1) AS priority
+        |  FROM documents),
+        |rk AS (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY priority DESC, doc_id ASC) AS rank
+        |  FROM pri),
+        |tau AS (
+        |  SELECT COALESCE(MAX(priority), 0) AS tau FROM rk WHERE rank = 65)
+        |SELECT CAST(rank AS INTEGER) AS rank, doc_id,
+        |       CAST(n_chars AS BIGINT) AS n_chars,
+        |       CAST(priority AS BIGINT) AS priority,
+        |       CAST(t.tau AS BIGINT) AS tau,
+        |       CAST(greatest(n_chars, t.tau) AS BIGINT) AS w_est
+        |FROM rk CROSS JOIN tau t WHERE rank <= 64
+        |ORDER BY rank ASC""".stripMargin,
+    // q235: exact per-key product sum vs the MCV+uniform estimate, all
+    // int64; the uniform term floors identically (positive operands).
+    "q235_join_card_audit" ->
+      """WITH fa AS (SELECT user_id AS k, COUNT(*) AS fa FROM events GROUP BY 1),
+        |fb AS (SELECT o_custkey AS k, COUNT(*) AS fb FROM orders GROUP BY 1),
+        |exact AS (
+        |  SELECT COALESCE(CAST(SUM(fa.fa * fb.fb) AS BIGINT), 0) AS exact_rows
+        |  FROM fa JOIN fb USING (k)),
+        |ta AS (SELECT k, fa FROM fa ORDER BY fa DESC, k ASC LIMIT 20),
+        |tb AS (SELECT k, fb FROM fb ORDER BY fb DESC, k ASC LIMIT 20),
+        |mcv AS (
+        |  SELECT COALESCE(CAST(SUM(ta.fa * tb.fb) AS BIGINT), 0) AS mcv_rows
+        |  FROM ta JOIN tb USING (k)),
+        |ra AS (
+        |  SELECT COALESCE(CAST(SUM(fa) AS BIGINT), 0) AS n_ra,
+        |         COUNT(*) AS d_ra
+        |  FROM fa ANTI JOIN ta USING (k)),
+        |rb AS (
+        |  SELECT COALESCE(CAST(SUM(fb) AS BIGINT), 0) AS n_rb,
+        |         COUNT(*) AS d_rb
+        |  FROM fb ANTI JOIN tb USING (k)),
+        |sides AS (
+        |  SELECT (SELECT CAST(SUM(fa) AS BIGINT) FROM fa) AS n_a,
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM fa) AS d_a,
+        |         (SELECT CAST(SUM(fb) AS BIGINT) FROM fb) AS n_b,
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM fb) AS d_b),
+        |est AS (
+        |  SELECT s.n_a, s.d_a, s.n_b, s.d_b, e.exact_rows,
+        |         CAST(m.mcv_rows +
+        |           CASE WHEN ra.d_ra > 0 AND rb.d_rb > 0
+        |                THEN ra.n_ra * rb.n_rb // greatest(ra.d_ra, rb.d_rb)
+        |                ELSE 0 END AS BIGINT) AS est_rows
+        |  FROM sides s, exact e, mcv m, ra, rb)
+        |SELECT n_a, d_a, n_b, d_b, exact_rows, est_rows,
+        |       CAST(abs(est_rows - exact_rows) * 1000000 // exact_rows
+        |         AS BIGINT) AS err_ppm
+        |FROM est""".stripMargin,
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via
@@ -5426,6 +5497,35 @@ object SparkEntry {
          |               row_number() OVER (ORDER BY r DESC, node ASC) AS rank
          |        FROM r$iters ORDER BY r DESC, node ASC LIMIT 10)
          |SELECT rank, node, rank_ppm FROM top ORDER BY rank ASC""".stripMargin
+  }
+
+  /** Oracle for q233: `rounds` unrolled Bellman-Ford relaxations from the
+    * minimum node id. Distances only decrease, so rounds past the
+    * fixpoint (3-4 on this graph) are identities and the Spark side's
+    * early exit lands on the same relation. */
+  private def bellmanFordOracleSql(rounds: Int): String = {
+    val head =
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS u, b.pk AS v, COUNT(*) AS w
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT u, v, 1000000 // w AS c FROM pairs
+        |  UNION ALL SELECT v, u, 1000000 // w FROM pairs),
+        |src AS (SELECT MIN(u) AS s FROM e),
+        |d0 AS (SELECT s AS node, CAST(0 AS BIGINT) AS d FROM src)""".stripMargin
+    val relax = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT node, MIN(d) AS d FROM (
+         |    SELECT e.v AS node, p.d + e.c AS d
+         |    FROM d${r - 1} p JOIN e ON e.u = p.node
+         |    UNION ALL SELECT node, d FROM d${r - 1})
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    head + relax +
+      s"""SELECT CAST(d AS BIGINT) AS dist_ppm,
+         |       CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |FROM d$rounds GROUP BY 1 ORDER BY dist_ppm ASC""".stripMargin
   }
 
   /** Oracle for q228: `rounds` unrolled peel rounds, each emitting its

@@ -182,6 +182,57 @@ object Diagnostics {
           .as("share_ppm"))
   }
 
+  /** q235: JOIN-CARDINALITY estimation audit — the optimizer-statistics
+    * machinery (MCV list + uniform remainder, the System-R/Postgres
+    * estimator) run as a first-class relation and audited against the
+    * exact join size it predicts. For events.user_id ⋈ orders.o_custkey:
+    * per-side row/distinct counts, the exact output cardinality
+    * Σ fₐ(k)·f_b(k), the estimate from the top-`mcv` most-common values
+    * exactly + uniform-spread remainders (n_ra·n_rb div max(d_ra, d_rb)),
+    * and the error in ppm. This is the number a cost-based planner bets
+    * a broadcast decision on; the audit says how good that bet is on
+    * this distribution. All counts/products exact int64.
+    *
+    * Scale shape: two per-key aggregations (map-side combinable), two
+    * top-k TakeOrdereds for the MCV lists (broadcast-sized), one keyed
+    * join of the per-key count frames for the exact term. Output is one
+    * row. */
+  def joinCardAudit(spark: SparkSession, dir: String, mcv: Int = 20): DataFrame = {
+    val fa = graft.core.Caches.scratch(
+      Tables.events(spark, dir).groupBy(col("user_id").as("k"))
+        .agg(count(lit(1)).as("fa")))
+    val fb = graft.core.Caches.scratch(
+      Tables.orders(spark, dir).groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("fb")))
+    val exact = fa.join(fb, Seq("k"))
+      .agg(coalesce(sum(expr("fa * fb")), lit(0L)).as("exact_rows"))
+    val topA = fa.orderBy(col("fa").desc, col("k").asc).limit(mcv)
+    val topB = fb.orderBy(col("fb").desc, col("k").asc).limit(mcv)
+    val mcvTerm = topA.join(topB, Seq("k"))
+      .agg(coalesce(sum(expr("fa * fb")), lit(0L)).as("mcv_rows"))
+    val restA = fa.join(topA.select(col("k")), Seq("k"), "left_anti")
+      .agg(coalesce(sum(col("fa")), lit(0L)).as("n_ra"),
+        count(lit(1)).as("d_ra"))
+    val restB = fb.join(topB.select(col("k")), Seq("k"), "left_anti")
+      .agg(coalesce(sum(col("fb")), lit(0L)).as("n_rb"),
+        count(lit(1)).as("d_rb"))
+    val sides = fa.agg(sum(col("fa")).as("n_a"), count(lit(1)).as("d_a"))
+      .crossJoin(fb.agg(sum(col("fb")).as("n_b"), count(lit(1)).as("d_b")))
+    sides.crossJoin(broadcast(exact)).crossJoin(broadcast(mcvTerm))
+      .crossJoin(broadcast(restA)).crossJoin(broadcast(restB))
+      .select(
+        col("n_a").cast("long").as("n_a"), col("d_a").cast("long").as("d_a"),
+        col("n_b").cast("long").as("n_b"), col("d_b").cast("long").as("d_b"),
+        col("exact_rows").cast("long").as("exact_rows"),
+        (col("mcv_rows") +
+          when(col("d_ra") > 0 && col("d_rb") > 0,
+            expr("n_ra * n_rb div greatest(d_ra, d_rb)")).otherwise(0L))
+          .cast("long").as("est_rows"))
+      .withColumn("err_ppm",
+        expr("abs(est_rows - exact_rows) * 1000000 div exact_rows")
+          .cast("long"))
+  }
+
   def concentrationCensus(spark: SparkSession, dir: String): DataFrame =
     concentrationCensus(spark, graft.pipeline.EventsPipeline.silver(spark, dir))
 }

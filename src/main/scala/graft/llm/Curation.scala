@@ -630,4 +630,52 @@ object Curation {
 
   def systematicSample(spark: SparkSession, dir: String): DataFrame =
     systematicSample(Tables.documents(spark, dir))
+
+  /** q234: PRIORITY SAMPLING (Duffield–Lund–Thorup, JACM'07) — the
+    * weighted sample a curation pipeline actually needs (size-biased:
+    * long documents are the token mass, a uniform sample under-weights
+    * them) with the estimator that makes it auditable: each item gets
+    * priority qᵢ = wᵢ/uᵢ for uniform uᵢ, the k highest priorities are
+    * the sample, τ = the (k+1)-th priority, and ŵᵢ = max(wᵢ, τ) makes
+    * Σŵ an unbiased estimate of Σw. Deterministic integer form: uᵢ is
+    * the md5-derived 48-bit hash scaled to (0,1], so
+    * qᵢ = wᵢ·2⁴⁸ div (h+1) — exact int64 (w ≤ 32 k chars ⇒ q < 2⁶³),
+    * reproducible on any engine, no RNG state.
+    *
+    * Emits the sample with rank, weight, priority, the threshold τ, and
+    * the per-item estimator ŵ; CurationSpec checks Σŵ against the exact
+    * corpus total.
+    *
+    * Scale shape: one row-local projection + a top-(k+1) TakeOrdered —
+    * no shuffle beyond the ordering's partial top-k; the threshold is a
+    * 1-row broadcast. */
+  def prioritySample(spark: SparkSession, dir: String, k: Int = 64): DataFrame =
+    prioritySampleOf(Tables.documents(spark, dir), k)
+
+  private[llm] def prioritySampleOf(docs: DataFrame, k: Int): DataFrame = {
+    val pri = docs.select(col("doc_id"), col("n_chars"))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("prio:"), col("doc_id").cast("string"))),
+          1, 12), 16, 10).cast("long"))
+      .withColumn("priority",
+        expr("n_chars * 281474976710656 div (h + 1)"))
+    val w = Window.orderBy(col("priority").desc, col("doc_id").asc)
+    val ranked = pri
+      .orderBy(col("priority").desc, col("doc_id").asc).limit(k + 1)
+      .withColumn("rank", row_number().over(w))
+    val tau = ranked.filter(col("rank") === k + 1)
+      .select(col("priority").as("tau"))
+    val tauOr0 = broadcast(
+      tau.unionByName(ranked.sparkSession.range(1).select(lit(0L).as("tau")))
+        .agg(max(col("tau")).as("tau")))
+    ranked.filter(col("rank") <= k)
+      .crossJoin(tauOr0)
+      .select(col("rank"), col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("priority").cast("long").as("priority"),
+        col("tau").cast("long").as("tau"),
+        greatest(col("n_chars").cast("long"), col("tau")).cast("long")
+          .as("w_est"))
+      .orderBy(col("rank").asc)
+  }
 }

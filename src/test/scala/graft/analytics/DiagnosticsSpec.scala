@@ -81,4 +81,21 @@ class DiagnosticsSpec extends SparkSpecBase {
     val expectedTop = counts.take(cut + 1).sum
     assert(te === expectedTop, s"tie-whole cut mismatch: $te vs $expectedTop")
   }
+
+  test("join-cardinality audit: exact term equals the real join size") {
+    import org.apache.spark.sql.functions._
+    val r = Diagnostics.joinCardAudit(spark, sf).head
+    graft.core.Caches.releaseScratch(spark)
+    val events = graft.core.Tables.events(spark, sf)
+    val orders = graft.core.Tables.orders(spark, sf)
+    val real = events.join(orders,
+      events("user_id") === orders("o_custkey")).count()
+    assert(r.getAs[Long]("exact_rows") === real,
+      "predicted-exact cardinality disagrees with the executed join")
+    assert(r.getAs[Long]("n_a") === events.count())
+    assert(r.getAs[Long]("n_b") === orders.count())
+    val (exact, est, err) = (r.getAs[Long]("exact_rows"),
+      r.getAs[Long]("est_rows"), r.getAs[Long]("err_ppm"))
+    assert(err === math.abs(est - exact) * 1000000L / exact)
+  }
 }

@@ -202,6 +202,30 @@ class GraphsSpec extends SparkSpecBase {
     graft.core.Caches.releaseScratch(spark)
   }
 
+  test("cheapest paths: hand-traced weighted distances, budget invariance") {
+    import spark.implicits._
+    // path 1-(w2)-2-(w1)-3: costs 500000, 1000000; src = min id = 1
+    //   dist: 1 -> 0, 2 -> 500000, 3 -> 1500000
+    val pairs = Seq((1L, 2L, 2L), (2L, 3L, 1L)).toDF("u", "v", "w")
+    val census = Graphs.cheapestPathCensusOf(pairs, maxRounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(census === Seq((0L, 1L), (500000L, 1L), (1500000L, 1L)))
+    graft.core.Caches.releaseScratch(spark)
+    // sf data: fixpoint invariance + full reachability (graph connected)
+    val a = Graphs.cheapestPathCensus(spark, sf).collect()
+    graft.core.Caches.releaseScratch(spark)
+    val b = Graphs.cheapestPathCensus(spark, sf, maxRounds = 16).collect()
+    graft.core.Caches.releaseScratch(spark)
+    assert(a.toSeq.map(r => (r.getLong(0), r.getLong(1))) ===
+      b.toSeq.map(r => (r.getLong(0), r.getLong(1))),
+      "distance census depends on round budget — not converged")
+    val nNodes = Graphs.coPurchasePairs(spark, sf)
+      .select(col("u")).unionAll(Graphs.coPurchasePairs(spark, sf).select(col("v")))
+      .distinct().count()
+    assert(a.map(_.getLong(1)).sum === nNodes,
+      "census does not account for every node (graph is connected)")
+  }
+
   test("assortativity on sf data: Cauchy-Schwarz bound and nonzero den") {
     val r = Graphs.degreeAssortativity(spark, sf).head
     val (num, den) = (r.getAs[Long]("r_num"), r.getAs[Long]("r_den"))

@@ -415,4 +415,28 @@ class CurationSpec extends SparkSpecBase {
     assert(math.abs(n - totals) <= docs.select("source").distinct().count(),
       s"picks $n vs stride intervals $totals")
   }
+
+  test("priority sample: DLT estimator recovers the corpus total within sketch error") {
+    import org.apache.spark.sql.functions._
+    val out = Curation.prioritySample(spark, sf).collect()
+    assert(out.length === 64)
+    assert(out.map(_.getInt(0)).toSeq === (1 to 64))
+    val tau = out.head.getLong(4)
+    out.foreach { r =>
+      assert(r.getLong(4) === tau, "threshold must be constant across rows")
+      assert(r.getLong(5) === math.max(r.getLong(2), tau), s"w_est wrong: $r")
+      assert(r.getLong(3) >= r.getLong(2), "priority w/u must be >= w")
+    }
+    // the whole point: sum(max(w, tau)) over the sample estimates sum(w)
+    // over the CORPUS. k=64 of 500 docs: DLT variance gives ~1/sqrt(k-1)
+    // relative error; 40% is the same 3-sigma-ish bound the KMV spec uses.
+    val est = out.map(_.getLong(5)).sum
+    val truth = graft.core.Tables.documents(spark, sf)
+      .agg(sum(col("n_chars"))).head.getLong(0)
+    val errPpm = math.abs(est - truth) * 1000000L / truth
+    assert(errPpm <= 400000L, s"estimate $est vs truth $truth (err $errPpm ppm)")
+    // deterministic: no RNG state, same sample every run
+    val again = Curation.prioritySample(spark, sf).collect()
+    assert(out.map(_.getLong(1)).toSeq === again.map(_.getLong(1)).toSeq)
+  }
 }
