@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Bitmaps, BloomJoin, Diagnostics, Funnels, Graphs, History, Incremental, Reports, SkewJoin, Sketches, StarQueries, TemporalOps}
+import graft.analytics.{Bitmaps, BloomJoin, Diagnostics, Features, Funnels, Graphs, History, Incremental, Reports, SkewJoin, Sketches, StarQueries, TemporalOps}
 import graft.ingest.Medallion
 import graft.llm.{Coverage, Curation, Datasheet, Decontaminate, DupClusters, EmbedDedup, Multimodal, Scrub, Search, Similarity, TextDedup, TextStats}
 import graft.pipeline.EventsPipeline
@@ -667,6 +667,12 @@ object SparkEntry {
     // ---- optimizer-style join-cardinality estimate (MCV + uniform
     //      remainder) audited against the exact join size ----
     "q235_join_card_audit"     -> ((s, d) => Diagnostics.joinCardAudit(s, d)),
+    // ---- leakage-safe ML label frame: feature window strictly before
+    //      the cutoff, label from the disjoint slice ----
+    "q236_label_frame"         -> ((s, d) => Features.labelFrame(s, d)),
+    // ---- ratio-to-parent hierarchy shares (nation-in-region,
+    //      region-in-total) in exact cents/ppm ----
+    "q237_hierarchy_shares"    -> ((s, d) => StarQueries.hierarchyShares(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -5418,6 +5424,57 @@ object SparkEntry {
         |       CAST(abs(est_rows - exact_rows) * 1000000 // exact_rows
         |         AS BIGINT) AS err_ppm
         |FROM est""".stripMargin,
+    // q236: disjoint calendar slices; per-row cent quantization; the
+    // left-join label rendered as 0/1 BIGINT on both engines.
+    "q236_label_frame" ->
+      (silverCte +
+        """, feat AS (
+          |  SELECT user_id, COUNT(*) AS n_events,
+          |         COUNT(DISTINCT event_date) AS n_active_days,
+          |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+          |           AS value_cents,
+          |         MAX(event_date) AS last_active
+          |  FROM silver
+          |  WHERE event_date >= DATE '2024-01-01'
+          |    AND event_date < DATE '2024-01-22'
+          |  GROUP BY 1),
+          |lab AS (
+          |  SELECT DISTINCT user_id FROM silver
+          |  WHERE event_date >= DATE '2024-01-22'
+          |    AND event_date < DATE '2024-01-23'
+          |    AND event_type = 'purchase')
+          |SELECT f.user_id, CAST(f.n_events AS BIGINT) AS n_events,
+          |       CAST(f.n_active_days AS BIGINT) AS n_active_days,
+          |       f.value_cents,
+          |       CAST(date_diff('day', f.last_active, DATE '2024-01-22')
+          |         AS BIGINT) AS recency_days,
+          |       CAST(CASE WHEN l.user_id IS NULL THEN 0 ELSE 1 END
+          |         AS BIGINT) AS label_purchase
+          |FROM feat f LEFT JOIN lab l USING (user_id)
+          |ORDER BY f.user_id ASC""".stripMargin),
+    // q237: cents quantized per row; both share divisions on positive
+    // int64 operands.
+    "q237_hierarchy_shares" ->
+      """WITH nat AS (
+        |  SELECT r.r_name, n.n_name,
+        |         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS rev_cents
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2),
+        |reg AS (
+        |  SELECT r_name, CAST(SUM(rev_cents) AS BIGINT) AS reg_cents
+        |  FROM nat GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(reg_cents) AS BIGINT) AS tot_cents FROM reg)
+        |SELECT n.r_name, n.n_name, n.rev_cents,
+        |       CAST(n.rev_cents * 1000000 // g.reg_cents AS BIGINT)
+        |         AS nation_share_ppm,
+        |       CAST(g.reg_cents * 1000000 // t.tot_cents AS BIGINT)
+        |         AS region_share_ppm
+        |FROM nat n JOIN reg g USING (r_name) CROSS JOIN tot t
+        |ORDER BY r_name ASC, n_name ASC""".stripMargin,
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via

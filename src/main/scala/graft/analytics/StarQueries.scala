@@ -568,4 +568,39 @@ object StarQueries {
       .orderBy(col("n_orders").desc, col("p1").asc, col("p2").asc,
         col("p3").asc)
   }
+
+  /** q237: HIERARCHY share report (ratio-to-parent) — revenue per nation
+    * with its share of the parent region and the region's share of the
+    * grand total, in one relation: the drill-down navigation a BI layer
+    * asks of a cube, expressed as exact integer cents/ppm (per-row cent
+    * quantization before any sum — the q225 discipline).
+    *
+    * Scale shape: the fact scans once to the nation grain; region and
+    * grand totals are REAGGREGATIONS of that domain-sized frame (25
+    * nations), joined back broadcast. No window over the fact, no second
+    * scan. */
+  def hierarchyShares(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    val nat = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("rev_cents"))
+    val reg = nat.groupBy(col("r_name"))
+      .agg(sum(col("rev_cents")).as("reg_cents"))
+    val tot = reg.agg(sum(col("reg_cents")).as("tot_cents"))
+    nat.join(broadcast(reg), Seq("r_name"))
+      .crossJoin(broadcast(tot))
+      .select(col("r_name"), col("n_name"),
+        col("rev_cents").cast("long").as("rev_cents"),
+        expr("rev_cents * 1000000 div reg_cents").cast("long")
+          .as("nation_share_ppm"),
+        expr("reg_cents * 1000000 div tot_cents").cast("long")
+          .as("region_share_ppm"))
+      .orderBy(col("r_name").asc, col("n_name").asc)
+  }
 }

@@ -222,4 +222,30 @@ class StarQueriesSpec extends SparkSpecBase {
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
       r.getLong(3))).toSeq === expected)
   }
+
+  test("hierarchy shares: ratio-to-parent conserves within floor loss") {
+    val out = StarQueries.hierarchyShares(spark, sf).collect()
+    assert(out.nonEmpty)
+    // per region: nation shares sum to 1e6 minus at most one ppm per
+    // nation (floor division loss); region shares likewise over regions
+    out.groupBy(_.getString(0)).foreach { case (region, rows) =>
+      val s = rows.map(_.getLong(3)).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length,
+        s"region $region nation shares sum to $s")
+      // one region share value repeated per nation row
+      assert(rows.map(_.getLong(4)).distinct.length === 1)
+    }
+    val regionShares = out.groupBy(_.getString(0))
+      .map(_._2.head.getLong(4)).toSeq
+    val rs = regionShares.sum
+    assert(rs <= 1000000L && rs > 1000000L - regionShares.length,
+      s"region shares sum to $rs")
+    // grand total of cents equals the independently computed joined total
+    val o = graft.core.Tables.orders(spark, sf)
+    val c = graft.core.Tables.customer(spark, sf)
+    val total = o.join(c, o("o_custkey") === c("c_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")))
+      .head.getLong(0)
+    assert(out.map(_.getLong(2)).sum === total)
+  }
 }
