@@ -673,6 +673,12 @@ object SparkEntry {
     // ---- ratio-to-parent hierarchy shares (nation-in-region,
     //      region-in-total) in exact cents/ppm ----
     "q237_hierarchy_shares"    -> ((s, d) => StarQueries.hierarchyShares(s, d)),
+    // ---- discrete Kaplan-Meier conversion life table (censoring-aware
+    //      first-view -> first-purchase latency) ----
+    "q238_conversion_lifetable" -> ((s, d) => TemporalOps.conversionLifeTable(s, d)),
+    // ---- structured near-dup census: tolerant (time/value) duplicate
+    //      events via neighbor-bucket blocking ----
+    "q239_event_neardups"      -> ((s, d) => Diagnostics.eventNearDups(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -5475,6 +5481,66 @@ object SparkEntry {
         |         AS region_share_ppm
         |FROM nat n JOIN reg g USING (r_name) CROSS JOIN tot t
         |ORDER BY r_name ASC, n_name ASC""".stripMargin,
+    // q238: day-difference integers, generate_series spine, floor hazard.
+    "q238_conversion_lifetable" ->
+      (silverCte +
+        """, fv AS (
+          |  SELECT user_id, MIN(ts) AS view_ts FROM silver
+          |  WHERE event_type = 'view' GROUP BY 1),
+          |fb AS (
+          |  SELECT f.user_id, f.view_ts, MIN(s.ts) AS conv_ts
+          |  FROM fv f LEFT JOIN silver s
+          |    ON s.user_id = f.user_id AND s.event_type = 'purchase'
+          |       AND s.ts >= f.view_ts
+          |  GROUP BY 1, 2),
+          |pu AS (
+          |  SELECT date_diff('day', CAST(view_ts AS DATE), CAST(conv_ts AS DATE))
+          |           AS t_conv,
+          |         date_diff('day', CAST(view_ts AS DATE), DATE '2024-01-31')
+          |           AS horizon
+          |  FROM fb),
+          |spine AS (SELECT unnest(generate_series(0, 31)) AS k),
+          |lt AS (
+          |  SELECT k,
+          |         CAST(SUM(CASE WHEN (t_conv IS NOT NULL AND t_conv >= k)
+          |                        OR (t_conv IS NULL AND horizon >= k)
+          |                   THEN 1 ELSE 0 END) AS BIGINT) AS n_at_risk,
+          |         CAST(SUM(CASE WHEN t_conv = k THEN 1 ELSE 0 END)
+          |           AS BIGINT) AS n_conv
+          |  FROM spine CROSS JOIN pu GROUP BY 1)
+          |SELECT CAST(k AS BIGINT) AS k, n_at_risk, n_conv,
+          |       CAST(n_conv * 1000000 // n_at_risk AS BIGINT) AS hazard_ppm
+          |FROM lt WHERE n_at_risk > 0 ORDER BY k ASC""".stripMargin),
+    // q239: identical 300 s buckets (+/-1 neighbor), epoch-second and
+    // cent tolerances exact.
+    "q239_event_neardups" ->
+      (silverCte +
+        """, e AS (
+          |  SELECT user_id, event_type, event_id,
+          |         epoch_us(ts) // 1000000 AS sec,
+          |         CAST(round(value * 100) AS BIGINT) AS cents,
+          |         (epoch_us(ts) // 1000000) // 300 AS b
+          |  FROM silver),
+          |probe AS (SELECT *, unnest([b - 1, b, b + 1]) AS bb FROM e),
+          |p AS (
+          |  SELECT DISTINCT a.event_type, a.event_id AS id1, x.event_id AS id2,
+          |         abs(a.sec - x.sec) AS gap
+          |  FROM probe a JOIN e x
+          |    ON a.user_id = x.user_id AND a.event_type = x.event_type
+          |       AND a.bb = x.b AND a.event_id < x.event_id
+          |  WHERE abs(a.sec - x.sec) <= 300 AND abs(a.cents - x.cents) <= 1000),
+          |inv AS (
+          |  SELECT event_type, COUNT(DISTINCT id) AS n_events FROM (
+          |    SELECT event_type, id1 AS id FROM p
+          |    UNION ALL SELECT event_type, id2 FROM p)
+          |  GROUP BY 1)
+          |SELECT p.event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          |       CAST(i.n_events AS BIGINT) AS n_events,
+          |       CAST(SUM(p.gap) AS BIGINT) AS sum_gap_s,
+          |       CAST(MAX(p.gap) AS BIGINT) AS max_gap_s
+          |FROM p JOIN inv i USING (event_type)
+          |GROUP BY p.event_type, i.n_events
+          |ORDER BY p.event_type ASC""".stripMargin),
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via

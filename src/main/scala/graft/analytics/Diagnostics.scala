@@ -233,6 +233,66 @@ object Diagnostics {
           .cast("long"))
   }
 
+  /** q239: STRUCTURED near-duplicate detection — the text-dedup blocking
+    * discipline applied to rows: two events of the same (user, type) are
+    * tolerant duplicates when they land within 300 s AND within 10.00 of
+    * value (double-submit / retry artifacts that exact row-hash dedup
+    * (q26-family) misses by construction). Candidates come from a
+    * 300-second bucket join with ±1 neighbor buckets — any pair within
+    * tolerance shares or straddles a bucket, so the blocking has NO
+    * false negatives — and the exact tolerance check verifies. Output is
+    * the per-type census (pairs, involved events, gap mass), never the
+    * corpus-sized pair list.
+    *
+    * Scale shape: the probe side triples (3 buckets per event), the join
+    * keys on (user, type, bucket) — the same bounded-bucket contract as
+    * every dedup family; tolerances are row-local integer checks
+    * (epoch seconds, exact cents). */
+  def eventNearDups(spark: SparkSession, dir: String,
+      tolSec: Long = 300L, tolCents: Long = 1000L): DataFrame =
+    eventNearDupsOf(graft.pipeline.EventsPipeline.silver(spark, dir),
+      tolSec, tolCents)
+
+  private[analytics] def eventNearDupsOf(silver: DataFrame,
+      tolSec: Long, tolCents: Long): DataFrame = {
+    val e = graft.core.Caches.scratch(silver.select(
+      col("user_id"), col("event_type"), col("event_id"),
+      // floor-to-second via integer micros: DuckDB's epoch() ROUNDS the
+      // fractional part when cast, Spark's unix_timestamp truncates —
+      // epoch_us // 1e6 == unix_micros div 1e6 on both
+      expr("unix_micros(ts) div 1000000").as("sec"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("b", expr(s"sec div $tolSec")))
+    val probe = e.withColumn("bb",
+      explode(array(col("b") - 1, col("b"), col("b") + 1)))
+    val pairs = probe.as("a").join(e.as("x"),
+        col("a.user_id") === col("x.user_id") &&
+          col("a.event_type") === col("x.event_type") &&
+          col("a.bb") === col("x.b") &&
+          col("a.event_id") < col("x.event_id"))
+      .filter(abs(col("a.sec") - col("x.sec")) <= tolSec &&
+        abs(col("a.cents") - col("x.cents")) <= tolCents)
+      .select(col("a.event_type").as("event_type"),
+        col("a.event_id").as("id1"), col("x.event_id").as("id2"),
+        abs(col("a.sec") - col("x.sec")).as("gap"))
+      .distinct()
+    val involved = pairs
+      .select(col("event_type"), explode(array(col("id1"), col("id2"))).as("id"))
+      .distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+    pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("gap")).as("sum_gap_s"),
+        max(col("gap")).as("max_gap_s"))
+      .join(involved, Seq("event_type"))
+      .select(col("event_type"),
+        col("n_pairs").cast("long").as("n_pairs"),
+        col("n_events").cast("long").as("n_events"),
+        col("sum_gap_s").cast("long").as("sum_gap_s"),
+        col("max_gap_s").cast("long").as("max_gap_s"))
+      .orderBy(col("event_type").asc)
+  }
+
   def concentrationCensus(spark: SparkSession, dir: String): DataFrame =
     concentrationCensus(spark, graft.pipeline.EventsPipeline.silver(spark, dir))
 }

@@ -745,4 +745,64 @@ object TemporalOps {
 
   def sessionHandoffs(spark: SparkSession, dir: String): DataFrame =
     sessionHandoffs(graft.pipeline.EventsPipeline.silver(spark, dir))
+
+  /** q238: CONVERSION LIFE TABLE (discrete Kaplan–Meier) — time from a
+    * user's first `view` to their first subsequent `purchase`, as the
+    * integer life table a survival analysis starts from: per latency day
+    * k, the number still at risk, the number converting exactly at k,
+    * and the discrete hazard in ppm. Censoring is handled the honest
+    * way — a user who never converts counts as at-risk only up to their
+    * observation horizon (end-of-data minus first view), never beyond —
+    * which is precisely what a naive "average days to convert over
+    * converters" report gets wrong.
+    *
+    * All integer: latencies and horizons are day differences, hazard is
+    * floor ppm. (The KM survival CURVE is the running product of
+    * (1 − hazard) — a per-row derivation the consumer can do exactly
+    * from these integers; shipping the table keeps the gate float-free.)
+    *
+    * Scale shape: two per-user min-aggregations (first view, first
+    * subsequent purchase) on silver's user clustering, then a 32-row
+    * day spine cross-joined against the user-grain frame — linear
+    * rows × spine, aggregated immediately; the spine is a broadcast
+    * literal. */
+  def conversionLifeTable(silver: DataFrame,
+      endDate: String = "2024-01-31"): DataFrame = {
+    val firstView = silver.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+    val firstBuy = silver.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buy_uid"), col("ts").as("buy_ts"))
+    val perUser = firstView
+      .join(firstBuy,
+        col("user_id") === col("buy_uid") && col("buy_ts") >= col("view_ts"),
+        "left")
+      .groupBy(col("user_id"), col("view_ts"))
+      .agg(min(col("buy_ts")).as("conv_ts"))
+      .select(
+        datediff(col("conv_ts").cast("date"), col("view_ts").cast("date"))
+          .as("t_conv"),
+        datediff(lit(endDate).cast("date"), col("view_ts").cast("date"))
+          .as("horizon"))
+    val spine = silver.sparkSession.range(0, 32)
+      .select(col("id").cast("int").as("k"))
+    spine.crossJoin(perUser)
+      .groupBy(col("k"))
+      .agg(
+        sum(when(
+          (col("t_conv").isNotNull && col("t_conv") >= col("k")) ||
+            (col("t_conv").isNull && col("horizon") >= col("k")), 1L)
+          .otherwise(0L)).as("n_at_risk"),
+        sum(when(col("t_conv") === col("k"), 1L).otherwise(0L))
+          .as("n_conv"))
+      .filter(col("n_at_risk") > 0)
+      .select(col("k").cast("long").as("k"),
+        col("n_at_risk").cast("long").as("n_at_risk"),
+        col("n_conv").cast("long").as("n_conv"),
+        expr("n_conv * 1000000 div n_at_risk").cast("long")
+          .as("hazard_ppm"))
+      .orderBy(col("k").asc)
+  }
+
+  def conversionLifeTable(spark: SparkSession, dir: String): DataFrame =
+    conversionLifeTable(graft.pipeline.EventsPipeline.silver(spark, dir))
 }

@@ -98,4 +98,26 @@ class DiagnosticsSpec extends SparkSpecBase {
       r.getAs[Long]("est_rows"), r.getAs[Long]("err_ppm"))
     assert(err === math.abs(est - exact) * 1000000L / exact)
   }
+
+  test("event near-dups: planted tolerant pairs found, out-of-tolerance not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // (user, type, id, sec, value): a/b within 200s+5.00 -> pair;
+    // c/d straddle the 300s bucket boundary at gap 2s -> pair (neighbor
+    // bucket catch); e/f 400s apart -> NOT a pair; g/h value gap 20.00
+    // -> NOT a pair.
+    val rows = Seq(
+      (1L, "click", 1L, 1000L, 10.0), (1L, "click", 2L, 1200L, 15.0),
+      (2L, "view", 3L, 299L, 1.0), (2L, "view", 4L, 301L, 1.0),
+      (3L, "click", 5L, 5000L, 1.0), (3L, "click", 6L, 5400L, 1.0),
+      (4L, "view", 7L, 9000L, 1.0), (4L, "view", 8L, 9010L, 21.01))
+    val silver = rows.toDF("user_id", "event_type", "event_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = Diagnostics.eventNearDupsOf(silver, 300L, 1000L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    graft.core.Caches.releaseScratch(spark)
+    assert(out === Seq(("click", 1L, 2L, 200L, 200L), ("view", 1L, 2L, 2L, 2L)),
+      s"got $out")
+  }
 }

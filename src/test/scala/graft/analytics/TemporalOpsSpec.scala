@@ -440,4 +440,32 @@ class TemporalOpsSpec extends SparkSpecBase {
       assert(row.getLong(5) === c.map(x => x * x).sum)
     }
   }
+
+  test("conversion life table: hand-traced hazards with censoring") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // u1: views Jan 1, purchases Jan 3 -> t_conv = 2
+    // u2: views Jan 1, never purchases -> censored at horizon 30
+    // u3: views Jan 4, purchases same day -> t_conv = 0
+    // u4: purchases Jan 2 BEFORE its first view Jan 5 -> that purchase
+    //     must NOT count (conversion is first purchase AFTER first view)
+    val rows = Seq(
+      (1L, "view", "2024-01-01 10:00:00"), (1L, "purchase", "2024-01-03 09:00:00"),
+      (2L, "view", "2024-01-01 12:00:00"),
+      (3L, "view", "2024-01-04 08:00:00"), (3L, "purchase", "2024-01-04 20:00:00"),
+      (4L, "purchase", "2024-01-02 01:00:00"), (4L, "view", "2024-01-05 01:00:00"))
+    val silver = rows.toDF("user_id", "event_type", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = TemporalOps.conversionLifeTable(silver, endDate = "2024-01-31")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // k=0: all 4 at risk, u3 converts -> hazard 250000
+    assert(out.head === ((0L, 4L, 1L, 250000L)))
+    // k=2: u3 gone (converted at 0); u1 converts at 2 among {u1,u2,u4}
+    assert(out.find(_._1 == 2L).get === ((2L, 3L, 1L, 333333L)))
+    // beyond every horizon the table ends: last k is u2/u4's horizon 30
+    assert(out.last._1 === 30L && out.last._3 === 0L)
+    // never-converters keep exactly u2 and u4 at risk at k=28 (u4's
+    // horizon is 26: views Jan 5 -> 26 days to Jan 31)
+    assert(out.find(_._1 == 28L).get._2 === 1L)
+  }
 }
