@@ -679,6 +679,15 @@ object SparkEntry {
     // ---- structured near-dup census: tolerant (time/value) duplicate
     //      events via neighbor-bucket blocking ----
     "q239_event_neardups"      -> ((s, d) => Diagnostics.eventNearDups(s, d)),
+    // ---- histogram range-selectivity audit (1024-bin equi-width,
+    //      unaligned probes, interpolation vs exact) ----
+    "q240_selectivity_audit"   -> ((s, d) => Diagnostics.selectivityAudit(s, d)),
+    // ---- revenue retention matrix (net revenue retention per weekly
+    //      cohort, exact cents) ----
+    "q241_revenue_retention"   -> ((s, d) => Funnels.revenueRetention(s, d)),
+    // ---- per-day session concurrency peaks (minute-binned interval
+    //      sweep, no corpus-ordered running sum) ----
+    "q242_concurrency_peaks"   -> ((s, d) => TemporalOps.concurrencyPeaks(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -5541,6 +5550,108 @@ object SparkEntry {
           |FROM p JOIN inv i USING (event_type)
           |GROUP BY p.event_type, i.n_events
           |ORDER BY p.event_type ASC""".stripMargin),
+    // q240: integer bin edges lo + k*span // B, per-bin interpolation
+    // cnt*overlap // width — floors match (positive operands).
+    "q240_selectivity_audit" ->
+      """WITH c AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |mm AS (SELECT MIN(v) AS lo, MAX(v) - MIN(v) + 1 AS span FROM c),
+        |bins AS (
+        |  SELECT (v - mm.lo) * 1024 // mm.span AS bin, COUNT(*) AS cnt
+        |  FROM c CROSS JOIN mm GROUP BY 1),
+        |br AS (
+        |  SELECT b.b AS bin, COALESCE(bins.cnt, 0) AS cnt,
+        |         mm.lo + b.b * mm.span // 1024 AS bin_lo,
+        |         mm.lo + (b.b + 1) * mm.span // 1024 AS bin_hi
+        |  FROM (SELECT unnest(generate_series(0, 1023)) AS b) b
+        |  LEFT JOIN bins ON bins.bin = b.b CROSS JOIN mm),
+        |probes AS (
+        |  SELECT p.i AS probe_id,
+        |         mm.lo + p.a * mm.span // 1000 AS p_lo,
+        |         mm.lo + p.b * mm.span // 1000 AS p_hi
+        |  FROM (VALUES (0, 50, 137), (1, 137, 411), (2, 411, 703),
+        |               (3, 703, 997)) p(i, a, b)
+        |  CROSS JOIN mm),
+        |est AS (
+        |  SELECT p.probe_id, p.p_lo, p.p_hi,
+        |         CAST(SUM(CASE WHEN br.bin_hi > p.p_lo AND br.bin_lo < p.p_hi
+        |              THEN br.cnt * (least(br.bin_hi, p.p_hi)
+        |                             - greatest(br.bin_lo, p.p_lo))
+        |                   // (br.bin_hi - br.bin_lo) ELSE 0 END)
+        |           AS BIGINT) AS est_rows
+        |  FROM probes p CROSS JOIN br GROUP BY 1, 2, 3),
+        |ex AS (
+        |  SELECT p.probe_id, COUNT(*) AS exact_rows
+        |  FROM probes p JOIN c ON c.v >= p.p_lo AND c.v < p.p_hi
+        |  GROUP BY 1)
+        |SELECT CAST(e.probe_id AS BIGINT) AS probe_id,
+        |       CAST(e.p_lo AS BIGINT) AS p_lo, CAST(e.p_hi AS BIGINT) AS p_hi,
+        |       CAST(x.exact_rows AS BIGINT) AS exact_rows, e.est_rows,
+        |       CAST(abs(e.est_rows - x.exact_rows) * 1000000 // x.exact_rows
+        |         AS BIGINT) AS err_ppm
+        |FROM est e JOIN ex x USING (probe_id) ORDER BY probe_id ASC""".stripMargin,
+    // q241: identical week bucketing and cent quantization; NRR division
+    // on positive operands.
+    "q241_revenue_retention" ->
+      (silverCte +
+        """, d0 AS (SELECT MIN(event_date) AS d0 FROM silver),
+          |uw AS (
+          |  SELECT user_id,
+          |         date_diff('day', d0.d0, event_date) // 7 AS week,
+          |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+          |           AS cents
+          |  FROM silver CROSS JOIN d0
+          |  WHERE date_diff('day', d0.d0, event_date) // 7 BETWEEN 0 AND 3
+          |  GROUP BY 1, 2),
+          |coh AS (SELECT user_id, MIN(week) AS cohort FROM uw GROUP BY 1),
+          |cells AS (
+          |  SELECT c.cohort, u.week,
+          |         CAST(SUM(u.cents) AS BIGINT) AS rev_cents,
+          |         CAST(COUNT(*) AS BIGINT) AS n_users
+          |  FROM uw u JOIN coh c USING (user_id) GROUP BY 1, 2),
+          |base AS (
+          |  SELECT cohort, rev_cents AS cohort_cents FROM cells
+          |  WHERE week = cohort)
+          |SELECT CAST(c.cohort AS BIGINT) AS cohort,
+          |       CAST(c.week AS BIGINT) AS week, c.n_users, c.rev_cents,
+          |       CAST(c.rev_cents * 1000000 // b.cohort_cents AS BIGINT)
+          |         AS nrr_ppm
+          |FROM cells c JOIN base b USING (cohort)
+          |ORDER BY cohort ASC, week ASC""".stripMargin),
+    // q242: same session rule as q47; minute bins via integer micros.
+    "q242_concurrency_peaks" ->
+      (silverCte +
+        """, sn AS (
+          |  SELECT user_id, ts, event_id,
+          |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+          |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+          |                   > 1800 * 1000000 THEN 1 ELSE 0 END AS ns
+          |  FROM silver
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+          |s2 AS (
+          |  SELECT user_id,
+          |         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ASC,
+          |           event_id ASC ROWS UNBOUNDED PRECEDING) AS session_no,
+          |         epoch_us(ts) // 1000000 AS sec
+          |  FROM sn),
+          |sess AS (
+          |  SELECT user_id, session_no,
+          |         MIN(sec) // 60 AS m0, MAX(sec) // 60 AS m1
+          |  FROM s2 GROUP BY 1, 2),
+          |pm AS (
+          |  SELECT m AS minute, COUNT(*) AS conc FROM (
+          |    SELECT unnest(generate_series(m0, m1)) AS m FROM sess)
+          |  GROUP BY 1),
+          |pk AS (
+          |  SELECT CAST(to_timestamp(minute * 60) AS DATE) AS day,
+          |         minute, conc,
+          |         row_number() OVER (
+          |           PARTITION BY CAST(to_timestamp(minute * 60) AS DATE)
+          |           ORDER BY conc DESC, minute ASC) AS rn
+          |  FROM pm)
+          |SELECT day, CAST(minute AS BIGINT) AS peak_minute,
+          |       CAST(conc AS BIGINT) AS max_concurrency
+          |FROM pk WHERE rn = 1 ORDER BY day ASC""".stripMargin),
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via

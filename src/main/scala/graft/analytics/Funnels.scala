@@ -67,6 +67,51 @@ object Funnels {
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
     retentionCohorts(EventsPipeline.silver(spark, dir))
 
+  /** q241: REVENUE retention matrix — the value-weighted sibling of the
+    * user-count cohorts (q80/q205): per weekly cohort (week of first
+    * activity relative to the corpus minimum), the exact-cent value the
+    * cohort generated in each subsequent week, and net revenue retention
+    * in ppm of its own cohort-week revenue. User-count retention says
+    * who came back; NRR says whether the ones who came back are worth
+    * anything — the metric a subscription/commerce business actually
+    * steers by (NRR > 10⁶ means expansion beats churn).
+    *
+    * Per-row cent quantization before every sum (the q225 discipline).
+    *
+    * Scale shape: one (user, week) aggregation on silver's user
+    * clustering, a user-keyed cohort join, then a 16-cell reaggregation;
+    * the corpus-min date arrives broadcast. */
+  def revenueRetention(silver: DataFrame): DataFrame = {
+    val d0 = silver.agg(min(col("event_date")).as("d0"))
+    val uw = silver.crossJoin(broadcast(d0))
+      .select(col("user_id"),
+        (datediff(col("event_date"), col("d0")) / 7).cast("int").as("week"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .filter(col("week") >= 0 && col("week") < 4)
+      .groupBy(col("user_id"), col("week"))
+      .agg(sum(col("cents")).as("cents"))
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+    val cells = uw.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort"), col("week"))
+      .agg(sum(col("cents")).as("rev_cents"),
+        count(lit(1)).as("n_users"))
+    val base = cells.filter(col("week") === col("cohort"))
+      .select(col("cohort"), col("rev_cents").as("cohort_cents"))
+    cells.join(broadcast(base), Seq("cohort"))
+      .select(col("cohort").cast("long").as("cohort"),
+        col("week").cast("long").as("week"),
+        col("n_users").cast("long").as("n_users"),
+        col("rev_cents").cast("long").as("rev_cents"),
+        // NRR can exceed 1e6 (expansion); shift negatives impossible
+        // (cents >= 0 on this corpus — value is a non-negative amount)
+        expr("rev_cents * 1000000 div cohort_cents").cast("long")
+          .as("nrr_ppm"))
+      .orderBy(col("cohort").asc, col("week").asc)
+  }
+
+  def revenueRetention(spark: SparkSession, dir: String): DataFrame =
+    revenueRetention(EventsPipeline.silver(spark, dir))
+
   /** q146: first-order Markov transition matrix over each user's event
     * sequence — the "what do users do next" primitive behind journey
     * mining and next-action models. Consecutive-pair extraction is a

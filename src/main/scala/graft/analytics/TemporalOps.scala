@@ -805,4 +805,50 @@ object TemporalOps {
 
   def conversionLifeTable(spark: SparkSession, dir: String): DataFrame =
     conversionLifeTable(graft.pipeline.EventsPipeline.silver(spark, dir))
+
+  /** q242: CONCURRENCY PEAKS (interval sweep, minute resolution) — per
+    * day, the maximum number of simultaneously open sessions and the
+    * earliest minute achieving it: the capacity-planning readout (how
+    * many concurrent users must the serving tier survive?). The classic
+    * +1/−1 boundary sweep needs a corpus-ordered running sum; the
+    * scale-safe reformulation bins sessions to MINUTES — each session
+    * explodes to its covered minutes (bounded by gap + duration, ≤ ~30
+    * rows/session), concurrency is a count per minute, and the per-day
+    * argmax rides a day-partitioned rank. Same sessionization rule as
+    * q47 (30-min inactivity gap, `diff > gap` opens).
+    *
+    * Scale shape: one user-clustered session window, a linear minute
+    * explode, a (minute) aggregation, and a per-day (365-partition)
+    * rank — no global sort, no corpus window. */
+  def concurrencyPeaks(silver: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val newSession = when(
+      unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+        > gapSeconds * 1000000L, 1)
+      .otherwise(when(lag(col("ts"), 1).over(byUser).isNull, 1).otherwise(0))
+    val sessions = silver
+      .withColumn("ns", newSession)
+      .withColumn("session_no",
+        sum(col("ns")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(expr("min(unix_micros(ts) div 1000000) div 60").as("m0"),
+        expr("max(unix_micros(ts) div 1000000) div 60").as("m1"))
+    val perMinute = sessions
+      .select(explode(sequence(col("m0"), col("m1"))).as("minute"))
+      .groupBy(col("minute")).agg(count(lit(1)).as("conc"))
+      .withColumn("day", timestamp_seconds(col("minute") * 60).cast("date"))
+    val byDay = Window.partitionBy(col("day"))
+      .orderBy(col("conc").desc, col("minute").asc)
+    perMinute
+      .withColumn("rn", row_number().over(byDay))
+      .filter(col("rn") === 1)
+      .select(col("day"), col("minute").cast("long").as("peak_minute"),
+        col("conc").cast("long").as("max_concurrency"))
+      .orderBy(col("day").asc)
+  }
+
+  def concurrencyPeaks(spark: SparkSession, dir: String): DataFrame =
+    concurrencyPeaks(graft.pipeline.EventsPipeline.silver(spark, dir))
 }

@@ -99,6 +99,25 @@ class DiagnosticsSpec extends SparkSpecBase {
     assert(err === math.abs(est - exact) * 1000000L / exact)
   }
 
+  test("selectivity audit: probes disjoint, estimates within histogram error") {
+    val out = Diagnostics.selectivityAudit(spark, sf).collect()
+    graft.core.Caches.releaseScratch(spark)
+    assert(out.length === 4)
+    // probes tile [5%, 99.7%) without overlap
+    out.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0).getLong(2) === w(1).getLong(1)) }
+    val total = graft.core.Tables.orders(spark, sf).count()
+    assert(out.map(_.getLong(3)).sum <= total)
+    out.foreach { r =>
+      val (exact, est, err) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(exact > 0L, s"empty probe range makes the audit vacuous: $r")
+      assert(err === math.abs(est - exact) * 1000000L / exact)
+      // 1024 bins over a quarter-span probe: interpolation error is a
+      // fraction of two edge bins — 5% is an order of magnitude slack
+      assert(err <= 50000L, s"histogram estimate off by >5%: $r")
+    }
+  }
+
   test("event near-dups: planted tolerant pairs found, out-of-tolerance not") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_seconds}

@@ -199,4 +199,19 @@ class FunnelsSpec extends SparkSpecBase {
     assert(out.map(r => (r.getString(0), r.getString(1), r.getString(2),
       r.getLong(3))).toSeq === expected)
   }
+
+  test("revenue retention: own-week NRR is exactly 1e6, cents conserve") {
+    import org.apache.spark.sql.functions._
+    val silver = graft.pipeline.EventsPipeline.silver(spark, sf)
+    val out = Funnels.revenueRetention(silver).collect()
+    assert(out.nonEmpty)
+    out.filter(r => r.getLong(0) == r.getLong(1))
+      .foreach(r => assert(r.getLong(4) === 1000000L, s"own-week NRR != 1: $r"))
+    // total cents across cells == total cents in the 28-day window
+    val d0 = silver.agg(min(col("event_date"))).head.getDate(0).toString
+    val total = silver
+      .filter(datediff(col("event_date"), lit(d0)) < 28)
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)"))).head.getLong(0)
+    assert(out.map(_.getLong(3)).sum === total, "cents not conserved")
+  }
 }

@@ -441,6 +441,26 @@ class TemporalOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("concurrency peaks: overlapping sessions counted at the overlap minute") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // u1 session 10:00-10:05; u2 session 10:03-10:08 -> peak 2 at 10:03;
+    // u3 next day single event -> peak 1 that day
+    val rows = Seq(
+      (1L, 1L, "2024-01-01 10:00:00"), (1L, 2L, "2024-01-01 10:05:00"),
+      (2L, 3L, "2024-01-01 10:03:00"), (2L, 4L, "2024-01-01 10:08:00"),
+      (3L, 5L, "2024-01-02 09:00:00"))
+    val silver = rows.toDF("user_id", "event_id", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = TemporalOps.concurrencyPeaks(silver).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    val m = java.time.LocalDateTime.parse("2024-01-01T10:03:00")
+      .toEpochSecond(java.time.ZoneOffset.UTC) / 60
+    val m2 = java.time.LocalDateTime.parse("2024-01-02T09:00:00")
+      .toEpochSecond(java.time.ZoneOffset.UTC) / 60
+    assert(out === Seq(("2024-01-01", m, 2L), ("2024-01-02", m2, 1L)), s"got $out")
+  }
+
   test("conversion life table: hand-traced hazards with censoring") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, to_timestamp}
