@@ -688,6 +688,12 @@ object SparkEntry {
     // ---- per-day session concurrency peaks (minute-binned interval
     //      sweep, no corpus-ordered running sum) ----
     "q242_concurrency_peaks"   -> ((s, d) => TemporalOps.concurrencyPeaks(s, d)),
+    // ---- dedup-pipeline recall audit: LSH banding measured against the
+    //      exact prefix-filter ground truth ----
+    "q243_dedup_recall_audit"  -> ((s, d) => TextDedup.dedupRecallAudit(s, d)),
+    // ---- deterministic k-fold assignment + (fold x source) balance
+    //      audit in exact milli/ppm ----
+    "q244_kfold_balance"       -> ((s, d) => Curation.kfoldBalance(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -5652,6 +5658,72 @@ object SparkEntry {
           |SELECT day, CAST(minute AS BIGINT) AS peak_minute,
           |       CAST(conc AS BIGINT) AS max_concurrency
           |FROM pk WHERE rn = 1 ORDER BY day ASC""".stripMargin),
+    // q243: the q27 pair chain (shared text via minhashPairSql) + the
+    // q232 prefix chain on the same `sh`, reduced to one audit row.
+    "q243_dedup_recall_audit" ->
+      s"""$minhashPairSql,
+         |dfq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+         |ord2 AS (
+         |  SELECT s.doc_id, s.shingle, z.n,
+         |         row_number() OVER (
+         |           PARTITION BY s.doc_id
+         |           ORDER BY d.df ASC, s.shingle ASC) AS rn
+         |  FROM sh s JOIN dfq d USING (shingle) JOIN sizes z USING (doc_id)),
+         |pref AS (
+         |  SELECT doc_id, shingle FROM ord2
+         |  WHERE rn <= n - (n * 800000 + 999999) // 1000000 + 1),
+         |pfcand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pref a JOIN pref b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |pfinter AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+         |  FROM pfcand c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+         |  GROUP BY 1, 2),
+         |exactp AS (
+         |  SELECT i.doc_a, i.doc_b FROM pfinter i
+         |  JOIN sizes a ON a.doc_id = i.doc_a
+         |  JOIN sizes b ON b.doc_id = i.doc_b
+         |  WHERE i.i * 1000000 // (a.n + b.n - i.i) >= 800000),
+         |agg AS (
+         |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exactp) AS n_exact,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_verified,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs p
+         |            JOIN exactp e ON e.doc_a = p.doc_a
+         |              AND e.doc_b = p.doc_b) AS n_hits)
+         |SELECT n_exact, n_candidates, n_verified, n_hits,
+         |       CAST(n_hits * 1000000 // n_exact AS BIGINT) AS recall_ppm,
+         |       CAST(n_verified * 1000000 // n_candidates AS BIGINT)
+         |         AS cand_precision_ppm
+         |FROM agg WHERE n_exact > 0 AND n_candidates > 0""".stripMargin,
+    // q244: identical md5 fold hash; expectation and deviation in exact
+    // integer milli/ppm.
+    "q244_kfold_balance" ->
+      """WITH folded AS (
+        |  SELECT source,
+        |         CAST('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |           AS BIGINT) % 5 AS fold
+        |  FROM documents),
+        |cells AS (
+        |  SELECT fold, source, COUNT(*) AS n_docs
+        |  FROM folded GROUP BY 1, 2),
+        |rt AS (SELECT fold, CAST(SUM(n_docs) AS BIGINT) AS fold_n
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS src_n
+        |       FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM cells)
+        |SELECT CAST(c.fold AS BIGINT) AS fold, c.source,
+        |       CAST(c.n_docs AS BIGINT) AS n_docs,
+        |       CAST(r.fold_n * x.src_n * 1000 // t.total AS BIGINT)
+        |         AS expected_milli,
+        |       CAST(abs(c.n_docs * t.total - r.fold_n * x.src_n) * 1000000
+        |         // (r.fold_n * x.src_n) AS BIGINT) AS dev_ppm
+        |FROM cells c JOIN rt r USING (fold) JOIN ct x USING (source)
+        |CROSS JOIN tot t
+        |ORDER BY fold ASC, source ASC""".stripMargin,
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via

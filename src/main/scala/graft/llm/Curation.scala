@@ -631,6 +631,39 @@ object Curation {
   def systematicSample(spark: SparkSession, dir: String): DataFrame =
     systematicSample(Tables.documents(spark, dir))
 
+  /** q244: K-FOLD assignment + balance audit — deterministic md5 folds
+    * (the q52 split discipline generalized to cross-validation) with the
+    * per-cell balance report that tells you whether stratification is
+    * needed: for every (fold, source) cell, the observed count, the
+    * independence expectation in milli-docs (row·col div total), and the
+    * relative deviation in ppm. A skewed cell means a fold whose eval
+    * numbers don't transfer.
+    *
+    * Scale shape: fold assignment is row-local hashing; the audit is one
+    * (fold, source) aggregation plus broadcast joins of the two
+    * domain-sized marginals. */
+  def kfoldBalance(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val folded = docs.select(col("source"),
+      (conv(substring(md5(concat(lit("fold:"), col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("long") % k).as("fold"))
+    val cells = folded.groupBy(col("fold"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val rowTot = cells.groupBy(col("fold")).agg(sum(col("n_docs")).as("fold_n"))
+    val colTot = cells.groupBy(col("source")).agg(sum(col("n_docs")).as("src_n"))
+    val tot = cells.agg(sum(col("n_docs")).as("total"))
+    cells.join(broadcast(rowTot), Seq("fold"))
+      .join(broadcast(colTot), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("fold").cast("long").as("fold"), col("source"),
+        col("n_docs").cast("long").as("n_docs"),
+        expr("fold_n * src_n * 1000 div total").cast("long")
+          .as("expected_milli"),
+        expr("abs(n_docs * total - fold_n * src_n) * 1000000 " +
+          "div (fold_n * src_n)").cast("long").as("dev_ppm"))
+      .orderBy(col("fold").asc, col("source").asc)
+  }
+
   /** q234: PRIORITY SAMPLING (Duffield–Lund–Thorup, JACM'07) — the
     * weighted sample a curation pipeline actually needs (size-biased:
     * long documents are the token mass, a uniform sample under-weights

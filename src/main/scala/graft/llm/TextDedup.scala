@@ -859,6 +859,41 @@ object TextDedup {
     * distribution); verification joins the candidate sliver against the
     * shingle frame keyed on (doc, shingle) — linear in candidates·|d|,
     * never a corpus self-join. */
+  /** q243: DEDUP-PIPELINE recall audit — the q161 discipline (every
+    * approximate index ships with a measured recall number) applied to
+    * the dedup family itself: the prefix-filter join (q232) is EXACT by
+    * theorem, so its pair set is free ground truth for auditing the
+    * probabilistic minhash/LSH path (q27). One row: exact pairs, LSH
+    * band candidates, LSH verified pairs, hits against ground truth,
+    * recall in ppm (banding's miss rate — the number the 8-band × 4-row
+    * S-curve promises ~99.98% at j=0.8, here measured), and candidate
+    * precision (verify work not wasted). Emits nothing on a corpus with
+    * no qualifying pairs (both denominators guarded).
+    *
+    * Scale shape: composes three already-bounded operators and four
+    * 1-row aggregates; the hit join is pairs-sized. */
+  def dedupRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shinglesFor(spark, dir)
+    val exact = graft.core.Caches.scratch(
+      prefixFilterDups(spark, dir).select(col("doc_a"), col("doc_b")))
+    val cand = candidatesOf(minhashBands(signaturesOf(sh)))
+    val verified = graft.core.Caches.scratch(
+      minhashNearDupsFrom(sh, 0.8).select(col("doc_a"), col("doc_b")))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+      .crossJoin(verified.join(exact, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_hits")))
+      .filter(col("n_exact") > 0 && col("n_candidates") > 0)
+      .select(col("n_exact").cast("long").as("n_exact"),
+        col("n_candidates").cast("long").as("n_candidates"),
+        col("n_verified").cast("long").as("n_verified"),
+        col("n_hits").cast("long").as("n_hits"),
+        expr("n_hits * 1000000 div n_exact").cast("long").as("recall_ppm"),
+        expr("n_verified * 1000000 div n_candidates").cast("long")
+          .as("cand_precision_ppm"))
+  }
+
   def prefixFilterDups(spark: SparkSession, dir: String,
       tauPpm: Long = 800000L): DataFrame = {
     val sh = shinglesFor(spark, dir)

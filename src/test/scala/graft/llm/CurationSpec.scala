@@ -439,4 +439,22 @@ class CurationSpec extends SparkSpecBase {
     val again = Curation.prioritySample(spark, sf).collect()
     assert(out.map(_.getLong(1)).toSeq === again.map(_.getLong(1)).toSeq)
   }
+
+  test("k-fold balance: docs conserved, deviations consistent, folds complete") {
+    val out = Curation.kfoldBalance(spark, sf).collect()
+    assert(out.map(_.getLong(0)).distinct.sorted.toSeq === (0L to 4L))
+    val total = graft.core.Tables.documents(spark, sf).count()
+    assert(out.map(_.getLong(2)).sum === total, "cells do not conserve the corpus")
+    // marginals recomputed from the cells themselves: expectation and
+    // deviation columns must be the exact integer formulas
+    val foldN = out.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    val srcN = out.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum)
+    out.foreach { r =>
+      val (f, s, n, em, dev) = (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      val exp = foldN(f) * srcN(s)
+      assert(em === exp * 1000L / total, s"expected_milli wrong: $r")
+      assert(dev === math.abs(n * total - exp) * 1000000L / exp, s"dev wrong: $r")
+    }
+  }
 }

@@ -481,4 +481,20 @@ class TextDedupSpec extends SparkSpecBase {
       s"prefix filter diverges from ground truth: missing=${brute -- got}, extra=${got -- brute}")
     assert(brute.nonEmpty, "corpus has no qualifying pairs — test is vacuous")
   }
+
+  test("dedup recall audit: verified LSH pairs are a subset of exact ground truth") {
+    val r = TextDedup.dedupRecallAudit(spark, sf).head
+    graft.core.Caches.releaseScratch(spark)
+    val (nExact, nCand, nVer, nHits, recall, prec) = (r.getLong(0),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    // both paths verify exact jaccard >= 0.8, so every verified LSH pair
+    // IS a ground-truth pair: hits == verified, precision-of-verified = 1
+    assert(nHits === nVer, s"verified pair outside ground truth: $r")
+    assert(recall === nHits * 1000000L / nExact)
+    assert(prec === nVer * 1000000L / nCand)
+    assert(nCand >= nVer, "more verified pairs than candidates")
+    // 8 bands x 4 rows at j >= 0.8 promises ~99.98% recall; 90% is the
+    // loose floor that still catches a broken banding
+    assert(recall >= 900000L, s"LSH banding recall collapsed: $r")
+  }
 }
