@@ -694,6 +694,9 @@ object SparkEntry {
     // ---- deterministic k-fold assignment + (fold x source) balance
     //      audit in exact milli/ppm ----
     "q244_kfold_balance"       -> ((s, d) => Curation.kfoldBalance(s, d)),
+    // ---- Newman modularity of the brand partition over the co-purchase
+    //      graph (exact integer Q-term numerators) ----
+    "q245_brand_modularity"    -> ((s, d) => Graphs.brandModularity(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -5724,6 +5727,36 @@ object SparkEntry {
         |FROM cells c JOIN rt r USING (fold) JOIN ct x USING (source)
         |CROSS JOIN tot t
         |ORDER BY fold ASC, source ASC""".stripMargin,
+    // q245: identical integer Q-term arithmetic (4*m*e_c - d_c^2).
+    "q245_brand_modularity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS u, b.pk AS v
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+        |lab AS (
+        |  SELECT p.u, p.v, pa.p_brand AS bu, pb.p_brand AS bv
+        |  FROM pairs p
+        |  JOIN part pa ON pa.p_partkey = p.u
+        |  JOIN part pb ON pb.p_partkey = p.v),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM lab),
+        |internal AS (
+        |  SELECT bu AS brand, CAST(COUNT(*) AS BIGINT) AS e_c
+        |  FROM lab WHERE bu = bv GROUP BY 1),
+        |deg AS (
+        |  SELECT n, COUNT(*) AS deg FROM (
+        |    SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs)
+        |  GROUP BY 1),
+        |bb AS (
+        |  SELECT p.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |         CAST(SUM(d.deg) AS BIGINT) AS d_c
+        |  FROM deg d JOIN part p ON p.p_partkey = d.n GROUP BY 1)
+        |SELECT b.brand, b.n_nodes,
+        |       CAST(COALESCE(i.e_c, 0) AS BIGINT) AS internal_edges,
+        |       b.d_c AS degree_sum, m.m,
+        |       CAST(4 * m.m * COALESCE(i.e_c, 0) - b.d_c * b.d_c AS BIGINT)
+        |         AS q_num
+        |FROM bb b LEFT JOIN internal i ON i.brand = b.brand CROSS JOIN m
+        |ORDER BY b.brand ASC""".stripMargin,
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via

@@ -518,6 +518,51 @@ object Graphs {
       .orderBy(col("dist_ppm").asc)
   }
 
+  /** q245: MODULARITY census of a node partition — Newman's Q for the
+    * brand partition of the co-purchase graph, the "is this grouping a
+    * real community structure?" number (Q > 0: denser inside brands
+    * than a degree-preserving random graph; Q ≈ 0: brands are
+    * cosmetic). Exact integer form: with m edges, community internal
+    * edges e_c and degree sum d_c, Q·4m² = Σ_c (4·m·e_c − d_c²) — the
+    * num/den discipline of q190's assortativity, so no float reaches
+    * the gate. Per community: node count, e_c, d_c, the Q-term
+    * numerator, and m (constant column) for self-contained consumption.
+    * Bounds: d_c ≤ 2m, so terms stay in int64 up to ~10⁹ edges per
+    * community — beyond that, scale the ppm form.
+    *
+    * Scale shape: the brand map is a broadcast dimension; internal
+    * edges are one filtered aggregation of the labeled edge list;
+    * degree sums reuse the node-degree aggregation joined to the
+    * broadcast map. Nothing pairs, nothing windows. */
+  def brandModularity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = coPurchasePairs(spark, dir).select(col("u"), col("v"))
+    val brand = Tables.part(spark, dir)
+      .select(col("p_partkey").as("pk"), col("p_brand").as("brand"))
+    val lab = pairs
+      .join(broadcast(brand.select(col("pk").as("u"), col("brand").as("bu"))), Seq("u"))
+      .join(broadcast(brand.select(col("pk").as("v"), col("brand").as("bv"))), Seq("v"))
+    val m = lab.agg(count(lit(1)).as("m"))
+    val internal = lab.filter(col("bu") === col("bv"))
+      .groupBy(col("bu").as("brand")).agg(count(lit(1)).as("e_c"))
+    val nodeDeg = pairs.select(col("u").as("n"))
+      .unionAll(pairs.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val byBrand = nodeDeg
+      .join(broadcast(brand.select(col("pk").as("n"), col("brand"))), Seq("n"))
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_c"))
+    byBrand.join(internal, Seq("brand"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("brand"),
+        col("n_nodes").cast("long").as("n_nodes"),
+        coalesce(col("e_c"), lit(0L)).cast("long").as("internal_edges"),
+        col("d_c").cast("long").as("degree_sum"),
+        col("m").cast("long").as("m"),
+        expr("4 * m * coalesce(e_c, 0) - d_c * d_c").cast("long")
+          .as("q_num"))
+      .orderBy(col("brand").asc)
+  }
+
   /** q188-family: degree assortativity of the co-purchase graph — do
     * high-degree parts co-occur with other high-degree parts (r > 0) or
     * with leaves (r < 0)? Newman's r is the Pearson correlation of the

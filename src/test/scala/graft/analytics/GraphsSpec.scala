@@ -226,6 +226,21 @@ class GraphsSpec extends SparkSpecBase {
       "census does not account for every node (graph is connected)")
   }
 
+  test("brand modularity: edge and degree conservation, Q-term arithmetic") {
+    val out = Graphs.brandModularity(spark, sf).collect()
+    graft.core.Caches.releaseScratch(spark)
+    assert(out.nonEmpty)
+    val m = out.head.getLong(4)
+    assert(out.forall(_.getLong(4) == m))
+    // degree sums over all communities = 2m (every edge endpoint counted)
+    assert(out.map(_.getLong(3)).sum === 2 * m, "degree mass not conserved")
+    // internal edges can never exceed m, and Q-terms follow the formula
+    assert(out.map(_.getLong(2)).sum <= m)
+    out.foreach { r =>
+      assert(r.getLong(5) === 4 * m * r.getLong(2) - r.getLong(3) * r.getLong(3))
+    }
+  }
+
   test("assortativity on sf data: Cauchy-Schwarz bound and nonzero den") {
     val r = Graphs.degreeAssortativity(spark, sf).head
     val (num, den) = (r.getAs[Long]("r_num"), r.getAs[Long]("r_den"))
