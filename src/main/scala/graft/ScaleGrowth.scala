@@ -109,6 +109,14 @@ object ScaleGrowth {
         EmbedDedup.candidates(
           EmbedDedup.bandValues(EmbedDedup.tfVectors(docs))).count()
       },
+      // NOTE deliberately not counted: q232's exact prefix-filter join.
+      // Exactness forbids a candidate cap, and on this low-entropy
+      // corpus (31-word vocabulary) shingle rarity saturates with scale,
+      // so its candidate mass is super-linear BY NATURE — it is the
+      // bounded-scale ground-truth tool (q243), not a 100 TB dedup path;
+      // listing it here would misstate its claim (round-8 measurement:
+      // 25 -> 12 784 candidates for 10x docs even with all three PPJoin
+      // prunes).
       timedCount("cdc_chunks")(TextDedup.cdcChunks(docs).count()),
       timedCount("phash_band_pairs") {
         // candidate pairs of the q204 banded Hamming join, after the
