@@ -79,6 +79,12 @@ def scan_file(path, text, hits):
             hits["internal-bucket"].append(f"{path}: {m.group(0)[:80]}")
     for name in ("slack-link", "api-key", "axon-env"):
         for m in DETECTORS[name].finditer(text):
+            # AWS's PUBLIC standard credential env vars (documented by AWS
+            # and hadoop-aws) match the *_SECRET_* shape but are not
+            # internal names — the S3 smoke spec must spell them exactly.
+            if name == "axon-env" and m.group(0) in (
+                    "AWS_SECRET_ACCESS_KEY", "AWS_ACCESS_KEY_ID"):
+                continue
             hits[name].append(f"{path}: {m.group(0)[:80]}")
 
 
