@@ -697,6 +697,9 @@ object SparkEntry {
     // ---- Newman modularity of the brand partition over the co-purchase
     //      graph (exact integer Q-term numerators) ----
     "q245_brand_modularity"    -> ((s, d) => Graphs.brandModularity(s, d)),
+    // ---- language-ID confusion matrix (labeled x predicted cells,
+    //      per-label row shares = per-class recall) ----
+    "q246_langid_confusion"    -> ((s, d) => TextStats.langIdConfusion(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -970,7 +973,9 @@ object SparkEntry {
        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  private def langIdOracle: String = {
+  /** Shared q33/q246 CTE chain ending in `p(doc_id, lang, score_*,
+    * predicted_lang)` — the langId predictions in DuckDB. */
+  private def langIdCtes: String = {
     val markers = graft.llm.TextStats.LangMarkers
     val scores = markers.map { case (l, ws) =>
       val inList = ws.map(w => s"'$w'").mkString(", ")
@@ -983,7 +988,6 @@ object SparkEntry {
         .map(o => s"score_$l >= score_$o").mkString(" AND ")
       s"WHEN $cond THEN '$l'"
     }.mkString("\n    ")
-    val scoreCols = langs.map(l => s"score_$l").mkString(", ")
     s"""WITH t AS (
        |  SELECT doc_id, lang, str_split($duckNorm, ' ') AS w FROM documents),
        |s AS (
@@ -995,11 +999,33 @@ object SparkEntry {
        |    WHEN $allZero THEN 'unknown'
        |    $cases
        |    ELSE 'unknown' END AS predicted_lang
-       |  FROM s)
+       |  FROM s)""".stripMargin
+  }
+
+  private def langIdOracle: String = {
+    val scoreCols = graft.llm.TextStats.LangMarkers.map(m => s"score_${m._1}")
+      .mkString(", ")
+    s"""$langIdCtes
        |SELECT doc_id, lang, $scoreCols, predicted_lang,
        |       predicted_lang = lang AS is_correct
        |FROM p ORDER BY doc_id""".stripMargin
   }
+
+  /** Oracle for q246: the q33 prediction chain reduced to the labeled ×
+    * predicted confusion matrix with per-label row shares. */
+  private def langIdConfusionOracle: String =
+    s"""$langIdCtes,
+       |cells AS (
+       |  SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM p GROUP BY 1, 2),
+       |rt AS (
+       |  SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS label_total
+       |  FROM cells GROUP BY 1)
+       |SELECT c.lang, c.predicted_lang, c.n_docs, r.label_total,
+       |       CAST(c.n_docs * 1000000 // r.label_total AS BIGINT)
+       |         AS row_share_ppm
+       |FROM cells c JOIN rt r USING (lang)
+       |ORDER BY c.lang ASC, c.predicted_lang ASC""".stripMargin
 
   /** Embedding-cosine near-dup oracle, mirroring [[graft.llm.EmbedDedup]]:
     * hashed-TF sparse vectors, integer sign-projection LSH, exact sparse
@@ -5757,6 +5783,8 @@ object SparkEntry {
         |         AS q_num
         |FROM bb b LEFT JOIN internal i ON i.brand = b.brand CROSS JOIN m
         |ORDER BY b.brand ASC""".stripMargin,
+    // q246: the q33 chain shared via langIdCtes so the two cannot drift.
+    "q246_langid_confusion" -> langIdConfusionOracle,
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via

@@ -130,6 +130,34 @@ object TextStats {
   def langId(spark: SparkSession, dir: String): DataFrame =
     langId(Tables.documents(spark, dir))
 
+  /** q246: language-ID CONFUSION MATRIX — the q33 per-doc predictions
+    * reduced to the (labeled lang × predicted lang) cell counts with
+    * per-label row shares in ppm (the diagonal cells ARE per-class
+    * recall). The evaluation relation a classifier audit starts from;
+    * emitting the matrix instead of a single accuracy number shows WHERE
+    * the marker heuristic confuses (e.g. zh markers colliding with de
+    * function words).
+    *
+    * Scale shape: the prediction is row-local (q33); the matrix is one
+    * |langs|²-bounded aggregation plus a broadcast marginal join. */
+  def langIdConfusion(docs: DataFrame): DataFrame = {
+    val cells = langId(docs)
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val rowTot = cells.groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("label_total"))
+    cells.join(broadcast(rowTot), Seq("lang"))
+      .select(col("lang"), col("predicted_lang"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("label_total").cast("long").as("label_total"),
+        expr("n_docs * 1000000 div label_total").cast("long")
+          .as("row_share_ppm"))
+      .orderBy(col("lang").asc, col("predicted_lang").asc)
+  }
+
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame =
+    langIdConfusion(Tables.documents(spark, dir))
+
   /** Rolling-hash document fingerprints: every k-byte window of the
     * ASCII-normalized text hashed by the codegen'd O(n)
     * [[graft.functions.RollingHash]] expression — the Rabin–Karp

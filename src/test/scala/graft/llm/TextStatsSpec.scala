@@ -39,6 +39,22 @@ class TextStatsSpec extends SparkSpecBase {
     assert(bad.count() === 0)
   }
 
+  test("lang-id confusion matrix: cells reconcile with per-doc predictions") {
+    val preds = TextStats.langId(docs)
+      .select(col("lang"), col("predicted_lang")).collect()
+      .groupBy(r => (r.getString(0), r.getString(1))).view.mapValues(_.length)
+    val out = TextStats.langIdConfusion(docs).collect()
+    assert(out.map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      === preds.toMap.map { case (k, v) => k -> v.toLong },
+      "matrix cells disagree with the per-doc predictions")
+    // row shares sum to 1e6 per label within floor loss
+    out.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val s = rows.map(_.getLong(4)).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length, s"$lang shares: $s")
+      assert(rows.map(_.getLong(3)).distinct.length === 1)
+    }
+  }
+
   test("rare-word ratio: garbled doc lights up, normal text stays low") {
     import spark.implicits._
     val fixture = Seq(
