@@ -700,6 +700,12 @@ object SparkEntry {
     // ---- language-ID confusion matrix (labeled x predicted cells,
     //      per-label row shares = per-class recall) ----
     "q246_langid_confusion"    -> ((s, d) => TextStats.langIdConfusion(s, d)),
+    // ---- seasonal-naive vs naive-1 forecast backtest (integer MASE
+    //      over the last observed week) ----
+    "q247_forecast_backtest"   -> ((s, d) => TemporalOps.forecastBacktest(s, d)),
+    // ---- range-partitioner balance audit (sampled equi-depth
+    //      boundaries, per-bucket shares) ----
+    "q248_range_balance"       -> ((s, d) => Diagnostics.rangePartitionBalance(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -5785,6 +5791,70 @@ object SparkEntry {
         |ORDER BY b.brand ASC""".stripMargin,
     // q246: the q33 chain shared via langIdCtes so the two cannot drift.
     "q246_langid_confusion" -> langIdConfusionOracle,
+    // q247: identical lag windows over the (type, day) frame; the one
+    // division on positive operands.
+    "q247_forecast_backtest" ->
+      (silverCte +
+        """, daily AS (
+          |  SELECT event_type, event_date, COUNT(*) AS y
+          |  FROM silver GROUP BY 1, 2),
+          |lagged AS (
+          |  SELECT event_type, event_date, y,
+          |         lag(y, 7) OVER w AS snaive,
+          |         lag(y, 1) OVER w AS naive1
+          |  FROM daily
+          |  WINDOW w AS (PARTITION BY event_type ORDER BY event_date ASC)),
+          |mx AS (SELECT MAX(event_date) AS maxd FROM daily),
+          |t AS (
+          |  SELECT event_type, COUNT(*) AS n_days,
+          |         CAST(SUM(abs(y - snaive)) AS BIGINT) AS snaive_abs_err,
+          |         CAST(SUM(abs(y - naive1)) AS BIGINT) AS naive1_abs_err
+          |  FROM lagged CROSS JOIN mx
+          |  WHERE date_diff('day', event_date, maxd) < 7
+          |    AND snaive IS NOT NULL AND naive1 IS NOT NULL
+          |  GROUP BY 1)
+          |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+          |       snaive_abs_err, naive1_abs_err,
+          |       CAST(snaive_abs_err * 1000000 // naive1_abs_err AS BIGINT)
+          |         AS mase_ppm
+          |FROM t WHERE naive1_abs_err > 0
+          |ORDER BY event_type ASC""".stripMargin),
+    // q248: identical md5 sample, equi-depth tags (cum-1)*B // ns, and
+    // max-start assignment.
+    "q248_range_balance" ->
+      """WITH v AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |sample AS (
+        |  SELECT * FROM v
+        |  WHERE CAST('0x' || substr(md5('rp:' || CAST(k AS VARCHAR)), 1, 15)
+        |          AS BIGINT) % 1000 < 20),
+        |hist AS (SELECT v, COUNT(*) AS c FROM sample GROUP BY 1),
+        |ns AS (SELECT COUNT(*) AS ns FROM sample),
+        |tagged AS (
+        |  SELECT v, (SUM(c) OVER (ORDER BY v ASC
+        |               ROWS UNBOUNDED PRECEDING) - 1) * 32 // ns.ns AS b
+        |  FROM hist CROSS JOIN ns),
+        |starts AS (SELECT b, MIN(v) AS start_v FROM tagged GROUP BY 1),
+        |assigned AS (
+        |  SELECT x.k, MAX(s.b) AS bucket
+        |  FROM v x JOIN starts s ON s.start_v <= x.v
+        |  GROUP BY 1),
+        |below AS (
+        |  SELECT x.k, CAST(0 AS BIGINT) AS bucket
+        |  FROM v x CROSS JOIN (SELECT MIN(start_v) AS m FROM starts) s
+        |  WHERE x.v < s.m),
+        |counts AS (
+        |  SELECT bucket, COUNT(*) AS n_orders FROM (
+        |    SELECT * FROM assigned UNION ALL SELECT * FROM below)
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS t FROM counts)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(n_orders AS BIGINT) AS n_orders,
+        |       CAST(n_orders * 1000000 // t.t AS BIGINT) AS share_ppm
+        |FROM counts CROSS JOIN tot t
+        |ORDER BY bucket ASC""".stripMargin,
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via

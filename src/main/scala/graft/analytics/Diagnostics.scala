@@ -355,6 +355,57 @@ object Diagnostics {
       .orderBy(col("probe_id").asc)
   }
 
+  /** q248: RANGE-PARTITIONER balance audit — the machinery behind every
+    * distributed global sort (Spark's RangePartitioner: sample the key
+    * column, cut equi-depth boundaries, ship each row to its range) run
+    * as a relation and audited: a deterministic 2% md5 sample of order
+    * totals yields 32 equi-depth boundaries; every order is then
+    * assigned to its range and the per-bucket counts + shares come back.
+    * Skewed shares = stragglers in the sort stage — this is the number
+    * that predicts whether `ORDER BY` at 100 TB finishes evenly.
+    *
+    * Scale shape: the sample is a row-local filter; boundary extraction
+    * runs on the sample's VALUE HISTOGRAM (aggregate first, then a rank
+    * window over sample-sized distinct values); assignment joins the
+    * corpus against the broadcast 32-row boundary frame (≤ 32 matches
+    * per row, max-aggregated back to one bucket per row — linear). */
+  def rangePartitionBalance(spark: SparkSession, dir: String,
+      buckets: Int = 32): DataFrame = {
+    val v = graft.core.Caches.scratch(Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v")))
+    val sample = v.filter(
+      conv(substring(md5(concat(lit("rp:"), col("k").cast("string"))),
+        1, 15), 16, 10).cast("long") % 1000 < 20)
+    val hist = sample.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val ns = sample.agg(count(lit(1)).as("ns"))
+    import org.apache.spark.sql.expressions.Window
+    val wv = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tagged = hist
+      .withColumn("cum", sum(col("c")).over(wv))
+      .crossJoin(broadcast(ns))
+      .select(col("v"), expr(s"(cum - 1) * $buckets div ns").as("b"))
+    val starts = tagged.groupBy(col("b")).agg(min(col("v")).as("start_v"))
+    val assigned = v.crossJoin(broadcast(starts))
+      .filter(col("start_v") <= col("v"))
+      .groupBy(col("k"), col("v"))
+      .agg(max(col("b")).as("bucket"))
+      .select(coalesce(col("bucket"), lit(0L)).as("bucket"))
+    // rows below the sample minimum never match a start: count them in
+    // bucket 0 via an anti-side union
+    val below = v.crossJoin(broadcast(starts.agg(min(col("start_v")).as("m"))))
+      .filter(col("v") < col("m")).select(lit(0L).as("bucket"))
+    val counts = assigned.unionByName(below)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_orders"))
+    val tot = counts.agg(sum(col("n_orders")).as("t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("bucket").cast("long").as("bucket"),
+        col("n_orders").cast("long").as("n_orders"),
+        expr("n_orders * 1000000 div t").cast("long").as("share_ppm"))
+      .orderBy(col("bucket").asc)
+  }
+
   def concentrationCensus(spark: SparkSession, dir: String): DataFrame =
     concentrationCensus(spark, graft.pipeline.EventsPipeline.silver(spark, dir))
 }

@@ -851,4 +851,46 @@ object TemporalOps {
 
   def concurrencyPeaks(spark: SparkSession, dir: String): DataFrame =
     concurrencyPeaks(graft.pipeline.EventsPipeline.silver(spark, dir))
+
+  /** q247: FORECAST BACKTEST (seasonal-naive vs naive-1) — the honest
+    * baseline every demand-forecasting effort must beat, run as a
+    * relation: for each event type over the LAST 7 observed days,
+    * forecast daily counts with (a) the same weekday last week
+    * (seasonal naive, season 7) and (b) yesterday's count (naive-1),
+    * and report both absolute-error masses in exact counts plus their
+    * ratio in ppm (< 10⁶ ⇒ weekly seasonality carries real signal —
+    * the MASE idea with the division kept integer). No model fitting,
+    * no floats, fully backtestable on both engines.
+    *
+    * Scale shape: one (type, day) aggregation, two lag windows
+    * partitioned BY TYPE over day-count frames (365 rows/type/year),
+    * a broadcast max-date anchor, and a |types|-row reduction. */
+  def forecastBacktest(silver: DataFrame): DataFrame = {
+    val daily = silver.groupBy(col("event_type"), col("event_date"))
+      .agg(count(lit(1)).as("y"))
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("event_date").asc)
+    val maxD = daily.agg(max(col("event_date")).as("maxd"))
+    daily
+      .withColumn("snaive", lag(col("y"), 7).over(byType))
+      .withColumn("naive1", lag(col("y"), 1).over(byType))
+      .crossJoin(broadcast(maxD))
+      .filter(datediff(col("maxd"), col("event_date")) < 7 &&
+        col("snaive").isNotNull && col("naive1").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("y") - col("snaive"))).as("snaive_abs_err"),
+        sum(abs(col("y") - col("naive1"))).as("naive1_abs_err"))
+      .filter(col("naive1_abs_err") > 0)
+      .select(col("event_type"),
+        col("n_days").cast("long").as("n_days"),
+        col("snaive_abs_err").cast("long").as("snaive_abs_err"),
+        col("naive1_abs_err").cast("long").as("naive1_abs_err"),
+        expr("snaive_abs_err * 1000000 div naive1_abs_err").cast("long")
+          .as("mase_ppm"))
+      .orderBy(col("event_type").asc)
+  }
+
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame =
+    forecastBacktest(graft.pipeline.EventsPipeline.silver(spark, dir))
 }

@@ -118,6 +118,19 @@ class DiagnosticsSpec extends SparkSpecBase {
     }
   }
 
+  test("range-partition balance: all rows assigned, buckets near equi-depth") {
+    val out = Diagnostics.rangePartitionBalance(spark, sf).collect()
+    graft.core.Caches.releaseScratch(spark)
+    val total = graft.core.Tables.orders(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum === total, "rows lost in assignment")
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+    // equi-depth from a 2% sample: no range should hold more than ~4x
+    // the ideal 1/32 share (sampling noise scales with 1/sqrt(sample))
+    val worst = out.map(_.getLong(2)).max
+    assert(worst <= 4 * 1000000L / 32,
+      s"range boundaries badly skewed: worst share $worst ppm")
+  }
+
   test("event near-dups: planted tolerant pairs found, out-of-tolerance not") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_seconds}

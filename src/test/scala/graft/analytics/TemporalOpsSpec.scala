@@ -441,6 +441,35 @@ class TemporalOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("forecast backtest: errors reconcile with a driver-side recount") {
+    val silver = graft.pipeline.EventsPipeline.silver(spark, sf)
+    val daily = silver.groupBy(col("event_type"), col("event_date"))
+      .agg(count(lit(1)).as("y")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    val maxd = daily.keys.map(_._2).max
+    val out = TemporalOps.forecastBacktest(silver).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val t = r.getString(0)
+      val days = daily.keys.filter(_._1 == t).map(_._2).toSeq.sorted
+      val last7 = days.filter(d =>
+        java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(d), java.time.LocalDate.parse(maxd)) < 7)
+      def lagged(d: String, k: Int): Option[Long] = {
+        val i = days.indexOf(d)
+        if (i - k >= 0) Some(daily((t, days(i - k)))) else None
+      }
+      // dense daily data: lag-by-row == lag-by-date here
+      val rows = last7.flatMap { d =>
+        for (s <- lagged(d, 7); n <- lagged(d, 1))
+          yield (math.abs(daily((t, d)) - s), math.abs(daily((t, d)) - n))
+      }
+      assert(r.getLong(2) === rows.map(_._1).sum, s"snaive err mismatch for $t")
+      assert(r.getLong(3) === rows.map(_._2).sum, s"naive1 err mismatch for $t")
+      assert(r.getLong(4) === r.getLong(2) * 1000000L / r.getLong(3))
+    }
+  }
+
   test("concurrency peaks: overlapping sessions counted at the overlap minute") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, to_timestamp}
