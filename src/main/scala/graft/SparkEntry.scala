@@ -706,6 +706,9 @@ object SparkEntry {
     // ---- range-partitioner balance audit (sampled equi-depth
     //      boundaries, per-bucket shares) ----
     "q248_range_balance"       -> ((s, d) => Diagnostics.rangePartitionBalance(s, d)),
+    // ---- Kendall rank-agreement census: revenue rank vs order-frequency
+    //      rank over the revenue top-50 (exact C/D/tie counts) ----
+    "q249_rank_agreement"      -> ((s, d) => StarQueries.rankAgreement(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -5855,6 +5858,41 @@ object SparkEntry {
         |       CAST(n_orders * 1000000 // t.t AS BIGINT) AS share_ppm
         |FROM counts CROSS JOIN tot t
         |ORDER BY bucket ASC""".stripMargin,
+    // q249: identical exact-unit revenue, identical rank tiebreaks,
+    // integer concordance counts.
+    "q249_rank_agreement" ->
+      """WITH bp AS (
+        |  SELECT l_partkey,
+        |         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |           AS BIGINT) AS rev_u,
+        |         COUNT(DISTINCT l_orderkey) AS n_orders
+        |  FROM lineitem GROUP BY 1),
+        |rk AS (
+        |  SELECT l_partkey, n_orders,
+        |         row_number() OVER (ORDER BY rev_u DESC, l_partkey ASC)
+        |           AS r_rev,
+        |         row_number() OVER (ORDER BY n_orders DESC, l_partkey ASC)
+        |           AS r_freq
+        |  FROM bp),
+        |top AS (SELECT * FROM rk WHERE r_rev <= 50),
+        |cls AS (
+        |  SELECT CASE WHEN a.n_orders = b.n_orders THEN 'tie'
+        |              WHEN a.r_freq < b.r_freq THEN 'concordant'
+        |              ELSE 'discordant' END AS cls
+        |  FROM top a JOIN top b ON a.r_rev < b.r_rev)
+        |SELECT CAST(50 AS BIGINT) AS k,
+        |       CAST(50 * 49 / 2 AS BIGINT) AS n_pairs,
+        |       CAST(SUM(CASE WHEN cls = 'concordant' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS concordant,
+        |       CAST(SUM(CASE WHEN cls = 'discordant' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS discordant,
+        |       CAST(SUM(CASE WHEN cls = 'tie' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS ties,
+        |       CAST(SUM(CASE WHEN cls = 'concordant' THEN 1 ELSE 0 END)
+        |          - SUM(CASE WHEN cls = 'discordant' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS tau_num
+        |FROM cls""".stripMargin,
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via

@@ -569,6 +569,52 @@ object StarQueries {
         col("p3").asc)
   }
 
+  /** q249: RANK-AGREEMENT census (Kendall) — do two business orderings of
+    * the same entities agree? Parts ranked by exact-cent lineitem revenue
+    * vs by distinct-order frequency; over the revenue top-50, every pair
+    * is classified concordant / discordant / tied-in-frequency, and the
+    * Kendall numerator C − D ships as an exact integer (τ = (C−D)/pairs
+    * is the consumer's one division). A strong positive says order count
+    * is a usable proxy for revenue; ties quantify the resolution limit
+    * of the coarser metric.
+    *
+    * Scale shape: two fact aggregations to the part grain, rank windows
+    * over AGGREGATED (part-count-sized) frames, a top-k TakeOrdered, and
+    * a k²/2 pair self-join of the broadcast-sized top frame. */
+  def rankAgreement(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val byPart = li.groupBy(col("l_partkey"))
+      .agg(
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT) " +
+          "* (100 - CAST(round(l_discount * 100) AS BIGINT))"))
+          .as("rev_u"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+    import org.apache.spark.sql.expressions.Window
+    val byRev = Window.orderBy(col("rev_u").desc, col("l_partkey").asc)
+    val byFreq = Window.orderBy(col("n_orders").desc, col("l_partkey").asc)
+    val ranked = byPart
+      .withColumn("r_rev", row_number().over(byRev))
+      .withColumn("r_freq", row_number().over(byFreq))
+    val top = ranked.orderBy(col("r_rev").asc).limit(k)
+      .select(col("l_partkey"), col("r_rev"), col("r_freq"), col("n_orders"))
+    top.as("a").join(top.as("b"), col("a.r_rev") < col("b.r_rev"))
+      .select(
+        // a precedes b in revenue rank; frequency agreement decides class
+        when(col("a.n_orders") === col("b.n_orders"), lit("tie"))
+          .when(col("a.r_freq") < col("b.r_freq"), lit("concordant"))
+          .otherwise(lit("discordant")).as("cls"))
+      .groupBy().pivot("cls", Seq("concordant", "discordant", "tie"))
+      .agg(coalesce(count(lit(1)), lit(0L)))
+      .select(
+        lit(k.toLong).as("k"),
+        lit(k.toLong * (k - 1) / 2).as("n_pairs"),
+        coalesce(col("concordant"), lit(0L)).cast("long").as("concordant"),
+        coalesce(col("discordant"), lit(0L)).cast("long").as("discordant"),
+        coalesce(col("tie"), lit(0L)).cast("long").as("ties"))
+      .withColumn("tau_num",
+        (col("concordant") - col("discordant")).cast("long"))
+  }
+
   /** q237: HIERARCHY share report (ratio-to-parent) — revenue per nation
     * with its share of the parent region and the region's share of the
     * grand total, in one relation: the drill-down navigation a BI layer

@@ -223,6 +223,18 @@ class StarQueriesSpec extends SparkSpecBase {
       r.getLong(3))).toSeq === expected)
   }
 
+  test("rank agreement: pair classes partition k(k-1)/2, tau_num consistent") {
+    val r = StarQueries.rankAgreement(spark, sf).head
+    val (k, nPairs, c, d, t, tau) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(k === 50L && nPairs === 50L * 49 / 2)
+    assert(c + d + t === nPairs, "pair classes do not partition the pairs")
+    assert(tau === c - d)
+    // revenue and order frequency must correlate positively on TPC-H-ish
+    // facts (more orders -> more revenue opportunities)
+    assert(tau > 0L, s"expected positive rank correlation: $r")
+  }
+
   test("hierarchy shares: ratio-to-parent conserves within floor loss") {
     val out = StarQueries.hierarchyShares(spark, sf).collect()
     assert(out.nonEmpty)
