@@ -315,25 +315,29 @@ object Diagnostics {
     val c = graft.core.Caches.scratch(
       Tables.orders(spark, dir)
         .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v")))
-    val mm = c.agg(min(col("v")).as("lo"),
-      (max(col("v")) - min(col("v")) + 1).as("span"))
-    val binCounts = c.crossJoin(broadcast(mm))
-      .select(expr(s"(v - lo) * $bins div span").as("bin"))
+    // lo/span are TWO SCALARS — collect them once instead of threading a
+    // broadcast 1-row frame through four subplans (each broadcast is its
+    // own job; the literal form folds into every expression for free and
+    // the probe edges become driver arithmetic, identical floor-division
+    // semantics on non-negative operands).
+    val mmRow = c.agg(min(col("v")).as("lo"),
+      (max(col("v")) - min(col("v")) + 1).as("span")).head
+    val lo = mmRow.getLong(0)
+    val span = mmRow.getLong(1)
+    val binCounts = c
+      .select(expr(s"(v - $lo) * $bins div $span").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
     val binRange = spark.range(0, bins).select(col("id").as("bin"))
       .join(binCounts, Seq("bin"), "left")
-      .crossJoin(broadcast(mm))
       .select(col("bin"), coalesce(col("cnt"), lit(0L)).as("cnt"),
-        expr(s"lo + bin * span div $bins").as("bin_lo"),
-        expr(s"lo + (bin + 1) * span div $bins").as("bin_hi"))
+        expr(s"$lo + bin * $span div $bins").as("bin_lo"),
+        expr(s"$lo + (bin + 1) * $span div $bins").as("bin_hi"))
     import spark.implicits._
     val probes = Seq((0L, 50L, 137L), (1L, 137L, 411L),
       (2L, 411L, 703L), (3L, 703L, 997L))
-      .toDF("probe_id", "a", "b")
-      .crossJoin(broadcast(mm))
-      .select(col("probe_id"),
-        expr("lo + a * span div 1000").as("p_lo"),
-        expr("lo + b * span div 1000").as("p_hi"))
+      .map { case (id, a, b) =>
+        (id, lo + a * span / 1000, lo + b * span / 1000) }
+      .toDF("probe_id", "p_lo", "p_hi")
     val est = broadcast(probes).crossJoin(binRange)
       .select(col("probe_id"), col("p_lo"), col("p_hi"),
         when(col("bin_hi") > col("p_lo") && col("bin_lo") < col("p_hi"),
