@@ -5429,7 +5429,7 @@ object SparkEntry {
     "q234_priority_sample" ->
       """WITH pri AS (
         |  SELECT doc_id, n_chars,
-        |         n_chars * 281474976710656 //
+        |         least(n_chars, 32767) * 281474976710656 //
         |           (CAST('0x' || substr(md5('prio:' || CAST(doc_id AS VARCHAR)), 1, 12)
         |             AS BIGINT) + 1) AS priority
         |  FROM documents),
@@ -5482,7 +5482,7 @@ object SparkEntry {
         |SELECT n_a, d_a, n_b, d_b, exact_rows, est_rows,
         |       CAST(abs(est_rows - exact_rows) * 1000000 // exact_rows
         |         AS BIGINT) AS err_ppm
-        |FROM est""".stripMargin,
+        |FROM est WHERE exact_rows > 0""".stripMargin,
     // q236: disjoint calendar slices; per-row cent quantization; the
     // left-join label rendered as 0/1 BIGINT on both engines.
     "q236_label_frame" ->
@@ -5619,6 +5619,7 @@ object SparkEntry {
         |est AS (
         |  SELECT p.probe_id, p.p_lo, p.p_hi,
         |         CAST(SUM(CASE WHEN br.bin_hi > p.p_lo AND br.bin_lo < p.p_hi
+        |                        AND br.bin_hi > br.bin_lo
         |              THEN br.cnt * (least(br.bin_hi, p.p_hi)
         |                             - greatest(br.bin_lo, p.p_lo))
         |                   // (br.bin_hi - br.bin_lo) ELSE 0 END)
@@ -5655,7 +5656,7 @@ object SparkEntry {
           |  FROM uw u JOIN coh c USING (user_id) GROUP BY 1, 2),
           |base AS (
           |  SELECT cohort, rev_cents AS cohort_cents FROM cells
-          |  WHERE week = cohort)
+          |  WHERE week = cohort AND rev_cents > 0)
           |SELECT CAST(c.cohort AS BIGINT) AS cohort,
           |       CAST(c.week AS BIGINT) AS week, c.n_users, c.rev_cents,
           |       CAST(c.rev_cents * 1000000 // b.cohort_cents AS BIGINT)

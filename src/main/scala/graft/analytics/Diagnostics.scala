@@ -231,6 +231,10 @@ object Diagnostics {
       .withColumn("err_ppm",
         expr("abs(est_rows - exact_rows) * 1000000 div exact_rows")
           .cast("long"))
+      // Disjoint key domains ⇒ exact_rows = 0 ⇒ Spark div yields NULL
+      // where DuckDB // raises — same empty-arm contract as abShareDrift
+      // (round-8 advice): emit no row rather than diverge.
+      .filter(col("exact_rows") > 0)
   }
 
   /** q239: STRUCTURED near-duplicate detection — the text-dedup blocking
@@ -340,7 +344,11 @@ object Diagnostics {
       .toDF("probe_id", "p_lo", "p_hi")
     val est = broadcast(probes).crossJoin(binRange)
       .select(col("probe_id"), col("p_lo"), col("p_hi"),
-        when(col("bin_hi") > col("p_lo") && col("bin_lo") < col("p_hi"),
+        // bin_hi > bin_lo guard: when span < bins the integer edges
+        // collapse (bin_hi = bin_lo) and the interpolation divides by 0 —
+        // Spark's div NULL-skips inside SUM where DuckDB raises.
+        when(col("bin_hi") > col("p_lo") && col("bin_lo") < col("p_hi")
+            && col("bin_hi") > col("bin_lo"),
           expr("cnt * (least(bin_hi, p_hi) - greatest(bin_lo, p_lo)) " +
             "div (bin_hi - bin_lo)")).otherwise(0L).as("part"))
       .groupBy(col("probe_id"), col("p_lo"), col("p_hi"))

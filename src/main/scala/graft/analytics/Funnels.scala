@@ -95,8 +95,12 @@ object Funnels {
       .groupBy(col("cohort"), col("week"))
       .agg(sum(col("cents")).as("rev_cents"),
         count(lit(1)).as("n_users"))
+    // cohort_cents > 0 guard: a cohort whose base-week revenue rounds
+    // to 0 cents would make nrr_ppm divide by zero (Spark div → NULL,
+    // DuckDB // → raise). Excluding the cohort is the explicit contract.
     val base = cells.filter(col("week") === col("cohort"))
       .select(col("cohort"), col("rev_cents").as("cohort_cents"))
+      .filter(col("cohort_cents") > 0)
     cells.join(broadcast(base), Seq("cohort"))
       .select(col("cohort").cast("long").as("cohort"),
         col("week").cast("long").as("week"),

@@ -672,8 +672,9 @@ object Curation {
     * the sample, τ = the (k+1)-th priority, and ŵᵢ = max(wᵢ, τ) makes
     * Σŵ an unbiased estimate of Σw. Deterministic integer form: uᵢ is
     * the md5-derived 48-bit hash scaled to (0,1], so
-    * qᵢ = wᵢ·2⁴⁸ div (h+1) — exact int64 (w ≤ 32 k chars ⇒ q < 2⁶³),
-    * reproducible on any engine, no RNG state.
+    * qᵢ = min(wᵢ, 32767)·2⁴⁸ div (h+1) — exact int64 (the clamp makes
+    * the bound airtight: 32767·2⁴⁸ < 2⁶³, whereas 32768·2⁴⁸ = 2⁶³ would
+    * wrap — round-8 advice), reproducible on any engine, no RNG state.
     *
     * Emits the sample with rank, weight, priority, the threshold τ, and
     * the per-item estimator ŵ; CurationSpec checks Σŵ against the exact
@@ -691,7 +692,10 @@ object Curation {
         conv(substring(md5(concat(lit("prio:"), col("doc_id").cast("string"))),
           1, 12), 16, 10).cast("long"))
       .withColumn("priority",
-        expr("n_chars * 281474976710656 div (h + 1)"))
+        // least(., 32767): 32767·2⁴⁸ < 2⁶³ exactly; without the clamp a
+        // 32768-char doc overflows int64 (Spark wraps / ANSI-throws where
+        // DuckDB raises — an engine divergence at the boundary).
+        expr("least(n_chars, 32767) * 281474976710656 div (h + 1)"))
     val w = Window.orderBy(col("priority").desc, col("doc_id").asc)
     val ranked = pri
       .orderBy(col("priority").desc, col("doc_id").asc).limit(k + 1)
