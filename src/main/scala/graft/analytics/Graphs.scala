@@ -368,10 +368,15 @@ object Graphs {
       // exact fixpoint: no (node, rank_ppm) pair changed over the block.
       // Both sides are checkpointed LogicalRDDs — constant-size plan.
       converged = next.except(ranks).isEmpty
+      // `ranks` is superseded and the fixpoint test has run — free its
+      // checkpoint blocks now instead of leaking them to driver GC
+      // (round-8 verdict: ~46 rounds × 3 bench executions left every
+      // round's blocks in the storage pool for the JVM's lifetime).
+      Caches.freeCheckpoint(ranks)
       ranks = next
     }
     val w = Window.orderBy(col("rank_ppm").desc, col("node").asc)
-    ranks
+    Caches.trackCheckpoint(ranks)
       .orderBy(col("rank_ppm").desc, col("node").asc).limit(topK)
       .withColumn("rank", row_number().over(w))
       .select(col("rank"), col("node"), col("rank_ppm"))
@@ -386,49 +391,118 @@ object Graphs {
     * runs 9 rounds at sf0.01 and 38 at sf0.1 before emptying — a fixed
     * bound either lies or wastes rounds, convergence does neither.
     *
-    * Scale shape: identical per-round plan to q195 (degree aggregation
-    * + two anti-joins against the removed trickle, AQE-broadcastable),
-    * eager `localCheckpoint` per round (the round references `bad`
-    * twice — lineage would compound), and the per-round removal count
-    * rides the SAME `bad.count()` action the loop already needs for
-    * its fixpoint test, so the census is free. The result frame is
-    * driver-built from ≤ maxRounds scalars — domain-sized by
-    * construction.
-    *
-    * Measured alternative, rejected: pin the full edge list once and
-    * anti-join it per round against the CUMULATIVE removed set instead
-    * of checkpointing the shrinking peeled list. At the 38-round sf0.1
-    * cascade that form is ~20% SLOWER (38.2 s vs 31.6 s, same box,
-    * back-to-back): re-scanning the full relation every round costs
-    * more than the eager in-memory checkpoints of a list that shrinks
-    * fast in the early (expensive) rounds. */
+    * Scale shape: INCREMENTAL degree maintenance — the edge list is
+    * symmetrized, repartitioned on src and checkpointed ONCE; every
+    * round is one job over a NODE-sized (node, degree) frame (see the
+    * impl notes in [[kCorePeelCensusOf]] for the measured evolution
+    * 31.6 s → 12.7 s at the 38-round sf0.1 cascade). The result frame
+    * is driver-built from ≤ maxRounds scalars — domain-sized by
+    * construction. */
   def kCorePeelCensus(spark: SparkSession, dir: String,
       k: Int = 85, maxRounds: Int = 64): DataFrame =
     kCorePeelCensusOf(spark,
       coPurchasePairs(spark, dir).select(col("u"), col("v")), k, maxRounds)
 
+  /** Rows per partition for node-sized iterative frames: at sf0.1 the
+    * degree frame is 20k rows, at 100 TB it is billions — the width must
+    * come from the data, not the session. 4M longs-pairs ≈ 64 MB. */
+  private val NodeRowsPerPartition = 4000000L
+
+  /** Broadcast the removed trickle only while it provably fits: 4M ids
+    * ≈ 64 MB of longs — above that fall back to a shuffle join (the
+    * driver KNOWS the exact row count each round, so this is adaptive
+    * on a measured scalar, not an estimate). */
+  private val TrickleBroadcastRows = 4000000L
+
   private[analytics] def kCorePeelCensusOf(spark: SparkSession,
       edges0: DataFrame, k: Int, maxRounds: Int): DataFrame = {
-    var edges = edges0
+    // INCREMENTAL-DEGREE cascade (round-8 advice item 3). Measured
+    // evolution at the 38-round sf0.1 cascade, same box, back-to-back:
+    //  (1) per-round edge-list degree re-aggregation + eager checkpoint
+    //      + count: 31.6 s (the r8-committed form, 8× the oracle);
+    //  (2) lazily batching 4 rounds behind one checkpoint: 57.7 s —
+    //      WORSE: un-materialized frames carry no stats, so AQE planned
+    //      the anti-joins as full sort-merge shuffles;
+    //  (3) incremental NODE-sized degree frame, eager ckpt + count:
+    //      22.2 s — the degree re-aggregation is redundant by induction
+    //      (a survivor's degree changes only by edges shared with the
+    //      removed trickle), but two driver round-trips per round remain;
+    //  (4) lazy ckpt so the count is the round's ONLY action: 20.5 s —
+    //      the floor moved to AQE's per-stage replanning and ~160
+    //      near-empty 32-wide tasks per round;
+    //  (5) THIS form: 12.7 s warm. One fused union-aggregate job per
+    //      round, AQE off inside the kernel (every join is explicitly
+    //      hinted on driver-measured counts — there is nothing left for
+    //      AQE to decide, and its stage-by-stage materialization was
+    //      pure overhead here), and every node-sized stage runs at a
+    //      width derived from the NODE count (NodeRowsPerPartition)
+    //      instead of the session's edge-scale default.
+    //
+    // Per round, ONE action evaluates:
+    //   next = (σ(¬bad) deg)  ∪  (π_dst,-1 (sym ⋉ bad_src ▷ bad_dst))
+    //          groupBy node → sum(d)        [lazy localCheckpoint]
+    //   nBad = count(σ(0<d<k) next)
+    // The count materializes the checkpoint blocks (the checkpointed RDD
+    // sits in its lineage) AND returns the next census scalar; the two
+    // trickle broadcasts launch as parallel futures at prepare time.
+    //
+    // Census equivalence with the edge-list formulation is exact but has
+    // one subtlety: a node that loses ALL its edges in one round vanishes
+    // from an edge-derived degree aggregate (never counted as removed),
+    // so `bad` requires d > 0 — zero-degree rows stay behind, inert and
+    // invisible (they contribute no decrements: their edges' other
+    // endpoints were removed in the round that zeroed them, and removed
+    // endpoints are anti-filtered from the delta legs), exactly like an
+    // isolated node in the edge form.
+    val isBad = col("d") > 0 && col("d") < k
     val removed = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
-    var round = 0
-    var converged = false
-    while (!converged && round < maxRounds) {
-      round += 1
-      val bad = Caches.scratch(
-        edges.select(col("u").as("n"))
-          .unionAll(edges.select(col("v").as("n")))
-          .groupBy(col("n")).agg(count(lit(1)).as("d"))
-          .filter(col("d") < k).select(col("n")))
-      val nBad = bad.count()
-      if (nBad == 0L) converged = true
-      else {
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
+    val sym = edges0.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges0.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(fullWidth(edges0), col("src"))
+      .localCheckpoint(true) // bare LogicalRDD: rounds re-plan a leaf,
+                             // not the upstream co-purchase construction
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      var deg = sym.groupBy(col("dst").as("node"))
+        .agg(count(lit(1)).as("d"))
+        .localCheckpoint(false)
+      // ONE setup action: materializes deg's checkpoint and returns both
+      // the node count (sizes the loop's shuffle width) and round 1's
+      // census scalar.
+      val head = deg.agg(count(lit(1)).as("n"),
+        count(when(isBad, lit(1))).as("b")).head()
+      val nNodes = head.getLong(0)
+      var nBad = head.getLong(1)
+      val degWidth = math.max(1L, math.min(fullWidth(edges0).toLong,
+        nNodes / NodeRowsPerPartition + 1L)).toInt
+      spark.conf.set("spark.sql.shuffle.partitions", degWidth.toString)
+      var round = 0
+      while (nBad > 0L && round < maxRounds) {
+        round += 1
         removed += ((round.toLong, nBad))
-        edges = edges
-          .join(bad.select(col("n").as("u")), Seq("u"), "left_anti")
-          .join(bad.select(col("n").as("v")), Seq("v"), "left_anti")
-          .localCheckpoint(true)
+        val badSrc = deg.filter(isBad).select(col("node").as("src"))
+        val badDst = deg.filter(isBad).select(col("node").as("dst"))
+        val hint: DataFrame => DataFrame =
+          if (nBad <= TrickleBroadcastRows) broadcast(_) else identity
+        val deltas = sym
+          .join(hint(badSrc), Seq("src"), "left_semi")
+          .join(hint(badDst), Seq("dst"), "left_anti")
+          .select(col("dst").as("node"), lit(-1L).as("d"))
+        val next = deg.filter(!isBad)
+          .unionAll(deltas)
+          .groupBy(col("node")).agg(sum(col("d")).as("d"))
+          .localCheckpoint(false)
+        nBad = next.filter(isBad).count() // the round's ONLY action
+        Caches.freeCheckpoint(deg) // superseded round's blocks die now
+        deg = next
       }
+      Caches.freeCheckpoint(deg) // census is driver-built; deg owes nothing
+    } finally {
+      Caches.freeCheckpoint(sym)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
     }
     import spark.implicits._
     removed.toSeq.toDF("round", "n_removed").orderBy(col("round").asc)
@@ -523,8 +597,10 @@ object Graphs {
         .groupBy(col("node")).agg(min(col("d")).as("d"))
         .localCheckpoint(true)
       converged = relaxed.except(dist).isEmpty
+      Caches.freeCheckpoint(dist) // superseded once the fixpoint test ran
       dist = relaxed
     }
+    Caches.trackCheckpoint(dist)
     dist.groupBy(col("d").as("dist_ppm"))
       .agg(count(lit(1)).as("n_nodes"))
       .select(col("dist_ppm").cast("long").as("dist_ppm"),
@@ -666,12 +742,15 @@ object Graphs {
         // growth per round, exponential analysis. Checkpointing makes
         // each round's plan a constant-size join(LogicalRDD, bad) —
         // the same discipline as connectedComponents (DupClusters).
-        edges = edges
+        val next = edges
           .join(bad.select(col("n").as("u")), Seq("u"), "left_anti")
           .join(bad.select(col("n").as("v")), Seq("v"), "left_anti")
           .localCheckpoint(true)
+        if (round > 1) Caches.freeCheckpoint(edges) // superseded checkpoint
+        edges = next
       }
     }
+    if (round > 0 && !edges.eq(edges0)) Caches.trackCheckpoint(edges)
     val nNodes = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .agg(countDistinct(col("n")).as("n_nodes"))

@@ -3,6 +3,7 @@ package graft.core
 import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.storage.StorageLevel
 
 /** Lifecycle for OPERATOR-LOCAL persists (round-3 review: TextDedup /
@@ -41,19 +42,75 @@ object Caches {
     df
   }
 
-  /** Unpersist every scratch frame registered on `spark` since the last
-    * release. Non-blocking: block cleanup proceeds asynchronously. */
+  // ---- eager-localCheckpoint lifecycle (round-8 verdict, what's-wrong 2) --
+  //
+  // Iterative kernels (pagerank, k-core peel, connected components,
+  // Bellman-Ford) replace a `.localCheckpoint(true)` frame every round and
+  // drop the old reference. The checkpoint's persisted RDD blocks are only
+  // freed when the DRIVER GC collects the RDD object — under a 24 GiB heap
+  // with low allocation pressure that is effectively never, so a long
+  // bench session accumulated hundreds of dead checkpoint blocks in the
+  // storage pool (measured r8: peak RSS 19 → 42 GiB across runs). The fix
+  // is explicit lifecycle: loops free each SUPERSEDED checkpoint the
+  // moment its replacement has materialized ([[freeCheckpoint]]), and
+  // register the FINAL checkpoint — which the returned result frame still
+  // references — for end-of-query release ([[trackCheckpoint]], swept by
+  // [[releaseScratch]] after the caller materializes the result).
+  //
+  // NOT for memo-backing checkpoints: a localCheckpoint truncates lineage,
+  // so once freed it can never be recomputed — a frame that feeds a
+  // long-lived FrameMemo (DupClusters.clustersFor) must keep its final
+  // checkpoint alive for the session and stays out of this registry.
+
+  private val ckptFrames =
+    new ConcurrentHashMap[SparkSession, ConcurrentLinkedQueue[DataFrame]]()
+
+  /** Immediately free the checkpoint blocks behind `df` (a frame produced
+    * by `localCheckpoint(eager = true)`). The checkpointed plan is a
+    * single [[LogicalRDD]] leaf holding the persisted RDD; anything else
+    * is a no-op. Callers must only free frames nothing will read again —
+    * a truncated-lineage RDD cannot be recomputed. */
+  def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: LogicalRDD =>
+        try l.rdd.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      case _ => ()
+    }
+
+  /** Register an already-checkpointed frame for release at the next
+    * [[releaseScratch]] on its session (the final checkpoint of an
+    * iterative kernel whose result frame is about to be materialized by
+    * the caller). Returns `df` for chaining. */
+  def trackCheckpoint(df: DataFrame): DataFrame = {
+    ckptFrames
+      .computeIfAbsent(df.sparkSession, _ => new ConcurrentLinkedQueue[DataFrame]())
+      .add(df)
+    df
+  }
+
+  /** Unpersist every scratch frame and tracked checkpoint registered on
+    * `spark` since the last release. Non-blocking: block cleanup proceeds
+    * asynchronously. */
   def releaseScratch(spark: SparkSession): Unit = {
     val q = scratchFrames.remove(spark)
     if (q != null) q.forEach { df =>
       try df.unpersist(blocking = false)
       catch { case _: Throwable => () }
     }
+    val c = ckptFrames.remove(spark)
+    if (c != null) c.forEach(freeCheckpoint)
   }
 
   /** Number of registered-but-unreleased scratch frames (test hook). */
   def pendingScratch(spark: SparkSession): Int = {
     val q = scratchFrames.get(spark)
+    if (q == null) 0 else q.size()
+  }
+
+  /** Number of tracked-but-unreleased final checkpoints (test hook). */
+  def pendingCheckpoints(spark: SparkSession): Int = {
+    val q = ckptFrames.get(spark)
     if (q == null) 0 else q.size()
   }
 }

@@ -60,10 +60,14 @@ object DupClusters {
     // first loop round would compute from identity labels, for one
     // aggregation instead of a join+aggregation+count round. Band-clique
     // components (the dedup norm) finish in ONE verification round.
-    var labels = edges.groupBy(col("src"))
+    // `labelsCkpt` always points at the round's raw checkpoint frame (a
+    // bare LogicalRDD plan — freeCheckpoint needs the leaf itself, not a
+    // projection over it); `labels` is the 2-column view the round uses.
+    var labelsCkpt = edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("label"))
       .withColumnRenamed("src", "node")
       .localCheckpoint(true)
+    var labels = labelsCkpt
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
@@ -78,12 +82,23 @@ object DupClusters {
           (col("nmin") < col("label")).as("chg"))
         .localCheckpoint(true)
       changed = next.filter(col("chg")).count()
+      // the superseded round's checkpoint blocks are dead the moment
+      // `next` is materialized — free them eagerly (round-8 verdict:
+      // leaked checkpoints accumulate for the JVM lifetime otherwise).
+      // The FINAL round's checkpoint deliberately stays alive: it backs
+      // the memoized cluster frame (clustersFor) for the whole session,
+      // and a truncated-lineage RDD can never be recomputed once freed.
+      graft.core.Caches.freeCheckpoint(labelsCkpt)
+      labelsCkpt = next
       labels = next.select(col("node"), col("label"))
       iters += 1
     }
     require(changed == 0,
       s"connectedComponents did not converge in $maxIters rounds — " +
         "pathological long-path graph; use a star-contraction variant")
+    // the symmetrized edge list is dead after convergence (the result
+    // derives only from the final label checkpoint) — free it now.
+    graft.core.Caches.freeCheckpoint(edges)
     labels.select(
         col("label").as("cluster_id"),
         col("node").as("doc_id"),
