@@ -709,6 +709,10 @@ object SparkEntry {
     // ---- Kendall rank-agreement census: revenue rank vs order-frequency
     //      rank over the revenue top-50 (exact C/D/tie counts) ----
     "q249_rank_agreement"      -> ((s, d) => StarQueries.rankAgreement(s, d)),
+    // ---- END-TO-END curation pipeline: near-dup keep-list → quality ∧
+    //      repetition gates → hash split → train-stream packing →
+    //      per-source datasheet funnel, as ONE declarative plan ----
+    "q250_curation_pipeline"   -> ((s, d) => Curation.curationPipeline(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -5894,6 +5898,109 @@ object SparkEntry {
         |          - SUM(CASE WHEN cls = 'discordant' THEN 1 ELSE 0 END)
         |         AS BIGINT) AS tau_num
         |FROM cls""".stripMargin,
+    // q250: the q78 keep-list, q66 quality/repetition, q52 split and q94
+    // packing CTEs composed into the one-pipeline funnel — every piece
+    // is the already-hash-gated component text, so the composition pins
+    // only the interactions (dedup-before-quality, split-on-bronze,
+    // pack-after-both-gates).
+    "q250_curation_pipeline" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashOracle
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r
+         |  JOIN edges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src),
+         |lab AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |keepl AS (
+         |  SELECT d.doc_id, COALESCE(l.doc_id = l.cluster_id, TRUE) AS kept
+         |  FROM documents d LEFT JOIN lab l USING (doc_id)),
+         |nq AS (SELECT doc_id, source, $duckNorm AS norm FROM documents),
+         |tq AS (SELECT doc_id, source, norm, str_split(norm, ' ') AS w FROM nq),
+         |qual AS (
+         |  SELECT doc_id,
+         |    CAST(len(w) >= 20 AND len(w) <= 1000 AS INTEGER)
+         |      + CAST(len(list_filter(w, x -> x IN ($duckStops))) > 0 AS INTEGER)
+         |      + CAST(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(w) >= 2.0
+         |             AND CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(w) <= 12.0
+         |             AS INTEGER) AS quality
+         |  FROM tq),
+         |words AS (SELECT doc_id, unnest(w) AS wd FROM tq),
+         |ws AS (
+         |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+         |         COUNT(*) AS n_distinct_words
+         |  FROM (SELECT doc_id, wd, COUNT(*) AS cnt FROM words GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i ->
+         |           array_to_string(w[i:i+1], ' '))) AS b
+         |  FROM tq WHERE len(w) >= 2),
+         |bs AS (
+         |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+         |         MAX(cnt) AS top_bigram_cnt
+         |  FROM (SELECT doc_id, b, COUNT(*) AS cnt FROM bg GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |rep AS (
+         |  SELECT w.doc_id,
+         |         (((w.n_words - w.n_distinct_words) * 1000000) // w.n_words <= 600000
+         |          AND (b.top_bigram_cnt * 1000000) // b.n_bigrams <= 180000)
+         |           AS keep_repetition
+         |  FROM ws w JOIN bs b USING (doc_id)),
+         |spl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80 THEN 'train'
+         |         WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |toks AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM tq),
+         |base AS (
+         |  SELECT d.doc_id, d.source, k.kept, q.quality, s.split, t.n_tokens,
+         |         (k.kept AND q.quality = 3
+         |          AND COALESCE(r.keep_repetition, TRUE)) AS survivor
+         |  FROM documents d
+         |  JOIN keepl k USING (doc_id)
+         |  JOIN qual q USING (doc_id)
+         |  LEFT JOIN rep r USING (doc_id)
+         |  JOIN spl s USING (doc_id)
+         |  JOIN toks t USING (doc_id)),
+         |packed AS (
+         |  SELECT source, COUNT(DISTINCT chunk_id) AS n_chunks FROM (
+         |    SELECT source,
+         |           COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+         |             ORDER BY doc_id ASC
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |             // 512 AS chunk_id
+         |    FROM base WHERE survivor AND split = 'train')
+         |  GROUP BY 1),
+         |agg AS (
+         |  SELECT source,
+         |         COUNT(*) AS n_bronze,
+         |         CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_dedup_kept,
+         |         CAST(SUM(CASE WHEN survivor THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_clean,
+         |         CAST(SUM(CASE WHEN survivor AND split = 'train' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_train,
+         |         CAST(SUM(CASE WHEN survivor AND split = 'val' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_val,
+         |         CAST(SUM(CASE WHEN survivor AND split = 'test' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_test,
+         |         CAST(SUM(CASE WHEN survivor AND split = 'train' THEN n_tokens ELSE 0 END)
+         |           AS BIGINT) AS train_tokens
+         |  FROM base GROUP BY 1)
+         |SELECT a.source, a.n_bronze, a.n_dedup_kept, a.n_clean, a.n_train,
+         |       a.n_val, a.n_test, a.train_tokens,
+         |       CAST(COALESCE(p.n_chunks, 0) AS BIGINT) AS n_chunks
+         |FROM agg a LEFT JOIN packed p USING (source)
+         |ORDER BY a.source ASC""".stripMargin,
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via

@@ -715,4 +715,80 @@ object Curation {
           .as("w_est"))
       .orderBy(col("rank").asc)
   }
+
+  /** q250: the END-TO-END curation pipeline as ONE declarative plan —
+    * the composition a production training-data run actually ships, not
+    * just its parts: bronze corpus → NEAR-dup keep-list (MinHash+LSH
+    * clusters, q78 — unlike q66's exact-hash dedup) → quality rubric
+    * (q32) ∧ repetition gate (q62) → deterministic hash split (q52) →
+    * 512-token sequence packing of the surviving train docs (q94
+    * arithmetic over the FILTERED stream) → per-source datasheet funnel.
+    * Pins the interactions the component queries can't see: dedup runs
+    * BEFORE quality (a near-dup of a high-quality doc is still removed),
+    * the split is stamped on every bronze doc (so val/test membership
+    * never shifts when upstream filters change — the q158 leakage
+    * contract), and the packer sees only surviving train docs (chunk
+    * offsets compact after both gates).
+    *
+    * Repetition-gate subtlety: q62's bigram ratio is undefined for
+    * single-word docs (its word/bigram join drops them); the pipeline
+    * treats "too short to measure repetition" as KEEP (left join +
+    * coalesce true) — such docs still face the quality rubric, which
+    * fails docs under 20 tokens anyway.
+    *
+    * Scale shape: the keep-list is a broadcast of a pair-graph-sized
+    * frame (the corpus is never shuffled to apply its own dedup); the
+    * rubric/repetition branches are linear passes meeting on doc_id
+    * equi-joins; packing is the q94 single window shuffle on source
+    * (at 100 TB the shard key widens to (source, file-split)); the
+    * funnel aggregate is map-side combinable into a source-sized frame.
+    * One corpus-wide shuffle total beyond the component passes. */
+  def curationPipeline(spark: SparkSession, dir: String,
+      budget: Int = 512): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keep = DupClusters.dedupKeepList(spark, dir)
+      .select(col("doc_id"), col("kept"))
+    val qual = TextStats.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    val rep = TextStats.repetitionSignals(docs)
+      .select(col("doc_id"), col("keep").as("keep_repetition"))
+    val spl = withSplit(docs).select(col("doc_id"), col("split"))
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val toks = docs.select(col("doc_id"),
+      size(split(norm, " ")).cast("long").as("n_tokens"))
+    val base = docs.select(col("doc_id"), col("source"))
+      .join(keep, Seq("doc_id"))
+      .join(qual, Seq("doc_id"))
+      .join(rep, Seq("doc_id"), "left")
+      .join(spl, Seq("doc_id"))
+      .join(toks, Seq("doc_id"))
+      .withColumn("keep_repetition",
+        coalesce(col("keep_repetition"), lit(true)))
+      .withColumn("survivor",
+        col("kept") && col("quality") === 3 && col("keep_repetition"))
+    val w = Window.partitionBy("source").orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packed = base.filter(col("survivor") && col("split") === "train")
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("chunk_id", expr(s"start_offset div $budget"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("chunk_id")).as("n_chunks"))
+    base.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_bronze"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_dedup_kept"),
+        sum(when(col("survivor"), 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("survivor") && col("split") === "train", 1L)
+          .otherwise(0L)).as("n_train"),
+        sum(when(col("survivor") && col("split") === "val", 1L)
+          .otherwise(0L)).as("n_val"),
+        sum(when(col("survivor") && col("split") === "test", 1L)
+          .otherwise(0L)).as("n_test"),
+        sum(when(col("survivor") && col("split") === "train",
+          col("n_tokens")).otherwise(0L)).as("train_tokens"))
+      .join(packed, Seq("source"), "left")
+      .withColumn("n_chunks", coalesce(col("n_chunks"), lit(0L)))
+      .orderBy(col("source").asc)
+  }
 }

@@ -457,4 +457,53 @@ class CurationSpec extends SparkSpecBase {
       assert(dev === math.abs(n * total - exp) * 1000000L / exp, s"dev wrong: $r")
     }
   }
+
+  test("curation pipeline (q250) reconciles with its component queries") {
+    val out = Curation.curationPipeline(spark, sf).collect()
+    val bySrc = out.map(r => r.getString(0) -> r).toMap
+
+    // funnel conservation: bronze covers the corpus, monotone shrink,
+    // and the split partitions the survivors exactly
+    assert(out.map(_.getLong(1)).sum === docs.count())
+    out.foreach { r =>
+      val (bronze, kept, clean) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (tr, va, te) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(bronze >= kept && kept >= clean, s"funnel not monotone: $r")
+      assert(tr + va + te === clean, s"split does not partition clean: $r")
+      // packing sanity: every chunk holds <= 512 starting tokens' worth
+      // of docs, so chunks >= ceil(train_tokens/512) can't undershoot by
+      // construction; and no chunks without tokens
+      val (tokens, chunks) = (r.getLong(7), r.getLong(8))
+      assert((chunks == 0) === (tokens == 0), s"chunks/tokens mismatch: $r")
+      assert(chunks <= tokens / 512 + 1, s"more chunks than offsets: $r")
+    }
+
+    // component equality: per-source dedup-kept counts match q78's
+    // keep list exactly
+    val keepBySrc = DupClusters.dedupKeepList(spark, sf)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source").agg(sum(when(col("kept"), 1L).otherwise(0L)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keepBySrc.foreach { case (s, k) =>
+      assert(bySrc(s).getLong(2) === k, s"dedup-kept drift for $s")
+    }
+
+    // component equality: survivors recomputed from the standalone
+    // quality + repetition + keep-list frames
+    val survivors = graft.llm.TextStats.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+      .join(graft.llm.TextStats.repetitionSignals(docs)
+        .select(col("doc_id"), col("keep").as("kr")), Seq("doc_id"), "left")
+      .join(DupClusters.dedupKeepList(spark, sf)
+        .select(col("doc_id"), col("kept")), Seq("doc_id"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .filter(col("kept") && col("quality") === 3 &&
+        coalesce(col("kr"), lit(true)))
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.foreach { case (s, r) =>
+      assert(r.getLong(3) === survivors.getOrElse(s, 0L),
+        s"clean-count drift for $s")
+    }
+  }
 }
