@@ -307,80 +307,98 @@ object Graphs {
     * unroll a SUFFICIENT number of rounds (maxIters=64 here) knowing the
     * tail rounds are no-ops.
     *
-    * Scale shape: per round identical to q115 (one keyed join + one
-    * aggregation over the pinned-width edge list). The unbounded loop
-    * adds the two disciplines q115's fixed-3 form deliberately skipped:
-    * an eager `localCheckpoint` every `checkEvery` rounds (lineage grows
-    * linearly per round — a block of 4 is cheap; 46 un-truncated rounds
-    * are not), and a fixpoint test per BLOCK, not per round (an
-    * `except().isEmpty` action costs a job; batching 4 rounds per check
-    * trades ≤3 wasted no-op rounds for 4× fewer driver round-trips). */
+    * Scale shape: per round, the node-sized rank frame joins INTO the
+    * pinned, checkpointed edge list — broadcast while the measured node
+    * count fits ([[TrickleBroadcastRows]]), shuffle beyond — and the
+    * new ranks aggregate at a width derived from the node count
+    * ([[NodeRowsPerPartition]]). One action per round: the fixpoint
+    * test (anti-join vs the previous ranks) runs over the lazily-
+    * checkpointed next frame, so its count both materializes the
+    * round's checkpoint and decides convergence. AQE is off inside the
+    * kernel: every join is explicitly hinted on driver-measured counts
+    * and its stage-by-stage materialization cost ~35% of the loop
+    * (measured evolution at the 46-round sf0.1 fixpoint: 29.0 s
+    * committed block form → 25.4 s with the edge frame checkpointed →
+    * 21.3 s with broadcast ranks + fused per-round fixpoint).
+    *
+    * The per-round fixpoint test replaces the earlier per-block
+    * (`checkEvery`) one; with it, a floor-arithmetic CYCLE (period > 1,
+    * which irregular graphs can enter instead of a fixpoint) simply
+    * never fires the early stop and the loop runs to maxIters — exactly
+    * the r_maxIters the unrolled oracle evaluates, so the two engines
+    * still agree bit-for-bit. */
   def pageRankConvergedPpm(spark: SparkSession, dir: String,
-      topK: Int = 10, checkEvery: Int = 4, maxIters: Int = 64): DataFrame =
+      topK: Int = 10, maxIters: Int = 64): DataFrame =
     pageRankConvergedPpmOf(
       coPurchasePairs(spark, dir).select(col("u"), col("v")),
-      topK, checkEvery, maxIters)
+      topK, maxIters)
 
   private[analytics] def pageRankConvergedPpmOf(undirected: DataFrame,
-      topK: Int, checkEvery: Int, maxIters: Int): DataFrame = {
-    // Oracle-consistency invariant: maxIters must be a multiple of
-    // checkEvery. The early stop fires at a block boundary t when
-    // r_t == r_{t-checkEvery}, i.e. the sequence is periodic with period
-    // dividing checkEvery from t on; the unrolled oracle evaluates
-    // r_maxIters, and maxIters ≡ t (mod period) holds exactly because
-    // both are multiples of checkEvery — so even a floor-arithmetic
-    // CYCLE (which irregular graphs can enter instead of a fixpoint)
-    // stops on the same phase the oracle lands on.
-    require(maxIters % checkEvery == 0,
-      s"maxIters=$maxIters must be a multiple of checkEvery=$checkEvery")
-    val directed = Caches.scratch(
-      undirected.select(col("u"), col("v"))
-        .unionAll(undirected.select(col("v").as("u"), col("u").as("v")))
-        .repartition(fullWidth(undirected), col("u")))
-    // The degree join is loop-INVARIANT: fold it into the cached edge
-    // list once so each of the ~46 convergence rounds pays one keyed
-    // join + one aggregation, not an extra per-round deg broadcast
-    // (jobs don't reuse broadcasts — 46 rounds re-shipped deg 46×).
-    val withDeg = Caches.scratch(
-      directed
-        .join(directed.groupBy(col("u")).agg(count(lit(1)).as("deg")), "u")
-        .repartition(fullWidth(undirected), col("u")))
-    def step(r: DataFrame): DataFrame =
-      withDeg
-        .join(r, withDeg("u") === r("node"))
-        .select(col("v"), expr("rank_ppm div deg").as("contrib"))
-        .groupBy(col("v"))
-        .agg(sum(col("contrib")).as("s"))
-        .select(col("v").as("node"),
-          expr("150000 + (s * 17) div 20").as("rank_ppm"))
-    var ranks = withDeg
-      .select(col("u").as("node")).distinct()
-      .select(col("node"), lit(1000000L).as("rank_ppm"))
+      topK: Int, maxIters: Int): DataFrame = {
+    val spark = undirected.sparkSession
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
+    val directed = undirected.select(col("u"), col("v"))
+      .unionAll(undirected.select(col("v").as("u"), col("u").as("v")))
+      .repartition(fullWidth(undirected), col("u"))
+    // The degree join is loop-INVARIANT: fold it into the edge list once
+    // so each of the ~46 convergence rounds pays one keyed join + one
+    // aggregation, not an extra per-round deg broadcast. Checkpointed,
+    // not cached: rounds then analyze a LogicalRDD leaf instead of
+    // re-optimizing the whole co-purchase construction subtree.
+    val withDeg = directed
+      .join(directed.groupBy(col("u")).agg(count(lit(1)).as("deg")), "u")
+      .repartition(fullWidth(undirected), col("u"))
       .localCheckpoint(true)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIters) {
-      val block = math.min(checkEvery, maxIters - iter)
-      var next = ranks
-      for (_ <- 1 to block) next = step(next)
-      next = next.localCheckpoint(true)
-      iter += block
-      // exact fixpoint: no (node, rank_ppm) pair changed over the block.
-      // Both sides are checkpointed LogicalRDDs — constant-size plan.
-      converged = next.except(ranks).isEmpty
-      // `ranks` is superseded and the fixpoint test has run — free its
-      // checkpoint blocks now instead of leaking them to driver GC
-      // (round-8 verdict: ~46 rounds × 3 bench executions left every
-      // round's blocks in the storage pool for the JVM's lifetime).
-      Caches.freeCheckpoint(ranks)
-      ranks = next
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      var ranks = withDeg
+        .select(col("u").as("node")).distinct()
+        .select(col("node"), lit(1000000L).as("rank_ppm"))
+        .localCheckpoint(true)
+      val nNodes = ranks.count()
+      val degWidth = math.max(1L, math.min(fullWidth(undirected).toLong,
+        nNodes / NodeRowsPerPartition + 1L)).toInt
+      spark.conf.set("spark.sql.shuffle.partitions", degWidth.toString)
+      val hint: DataFrame => DataFrame =
+        if (nNodes <= TrickleBroadcastRows) broadcast(_) else identity
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIters) {
+        val next = withDeg
+          .join(hint(ranks), withDeg("u") === col("node"))
+          .select(col("v"), expr("rank_ppm div deg").as("contrib"))
+          .groupBy(col("v"))
+          .agg(sum(col("contrib")).as("s"))
+          .select(col("v").as("node"),
+            expr("150000 + (s * 17) div 20").as("rank_ppm"))
+          .localCheckpoint(false)
+        iter += 1
+        // exact fixpoint: no (node, rank_ppm) pair changed this round.
+        // The count materializes next's checkpoint blocks on the way.
+        converged = next
+          .join(hint(ranks), Seq("node", "rank_ppm"), "left_anti")
+          .count() == 0L
+        // `ranks` is superseded and the fixpoint test has run — free its
+        // checkpoint blocks now instead of leaking them to driver GC
+        // (round-8 verdict: ~46 rounds × 3 bench executions left every
+        // round's blocks in the storage pool for the JVM's lifetime).
+        Caches.freeCheckpoint(ranks)
+        ranks = next
+      }
+      val w = Window.orderBy(col("rank_ppm").desc, col("node").asc)
+      Caches.trackCheckpoint(ranks)
+        .orderBy(col("rank_ppm").desc, col("node").asc).limit(topK)
+        .withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("node"), col("rank_ppm"))
+        .orderBy(col("rank").asc)
+    } finally {
+      // the result frame reads only the FINAL ranks checkpoint — the
+      // pinned edge list owes nothing once the loop exits
+      Caches.freeCheckpoint(withDeg)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
     }
-    val w = Window.orderBy(col("rank_ppm").desc, col("node").asc)
-    Caches.trackCheckpoint(ranks)
-      .orderBy(col("rank_ppm").desc, col("node").asc).limit(topK)
-      .withColumn("rank", row_number().over(w))
-      .select(col("rank"), col("node"), col("rank_ppm"))
-      .orderBy(col("rank").asc)
   }
 
   /** q228: k-core peel CASCADE census — the unbounded-iteration k-core

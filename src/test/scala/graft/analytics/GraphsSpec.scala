@@ -140,14 +140,13 @@ class GraphsSpec extends SparkSpecBase {
     // contrib sum per node = 2·(10⁶ div 2) and 150000 + (10⁶·17) div 20
     // = 10⁶ again. (A 3-node PATH, by contrast, never reaches an exact
     // fixpoint — the floor arithmetic drifts on irregular tiny graphs;
-    // oracle consistency there comes from maxIters being a multiple of
-    // checkEvery, so an early cycle-stop and the unrolled oracle land on
-    // the same phase.)
+    // oracle consistency there comes from the per-round fixpoint test
+    // never firing on a cycle, so the loop runs to the same r_maxIters
+    // the unrolled oracle evaluates.)
     val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
-    val a = Graphs.pageRankConvergedPpmOf(k3, 10, 4, 64).collect().toSeq
+    val a = Graphs.pageRankConvergedPpmOf(k3, 10, 64).collect().toSeq
     assert(a.map(_.getLong(2)).forall(_ === 1000000L), s"K3 not uniform: $a")
-    assert(a === Graphs.pageRankConvergedPpmOf(k3, 10, 4, 128).collect().toSeq)
-    assert(a === Graphs.pageRankConvergedPpmOf(k3, 10, 1, 64).collect().toSeq)
+    assert(a === Graphs.pageRankConvergedPpmOf(k3, 10, 128).collect().toSeq)
     // sf data reaches an exact fixpoint (26 rounds at sf0.001): the
     // result must be invariant to the iteration budget and to the
     // check-block size, deterministic, dense-ranked, non-increasing.
