@@ -434,6 +434,18 @@ object Graphs {
 
   private[analytics] def kCorePeelCensusOf(spark: SparkSession,
       edges0: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    val (deg, removed) = peelCore(edges0, k, maxRounds)
+    Caches.freeCheckpoint(deg) // census is driver-built; deg owes nothing
+    import spark.implicits._
+    removed.toDF("round", "n_removed").orderBy(col("round").asc)
+  }
+
+  /** Shared incremental-degree peel loop (impl notes below) — returns
+    * the FINAL degree checkpoint (caller owns its release) and the
+    * per-round removal census. */
+  private def peelCore(edges0: DataFrame, k: Int,
+      maxRounds: Int): (DataFrame, Seq[(Long, Long)]) = {
+    val spark = edges0.sparkSession
     // INCREMENTAL-DEGREE cascade (round-8 advice item 3). Measured
     // evolution at the 38-round sf0.1 cascade, same box, back-to-back:
     //  (1) per-round edge-list degree re-aggregation + eager checkpoint
@@ -516,14 +528,12 @@ object Graphs {
         Caches.freeCheckpoint(deg) // superseded round's blocks die now
         deg = next
       }
-      Caches.freeCheckpoint(deg) // census is driver-built; deg owes nothing
+      (deg, removed.toList)
     } finally {
       Caches.freeCheckpoint(sym)
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
       spark.conf.set("spark.sql.shuffle.partitions", shufWas)
     }
-    import spark.implicits._
-    removed.toSeq.toDF("round", "n_removed").orderBy(col("round").asc)
   }
 
   /** q229: market-basket ASSOCIATION RULES over the co-purchase scaffold —
@@ -717,12 +727,16 @@ object Graphs {
     * k = 80 (round 6+ is a fixpoint), so the bound is documentation,
     * not approximation, at test scale.
     *
-    * Scale shape: each round is one degree aggregation plus two
-    * semi-joins against the (shrinking) keep-list — all key-hash
-    * shuffles, no pair expansion anywhere. `localCheckpoint` per round
-    * severs the lineage that would otherwise double per round (the
-    * edges frame feeds both the degree count and the filtered join —
-    * the same discipline as the connected-components loop). */
+    * Scale shape: the same incremental-degree [[peelCore]] loop as the
+    * q228 cascade (one fused node-sized job per round, trickle joins
+    * hinted on driver-measured counts); the census then folds the FINAL
+    * degree frame in one aggregate — n_nodes = nodes with d > 0 (a node
+    * that lost every edge vanishes from an edge-derived count, and its
+    * inert d = 0 row matches that exactly), n_edges = Σd / 2 (the
+    * degree sum over the symmetrized list double-counts each surviving
+    * undirected edge). Under-degree nodes left by an exhausted rounds
+    * budget still carry d > 0 and stay in both counts, exactly like the
+    * edge-list form they replaced. */
   def kCoreCensus(spark: SparkSession, dir: String,
       k: Int = 80, rounds: Int = 8): DataFrame =
     kCoreCensusOf(coPurchasePairs(spark, dir).select(col("u"), col("v")),
@@ -730,50 +744,21 @@ object Graphs {
 
   private[analytics] def kCoreCensusOf(edges0: DataFrame,
       k: Int, rounds: Int): DataFrame = {
-    // Peel by ANTI-joining against the REMOVED set, not semi-joining
-    // against the keep-list: after the first round only a trickle of
-    // nodes falls below k, so the anti side is tiny and AQE broadcasts
-    // it — the edge list crosses the wire once per round for the degree
-    // count and never for the filter. (At a scale where round-1 removals
-    // exceed the broadcast threshold AQE falls back to a shuffle join —
-    // same relation, graceful degradation.) A round with zero removals
-    // is a fixpoint: every later round is a no-op by definition, so we
-    // exit early — the fixed `rounds` bound stays the SEMANTIC contract
-    // shared with the unrolled oracle, while converged rounds cost
-    // nothing.
-    var edges = edges0
-    var round = 0
-    var converged = false
-    while (round < rounds && !converged) {
-      round += 1
-      val bad = Caches.scratch(
-        edges.select(col("u").as("n"))
-          .unionAll(edges.select(col("v").as("n")))
-          .groupBy(col("n")).agg(count(lit(1)).as("d"))
-          .filter(col("d") < k).select(col("n")))
-      if (bad.isEmpty) converged = true
-      else {
-        // EAGER localCheckpoint, not a lazy persist: persist dedups
-        // EXECUTION but Catalyst still re-analyzes the full logical
-        // plan, which here references the prior round's edges three
-        // times (degree count + both anti-joins via `bad`) — ~5× plan
-        // growth per round, exponential analysis. Checkpointing makes
-        // each round's plan a constant-size join(LogicalRDD, bad) —
-        // the same discipline as connectedComponents (DupClusters).
-        val next = edges
-          .join(bad.select(col("n").as("u")), Seq("u"), "left_anti")
-          .join(bad.select(col("n").as("v")), Seq("v"), "left_anti")
-          .localCheckpoint(true)
-        if (round > 1) Caches.freeCheckpoint(edges) // superseded checkpoint
-        edges = next
-      }
-    }
-    if (round > 0 && !edges.eq(edges0)) Caches.trackCheckpoint(edges)
-    val nNodes = edges.select(col("u").as("n"))
-      .unionAll(edges.select(col("v").as("n")))
-      .agg(countDistinct(col("n")).as("n_nodes"))
-    edges.agg(count(lit(1)).cast("long").as("n_edges"))
-      .crossJoin(nNodes)
+    val (deg, _) = peelCore(edges0, k, rounds)
+    // the result frame reads the final degree checkpoint lazily —
+    // released at the caller's next releaseScratch, after materialization
+    Caches.trackCheckpoint(deg)
+    // d > 0 on BOTH aggregates: a removed node u's pinned-edge deltas
+    // can target neighbors removed in EARLIER rounds, creating phantom
+    // rows with strictly negative d (they start at -1 with no base row
+    // and only decrease). Real rows never go negative — a node reaches
+    // d = 0 only when its last neighbor is removed, after which no
+    // remaining edge can decrement it — so the d > 0 slice is exactly
+    // the surviving subgraph.
+    deg.agg(
+        count(when(col("d") > 0, lit(1))).as("n_nodes"),
+        (coalesce(sum(when(col("d") > 0, col("d"))), lit(0L)) / 2)
+          .cast("long").as("n_edges"))
       .select(lit(k.toLong).as("core_k"),
         col("n_nodes").cast("long").as("n_nodes"), col("n_edges"))
   }
