@@ -713,6 +713,15 @@ object SparkEntry {
     //      repetition gates → hash split → train-stream packing →
     //      per-source datasheet funnel, as ONE declarative plan ----
     "q250_curation_pipeline"   -> ((s, d) => Curation.curationPipeline(s, d)),
+    // ---- Matryoshka truncated-dim retrieval audit: exact top-k under
+    //      the first d dims vs full-dim truth, recall per (dim, query) ----
+    "q251_matryoshka_recall"   -> ((s, d) => Similarity.matryoshkaRecall(s, d)),
+    // ---- semantic train/eval leakage curve: LSH-banded cross-split
+    //      candidates, exact cosine, per-decile census ----
+    "q252_semantic_leakage"    -> ((s, d) => Similarity.semanticLeakage(s, d)),
+    // ---- quality-filter length-calibration matrix (is the rubric a
+    //      length proxy?) ----
+    "q253_quality_length_calibration" -> ((s, d) => TextStats.qualityLengthCalibration(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -6001,6 +6010,85 @@ object SparkEntry {
          |       CAST(COALESCE(p.n_chunks, 0) AS BIGINT) AS n_chunks
          |FROM agg a LEFT JOIN packed p USING (source)
          |ORDER BY a.source ASC""".stripMargin,
+    // q251: prefix-slice truncation, then the q34 cosine/ranking contract
+    // per dim; recall joins against the full-dim truth.
+    "q251_matryoshka_recall" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cosf AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    list_dot_product(q.e, n.e) / (sqrt(list_dot_product(q.e, q.e))
+        |      * sqrt(list_dot_product(n.e, n.e))) AS cos
+        |  FROM v q JOIN v n ON n.vec_id <> q.vec_id WHERE q.vec_id < 10),
+        |truth AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        |    FROM cosf) WHERE rnk <= 5),
+        |dims(dim) AS (VALUES (8), (16), (32), (64)),
+        |tv AS (SELECT d.dim, vec_id, e[1:d.dim] AS te FROM v, dims d),
+        |cost AS (
+        |  SELECT q.dim, q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    list_dot_product(q.te, n.te) / (sqrt(list_dot_product(q.te, q.te))
+        |      * sqrt(list_dot_product(n.te, n.te))) AS cos
+        |  FROM tv q JOIN tv n ON n.dim = q.dim AND n.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |trunc AS (
+        |  SELECT dim, query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY dim, query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        |    FROM cost) WHERE rnk <= 5)
+        |SELECT CAST(d.dim AS BIGINT) AS dim, t.query_id AS query_id,
+        |       COUNT(*) AS k,
+        |       CAST(SUM(CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS hits,
+        |       CAST(SUM(CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |         * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+        |FROM truth t CROSS JOIN dims d
+        |LEFT JOIN trunc tr ON tr.dim = d.dim AND tr.query_id = t.query_id
+        |  AND tr.neighbor_id = t.neighbor_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q252: the q35 sign-LSH CTEs, cross-split candidates, exact-cosine
+    // decile census.
+    "q252_semantic_leakage" ->
+      (lshCte +
+        s""",
+           |cand AS (
+           |  SELECT DISTINCT e.vec_id AS eval_id, t.vec_id AS train_id
+           |  FROM bands e JOIN bands t ON e.band = t.band AND e.bval = t.bval
+           |  WHERE e.vec_id % 7 = 3 AND t.vec_id % 7 <> 3),
+           |cos AS (
+           |  SELECT c.eval_id, c.train_id, $duckCos AS cos
+           |  FROM cand c
+           |  JOIN v qv ON qv.vec_id = c.eval_id
+           |  JOIN v nv ON nv.vec_id = c.train_id)
+           |SELECT CAST(floor(cos * 10) AS BIGINT) AS cos_decile,
+           |       COUNT(*) AS n_pairs,
+           |       COUNT(DISTINCT train_id) AS n_train_docs,
+           |       COUNT(DISTINCT eval_id) AS n_eval_docs
+           |FROM cos GROUP BY 1 ORDER BY 1""".stripMargin),
+    // q253: the q66 quality CTE bucketed by 64-char length bands; the
+    // per-band share is integer ppm over a window.
+    "q253_quality_length_calibration" ->
+      s"""WITH nq AS (SELECT doc_id, n_chars, $duckNorm AS norm FROM documents),
+         |tq AS (SELECT doc_id, n_chars, norm, str_split(norm, ' ') AS w FROM nq),
+         |qual AS (
+         |  SELECT doc_id, n_chars // 64 AS len_bucket,
+         |    CAST(len(w) >= 20 AND len(w) <= 1000 AS INTEGER)
+         |      + CAST(len(list_filter(w, x -> x IN ($duckStops))) > 0 AS INTEGER)
+         |      + CAST(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(w) >= 2.0
+         |             AND CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(w) <= 12.0
+         |             AS INTEGER) AS quality
+         |  FROM tq),
+         |m AS (
+         |  SELECT len_bucket, quality, COUNT(*) AS n_docs
+         |  FROM qual GROUP BY 1, 2)
+         |SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
+         |       CAST(quality AS BIGINT) AS quality,
+         |       CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(n_docs * 1000000 // SUM(n_docs) OVER (PARTITION BY len_bucket)
+         |         AS BIGINT) AS bucket_share_ppm
+         |FROM m ORDER BY len_bucket ASC, quality ASC""".stripMargin,
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via

@@ -743,4 +743,110 @@ object Similarity {
 
   def knnPqReranked(spark: SparkSession, dir: String): DataFrame =
     knnPqReranked(Tables.embeddings(spark, dir))
+
+  /** q251: MATRYOSHKA truncated-dimension retrieval audit (Kusupati et
+    * al., "Matryoshka Representation Learning", NeurIPS'22): exact
+    * top-k under only the FIRST d dimensions, for each d in `dims`,
+    * scored as recall against the full-dimension top-k truth. This is
+    * the acceptance curve behind adaptive-dimension retrieval — a
+    * 100 TB vector store that can serve d=16 prefixes at 4× the
+    * throughput needs exactly this table to pick d (on the isotropic
+    * test corpus the curve is brutal — d=8 recall ≈ 0.08 — which is
+    * itself the finding: truncation needs MRL-trained embeddings, and
+    * the audit is what proves whether a given model has them).
+    *
+    * Engine-portable: prefix slice → the same IEEE double cosine in the
+    * same operand order as the q34 exact ranking; row_number ties break
+    * on neighbor_id.
+    *
+    * Scale shape: |dims| passes of the brute-force audit arm — the
+    * corpus is scanned once per dim against a BROADCAST query set
+    * (|queries|·|dims| rows), every frame downstream of ranking is
+    * |queries|·k. Like q161 this is the acceptance instrument, not the
+    * serving path (that's IVF/PQ); its cost is |dims| linear scans by
+    * construction. */
+  def matryoshkaRecall(embeddings: DataFrame,
+      dims: Seq[Int] = Seq(8, 16, 32, 64),
+      numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val truth = graft.core.Caches.scratch(
+      knnExact(embeddings, numQueries, k)
+        .select(col("query_id"), col("neighbor_id")))
+    val dimsDf = dims.map(_.toLong).toDF("dim")
+    val tv = vecs(embeddings)
+      .crossJoin(broadcast(dimsDf))
+      .select(col("dim"), col("vec_id"),
+        slice(col("v"), lit(1), col("dim")).as("te"))
+      .withColumn("tn", sqrt(dot(col("te"), col("te"))))
+    val tq = tv.filter(col("vec_id") < numQueries)
+      .select(col("dim"), col("vec_id").as("query_id"),
+        col("te").as("qv"), col("tn").as("qn"))
+    val w = Window.partitionBy(col("dim"), col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val trunc = tv.join(broadcast(tq), Seq("dim"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("dim"), col("query_id"), col("vec_id").as("neighbor_id"),
+        cosinePre(col("qv"), col("te"), col("qn"), col("tn")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("dim"), col("query_id"), col("neighbor_id"),
+        lit(1L).as("hit"))
+    truth.crossJoin(broadcast(dimsDf))
+      .join(trunc, Seq("dim", "query_id", "neighbor_id"), "left")
+      .groupBy(col("dim"), col("query_id"))
+      .agg(count(lit(1)).as("k"),
+        coalesce(sum(col("hit")), lit(0L)).as("hits"))
+      .select(col("dim"), col("query_id"),
+        col("k").cast("long").as("k"), col("hits").cast("long").as("hits"),
+        expr("hits * 1000000 div k").cast("long").as("recall_ppm"))
+      .orderBy(col("dim").asc, col("query_id").asc)
+  }
+
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame =
+    matryoshkaRecall(Tables.embeddings(spark, dir))
+
+  /** q252: SEMANTIC train/eval leakage curve — the embedding-space
+    * sibling of the n-gram decontamination census (q69): candidate
+    * (eval, train) pairs from shared sign-projection LSH bands, exact
+    * cosine on candidates only, then a per-cosine-decile census (pair
+    * count + distinct train/eval docs touched). Decontamination as
+    * deployed needs a threshold; this is the curve that says where the
+    * cross-split similarity mass actually sits before anyone hard-codes
+    * one (the q178 calibration philosophy applied to the split
+    * boundary). Eval membership is the deterministic carve
+    * vec_id % 7 = 3 (coprime with the source modulus 20, so every
+    * source contributes eval docs).
+    *
+    * Scale shape: identical to the q51 near-dup path — banded equi-join
+    * candidates (linear under ScaleGrowth's collision tracking), exact
+    * verification only on candidates, decile census output is ≤ ~21
+    * rows. No all-pairs anywhere. */
+  def semanticLeakage(embeddings: DataFrame,
+      evalMod: Int = 7, evalRem: Int = 3): DataFrame = {
+    val bands = bandRows(signatures(embeddings))
+    val isEval = col("vec_id") % evalMod === evalRem
+    val cand = bands.filter(isEval)
+      .select(col("vec_id").as("eval_id"), col("band"), col("bval"))
+      .join(bands.filter(!isEval)
+        .select(col("vec_id").as("train_id"), col("band"), col("bval")),
+        Seq("band", "bval"))
+      .select(col("eval_id"), col("train_id")).distinct()
+    val c = vecsNormed(embeddings).select(col("vec_id"), col("v"), col("nrm"))
+    cand
+      .join(c.as("q"), col("eval_id") === col("q.vec_id"))
+      .join(c.as("x"), col("train_id") === col("x.vec_id"))
+      .select(col("eval_id"), col("train_id"),
+        cosinePre(col("q.v"), col("x.v"), col("q.nrm"), col("x.nrm")).as("cos"))
+      .select(col("eval_id"), col("train_id"),
+        floor(col("cos") * 10).cast("long").as("cos_decile"))
+      .groupBy(col("cos_decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("train_id")).as("n_train_docs"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy(col("cos_decile").asc)
+  }
+
+  def semanticLeakage(spark: SparkSession, dir: String): DataFrame =
+    semanticLeakage(Tables.embeddings(spark, dir))
 }

@@ -923,4 +923,35 @@ object TextStats {
 
   def compressionQuality(spark: SparkSession, dir: String): DataFrame =
     compressionQuality(Tables.documents(spark, dir))
+
+  /** q253: quality-filter LENGTH-CALIBRATION matrix — per (64-char
+    * length band × rubric score) document counts with each band's score
+    * distribution in ppm. The audit every production quality gate needs
+    * before shipping: if the "quality" rubric is secretly a length
+    * proxy, the high scores concentrate in a few bands and this table
+    * shows it directly (the rubric's length term makes SOME correlation
+    * expected; the calibration quantifies how much of the band's mass
+    * it moves). Exact integers end to end.
+    *
+    * Scale shape: one linear rubric pass (q32's docFeatures) joined to a
+    * 2-column projection on doc_id, one map-side-combinable aggregation
+    * into a ≤ (bands × 4)-row frame, and a window over that domain-sized
+    * frame. */
+  def qualityLengthCalibration(docs: DataFrame): DataFrame = {
+    val q = qualityScore(docs).select(col("doc_id"), col("quality"))
+    docs.select(col("doc_id"), expr("n_chars div 64").as("len_bucket"))
+      .join(q, Seq("doc_id"))
+      .groupBy(col("len_bucket"), col("quality"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("bucket_share_ppm",
+        expr("n_docs * 1000000 div sum(n_docs) over "
+          + "(partition by len_bucket)").cast("long"))
+      .select(col("len_bucket").cast("long").as("len_bucket"),
+        col("quality").cast("long").as("quality"),
+        col("n_docs").cast("long").as("n_docs"), col("bucket_share_ppm"))
+      .orderBy(col("len_bucket").asc, col("quality").asc)
+  }
+
+  def qualityLengthCalibration(spark: SparkSession, dir: String): DataFrame =
+    qualityLengthCalibration(Tables.documents(spark, dir))
 }

@@ -301,4 +301,35 @@ class SimilaritySpec extends SparkSpecBase {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(out === Map(0 -> 1L, 10 -> 1L))
   }
+
+  test("matryoshka recall: full dim is perfect, recall never exceeds 1, monotone-ish") {
+    val out = Similarity.matryoshkaRecall(emb).collect()
+    assert(out.length === 4 * 10, "4 dims x 10 queries")
+    out.foreach { r =>
+      assert(r.getLong(2) === 5L, s"k drifted: $r")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 5L, s"hits out of range: $r")
+      assert(r.getLong(4) === r.getLong(3) * 1000000L / 5L, s"ppm law: $r")
+    }
+    // the d = 64 arm IS the truth ranking: recall exactly 1 everywhere
+    assert(out.filter(_.getLong(0) == 64L).forall(_.getLong(3) === 5L),
+      "full-dim arm must reproduce the exact top-k")
+    // averaged over queries, more dims never hurt on this corpus
+    val mean = out.groupBy(_.getLong(0)).view
+      .mapValues(rs => rs.map(_.getLong(3)).sum).toMap
+    assert(mean(8L) <= mean(32L) && mean(32L) <= mean(64L),
+      s"recall curve not monotone over dims: $mean")
+  }
+
+  test("semantic leakage: candidates respect the split carve, censuses conserve") {
+    val out = Similarity.semanticLeakage(emb).collect()
+    assert(out.nonEmpty)
+    val nEval = emb.filter(col("vec_id") % 7 === 3).count()
+    out.foreach { r =>
+      val (pairs, tr, ev) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(pairs >= tr && pairs >= ev, s"distincts exceed pairs: $r")
+      assert(ev <= nEval, s"more eval docs than the carve holds: $r")
+      assert(r.getLong(0) >= -10L && r.getLong(0) <= 10L, s"decile range: $r")
+    }
+    assert(out.map(_.getLong(1)).sum > 0L, "no candidate pairs at all")
+  }
 }

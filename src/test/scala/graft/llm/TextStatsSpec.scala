@@ -413,4 +413,29 @@ class TextStatsSpec extends SparkSpecBase {
       oov.zip(bySize.map(_._1)).foreach { case (o, t) => assert(o <= t) }
     }
   }
+
+  test("quality-length calibration: cells conserve the corpus, shares sum per band") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val out = TextStats.qualityLengthCalibration(docs).collect()
+    assert(out.map(_.getLong(2)).sum === docs.count(), "cells lose docs")
+    out.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 3L, s"rubric range: $r")
+      assert(r.getLong(3) > 0L && r.getLong(3) <= 1000000L, s"share ppm: $r")
+    }
+    // per-band shares sum to ~1e6 (floor-div loses < cells-per-band ppm)
+    out.groupBy(_.getLong(0)).foreach { case (b, rs) =>
+      val s = rs.map(_.getLong(3)).sum
+      assert(s > 1000000L - rs.length * 4 && s <= 1000000L,
+        s"band $b shares sum $s")
+    }
+    // the bucket key is the documented 64-char band of n_chars
+    val rederived = docs
+      .join(TextStats.qualityScore(docs).select(col("doc_id"), col("quality")),
+        Seq("doc_id"))
+      .groupBy(expr("n_chars div 64").as("len_bucket"), col("quality"))
+      .count().collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong) -> r.getLong(2)).toMap
+    assert(out.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      === rederived)
+  }
 }
