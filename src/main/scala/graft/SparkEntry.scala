@@ -722,6 +722,15 @@ object SparkEntry {
     // ---- quality-filter length-calibration matrix (is the rubric a
     //      length proxy?) ----
     "q253_quality_length_calibration" -> ((s, d) => TextStats.qualityLengthCalibration(s, d)),
+    // ---- epoch-shuffle dispersion audit: exact displacement quartiles
+    //      via distributed bucket-offset order statistics ----
+    "q254_epoch_dispersion"    -> ((s, d) => Curation.epochShuffleDispersion(s, d)),
+    // ---- hash-shard balance audit (training-reader straggler predictor,
+    //      the hash twin of q248) ----
+    "q255_shard_balance"       -> ((s, d) => Curation.shardBalance(s, d)),
+    // ---- percentile-sketch acceptance audit: exact order statistics vs
+    //      percentile_approx reduced to a tolerance boolean ----
+    "q256_percentile_audit"    -> ((s, d) => Diagnostics.percentileSketchAudit(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -6089,6 +6098,76 @@ object SparkEntry {
          |       CAST(n_docs * 1000000 // SUM(n_docs) OVER (PARTITION BY len_bucket)
          |         AS BIGINT) AS bucket_share_ppm
          |FROM m ORDER BY len_bucket ASC, quality ASC""".stripMargin,
+    // q254: single-node row_number ranks (the Spark side's bucket-offset
+    // decomposition reproduces exactly this order: the md5 first byte is
+    // a prefix of the full sort key); discrete quartiles at the shared
+    // 1-indexed positions.
+    "q254_epoch_dispersion" ->
+      """WITH epochs(e) AS (VALUES (0), (1), (2)),
+        |r AS (
+        |  SELECT e, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY e
+        |      ORDER BY md5('epoch:' || CAST(e AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) ASC,
+        |               doc_id ASC) AS BIGINT) AS rnk
+        |  FROM documents, epochs),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |hk AS (SELECT greatest(1, (SELECT n // 100 FROM n)) AS k),
+        |d AS (
+        |  SELECT a.e AS pair_id, abs(a.rnk - b.rnk) AS disp,
+        |         (a.rnk <= (SELECT k FROM hk)
+        |          AND b.rnk <= (SELECT k FROM hk)) AS head_both
+        |  FROM r a JOIN r b ON b.doc_id = a.doc_id AND b.e = a.e + 1
+        |  WHERE a.e < 2),
+        |dr AS (
+        |  SELECT pair_id, disp, head_both,
+        |    CAST(row_number() OVER (PARTITION BY pair_id ORDER BY disp ASC)
+        |      AS BIGINT) AS dr
+        |  FROM d)
+        |SELECT CAST(pair_id AS BIGINT) AS pair_id,
+        |  CAST(MAX(CASE WHEN dr = (SELECT (n + 3) // 4 FROM n) THEN disp END)
+        |    AS BIGINT) AS p25,
+        |  CAST(MAX(CASE WHEN dr = (SELECT (n + 1) // 2 FROM n) THEN disp END)
+        |    AS BIGINT) AS p50,
+        |  CAST(MAX(CASE WHEN dr = (SELECT (3 * n + 3) // 4 FROM n) THEN disp END)
+        |    AS BIGINT) AS p75,
+        |  CAST((SELECT k FROM hk) AS BIGINT) AS head_k,
+        |  CAST(SUM(CASE WHEN head_both THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS head_overlap
+        |FROM dr GROUP BY 1 ORDER BY pair_id""".stripMargin,
+    // q255: identical md5 shard hash and integer shares.
+    "q255_shard_balance" ->
+      s"""WITH s AS (
+         |  SELECT CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15)
+         |           AS BIGINT) % 64 AS shard,
+         |         CAST(len(str_split($duckNorm, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |g AS (
+         |  SELECT shard, COUNT(*) AS n_docs,
+         |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |  FROM s GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+         |             CAST(SUM(n_tokens) AS BIGINT) AS tt FROM g)
+         |SELECT CAST(shard AS BIGINT) AS shard, n_docs, n_tokens,
+         |       CAST(n_docs * 1000000 // t.td AS BIGINT) AS doc_share_ppm,
+         |       CAST(n_tokens * 1000000 // t.tt AS BIGINT) AS token_share_ppm
+         |FROM g CROSS JOIN t ORDER BY shard ASC""".stripMargin,
+    // q256: exact discrete percentiles at pos = (pct*n + 99) // 100; the
+    // sketch's accuracy claim arrives as the literal the Spark side must
+    // reproduce by actually being within tolerance.
+    "q256_percentile_audit" ->
+      """WITH v AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |n AS (SELECT COUNT(*) AS n FROM v),
+        |r AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY v ASC) AS BIGINT) AS rnk
+        |  FROM v),
+        |p(pct) AS (VALUES (50), (90), (99))
+        |SELECT CAST(p.pct AS BIGINT) AS pct,
+        |       CAST(MAX(CASE WHEN r.rnk = (p.pct * n.n + 99) // 100 THEN r.v END)
+        |         AS BIGINT) AS exact_cents,
+        |       TRUE AS within_1pct
+        |FROM p CROSS JOIN n JOIN r ON r.rnk = (p.pct * n.n + 99) // 100
+        |GROUP BY 1 ORDER BY pct ASC""".stripMargin,
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via

@@ -420,4 +420,46 @@ object Diagnostics {
 
   def concentrationCensus(spark: SparkSession, dir: String): DataFrame =
     concentrationCensus(spark, graft.pipeline.EventsPipeline.silver(spark, dir))
+
+  /** q256: PERCENTILE-SKETCH acceptance audit — completes the
+    * optimizer-statistics quartet (q235 join cardinality, q240 histogram
+    * selectivity, q248 range balance, and now quantile sketches): the
+    * exact p50/p90/p99 of order totals in cents (ground truth via the
+    * distributed order-statistic kernel, [[OrderStats.valueAtRank]] —
+    * no single-task sort), and Spark's `percentile_approx` KLL-style
+    * sketch verified against them. The sketch value itself is NOT in
+    * the gate output (its internals are engine-specific); following the
+    * q38 HLL pattern it is reduced to a within-tolerance boolean — with
+    * sketch accuracy 10⁴ the rank error is ≤ 0.01%, far inside the 1%
+    * value tolerance, so the boolean is deterministically TRUE on both
+    * engines and the gate hash-verifies the sketch's accuracy claim.
+    *
+    * Exact position contract (1-indexed, discrete): pos = (pct·n + 99)
+    * div 100 — the same formula the oracle evaluates. */
+  def percentileSketchAudit(spark: SparkSession, dir: String,
+      pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    import spark.implicits._
+    val v = graft.core.Caches.scratch(
+      Tables.orders(spark, dir)
+        .select(lit(0L).as("part"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v")))
+    val n = v.count()
+    val positions = pcts.map(p => (0L, p.toLong, (p.toLong * n + 99) / 100))
+      .toDF("part", "q", "pos")
+    val exact = OrderStats.valueAtRank(v, positions)
+      .select(col("q").as("pct"), col("v").as("exact_cents"))
+    val approx = v.agg(percentile_approx(col("v"),
+        array(pcts.map(p => lit(p / 100.0)): _*), lit(10000)).as("ap"))
+      .select(posexplode(col("ap")).as(Seq("idx", "approx_cents")))
+      .select(col("idx"), col("approx_cents"))
+    val idxMap = pcts.zipWithIndex.map { case (p, i) => (i, p.toLong) }
+      .toDF("idx", "pct")
+    exact
+      .join(idxMap.join(approx, Seq("idx")).select(col("pct"), col("approx_cents")),
+        Seq("pct"))
+      .select(col("pct"), col("exact_cents"),
+        (abs(col("approx_cents") - col("exact_cents")) * 1000000L
+          <= col("exact_cents") * 10000L).as("within_1pct"))
+      .orderBy(col("pct").asc)
+  }
 }

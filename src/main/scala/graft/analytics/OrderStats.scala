@@ -1,0 +1,74 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT order statistics — "the value at global rank P" —
+  * without a single-task global sort.
+  *
+  * A naive `row_number() OVER (ORDER BY v)` moves the whole relation to
+  * one partition (Spark warns, and at 100 TB it simply does not run).
+  * The classic distributed fix is bucket-offset ranking, the same
+  * decomposition a range-partitioned sort uses:
+  *
+  *   1. bucket every row by a MONOTONE function of v (256-way);
+  *   2. per-bucket counts → cumulative offsets (a domain-sized frame,
+  *      ≤ 256 rows per group — the only window in the plan);
+  *   3. a requested position P lands in the unique bucket with
+  *      offset < P ≤ offset + count; within that bucket the row at
+  *      LOCAL rank P − offset is the global P-th — and the within-
+  *      bucket `row_number` partitions by (group, bucket), so every
+  *      sort is a 1/256 shard.
+  *
+  * Ties: local rank breaks ties arbitrarily, but the VALUE at global
+  * position P is tie-invariant, which is all an order statistic needs.
+  *
+  * Used by the epoch-shuffle dispersion audit (q254: displacement
+  * quartiles over corpus-sized frames) and the percentile-sketch audit
+  * (q256: exact percentile ground truth under the approx contract). */
+object OrderStats {
+
+  val Buckets = 256
+
+  /** For each (group `part`, requested position `pos`) in `positions`
+    * (columns: part, q, pos — `q` is an opaque tag carried through),
+    * return (part, q, v) where v is the pos-th smallest `v` in `values`
+    * (columns: part, v). Positions are 1-indexed and must satisfy
+    * 1 ≤ pos ≤ count(part); out-of-range positions yield no row.
+    * `values` is scanned twice (bounds + bucket counts) plus one
+    * 1/256-sharded rank pass — callers with an expensive upstream
+    * should cache it. */
+  def valueAtRank(values: DataFrame, positions: DataFrame): DataFrame = {
+    // per-group value bounds -> monotone 256-way bucket of v
+    val bounds = values.groupBy(col("part"))
+      .agg(min(col("v")).as("lo"),
+        (max(col("v")) - min(col("v")) + 1).as("span"))
+    val bucketed = values.join(broadcast(bounds), Seq("part"))
+      .select(col("part"), col("v"),
+        expr(s"(v - lo) * $Buckets div span").as("bkt"))
+    // cumulative offsets over the <=256-row per-group count frame
+    val wb = Window.partitionBy(col("part")).orderBy(col("bkt").asc)
+    val offsets = bucketed.groupBy(col("part"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wb))
+      .withColumn("off", col("cum") - col("c"))
+    // route each position to its bucket; rank only inside hit buckets
+    val hits = positions.join(offsets,
+        positions("part") === offsets("part")
+          && col("pos") > col("off") && col("pos") <= col("cum"))
+      .select(offsets("part").as("part"), col("q"), col("pos"),
+        col("bkt"), col("off"))
+    val wr = Window.partitionBy(col("part"), col("bkt"))
+      .orderBy(col("v").asc)
+    // rank BEFORE joining positions: two positions landing in the same
+    // bucket would otherwise duplicate rows under the row_number
+    val ranked = bucketed
+      .join(broadcast(hits.select(col("part"), col("bkt")).distinct()),
+        Seq("part", "bkt"), "left_semi")
+      .withColumn("lr", row_number().over(wr).cast("long"))
+    ranked.join(broadcast(hits), Seq("part", "bkt"))
+      .filter(col("lr") === col("pos") - col("off"))
+      .select(col("part"), col("q"), col("v"))
+  }
+}

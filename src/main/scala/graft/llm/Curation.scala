@@ -716,6 +716,105 @@ object Curation {
       .orderBy(col("rank").asc)
   }
 
+  /** q254: EPOCH-SHUFFLE dispersion audit — multi-epoch training reads
+    * the corpus in a different deterministic pseudo-random order each
+    * epoch (order_e = rank of md5("epoch:e:doc_id")); this is the audit
+    * that proves the shuffle actually disperses: per consecutive epoch
+    * pair, the exact quartiles of per-doc rank displacement and the
+    * overlap of the first-1% heads (a sticky head = the model re-sees
+    * the same opening docs every epoch — the failure shuffling exists to
+    * prevent).
+    *
+    * Scale shape: NO single-task global sort anywhere. Epoch ranks use
+    * bucket-offset ranking (md5's first byte is a monotone prefix of the
+    * full sort key, so 256 per-epoch shards sort independently and a
+    * ≤256-row cumulative-offset frame stitches global ranks); the
+    * displacement quartiles go through the same decomposition in
+    * [[graft.analytics.OrderStats.valueAtRank]]. The displacement join
+    * is doc_id-keyed, epochs is a broadcast literal. */
+  def epochShuffleDispersion(spark: SparkSession, dir: String,
+      nEpochs: Int = 3): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count()
+    val headK = math.max(1L, n / 100)
+    val epochs = (0L until nEpochs.toLong).toDF("e")
+    // distributed exact rank by (md5, doc_id): first-byte bucket offsets
+    val re = docs.crossJoin(broadcast(epochs))
+      .withColumn("h", md5(concat(lit("epoch:"), col("e").cast("string"),
+        lit(":"), col("doc_id").cast("string"))))
+      .withColumn("hb", conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
+    val wo = Window.partitionBy(col("e")).orderBy(col("hb").asc)
+    val offsets = re.groupBy(col("e"), col("hb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", sum(col("c")).over(wo) - col("c"))
+      .select(col("e"), col("hb"), col("off"))
+    val wr = Window.partitionBy(col("e"), col("hb"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    val ranks = re
+      .withColumn("lr", row_number().over(wr).cast("long"))
+      .join(broadcast(offsets), Seq("e", "hb"))
+      .select(col("e"), col("doc_id"), (col("off") + col("lr")).as("rnk"))
+    val pairs = graft.core.Caches.scratch(ranks.as("a")
+      .join(ranks.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("b.e") === col("a.e") + 1)
+      .select(col("a.e").as("part"),
+        abs(col("a.rnk") - col("b.rnk")).as("v"),
+        (col("a.rnk") <= headK && col("b.rnk") <= headK).as("head_both")))
+    // exact displacement quartiles at the SAME 1-indexed positions the
+    // oracle evaluates: (n+3)/4, (n+1)/2, (3n+3)/4
+    val positions = (0L until (nEpochs - 1).toLong).flatMap { p =>
+      Seq((p, 25L, (n + 3) / 4), (p, 50L, (n + 1) / 2),
+        (p, 75L, (3 * n + 3) / 4))
+    }.toDF("part", "q", "pos")
+    val quart = graft.analytics.OrderStats
+      .valueAtRank(pairs.select(col("part"), col("v")), positions)
+      .groupBy(col("part"))
+      .agg(max(when(col("q") === 25L, col("v"))).as("p25"),
+        max(when(col("q") === 50L, col("v"))).as("p50"),
+        max(when(col("q") === 75L, col("v"))).as("p75"))
+    val overlap = pairs.groupBy(col("part"))
+      .agg(sum(when(col("head_both"), 1L).otherwise(0L)).as("head_overlap"))
+    quart.join(overlap, Seq("part"))
+      .select(col("part").as("pair_id"),
+        col("p25").cast("long").as("p25"), col("p50").cast("long").as("p50"),
+        col("p75").cast("long").as("p75"), lit(headK).as("head_k"),
+        col("head_overlap").cast("long").as("head_overlap"))
+      .orderBy(col("pair_id").asc)
+  }
+
+  /** q255: HASH-SHARD balance audit — training jobs write the curated
+    * corpus as N hash shards (shard = h(doc_id) mod N) and every
+    * downstream reader assumes they are even; this is the table that
+    * checks it: per-shard doc and whitespace-token counts with integer
+    * ppm shares. The hash-shard twin of the range-partitioner audit
+    * (q248) — range skew predicts sort stragglers, hash skew predicts
+    * training-reader stragglers.
+    *
+    * Scale shape: one linear pass, one map-side-combinable aggregation
+    * into an N-row frame, shares via a broadcast 1-row total. */
+  def shardBalance(spark: SparkSession, dir: String,
+      shards: Int = 64): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val perShard = docs
+      .select(
+        (conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))),
+          1, 15), 16, 10).cast("long") % shards).as("shard"),
+        size(split(norm, " ")).cast("long").as("n_tokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val totals = perShard.agg(sum(col("n_docs")).as("td"),
+      sum(col("n_tokens")).as("tt"))
+    perShard.crossJoin(broadcast(totals))
+      .select(col("shard"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        expr("n_docs * 1000000 div td").cast("long").as("doc_share_ppm"),
+        expr("n_tokens * 1000000 div tt").cast("long").as("token_share_ppm"))
+      .orderBy(col("shard").asc)
+  }
+
   /** q250: the END-TO-END curation pipeline as ONE declarative plan —
     * the composition a production training-data run actually ships, not
     * just its parts: bronze corpus → NEAR-dup keep-list (MinHash+LSH

@@ -152,4 +152,24 @@ class DiagnosticsSpec extends SparkSpecBase {
     assert(out === Seq(("click", 1L, 2L, 200L, 200L), ("view", 1L, 2L, 2L, 2L)),
       s"got $out")
   }
+
+  test("percentile sketch audit: exact values monotone, sketch inside 1%") {
+    val out = Diagnostics.percentileSketchAudit(spark, sf).collect()
+    graft.core.Caches.releaseScratch(spark)
+    assert(out.map(_.getLong(0)).toSeq === Seq(50L, 90L, 99L))
+    val ex = out.map(_.getLong(1))
+    assert(ex.zip(ex.tail).forall { case (a, b) => a <= b },
+      s"exact percentiles not monotone: ${ex.toSeq}")
+    assert(out.forall(_.getBoolean(2)),
+      "percentile_approx drifted outside the 1% contract")
+    // ground truth cross-check against a driver-side sort at spec scale
+    val vals = graft.core.Tables.orders(spark, sf)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      .collect().map(_.getLong(0)).sorted
+    val n = vals.length.toLong
+    Seq(50L, 90L, 99L).zip(ex).foreach { case (p, e) =>
+      assert(e === vals(((p * n + 99) / 100 - 1).toInt),
+        s"p$p exact drifted from the sorted-array truth")
+    }
+  }
 }

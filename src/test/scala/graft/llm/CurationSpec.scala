@@ -506,4 +506,33 @@ class CurationSpec extends SparkSpecBase {
         s"clean-count drift for $s")
     }
   }
+
+  test("epoch dispersion: quartiles ordered and bounded, head overlap bounded") {
+    val n = docs.count()
+    val out = Curation.epochShuffleDispersion(spark, sf).collect()
+    graft.core.Caches.releaseScratch(spark)
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    out.foreach { r =>
+      val (p25, p50, p75) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(p25 <= p50 && p50 <= p75, s"quartiles out of order: $r")
+      assert(p75 < n, s"displacement exceeds the rank range: $r")
+      assert(p50 > 0, s"median displacement zero — shuffle not dispersing: $r")
+      assert(r.getLong(4) === math.max(1L, n / 100), s"head_k drifted: $r")
+      assert(r.getLong(5) <= r.getLong(4), s"overlap exceeds head size: $r")
+    }
+  }
+
+  test("shard balance: shards conserve docs and tokens, shares near-even") {
+    val out = Curation.shardBalance(spark, sf).collect()
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+    assert(out.map(_.getLong(1)).sum === docs.count(), "shards lose docs")
+    val shares = out.map(_.getLong(3))
+    // md5 sharding at 500+ docs: no shard should be pathologically hot
+    assert(shares.max < 1000000L / 64 * 5, s"hot shard: ${shares.max} ppm")
+    // ppm laws hold exactly
+    val td = out.map(_.getLong(1)).sum
+    out.foreach { r =>
+      assert(r.getLong(3) === r.getLong(1) * 1000000L / td, s"ppm law: $r")
+    }
+  }
 }
