@@ -731,6 +731,9 @@ object SparkEntry {
     // ---- percentile-sketch acceptance audit: exact order statistics vs
     //      percentile_approx reduced to a tolerance boolean ----
     "q256_percentile_audit"    -> ((s, d) => Diagnostics.percentileSketchAudit(s, d)),
+    // ---- layout pruning audit: chunks scanned per point probe under
+    //      natural / sorted / z-order layouts (min-max skipping model) ----
+    "q257_layout_pruning"      -> ((s, d) => graft.analytics.Layout.pruningAudit(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -6168,6 +6171,45 @@ object SparkEntry {
         |       TRUE AS within_1pct
         |FROM p CROSS JOIN n JOIN r ON r.rnk = (p.pct * n.n + 99) // 100
         |GROUP BY 1 ORDER BY pct ASC""".stripMargin,
+    // q257: same z interleave (zValueSql, one source of truth with q96),
+    // single-node row_number ranks standing in for the bucket-offset
+    // decomposition, identical chunking and probe arithmetic.
+    "q257_layout_pruning" ->
+      s"""WITH li AS (
+         |  SELECT l_partkey AS pk, l_suppkey AS sk,
+         |         l_orderkey * 10 + l_linenumber AS tie
+         |  FROM lineitem),
+         |zz AS (
+         |  SELECT pk, sk, tie,
+         |         ${graft.functions.ZOrder.zValueSql("pk", "sk",
+              graft.analytics.Layout.CurveBits)} AS z
+         |  FROM li),
+         |lay AS (
+         |  SELECT 'natural' AS part, tie AS v, tie, pk FROM zz
+         |  UNION ALL SELECT 'sorted', pk, tie, pk FROM zz
+         |  UNION ALL SELECT 'zorder', z, tie, pk FROM zz),
+         |r AS (
+         |  SELECT part, pk,
+         |    CAST(row_number() OVER (PARTITION BY part ORDER BY v ASC, tie ASC)
+         |      AS BIGINT) AS rnk
+         |  FROM lay),
+         |ch AS (
+         |  SELECT part, (rnk - 1) // 4096 AS chunk, MIN(pk) AS lo, MAX(pk) AS hi
+         |  FROM r GROUP BY 1, 2),
+         |m AS (SELECT MAX(l_partkey) AS mx FROM lineitem),
+         |ks(k) AS (VALUES (0), (1), (2), (3), (4), (5), (6), (7)),
+         |pr AS (
+         |  SELECT CAST(k AS BIGINT) AS probe_id,
+         |         CAST((2 * k + 1) * (m.mx + 1) // 16 AS BIGINT) AS probe_pk
+         |  FROM ks CROSS JOIN m),
+         |nch AS (SELECT part, COUNT(*) AS n_chunks FROM ch GROUP BY 1)
+         |SELECT c.part AS layout, p.probe_id, p.probe_pk,
+         |       CAST(n.n_chunks AS BIGINT) AS n_chunks,
+         |       CAST(SUM(CASE WHEN c.lo <= p.probe_pk AND p.probe_pk <= c.hi
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned
+         |FROM ch c CROSS JOIN pr p JOIN nch n ON n.part = c.part
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY layout ASC, probe_id ASC""".stripMargin,
   )
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via

@@ -103,4 +103,61 @@ object Layout {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id").asc)
   }
+
+  /** q257: LAYOUT PRUNING audit — the data-skipping payoff quantified as
+    * a relation. Model the table as fixed-size row chunks (a stand-in
+    * for parquet row groups), lay it out three ways — `natural` (insert
+    * order), `sorted` (by the probe column), `zorder` (the
+    * (l_partkey, l_suppkey) curve) — and for 8 deterministic point
+    * probes on l_partkey count how many chunks each layout's min/max
+    * stats FAIL to prune. This is the table that justifies paying for a
+    * clustered rewrite at 100 TB: natural order scans ~every chunk per
+    * probe, sorted collapses a probe to ~1 chunk, and z-order stays
+    * within a small factor of sorted while ALSO serving l_suppkey
+    * probes (the two-column trade q96 pins the curve for).
+    *
+    * Scale shape: each layout's global row rank comes from
+    * [[OrderStats.rankAll]] (bucket-offset ranking — no single-task
+    * sort, exactly how a range-partitioned OPTIMIZE writes files);
+    * chunk stats are one map-side-combinable aggregate per layout into
+    * a chunks×layouts frame; probes are a broadcast 8-row literal
+    * derived from max(l_partkey). */
+  def pruningAudit(spark: SparkSession, dir: String,
+      chunkRows: Int = 4096, nProbes: Int = 8): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+        // (orderkey, linenumber) is a lineitem key and linenumber < 10:
+        // one long tie-breaker, unique by construction
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("tie"))
+    val z = ZOrder.zValue(col("pk"), col("sk"), CurveBits)
+    def lay(name: String, v: org.apache.spark.sql.Column) =
+      li.select(lit(name).as("part"), v.as("v"), col("tie"), col("pk"))
+    val layouts = lay("natural", col("tie"))
+      .unionAll(lay("sorted", col("pk")))
+      .unionAll(lay("zorder", z))
+    val chunks = graft.core.Caches.scratch(
+      OrderStats.rankAll(layouts)
+        .select(col("part"), col("pk"),
+          expr(s"(rnk - 1) div $chunkRows").as("chunk"))
+        .groupBy(col("part"), col("chunk"))
+        .agg(min(col("pk")).as("lo"), max(col("pk")).as("hi")))
+    // probe points spread over the key domain: (2k+1)·(max+1)/2n — two
+    // driver scalars (the q240 lo/span discipline), never a data column
+    val maxPk = li.agg(max(col("pk"))).head().getLong(0)
+    val probes = (0 until nProbes).map { k =>
+      (k.toLong, (2L * k + 1) * (maxPk + 1) / (2L * nProbes))
+    }.toDF("probe_id", "probe_pk")
+    val nChunks = chunks.groupBy(col("part"))
+      .agg(count(lit(1)).as("n_chunks"))
+    chunks.crossJoin(broadcast(probes))
+      .groupBy(col("part"), col("probe_id"), col("probe_pk"))
+      .agg(sum(when(col("lo") <= col("probe_pk")
+        && col("probe_pk") <= col("hi"), 1L).otherwise(0L)).as("n_scanned"))
+      .join(broadcast(nChunks), Seq("part"))
+      .select(col("part").as("layout"), col("probe_id"), col("probe_pk"),
+        col("n_chunks").cast("long").as("n_chunks"),
+        col("n_scanned").cast("long").as("n_scanned"))
+      .orderBy(col("layout").asc, col("probe_id").asc)
+  }
 }

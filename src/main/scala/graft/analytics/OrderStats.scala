@@ -71,4 +71,31 @@ object OrderStats {
       .filter(col("lr") === col("pos") - col("off"))
       .select(col("part"), col("q"), col("v"))
   }
+
+  /** 1-indexed EXACT global rank of EVERY row within its `part` group by
+    * (v asc, tie asc) — the full-ranking sibling of [[valueAtRank]]: the
+    * same bucket-offset decomposition, but instead of routing requested
+    * positions to buckets, every row gets rank = bucket offset + local
+    * rank. `tie` must be unique per (part, v) collision class for the
+    * rank to be deterministic. All other input columns pass through. */
+  def rankAll(values: DataFrame): DataFrame = {
+    val bounds = values.groupBy(col("part"))
+      .agg(min(col("v")).as("lo"),
+        (max(col("v")) - min(col("v")) + 1).as("span"))
+    val bucketed = values.join(broadcast(bounds), Seq("part"))
+      .withColumn("bkt", expr(s"(v - lo) * $Buckets div span"))
+      .drop("lo", "span")
+    val wb = Window.partitionBy(col("part")).orderBy(col("bkt").asc)
+    val offsets = bucketed.groupBy(col("part"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", sum(col("c")).over(wb) - col("c"))
+      .select(col("part"), col("bkt"), col("off"))
+    val wr = Window.partitionBy(col("part"), col("bkt"))
+      .orderBy(col("v").asc, col("tie").asc)
+    bucketed
+      .withColumn("lr", row_number().over(wr).cast("long"))
+      .join(broadcast(offsets), Seq("part", "bkt"))
+      .withColumn("rnk", col("off") + col("lr"))
+      .drop("bkt", "lr", "off")
+  }
 }

@@ -66,4 +66,28 @@ class ZOrderSpec extends SparkSpecBase {
       s"z layout scanned $zScanned of $total (hits $hits)")
     assert(zScanned >= hits)
   }
+
+  test("pruning audit: sorted ~1 chunk per probe, natural scans ~everything") {
+    val out = Layout.pruningAudit(spark, sf).collect()
+    graft.core.Caches.releaseScratch(spark)
+    val byLayout = out.groupBy(_.getString(0))
+    assert(byLayout.keySet === Set("natural", "sorted", "zorder"))
+    // chunk counts agree across layouts (same rows, same chunk size)
+    assert(out.map(_.getLong(3)).distinct.length === 1)
+    val nChunks = out.head.getLong(3)
+    def total(l: String) = byLayout(l).map(_.getLong(4)).sum
+    // a point probe on the sort key hits exactly one chunk (boundary
+    // rows can make it two); natural order prunes essentially nothing
+    byLayout("sorted").foreach { r =>
+      assert(r.getLong(4) <= 2, s"sorted layout failed to prune: $r")
+    }
+    assert(total("natural") >= 8 * (nChunks - 1),
+      s"natural order should scan ~all $nChunks chunks per probe")
+    // z-order serves the pk probe within a small factor of sorted; the
+    // vs-natural claim only means anything once there are enough chunks
+    // to prune (sf0.001 has 2)
+    assert(total("zorder") <= 4 * total("sorted"),
+      s"zorder ${total("zorder")} vs sorted ${total("sorted")}")
+    if (nChunks >= 8) assert(total("zorder") < total("natural") / 2)
+  }
 }
