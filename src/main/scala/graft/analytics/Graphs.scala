@@ -606,34 +606,64 @@ object Graphs {
 
   private[analytics] def cheapestPathCensusOf(pairs: DataFrame,
       maxRounds: Int): DataFrame = {
-    val edges = Caches.scratch(
-      pairs.select(col("u"), col("v"), expr("1000000 div w").as("c"))
-        .unionAll(pairs.select(col("v").as("u"), col("u").as("v"),
-          expr("1000000 div w").as("c")))
-        .repartition(fullWidth(pairs), col("u")))
-    val src = edges.agg(min(col("u"))).head.getLong(0)
-    var dist = edges.sparkSession
-      .range(1).select(lit(src).as("node"), lit(0L).as("d"))
+    // Same per-round discipline as the converged pagerank (see its
+    // scaladoc): pinned checkpointed edge leaf, node-sized dist frame
+    // broadcast into the edge probe while the measured node count fits,
+    // aggregate width from the node count, AQE off (every join hinted
+    // on driver-measured scalars), and ONE action per round — the
+    // fixpoint anti-join count materializes the round's lazy checkpoint.
+    val spark = pairs.sparkSession
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
+    val edges = pairs.select(col("u"), col("v"), expr("1000000 div w").as("c"))
+      .unionAll(pairs.select(col("v").as("u"), col("u").as("v"),
+        expr("1000000 div w").as("c")))
+      .repartition(fullWidth(pairs), col("u"))
       .localCheckpoint(true)
-    var round = 0
-    var converged = false
-    while (!converged && round < maxRounds) {
-      round += 1
-      val relaxed = dist.join(edges, dist("node") === edges("u"))
-        .select(edges("v").as("node"), (dist("d") + edges("c")).as("d"))
-        .unionAll(dist)
-        .groupBy(col("node")).agg(min(col("d")).as("d"))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // node count is only needed as a broadcast-safety / width bound —
+      // the (cheap, shuffle-free) directed-edge count bounds it from
+      // above, where an exact countDistinct would cost a full shuffle
+      val bounds = edges.agg(min(col("u")).as("src"),
+        count(lit(1)).as("n")).head
+      val src = bounds.getLong(0)
+      val nNodes = bounds.getLong(1)
+      val degWidth = math.max(1L, math.min(fullWidth(pairs).toLong,
+        nNodes / NodeRowsPerPartition + 1L)).toInt
+      spark.conf.set("spark.sql.shuffle.partitions", degWidth.toString)
+      val hint: DataFrame => DataFrame =
+        if (nNodes <= TrickleBroadcastRows) broadcast(_) else identity
+      var dist = spark
+        .range(1).select(lit(src).as("node"), lit(0L).as("d"))
         .localCheckpoint(true)
-      converged = relaxed.except(dist).isEmpty
-      Caches.freeCheckpoint(dist) // superseded once the fixpoint test ran
-      dist = relaxed
+      var round = 0
+      var changed = 1L
+      while (changed > 0L && round < maxRounds) {
+        round += 1
+        val relaxed = edges.join(hint(dist), edges("u") === dist("node"))
+          .select(edges("v").as("node"), (col("d") + col("c")).as("d"))
+          .unionAll(dist)
+          .groupBy(col("node")).agg(min(col("d")).as("d"))
+          .localCheckpoint(false)
+        // exact fixpoint: a (node, d) pair absent from the previous map
+        // is a discovered or improved distance; zero of them = done
+        changed = relaxed
+          .join(hint(dist), Seq("node", "d"), "left_anti").count()
+        Caches.freeCheckpoint(dist) // superseded once the fixpoint test ran
+        dist = relaxed
+      }
+      Caches.trackCheckpoint(dist)
+      dist.groupBy(col("d").as("dist_ppm"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(col("dist_ppm").cast("long").as("dist_ppm"),
+          col("n_nodes").cast("long").as("n_nodes"))
+        .orderBy(col("dist_ppm").asc)
+    } finally {
+      Caches.freeCheckpoint(edges)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
     }
-    Caches.trackCheckpoint(dist)
-    dist.groupBy(col("d").as("dist_ppm"))
-      .agg(count(lit(1)).as("n_nodes"))
-      .select(col("dist_ppm").cast("long").as("dist_ppm"),
-        col("n_nodes").cast("long").as("n_nodes"))
-      .orderBy(col("dist_ppm").asc)
   }
 
   /** q245: MODULARITY census of a node partition — Newman's Q for the
@@ -702,12 +732,18 @@ object Graphs {
 
   /** Assortativity over arbitrary undirected (u < v) distinct edges. */
   private[analytics] def degreeAssortativityOf(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("u").as("n"))
+    // The degree frame is NODE-sized and read twice — materialize it
+    // once and broadcast while the measured count fits (the peelCore /
+    // pagerank discipline): the edge list is then scanned ONCE through
+    // two broadcast-hash probes instead of paying two shuffled joins.
+    val deg = Caches.scratch(edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d")))
+    val hint: DataFrame => DataFrame =
+      if (deg.count() <= TrickleBroadcastRows) broadcast(_) else identity
     edges
-      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
-      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .join(hint(deg.select(col("n").as("u"), col("d").as("du"))), Seq("u"))
+      .join(hint(deg.select(col("n").as("v"), col("d").as("dv"))), Seq("v"))
       .agg(count(lit(1)).as("m"),
         sum(col("du") + col("dv")).as("sx"),
         sum(col("du") * col("dv")).as("sxyh"),
