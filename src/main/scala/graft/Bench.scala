@@ -262,26 +262,46 @@ object Bench {
       }
     }
 
-    // Self-healing requeue (round-8 advice item 5). A warm minimum more
-    // than 3× the query's own cold first run is impossible by
-    // construction — the warm passes reuse the cold pass's JIT, parquet
-    // footer cache, and memo frames — so it is the signature of transient
-    // host noise inside the measured window (the official r8 record showed
-    // q61–q70 warm 5–10× their cold times; the judge's isolated reruns
-    // were flat). Each such query gets ONE extra run after the full sweep,
-    // both numbers are recorded (`requeued` in the full telemetry), and
-    // the official value is the minimum — a clean-window measurement
-    // whenever any window during the run was clean.
+    // Self-healing requeue (round-8 advice item 5; hardened round 10 after
+    // three straight rounds of judges disproving phantom regressions in the
+    // official record). Two independent noise triggers, both pure functions
+    // pinned by BenchLineSpec:
+    //  - warm minimum > 1.5× the query's own cold first run (warm passes
+    //    reuse the cold pass's JIT, parquet footer cache, and memo frames,
+    //    so a warm min meaningfully ABOVE cold is host noise by
+    //    construction — the old 3× threshold was blind to the r9-style
+    //    moderate 1.5–2× inflation on q109/q93/q29);
+    //  - the query's pprobe_ms during measurement > 30% over the run
+    //    median (the parallel-capacity probe is the one counter firecracker
+    //    co-residency cannot hide from; telemetry existed since r3 but
+    //    nothing acted on it).
+    // Each flagged query is re-MEASURED after the sweep under the same
+    // regime as the original iterations (its own probe pair, `iters` timed
+    // runs, scratch released after), and the rerun substitutes the official
+    // value only when its own window is provably clean and its iterations
+    // reproduce each other (round-9 advice: an unconditional post-sweep
+    // min() is a systematic downward bias — the rerun executes with every
+    // memo, JIT, and page cache maximally warm, so it must re-qualify, not
+    // just win). Requeued queries are surfaced in the compact headline
+    // line (n_requeued + capped map), not only the full telemetry.
+    val pprobeMedian = medianOf(pprobeMs.values.toSeq)
     val requeued = scala.collection.mutable.LinkedHashMap[String, Double]()
     val resultsFinal: Seq[(String, Double)] = results.map { case (n, v) =>
-      val noisy = v > 0 && coldSec.get(n).exists(c => c > 0 && v > 3 * c)
+      val noisy = isNoisy(v, coldSec.getOrElse(n, -1.0),
+        pprobeMs.getOrElse(n, -1.0), pprobeMedian)
       if (!noisy) n -> v
       else {
-        val rerun =
-          try { val t = runOnce(n); requeued(n) = t; t }
+        val outcome =
+          try {
+            cpuProbeMs()
+            val rerunPprobe = parallelProbeMs()
+            val rerunIters = (1 to iters).map(_ => runOnce(n))
+            requeued(n) = rerunIters.min
+            requeueOutcome(v, rerunIters, rerunPprobe, pprobeMedian)
+          }
           catch { case _: Throwable => v }
           finally Caches.releaseScratch(spark)
-        n -> math.min(v, rerun)
+        n -> outcome
       }
     }
 
@@ -320,7 +340,19 @@ object Bench {
     // official BENCH_r{N}.json came back `parsed: null` (round 3, whose
     // line was under 8 KiB, was the last round that parsed). Stdout now
     // gets only the compact contract line, emitted last (see below).
-    try Files.writeString(Paths.get("BENCH.json"), line + "\n")
+    //
+    // Artifact protection (round-9 verdict item 4: two judges running
+    // ad-hoc profiling sweeps clobbered the driver's round records, because
+    // the harness stamps FIXED filenames unconditionally). An AD-HOC run —
+    // SPARK_GRAFT_BENCH_ONLY subset filter set, or an explicit
+    // SPARK_GRAFT_BENCH_OUT path — writes its telemetry to the override
+    // path only (default BENCH_adhoc.json) and NEVER touches BENCH.json or
+    // the round-stamped BENCH_full_r{N}.json. Full unfiltered runs keep
+    // the historical behavior unchanged.
+    val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    val adHoc = benchOut.isDefined || only.isDefined
+    val fullPath = benchOut.getOrElse(if (adHoc) "BENCH_adhoc.json" else "BENCH.json")
+    try Files.writeString(Paths.get(fullPath), line + "\n")
     catch { case _: Throwable => () }
     // Round-stamped FULL copy (round-5 review: the driver's BENCH_r{N}.json
     // snapshot keeps only the stdout line's last 2000 chars, so per-query
@@ -329,7 +361,7 @@ object Bench {
     // driver never writes, so the full record survives in git per round.
     try {
       val progress = Paths.get("PROGRESS.jsonl")
-      if (Files.exists(progress)) {
+      if (!adHoc && Files.exists(progress)) {
         val last = Files.readAllLines(progress).asScala.lastOption.getOrElse("")
         val m = """"round":\s*(\d+)""".r.findFirstMatchIn(last)
         m.foreach { r =>
@@ -349,7 +381,7 @@ object Bench {
     //     line goes out;
     //  3. one write() straight to FileDescriptor.out — no buffering layer
     //     that could split the line into interleavable chunks.
-    val compactLine = renderCompact(resultsFinal, errors, sfDir, iters)
+    val compactLine = renderCompact(resultsFinal, errors, requeued, sfDir, iters)
     spark.stop()
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
     System.err.flush()
@@ -357,6 +389,53 @@ object Bench {
     val rawOut = new java.io.FileOutputStream(java.io.FileDescriptor.out)
     rawOut.write((compactLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     rawOut.flush()
+  }
+
+  /** Median of a value set; -1 if empty. Used as the run-wide baseline for
+    * the parallel-capacity probe (a contaminated QUERY window shows a
+    * pprobe spike against the run's own median, with no absolute
+    * calibration needed). */
+  private[graft] def medianOf(vs: Seq[Double]): Double = {
+    val s = vs.filter(_ > 0).sorted
+    if (s.isEmpty) -1.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  /** Noise trigger for the requeue pass (round-10 hardening). Fires when
+    * the warm minimum exceeds 1.5× the query's own cold first run (the
+    * r9-style moderate inflation the old 3× threshold missed) OR when the
+    * query's measured-window pprobe_ms runs >30% over the run median
+    * (direct evidence the parallel capacity was degraded during exactly
+    * this query's window). */
+  private[graft] def isNoisy(
+      warmMin: Double, cold: Double,
+      pprobe: Double, pprobeMedian: Double): Boolean =
+    warmMin > 0 && (
+      (cold > 0 && warmMin > 1.5 * cold) ||
+        (pprobeMedian > 0 && pprobe > 1.3 * pprobeMedian))
+
+  /** Official-value decision after a requeue rerun. The rerun substitutes
+    * (official = min(original, rerun-min)) ONLY when it re-qualifies:
+    *  - its own window is clean (rerun pprobe within the same 1.3× band
+    *    the trigger uses — a rerun taken during the same contamination
+    *    proves nothing);
+    *  - its iterations reproduce each other (max ≤ 1.5× min — one lucky
+    *    scheduling window may not set the official record alone).
+    * Otherwise the original stands: the requeue may only REPLACE noise
+    * with a qualified clean measurement, never harvest a post-sweep
+    * maximally-warm fluke (round-9 advice: the old unconditional min() was
+    * a systematic downward bias on the headline). */
+  private[graft] def requeueOutcome(
+      original: Double,
+      rerunIters: Seq[Double],
+      rerunPprobe: Double,
+      pprobeMedian: Double): Double = {
+    val windowClean = pprobeMedian <= 0 || rerunPprobe <= 1.3 * pprobeMedian
+    val reproducible = rerunIters.nonEmpty &&
+      rerunIters.max <= 1.5 * rerunIters.min
+    if (windowClean && reproducible) math.min(original, rerunIters.min)
+    else original
   }
 
   /** JSON string literal (quotes, backslashes, control chars escaped). */
@@ -380,21 +459,30 @@ object Bench {
     * stayed `parsed: null` for the third round running. No per-query map
     * can ever fit that window at this query count, so the stdout line now
     * carries contract scalars only — metric/value/unit, error summary,
-    * sf, iters, n_queries — well under 300 bytes clean and bounded under
-    * ~1.3 KB even with errors (messages capped at 60 chars, at most 8
-    * entries + an overflow count). Per-query data lives exclusively in
-    * BENCH.json / BENCH_full_r{N}.json, committed to git per round.
+    * requeue summary, sf, iters, n_queries — well under 400 bytes clean
+    * and bounded under ~1.6 KB even with errors (messages capped at 60
+    * chars, at most 8 entries + an overflow count; requeued map capped at
+    * 8 entries likewise). Per-query data lives exclusively in BENCH.json /
+    * BENCH_full_r{N}.json, committed to git per round. The `schema` field
+    * versions the contract explicitly (round-9 advice: the per-query map
+    * was dropped from stdout silently — any downstream parser should fail
+    * loudly on a version it does not know, not silently lose fields).
     * BenchLineSpec pins the size budget. */
   private[graft] def renderCompact(
       results: Seq[(String, Double)],
       errors: scala.collection.Map[String, String],
+      requeued: scala.collection.Map[String, Double],
       sfDir: String,
       iters: Int): String = {
     val errs = errors.take(8)
       .map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }
       .mkString("{", ",", "}")
+    val req = requeued.take(8)
+      .map { case (k, v) => jstr(k) + ":" + num(v) }
+      .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    s"""{"metric":"total","value":${num(total)},"unit":"sec","errors":$errs,""" +
-      s""""n_errors":${errors.size},"n_queries":${results.size},"sf":"$sfDir","iters":$iters}"""
+    s"""{"schema":"graft-bench-compact/2","metric":"total","value":${num(total)},"unit":"sec","errors":$errs,""" +
+      s""""n_errors":${errors.size},"requeued":$req,"n_requeued":${requeued.size},""" +
+      s""""n_queries":${results.size},"sf":"$sfDir","iters":$iters}"""
   }
 }

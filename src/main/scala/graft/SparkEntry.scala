@@ -5919,11 +5919,14 @@ object SparkEntry {
         |          - SUM(CASE WHEN cls = 'discordant' THEN 1 ELSE 0 END)
         |         AS BIGINT) AS tau_num
         |FROM cls""".stripMargin,
-    // q250: the q78 keep-list, q66 quality/repetition, q52 split and q94
-    // packing CTEs composed into the one-pipeline funnel — every piece
-    // is the already-hash-gated component text, so the composition pins
-    // only the interactions (dedup-before-quality, split-on-bronze,
-    // pack-after-both-gates).
+    // q250: the q78 keep-list, q66 quality/repetition, q52 split and
+    // q155 grouped-greedy packing CTEs composed into the one-pipeline
+    // funnel — every piece is the already-hash-gated component text, so
+    // the composition pins only the interactions (dedup-before-quality,
+    // split-on-bronze, pack-after-both-gates). Round 10 swapped the pack
+    // stage from the q94 unbounded prefix sum to the q155 bounded-chain
+    // recursive walk (verdict what's-wrong 3), in lockstep with the
+    // Spark side's greedyGroupedPlacement composition.
     "q250_curation_pipeline" ->
       s"""WITH RECURSIVE pairs AS (
          |$minhashOracle
@@ -5992,15 +5995,32 @@ object SparkEntry {
          |  LEFT JOIN rep r USING (doc_id)
          |  JOIN spl s USING (doc_id)
          |  JOIN toks t USING (doc_id)),
+         |ptoks AS (
+         |  SELECT source, doc_id, n_tokens,
+         |         row_number() OVER (PARTITION BY source ORDER BY doc_id ASC)
+         |           AS rn_all
+         |  FROM base WHERE survivor AND split = 'train'),
+         |pg AS (
+         |  SELECT source, doc_id, n_tokens,
+         |         CAST((rn_all - 1) // 100 AS BIGINT) AS grp,
+         |         CAST((rn_all - 1) % 100 + 1 AS BIGINT) AS rn
+         |  FROM ptoks),
+         |pwalk AS (
+         |  SELECT source, grp, doc_id, n_tokens, rn,
+         |         CAST(0 AS BIGINT) AS chunk_local, n_tokens AS fill
+         |  FROM pg WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.source, t.grp, t.doc_id, t.n_tokens, t.rn,
+         |         CASE WHEN w.fill + t.n_tokens > 512
+         |              THEN w.chunk_local + 1 ELSE w.chunk_local END,
+         |         CASE WHEN w.fill + t.n_tokens > 512
+         |              THEN t.n_tokens ELSE w.fill + t.n_tokens END
+         |  FROM pg t JOIN pwalk w
+         |    ON t.source = w.source AND t.grp = w.grp AND t.rn = w.rn + 1),
          |packed AS (
-         |  SELECT source, COUNT(DISTINCT chunk_id) AS n_chunks FROM (
-         |    SELECT source,
-         |           COALESCE(SUM(n_tokens) OVER (PARTITION BY source
-         |             ORDER BY doc_id ASC
-         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |             // 512 AS chunk_id
-         |    FROM base WHERE survivor AND split = 'train')
-         |  GROUP BY 1),
+         |  SELECT source,
+         |         COUNT(DISTINCT grp * 100 + chunk_local) AS n_chunks
+         |  FROM pwalk GROUP BY 1),
          |agg AS (
          |  SELECT source,
          |         COUNT(*) AS n_bronze,
@@ -6154,9 +6174,11 @@ object SparkEntry {
          |       CAST(n_docs * 1000000 // t.td AS BIGINT) AS doc_share_ppm,
          |       CAST(n_tokens * 1000000 // t.tt AS BIGINT) AS token_share_ppm
          |FROM g CROSS JOIN t ORDER BY shard ASC""".stripMargin,
-    // q256: exact discrete percentiles at pos = (pct*n + 99) // 100; the
-    // sketch's accuracy claim arrives as the literal the Spark side must
-    // reproduce by actually being within tolerance.
+    // q256: exact discrete percentiles at pos = (pct*n + 99) // 100. The
+    // gate covers ONLY the exact order statistics (round-9 advice: the
+    // oracle has no percentile_approx twin, so its old within_1pct was a
+    // hard-coded TRUE literal — the sketch-tolerance verdict now lives in
+    // percentileSketchDetail + a DiagnosticsSpec assertion).
     "q256_percentile_audit" ->
       """WITH v AS (
         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
@@ -6167,8 +6189,7 @@ object SparkEntry {
         |p(pct) AS (VALUES (50), (90), (99))
         |SELECT CAST(p.pct AS BIGINT) AS pct,
         |       CAST(MAX(CASE WHEN r.rnk = (p.pct * n.n + 99) // 100 THEN r.v END)
-        |         AS BIGINT) AS exact_cents,
-        |       TRUE AS within_1pct
+        |         AS BIGINT) AS exact_cents
         |FROM p CROSS JOIN n JOIN r ON r.rnk = (p.pct * n.n + 99) // 100
         |GROUP BY 1 ORDER BY pct ASC""".stripMargin,
     // q257: same z interleave (zValueSql, one source of truth with q96),

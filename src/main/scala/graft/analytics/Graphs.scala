@@ -793,9 +793,12 @@ object Graphs {
     // the surviving subgraph.
     deg.agg(
         count(when(col("d") > 0, lit(1))).as("n_nodes"),
-        (coalesce(sum(when(col("d") > 0, col("d"))), lit(0L)) / 2)
-          .cast("long").as("n_edges"))
+        coalesce(sum(when(col("d") > 0, col("d"))), lit(0L)).as("sum_d"))
       .select(lit(k.toLong).as("core_k"),
-        col("n_nodes").cast("long").as("n_nodes"), col("n_edges"))
+        col("n_nodes").cast("long").as("n_nodes"),
+        // integer halving: the symmetrized degree sum is even by
+        // construction, and long `/` returns DOUBLE in Spark — exact only
+        // under 2^53, which a 100 TB edge census can exceed
+        expr("sum_d div 2").cast("long").as("n_edges"))
   }
 }

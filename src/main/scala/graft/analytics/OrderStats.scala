@@ -26,7 +26,14 @@ import org.apache.spark.sql.functions._
   *
   * Used by the epoch-shuffle dispersion audit (q254: displacement
   * quartiles over corpus-sized frames) and the percentile-sketch audit
-  * (q256: exact percentile ground truth under the approx contract). */
+  * (q256: exact percentile ground truth under the approx contract).
+  *
+  * Domain precondition: within each group, max(v) − min(v) must fit in
+  * int64 (i.e. the per-group value domain spans < 2^63). The bucket is a
+  * pre-scaled divide — (v − lo) div ceil(span / 256) — precisely so the
+  * only arithmetic on the raw domain is the subtraction (round-9 advice:
+  * the earlier (v − lo) * 256 form silently overflowed past a ~2^55-wide
+  * domain, with no guard). */
 object OrderStats {
 
   val Buckets = 256
@@ -46,7 +53,7 @@ object OrderStats {
         (max(col("v")) - min(col("v")) + 1).as("span"))
     val bucketed = values.join(broadcast(bounds), Seq("part"))
       .select(col("part"), col("v"),
-        expr(s"(v - lo) * $Buckets div span").as("bkt"))
+        expr(s"(v - lo) div ((span + ${Buckets - 1}) div $Buckets)").as("bkt"))
     // cumulative offsets over the <=256-row per-group count frame
     val wb = Window.partitionBy(col("part")).orderBy(col("bkt").asc)
     val offsets = bucketed.groupBy(col("part"), col("bkt"))
@@ -83,7 +90,8 @@ object OrderStats {
       .agg(min(col("v")).as("lo"),
         (max(col("v")) - min(col("v")) + 1).as("span"))
     val bucketed = values.join(broadcast(bounds), Seq("part"))
-      .withColumn("bkt", expr(s"(v - lo) * $Buckets div span"))
+      .withColumn("bkt",
+        expr(s"(v - lo) div ((span + ${Buckets - 1}) div $Buckets)"))
       .drop("lo", "span")
     val wb = Window.partitionBy(col("part")).orderBy(col("bkt").asc)
     val offsets = bucketed.groupBy(col("part"), col("bkt"))

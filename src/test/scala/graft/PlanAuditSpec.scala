@@ -107,6 +107,32 @@ class PlanAuditSpec extends SparkSpecBase {
       s"pair dedup re-shuffled despite silver clustering:\n$plan")
   }
 
+  test("curation funnel plan has no corpus-wide running-aggregate window") {
+    // Round-9 verdict (what's-wrong 3): the funnel's original pack stage
+    // ran an unbounded-preceding SUM window partitioned only by source —
+    // one sequential chain per source, so one hot source serialized the
+    // stage at 100 TB. The funnel now composes greedyGroupedPlacement
+    // (bounded 100-doc chains); the only windows left in the plan must be
+    // streaming rank functions (row_number), never a running aggregate
+    // over an unbounded row frame.
+    import org.apache.spark.sql.catalyst.expressions.WindowExpression
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    val plan = graft.llm.Curation.curationPipeline(spark, sf)
+      .queryExecution.optimizedPlan
+    val runningAggs = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.windowExpressions.filter(_.exists {
+          case we: WindowExpression =>
+            we.windowFunction.isInstanceOf[AggregateExpression]
+          case _ => false
+        })
+    }.flatten
+    graft.core.Caches.releaseScratch(spark)
+    assert(runningAggs.isEmpty,
+      s"running-aggregate window(s) in the funnel plan (unbounded " +
+        s"per-partition chains at scale): ${runningAggs.mkString("; ")}")
+  }
+
   test("winnow dedup self-join is fp-keyed: no cartesian or nested loop") {
     val plan = graft.llm.TextDedup
       .winnowDups(Tables.documents(spark, sf))

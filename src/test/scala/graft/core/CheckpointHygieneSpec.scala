@@ -36,7 +36,9 @@ class CheckpointHygieneSpec extends SparkSpecBase {
     "q228_kcore_peel_census",  // k-core cascade, block-batched
     "q195_kcore_census",       // bounded k-core
     "q233_cheapest_paths",     // Bellman-Ford census
-    "q60_dup_clusters")        // connected components (memo-backed)
+    "q60_dup_clusters",        // connected components (memo-backed)
+    "q115_pagerank_ppm",       // fixed-round integer pagerank
+    "q217_coverage_greedy")    // driver-round anti-join + argmax loop
 
   test("iterative queries leave no checkpoint residue in the storage pool") {
     // First pass builds session-lifetime memos (silver, shingle frame,
