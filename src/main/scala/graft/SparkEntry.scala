@@ -734,6 +734,9 @@ object SparkEntry {
     // ---- layout pruning audit: chunks scanned per point probe under
     //      natural / sorted / z-order layouts (min-max skipping model) ----
     "q257_layout_pruning"      -> ((s, d) => graft.analytics.Layout.pruningAudit(s, d)),
+    // ---- full iterative BPE vocabulary build (tokenizer training:
+    //      12 merge rounds over the word-frequency table) ----
+    "q258_bpe_vocab_build"     -> ((s, d) => TextStats.bpeVocabBuild(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -6231,7 +6234,59 @@ object SparkEntry {
          |FROM ch c CROSS JOIN pr p JOIN nch n ON n.part = c.part
          |GROUP BY 1, 2, 3, 4
          |ORDER BY layout ASC, probe_id ASC""".stripMargin,
+    // q258: the 12 BPE merge rounds UNROLLED as chained CTEs (like
+    // q115/q192; SQL forbids aggregates in a recursive member).
+    // MATERIALIZED is load-bearing: s{k} is referenced by both p{k+1}
+    // and s{k+1}, so without it DuckDB inlines the chain and the corpus
+    // scan re-evaluates 2^12 times. Same double-space sequence encoding
+    // and replace() merge as the Spark side.
+    "q258_bpe_vocab_build" -> bpeVocabOracle(12),
   )
+
+  /** Oracle for q258: `merges` unrolled BPE rounds. Round k computes the
+    * weighted adjacent-pair census over the previous round's symbol
+    * sequences (double-space encoding, one unnest per symbol position),
+    * takes the (cnt DESC, l ASC, r ASC) argmax, and applies it with the
+    * same boundary-owning replace() the Spark side uses. Every CTE is
+    * MATERIALIZED — s{k} fans out to two consumers per round and the
+    * chain is `merges` deep, so inlining would re-evaluate the corpus
+    * scan exponentially. */
+  private def bpeVocabOracle(merges: Int): String = {
+    val head =
+      s"""words AS MATERIALIZED (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+         |    SELECT unnest(str_split($duckNorm, ' ')) AS w FROM documents)
+         |  GROUP BY w),
+         |s0 AS MATERIALIZED (
+         |  SELECT wc,
+         |         ' ' || array_to_string(
+         |           [w[i] for i in range(1, length(w) + 1)], '  ') || ' '
+         |           AS seq
+         |  FROM words)""".stripMargin
+    val rounds = (1 to merges).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT sym[i] AS l, sym[i+1] AS r, CAST(SUM(wc) AS BIGINT) AS cnt
+         |  FROM (SELECT wc, str_split(trim(seq), '  ') AS sym FROM s${k - 1})
+         |  CROSS JOIN unnest(range(1, len(sym))) AS t(i)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (
+         |  SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |s$k AS MATERIALIZED (
+         |  SELECT wc, replace(seq, ' ' || b.l || '  ' || b.r || ' ',
+         |                     ' ' || b.l || b.r || ' ') AS seq
+         |  FROM s${k - 1} CROSS JOIN b$k b)""".stripMargin
+    }
+    val unions = (1 to merges)
+      .map(k => s"SELECT $k AS step, l AS left_sym, r AS right_sym, " +
+        s"l || r AS merged, cnt AS pair_count FROM b$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${(head +: rounds).mkString(",\n")}
+       |SELECT CAST(step AS BIGINT) AS step, left_sym, right_sym, merged,
+       |       pair_count
+       |FROM (
+       |  $unions)
+       |ORDER BY step ASC""".stripMargin
+  }
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via
     * [[minhashCtes]]) + word-tf weighted-Jaccard verification. */

@@ -350,6 +350,79 @@ object TextStats {
       .limit(k)
   }
 
+  /** q258: FULL iterative BPE vocabulary build — the tokenizer-training
+    * loop [[bpeMergeCandidates]] only takes the first step of: N rounds
+    * of (count adjacent symbol pairs, weighted by word frequency) →
+    * (merge the argmax pair everywhere) → repeat, emitting the merge
+    * table a BPE tokenizer ships.
+    *
+    * Scale shape (the classic BPE-training reduction): ONE corpus pass
+    * builds the word-frequency table — pair counting and merging then
+    * run over |vocab| distinct words (thousands; trillions of corpus
+    * tokens never re-enter), so the table is scratch-persisted and each
+    * round costs a vocab-sized aggregation plus a 1-row driver argmax
+    * (the same domain-sized collect discipline as the k-means
+    * centroids). Rounds reuse the q227 loop discipline with linear
+    * lineage (each round adds one projection over the persisted leaf).
+    *
+    * Merge application is ONE string `replace`: a word's symbol
+    * sequence is encoded as ' '+join(symbols,'  ')+' ' — every symbol
+    * owns BOTH its boundary spaces, so replacing " L  R " with " LR "
+    * is exactly the greedy left-to-right non-overlapping BPE merge, the
+    * invariant survives the rewrite, and Spark and DuckDB replace()
+    * scan identically (the engine-portable spelling of the merge; the
+    * oracle unrolls rounds as MATERIALIZED CTEs).
+    *
+    * Ties are total: (count DESC, left ASC, right ASC) over exact
+    * integers — both engines compare ASCII strings bytewise. */
+  def bpeVocabBuild(docs: DataFrame, merges: Int = 12): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = graft.core.Caches.scratch(docs
+      .select(explode(split(norm, " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc")))
+    var seqs = words.select(col("wc"),
+      concat(lit(" "),
+        array_join(
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+          "  "),
+        lit(" ")).as("seq"))
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val best = seqs
+        .select(col("wc"), split(trim(col("seq")), "  ").as("sym"))
+        // slice-based pairing: single-symbol words slice to an empty
+        // array and drop out (sequence(1, 0) would count DOWN, not
+        // empty — the q99 pitfall)
+        .select(col("wc"), explode(expr(
+          "transform(slice(sym, 1, size(sym) - 1), (x, i) -> " +
+            "struct(x AS l, element_at(sym, i + 2) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val l = best(0).getString(0)
+        val r = best(0).getString(1)
+        val cnt = best(0).getLong(2)
+        out += ((step.toLong, l, r, l + r, cnt))
+        seqs = seqs.select(col("wc"),
+          call_function("replace", col("seq"),
+            lit(s" $l  $r "), lit(s" $l$r ")).as("seq"))
+        step += 1
+      }
+    }
+    out.toSeq
+      .toDF("step", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy(col("step").asc)
+  }
+
+  def bpeVocabBuild(spark: SparkSession, dir: String): DataFrame =
+    bpeVocabBuild(Tables.documents(spark, dir))
+
   /** q120: bigram LM count table per lang — the first-order conditional
     * counts a tokenizer/LM bootstrap materializes from the corpus. Each
     * doc emits its n-1 adjacent token pairs (one `transform`+`explode`,

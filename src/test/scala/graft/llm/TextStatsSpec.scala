@@ -133,6 +133,39 @@ class TextStatsSpec extends SparkSpecBase {
     assert(got === Map("ab" -> 6L, "ba" -> 3L, "cd" -> 1L))
   }
 
+  test("BPE vocab build: hand-traced merge sequence, greedy left-to-right") {
+    import spark.implicits._
+    // corpus: 'aaab' ×2, 'ab' ×1 (plus a single-char word that must not
+    // contribute pairs). Hand trace:
+    //  round 1: pairs (a,a)=4 [two per 'aaab' — OVERLAPPING adjacent
+    //           occurrences both count], (a,b)=3 → merge (a,a)→'aa';
+    //           greedy left-to-right rewrites 'a a a b' → 'aa a b'
+    //           (NOT 'a aa b')
+    //  round 2: (aa,a)=2, (a,b)=3 → merge (a,b)→'ab' → 'aa a b'→'aa ab'
+    //  round 3: (aa,ab)=2 → merge → 'aaab'
+    val docs = Seq((1L, "aaab c aaab"), (2L, "ab"))
+      .toDF("doc_id", "text")
+    val got = TextStats.bpeVocabBuild(docs, merges = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    graft.core.Caches.releaseScratch(spark)
+    assert(got === Seq(
+      (1L, "a", "a", "aa", 4L),
+      (2L, "a", "b", "ab", 3L),
+      (3L, "aa", "ab", "aaab", 2L)))
+  }
+
+  test("BPE vocab build: stops early when no pairs remain") {
+    import spark.implicits._
+    // 'ab' fully merges in one round; afterwards every word is a single
+    // symbol — the loop must emit 1 row, not fail on an empty argmax.
+    val docs = Seq((1L, "ab ab c")).toDF("doc_id", "text")
+    val got = TextStats.bpeVocabBuild(docs, merges = 5).collect()
+    graft.core.Caches.releaseScratch(spark)
+    assert(got.length === 1)
+    assert(got(0).getString(3) === "ab" && got(0).getLong(4) === 2L)
+  }
+
   test("bigram table: ranks dense per lang, counts non-increasing, ppm is exact floor division") {
     val out = TextStats.bigramCounts(spark, sf).collect()
     val byLang = out.groupBy(_.getString(0))
