@@ -737,6 +737,8 @@ object SparkEntry {
     // ---- full iterative BPE vocabulary build (tokenizer training:
     //      12 merge rounds over the word-frequency table) ----
     "q258_bpe_vocab_build"     -> ((s, d) => TextStats.bpeVocabBuild(s, d)),
+    // ---- BPE tokenizer APPLY: per-source fertility/compression audit ----
+    "q259_bpe_tokenize"        -> ((s, d) => TextStats.bpeTokenize(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -6241,24 +6243,27 @@ object SparkEntry {
     // scan re-evaluates 2^12 times. Same double-space sequence encoding
     // and replace() merge as the Spark side.
     "q258_bpe_vocab_build" -> bpeVocabOracle(12),
+    // q259: the same chain, final round's word-token map joined to the
+    // corpus word stream; all-integer fertility/compression ppm.
+    "q259_bpe_tokenize" -> bpeTokenizeOracle(12),
   )
 
-  /** Oracle for q258: `merges` unrolled BPE rounds. Round k computes the
-    * weighted adjacent-pair census over the previous round's symbol
-    * sequences (double-space encoding, one unnest per symbol position),
-    * takes the (cnt DESC, l ASC, r ASC) argmax, and applies it with the
-    * same boundary-owning replace() the Spark side uses. Every CTE is
-    * MATERIALIZED — s{k} fans out to two consumers per round and the
-    * chain is `merges` deep, so inlining would re-evaluate the corpus
-    * scan exponentially. */
-  private def bpeVocabOracle(merges: Int): String = {
+  /** Shared oracle chain for q258/q259: `merges` unrolled BPE rounds.
+    * Round k computes the weighted adjacent-pair census over the
+    * previous round's symbol sequences (double-space encoding, one
+    * unnest per symbol position), takes the (cnt DESC, l ASC, r ASC)
+    * argmax, and applies it with the same boundary-owning replace() the
+    * Spark side uses. Every CTE is MATERIALIZED — s{k} fans out to two
+    * consumers per round and the chain is `merges` deep, so inlining
+    * would re-evaluate the corpus scan exponentially. */
+  private def bpeChainCtes(merges: Int): String = {
     val head =
       s"""words AS MATERIALIZED (
          |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
          |    SELECT unnest(str_split($duckNorm, ' ')) AS w FROM documents)
          |  GROUP BY w),
          |s0 AS MATERIALIZED (
-         |  SELECT wc,
+         |  SELECT w, wc,
          |         ' ' || array_to_string(
          |           [w[i] for i in range(1, length(w) + 1)], '  ') || ' '
          |           AS seq
@@ -6272,21 +6277,48 @@ object SparkEntry {
          |b$k AS MATERIALIZED (
          |  SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
          |s$k AS MATERIALIZED (
-         |  SELECT wc, replace(seq, ' ' || b.l || '  ' || b.r || ' ',
-         |                     ' ' || b.l || b.r || ' ') AS seq
+         |  SELECT w, wc, replace(seq, ' ' || b.l || '  ' || b.r || ' ',
+         |                        ' ' || b.l || b.r || ' ') AS seq
          |  FROM s${k - 1} CROSS JOIN b$k b)""".stripMargin
     }
+    (head +: rounds).mkString(",\n")
+  }
+
+  /** Oracle for q258: the merge table off the shared BPE chain. */
+  private def bpeVocabOracle(merges: Int): String = {
     val unions = (1 to merges)
       .map(k => s"SELECT $k AS step, l AS left_sym, r AS right_sym, " +
         s"l || r AS merged, cnt AS pair_count FROM b$k")
       .mkString("\n  UNION ALL ")
-    s"""WITH ${(head +: rounds).mkString(",\n")}
+    s"""WITH ${bpeChainCtes(merges)}
        |SELECT CAST(step AS BIGINT) AS step, left_sym, right_sym, merged,
        |       pair_count
        |FROM (
        |  $unions)
        |ORDER BY step ASC""".stripMargin
   }
+
+  /** Oracle for q259: the final round's word→sequence map joined back to
+    * the corpus word stream — per-source fertility/compression census,
+    * exact integer ppm. */
+  private def bpeTokenizeOracle(merges: Int): String =
+    s"""WITH ${bpeChainCtes(merges)},
+       |tok AS MATERIALIZED (
+       |  SELECT w, CAST(len(str_split(trim(seq), '  ')) AS BIGINT) AS n_sym
+       |  FROM s$merges),
+       |corpus AS (
+       |  SELECT source, unnest(str_split($duckNorm, ' ')) AS w
+       |  FROM documents),
+       |agg AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |         CAST(SUM(length(c.w)) AS BIGINT) AS n_chars,
+       |         CAST(SUM(t.n_sym) AS BIGINT) AS n_bpe_tokens
+       |  FROM corpus c JOIN tok t USING (w)
+       |  GROUP BY 1)
+       |SELECT source, n_words, n_chars, n_bpe_tokens,
+       |       n_bpe_tokens * 1000000 // n_words AS tokens_per_word_ppm,
+       |       n_chars * 1000000 // n_bpe_tokens AS chars_per_token_ppm
+       |FROM agg ORDER BY source ASC""".stripMargin
 
   /** Oracle SQL for q199: the q27 candidate CTEs (shared text via
     * [[minhashCtes]]) + word-tf weighted-Jaccard verification. */

@@ -378,10 +378,25 @@ object TextStats {
   def bpeVocabBuild(docs: DataFrame, merges: Int = 12): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val (mergeRows, _) = bpeMergeLoop(docs, merges)
+    mergeRows
+      .toDF("step", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy(col("step").asc)
+  }
+
+  def bpeVocabBuild(spark: SparkSession, dir: String): DataFrame =
+    bpeVocabBuild(Tables.documents(spark, dir))
+
+  /** The BPE merge loop shared by [[bpeVocabBuild]] (emits the merge
+    * table) and [[bpeTokenize]] (consumes the final word→sequence map).
+    * Returns the merge rows and the final vocab-sized (w, wc, seq)
+    * frame, seq in the double-space encoding. */
+  private def bpeMergeLoop(docs: DataFrame, merges: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     val words = graft.core.Caches.scratch(docs
       .select(explode(split(norm, " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc")))
-    var seqs = words.select(col("wc"),
+    var seqs = words.select(col("w"), col("wc"),
       concat(lit(" "),
         array_join(
           expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
@@ -409,19 +424,48 @@ object TextStats {
         val r = best(0).getString(1)
         val cnt = best(0).getLong(2)
         out += ((step.toLong, l, r, l + r, cnt))
-        seqs = seqs.select(col("wc"),
+        seqs = seqs.select(col("w"), col("wc"),
           call_function("replace", col("seq"),
             lit(s" $l  $r "), lit(s" $l$r ")).as("seq"))
         step += 1
       }
     }
-    out.toSeq
-      .toDF("step", "left_sym", "right_sym", "merged", "pair_count")
-      .orderBy(col("step").asc)
+    (out.toSeq, seqs)
   }
 
-  def bpeVocabBuild(spark: SparkSession, dir: String): DataFrame =
-    bpeVocabBuild(Tables.documents(spark, dir))
+  /** q259: APPLY the trained BPE vocabulary corpus-wide — the tokenizer
+    * fertility/compression audit every pretraining run reports per
+    * source: words, characters, BPE tokens, tokens-per-word and
+    * chars-per-token (exact integer ppm). The encode itself costs ONE
+    * broadcast join: the merge loop's final word→sequence map is
+    * vocab-sized, so each corpus word looks up its token count instead
+    * of re-running merges per occurrence (the same frequency-table
+    * reduction that makes the training loop scale makes the APPLY a
+    * lookup). */
+  def bpeTokenize(docs: DataFrame, merges: Int = 12): DataFrame = {
+    val (_, seqs) = bpeMergeLoop(docs, merges)
+    val tok = seqs.select(col("w"),
+      size(split(trim(col("seq")), "  ")).cast("long").as("n_sym"))
+    docs
+      .select(col("source"), explode(split(norm, " ")).as("w"))
+      .join(broadcast(tok), Seq("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(col("n_sym")).as("n_bpe_tokens"))
+      .select(col("source"),
+        col("n_words").cast("long").as("n_words"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("n_bpe_tokens").cast("long").as("n_bpe_tokens"),
+        expr("n_bpe_tokens * 1000000 div n_words").cast("long")
+          .as("tokens_per_word_ppm"),
+        expr("n_chars * 1000000 div n_bpe_tokens").cast("long")
+          .as("chars_per_token_ppm"))
+      .orderBy(col("source").asc)
+  }
+
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame =
+    bpeTokenize(Tables.documents(spark, dir))
 
   /** q120: bigram LM count table per lang — the first-order conditional
     * counts a tokenizer/LM bootstrap materializes from the corpus. Each

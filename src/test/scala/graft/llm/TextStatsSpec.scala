@@ -166,6 +166,25 @@ class TextStatsSpec extends SparkSpecBase {
     assert(got(0).getString(3) === "ab" && got(0).getLong(4) === 2L)
   }
 
+  test("BPE tokenize: corpus conserved, token counts between merges-bound and chars") {
+    val out = TextStats.bpeTokenize(docs).collect()
+    graft.core.Caches.releaseScratch(spark)
+    // every corpus word is in the trained vocab → word totals reconcile
+    val expected = docs
+      .select(explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("w"),
+        col("source"))
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.map(r => r.getString(0) -> r.getLong(1)).toMap === expected)
+    out.foreach { r =>
+      val (words, chars, toks) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(toks >= words && toks <= chars,
+        s"token count out of [words, chars] for ${r.getString(0)}: $r")
+      assert(r.getLong(4) === toks * 1000000L / words)
+      assert(r.getLong(5) === chars * 1000000L / toks)
+    }
+  }
+
   test("bigram table: ranks dense per lang, counts non-increasing, ppm is exact floor division") {
     val out = TextStats.bigramCounts(spark, sf).collect()
     val byLang = out.groupBy(_.getString(0))
