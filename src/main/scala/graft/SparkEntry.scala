@@ -739,6 +739,9 @@ object SparkEntry {
     "q258_bpe_vocab_build"     -> ((s, d) => TextStats.bpeVocabBuild(s, d)),
     // ---- BPE tokenizer APPLY: per-source fertility/compression audit ----
     "q259_bpe_tokenize"        -> ((s, d) => TextStats.bpeTokenize(s, d)),
+    // ---- contrastive-pair mining census (positives + per-anchor top-k
+    //      hard negatives from the banded LSH candidate set) ----
+    "q260_contrastive_mining"  -> ((s, d) => Similarity.contrastiveMiningCensus(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -6246,6 +6249,48 @@ object SparkEntry {
     // q259: the same chain, final round's word-token map joined to the
     // corpus word stream; all-integer fertility/compression ppm.
     "q259_bpe_tokenize" -> bpeTokenizeOracle(12),
+    // q260: the q35/q36 LSH CTE prefix, DIRECTED candidates, one
+    // negatives-first per-anchor rank; mean rides a shifted integer
+    // floor-div (cos sums go negative on the isotropic corpus).
+    "q260_contrastive_mining" ->
+      (lshCte.replace(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings",
+        "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings") +
+        s""",
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS anchor, b.vec_id AS other
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+           |  WHERE a.vec_id <> b.vec_id),
+           |cos AS (
+           |  SELECT c.anchor, c.other, qv.label AS la, nv.label AS lb,
+           |         $duckCos AS cos
+           |  FROM cand c
+           |  JOIN v qv ON qv.vec_id = c.anchor
+           |  JOIN v nv ON nv.vec_id = c.other),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY anchor
+           |    ORDER BY (CASE WHEN la <> lb THEN 0 ELSE 1 END) ASC,
+           |             cos DESC, other ASC) AS neg_rank
+           |  FROM cos),
+           |roled AS (
+           |  SELECT CASE WHEN la = lb THEN 'positive'
+           |              WHEN neg_rank <= 8 THEN 'hard_negative'
+           |              ELSE 'easy_negative' END AS role,
+           |         anchor, cos
+           |  FROM ranked),
+           |g AS (
+           |  SELECT role, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |         CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_anchors,
+           |         CAST(SUM(CAST(FLOOR(cos * 1000000) AS BIGINT)) AS BIGINT)
+           |           AS sum_cos_ppm,
+           |         MIN(cos) AS min_cos, MAX(cos) AS max_cos
+           |  FROM roled GROUP BY 1)
+           |SELECT role, n_pairs, n_anchors,
+           |       (sum_cos_ppm + n_pairs * 1000000) // n_pairs - 1000000
+           |         AS mean_cos_ppm,
+           |       min_cos, max_cos
+           |FROM g ORDER BY role ASC""".stripMargin),
   )
 
   /** Shared oracle chain for q258/q259: `merges` unrolled BPE rounds.

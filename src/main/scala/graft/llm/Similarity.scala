@@ -486,6 +486,76 @@ object Similarity {
   def similarPairs(spark: SparkSession, dir: String): DataFrame =
     similarPairs(Tables.embeddings(spark, dir))
 
+  /** q260: CONTRASTIVE-PAIR MINING census — the table an embedding-model
+    * finetune (SBERT/DPR-style) is trained from: per anchor vector,
+    * positives and HARD negatives. Supervised-contrastive definitions
+    * (the corpus is isotropic, so cosine-threshold "positives" would be
+    * near-empty — measured 0–7 pairs per SF):
+    *  - positive: a same-label pair that collides in ≥1 LSH band;
+    *  - hard_negative: among an anchor's different-label band collisions,
+    *    the `hardK` highest-cosine ones (the confusable negatives that
+    *    actually move a contrastive loss — random negatives are free but
+    *    worthless);
+    *  - easy_negative: the remaining different-label collisions (counted
+    *    for the mining-yield audit).
+    *
+    * Scale shape: candidates come only from the banded signature join
+    * (never all-pairs); hard-negative selection is a per-anchor top-k
+    * window over the candidate set; the census is a 3-row rollup. Pair
+    * cosines are per-element-identical doubles; the mean rides as a
+    * floor(cos·1e6) integer sum, so the gate is drift-free. */
+  def contrastiveMiningCensus(embeddings: DataFrame, hardK: Int = 8): DataFrame = {
+    val corpus = vecsNormed(embeddings)
+    val bands = bandRows(graft.core.Caches.scratch(signatures(embeddings)))
+    // DIRECTED pairs: per-anchor semantics (each anchor mines its own
+    // positives/negatives, as the training loop consumes them)
+    val cand = bands.select(col("band"), col("bval"), col("vec_id").as("anchor"))
+      .join(bands.select(col("band"), col("bval"), col("vec_id").as("other")),
+        Seq("band", "bval"))
+      .filter(col("anchor") =!= col("other"))
+      .select(col("anchor"), col("other")).distinct()
+    val scored = cand
+      .join(corpus.select(col("vec_id").as("anchor"), col("label").as("la"),
+        col("v").as("va"), col("nrm").as("na")), Seq("anchor"))
+      .join(corpus.select(col("vec_id").as("other"), col("label").as("lb"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("other"))
+      .select(col("anchor"), col("other"), col("la"), col("lb"),
+        cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
+    // one per-anchor rank with negatives ordered first: positives sort
+    // after every negative and never consult the rank (their role is
+    // decided by the label equality), so negatives hold ranks 1..n_neg
+    // in (cos DESC, other ASC) order — a single window, no second pass
+    val wNeg = Window.partitionBy(col("anchor"))
+      .orderBy(when(col("la") =!= col("lb"), lit(0)).otherwise(lit(1)).asc,
+        col("cos").desc, col("other").asc)
+    val roled = scored
+      .withColumn("neg_rank", row_number().over(wNeg))
+      .withColumn("role",
+        when(col("la") === col("lb"), lit("positive"))
+          .when(col("neg_rank") <= hardK, lit("hard_negative"))
+          .otherwise(lit("easy_negative")))
+    roled
+      .groupBy(col("role"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("anchor")).as("n_anchors"),
+        sum(floor(col("cos") * 1000000).cast("long")).as("sum_cos_ppm"),
+        min(col("cos")).as("min_cos"), max(col("cos")).as("max_cos"))
+      .select(col("role"),
+        col("n_pairs").cast("long").as("n_pairs"),
+        col("n_anchors").cast("long").as("n_anchors"),
+        // sum_cos_ppm can be NEGATIVE (isotropic corpus): shift by
+        // n_pairs·1e6 before the floor-div (Spark div truncates toward
+        // zero, DuckDB // floors — identical only for non-negative
+        // operands; cos ≥ −1 makes the shifted dividend non-negative)
+        expr("(sum_cos_ppm + n_pairs * 1000000) div n_pairs - 1000000")
+          .cast("long").as("mean_cos_ppm"),
+        col("min_cos"), col("max_cos"))
+      .orderBy(col("role").asc)
+  }
+
+  def contrastiveMiningCensus(spark: SparkSession, dir: String): DataFrame =
+    contrastiveMiningCensus(Tables.embeddings(spark, dir))
+
   // ------------------------------------------------- cluster profiling
 
   /** Semantic cluster profile: assign every vector to its nearest seed

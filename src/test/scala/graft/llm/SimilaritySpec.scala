@@ -320,6 +320,39 @@ class SimilaritySpec extends SparkSpecBase {
       s"recall curve not monotone over dims: $mean")
   }
 
+  test("contrastive mining: hard negatives capped per anchor, harder than easy") {
+    val out = Similarity.contrastiveMiningCensus(emb).collect()
+      .map(r => r.getString(0) -> r).toMap
+    graft.core.Caches.releaseScratch(spark)
+    assert(out.keySet === Set("positive", "hard_negative", "easy_negative"))
+    val hard = out("hard_negative")
+    // every anchor that has easy negatives first filled its hard-k quota
+    assert(hard.getLong(1) === hard.getLong(2) * 8L,
+      s"hard negatives not exactly k per contributing anchor: $hard")
+    // mining ordering: hard negatives are by construction the highest-
+    // cosine different-label candidates, so their mean dominates easy's
+    assert(hard.getLong(3) > out("easy_negative").getLong(3),
+      "hard negatives not harder (higher-cos) than easy ones")
+    // positives are same-label: re-derive their count from the banded
+    // candidate set independently
+    val sigs = Similarity.signatures(emb)
+    val bands = sigs.select(col("vec_id"),
+      explode(expr("transform(sequence(0, 3), b -> " +
+        "struct(b AS band, shiftright(sig, CAST(b * 4 AS INT)) & 15 AS bval))")).as("e"))
+      .select(col("vec_id"), col("e.band"), col("e.bval"))
+    val labels = emb.select(col("vec_id"), col("label"))
+    val nPos = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
+          && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y")).distinct()
+      .join(labels.select(col("vec_id").as("x"), col("label").as("lx")), Seq("x"))
+      .join(labels.select(col("vec_id").as("y"), col("label").as("ly")), Seq("y"))
+      .filter(col("lx") === col("ly")).count()
+    graft.core.Caches.releaseScratch(spark)
+    assert(out("positive").getLong(1) === nPos)
+  }
+
   test("semantic leakage: candidates respect the split carve, censuses conserve") {
     val out = Similarity.semanticLeakage(emb).collect()
     assert(out.nonEmpty)
