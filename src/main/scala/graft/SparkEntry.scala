@@ -742,6 +742,10 @@ object SparkEntry {
     // ---- contrastive-pair mining census (positives + per-anchor top-k
     //      hard negatives from the banded LSH candidate set) ----
     "q260_contrastive_mining"  -> ((s, d) => Similarity.contrastiveMiningCensus(s, d)),
+    // ---- Kneser-Ney smoothed bigram LM table (integer-ppm KN) ----
+    "q261_kn_bigram_lm"        -> ((s, d) => TextStats.knBigramLm(s, d)),
+    // ---- Poisson-bootstrap confidence table for the corpus mean ----
+    "q262_poisson_bootstrap"   -> ((s, d) => Diagnostics.poissonBootstrap(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -6249,6 +6253,74 @@ object SparkEntry {
     // q259: the same chain, final round's word-token map joined to the
     // corpus word stream; all-integer fertility/compression ppm.
     "q259_bpe_tokenize" -> bpeTokenizeOracle(12),
+    // q261: identical integer-ppm KN pipeline — distinct-bigram counts,
+    // successor/predecessor/type recounts, the same floor-div formula.
+    "q261_kn_bigram_lm" ->
+      s"""WITH t AS (
+         |  SELECT lang, str_split($duckNorm, ' ') AS w FROM documents),
+         |bg AS (
+         |  SELECT lang, w[i] AS w1, w[i+1] AS w2
+         |  FROM t CROSS JOIN unnest(range(1, len(w))) AS u(i)
+         |  WHERE len(w) >= 2),
+         |counted AS (
+         |  SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM bg GROUP BY 1, 2, 3),
+         |ctx AS (
+         |  SELECT lang, w1, CAST(SUM(cnt) AS BIGINT) AS ctx_cnt,
+         |         CAST(COUNT(*) AS BIGINT) AS n1p_w1
+         |  FROM counted GROUP BY 1, 2),
+         |cont AS (
+         |  SELECT lang, w2, CAST(COUNT(*) AS BIGINT) AS n1p_right
+         |  FROM counted GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n1p_total
+         |  FROM counted GROUP BY 1),
+         |j AS (
+         |  SELECT c.lang, c.w1, c.w2, c.cnt, x.ctx_cnt, x.n1p_w1,
+         |         n1p_right * 1000000 // n1p_total AS pcont_ppm,
+         |         3 * x.n1p_w1 * 1000000 // (4 * x.ctx_cnt) AS lambda_ppm
+         |  FROM counted c
+         |  JOIN ctx x ON x.lang = c.lang AND x.w1 = c.w1
+         |  JOIN cont n ON n.lang = c.lang AND n.w2 = c.w2
+         |  JOIN tot g ON g.lang = c.lang),
+         |r AS (
+         |  SELECT *,
+         |    (4 * cnt - 3) * 1000000 // (4 * ctx_cnt)
+         |      + (lambda_ppm * pcont_ppm) // 1000000 AS p_kn_ppm,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY cnt DESC, w1 ASC, w2 ASC) AS BIGINT) AS "rank"
+         |  FROM j)
+         |SELECT lang, "rank", w1, w2, cnt, ctx_cnt, n1p_w1, pcont_ppm,
+         |       lambda_ppm, p_kn_ppm
+         |FROM r WHERE "rank" <= 15
+         |ORDER BY lang ASC, "rank" ASC""".stripMargin,
+    // q262: same salted-hash Poisson(1) inverse CDF (shared ppm
+    // thresholds), one B-way expansion, exact integer means.
+    "q262_poisson_bootstrap" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         CAST(len(str_split($duckNorm, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |reps AS (SELECT CAST(r.range AS BIGINT) AS b FROM range(32) r),
+         |wts AS (
+         |  SELECT b, n_tokens,
+         |         CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+         |              WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+         |              WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+         |              ELSE 6 END AS wt
+         |  FROM (
+         |    SELECT b, n_tokens,
+         |           CAST('0x' || substr(md5('boot:' || CAST(b AS VARCHAR)
+         |             || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |             % 1000000 AS u
+         |    FROM toks CROSS JOIN reps)),
+         |g AS (
+         |  SELECT b, CAST(SUM(wt) AS BIGINT) AS n_eff,
+         |         CAST(SUM(wt * n_tokens) AS BIGINT) AS sum_tokens
+         |  FROM wts GROUP BY 1)
+         |SELECT b, n_eff, sum_tokens,
+         |       sum_tokens * 1000000 // n_eff AS mean_tokens_ppm
+         |FROM g ORDER BY b ASC""".stripMargin,
     // q260: the q35/q36 LSH CTE prefix, DIRECTED candidates, one
     // negatives-first per-anchor rank; mean rides a shifted integer
     // floor-div (cos sums go negative on the isotropic corpus).

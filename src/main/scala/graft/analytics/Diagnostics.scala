@@ -436,6 +436,58 @@ object Diagnostics {
     *
     * Exact position contract (1-indexed, discrete): pos = (pct·n + 99)
     * div 100 — the same formula the oracle evaluates. */
+  /** Cumulative inverse-CDF thresholds of Poisson(1) in ppm —
+    * floor(1e6 · e⁻¹ · Σ_{j≤k} 1/j!) for k = 0..5. Weights above 5 are
+    * truncated to 6 (tail mass ≈ 6e-5); the literals are shared with the
+    * oracle, so the resampling law is identical by construction. */
+  val PoissonPpm: Seq[Long] = Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L)
+
+  /** q262: POISSON-BOOTSTRAP confidence table for the corpus mean doc
+    * length — the bootstrap that actually runs at 100 TB. A classic
+    * resample materializes B copies of the corpus; the Poisson bootstrap
+    * (Chamandy et al., "Estimating Uncertainty for Massive Data
+    * Streams", Google 2012) instead gives every row an independent
+    * Poisson(1) weight per replicate, so B resamples ride ONE linear
+    * pass and one combinable aggregation into a B-row frame.
+    *
+    * Determinism: the weight is the inverse CDF applied to
+    * h60("boot:" + b + ":" + doc_id) % 1e6 — salted md5, no RNG state,
+    * identical in both engines; every statistic is exact-integer. The
+    * replicate means' spread IS the sampling-error estimate (spec pins
+    * that the replicate band brackets the true mean). */
+  def poissonBootstrap(spark: SparkSession, dir: String,
+      replicates: Int = 32): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+          .cast("long").as("n_tokens"))
+    val reps = (0L until replicates.toLong).toDF("b")
+    val u = conv(substring(md5(concat(lit("boot:"), col("b").cast("string"),
+      lit(":"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 1000000L
+    // lambda let-binding: the 6-branch CASE references u once; a plain
+    // column would be re-inlined per branch by CollapseProject (6 md5
+    // evaluations per row on the dominant pass)
+    val weight = element_at(
+      transform(array(u), uu =>
+        PoissonPpm.zipWithIndex
+          .foldRight(lit(6L): org.apache.spark.sql.Column) { case ((t, k), rest) =>
+            when(uu < t, lit(k.toLong)).otherwise(rest)
+          }), 1)
+    toks.crossJoin(broadcast(reps))
+      .select(col("b"), col("n_tokens"), weight.as("wt"))
+      .groupBy(col("b"))
+      .agg(sum(col("wt")).as("n_eff"),
+        sum(col("wt") * col("n_tokens")).as("sum_tokens"))
+      .select(col("b"),
+        col("n_eff").cast("long").as("n_eff"),
+        col("sum_tokens").cast("long").as("sum_tokens"),
+        expr("sum_tokens * 1000000 div n_eff").cast("long")
+          .as("mean_tokens_ppm"))
+      .orderBy(col("b").asc)
+  }
+
   def percentileSketchAudit(spark: SparkSession, dir: String,
       pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame =
     // Gated surface: the EXACT order statistics only. The sketch-vs-exact

@@ -578,6 +578,69 @@ object TextStats {
   def docLmScore(spark: SparkSession, dir: String): DataFrame =
     docLmScore(Tables.documents(spark, dir))
 
+  /** q261: KNESER–NEY smoothed bigram LM table — the smoothing that
+    * makes an n-gram LM usable for held-out scoring (the q120/q133 MLE
+    * table assigns zero to unseen pairs; CCNet-style perplexity filters
+    * ship KN-smoothed KenLM models). Interpolated KN with absolute
+    * discount D = 3/4, spelled in EXACT integer ppm so both engines
+    * agree bit-for-bit (every term is a floor-div of non-negative
+    * integers; the composition is deterministic rather than
+    * real-arithmetic KN, which is all a cross-engine gate can pin):
+    *
+    *   p_kn_ppm = (4·c − 3)·1e6 div (4·ctx)            discounted MLE
+    *            + λ_ppm · pcont_ppm div 1e6             back-off mass
+    *   λ_ppm    = 3·N1+(w1·)·1e6 div (4·ctx)
+    *   pcont_ppm= N1+(·w2)·1e6 div N1+(··)              continuation
+    *
+    * Scale shape: one bigram shuffle, then three linear recounts of the
+    * DISTINCT-bigram frame (per-w1 successors, per-w2 predecessors,
+    * per-lang total) joined back — no window over the corpus; top-k per
+    * lang with a full deterministic tiebreak. */
+  def knBigramLm(docs: DataFrame, k: Int = 15): DataFrame = {
+    val bigrams = docs
+      .select(col("lang"), split(norm, " ").as("w"))
+      .select(col("lang"), explode(expr(
+        "transform(slice(w, 1, size(w)-1), (x, i) -> " +
+          "struct(x AS w1, element_at(w, i+2) AS w2))")).as("bg"))
+      .select(col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counted = graft.core.Caches.scratch(
+      bigrams.groupBy(col("lang"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cnt")))
+    val ctx = counted.groupBy(col("lang"), col("w1"))
+      .agg(sum(col("cnt")).as("ctx_cnt"), count(lit(1)).as("n1p_w1"))
+    val cont = counted.groupBy(col("lang"), col("w2"))
+      .agg(count(lit(1)).as("n1p_right"))
+    val tot = counted.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n1p_total"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
+    counted
+      .join(ctx, Seq("lang", "w1"))
+      .join(cont, Seq("lang", "w2"))
+      .join(broadcast(tot), Seq("lang"))
+      .withColumn("pcont_ppm",
+        expr("n1p_right * 1000000 div n1p_total"))
+      .withColumn("lambda_ppm",
+        expr("3 * n1p_w1 * 1000000 div (4 * ctx_cnt)"))
+      .withColumn("p_kn_ppm",
+        expr("(4 * cnt - 3) * 1000000 div (4 * ctx_cnt)" +
+          " + (lambda_ppm * pcont_ppm) div 1000000"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank").cast("long").as("rank"),
+        col("w1"), col("w2"),
+        col("cnt").cast("long").as("cnt"),
+        col("ctx_cnt").cast("long").as("ctx_cnt"),
+        col("n1p_w1").cast("long").as("n1p_w1"),
+        col("pcont_ppm").cast("long").as("pcont_ppm"),
+        col("lambda_ppm").cast("long").as("lambda_ppm"),
+        col("p_kn_ppm").cast("long").as("p_kn_ppm"))
+      .orderBy(col("lang").asc, col("rank").asc)
+  }
+
+  def knBigramLm(spark: SparkSession, dir: String): DataFrame =
+    knBigramLm(Tables.documents(spark, dir))
+
   /** q121: source-vs-corpus distribution drift, exact integer ppm — the
     * monitoring op a training pipeline runs to catch a source whose
     * language mix shifts between snapshots. L1 distance between each

@@ -153,6 +153,30 @@ class DiagnosticsSpec extends SparkSpecBase {
       s"got $out")
   }
 
+  test("poisson bootstrap: replicate band brackets the truth, weights conserve mass") {
+    val out = Diagnostics.poissonBootstrap(spark, sf).collect()
+    assert(out.length === 32)
+    val docs = graft.core.Tables.documents(spark, sf)
+    val n = docs.count()
+    val totTokens = docs
+      .select(size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+        .cast("long").as("t"))
+      .agg(sum(col("t"))).collect()(0).getLong(0)
+    val trueMeanPpm = totTokens * 1000000L / n
+    val means = out.map(_.getLong(3))
+    // the 32-replicate band must bracket the plug-in mean (each replicate
+    // is an unbiased resample; at 32 draws a one-sided miss is ~2^-32)
+    assert(means.min <= trueMeanPpm && trueMeanPpm <= means.max,
+      s"replicate band [${means.min}, ${means.max}] misses $trueMeanPpm")
+    // Poisson(1) weights: every replicate's effective size is n ± a few
+    // sd (sd = sqrt(n)); 6 sd is astronomically safe and still tight
+    val sd6 = 6 * math.sqrt(n.toDouble).toLong + 1
+    out.foreach { r =>
+      assert(math.abs(r.getLong(1) - n) <= sd6, s"n_eff far from n: $r")
+      assert(r.getLong(3) === r.getLong(2) * 1000000L / r.getLong(1))
+    }
+  }
+
   test("percentile sketch audit: exact values monotone, sketch inside 1%") {
     // percentileSketchDetail is the full audit (exact + sketch + verdict);
     // the oracle-gated percentileSketchAudit carries only the exact

@@ -185,6 +185,41 @@ class TextStatsSpec extends SparkSpecBase {
     }
   }
 
+  test("Kneser-Ney bigram LM: hand-computed smoothing on a tiny corpus") {
+    import spark.implicits._
+    // corpus 'a b a b c': bigrams (a,b)x2 (b,a)x1 (b,c)x1.
+    //  ctx: a -> (2, 1 successor type), b -> (2, 2 types)
+    //  continuation types: a<-1, b<-1, c<-1; total distinct bigrams = 3
+    //  (a,b): disc = (8-3)e6 // 8 = 625000; lam(a) = 3e6 // 8 = 375000;
+    //         pcont(b) = 1e6 // 3 = 333333; p = 625000 + 124999 = 749999
+    //  (b,a)/(b,c): disc = 1e6 // 8 = 125000; lam(b) = 6e6 // 8 = 750000;
+    //         p = 125000 + 249999 = 374999
+    val docs = Seq((1L, "a b a b c", "en")).toDF("doc_id", "text", "lang")
+    val got = TextStats.knBigramLm(docs).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4),
+        r.getLong(7), r.getLong(8), r.getLong(9))).toSeq
+    graft.core.Caches.releaseScratch(spark)
+    assert(got === Seq(
+      (1L, "a", "b", 2L, 333333L, 375000L, 749999L),
+      (2L, "b", "a", 1L, 333333L, 750000L, 374999L),
+      (3L, "b", "c", 1L, 333333L, 750000L, 374999L)))
+  }
+
+  test("Kneser-Ney LM over the corpus: smoothing laws hold on every row") {
+    val out = TextStats.knBigramLm(docs).collect()
+    graft.core.Caches.releaseScratch(spark)
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (cnt, ctx, n1p, pcont, lam, p) = (r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9))
+      val disc = (4 * cnt - 3) * 1000000L / (4 * ctx)
+      assert(p === disc + lam * pcont / 1000000L, s"KN composition: $r")
+      assert(p > 0 && p <= 1000000L, s"probability range: $r")
+      assert(lam > 0 && lam <= 750000L, s"backoff mass range (D=3/4): $r")
+      assert(n1p <= ctx && pcont <= 1000000L, s"type-count sanity: $r")
+    }
+  }
+
   test("bigram table: ranks dense per lang, counts non-increasing, ppm is exact floor division") {
     val out = TextStats.bigramCounts(spark, sf).collect()
     val byLang = out.groupBy(_.getString(0))
