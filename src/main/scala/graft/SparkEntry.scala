@@ -746,6 +746,10 @@ object SparkEntry {
     "q261_kn_bigram_lm"        -> ((s, d) => TextStats.knBigramLm(s, d)),
     // ---- Poisson-bootstrap confidence table for the corpus mean ----
     "q262_poisson_bootstrap"   -> ((s, d) => Diagnostics.poissonBootstrap(s, d)),
+    // ---- held-out LM score gap (train-split KN LM scores all splits) ----
+    "q263_heldout_lm_gap"      -> ((s, d) => TextStats.heldoutLmGap(s, d)),
+    // ---- eval-set quota apportionment (largest-remainder rounding) ----
+    "q264_eval_quotas"         -> ((s, d) => Curation.evalQuotas(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -6321,6 +6325,82 @@ object SparkEntry {
          |SELECT b, n_eff, sum_tokens,
          |       sum_tokens * 1000000 // n_eff AS mean_tokens_ppm
          |FROM g ORDER BY b ASC""".stripMargin,
+    // q263: q261's KN CTEs restricted to the q52 train carve, then the
+    // full bigram stream LEFT-joined with the same unseen-pair rules.
+    "q263_heldout_lm_gap" ->
+      s"""WITH d AS (
+         |  SELECT lang, str_split($duckNorm, ' ') AS w,
+         |    CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80 THEN 'train'
+         |         WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |bg AS (
+         |  SELECT split, lang, w[i] AS w1, w[i+1] AS w2
+         |  FROM d CROSS JOIN unnest(range(1, len(w))) AS u(i)
+         |  WHERE len(w) >= 2),
+         |counted AS (
+         |  SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM bg WHERE split = 'train' GROUP BY 1, 2, 3),
+         |ctx AS (
+         |  SELECT lang, w1, CAST(SUM(cnt) AS BIGINT) AS ctx_cnt,
+         |         CAST(COUNT(*) AS BIGINT) AS n1p_w1
+         |  FROM counted GROUP BY 1, 2),
+         |cont AS (
+         |  SELECT lang, w2, CAST(COUNT(*) AS BIGINT) AS n1p_right
+         |  FROM counted GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n1p_total
+         |  FROM counted GROUP BY 1),
+         |scored AS (
+         |  SELECT b.split, c.cnt,
+         |    COALESCE(n.n1p_right * 1000000 // g.n1p_total, 0) AS pcont_ppm,
+         |    CASE
+         |      WHEN c.cnt IS NOT NULL THEN
+         |        (4 * c.cnt - 3) * 1000000 // (4 * x.ctx_cnt)
+         |          + ((3 * x.n1p_w1 * 1000000 // (4 * x.ctx_cnt))
+         |             * COALESCE(n.n1p_right * 1000000 // g.n1p_total, 0))
+         |            // 1000000
+         |      WHEN x.ctx_cnt IS NOT NULL THEN
+         |        ((3 * x.n1p_w1 * 1000000 // (4 * x.ctx_cnt))
+         |         * COALESCE(n.n1p_right * 1000000 // g.n1p_total, 0))
+         |          // 1000000
+         |      ELSE COALESCE(n.n1p_right * 1000000 // g.n1p_total, 0)
+         |    END AS p_ppm
+         |  FROM bg b
+         |  LEFT JOIN counted c ON c.lang = b.lang AND c.w1 = b.w1 AND c.w2 = b.w2
+         |  LEFT JOIN ctx x ON x.lang = b.lang AND x.w1 = b.w1
+         |  LEFT JOIN cont n ON n.lang = b.lang AND n.w2 = b.w2
+         |  JOIN tot g ON g.lang = b.lang)
+         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |       CAST(SUM(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) * 1000000
+         |         // COUNT(*) AS BIGINT) AS unseen_ppm,
+         |       CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS mean_p_ppm
+         |FROM scored GROUP BY 1 ORDER BY split ASC""".stripMargin,
+    // q264: identical Hamilton apportionment — integer base quotas,
+    // largest-remainder ranking over the strata census.
+    "q264_eval_quotas" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM cells),
+        |based AS (
+        |  SELECT lang, source, n_docs,
+        |         n_docs * 500 // total AS base,
+        |         (n_docs * 500) % total AS rem
+        |  FROM cells CROSS JOIN tot),
+        |lo AS (SELECT 500 - CAST(SUM(base) AS BIGINT) AS left_ FROM based),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    ORDER BY rem DESC, lang ASC, source ASC) AS BIGINT) AS rem_rank
+        |  FROM based)
+        |SELECT lang, source, n_docs,
+        |       CAST(base AS BIGINT) AS base_quota,
+        |       CAST(CASE WHEN rem_rank <= lo.left_ THEN 1 ELSE 0 END AS BIGINT)
+        |         AS extra,
+        |       CAST(base + CASE WHEN rem_rank <= lo.left_ THEN 1 ELSE 0 END
+        |         AS BIGINT) AS quota
+        |FROM ranked CROSS JOIN lo
+        |ORDER BY lang ASC, source ASC""".stripMargin,
     // q260: the q35/q36 LSH CTE prefix, DIRECTED candidates, one
     // negatives-first per-anchor rank; mean rides a shifted integer
     // floor-div (cos sums go negative on the isotropic corpus).

@@ -835,6 +835,43 @@ object Curation {
       .orderBy(col("shard").asc)
   }
 
+  /** q264: EVAL-SET QUOTA apportionment — distribute a fixed eval budget
+    * of `k` documents across the (lang, source) strata proportionally to
+    * their corpus mass, with LARGEST-REMAINDER (Hamilton) rounding so the
+    * quotas are integers that sum to exactly k. This is how a balanced
+    * eval set is sized before sampling (the q53 smallest-hash pick then
+    * fills each cell's quota); naive per-cell rounding either overshoots
+    * the budget or starves small strata, and a float-based rule is not
+    * reproducible — this one is pure integer arithmetic.
+    *
+    * Scale shape: ONE corpus aggregation to the strata census
+    * (|langs|·|sources| rows); the remainder ranking is a window over
+    * that census frame (bounded by construction, the pinned
+    * global-window discipline). */
+  def evalQuotas(docs: DataFrame, k: Int = 500): DataFrame = {
+    val cells = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = cells.agg(sum(col("n_docs")).as("total"))
+    val based = cells.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"n_docs * $k div total"))
+      .withColumn("rem", expr(s"(n_docs * $k) % total"))
+    val leftover = based.agg((lit(k.toLong) - sum(col("base"))).as("left_"))
+    val w = Window.orderBy(col("rem").desc, col("lang").asc, col("source").asc)
+    based
+      .withColumn("rem_rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(leftover))
+      .withColumn("extra", when(col("rem_rank") <= col("left_"), 1L).otherwise(0L))
+      .select(col("lang"), col("source"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("base").cast("long").as("base_quota"),
+        col("extra").cast("long").as("extra"),
+        (col("base") + col("extra")).cast("long").as("quota"))
+      .orderBy(col("lang").asc, col("source").asc)
+  }
+
+  def evalQuotas(spark: SparkSession, dir: String): DataFrame =
+    evalQuotas(Tables.documents(spark, dir))
+
   /** q250: the END-TO-END curation pipeline as ONE declarative plan —
     * the composition a production training-data run actually ships, not
     * just its parts: bronze corpus → NEAR-dup keep-list (MinHash+LSH

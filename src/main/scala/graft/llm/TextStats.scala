@@ -641,6 +641,74 @@ object TextStats {
   def knBigramLm(spark: SparkSession, dir: String): DataFrame =
     knBigramLm(Tables.documents(spark, dir))
 
+  /** q263: HELD-OUT LM score gap — train a [[knBigramLm]]-style smoothed
+    * bigram LM on the TRAIN split only (q52 hash rule) and score every
+    * split's pooled bigram stream under it. Train scores above val/test
+    * is the expected generalization gap; val/test scoring ABOVE train is
+    * the classic leakage symptom. This is the audit CCNet-style
+    * perplexity filtering rests on, and the reason q261 exists: an MLE
+    * table cannot score held-out text at all (unseen pairs have no
+    * probability — q133's inner join silently drops them).
+    *
+    * Unseen-pair rules (deterministic, both engines): seen pair → full
+    * interpolated KN; unseen pair under a seen context → the backoff
+    * term λ(w1)·pcont(w2) with pcont = 0 when w2 was never a
+    * continuation; unseen context → pcont(w2) alone. Everything is
+    * floor-div integer ppm.
+    *
+    * Scale shape: the LM build is q261 over the train slice; scoring is
+    * the corpus bigram stream LEFT-joined to the (vocab²-bounded) LM
+    * frames and reduced to a 3-row split census. */
+  def heldoutLmGap(docs: DataFrame): DataFrame = {
+    val withSplits = Curation.withSplit(docs)
+    val bg = graft.core.Caches.scratch(withSplits
+      .select(col("split"), col("lang"), split(norm, " ").as("w"))
+      .select(col("split"), col("lang"), explode(expr(
+        "transform(slice(w, 1, size(w)-1), (x, i) -> " +
+          "struct(x AS w1, element_at(w, i+2) AS w2))")).as("p"))
+      .select(col("split"), col("lang"),
+        col("p.w1").as("w1"), col("p.w2").as("w2")))
+    val counted = graft.core.Caches.scratch(
+      bg.filter(col("split") === "train")
+        .groupBy(col("lang"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cnt")))
+    val ctx = counted.groupBy(col("lang"), col("w1"))
+      .agg(sum(col("cnt")).as("ctx_cnt"), count(lit(1)).as("n1p_w1"))
+    val cont = counted.groupBy(col("lang"), col("w2"))
+      .agg(count(lit(1)).as("n1p_right"))
+    val tot = counted.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n1p_total"))
+    bg
+      .join(counted, Seq("lang", "w1", "w2"), "left")
+      .join(ctx, Seq("lang", "w1"), "left")
+      .join(cont, Seq("lang", "w2"), "left")
+      .join(broadcast(tot), Seq("lang"))
+      .withColumn("pcont_ppm",
+        coalesce(expr("n1p_right * 1000000 div n1p_total"), lit(0L)))
+      .withColumn("p_ppm",
+        when(col("cnt").isNotNull,
+          expr("(4 * cnt - 3) * 1000000 div (4 * ctx_cnt)" +
+            " + ((3 * n1p_w1 * 1000000 div (4 * ctx_cnt)) * pcont_ppm)" +
+            " div 1000000"))
+          .when(col("ctx_cnt").isNotNull,
+            expr("((3 * n1p_w1 * 1000000 div (4 * ctx_cnt)) * pcont_ppm)" +
+              " div 1000000"))
+          .otherwise(col("pcont_ppm")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        sum(col("p_ppm")).as("sum_p_ppm"))
+      .select(col("split"),
+        col("n_bigrams").cast("long").as("n_bigrams"),
+        expr("n_unseen * 1000000 div n_bigrams").cast("long")
+          .as("unseen_ppm"),
+        expr("sum_p_ppm div n_bigrams").cast("long").as("mean_p_ppm"))
+      .orderBy(col("split").asc)
+  }
+
+  def heldoutLmGap(spark: SparkSession, dir: String): DataFrame =
+    heldoutLmGap(Tables.documents(spark, dir))
+
   /** q121: source-vs-corpus distribution drift, exact integer ppm — the
     * monitoring op a training pipeline runs to catch a source whose
     * language mix shifts between snapshots. L1 distance between each

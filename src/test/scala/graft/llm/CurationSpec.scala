@@ -458,6 +458,20 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("eval quotas: Hamilton rounding sums to the budget, stays within 1 of proportional") {
+    val out = Curation.evalQuotas(docs, k = 500).collect()
+    val n = docs.count()
+    assert(out.map(_.getLong(5)).sum === 500L, "quotas must sum to the budget")
+    out.foreach { r =>
+      val (nd, base, extra, quota) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(base === nd * 500L / n, s"base quota law: $r")
+      assert(extra === 0L || extra === 1L, s"extra not binary: $r")
+      assert(quota === base + extra)
+    }
+    // strata conserve the corpus
+    assert(out.map(_.getLong(2)).sum === n)
+  }
+
   test("curation pipeline (q250) reconciles with its component queries") {
     val out = Curation.curationPipeline(spark, sf).collect()
     val bySrc = out.map(r => r.getString(0) -> r).toMap

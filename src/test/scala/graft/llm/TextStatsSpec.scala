@@ -220,6 +220,21 @@ class TextStatsSpec extends SparkSpecBase {
     }
   }
 
+  test("held-out LM gap: train fully seen, held-out splits score lower") {
+    val out = TextStats.heldoutLmGap(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    graft.core.Caches.releaseScratch(spark)
+    assert(out.keySet === Set("train", "val", "test"))
+    // the LM is trained on the train slice: by construction it has seen
+    // every train bigram, and none of its probabilities are zero
+    assert(out("train").getLong(2) === 0L, "train bigrams can't be unseen")
+    Seq("val", "test").foreach { sp =>
+      assert(out(sp).getLong(2) > 0L, s"$sp has no unseen mass at all?")
+      assert(out(sp).getLong(3) < out("train").getLong(3),
+        s"$sp scores at or above train — generalization gap inverted")
+    }
+  }
+
   test("bigram table: ranks dense per lang, counts non-increasing, ppm is exact floor division") {
     val out = TextStats.bigramCounts(spark, sf).collect()
     val byLang = out.groupBy(_.getString(0))
