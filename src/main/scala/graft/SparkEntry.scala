@@ -750,6 +750,14 @@ object SparkEntry {
     "q263_heldout_lm_gap"      -> ((s, d) => TextStats.heldoutLmGap(s, d)),
     // ---- eval-set quota apportionment (largest-remainder rounding) ----
     "q264_eval_quotas"         -> ((s, d) => Curation.evalQuotas(s, d)),
+    // ---- chunk-rehydration round-trip integrity audit ----
+    "q265_chunk_rehydration"   -> ((s, d) => Curation.chunkRehydration(s, d)),
+    // ---- water-filling max-min-fair source caps under a token budget ----
+    "q266_waterfill_mixture"   -> ((s, d) => Curation.waterfillMixture(s, d)),
+    // ---- span-granular LM quality localization (worst window per doc) ----
+    "q267_worst_window_lm"     -> ((s, d) => TextStats.worstWindowLm(s, d)),
+    // ---- Simpson bigram-diversity (linear self-BLEU-style collision) ----
+    "q268_simpson_diversity"   -> ((s, d) => TextStats.simpsonDiversity(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -6401,6 +6409,126 @@ object SparkEntry {
         |         AS BIGINT) AS quota
         |FROM ranked CROSS JOIN lo
         |ORDER BY lang ASC, source ASC""".stripMargin,
+    // q265: same q150 chunking, suffix trim, ordered list() reassembly;
+    // the exact-match rate is DERIVED (md5 equality), never a literal.
+    "q265_chunk_rehydration" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, $duckNorm AS norm FROM documents),
+         |t AS (SELECT doc_id, source, norm, str_split(norm, ' ') AS toks FROM d),
+         |st AS (
+         |  SELECT doc_id, unnest(range(0, len(toks), 48)) AS chunk_start FROM t),
+         |ch AS (
+         |  SELECT s.doc_id, s.chunk_start,
+         |         t.toks[s.chunk_start + 1 : s.chunk_start + 64] AS chunk
+         |  FROM st s JOIN t USING (doc_id)),
+         |sfx AS (
+         |  SELECT doc_id, chunk_start,
+         |         CASE WHEN chunk_start = 0 THEN chunk ELSE chunk[17:64] END
+         |           AS suffix
+         |  FROM ch),
+         |rb AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |         array_to_string(
+         |           flatten(list(suffix ORDER BY chunk_start ASC)), ' ')
+         |           AS rejoined
+         |  FROM sfx GROUP BY 1)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+         |       CAST(SUM(CASE WHEN md5(rejoined) = md5(norm) THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_exact,
+         |       CAST(SUM(CASE WHEN md5(rejoined) = md5(norm) THEN 1 ELSE 0 END)
+         |         * 1000000 // COUNT(*) AS BIGINT) AS exact_ppm
+         |FROM t JOIN rb USING (doc_id)
+         |GROUP BY 1 ORDER BY source ASC""".stripMargin,
+    // q266: the same sorted-prefix integer water-fill solve.
+    "q266_waterfill_mixture" ->
+      s"""WITH census AS (
+         |  SELECT source,
+         |         CAST(SUM(len(str_split($duckNorm, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY n_tokens ASC, source ASC)
+         |           AS BIGINT) AS rnk,
+         |         CAST(SUM(n_tokens) OVER (ORDER BY n_tokens ASC, source ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |           AS prefix
+         |  FROM census),
+         |tot AS (SELECT MAX(rnk) AS m, CAST(SUM(n_tokens) // 3 AS BIGINT) AS budget
+         |        FROM ranked),
+         |f AS (
+         |  SELECT r.*, t.m, t.budget,
+         |         (r.prefix - r.n_tokens + (t.m - r.rnk + 1) * r.n_tokens
+         |           <= t.budget) AS affordable
+         |  FROM ranked r CROSS JOIN tot t),
+         |piv AS (SELECT COALESCE(MAX(CASE WHEN affordable THEN rnk END), 0)
+         |          AS i_star FROM f),
+         |pp AS (SELECT COALESCE(MAX(CASE WHEN rnk = p.i_star THEN prefix END), 0)
+         |          AS p_star FROM f CROSS JOIN piv p)
+         |SELECT source, n_tokens,
+         |       CAST(CASE WHEN rnk <= p.i_star THEN n_tokens
+         |            ELSE LEAST(n_tokens, (budget - q.p_star) // (m - p.i_star))
+         |            END AS BIGINT) AS cap_tokens,
+         |       (CASE WHEN rnk <= p.i_star THEN n_tokens
+         |            ELSE LEAST(n_tokens, (budget - q.p_star) // (m - p.i_star))
+         |            END) < n_tokens AS is_capped,
+         |       CAST(CASE WHEN m = p.i_star THEN -1
+         |            ELSE (budget - q.p_star) // (m - p.i_star) END AS BIGINT)
+         |         AS level,
+         |       budget
+         |FROM f CROSS JOIN piv p CROSS JOIN pp q
+         |ORDER BY source ASC""".stripMargin,
+    // q267: 1-based bigram positions -> (i-1)//8 windows, the q120 MLE
+    // join, min-per-doc then per-source integer census.
+    "q267_worst_window_lm" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, lang, str_split($duckNorm, ' ') AS w
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, source, lang, (i - 1) // 8 AS win,
+         |         w[i] AS w1, w[i+1] AS w2
+         |  FROM t CROSS JOIN unnest(range(1, len(w))) AS u(i)
+         |  WHERE len(w) >= 2),
+         |lm AS (
+         |  SELECT lang, w1, w2,
+         |         CAST(COUNT(*) AS BIGINT) AS cnt,
+         |         CAST(SUM(COUNT(*)) OVER (PARTITION BY lang, w1) AS BIGINT)
+         |           AS ctx_cnt
+         |  FROM bg GROUP BY 1, 2, 3),
+         |ws AS (
+         |  SELECT b.doc_id, b.source, b.win,
+         |         CAST(SUM(cnt * 1000000 // ctx_cnt) // COUNT(*) AS BIGINT)
+         |           AS win_ppm
+         |  FROM bg b JOIN lm USING (lang, w1, w2)
+         |  GROUP BY 1, 2, 3),
+         |pd AS (
+         |  SELECT doc_id, source, MIN(win_ppm) AS worst_ppm,
+         |         CAST(COUNT(*) AS BIGINT) AS n_windows
+         |  FROM ws GROUP BY 1, 2)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_windows) AS BIGINT) AS n_windows,
+         |       CAST(SUM(worst_ppm) // COUNT(*) AS BIGINT) AS mean_worst_ppm,
+         |       CAST(MIN(worst_ppm) AS BIGINT) AS min_worst_ppm,
+         |       CAST(SUM(CASE WHEN worst_ppm < 20000 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_flagged
+         |FROM pd GROUP BY 1 ORDER BY source ASC""".stripMargin,
+    // q268: identical frequency-table Simpson collision arithmetic.
+    "q268_simpson_diversity" ->
+      s"""WITH t AS (
+         |  SELECT source, str_split($duckNorm, ' ') AS w FROM documents),
+         |bg AS (
+         |  SELECT source, w[i] || ' ' || w[i+1] AS gram
+         |  FROM t CROSS JOIN unnest(range(1, len(w))) AS u(i)
+         |  WHERE len(w) >= 2),
+         |f AS (
+         |  SELECT source, gram, CAST(COUNT(*) AS BIGINT) AS f
+         |  FROM bg GROUP BY 1, 2)
+         |SELECT source,
+         |       CAST(SUM(f) AS BIGINT) AS n_bigrams,
+         |       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |       CAST(SUM(f * (f - 1)) * 1000000
+         |         // (SUM(f) * (SUM(f) - 1)) AS BIGINT) AS collision_ppm,
+         |       CAST(COUNT(*) * 1000000 // SUM(f) AS BIGINT) AS ttr_ppm
+         |FROM f GROUP BY 1 ORDER BY source ASC""".stripMargin,
     // q260: the q35/q36 LSH CTE prefix, DIRECTED candidates, one
     // negatives-first per-anchor rank; mean rides a shifted integer
     // floor-div (cos sums go negative on the isotropic corpus).

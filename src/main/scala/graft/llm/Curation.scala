@@ -547,6 +547,63 @@ object Curation {
   def docChunks(spark: SparkSession, dir: String): DataFrame =
     docChunks(Tables.documents(spark, dir))
 
+  /** q265: CHUNK-REHYDRATION integrity audit — reassemble every document
+    * from its q150 overlapping windows and prove the round trip is exact.
+    * RAG/training pipelines that chunk and later stitch (context
+    * expansion, citation display) rely on this invariant; the audit
+    * catches the classic off-by-overlap bugs (double-counted or dropped
+    * boundary tokens). Reassembly keeps chunk 0 whole and drops each
+    * later chunk's first `chunkSize − stride` overlap tokens — suffixes
+    * then tile the token stream exactly, so md5(reassembled) must equal
+    * md5(normalized original) for EVERY doc; the census reports the
+    * match rate as a computed invariant (1e6 ppm, derived — never a
+    * literal — by both engines).
+    *
+    * Scale shape: chunking is the q150 narrow pass; reassembly is one
+    * groupBy(doc_id) whose collected list is doc-sized (sorted by
+    * chunk_start, a unique key); the verdict join is doc-keyed and the
+    * census map-side combinable. */
+  def chunkRehydration(docs: DataFrame, chunkSize: Int = 64,
+                       stride: Int = 48): DataFrame = {
+    require(stride >= 1 && chunkSize >= stride, "need 1 <= stride <= chunkSize")
+    val overlap = chunkSize - stride
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val chunks = docs
+      .select(col("doc_id"), split(norm, " ").as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("chunk_start",
+        explode(sequence(lit(0), col("n_toks") - 1, lit(stride))))
+      .withColumn("chunk",
+        slice(col("toks"), col("chunk_start") + 1, lit(chunkSize)))
+      .withColumn("suffix",
+        when(col("chunk_start") === 0, col("chunk"))
+          .otherwise(expr(s"slice(chunk, ${overlap + 1}, $chunkSize)")))
+    val rebuilt = chunks
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        array_join(
+          flatten(transform(
+            array_sort(collect_list(struct(col("chunk_start"), col("suffix")))),
+            s => s.getField("suffix"))), " ").as("rejoined"))
+    docs
+      .select(col("doc_id"), col("source"), md5(norm).as("orig_md5"))
+      .join(rebuilt, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chunks")).as("n_chunks"),
+        sum(when(md5(col("rejoined")) === col("orig_md5"), 1L).otherwise(0L))
+          .as("n_exact"))
+      .select(col("source"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_chunks").cast("long").as("n_chunks"),
+        col("n_exact").cast("long").as("n_exact"),
+        expr("n_exact * 1000000 div n_docs").cast("long").as("exact_ppm"))
+      .orderBy(col("source").asc)
+  }
+
+  def chunkRehydration(spark: SparkSession, dir: String): DataFrame =
+    chunkRehydration(Tables.documents(spark, dir))
+
   /** q154: length-bucketed batch binning — the padding-waste ledger of a
     * fixed-shape training/inference batcher. Each document is assigned to
     * the power-of-two bucket that would hold it (pad_len = smallest 2^k ≥
@@ -834,6 +891,68 @@ object Curation {
         expr("n_tokens * 1000000 div tt").cast("long").as("token_share_ppm"))
       .orderBy(col("shard").asc)
   }
+
+  /** q266: WATER-FILLING source caps — the max-min-fair mixture solver:
+    * given per-source token masses and a global training budget B
+    * (total div 3, scale-free like q127), find the common level L such
+    * that capping every source at L spends the budget — small sources
+    * keep everything, hot sources are cut to the level. This is the
+    * standard fair-allocation rule for "no source may dominate the mix"
+    * curation policies, and the integer spelling is exact: with sources
+    * sorted ascending by mass, the largest rank i whose full
+    * satisfaction is affordable (prefix(i−1) + (m−i+1)·t_i ≤ B) keeps
+    * ranks 1..i whole, and L = (B − prefix(i)) div (m − i) caps the
+    * rest; the sub-L slack (< m − i tokens) is reported, not silently
+    * re-spread.
+    *
+    * Scale shape: ONE corpus aggregation to the source census; the sort,
+    * prefix sums, and level solve are windows/aggregates over the
+    * |sources|-row frame (bounded by construction — the pinned
+    * global-window discipline). */
+  def waterfillMixture(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val census = docs
+      .select(col("source"), size(split(norm, " ")).cast("long").as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("n_tokens"))
+    val w = Window.orderBy(col("n_tokens").asc, col("source").asc)
+    val ranked = census
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("prefix", sum(col("n_tokens"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = ranked.agg(max(col("rnk")).as("m"),
+      sum(col("n_tokens")).as("total"))
+      .select(col("m"), col("total"), expr("total div 3").as("budget"))
+    val feasible = ranked.crossJoin(broadcast(totals))
+      .withColumn("affordable",
+        col("prefix") - col("n_tokens")
+          + (col("m") - col("rnk") + 1) * col("n_tokens") <= col("budget"))
+    val pivot = feasible.agg(
+      coalesce(max(when(col("affordable"), col("rnk"))), lit(0L)).as("i_star"))
+    val pivotPrefix = feasible
+      .crossJoin(broadcast(pivot))
+      .agg(coalesce(max(when(col("rnk") === col("i_star"), col("prefix"))),
+        lit(0L)).as("p_star"))
+    feasible
+      .crossJoin(broadcast(pivot))
+      .crossJoin(broadcast(pivotPrefix))
+      .withColumn("level",
+        when(col("m") === col("i_star"), lit(null).cast("long"))
+          .otherwise(expr("(budget - p_star) div (m - i_star)")))
+      .withColumn("cap_tokens",
+        when(col("rnk") <= col("i_star"), col("n_tokens"))
+          .otherwise(least(col("n_tokens"), col("level"))))
+      .withColumn("is_capped", col("cap_tokens") < col("n_tokens"))
+      .select(col("source"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("cap_tokens").cast("long").as("cap_tokens"),
+        col("is_capped"),
+        coalesce(col("level"), lit(-1L)).cast("long").as("level"),
+        col("budget").cast("long").as("budget"))
+      .orderBy(col("source").asc)
+  }
+
+  def waterfillMixture(spark: SparkSession, dir: String): DataFrame =
+    waterfillMixture(Tables.documents(spark, dir))
 
   /** q264: EVAL-SET QUOTA apportionment — distribute a fixed eval budget
     * of `k` documents across the (lang, source) strata proportionally to

@@ -709,6 +709,98 @@ object TextStats {
   def heldoutLmGap(spark: SparkSession, dir: String): DataFrame =
     heldoutLmGap(Tables.documents(spark, dir))
 
+  /** q267: WORST-WINDOW LM localization — quality scoring at SPAN
+    * granularity instead of q133's whole-doc mean: each document's
+    * bigram stream is cut into fixed 8-bigram windows, every window gets
+    * the mean corpus-LM probability of its bigrams, and the document
+    * reports its WORST window. A doc with a fine average can still hide
+    * one garbage span (boilerplate stub, encoding accident); pipelines
+    * that trim spans rather than drop documents start from exactly this
+    * table. Census per source: worst-window mean/min and the count
+    * flagged below the keep threshold.
+    *
+    * Scale shape: one bigram explode with positions (narrow), the LM
+    * join is the q120 count-table equi-join, windows are integer
+    * position-div (no window function over the corpus), then two
+    * combinable aggregations (doc → source). */
+  def worstWindowLm(docs: DataFrame, windowBigrams: Int = 8,
+                    flagPpm: Long = 20000L): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), col("source"), col("lang"), split(norm, " ").as("w"))
+      .select(col("doc_id"), col("source"), col("lang"), posexplode(expr(
+        "transform(slice(w, 1, size(w)-1), (x, i) -> " +
+          "struct(x AS w1, element_at(w, i+2) AS w2))")).as(Seq("i", "p")))
+      .select(col("doc_id"), col("source"), col("lang"),
+        expr(s"i div $windowBigrams").as("win"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val lm = bg.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("ctx_cnt",
+        sum(col("cnt")).over(Window.partitionBy(col("lang"), col("w1"))))
+      .select(col("lang"), col("w1"), col("w2"),
+        expr("cnt * 1000000 div ctx_cnt").as("p_ppm"))
+    val winScore = bg.join(lm, Seq("lang", "w1", "w2"))
+      .groupBy(col("doc_id"), col("source"), col("win"))
+      .agg(expr("sum(p_ppm) div count(1)").as("win_ppm"))
+    val perDoc = winScore.groupBy(col("doc_id"), col("source"))
+      .agg(min(col("win_ppm")).as("worst_ppm"),
+        count(lit(1)).as("n_windows"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_windows")).as("n_windows"),
+        expr("sum(worst_ppm) div count(1)").as("mean_worst_ppm"),
+        min(col("worst_ppm")).as("min_worst_ppm"),
+        sum(when(col("worst_ppm") < flagPpm, 1L).otherwise(0L))
+          .as("n_flagged"))
+      .select(col("source"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_windows").cast("long").as("n_windows"),
+        col("mean_worst_ppm").cast("long").as("mean_worst_ppm"),
+        col("min_worst_ppm").cast("long").as("min_worst_ppm"),
+        col("n_flagged").cast("long").as("n_flagged"))
+      .orderBy(col("source").asc)
+  }
+
+  def worstWindowLm(spark: SparkSession, dir: String): DataFrame =
+    worstWindowLm(Tables.documents(spark, dir))
+
+  /** q268: SIMPSON bigram-diversity census — the collision probability
+    * of two random bigrams per source, Σ f·(f−1) / (T·(T−1)) in exact
+    * integer ppm. This is the pairwise-overlap (self-BLEU-style)
+    * diversity audit made linear: naive self-BLEU compares all document
+    * pairs (quadratic); the Simpson index computes the identical
+    * collision mass from the bigram frequency table in one aggregation.
+    * Low diversity (high collision) per source is the mode-collapse
+    * smell test run over synthetic/generated corpora before mixing them
+    * into training data.
+    *
+    * Domain note: Σf(f−1) and T(T−1) overflow int64 past ~3e9 bigrams
+    * per source; at that scale the same plan runs with DECIMAL(38)
+    * accumulators — the gate pins the integer spelling. */
+  def simpsonDiversity(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("source"), split(norm, " ").as("w"))
+      .select(col("source"), explode(expr(
+        "transform(slice(w, 1, size(w)-1), (x, i) -> " +
+          "concat(x, ' ', element_at(w, i+2)))")).as("gram"))
+    val freqs = bg.groupBy(col("source"), col("gram"))
+      .agg(count(lit(1)).as("f"))
+    freqs.groupBy(col("source"))
+      .agg(sum(col("f")).as("t"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("f") * (col("f") - 1)).as("coll"))
+      .select(col("source"),
+        col("t").cast("long").as("n_bigrams"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        expr("coll * 1000000 div (t * (t - 1))").cast("long")
+          .as("collision_ppm"),
+        expr("n_distinct * 1000000 div t").cast("long").as("ttr_ppm"))
+      .orderBy(col("source").asc)
+  }
+
+  def simpsonDiversity(spark: SparkSession, dir: String): DataFrame =
+    simpsonDiversity(Tables.documents(spark, dir))
+
   /** q121: source-vs-corpus distribution drift, exact integer ppm — the
     * monitoring op a training pipeline runs to catch a source whose
     * language mix shifts between snapshots. L1 distance between each

@@ -100,6 +100,10 @@ class DriverContractSpec extends AnyFunSuite {
     "q71_boilerplate_census" -> "boilerplate_ratio",
     "q73_cluster_profile" -> "min_cos",
     "q73_cluster_profile" -> "max_cos",
+    // q260: MIN/MAX over per-element-identical cosine doubles — the
+    // order-independent reduction class; hash-verified at sf0.001/sf0.01
+    "q260_contrastive_mining" -> "min_cos",
+    "q260_contrastive_mining" -> "max_cos",
     "q84_source_overlap" -> "jaccard",
     "q88_value_histogram" -> "lo_seen",
     "q88_value_histogram" -> "hi_seen",

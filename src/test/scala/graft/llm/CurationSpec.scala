@@ -472,6 +472,55 @@ class CurationSpec extends SparkSpecBase {
     assert(out.map(_.getLong(2)).sum === n)
   }
 
+  test("chunk rehydration: every corpus doc reassembles exactly") {
+    val out = Curation.chunkRehydration(docs).collect()
+    assert(out.map(_.getLong(1)).sum === docs.count())
+    out.foreach { r =>
+      assert(r.getLong(4) === 1000000L, s"rehydration lost tokens: $r")
+      assert(r.getLong(2) >= r.getLong(1), "fewer chunks than docs")
+    }
+    // a WRONG overlap trim must be caught: stride == chunkSize (no
+    // overlap) still reassembles exactly — but the invariant is the md5
+    // equality, so shrink the window and re-check
+    val tight = Curation.chunkRehydration(docs, chunkSize = 8, stride = 3).collect()
+    assert(tight.forall(_.getLong(4) === 1000000L),
+      "heavy-overlap configuration must still round-trip exactly")
+  }
+
+  test("waterfill mixture: mixed branch keeps small sources whole, caps the hot one") {
+    import spark.implicits._
+    // masses: a=2, b=4, c=100; budget = 106 div 3 = 35.
+    //   afford(a): 3*2 = 6 <= 35; afford(b): 2 + 2*4 = 10 <= 35;
+    //   afford(c): 6 + 1*100 = 106 > 35 -> i* = 2, p* = 6,
+    //   level = (35-6) div 1 = 29 -> caps (2, 4, 29)
+    val fixture = Seq(
+      (1L, "x y", "a"), (2L, "x y z w", "b"),
+      (3L, Seq.fill(100)("t").mkString(" "), "c"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.waterfillMixture(fixture).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === Seq(
+      ("a", 2L, 2L, false, 29L, 35L),
+      ("b", 4L, 4L, false, 29L, 35L),
+      ("c", 100L, 29L, true, 29L, 35L)))
+  }
+
+  test("waterfill mixture over the corpus: spend within budget, caps lawful") {
+    val out = Curation.waterfillMixture(docs).collect()
+    val budget = out.head.getLong(5)
+    val spend = out.map(_.getLong(2)).sum
+    assert(spend <= budget, s"spend $spend exceeds budget $budget")
+    // slack below the open level is < one token per uncapped-at-level row
+    val level = out.head.getLong(4)
+    if (level >= 0)
+      assert(budget - spend < out.length, s"unexplained slack: $spend vs $budget")
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"cap exceeds mass: $r")
+      assert(r.getBoolean(3) === (r.getLong(2) < r.getLong(1)))
+    }
+  }
+
   test("curation pipeline (q250) reconciles with its component queries") {
     val out = Curation.curationPipeline(spark, sf).collect()
     val bySrc = out.map(r => r.getString(0) -> r).toMap

@@ -220,6 +220,35 @@ class TextStatsSpec extends SparkSpecBase {
     }
   }
 
+  test("worst-window LM: docs conserved, worst below-or-at mean window, flags bounded") {
+    val out = TextStats.worstWindowLm(docs).collect()
+    val expected = docs
+      .filter(size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")) >= 2)
+      .count()
+    assert(out.map(_.getLong(1)).sum === expected,
+      "every multi-token doc must report a worst window")
+    out.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3), s"min above mean: $r")
+      assert(r.getLong(5) <= r.getLong(1), s"more flags than docs: $r")
+      assert(r.getLong(2) >= r.getLong(1), "fewer windows than docs")
+    }
+  }
+
+  test("simpson diversity: planted mode collapse shows as high collision") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "a b a b a b a b a b", "en", "collapsed"),
+      (2L, "q w e r t y u i o p", "en", "varied"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextStats.simpsonDiversity(fixture).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // collapsed: 9 bigrams, 'a b'x5 + 'b a'x4 -> coll = 5*4+4*3 = 32;
+    // 32e6 // (9*8) = 444444. varied: all distinct -> 0.
+    assert(got("collapsed").getLong(3) === 444444L)
+    assert(got("varied").getLong(3) === 0L)
+    assert(got("varied").getLong(4) === 1000000L, "all-distinct TTR is 1e6")
+  }
+
   test("held-out LM gap: train fully seen, held-out splits score lower") {
     val out = TextStats.heldoutLmGap(docs).collect()
       .map(r => r.getString(0) -> r).toMap
