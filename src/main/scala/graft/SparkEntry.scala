@@ -758,6 +758,8 @@ object SparkEntry {
     "q267_worst_window_lm"     -> ((s, d) => TextStats.worstWindowLm(s, d)),
     // ---- Simpson bigram-diversity (linear self-BLEU-style collision) ----
     "q268_simpson_diversity"   -> ((s, d) => TextStats.simpsonDiversity(s, d)),
+    // ---- mergeable per-source minhash sketch, estimate vs exact ----
+    "q269_source_minhash"      -> ((s, d) => Decontaminate.sourceMinhashAudit(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -6529,6 +6531,175 @@ object SparkEntry {
          |         // (SUM(f) * (SUM(f) - 1)) AS BIGINT) AS collision_ppm,
          |       CAST(COUNT(*) * 1000000 // SUM(f) AS BIGINT) AS ttr_ppm
          |FROM f GROUP BY 1 ORDER BY source ASC""".stripMargin,
+    // q269: same 2-gram set, same (a*h+b) mod p permutation minima as
+    // the doc-level q27 sketch, slot-agreement estimate vs the q84 exact
+    // join in integer ppm.
+    "q269_source_minhash" ->
+      s"""WITH toks AS (
+         |  SELECT source, string_split($duckNorm, ' ') AS w FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT source, array_to_string(w[i:i+1], ' ') AS gram
+         |  FROM toks, unnest(range(1, len(w) - 0)) AS t(i)
+         |  WHERE len(w) >= 2),
+         |based AS (
+         |  SELECT source, gram,
+         |         CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % 1000000007
+         |           AS hb
+         |  FROM grams),
+         |sigs AS (
+         |  SELECT source,
+         |           CAST(MIN((101 * hb + 17) % 1000000007) AS BIGINT) AS h0,
+         |           CAST(MIN((138 * hb + 108) % 1000000007) AS BIGINT) AS h1,
+         |           CAST(MIN((175 * hb + 199) % 1000000007) AS BIGINT) AS h2,
+         |           CAST(MIN((212 * hb + 290) % 1000000007) AS BIGINT) AS h3,
+         |           CAST(MIN((249 * hb + 381) % 1000000007) AS BIGINT) AS h4,
+         |           CAST(MIN((286 * hb + 472) % 1000000007) AS BIGINT) AS h5,
+         |           CAST(MIN((323 * hb + 563) % 1000000007) AS BIGINT) AS h6,
+         |           CAST(MIN((360 * hb + 654) % 1000000007) AS BIGINT) AS h7,
+         |           CAST(MIN((397 * hb + 745) % 1000000007) AS BIGINT) AS h8,
+         |           CAST(MIN((434 * hb + 836) % 1000000007) AS BIGINT) AS h9,
+         |           CAST(MIN((471 * hb + 927) % 1000000007) AS BIGINT) AS h10,
+         |           CAST(MIN((508 * hb + 1018) % 1000000007) AS BIGINT) AS h11,
+         |           CAST(MIN((545 * hb + 1109) % 1000000007) AS BIGINT) AS h12,
+         |           CAST(MIN((582 * hb + 1200) % 1000000007) AS BIGINT) AS h13,
+         |           CAST(MIN((619 * hb + 1291) % 1000000007) AS BIGINT) AS h14,
+         |           CAST(MIN((656 * hb + 1382) % 1000000007) AS BIGINT) AS h15,
+         |           CAST(MIN((693 * hb + 1473) % 1000000007) AS BIGINT) AS h16,
+         |           CAST(MIN((730 * hb + 1564) % 1000000007) AS BIGINT) AS h17,
+         |           CAST(MIN((767 * hb + 1655) % 1000000007) AS BIGINT) AS h18,
+         |           CAST(MIN((804 * hb + 1746) % 1000000007) AS BIGINT) AS h19,
+         |           CAST(MIN((841 * hb + 1837) % 1000000007) AS BIGINT) AS h20,
+         |           CAST(MIN((878 * hb + 1928) % 1000000007) AS BIGINT) AS h21,
+         |           CAST(MIN((915 * hb + 2019) % 1000000007) AS BIGINT) AS h22,
+         |           CAST(MIN((952 * hb + 2110) % 1000000007) AS BIGINT) AS h23,
+         |           CAST(MIN((989 * hb + 2201) % 1000000007) AS BIGINT) AS h24,
+         |           CAST(MIN((1026 * hb + 2292) % 1000000007) AS BIGINT) AS h25,
+         |           CAST(MIN((1063 * hb + 2383) % 1000000007) AS BIGINT) AS h26,
+         |           CAST(MIN((1100 * hb + 2474) % 1000000007) AS BIGINT) AS h27,
+         |           CAST(MIN((1137 * hb + 2565) % 1000000007) AS BIGINT) AS h28,
+         |           CAST(MIN((1174 * hb + 2656) % 1000000007) AS BIGINT) AS h29,
+         |           CAST(MIN((1211 * hb + 2747) % 1000000007) AS BIGINT) AS h30,
+         |           CAST(MIN((1248 * hb + 2838) % 1000000007) AS BIGINT) AS h31,
+         |           CAST(MIN((1285 * hb + 2929) % 1000000007) AS BIGINT) AS h32,
+         |           CAST(MIN((1322 * hb + 3020) % 1000000007) AS BIGINT) AS h33,
+         |           CAST(MIN((1359 * hb + 3111) % 1000000007) AS BIGINT) AS h34,
+         |           CAST(MIN((1396 * hb + 3202) % 1000000007) AS BIGINT) AS h35,
+         |           CAST(MIN((1433 * hb + 3293) % 1000000007) AS BIGINT) AS h36,
+         |           CAST(MIN((1470 * hb + 3384) % 1000000007) AS BIGINT) AS h37,
+         |           CAST(MIN((1507 * hb + 3475) % 1000000007) AS BIGINT) AS h38,
+         |           CAST(MIN((1544 * hb + 3566) % 1000000007) AS BIGINT) AS h39,
+         |           CAST(MIN((1581 * hb + 3657) % 1000000007) AS BIGINT) AS h40,
+         |           CAST(MIN((1618 * hb + 3748) % 1000000007) AS BIGINT) AS h41,
+         |           CAST(MIN((1655 * hb + 3839) % 1000000007) AS BIGINT) AS h42,
+         |           CAST(MIN((1692 * hb + 3930) % 1000000007) AS BIGINT) AS h43,
+         |           CAST(MIN((1729 * hb + 4021) % 1000000007) AS BIGINT) AS h44,
+         |           CAST(MIN((1766 * hb + 4112) % 1000000007) AS BIGINT) AS h45,
+         |           CAST(MIN((1803 * hb + 4203) % 1000000007) AS BIGINT) AS h46,
+         |           CAST(MIN((1840 * hb + 4294) % 1000000007) AS BIGINT) AS h47,
+         |           CAST(MIN((1877 * hb + 4385) % 1000000007) AS BIGINT) AS h48,
+         |           CAST(MIN((1914 * hb + 4476) % 1000000007) AS BIGINT) AS h49,
+         |           CAST(MIN((1951 * hb + 4567) % 1000000007) AS BIGINT) AS h50,
+         |           CAST(MIN((1988 * hb + 4658) % 1000000007) AS BIGINT) AS h51,
+         |           CAST(MIN((2025 * hb + 4749) % 1000000007) AS BIGINT) AS h52,
+         |           CAST(MIN((2062 * hb + 4840) % 1000000007) AS BIGINT) AS h53,
+         |           CAST(MIN((2099 * hb + 4931) % 1000000007) AS BIGINT) AS h54,
+         |           CAST(MIN((2136 * hb + 5022) % 1000000007) AS BIGINT) AS h55,
+         |           CAST(MIN((2173 * hb + 5113) % 1000000007) AS BIGINT) AS h56,
+         |           CAST(MIN((2210 * hb + 5204) % 1000000007) AS BIGINT) AS h57,
+         |           CAST(MIN((2247 * hb + 5295) % 1000000007) AS BIGINT) AS h58,
+         |           CAST(MIN((2284 * hb + 5386) % 1000000007) AS BIGINT) AS h59,
+         |           CAST(MIN((2321 * hb + 5477) % 1000000007) AS BIGINT) AS h60,
+         |           CAST(MIN((2358 * hb + 5568) % 1000000007) AS BIGINT) AS h61,
+         |           CAST(MIN((2395 * hb + 5659) % 1000000007) AS BIGINT) AS h62,
+         |           CAST(MIN((2432 * hb + 5750) % 1000000007) AS BIGINT) AS h63
+         |  FROM based GROUP BY 1),
+         |est AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |         CAST(CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h8 = b.h8 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h9 = b.h9 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h10 = b.h10 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h11 = b.h11 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h12 = b.h12 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h13 = b.h13 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h14 = b.h14 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h15 = b.h15 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h16 = b.h16 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h17 = b.h17 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h18 = b.h18 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h19 = b.h19 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h20 = b.h20 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h21 = b.h21 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h22 = b.h22 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h23 = b.h23 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h24 = b.h24 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h25 = b.h25 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h26 = b.h26 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h27 = b.h27 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h28 = b.h28 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h29 = b.h29 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h30 = b.h30 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h31 = b.h31 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h32 = b.h32 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h33 = b.h33 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h34 = b.h34 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h35 = b.h35 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h36 = b.h36 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h37 = b.h37 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h38 = b.h38 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h39 = b.h39 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h40 = b.h40 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h41 = b.h41 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h42 = b.h42 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h43 = b.h43 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h44 = b.h44 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h45 = b.h45 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h46 = b.h46 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h47 = b.h47 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h48 = b.h48 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h49 = b.h49 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h50 = b.h50 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h51 = b.h51 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h52 = b.h52 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h53 = b.h53 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h54 = b.h54 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h55 = b.h55 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h56 = b.h56 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h57 = b.h57 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h58 = b.h58 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h59 = b.h59 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h60 = b.h60 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h61 = b.h61 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h62 = b.h62 THEN 1 ELSE 0 END
+         |         + CASE WHEN a.h63 = b.h63 THEN 1 ELSE 0 END
+         |           AS BIGINT) AS slot_matches
+         |  FROM sigs a JOIN sigs b ON a.source < b.source),
+         |sizes AS (SELECT source, COUNT(*) AS ns FROM grams GROUP BY 1),
+         |exact AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |         COUNT(*) AS shared
+         |  FROM grams a JOIN grams b
+         |    ON a.gram = b.gram AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT e.source_a, e.source_b, e.slot_matches,
+         |       CAST(e.slot_matches * 1000000 // 64 AS BIGINT) AS est_ppm,
+         |       CAST(x.shared * 1000000 // (sa.ns + sb.ns - x.shared) AS BIGINT)
+         |         AS exact_ppm,
+         |       CAST(abs(e.slot_matches * 1000000 // 64
+         |         - x.shared * 1000000 // (sa.ns + sb.ns - x.shared)) AS BIGINT)
+         |         AS err_ppm
+         |FROM est e
+         |JOIN exact x ON x.source_a = e.source_a AND x.source_b = e.source_b
+         |JOIN sizes sa ON sa.source = e.source_a
+         |JOIN sizes sb ON sb.source = e.source_b
+         |ORDER BY e.source_a ASC, e.source_b ASC""".stripMargin,
     // q260: the q35/q36 LSH CTE prefix, DIRECTED candidates, one
     // negatives-first per-anchor rank; mean rides a shifted integer
     // floor-div (cos sums go negative on the isotropic corpus).

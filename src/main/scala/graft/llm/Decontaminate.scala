@@ -157,4 +157,75 @@ object Decontaminate {
 
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
     sourceOverlap(Tables.documents(spark, dir))
+
+  /** Slots in the per-source minhash signature (q269). */
+  val SourceSketchSlots = 64
+
+  /** q269: MERGEABLE per-source MinHash signatures, estimate vs exact —
+    * the sketch form of [[sourceOverlap]]. The exact matrix needs the
+    * shared-gram pair join (shuffle ∝ shared shingles); the sketch needs
+    * ONE aggregation: each source keeps 64 permutation minima (the same
+    * (a·h + b) mod p family as the doc-level q27 sketch), and any two
+    * sources' Jaccard is estimated by their slot agreement. Minima are
+    * mergeable — partial aggregates combine by min, shards/days/crawls
+    * roll up without touching grams again — which is why production
+    * overlap monitoring ships sketches and reconciles against exact only
+    * in audits like this one. Emits both estimates and the exact truth
+    * with the absolute error, per source pair.
+    *
+    * Scale: grams scanned once for the sketch (64 min-aggregate COLUMNS,
+    * no row explosion) + once for the exact baseline; the pair frame is
+    * |sources|² rows. */
+  def sourceMinhashAudit(docs: DataFrame, n: Int = BoilerplateGramN): DataFrame = {
+    import graft.llm.TextDedup.{minhashA, minhashB, MinhashP}
+    val srcShingles = Caches.scratch(
+      docs.withColumn("w", words)
+        .filter(size(col("w")) >= n)
+        .select(col("source"),
+          explode(array_distinct(transform(
+            sequence(lit(1), size(col("w")) - (n - 1)),
+            i => concat_ws(" ", slice(col("w"), i, lit(n)))))).as("gram"))
+        .distinct())
+    val based = srcShingles.withColumn("hb",
+      conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long") % MinhashP)
+    val slotAggs = (0 until SourceSketchSlots).map { s =>
+      min((lit(minhashA(s)) * col("hb") + lit(minhashB(s))) % MinhashP).as(s"h$s")
+    }
+    val sigs = based.groupBy(col("source"))
+      .agg(slotAggs.head, slotAggs.tail: _*)
+    val a = sigs.select(col("source").as("source_a") +:
+      (0 until SourceSketchSlots).map(s => col(s"h$s").as(s"a$s")): _*)
+    val b = sigs.select(col("source").as("source_b") +:
+      (0 until SourceSketchSlots).map(s => col(s"h$s").as(s"b$s")): _*)
+    val matches = (0 until SourceSketchSlots)
+      .map(s => when(col(s"a$s") === col(s"b$s"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), matches.as("slot_matches"))
+    val sizes = srcShingles.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val exact = srcShingles.select(col("source").as("source_a"), col("gram"))
+      .join(srcShingles.select(col("source").as("source_b"), col("gram")), Seq("gram"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("ns").as("na"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("ns").as("nb"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        expr("shared_grams * 1000000 div (na + nb - shared_grams)")
+          .as("exact_ppm"))
+    est.join(exact, Seq("source_a", "source_b"))
+      .select(col("source_a"), col("source_b"),
+        col("slot_matches").cast("long").as("slot_matches"),
+        expr(s"slot_matches * 1000000 div $SourceSketchSlots").cast("long")
+          .as("est_ppm"),
+        col("exact_ppm").cast("long").as("exact_ppm"),
+        abs(expr(s"slot_matches * 1000000 div $SourceSketchSlots")
+          - col("exact_ppm")).cast("long").as("err_ppm"))
+      .orderBy(col("source_a").asc, col("source_b").asc)
+  }
+
+  def sourceMinhashAudit(spark: SparkSession, dir: String): DataFrame =
+    sourceMinhashAudit(Tables.documents(spark, dir))
 }

@@ -78,6 +78,21 @@ class DecontaminateSpec extends SparkSpecBase {
     graft.core.Caches.releaseScratch(spark)
   }
 
+  test("source minhash sketch: estimator law holds, error inside the sketch bound") {
+    val out = Decontaminate.sourceMinhashAudit(docs).collect()
+    graft.core.Caches.releaseScratch(spark)
+    // every sharing pair of the 20 sources appears (this corpus: all)
+    assert(out.length === 20 * 19 / 2)
+    out.foreach { r =>
+      val (m, est, exact, err) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(est === m * 1000000L / 64L, s"estimator law: $r")
+      assert(err === math.abs(est - exact), s"error column law: $r")
+      assert(exact > 0L && exact <= 1000000L, s"exact range: $r")
+      // 64-slot minhash: sd = sqrt(J(1-J)/64) <= 0.0625; 5 sd = 312500 ppm
+      assert(err <= 312500L, s"sketch error outside 5 sigma: $r")
+    }
+  }
+
   test("boilerplate census releases its scratch persist") {
     graft.core.Caches.releaseScratch(spark)
     Decontaminate.boilerplateCensus(docs).count()
