@@ -6011,7 +6011,7 @@ object SparkEntry {
          |         ELSE 'test' END AS split
          |  FROM documents),
          |toks AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM tq),
-         |base AS (
+         |base AS MATERIALIZED (
          |  SELECT d.doc_id, d.source, k.kept, q.quality, s.split, t.n_tokens,
          |         (k.kept AND q.quality = 3
          |          AND COALESCE(r.keep_repetition, TRUE)) AS survivor
@@ -6021,12 +6021,16 @@ object SparkEntry {
          |  LEFT JOIN rep r USING (doc_id)
          |  JOIN spl s USING (doc_id)
          |  JOIN toks t USING (doc_id)),
-         |ptoks AS (
+         |ptoks AS MATERIALIZED (
          |  SELECT source, doc_id, n_tokens,
          |         row_number() OVER (PARTITION BY source ORDER BY doc_id ASC)
          |           AS rn_all
          |  FROM base WHERE survivor AND split = 'train'),
-         |pg AS (
+         |-- pg MUST be materialized: the recursive pwalk member re-executes
+         |-- every un-materialized upstream CTE once PER ITERATION — without
+         |-- this the whole minhash keep-list pipeline ran ~100 times and the
+         |-- oracle went from seconds to hours at sf0.1.
+         |pg AS MATERIALIZED (
          |  SELECT source, doc_id, n_tokens,
          |         CAST((rn_all - 1) // 100 AS BIGINT) AS grp,
          |         CAST((rn_all - 1) % 100 + 1 AS BIGINT) AS rn
