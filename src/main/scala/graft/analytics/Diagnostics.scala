@@ -457,25 +457,28 @@ object Diagnostics {
     * that the replicate band brackets the true mean). */
   def poissonBootstrap(spark: SparkSession, dir: String,
       replicates: Int = 32): DataFrame = {
-    import spark.implicits._
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
           .cast("long").as("n_tokens"))
-    val reps = (0L until replicates.toLong).toDF("b")
     val u = conv(substring(md5(concat(lit("boot:"), col("b").cast("string"),
       lit(":"), col("doc_id").cast("string"))), 1, 15), 16, 10)
       .cast("long") % 1000000L
-    // lambda let-binding: the 6-branch CASE references u once; a plain
-    // column would be re-inlined per branch by CollapseProject (6 md5
-    // evaluations per row on the dominant pass)
-    val weight = element_at(
-      transform(array(u), uu =>
-        PoissonPpm.zipWithIndex
-          .foldRight(lit(6L): org.apache.spark.sql.Column) { case ((t, k), rest) =>
-            when(uu < t, lit(k.toLong)).otherwise(rest)
-          }), 1)
-    toks.crossJoin(broadcast(reps))
+    // Direct 6-branch CASE over u: CollapseProject textually inlines u
+    // into every branch, but whole-stage codegen's subexpression
+    // elimination evaluates the md5 ONCE. Two codegen traps measured
+    // here: a lambda let-binding (transform(array(u), ...)) is a
+    // higher-order function and disables codegen; so does expanding the
+    // replicates via crossJoin(broadcast(reps)) — BroadcastNestedLoopJoin
+    // stages never codegen. explode(sequence(...)) keeps the whole
+    // expand→project→aggregate pipeline inside one codegen span.
+    val weight = PoissonPpm.zipWithIndex
+      .foldRight(lit(6L): org.apache.spark.sql.Column) { case ((t, k), rest) =>
+        when(u < t, lit(k.toLong)).otherwise(rest)
+      }
+    toks
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), lit(replicates - 1L))).as("b"))
       .select(col("b"), col("n_tokens"), weight.as("wt"))
       .groupBy(col("b"))
       .agg(sum(col("wt")).as("n_eff"),
