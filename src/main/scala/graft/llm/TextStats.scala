@@ -369,11 +369,18 @@ object TextStats {
     * MATERIALIZED CTEs.
     *
     * Ties are total: (count DESC, left ASC, right ASC) over exact
-    * integers — ASCII strings compare bytewise in both engines. */
-  def bpeVocabBuild(docs: DataFrame, merges: Int = 12): DataFrame = {
+    * integers — string ties compared as unsigned UTF-8 bytes, the binary
+    * collation both Spark SQL and DuckDB use (plain Java String ordering
+    * would diverge on supplementary-plane code points).
+    *
+    * Driver bound: the collected word table is capped by `minCount`
+    * (frequency floor) and `maxWords` (top-N by frequency) — see
+    * [[bpeMergeLoop]]. */
+  def bpeVocabBuild(docs: DataFrame, merges: Int = 12,
+      minCount: Long = 1L, maxWords: Int = BpeMaxWords): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (mergeRows, _) = bpeMergeLoop(docs, merges)
+    val (mergeRows, _) = bpeMergeLoop(docs, merges, minCount, maxWords)
     mergeRows
       .toDF("step", "left_sym", "right_sym", "merged", "pair_count")
       .orderBy(col("step").asc)
@@ -382,11 +389,49 @@ object TextStats {
   def bpeVocabBuild(spark: SparkSession, dir: String): DataFrame =
     bpeVocabBuild(Tables.documents(spark, dir))
 
+  /** Driver-size cap on the collected BPE word-frequency table: at most
+    * this many distinct words (top-N by frequency, ties broken by word)
+    * ever reach the driver. Like `Ledger.maxFilesPerTick`, this is the
+    * documented bound that keeps a driver-side structure independent of
+    * the DATA size: the distinct-"word" count of a 100 TB web crawl is
+    * data-dependent (typos, URLs, hex hashes — easily 10⁹⁺ rows), so an
+    * uncapped collect is a driver OOM even though the *linguistic*
+    * vocabulary is domain-sized. 4M words × ~32 bytes ≈ 128 MB — safely
+    * inside any driver heap, and far above the floor production trainers
+    * use (HuggingFace/SentencePiece default min_frequency + vocab caps
+    * mean tail words never enter merge training anyway). */
+  val BpeMaxWords: Int = 4 * 1000 * 1000
+
+  /** Unsigned UTF-8 byte comparison — the binary collation Spark SQL
+    * (UTF8String) and DuckDB share. Java String.compareTo compares
+    * UTF-16 code units, which diverges from UTF-8 byte order for
+    * supplementary-plane code points (e.g. emoji tokens), so the merge
+    * argmax tiebreak must not use it. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** The BPE merge loop shared by [[bpeVocabBuild]] (emits the merge
     * table) and [[bpeTokenize]] (consumes the final per-word token
     * counts). Returns the merge rows and the final (word, n_symbols)
-    * vocabulary map. */
-  private def bpeMergeLoop(docs: DataFrame, merges: Int)
+    * vocabulary map.
+    *
+    * `minCount` is the min-frequency floor (words with wc < minCount
+    * never enter merge training — the knob every production trainer
+    * exposes) and `maxWords` the top-N cap ([[BpeMaxWords]]); together
+    * they bound the driver collect regardless of corpus size. Defaults
+    * (floor 1, cap 4M) leave any domain-sized fixture unchanged. */
+  private[llm] def bpeMergeLoop(docs: DataFrame, merges: Int,
+      minCount: Long = 1L, maxWords: Int = BpeMaxWords)
       : (Seq[(Long, String, String, String, Long)], Seq[(String, Long)]) = {
     // The one corpus-scale step: reduce the token stream to the word
     // frequency table. The merge loop then runs SINGLE-NODE over that
@@ -396,12 +441,31 @@ object TextStats {
     // the data), the same collect class as the k-means centroids, and a
     // driver loop avoids paying 12 rounds of job-scheduling latency for
     // vocab-sized aggregations (measured: 2.3 s → 0.7 s at sf0.1).
+    // The floor + top-N cap (TakeOrdered — no global sort) make the
+    // collect's size a configured constant, not a function of the data.
     val words: Array[(String, Long)] = docs
       .select(explode(split(norm, " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .filter(col("wc") >= minCount)
+      .orderBy(col("wc").desc, col("w").asc)
+      .limit(maxWords)
       .collect().map(r => r.getString(0) -> r.getLong(1))
+    // Initial symbols are CODE POINTS, not Java chars: a supplementary-
+    // plane symbol (emoji) is one symbol in DuckDB's w[i] indexing and in
+    // Spark SQL's length(); per-char split would shear it into two lone
+    // surrogates whose UTF-8 encoding is undefined.
+    def codePoints(w: String): Array[String] = {
+      val b = Array.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b.result()
+    }
     val seqs = scala.collection.mutable.LinkedHashMap[String, Array[String]](
-      words.map { case (w, _) => w -> w.map(_.toString).toArray }: _*)
+      words.map { case (w, _) => w -> codePoints(w) }: _*)
     val freq = words.toMap
     val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
     var step = 1
@@ -421,8 +485,16 @@ object TextStats {
       }
       if (counts.isEmpty) exhausted = true
       else {
-        // argmax with the total (cnt DESC, l ASC, r ASC) tiebreak
-        val ((l, r), cnt) = counts.minBy { case ((cl, cr), c) => (-c, cl, cr) }
+        // argmax with the total (cnt DESC, l ASC, r ASC) tiebreak; string
+        // ties compare unsigned UTF-8 bytes ([[utf8Lt]]) so the pick
+        // matches the oracle's ORDER BY on any code point, not just BMP
+        val ((l, r), cnt) = counts.reduceLeft { (a, b) =>
+          val bBeatsA =
+            if (b._2 != a._2) b._2 > a._2
+            else if (b._1._1 != a._1._1) utf8Lt(b._1._1, a._1._1)
+            else utf8Lt(b._1._2, a._1._2)
+          if (bBeatsA) b else a
+        }
         out += ((step.toLong, l, r, l + r, cnt))
         // greedy LEFT-TO-RIGHT non-overlapping merge (the replace() law
         // the oracle applies; "aaa" under (a,a) becomes ["aa","a"])
@@ -453,15 +525,23 @@ object TextStats {
     * vocab-sized, so each corpus word looks up its token count instead
     * of re-running merges per occurrence (the same frequency-table
     * reduction that makes the training loop scale makes the APPLY a
-    * lookup). */
-  def bpeTokenize(docs: DataFrame, merges: Int = 12): DataFrame = {
+    * lookup). Words outside the trained table (below the `minCount`
+    * floor or the `maxWords` cap) fall back to character-level tokens —
+    * `coalesce(n_sym, length(w))` on the LEFT join — which is exactly
+    * what an untrained BPE does to an unseen word; with the default
+    * bounds every fixture word is in the table and the join is an
+    * equality-preserving inner join. */
+  def bpeTokenize(docs: DataFrame, merges: Int = 12,
+      minCount: Long = 1L, maxWords: Int = BpeMaxWords): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (_, wordSyms) = bpeMergeLoop(docs, merges)
+    val (_, wordSyms) = bpeMergeLoop(docs, merges, minCount, maxWords)
     val tok = wordSyms.toDF("w", "n_sym")
     docs
       .select(col("source"), explode(split(norm, " ")).as("w"))
-      .join(broadcast(tok), Seq("w"))
+      .join(broadcast(tok), Seq("w"), "left")
+      .withColumn("n_sym",
+        coalesce(col("n_sym"), length(col("w")).cast("long")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("w")).cast("long")).as("n_chars"),
@@ -802,6 +882,11 @@ object TextStats {
       .agg(sum(col("f")).as("t"),
         count(lit(1)).as("n_distinct"),
         sum(col("f") * (col("f") - 1)).as("coll"))
+      // Degenerate-source guard: a source whose whole corpus yields a
+      // single bigram (t = 1) has an undefined collision probability
+      // (0/0); Spark's div would emit NULL while DuckDB's // diverges, so
+      // such sources are excluded from the census on both sides.
+      .filter(col("t") >= 2)
       .select(col("source"),
         col("t").cast("long").as("n_bigrams"),
         col("n_distinct").cast("long").as("n_distinct"),

@@ -114,6 +114,22 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.requeueOutcome(1.00, Seq(2.05, 2.00), 100.0, 100.0) == 1.00)
   }
 
+  test("a single rerun iteration can never set the official value") {
+    // With iters=1 the old max<=1.5*min clause was vacuously true, so one
+    // maximally-warm post-sweep fluke could set the record — the exact
+    // round-9 downward bias the gate exists to prevent (r10 advice 4).
+    assert(Bench.requeueOutcome(4.44, Seq(1.50), 100.0, 100.0) == 4.44)
+    assert(Bench.requeueOutcome(4.44, Seq.empty, 100.0, 100.0) == 4.44)
+    // Two reproducing iterations still qualify.
+    assert(Bench.requeueOutcome(4.44, Seq(1.50, 1.55), 100.0, 100.0) == 1.50)
+  }
+
+  test("extractQueriesMap lifts the per-query object verbatim") {
+    val line = """{"metric":"total","value":9.9,"queries":{"q01":1.5000,"q02":0.3300},"errors":{}}"""
+    assert(Bench.extractQueriesMap(line) === Some("""{"q01":1.5000,"q02":0.3300}"""))
+    assert(Bench.extractQueriesMap("""{"metric":"total"}""") === None)
+  }
+
   test("medianOf ignores sentinels and handles even/odd/empty") {
     assert(Bench.medianOf(Seq(3.0, 1.0, 2.0)) == 2.0)
     assert(Bench.medianOf(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)

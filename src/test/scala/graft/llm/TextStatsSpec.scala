@@ -166,6 +166,56 @@ class TextStatsSpec extends SparkSpecBase {
     assert(got(0).getString(3) === "ab" && got(0).getLong(4) === 2L)
   }
 
+  test("BPE min-frequency floor: a word below the floor never enters merge training") {
+    import spark.implicits._
+    // 'xy' ×5, 'qz' ×1. With minCount=2 the rare word is excluded from
+    // the collected table, so no merge may involve q or z; without the
+    // floor the (q,z) pair is merged in round 2.
+    val docs = Seq((1L, "xy xy xy"), (2L, "xy xy qz")).toDF("doc_id", "text")
+    val floored = TextStats.bpeVocabBuild(docs, merges = 5, minCount = 2L)
+      .collect().map(_.getString(3)).toSeq
+    graft.core.Caches.releaseScratch(spark)
+    assert(floored === Seq("xy"),
+      "a sub-floor word leaked into the merge table")
+    val unfloored = TextStats.bpeVocabBuild(docs, merges = 5).collect()
+      .map(_.getString(3)).toSeq
+    graft.core.Caches.releaseScratch(spark)
+    assert(unfloored === Seq("xy", "qz"))
+  }
+
+  test("BPE top-N cap: only the maxWords most frequent words train merges") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val capped = TextStats.bpeVocabBuild(docs, merges = 5, maxWords = 1)
+      .collect().map(_.getString(3)).toSeq
+    graft.core.Caches.releaseScratch(spark)
+    assert(capped === Seq("ab"), "a word beyond the top-N cap trained a merge")
+  }
+
+  test("BPE tokenize: out-of-vocabulary words fall back to character tokens") {
+    import spark.implicits._
+    // minCount=2 keeps 'abab' (fully merged → 1 token) and drops 'qz'
+    // (OOV → 2 character tokens): 3 words, 10 chars, 1+1+2 = 4 tokens.
+    val docs = Seq(("s1", "abab abab qz")).toDF("source", "text")
+    val r = TextStats.bpeTokenize(docs, minCount = 2L).collect()
+    graft.core.Caches.releaseScratch(spark)
+    assert(r.length === 1)
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) === ((3L, 10L, 4L)))
+  }
+
+  test("BPE argmax tiebreak compares UTF-8 bytes (supplementary plane)") {
+    import spark.implicits._
+    // Pairs (a,ﬀ) and (a,😀) tie at count 1. UTF-8: ﬀ = EF AC 80 <
+    // 😀 = F0 9F 98 80, so (a,ﬀ) must win round 1 — Java UTF-16 order
+    // would pick (a,😀) because U+FB00 sorts above the surrogate range.
+    val docs = Seq((1L, "aﬀ a😀")).toDF("doc_id", "text")
+    val got = TextStats.bpeVocabBuild(docs, merges = 1).collect()
+    graft.core.Caches.releaseScratch(spark)
+    assert(got.length === 1)
+    assert(got(0).getString(2) === "ﬀ",
+      "tiebreak used UTF-16 order, not UTF-8 bytes")
+  }
+
   test("BPE tokenize: corpus conserved, token counts between merges-bound and chars") {
     val out = TextStats.bpeTokenize(docs).collect()
     graft.core.Caches.releaseScratch(spark)
@@ -247,6 +297,18 @@ class TextStatsSpec extends SparkSpecBase {
     assert(got("collapsed").getLong(3) === 444444L)
     assert(got("varied").getLong(3) === 0L)
     assert(got("varied").getLong(4) === 1000000L, "all-distinct TTR is 1e6")
+  }
+
+  test("simpson diversity: a single-bigram source (t=1) is excluded, not 0/0") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "a b", "en", "degenerate"),        // exactly one bigram: t = 1
+      (2L, "a b c", "en", "ok"))              // t = 2
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextStats.simpsonDiversity(fixture).collect()
+      .map(_.getString(0)).toSeq
+    assert(got === Seq("ok"),
+      "t=1 source must be filtered — its collision probability is 0/0")
   }
 
   test("held-out LM gap: train fully seen, held-out splits score lower") {
