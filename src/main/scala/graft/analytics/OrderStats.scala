@@ -46,11 +46,20 @@ object OrderStats {
     * `values` is scanned twice (bounds + bucket counts) plus one
     * 1/256-sharded rank pass — callers with an expensive upstream
     * should cache it. */
-  def valueAtRank(values: DataFrame, positions: DataFrame): DataFrame = {
-    // per-group value bounds -> monotone 256-way bucket of v
-    val bounds = values.groupBy(col("part"))
-      .agg(min(col("v")).as("lo"),
-        (max(col("v")) - min(col("v")) + 1).as("span"))
+  def valueAtRank(values: DataFrame, positions: DataFrame): DataFrame =
+    valueAtRank(values, positions,
+      values.groupBy(col("part"))
+        .agg(min(col("v")).as("lo"),
+          (max(col("v")) - min(col("v")) + 1).as("span")))
+
+  /** [[valueAtRank]] with caller-supplied per-group bounds (columns:
+    * part, lo, span where span = max − min + 1). Callers that already
+    * aggregate `values` by part (a census, an overlap count) can fold
+    * the min/max into that pass and save one full scan of `values` —
+    * q254 does this (round-10 verdict item 2). */
+  def valueAtRank(values: DataFrame, positions: DataFrame,
+      bounds: DataFrame): DataFrame = {
+    // monotone 256-way bucket of v from the per-group bounds
     val bucketed = values.join(broadcast(bounds), Seq("part"))
       .select(col("part"), col("v"),
         expr(s"(v - lo) div ((span + ${Buckets - 1}) div $Buckets)").as("bkt"))

@@ -802,8 +802,9 @@ object Curation {
     * full sort key, so 256 per-epoch shards sort independently and a
     * ≤256-row cumulative-offset frame stitches global ranks); the
     * displacement quartiles go through the same decomposition in
-    * [[graft.analytics.OrderStats.valueAtRank]]. The displacement join
-    * is doc_id-keyed, epochs is a broadcast literal. */
+    * [[graft.analytics.OrderStats.valueAtRank]]. Consecutive-epoch
+    * displacement is a lead() window over (doc_id, e) — one shuffle of
+    * the rank frame, no self-join; epochs is a broadcast literal. */
   def epochShuffleDispersion(spark: SparkSession, dir: String,
       nEpochs: Int = 3): DataFrame = {
     import spark.implicits._
@@ -823,35 +824,48 @@ object Curation {
       .select(col("e"), col("hb"), col("off"))
     val wr = Window.partitionBy(col("e"), col("hb"))
       .orderBy(col("h").asc, col("doc_id").asc)
-    // Scratch-persist the rank pipeline BEFORE the self-join: the a-side
-    // and b-side shuffle on different keys ((doc_id, e) vs (doc_id, e+1)),
-    // so ReuseExchange can never dedupe them — without the persist the
-    // md5 + bucket-offset ranking subtree executes twice, doubling the
-    // dominant cost (round-9 verdict, what's-wrong 2).
-    val ranks = graft.core.Caches.scratch(re
+    val ranks = re
       .withColumn("lr", row_number().over(wr).cast("long"))
       .join(broadcast(offsets), Seq("e", "hb"))
-      .select(col("e"), col("doc_id"), (col("off") + col("lr")).as("rnk")))
-    val pairs = graft.core.Caches.scratch(ranks.as("a")
-      .join(ranks.as("b"),
-        col("a.doc_id") === col("b.doc_id") && col("b.e") === col("a.e") + 1)
-      .select(col("a.e").as("part"),
-        abs(col("a.rnk") - col("b.rnk")).as("v"),
-        (col("a.rnk") <= headK && col("b.rnk") <= headK).as("head_both")))
+      .select(col("e"), col("doc_id"), (col("off") + col("lr")).as("rnk"))
+    // Consecutive-epoch displacement is ONE window, not a self-join
+    // (round-10 verdict item 2): the former a/b self-join shuffled the
+    // (scratch-cached) rank frame twice on doc_id; lead(rnk) OVER
+    // (PARTITION BY doc_id ORDER BY e) reads the rank subtree once and
+    // pays one shuffle — epochs are independent keys, so one pass ranks
+    // all of them and one pass diffs all consecutive pairs. The ranks
+    // scratch is gone because the frame now has a single consumer; pairs
+    // keeps its scratch (valueAtRank scans it twice plus a sharded rank
+    // pass, and the head-overlap census reads it again).
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("e").asc)
+    val pairs = graft.core.Caches.scratch(ranks
+      .withColumn("rnk_next", lead(col("rnk"), 1).over(wd))
+      .filter(col("rnk_next").isNotNull)
+      .select(col("e").as("part"),
+        abs(col("rnk") - col("rnk_next")).as("v"),
+        (col("rnk") <= headK && col("rnk_next") <= headK).as("head_both")))
     // exact displacement quartiles at the SAME 1-indexed positions the
     // oracle evaluates: (n+3)/4, (n+1)/2, (3n+3)/4
     val positions = (0L until (nEpochs - 1).toLong).flatMap { p =>
       Seq((p, 25L, (n + 3) / 4), (p, 50L, (n + 1) / 2),
         (p, 75L, (3 * n + 3) / 4))
     }.toDF("part", "q", "pos")
+    // ONE census pass over pairs yields the head-overlap count AND the
+    // value bounds valueAtRank needs — both group by part, so the
+    // former separate overlap scan rides the bounds aggregation free
+    // (round-10 verdict item 2: shave the per-pass job floor)
+    val stats = graft.core.Caches.scratch(pairs.groupBy(col("part"))
+      .agg(min(col("v")).as("lo"),
+        (max(col("v")) - min(col("v")) + 1).as("span"),
+        sum(when(col("head_both"), 1L).otherwise(0L)).as("head_overlap")))
     val quart = graft.analytics.OrderStats
-      .valueAtRank(pairs.select(col("part"), col("v")), positions)
+      .valueAtRank(pairs.select(col("part"), col("v")), positions,
+        stats.select(col("part"), col("lo"), col("span")))
       .groupBy(col("part"))
       .agg(max(when(col("q") === 25L, col("v"))).as("p25"),
         max(when(col("q") === 50L, col("v"))).as("p50"),
         max(when(col("q") === 75L, col("v"))).as("p75"))
-    val overlap = pairs.groupBy(col("part"))
-      .agg(sum(when(col("head_both"), 1L).otherwise(0L)).as("head_overlap"))
+    val overlap = stats.select(col("part"), col("head_overlap"))
     quart.join(overlap, Seq("part"))
       .select(col("part").as("pair_id"),
         col("p25").cast("long").as("p25"), col("p50").cast("long").as("p50"),

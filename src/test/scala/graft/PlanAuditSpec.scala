@@ -107,35 +107,68 @@ class PlanAuditSpec extends SparkSpecBase {
       s"pair dedup re-shuffled despite silver clustering:\n$plan")
   }
 
-  test("q254 epoch ranks are cached: the md5 rank subtree is built once") {
-    // Round-9 verdict (what's-wrong 2): the epoch self-join's two sides
-    // shuffle on different keys, so ReuseExchange can never dedupe them —
-    // without the ranks scratch the md5 + bucket-offset ranking subtree
-    // inlines into BOTH sides of the pairs cache and executes twice.
-    // Discriminator: every cached subtree in the plan may contain the
-    // epoch-hash expression at most ONCE (the ranks cache holds it; the
-    // pairs cache must read ranks via InMemoryTableScan, not rebuild it).
-    // (A cached plan's toString nests the ranks relation's own plan, so a
-    // raw md5 count can't discriminate — instead: the pairs cache must
-    // contain TWO InMemoryTableScans, and the plan region above its first
-    // nested relation must be hash-free.)
+  test("q254 epoch ranks: the md5 rank subtree exists exactly once, pairs reused") {
+    // Round-9 found the rank subtree executing once per self-join side;
+    // round 10 scratch-cached it; round 11 removed the self-join entirely
+    // (lead() over (doc_id, e) diffs consecutive epochs in one window).
+    // Pinned invariants for the fused shape:
+    //  - exactly ONE scratch cache (pairs), and it is read at least twice
+    //    (displacement quartiles + head-overlap census);
+    //  - the epoch-hash (md5) subtree lives exactly once, inside that
+    //    cache — nothing outside the cache recomputes it.
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     val df = graft.llm.Curation.epochShuffleDispersion(spark, sf)
     val opt = df.queryExecution.optimizedPlan
     val rels = opt.collect { case r: InMemoryRelation => r }
-    assert(rels.nonEmpty, "q254 lost its scratch caches entirely")
-    val pairsStr = rels.map(_.cachedPlan.toString)
-      .find(_.contains("InMemoryTableScan"))
-    assert(pairsStr.isDefined,
-      "the epoch self-join is not reading ranks from a cache — the md5 " +
-        "bucket-offset subtree executes once per join side")
-    assert("InMemoryTableScan".r.findAllIn(pairsStr.get).length >= 2,
-      s"only one self-join side reads the ranks cache:\n${pairsStr.get}")
-    val aboveNested = pairsStr.get
-      .substring(0, pairsStr.get.indexOf("InMemoryRelation"))
-    assert(!aboveNested.contains("md5"),
-      s"rank hashing rebuilt above the ranks cache:\n${pairsStr.get}")
+    val byPlan = rels.groupBy(_.cachedPlan.toString)
+    // the pairs cache is the md5-bearing plan with NO nested cache (the
+    // stats census cache nests a pairs read, so it prints both)
+    val pairsPlans = byPlan.keys
+      .filter(s => s.contains("md5") && !s.contains("InMemoryTableScan"))
+      .toSeq
+    assert(pairsPlans.size === 1,
+      s"expected exactly one md5-bearing scratch (pairs), got " +
+        s"${pairsPlans.size} of ${byPlan.size} caches")
+    assert(byPlan(pairsPlans.head).size >= 2,
+      "pairs scratch not reused — quartiles and stats census rebuild it")
+    val outsideCaches = opt.collect {
+      case p if !p.isInstanceOf[InMemoryRelation] =>
+        p.expressions.map(_.toString).mkString
+    }.mkString
+    assert(!outsideCaches.contains("md5"),
+      "rank hashing recomputed outside the pairs cache")
     graft.core.Caches.releaseScratch(spark)
+  }
+
+  test("self-join-over-scratch queries reuse ONE cached subtree, not two builds") {
+    // Round-10 verdict item 6: r9 caught a double-executed rank subtree
+    // only by reading the plan by hand. Pin it mechanically for every
+    // known self-join-over-scratch query: the scratch frame must appear
+    // as one CACHED relation consumed at least twice — if anyone removes
+    // a load-bearing Caches.scratch, the duplicate-subtree regression
+    // shows up here as a cache with fewer than two readers.
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    // build each frame INSIDE the loop: releaseScratch is session-wide,
+    // so eager construction would unpersist later cases' caches
+    val cases: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "q168_type_lift" ->
+        (() => graft.analytics.Reports.typeLift(spark, sf)),
+      "q183_type_covariance" ->
+        (() => graft.analytics.Reports.typeCovariance(spark, sf)),
+      "q221_window_provenance" ->
+        (() => graft.llm.TextDedup.windowProvenance(spark, sf)))
+    cases.foreach { case (name, mk) =>
+      val df = mk()
+      val rels = df.queryExecution.optimizedPlan
+        .collect { case r: InMemoryRelation => r }
+      assert(rels.nonEmpty, s"$name lost its scratch cache entirely")
+      val reused = rels.groupBy(_.cachedPlan.toString)
+        .exists(_._2.size >= 2)
+      assert(reused,
+        s"$name: no cached subtree is read twice — the self-join sides " +
+          "are building the scratch frame independently")
+      graft.core.Caches.releaseScratch(spark)
+    }
   }
 
   test("curation funnel plan has no corpus-wide running-aggregate window") {
