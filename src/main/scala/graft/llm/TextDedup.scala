@@ -130,6 +130,40 @@ object TextDedup {
       .select(col("doc_id"), col("e.band"), col("e.bkey"))
   }
 
+  /** Per-row LSH band keys — the STREAMING-safe twin of
+    * [[minhashSignatures]]+[[minhashBands]], same hash family, same band
+    * layout, bit-identical keys. The batch path aggregates exploded
+    * shingles (shuffle partial-agg, whole-stage codegen — right for a
+    * backfill over the corpus); an ingest stream must compute each doc's
+    * signature from the row alone, so here the shingle set, the 32
+    * affine minima, and the 8 band keys are higher-order array
+    * expressions over the text column — zero shuffle, zero state, one
+    * row in → [[NumBands]] rows out. HOFs forgo codegen, which is the
+    * right trade on the ingest path: per-doc cost is bounded by doc
+    * length and there is no stage to fuse into. Docs shorter than
+    * [[MinhashK]] words have no shingles and emit no bands (same
+    * exclusion as [[shingles]]). */
+  def perDocBands(docs: DataFrame): DataFrame = {
+    val w = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    val sh = array_distinct(transform(
+      sequence(lit(0), size(col("w")) - MinhashK),
+      i => concat_ws(" ", slice(col("w"), i + 1, lit(MinhashK)))))
+    val withHb = docs
+      .withColumn("w", w)
+      .filter(size(col("w")) >= MinhashK)
+      .withColumn("hb", transform(sh, s => h60(s) % MinhashP))
+    val sig = (0 until NumHashes).foldLeft(withHb) { (df, s) =>
+      df.withColumn(s"h$s", array_min(transform(col("hb"),
+        x => (lit(minhashA(s)) * x + lit(minhashB(s))) % MinhashP)))
+    }
+    val bandEntries = (0 until NumBands).map { b =>
+      val slots = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", slots: _*)).as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bandEntries: _*)).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bkey"))
+  }
+
   /** Candidate pairs: equi-join on (band, band key), doc_a < doc_b, distinct
     * across bands. This is the banded-LSH join — the only pairwise step, and
     * it is keyed, so it scales as a hash shuffle, not O(n²). */
@@ -620,9 +654,30 @@ object TextDedup {
     incrementalDedupFrom(graft.core.Caches.scratch(shingles(docs, MinhashK)),
       docs, mod, minJaccard)
 
+  /** Exact-Jaccard verification of (doc_in, doc_ex) candidate pairs over
+    * a shingle frame: keeps the pairs whose shingle-set Jaccard meets
+    * `minJaccard`. Shared by the batch incremental dedup (q76) and the
+    * streaming near-dup ingest gate
+    * ([[graft.streaming.StreamNearDedup]]) so the two faces verify with
+    * the identical law. Cost is candidate-bounded: the expensive joins
+    * touch only candidate docs' shingles. */
+  private[graft] def jaccardVerified(cand: DataFrame, sh: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_in"), col("shingle")), Seq("doc_in"))
+      .join(sh.select(col("doc_id").as("doc_ex"), col("shingle")),
+        Seq("doc_ex", "shingle"))
+      .groupBy(col("doc_in"), col("doc_ex")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_in"), col("n").as("ni")), Seq("doc_in"))
+      .join(sizes.select(col("doc_id").as("doc_ex"), col("n").as("ne")), Seq("doc_ex"))
+      .filter(col("i").cast("double") / (col("ni") + col("ne") - col("i")) >= minJaccard)
+      .select(col("doc_in"), col("doc_ex"))
+  }
+
   private def incrementalDedupFrom(sh: DataFrame, docs: DataFrame, mod: Int,
                                    minJaccard: Double): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val bands = minhashBands(signaturesOf(sh))
     val in = bands.filter(col("doc_id") % mod === 0)
       .select(col("band"), col("bkey"), col("doc_id").as("doc_in"))
@@ -630,15 +685,7 @@ object TextDedup {
       .select(col("band"), col("bkey"), col("doc_id").as("doc_ex"))
     val cand = in.join(ex, Seq("band", "bkey"))
       .select(col("doc_in"), col("doc_ex")).distinct()
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_in"), col("shingle")), Seq("doc_in"))
-      .join(sh.select(col("doc_id").as("doc_ex"), col("shingle")),
-        Seq("doc_ex", "shingle"))
-      .groupBy(col("doc_in"), col("doc_ex")).agg(count(lit(1)).as("i"))
-    val matches = inter
-      .join(sizes.select(col("doc_id").as("doc_in"), col("n").as("ni")), Seq("doc_in"))
-      .join(sizes.select(col("doc_id").as("doc_ex"), col("n").as("ne")), Seq("doc_ex"))
-      .filter(col("i").cast("double") / (col("ni") + col("ne") - col("i")) >= minJaccard)
+    val matches = jaccardVerified(cand, sh, minJaccard)
       .groupBy(col("doc_in")).agg(count(lit(1)).as("nm"))
     docs.filter(col("doc_id") % mod === 0).select(col("doc_id"))
       .join(matches.withColumnRenamed("doc_in", "doc_id"), Seq("doc_id"), "left")
