@@ -760,6 +760,8 @@ object SparkEntry {
     "q268_simpson_diversity"   -> ((s, d) => TextStats.simpsonDiversity(s, d)),
     // ---- mergeable per-source minhash sketch, estimate vs exact ----
     "q269_source_minhash"      -> ((s, d) => Decontaminate.sourceMinhashAudit(s, d)),
+    // ---- DoReMi-lite data-driven mixture reweighting ----
+    "q270_doremi_reweight"     -> ((s, d) => Curation.doremiReweight(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -6535,6 +6537,79 @@ object SparkEntry {
          |         // (SUM(f) * (SUM(f) - 1)) AS BIGINT) AS collision_ppm,
          |       CAST(COUNT(*) * 1000000 // SUM(f) AS BIGINT) AS ttr_ppm
          |FROM f GROUP BY 1 HAVING SUM(f) > 1 ORDER BY source ASC""".stripMargin,
+    // q270: identical split carve, identical q263 KN p_ppm law scored
+    // over validation bigrams per source, identical η=16 linear
+    // multiplier and the overflow-safe (Σraw div 1e6) normalization.
+    "q270_doremi_reweight" ->
+      s"""WITH d AS (
+         |  SELECT source, lang, str_split($duckNorm, ' ') AS w,
+         |    CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80 THEN 'train'
+         |         WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |bg AS MATERIALIZED (
+         |  SELECT split, source, lang, w[i] AS w1, w[i+1] AS w2
+         |  FROM d CROSS JOIN unnest(range(1, len(w))) AS u(i)
+         |  WHERE len(w) >= 2),
+         |counted AS MATERIALIZED (
+         |  SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM bg WHERE split = 'train' GROUP BY 1, 2, 3),
+         |ctx AS (
+         |  SELECT lang, w1, CAST(SUM(cnt) AS BIGINT) AS ctx_cnt,
+         |         CAST(COUNT(*) AS BIGINT) AS n1p_w1
+         |  FROM counted GROUP BY 1, 2),
+         |cont AS (
+         |  SELECT lang, w2, CAST(COUNT(*) AS BIGINT) AS n1p_right
+         |  FROM counted GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n1p_total
+         |  FROM counted GROUP BY 1),
+         |scored AS (
+         |  SELECT b.source,
+         |    CASE
+         |      WHEN c.cnt IS NOT NULL THEN
+         |        (4 * c.cnt - 3) * 1000000 // (4 * x.ctx_cnt)
+         |          + ((3 * x.n1p_w1 * 1000000 // (4 * x.ctx_cnt))
+         |             * COALESCE(n.n1p_right * 1000000 // g.n1p_total, 0))
+         |            // 1000000
+         |      WHEN x.ctx_cnt IS NOT NULL THEN
+         |        ((3 * x.n1p_w1 * 1000000 // (4 * x.ctx_cnt))
+         |         * COALESCE(n.n1p_right * 1000000 // g.n1p_total, 0))
+         |          // 1000000
+         |      ELSE COALESCE(n.n1p_right * 1000000 // g.n1p_total, 0)
+         |    END AS p_ppm
+         |  FROM bg b
+         |  LEFT JOIN counted c ON c.lang = b.lang AND c.w1 = b.w1 AND c.w2 = b.w2
+         |  LEFT JOIN ctx x ON x.lang = b.lang AND x.w1 = b.w1
+         |  LEFT JOIN cont n ON n.lang = b.lang AND n.w2 = b.w2
+         |  JOIN tot g ON g.lang = b.lang
+         |  WHERE b.split = 'val'),
+         |heldout AS MATERIALIZED (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_heldout,
+         |         CAST(SUM(p_ppm) AS BIGINT) AS sum_p
+         |  FROM scored GROUP BY 1),
+         |base AS MATERIALIZED (
+         |  SELECT source, CAST(SUM(len(w)) AS BIGINT) AS n_train_words
+         |  FROM d WHERE split = 'train' GROUP BY 1),
+         |raw AS MATERIALIZED (
+         |  SELECT b.source,
+         |         CAST(b.n_train_words * 1000000
+         |           // (SELECT SUM(n_train_words) FROM base) AS BIGINT)
+         |           AS base_w_ppm,
+         |         CAST(h.sum_p // h.n_heldout AS BIGINT) AS mean_p_ppm,
+         |         CAST(GREATEST(0,
+         |           (SELECT SUM(sum_p) // SUM(n_heldout) FROM heldout)
+         |             - (h.sum_p // h.n_heldout)) AS BIGINT) AS excess_ppm,
+         |         CAST((b.n_train_words * 1000000
+         |             // (SELECT SUM(n_train_words) FROM base))
+         |           * (1000000 + 16 * GREATEST(0,
+         |               (SELECT SUM(sum_p) // SUM(n_heldout) FROM heldout)
+         |                 - (h.sum_p // h.n_heldout))) AS BIGINT) AS r
+         |  FROM base b JOIN heldout h USING (source))
+         |SELECT source, base_w_ppm, mean_p_ppm, excess_ppm,
+         |       CAST(r // GREATEST(1, (SELECT SUM(r) FROM raw) // 1000000)
+         |         AS BIGINT) AS new_w_ppm
+         |FROM raw ORDER BY source ASC""".stripMargin,
     // q269: same 2-gram set, same (a*h+b) mod p permutation minima as
     // the doc-level q27 sketch, slot-agreement estimate vs the q84 exact
     // join in integer ppm.

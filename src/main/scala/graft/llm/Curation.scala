@@ -968,6 +968,98 @@ object Curation {
   def waterfillMixture(spark: SparkSession, dir: String): DataFrame =
     waterfillMixture(Tables.documents(spark, dir))
 
+  /** q270: DoReMi-LITE mixture reweighting — the first DATA-DRIVEN
+    * mixture operator (q54 weighted, q75 temperature, and q266
+    * water-fill are all static policies): one integer-exact reweighting
+    * round in the shape of DoReMi (Xie et al., 2023 — domain weights
+    * move proportionally to each domain's EXCESS held-out loss over a
+    * reference). The signal is the q263 held-out LM machinery, grouped
+    * by SOURCE instead of split: train-split Kneser–Ney bigram
+    * probabilities score each source's validation bigrams; a source
+    * whose mean held-out probability falls below the corpus-wide
+    * reference mean carries positive excess loss and its weight is
+    * multiplied by (1 + η·excess) before renormalizing. Everything is
+    * exact integer ppm — the per-bigram p_ppm law is byte-identical to
+    * q263's, the excess is a ppm difference clamped at 0, and the
+    * normalization divides by (Σraw div 1e6) so the widest product stays
+    * inside int64 even at a degenerate 1e6-ppm excess (raw ≤ 1e6 ·
+    * (1e6 + η·1e6) ≈ 1.7e13 at η=16 — a raw·1e6 spelling would overflow).
+    *
+    * Scale shape: the corpus reduces to the bigram frame once (scratch,
+    * reused by the LM build and the scoring join); the LM side is
+    * vocab²-bounded; everything after the per-source census is windows
+    * over a |sources|-row aggregate (the pinned global-window
+    * discipline). One round, no iteration: production DoReMi loops this
+    * with a re-trained proxy; the loop is this operator applied to the
+    * re-weighted mixture. */
+  def doremiReweight(docs: DataFrame, eta: Int = 16): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val d = withSplit(docs)
+      .select(col("source"), col("lang"), split(norm, " ").as("w"), col("split"))
+    val bg = graft.core.Caches.scratch(d
+      .select(col("split"), col("source"), col("lang"), explode(expr(
+        "transform(slice(w, 1, size(w)-1), (x, i) -> " +
+          "struct(x AS w1, element_at(w, i+2) AS w2))")).as("p"))
+      .select(col("split"), col("source"), col("lang"),
+        col("p.w1").as("w1"), col("p.w2").as("w2")))
+    val counted = graft.core.Caches.scratch(
+      bg.filter(col("split") === "train")
+        .groupBy(col("lang"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cnt")))
+    val ctx = counted.groupBy(col("lang"), col("w1"))
+      .agg(sum(col("cnt")).as("ctx_cnt"), count(lit(1)).as("n1p_w1"))
+    val cont = counted.groupBy(col("lang"), col("w2"))
+      .agg(count(lit(1)).as("n1p_right"))
+    val tot = counted.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n1p_total"))
+    // score VALIDATION bigrams with the q263 KN law, census per source
+    val heldout = bg.filter(col("split") === "val")
+      .join(counted, Seq("lang", "w1", "w2"), "left")
+      .join(ctx, Seq("lang", "w1"), "left")
+      .join(cont, Seq("lang", "w2"), "left")
+      .join(broadcast(tot), Seq("lang"))
+      .withColumn("pcont_ppm",
+        coalesce(expr("n1p_right * 1000000 div n1p_total"), lit(0L)))
+      .withColumn("p_ppm",
+        when(col("cnt").isNotNull,
+          expr("(4 * cnt - 3) * 1000000 div (4 * ctx_cnt)" +
+            " + ((3 * n1p_w1 * 1000000 div (4 * ctx_cnt)) * pcont_ppm)" +
+            " div 1000000"))
+          .when(col("ctx_cnt").isNotNull,
+            expr("((3 * n1p_w1 * 1000000 div (4 * ctx_cnt)) * pcont_ppm)" +
+              " div 1000000"))
+          .otherwise(col("pcont_ppm")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_heldout"), sum(col("p_ppm")).as("sum_p"))
+    // base mixture = train-split token share; tiny census frames from
+    // here on, global windows over aggregates only
+    val wAll = Window.partitionBy()
+    val base = d.filter(col("split") === "train")
+      .groupBy(col("source"))
+      .agg(sum(size(col("w")).cast("long")).as("n_train_words"))
+      .withColumn("tot_words", sum(col("n_train_words")).over(wAll))
+      .withColumn("base_w_ppm", expr("n_train_words * 1000000 div tot_words"))
+    val joined = base.join(heldout, Seq("source"))
+      .withColumn("ref_sum", sum(col("sum_p")).over(wAll))
+      .withColumn("ref_n", sum(col("n_heldout")).over(wAll))
+      .withColumn("ref_mean", expr("ref_sum div ref_n"))
+      .withColumn("mean_p_ppm", expr("sum_p div n_heldout"))
+      .withColumn("excess_ppm",
+        greatest(lit(0L), expr("ref_mean - mean_p_ppm")))
+      .withColumn("r", expr(s"base_w_ppm * (1000000 + $eta * excess_ppm)"))
+      .withColumn("sum_r", sum(col("r")).over(wAll))
+    joined.select(col("source"),
+        col("base_w_ppm").cast("long").as("base_w_ppm"),
+        col("mean_p_ppm").cast("long").as("mean_p_ppm"),
+        col("excess_ppm").cast("long").as("excess_ppm"),
+        expr("r div greatest(1, sum_r div 1000000)").cast("long")
+          .as("new_w_ppm"))
+      .orderBy(col("source").asc)
+  }
+
+  def doremiReweight(spark: SparkSession, dir: String): DataFrame =
+    doremiReweight(Tables.documents(spark, dir))
+
   /** q264: EVAL-SET QUOTA apportionment — distribute a fixed eval budget
     * of `k` documents across the (lang, source) strata proportionally to
     * their corpus mass, with LARGEST-REMAINDER (Hamilton) rounding so the

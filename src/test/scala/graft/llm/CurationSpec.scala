@@ -598,4 +598,35 @@ class CurationSpec extends SparkSpecBase {
       assert(r.getLong(3) === r.getLong(1) * 1000000L / td, s"ppm law: $r")
     }
   }
+
+  test("DoReMi reweight: a planted high-loss source gains weight, low-loss sources shed it") {
+    import spark.implicits._
+    // Two common sources repeat one shared text, so their validation
+    // bigrams are maximally probable under the train LM. The "alien"
+    // source gives every doc its own never-repeating vocabulary, so its
+    // validation bigrams are UNSEEN (pure backoff, near-zero p) — the
+    // planted high-excess-loss domain DoReMi must upweight.
+    val common = "the quick brown fox jumps over the lazy dog again"
+    val docs = (0L until 180L).map { id =>
+      val src = if (id % 3 == 2) "alien" else s"common${id % 3}"
+      val text = if (src == "alien")
+        (0 until 9).map(j => s"u${id}w$j").mkString(" ")
+      else common
+      (id, text, "en", src)
+    }.toDF("doc_id", "text", "lang", "source")
+    val out = Curation.doremiReweight(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    graft.core.Caches.releaseScratch(spark)
+    assert(out.keySet === Set("alien", "common0", "common1"))
+    val (aBase, aMean, aExcess, aNew) = out("alien")
+    assert(aExcess > 0L, "planted high-loss source has no excess loss")
+    assert(aNew > aBase, "planted high-loss source did not gain weight")
+    Seq("common0", "common1").foreach { s =>
+      val (base, mean, excess, nw) = out(s)
+      assert(excess === 0L, s"$s: low-loss source shows excess")
+      assert(nw <= base, s"$s: low-loss source gained weight")
+      assert(mean > aMean, s"$s should score above the alien source")
+    }
+  }
 }
