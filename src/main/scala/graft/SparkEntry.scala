@@ -762,6 +762,14 @@ object SparkEntry {
     "q269_source_minhash"      -> ((s, d) => Decontaminate.sourceMinhashAudit(s, d)),
     // ---- DoReMi-lite data-driven mixture reweighting ----
     "q270_doremi_reweight"     -> ((s, d) => Curation.doremiReweight(s, d)),
+    // ---- t-closeness: the third leg of the privacy triad ----
+    "q271_t_closeness"         -> ((s, d) => Reports.tClosenessCensus(s, d)),
+    // ---- batch-shape padding waste: sorted vs arrival batching ----
+    "q272_padding_waste"       -> ((s, d) => Curation.paddingWaste(s, d)),
+    // ---- Fleiss' kappa agreement over the quality-rubric raters ----
+    "q273_fleiss_kappa"        -> ((s, d) => TextStats.fleissKappa(s, d)),
+    // ---- label-consistency screen over LSH neighborhoods ----
+    "q274_label_consistency"   -> ((s, d) => Similarity.labelConsistency(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -6610,6 +6618,125 @@ object SparkEntry {
          |       CAST(r // GREATEST(1, (SELECT SUM(r) FROM raw) // 1000000)
          |         AS BIGINT) AS new_w_ppm
          |FROM raw ORDER BY source ASC""".stripMargin,
+    // q271: identical grid-completed total-variation (EMD for categorical
+    // = L1/2) per QI cell, identical 8-way cohort carve.
+    "q271_t_closeness" ->
+      (silverCte +
+        """,
+          |sens AS (
+          |  SELECT event_type, hour, user_id % 8 AS cohort FROM silver),
+          |cellv AS (
+          |  SELECT event_type, hour, cohort, CAST(COUNT(*) AS BIGINT) AS cnt
+          |  FROM sens GROUP BY 1, 2, 3),
+          |grid AS (
+          |  SELECT c.event_type, c.hour, h.cohort, COALESCE(v.cnt, 0) AS cnt
+          |  FROM (SELECT DISTINCT event_type, hour FROM sens) c
+          |  CROSS JOIN (SELECT DISTINCT cohort FROM sens) h
+          |  LEFT JOIN cellv v ON v.event_type = c.event_type
+          |    AND v.hour = c.hour AND v.cohort = h.cohort),
+          |tots AS (
+          |  SELECT *,
+          |    SUM(cnt) OVER (PARTITION BY event_type, hour) AS ct,
+          |    SUM(cnt) OVER (PARTITION BY cohort) AS gcnt,
+          |    SUM(cnt) OVER () AS gt
+          |  FROM grid),
+          |tpc AS (
+          |  SELECT event_type, hour,
+          |    CAST(SUM(ABS(cnt * 1000000 // ct - gcnt * 1000000 // gt)) // 2
+          |      AS BIGINT) AS t_ppm
+          |  FROM tots GROUP BY 1, 2)
+          |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cells,
+          |       CAST(MAX(t_ppm) AS BIGINT) AS max_t_ppm,
+          |       CAST(SUM(t_ppm) // COUNT(*) AS BIGINT) AS mean_t_ppm,
+          |       CAST(SUM(CASE WHEN t_ppm > 200000 THEN 1 ELSE 0 END)
+          |         AS BIGINT) AS cells_above_t
+          |FROM tpc GROUP BY 1 ORDER BY event_type ASC""".stripMargin),
+    // q272: identical total-order ranks (len/doc_id and doc_id), batch =
+    // (rank-1)//32, identical pad arithmetic.
+    "q272_padding_waste" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len(str_split($duckNorm, ' ')) AS BIGINT) AS len
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT 'sorted' AS policy, len,
+         |         row_number() OVER (ORDER BY len ASC, doc_id ASC) AS rnk FROM d
+         |  UNION ALL
+         |  SELECT 'arrival' AS policy, len,
+         |         row_number() OVER (ORDER BY doc_id ASC) AS rnk FROM d),
+         |per_batch AS (
+         |  SELECT policy, (rnk - 1) // 32 AS batch, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(MAX(len) AS BIGINT) AS mx, CAST(SUM(len) AS BIGINT) AS s
+         |  FROM ranked GROUP BY 1, 2)
+         |SELECT policy, CAST(COUNT(*) AS BIGINT) AS n_batches,
+         |       CAST(SUM(s) AS BIGINT) AS sum_tokens,
+         |       CAST(SUM(n * mx - s) AS BIGINT) AS pad_tokens,
+         |       CAST(SUM(n * mx - s) * 1000000 // SUM(n * mx) AS BIGINT) AS pad_ppm
+         |FROM per_batch GROUP BY 1 ORDER BY policy ASC""".stripMargin,
+    // q273: identical q32 rubric raters, identical integer Fleiss
+    // arithmetic; negatives clamped AFTER the division on both sides so
+    // truncate-vs-floor never reaches the gate.
+    "q273_fleiss_kappa" ->
+      s"""WITH n AS (SELECT doc_id, source, $duckNorm AS nrm FROM documents),
+         |t AS (SELECT doc_id, source, nrm, str_split(nrm, ' ') AS w FROM n),
+         |f AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(w) AS INTEGER) AS n_tokens,
+         |    CAST(len(list_filter(w, x -> x IN ($duckStops))) AS INTEGER) AS stop_cnt,
+         |    CAST(length(replace(nrm, ' ', '')) AS DOUBLE) / len(w) AS mean_token_len
+         |  FROM t),
+         |votes AS (
+         |  SELECT source,
+         |    CAST(n_tokens >= 20 AND n_tokens <= 1000 AS BIGINT)
+         |      + CAST(stop_cnt > 0 AS BIGINT)
+         |      + CAST(mean_token_len >= 2.0 AND mean_token_len <= 12.0 AS BIGINT) AS k
+         |  FROM f),
+         |census AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM((k * (k - 1) + (3 - k) * (2 - k)) * 1000000 // 6)
+         |      // COUNT(*) AS BIGINT) AS pbar_ppm,
+         |    CAST(SUM(k) * 1000000 // (3 * COUNT(*)) AS BIGINT) AS p1_ppm
+         |  FROM votes GROUP BY 1),
+         |kap AS (
+         |  SELECT source, n_docs, pbar_ppm,
+         |    (p1_ppm * p1_ppm + (1000000 - p1_ppm) * (1000000 - p1_ppm))
+         |      // 1000000 AS pe_ppm
+         |  FROM census)
+         |SELECT source, n_docs, pbar_ppm, CAST(pe_ppm AS BIGINT) AS pe_ppm,
+         |       CAST(GREATEST(0, (pbar_ppm - pe_ppm) * 1000000
+         |         // GREATEST(1, 1000000 - pe_ppm)) AS BIGINT) AS kappa_ppm
+         |FROM kap ORDER BY source ASC""".stripMargin,
+    // q274: the q35/q36 sign-projection band buckets, label joins, exact
+    // integer agreement census.
+    "q274_label_consistency" ->
+      (lshCte +
+        """,
+          |pairs AS (
+          |  SELECT DISTINCT a.vec_id AS vid, b.vec_id AS pid
+          |  FROM bands a JOIN bands b
+          |    ON a.band = b.band AND a.bval = b.bval AND a.vec_id <> b.vec_id),
+          |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+          |pervec AS (
+          |  SELECT p.vid, CAST(COUNT(*) AS BIGINT) AS n_peers,
+          |         CAST(SUM(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END)
+          |           AS BIGINT) AS n_same
+          |  FROM pairs p
+          |  JOIN lab la ON la.vec_id = p.vid
+          |  JOIN lab lb ON lb.vec_id = p.pid
+          |  GROUP BY 1),
+          |j AS (
+          |  SELECT l.vec_id, l.label, COALESCE(v.n_peers, 0) AS n_peers,
+          |         COALESCE(v.n_same, 0) AS n_same
+          |  FROM lab l LEFT JOIN pervec v ON v.vid = l.vec_id)
+          |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+          |       CAST(SUM(CASE WHEN n_peers = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_isolated,
+          |       CAST(SUM(n_peers) AS BIGINT) AS n_peer_links,
+          |       CAST(CASE WHEN SUM(n_peers) > 0
+          |            THEN SUM(n_same) * 1000000 // SUM(n_peers)
+          |            ELSE 0 END AS BIGINT) AS agreement_ppm,
+          |       CAST(SUM(CASE WHEN n_peers >= 2 AND 2 * n_same < n_peers
+          |            THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
+          |FROM j GROUP BY 1 ORDER BY label ASC""".stripMargin),
     // q269: same 2-gram set, same (a*h+b) mod p permutation minima as
     // the doc-level q27 sketch, slot-agreement estimate vs the q84 exact
     // join in integer ppm.

@@ -862,6 +862,60 @@ object Reports {
   def lDiversityCensus(spark: SparkSession, dir: String): DataFrame =
     lDiversityCensus(EventsPipeline.silver(spark, dir))
 
+  /** q271: t-CLOSENESS census — the third leg of the privacy triad
+    * (q153 k-anonymity: how many share a profile; q189 l-diversity: how
+    * many distinct sensitive values per QI cell; t-closeness, Li et al.
+    * 2007: how far each QI cell's SENSITIVE-VALUE DISTRIBUTION sits from
+    * the global one). l-diversity is blind to skew — a cell can hold 5
+    * distinct cohorts at 96/1/1/1/1% and still leak; t-closeness bounds
+    * the distance itself. QI cell = (event_type, hour) as in q189;
+    * sensitive attribute = an 8-way user cohort (user_id mod 8 stands in
+    * for the demographic bucket a real deployment joins on). For
+    * categorical attributes under uniform ground distance the Earth
+    * Mover's Distance reduces to total-variation distance = L1/2, so
+    * t_ppm is exact integer: Σ|share_cell − share_global| div 2 over the
+    * COMPLETE cell × cohort grid (an absent cohort still contributes the
+    * global share — the same grid-completion law as q121).
+    *
+    * Scale shape: one (type, hour, cohort) aggregation; the grid is
+    * |types|·24·8 rows so every window below sits over a
+    * Deduplicate/Aggregate — the pinned global-window discipline. */
+  def tClosenessCensus(silver: DataFrame, tPpm: Long = 200000L): DataFrame = {
+    val sens = silver.select(col("event_type"), col("hour"),
+      (col("user_id") % 8).as("cohort"))
+    val cellv = sens.groupBy(col("event_type"), col("hour"), col("cohort"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = sens.select(col("event_type"), col("hour")).distinct()
+      .crossJoin(sens.select(col("cohort")).distinct())
+      .join(cellv, Seq("event_type", "hour", "cohort"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val withTot = grid
+      .withColumn("ct", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type"), col("hour"))))
+      .withColumn("gcnt", sum(col("cnt")).over(
+        Window.partitionBy(col("cohort"))))
+      .withColumn("gt", sum(col("cnt")).over(Window.partitionBy()))
+    withTot
+      .withColumn("d", abs(expr("cnt * 1000000 div ct")
+        - expr("gcnt * 1000000 div gt")))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(expr("sum(d) div 2").cast("long").as("t_ppm"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_cells"),
+        max(col("t_ppm")).as("max_t_ppm"),
+        expr("sum(t_ppm) div count(1)").cast("long").as("mean_t_ppm"),
+        sum(when(col("t_ppm") > tPpm, 1L).otherwise(0L)).as("cells_above_t"))
+      .select(col("event_type"),
+        col("n_cells").cast("long").as("n_cells"),
+        col("max_t_ppm").cast("long").as("max_t_ppm"),
+        col("mean_t_ppm"),
+        col("cells_above_t").cast("long").as("cells_above_t"))
+      .orderBy(col("event_type").asc)
+  }
+
+  def tClosenessCensus(spark: SparkSession, dir: String): DataFrame =
+    tClosenessCensus(EventsPipeline.silver(spark, dir))
+
   /** q198: event-time disorder census — per user, the Spearman rank
     * agreement between ARRIVAL order (event_id) and EVENT-TIME order
     * (ts): ρ = 1 − 6Σd²⁄(n³−n). The out-of-orderness measurement that

@@ -289,6 +289,67 @@ object Similarity {
   def knnLsh(spark: SparkSession, dir: String): DataFrame =
     knnLsh(Tables.embeddings(spark, dir))
 
+  /** q274: LABEL-CONSISTENCY audit over LSH neighborhoods — the
+    * label-noise screen (the confident-learning idea reduced to its
+    * scalable core): if labels follow the embedding geometry, a vector's
+    * LSH-bucket peers should mostly share its label; a label whose
+    * agreement sits at the 1/|labels| chance floor is either noisy or
+    * simply not encoded in the vectors — either way it must not be used
+    * as a supervision signal without this table being read first. Peers
+    * are the q35/q36 sign-projection band buckets (NEVER all-pairs);
+    * per-vector we count peers and same-label peers, then census per
+    * label: isolation, total peer links, exact integer agreement ppm,
+    * and how many vectors disagree with the MAJORITY of their peers.
+    *
+    * Fixture note: the synthetic embeddings are isotropic with labels
+    * independent of geometry, so agreement sits at the ~100 000 ppm
+    * chance floor and every vector is majority-disagreeing — the
+    * instrument correctly reporting "these labels are not clustered"
+    * (same caveat class as the PQ recall note on q161).
+    *
+    * Scale shape: signature pass is one corpus × 16-plane broadcast;
+    * the peer join is band-keyed and bucket-bounded; everything after
+    * is two combinable aggregations. */
+  def labelConsistency(embeddings: DataFrame): DataFrame = {
+    val sigs = graft.core.Caches.scratch(signatures(embeddings))
+    val bands = graft.core.Caches.scratch(bandRows(sigs))
+    val pairs = bands.select(col("band"), col("bval"), col("vec_id").as("vid"))
+      .join(bands.select(col("band"), col("bval"), col("vec_id").as("pid")),
+        Seq("band", "bval"))
+      .filter(col("vid") =!= col("pid"))
+      .select(col("vid"), col("pid")).distinct()
+    val lab = embeddings.select(col("vec_id"),
+      col("label").cast("long").as("label"))
+    val perVec = pairs
+      .join(lab.select(col("vec_id").as("vid"), col("label").as("la")), Seq("vid"))
+      .join(lab.select(col("vec_id").as("pid"), col("label").as("lb")), Seq("pid"))
+      .groupBy(col("vid"))
+      .agg(count(lit(1)).as("n_peers"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_same"))
+    lab.join(perVec.withColumnRenamed("vid", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("n_peers", coalesce(col("n_peers"), lit(0L)))
+      .withColumn("n_same", coalesce(col("n_same"), lit(0L)))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("n_peers") === 0L, 1L).otherwise(0L)).as("n_isolated"),
+        sum(col("n_peers")).as("n_peer_links"),
+        sum(col("n_same")).as("n_same_links"),
+        sum(when(col("n_peers") >= 2L && col("n_same") * 2 < col("n_peers"),
+          1L).otherwise(0L)).as("n_suspect"))
+      .select(col("label"),
+        col("n_vecs").cast("long").as("n_vecs"),
+        col("n_isolated").cast("long").as("n_isolated"),
+        col("n_peer_links").cast("long").as("n_peer_links"),
+        when(col("n_peer_links") > 0,
+          expr("n_same_links * 1000000 div n_peer_links"))
+          .otherwise(lit(0L)).cast("long").as("agreement_ppm"),
+        col("n_suspect").cast("long").as("n_suspect"))
+      .orderBy(col("label").asc)
+  }
+
+  def labelConsistency(spark: SparkSession, dir: String): DataFrame =
+    labelConsistency(Tables.embeddings(spark, dir))
+
   // ------------------------------------------------------------- IVF
 
   /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus

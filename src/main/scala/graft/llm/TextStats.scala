@@ -86,6 +86,64 @@ object TextStats {
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     qualityScore(Tables.documents(spark, dir))
 
+  /** q273: FLEISS' KAPPA rater-agreement audit over the q32 quality
+    * rubric — treat the three heuristic quality signals (len_ok,
+    * stop_ok, wordlen_ok) as three raters labeling every document
+    * ok/not-ok and ask, per source, whether they agree beyond chance.
+    * This is the labeler-agreement gate every weak-supervision pipeline
+    * runs before trusting an ensemble of heuristic filters: high kappa →
+    * the signals measure one underlying quality notion; kappa ≈ 0 → the
+    * "ensemble" is three independent coins and its vote count (q32's
+    * `quality`) is noise.
+    *
+    * Exact integer spelling (n = 3 raters, 2 categories): per doc with k
+    * ok-votes, P_i = (k(k−1) + (3−k)(2−k))/6; P̄ and the ok-share p₁ are
+    * floor-ppm; P̄ₑ = p₁² + (1−p₁)² via scaled products. Kappa's
+    * numerator can be legitimately negative (worse-than-chance), where
+    * Spark's truncating `div` and DuckDB's flooring `//` diverge — both
+    * engines clamp AFTER the division (negative→0 either way, positives
+    * agree exactly), and an all-agree source (P̄ₑ = 1, kappa undefined)
+    * reports 0 with pbar/pe carrying the evidence. Scale shape: one
+    * corpus pass to per-doc vote counts, then a source census. */
+  def fleissKappa(docs: DataFrame): DataFrame = {
+    val withW = docs
+      .withColumn("nrm", norm)
+      .withColumn("w", split(col("nrm"), " "))
+    val votes = withW
+      .withColumn("n_tokens", size(col("w")))
+      .withColumn("stop_cnt",
+        size(filter(col("w"), x => x.isin(Stopwords.map(lit): _*))))
+      .withColumn("mean_token_len",
+        length(regexp_replace(col("nrm"), " ", "")).cast("double")
+          / col("n_tokens"))
+      .select(col("source"),
+        ((col("n_tokens") >= 20 && col("n_tokens") <= 1000).cast("long")
+          + (col("stop_cnt") > 0).cast("long")
+          + (col("mean_token_len") >= 2.0 && col("mean_token_len") <= 12.0)
+            .cast("long")).as("k"))
+    votes
+      .withColumn("p_i_ppm",
+        expr("(k * (k - 1) + (3 - k) * (2 - k)) * 1000000 div 6"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(p_i_ppm) div count(1)").as("pbar_ppm"),
+        expr("sum(k) * 1000000 div (3 * count(1))").as("p1_ppm"))
+      .withColumn("pe_ppm", expr(
+        "(p1_ppm * p1_ppm + (1000000 - p1_ppm) * (1000000 - p1_ppm))" +
+          " div 1000000"))
+      .select(col("source"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("pbar_ppm").cast("long").as("pbar_ppm"),
+        col("pe_ppm").cast("long").as("pe_ppm"),
+        greatest(lit(0L), expr("(pbar_ppm - pe_ppm) * 1000000" +
+          " div greatest(1, 1000000 - pe_ppm)")).cast("long")
+          .as("kappa_ppm"))
+      .orderBy(col("source").asc)
+  }
+
+  def fleissKappa(spark: SparkSession, dir: String): DataFrame =
+    fleissKappa(Tables.documents(spark, dir))
+
   /** Marker-word sets for the n-gram language-ID heuristic. (The synthetic
     * corpus shares one vocabulary across langs, so accuracy vs the label is
     * not the point — the operator contract is a deterministic, portable

@@ -382,6 +382,40 @@ class ReportsSpec extends SparkSpecBase {
     }
   }
 
+  test("t-closeness: a planted single-cohort cell is flagged, uniform cells are not") {
+    import spark.implicits._
+    // Type 'a': every hour sees all 8 cohorts once → every cell's
+    // distribution ≈ global → t near 0. Type 'b' hour 23: cohort 0 only
+    // (users ≡ 0 mod 8) → t far from the global mix → flagged.
+    val rows =
+      (for { h <- 0 until 24; u <- 0L until 8L } yield ("a", h, u)) ++
+        (0 until 40).map(i => ("b", 23, i * 8L))
+    val sv = rows.toDF("event_type", "hour", "user_id")
+    val out = Reports.tClosenessCensus(sv).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("b").getAs[Long]("cells_above_t") === 1L,
+      "planted skewed cell not flagged")
+    // hand trace: uniform cells sit at t ≈ 150 863 ppm (the planted cell
+    // drags the global mix toward cohort 0), below the 200 000 threshold
+    assert(out("a").getAs[Long]("cells_above_t") === 0L)
+    assert(out("a").getAs[Long]("max_t_ppm") < out("b").getAs[Long]("max_t_ppm"))
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("mean_t_ppm") <= r.getAs[Long]("max_t_ppm"))
+      assert(r.getAs[Long]("max_t_ppm") <= 1000000L)
+    }
+  }
+
+  test("t-closeness over the corpus: cells complete, t bounded") {
+    val out = Reports.tClosenessCensus(silver).collect()
+    assert(out.length === silver.select("event_type").distinct().count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_cells") <= 24L)
+      assert(r.getAs[Long]("max_t_ppm") >= 0L &&
+        r.getAs[Long]("max_t_ppm") <= 1000000L)
+      assert(r.getAs[Long]("cells_above_t") <= r.getAs[Long]("n_cells"))
+    }
+  }
+
   test("disorder census: in-order user at 1e6 ppm, reversed user at -1e6") {
     import spark.implicits._
     def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)

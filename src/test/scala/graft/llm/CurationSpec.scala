@@ -599,6 +599,31 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("padding waste: hand-traced batches; sorted beats arrival on a skewed mix") {
+    import spark.implicits._
+    // lengths alternate 1 and 9 in arrival order. B=2:
+    //  arrival batches (1,9),(1,9): pad = 8+8 = 16, slots = 2·9+2·9 = 36
+    //  sorted batches (1,1),(9,9): pad = 0
+    val docs = Seq(
+      (0L, "a"), (1L, "a b c d e f g h i"),
+      (2L, "a"), (3L, "a b c d e f g h i"))
+      .toDF("doc_id", "text")
+    val out = Curation.paddingWaste(docs, batchSize = 2).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("arrival") === ((2L, 20L, 16L, 16L * 1000000L / 36L)))
+    assert(out("sorted") === ((2L, 20L, 0L, 0L)))
+  }
+
+  test("padding waste over the corpus: tokens conserved, sorted never worse") {
+    val out = Curation.paddingWaste(Tables.documents(spark, sf)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("sorted").getLong(2) === out("arrival").getLong(2),
+      "policies must batch the same token mass")
+    assert(out("sorted").getLong(3) <= out("arrival").getLong(3),
+      "length-sorted batching cannot pad more than arrival order")
+  }
+
   test("DoReMi reweight: a planted high-loss source gains weight, low-loss sources shed it") {
     import spark.implicits._
     // Two common sources repeat one shared text, so their validation

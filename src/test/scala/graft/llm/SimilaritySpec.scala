@@ -17,6 +17,38 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.filter(abs(col("cos")) > 1.000000001).count() === 0)
   }
 
+  test("label consistency: geometry-aligned labels agree fully, census conserves vectors") {
+    import spark.implicits._
+    // Two antipodal clusters whose labels FOLLOW the geometry: every
+    // vector's sign signature equals its cluster's, so LSH buckets are
+    // label-pure — agreement must be exactly 1e6 with zero suspects.
+    val vecs = (0L until 20L).map { i =>
+      val lab = (i % 2).toInt
+      val s = if (lab == 0) 1.0f else -1.0f
+      val jitter = 0.01f * (i / 2)
+      (i, Array(s, s + jitter, s, s - jitter), lab)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelConsistency(vecs).collect()
+    graft.core.Caches.releaseScratch(spark)
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getLong(1) === 10L)
+      assert(r.getLong(2) === 0L, s"isolated vectors in a pure cluster: $r")
+      assert(r.getLong(4) === 1000000L, s"agreement below 1e6: $r")
+      assert(r.getLong(5) === 0L, s"suspects in label-pure buckets: $r")
+    }
+  }
+
+  test("label consistency over the corpus: conservation and bounds") {
+    val out = Similarity.labelConsistency(emb).cache()
+    assert(out.agg(sum("n_vecs")).head.getLong(0) === emb.count())
+    graft.core.Caches.releaseScratch(spark)
+    val bad = out.filter(col("agreement_ppm") > 1000000 ||
+      col("n_suspect") > col("n_vecs") || col("n_isolated") > col("n_vecs"))
+    assert(bad.count() === 0)
+    out.unpersist()
+  }
+
   test("lsh knn: results come from a reduced candidate set with useful recall") {
     val exact = Similarity.knnExact(emb).select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

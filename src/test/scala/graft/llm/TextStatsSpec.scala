@@ -299,6 +299,38 @@ class TextStatsSpec extends SparkSpecBase {
     assert(got("varied").getLong(4) === 1000000L, "all-distinct TTR is 1e6")
   }
 
+  test("Fleiss kappa: perfectly co-varying raters score 1e6, all-agree source degenerates to 0") {
+    import spark.implicits._
+    val okText = (1 to 25).map(_ => "the").mkString(" ")    // all 3 raters: ok
+    val badText = "abcdefghijklm nopqrstuvwxyza"            // all 3 raters: not ok
+    val docs = (
+      (0L until 10L).map(id => (id, if (id % 2 == 0) okText else badText,
+        "en", "covary")) ++
+        (10L until 20L).map(id => (id, okText, "en", "allsame")))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextStats.fleissKappa(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // covary: every doc is unanimous (P_i = 1) but the ok-share is 1/2,
+    // so chance agreement is 1/2 and kappa = (1 - 1/2)/(1 - 1/2) = 1
+    assert(out("covary") === ((10L, 1000000L, 500000L, 1000000L)))
+    // allsame: P̄ = P̄e = 1 — kappa undefined; reported 0 with the
+    // evidence in pbar/pe
+    assert(out("allsame") === ((10L, 1000000L, 1000000L, 0L)))
+  }
+
+  test("Fleiss kappa over the corpus: bounded, pbar and pe lawful") {
+    val out = TextStats.fleissKappa(docs).collect()
+    assert(out.length === docs.select(col("source")).distinct().count())
+    out.foreach { r =>
+      assert(r.getLong(2) >= 333333L && r.getLong(2) <= 1000000L,
+        s"pbar outside [1/3, 1]: $r") // 3 raters, 2 cats: P_i >= 1/3
+      assert(r.getLong(3) >= 499999L && r.getLong(3) <= 1000000L,
+        s"pe outside [1/2, 1]: $r")   // p^2+(1-p)^2 >= 1/2 (floor loss 1)
+      assert(r.getLong(4) <= 1000000L, s"kappa above 1: $r")
+    }
+  }
+
   test("simpson diversity: a single-bigram source (t=1) is excluded, not 0/0") {
     import spark.implicits._
     val fixture = Seq(
