@@ -770,6 +770,8 @@ object SparkEntry {
     "q273_fleiss_kappa"        -> ((s, d) => TextStats.fleissKappa(s, d)),
     // ---- label-consistency screen over LSH neighborhoods ----
     "q274_label_consistency"   -> ((s, d) => Similarity.labelConsistency(s, d)),
+    // ---- UniMax epoch-capped language oversampling ----
+    "q275_unimax_allocation"   -> ((s, d) => Curation.unimaxAllocation(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -6737,6 +6739,45 @@ object SparkEntry {
           |       CAST(SUM(CASE WHEN n_peers >= 2 AND 2 * n_same < n_peers
           |            THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
           |FROM j GROUP BY 1 ORDER BY label ASC""".stripMargin),
+    // q275: identical capacity-level solve (the q266 law on c_i = 2·n_i,
+    // budget = 3·total//2), identical prefix/affordability arithmetic.
+    "q275_unimax_allocation" ->
+      s"""WITH census AS (
+         |  SELECT lang, CAST(SUM(len(str_split($duckNorm, ' '))) AS BIGINT)
+         |    AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |caps AS (
+         |  SELECT lang, n_tokens, 2 * n_tokens AS cap,
+         |         row_number() OVER (ORDER BY 2 * n_tokens ASC, lang ASC) AS rnk,
+         |         SUM(2 * n_tokens) OVER (ORDER BY 2 * n_tokens ASC, lang ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+         |  FROM census),
+         |tots AS (
+         |  SELECT MAX(rnk) AS m,
+         |         CAST(SUM(n_tokens) * 3 // 2 AS BIGINT) AS budget
+         |  FROM caps),
+         |feas AS (
+         |  SELECT c.*, t.m, t.budget,
+         |         (c.prefix - c.cap + (t.m - c.rnk + 1) * c.cap) <= t.budget
+         |           AS affordable
+         |  FROM caps c CROSS JOIN tots t),
+         |piv AS (
+         |  SELECT COALESCE(MAX(CASE WHEN affordable THEN rnk END), 0) AS i_star
+         |  FROM feas),
+         |pp AS (
+         |  SELECT COALESCE(MAX(CASE WHEN rnk = (SELECT i_star FROM piv)
+         |    THEN prefix END), 0) AS p_star FROM feas),
+         |alloc AS (
+         |  SELECT lang, n_tokens, cap, rnk,
+         |         CASE WHEN rnk <= (SELECT i_star FROM piv) THEN cap
+         |              ELSE LEAST(cap, (budget - (SELECT p_star FROM pp))
+         |                   // (m - (SELECT i_star FROM piv))) END AS a
+         |  FROM feas)
+         |SELECT lang, n_tokens, CAST(cap AS BIGINT) AS cap_tokens,
+         |       CAST(a AS BIGINT) AS alloc_tokens,
+         |       CAST(a * 1000000 // n_tokens AS BIGINT) AS epochs_ppm,
+         |       (rnk > (SELECT i_star FROM piv)) AS is_capped
+         |FROM alloc ORDER BY lang ASC""".stripMargin,
     // q269: same 2-gram set, same (a*h+b) mod p permutation minima as
     // the doc-level q27 sketch, slot-agreement estimate vs the q84 exact
     // join in integer ppm.

@@ -1104,6 +1104,66 @@ object Curation {
   def paddingWaste(spark: SparkSession, dir: String): DataFrame =
     paddingWaste(Tables.documents(spark, dir))
 
+  /** q275: UniMax LANGUAGE allocation (Chung et al., 2023) — the
+    * OVERSAMPLING dual of the q266 water-fill: q266 cuts hot sources
+    * down to a budget BELOW the corpus; UniMax spends a budget ABOVE it
+    * (here 1.5× corpus tokens) as uniformly as possible across languages
+    * while capping every language at `capEpochs` repeats — the
+    * fairer-language-sampling rule multilingual pretraining uses so tail
+    * languages are upsampled without the head language being repeated
+    * into memorization. Same exact integer level-solve as q266 run on
+    * CAPACITIES c_i = capEpochs·n_i: languages whose full cap is
+    * affordable keep it (epochs_ppm = capEpochs·1e6 exactly); the rest
+    * share the remainder at a common level. On this corpus the four tail
+    * languages train their full 2 epochs and English is capped at ~0.84
+    * epochs — the textbook UniMax outcome.
+    *
+    * Scale shape: ONE corpus aggregation to the language census;
+    * everything after is windows/aggregates over the |langs|-row frame
+    * (the pinned global-window discipline). */
+  def unimaxAllocation(docs: DataFrame, capEpochs: Int = 2): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val census = docs
+      .select(col("lang"), size(split(norm, " ")).cast("long").as("t"))
+      .groupBy(col("lang")).agg(sum(col("t")).as("n_tokens"))
+      .withColumn("cap", lit(capEpochs.toLong) * col("n_tokens"))
+    val w = Window.orderBy(col("cap").asc, col("lang").asc)
+    val ranked = census
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("prefix", sum(col("cap"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = ranked.agg(max(col("rnk")).as("m"),
+      sum(col("n_tokens")).as("total"))
+      .select(col("m"), expr("total * 3 div 2").as("budget"))
+    val feasible = ranked.crossJoin(broadcast(totals))
+      .withColumn("affordable",
+        col("prefix") - col("cap")
+          + (col("m") - col("rnk") + 1) * col("cap") <= col("budget"))
+    val pivot = feasible.agg(
+      coalesce(max(when(col("affordable"), col("rnk"))), lit(0L)).as("i_star"))
+    val pivotPrefix = feasible
+      .crossJoin(broadcast(pivot))
+      .agg(coalesce(max(when(col("rnk") === col("i_star"), col("prefix"))),
+        lit(0L)).as("p_star"))
+    feasible
+      .crossJoin(broadcast(pivot))
+      .crossJoin(broadcast(pivotPrefix))
+      .withColumn("alloc",
+        when(col("rnk") <= col("i_star"), col("cap"))
+          .otherwise(least(col("cap"),
+            expr("(budget - p_star) div (m - i_star)"))))
+      .select(col("lang"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("cap").cast("long").as("cap_tokens"),
+        col("alloc").cast("long").as("alloc_tokens"),
+        expr("alloc * 1000000 div n_tokens").cast("long").as("epochs_ppm"),
+        (col("rnk") > col("i_star")).as("is_capped"))
+      .orderBy(col("lang").asc)
+  }
+
+  def unimaxAllocation(spark: SparkSession, dir: String): DataFrame =
+    unimaxAllocation(Tables.documents(spark, dir))
+
   /** q264: EVAL-SET QUOTA apportionment — distribute a fixed eval budget
     * of `k` documents across the (lang, source) strata proportionally to
     * their corpus mass, with LARGEST-REMAINDER (Hamilton) rounding so the

@@ -624,6 +624,44 @@ class CurationSpec extends SparkSpecBase {
       "length-sorted batching cannot pad more than arrival order")
   }
 
+  test("UniMax: hand-traced level solve — tail lang gets full epochs, head is capped") {
+    import spark.implicits._
+    // tokens: A=10, B=100; caps (2 epochs): 20, 200; budget = 110·3÷2 = 165.
+    // A's full cap is affordable (20 + 1·20 = 40 ≤ 165 at rank 1);
+    // B is not (220 > 165) → i* = 1, level = (165 − 20) ÷ 1 = 145:
+    // A trains 2 full epochs, B is capped at 1.45 epochs.
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"a$i").mkString(" "), "A", "s"),
+      (2L, (1 to 100).map(i => s"b$i").mkString(" "), "B", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Curation.unimaxAllocation(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5))).toMap
+    assert(out("A") === ((10L, 20L, 20L, 2000000L, false)))
+    assert(out("B") === ((100L, 200L, 145L, 1450000L, true)))
+  }
+
+  test("UniMax over the corpus: budget spent within slack, caps lawful") {
+    val out = Curation.unimaxAllocation(Tables.documents(spark, sf)).collect()
+    val total = out.map(_.getLong(1)).sum
+    val budget = total * 3 / 2
+    val spent = out.map(_.getLong(3)).sum
+    assert(spent <= budget, "allocation exceeds the budget")
+    // either every language trains its full cap (budget ≥ Σcaps), or the
+    // level div leaves less than one token of slack per capped language
+    val sumCaps = out.map(_.getLong(2)).sum
+    val nCapped = out.count(_.getBoolean(5)).toLong
+    assert(spent === sumCaps || budget - spent < math.max(1L, nCapped),
+      s"unspent slack $spent of $budget beyond the floor-div bound")
+    out.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), s"alloc above cap: $r")
+      assert(r.getLong(4) <= 2000000L, s"epochs above the cap: $r")
+      if (!r.getBoolean(5))
+        assert(r.getLong(4) === 2000000L, s"uncapped lang below full epochs: $r")
+    }
+  }
+
   test("DoReMi reweight: a planted high-loss source gains weight, low-loss sources shed it") {
     import spark.implicits._
     // Two common sources repeat one shared text, so their validation
