@@ -804,7 +804,20 @@ object Curation {
     * displacement quartiles go through the same decomposition in
     * [[graft.analytics.OrderStats.valueAtRank]]. Consecutive-epoch
     * displacement is a lead() window over (doc_id, e) — one shuffle of
-    * the rank frame, no self-join; epochs is a broadcast literal. */
+    * the rank frame, no self-join; epochs is a broadcast literal.
+    *
+    * Cost floor (round-11 adjudication of the round-10 ≤1.0 s target):
+    * after the lead() fusion and folding the head-overlap census into
+    * the quartile kernel's bounds pass, the official sf0.1 time is
+    * ~1.37 s and the `graft.JobSplit` diagnostic shows why it stops
+    * there: 33 Spark jobs (AQE stage materializations across the census
+    * → rank → pairs → bounds → bucket-count → rank-shard → join chain),
+    * of which the two heaviest are 0.31/0.35 s (the rank window and the
+    * pairs materialization) and the other ~31 average under 50 ms —
+    * ≥60% of the wall is fixed job-scheduling floor, flat in data
+    * (TIME_GROWTH ratio ~1.2 on 10×), not a scale term. Cutting it
+    * further means removing ACTIONS, and every remaining action is one
+    * pass of the bucket-offset order-statistics law. */
   def epochShuffleDispersion(spark: SparkSession, dir: String,
       nEpochs: Int = 3): DataFrame = {
     import spark.implicits._
