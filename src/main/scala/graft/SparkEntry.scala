@@ -772,6 +772,12 @@ object SparkEntry {
     "q274_label_consistency"   -> ((s, d) => Similarity.labelConsistency(s, d)),
     // ---- UniMax epoch-capped language oversampling ----
     "q275_unimax_allocation"   -> ((s, d) => Curation.unimaxAllocation(s, d)),
+    // ---- U-shaped multi-touch attribution ----
+    "q276_touch_attribution"   -> ((s, d) => Funnels.uShapedAttribution(s, d)),
+    // ---- Good-Turing count-of-counts + unseen mass ----
+    "q277_good_turing"         -> ((s, d) => TextStats.goodTuringCounts(s, d)),
+    // ---- median/MAD robust outlier census (bucket-offset order stats) ----
+    "q278_robust_outliers"     -> ((s, d) => Diagnostics.robustOutlierCensus(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -6778,6 +6784,94 @@ object SparkEntry {
          |       CAST(a * 1000000 // n_tokens AS BIGINT) AS epochs_ppm,
          |       (rnk > (SELECT i_star FROM piv)) AS is_capped
          |FROM alloc ORDER BY lang ASC""".stripMargin,
+    // q276: identical user-keyed 7-day touch pairing, identical U-shaped
+    // integer credit split over the silver dedup.
+    "q276_touch_attribution" ->
+      (silverCte +
+        """,
+          |purch AS (
+          |  SELECT event_id AS pid, user_id, ts AS pts
+          |  FROM silver WHERE event_type = 'purchase'),
+          |touch AS (
+          |  SELECT p.pid, e.event_type,
+          |         row_number() OVER (PARTITION BY p.pid
+          |           ORDER BY e.ts ASC, e.event_id ASC) AS pos,
+          |         COUNT(*) OVER (PARTITION BY p.pid) AS n
+          |  FROM purch p JOIN silver e
+          |    ON e.user_id = p.user_id AND e.ts < p.pts
+          |   AND e.ts >= p.pts - INTERVAL 7 DAY
+          |   AND e.event_type <> 'purchase'),
+          |credit AS (
+          |  SELECT pid, event_type,
+          |    CASE WHEN n = 1 THEN 1000000
+          |         WHEN pos = 1 THEN 400000
+          |         WHEN pos = n THEN 400000
+          |         ELSE 200000 // (n - 2) END AS c_ppm
+          |  FROM touch)
+          |SELECT event_type,
+          |       CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_conversions_touched,
+          |       CAST(SUM(c_ppm) AS BIGINT) AS credit_ppm,
+          |       CAST(SUM(c_ppm) // 1000000 AS BIGINT) AS whole_conversions
+          |FROM credit GROUP BY 1 ORDER BY event_type ASC""".stripMargin),
+    // q277: identical count-of-counts, Turing discount, unseen mass.
+    "q277_good_turing" ->
+      s"""WITH d AS (SELECT lang, str_split($duckNorm, ' ') AS w FROM documents),
+         |bg AS (
+         |  SELECT lang, w[i] AS w1, w[i+1] AS w2
+         |  FROM d CROSS JOIN unnest(range(1, len(w))) AS u(i)
+         |  WHERE len(w) >= 2),
+         |coc AS MATERIALIZED (
+         |  SELECT lang, c, CAST(COUNT(*) AS BIGINT) AS n_c FROM (
+         |    SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+         |    FROM bg GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT lang, CAST(SUM(c * n_c) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(CASE WHEN c = 1 THEN n_c ELSE 0 END) AS BIGINT) AS n1
+         |  FROM coc GROUP BY 1)
+         |SELECT k.lang, k.c, k.n_c,
+         |       CAST(COALESCE((k.c + 1) * nx.n_c * 1000000 // k.n_c, 0)
+         |         AS BIGINT) AS cstar_ppm,
+         |       CAST(t.n1 * 1000000 // t.n_tokens AS BIGINT) AS p0_ppm
+         |FROM coc k
+         |LEFT JOIN coc nx ON nx.lang = k.lang AND nx.c = k.c + 1
+         |JOIN tot t ON t.lang = k.lang
+         |WHERE k.c <= 5
+         |ORDER BY k.lang ASC, k.c ASC""".stripMargin,
+    // q278: identical lower-median order statistics at (n+1)//2 (the
+    // VALUE at a rank is tie-invariant, so ORDER BY cents alone is
+    // deterministic), identical 2x MAD flag.
+    "q278_robust_outliers" ->
+      """WITH o AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |cnts AS (SELECT mon, COUNT(*) AS n FROM o GROUP BY 1),
+        |r AS (
+        |  SELECT o.*, row_number() OVER (PARTITION BY mon ORDER BY cents ASC)
+        |    AS rnk FROM o),
+        |med AS (
+        |  SELECT r.mon, CAST(MAX(CASE WHEN rnk = (n + 1) // 2 THEN cents END)
+        |    AS BIGINT) AS med_cents
+        |  FROM r JOIN cnts USING (mon) GROUP BY 1),
+        |dev AS (
+        |  SELECT o.mon, o.cents, m.med_cents,
+        |         ABS(o.cents - m.med_cents) AS d
+        |  FROM o JOIN med m USING (mon)),
+        |rd AS (
+        |  SELECT dev.*, row_number() OVER (PARTITION BY mon ORDER BY d ASC)
+        |    AS rnk FROM dev),
+        |mad AS (
+        |  SELECT rd.mon, CAST(MAX(CASE WHEN rnk = (n + 1) // 2 THEN d END)
+        |    AS BIGINT) AS mad_cents
+        |  FROM rd JOIN cnts USING (mon) GROUP BY 1)
+        |SELECT d.mon, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(MAX(d.med_cents) AS BIGINT) AS med_cents,
+        |       CAST(MAX(ma.mad_cents) AS BIGINT) AS mad_cents,
+        |       CAST(SUM(CASE WHEN d.d > 2 * ma.mad_cents THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad ma USING (mon)
+        |GROUP BY 1 ORDER BY d.mon ASC""".stripMargin,
     // q269: same 2-gram set, same (a*h+b) mod p permutation minima as
     // the doc-level q27 sketch, slot-agreement estimate vs the q84 exact
     // join in integer ppm.

@@ -50,6 +50,67 @@ object Diagnostics {
   def keySkewCensus(spark: SparkSession, dir: String): DataFrame =
     keySkewCensus(Tables.events(spark, dir))
 
+  /** q278: MEDIAN/MAD robust-outlier census over monthly order totals —
+    * the data-cleaning screen that replaces mean/stddev z-scores where
+    * the data is skewed or already polluted (one fat-finger order drags
+    * a mean; it cannot drag a median). Per order-month: the exact LOWER
+    * median of the cent totals, the median absolute deviation around it,
+    * and how many orders sit beyond 2×MAD. Totals are exact integer
+    * cents (`round(price·100)` — exact on this data's 2-decimal
+    * doubles); both medians are the order statistic at position
+    * (n+1) div 2, so the answer is a specific element, never an
+    * interpolated float.
+    *
+    * Scale shape: BOTH medians run through
+    * [[graft.analytics.OrderStats.valueAtRank]]'s bucket-offset
+    * decomposition — no single-task sort anywhere — with the requested
+    * positions derived per group from the month census (the kernel's
+    * positions input is a frame, not driver literals). The cents and
+    * deviation frames are scratch-persisted: the kernel scans its
+    * values input twice plus a rank pass. */
+  def robustOutlierCensus(orders: DataFrame, madK: Int = 2): DataFrame = {
+    val o = graft.core.Caches.scratch(orders.select(
+      trunc(col("o_orderdate"), "mon").as("part"),
+      round(col("o_totalprice") * 100).cast("long").as("v")))
+    // eager checkpoint: the positions frame derives FROM the values
+    // frame it is ranked against (pos = (n+1) div 2 per group), and both
+    // kernel calls join the two — a LogicalRDD leaf with fresh attribute
+    // ids is the clean way out of the ambiguous-self-join trap for an
+    // ≤80-row frame (tracked, released with the scratch sweep)
+    val positions = graft.core.Caches.trackCheckpoint(
+      o.groupBy(col("part")).agg(count(lit(1)).as("n"))
+        .select(col("part"), lit(50L).as("q"), expr("(n + 1) div 2").as("pos"))
+        .localCheckpoint(true))
+    // the kernel's output `part` keeps the values frame's attribute, so
+    // joining it back onto the same frame is a true self-join — re-alias
+    // the tiny per-group results before the equi-join
+    val med = OrderStats.valueAtRank(o, positions)
+      .select(col("part").as("mpart"), col("v").as("med_cents"))
+    val dev = graft.core.Caches.scratch(
+      o.join(broadcast(med), col("part") === col("mpart"))
+        .select(col("part"), col("v"), col("med_cents"),
+          abs(col("v") - col("med_cents")).as("d")))
+    val mad = OrderStats.valueAtRank(
+        dev.select(col("part"), col("d").as("v")), positions)
+      .select(col("part").as("apart"), col("v").as("mad_cents"))
+    dev.join(broadcast(mad), col("part") === col("apart"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_orders"),
+        max(col("med_cents")).as("med_cents"),
+        max(col("mad_cents")).as("mad_cents"),
+        sum(when(col("d") > lit(madK.toLong) * col("mad_cents"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("part").as("mon"),
+        col("n_orders").cast("long").as("n_orders"),
+        col("med_cents").cast("long").as("med_cents"),
+        col("mad_cents").cast("long").as("mad_cents"),
+        col("n_outliers").cast("long").as("n_outliers"))
+      .orderBy(col("mon").asc)
+  }
+
+  def robustOutlierCensus(spark: SparkSession, dir: String): DataFrame =
+    robustOutlierCensus(Tables.orders(spark, dir))
+
   /** Heavy hitters via the [[graft.functions.MisraGries]] sketch, gated
     * the q38/q64 way: the sketch's CONTENT is engine-specific (and
     * merge-order-dependent in its non-guaranteed tail), so the query

@@ -42,6 +42,54 @@ object Funnels {
   def funnel(spark: SparkSession, dir: String): DataFrame =
     funnel(EventsPipeline.silver(spark, dir))
 
+  /** q276: U-SHAPED multi-touch attribution — the position-based credit
+    * model marketing analytics ships alongside first/last-touch: every
+    * purchase distributes 1e6 ppm of credit over the user's preceding
+    * 7 days of non-purchase touches — 40% to the first touch, 40% to the
+    * last, the middle 20% split evenly (a single touch takes all; two
+    * touches split 50/50). Exact integer ppm: middles get
+    * 200000 div (n−2) each, the floor remainder deliberately unassigned
+    * (deterministic, and both engines floor alike on the non-negative
+    * operands).
+    *
+    * Scale shape: the purchase×touch pairing is a USER-keyed equi-join
+    * with a time-range predicate — fan-out bounded by per-user activity
+    * (the same class as the funnel/retention joins above), never a
+    * corpus cross join; the position window partitions by purchase id.
+    * Touch order is total: (ts, event_id). */
+  def uShapedAttribution(silver: DataFrame): DataFrame = {
+    val ev = silver.select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"))
+    val touches = purch.as("p").join(ev.as("e"),
+        col("e.user_id") === col("p.user_id") &&
+          col("e.ts") < col("p.pts") &&
+          col("e.ts") >= col("p.pts") - expr("INTERVAL 7 DAYS") &&
+          col("e.event_type") =!= lit("purchase"))
+      .select(col("p.pid"), col("e.event_type"), col("e.ts"), col("e.event_id"))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    touches
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("pid"))))
+      .withColumn("c_ppm",
+        when(col("n") === 1, lit(1000000L))
+          .when(col("pos") === 1 || col("pos") === col("n"), lit(400000L))
+          .otherwise(expr("200000 div (n - 2)")))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("pid")).as("n_conversions_touched"),
+        sum(col("c_ppm")).as("credit_ppm"))
+      .select(col("event_type"),
+        col("n_conversions_touched").cast("long").as("n_conversions_touched"),
+        col("credit_ppm").cast("long").as("credit_ppm"),
+        expr("credit_ppm div 1000000").cast("long").as("whole_conversions"))
+      .orderBy(col("event_type").asc)
+  }
+
+  def uShapedAttribution(spark: SparkSession, dir: String): DataFrame =
+    uShapedAttribution(EventsPipeline.silver(spark, dir))
+
   /** Day-1 / day-7 cohort retention: cohort = a user's first active date;
     * retained = active exactly k days later. Exact ppm rates per cohort.
     * The (user, date) activity set is distinct-compressed BEFORE the

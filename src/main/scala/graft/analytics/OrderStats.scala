@@ -69,9 +69,14 @@ object OrderStats {
       .agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(wb))
       .withColumn("off", col("cum") - col("c"))
-    // route each position to its bucket; rank only inside hit buckets
-    val hits = positions.join(offsets,
-        positions("part") === offsets("part")
+    // route each position to its bucket; rank only inside hit buckets.
+    // positions' columns are re-aliased first so a caller may derive the
+    // positions frame FROM the values frame (e.g. pos = (count+1) div 2
+    // per group) without tripping the ambiguous-self-join check.
+    val posR = positions.select(col("part").as("pos_part"), col("q"),
+      col("pos"))
+    val hits = posR.join(offsets,
+        col("pos_part") === offsets("part")
           && col("pos") > col("off") && col("pos") <= col("cum"))
       .select(offsets("part").as("part"), col("q"), col("pos"),
         col("bkt"), col("off"))

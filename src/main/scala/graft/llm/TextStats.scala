@@ -652,6 +652,50 @@ object TextStats {
   def bigramCounts(spark: SparkSession, dir: String): DataFrame =
     bigramCounts(Tables.documents(spark, dir))
 
+  /** q277: GOOD–TURING count-of-counts — the frequency-of-frequencies
+    * table Good–Turing smoothing is built from, the classic answer to
+    * "how much probability should the LM reserve for bigrams it has
+    * never seen": per lang, N_c = how many distinct bigrams occur
+    * exactly c times; the discounted count c* = (c+1)·N_{c+1}/N_c in
+    * exact integer ppm (c* < c·1e6 is the Turing discount at work), and
+    * the unseen mass p₀ = N₁/N — the number every KN/GT-smoothed LM
+    * quotes. Emitted for the low counts (c ≤ 5) where the estimator is
+    * meaningful; a c with no successor count reports c* = 0 (the
+    * undefined cell, visible rather than imputed).
+    *
+    * Scale shape: one corpus explode to the vocab²-bounded count table
+    * (scratch — the count-of-counts, its shifted self-join and the
+    * totals all read it), then everything is |langs|·|counts|-sized. */
+  def goodTuringCounts(docs: DataFrame, maxC: Int = 5): DataFrame = {
+    val bg = docs
+      .select(col("lang"), split(norm, " ").as("w"))
+      .select(col("lang"), explode(expr(
+        "transform(slice(w, 1, size(w)-1), (x, i) -> " +
+          "struct(x AS w1, element_at(w, i+2) AS w2))")).as("p"))
+      .select(col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val coc = graft.core.Caches.scratch(
+      bg.groupBy(col("lang"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("lang"), col("c"))
+        .agg(count(lit(1)).as("n_c")))
+    val tot = coc.groupBy(col("lang"))
+      .agg(sum(col("c") * col("n_c")).as("n_tokens"),
+        sum(when(col("c") === 1, col("n_c")).otherwise(0L)).as("n1"))
+    coc.filter(col("c") <= maxC)
+      .join(coc.select(col("lang"), (col("c") - 1).as("c"),
+        col("n_c").as("n_next")), Seq("lang", "c"), "left")
+      .join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("c").cast("long").as("c"),
+        col("n_c").cast("long").as("n_c"),
+        coalesce(expr("(c + 1) * n_next * 1000000 div n_c"), lit(0L))
+          .cast("long").as("cstar_ppm"),
+        expr("n1 * 1000000 div n_tokens").cast("long").as("p0_ppm"))
+      .orderBy(col("lang").asc, col("c").asc)
+  }
+
+  def goodTuringCounts(spark: SparkSession, dir: String): DataFrame =
+    goodTuringCounts(Tables.documents(spark, dir))
+
   /** q134: per-lang k-shingle census through the LAZY shingle generator
     * ([[graft.functions.WordShingles]]): distinct and total word
     * trigrams per language — the corpus-profiling pass run before sizing

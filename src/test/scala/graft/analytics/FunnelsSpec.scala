@@ -214,4 +214,39 @@ class FunnelsSpec extends SparkSpecBase {
       .agg(sum(expr("CAST(round(value * 100) AS BIGINT)"))).head.getLong(0)
     assert(out.map(_.getLong(3)).sum === total, "cents not conserved")
   }
+
+  test("U-shaped attribution: hand-traced credit split, lookback enforced") {
+    // user 1: view, click, view → purchase: first/last views take 400k
+    // each, the middle click 200k. user 2: one click → purchase: 1e6.
+    // user 3: a touch OUTSIDE the 7-day lookback earns nothing.
+    val sv = silverOf(Seq(
+      silverRow(1, 1, "view", 10), silverRow(2, 1, "click", 20),
+      silverRow(3, 1, "view", 30), silverRow(4, 1, "purchase", 40),
+      silverRow(5, 2, "click", 10), silverRow(6, 2, "purchase", 20),
+      silverRow(7, 3, "view", 10),
+      silverRow(8, 3, "purchase", 10 + 8 * 24 * 3600)))
+    val out = Funnels.uShapedAttribution(sv).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("view") === ((1L, 800000L)), "first+last views take 2×400k")
+    assert(out("click") === ((2L, 1200000L)), "middle 200k + solo 1e6")
+    assert(!out.contains("purchase"), "purchases are conversions, not touches")
+  }
+
+  test("U-shaped attribution over the corpus: credit conserves per conversion") {
+    val silver = graft.pipeline.EventsPipeline.silver(spark, sf)
+    val out = Funnels.uShapedAttribution(silver).collect()
+    assert(out.nonEmpty, "fixture must have attributable purchases")
+    // direct recount of touched conversions: every one distributes at
+    // most 1e6 ppm and at least 1e6 − (n−2) (middle-split floor loss)
+    val touched = silver.as("p").join(silver.as("e"),
+        col("e.user_id") === col("p.user_id") &&
+          col("e.ts") < col("p.ts") &&
+          col("e.ts") >= col("p.ts") - expr("INTERVAL 7 DAYS") &&
+          col("e.event_type") =!= lit("purchase"))
+      .filter(col("p.event_type") === "purchase")
+      .select(col("p.event_id")).distinct().count()
+    val totalCredit = out.map(_.getLong(2)).sum
+    assert(totalCredit <= touched * 1000000L, "credit exceeds conversions")
+    assert(totalCredit > touched * 990000L, "floor loss beyond plausible")
+  }
 }

@@ -299,6 +299,31 @@ class TextStatsSpec extends SparkSpecBase {
     assert(got("varied").getLong(4) === 1000000L, "all-distinct TTR is 1e6")
   }
 
+  test("Good-Turing: hand-traced count-of-counts, discount, unseen mass") {
+    import spark.implicits._
+    // 'a b a b c': bigrams (a,b)×2, (b,a)×1, (b,c)×1 → N₁=2, N₂=1.
+    // c=1: c* = 2·N₂/N₁ = 1.0 → 1e6 ppm; c=2: N₃=0 → 0 (undefined cell).
+    // p₀ = N₁/N = 2/4 = 500000.
+    val docs = Seq((1L, "a b a b c", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val out = TextStats.goodTuringCounts(docs).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    graft.core.Caches.releaseScratch(spark)
+    assert(out(1L) === ((2L, 1000000L, 500000L)))
+    assert(out(2L) === ((1L, 0L, 500000L)))
+  }
+
+  test("Good-Turing over the corpus: totals reconcile, Turing discount visible") {
+    val out = TextStats.goodTuringCounts(docs).collect()
+    graft.core.Caches.releaseScratch(spark)
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      // p0 constant per lang, bounded
+      assert(rows.map(_.getLong(4)).distinct.length === 1, s"$lang p0 varies")
+      assert(rows.forall(r => r.getLong(4) > 0 && r.getLong(4) < 1000000L))
+      rows.foreach(r => assert(r.getLong(2) > 0, s"empty count-of-counts: $r"))
+    }
+  }
+
   test("Fleiss kappa: perfectly co-varying raters score 1e6, all-agree source degenerates to 0") {
     import spark.implicits._
     val okText = (1 to 25).map(_ => "the").mkString(" ")    // all 3 raters: ok
