@@ -778,6 +778,12 @@ object SparkEntry {
     "q277_good_turing"         -> ((s, d) => TextStats.goodTuringCounts(s, d)),
     // ---- median/MAD robust outlier census (bucket-offset order stats) ----
     "q278_robust_outliers"     -> ((s, d) => Diagnostics.robustOutlierCensus(s, d)),
+    // ---- T5-style span-corruption mask plan (gaps-and-islands) ----
+    "q279_span_corruption"     -> ((s, d) => Curation.spanCorruptionPlan(s, d)),
+    // ---- Zipf rank-frequency product audit (log-free) ----
+    "q280_zipf_audit"          -> ((s, d) => TextStats.zipfAudit(s, d)),
+    // ---- discrete-time churn hazard (survival analysis) ----
+    "q281_churn_hazard"        -> ((s, d) => Funnels.churnHazard(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -6872,6 +6878,78 @@ object SparkEntry {
         |         AS BIGINT) AS n_outliers
         |FROM dev d JOIN mad ma USING (mon)
         |GROUP BY 1 ORDER BY d.mon ASC""".stripMargin,
+    // q279: identical positional mask hash, identical islands reduction.
+    "q279_span_corruption" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, i AS pos,
+         |    CAST('0x' || substr(md5('mask:' || CAST(doc_id AS VARCHAR)
+         |      || ':' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 15
+         |      AS masked
+         |  FROM (SELECT doc_id, source, str_split($duckNorm, ' ') AS w
+         |        FROM documents)
+         |  CROSS JOIN unnest(range(1, len(w) + 1)) AS u(i)),
+         |isl AS (
+         |  SELECT doc_id, source, pos,
+         |         pos - row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY pos ASC) AS grp
+         |  FROM toks WHERE masked),
+         |spans AS (
+         |  SELECT doc_id, source, grp, CAST(COUNT(*) AS BIGINT) AS span_len
+         |  FROM isl GROUP BY 1, 2, 3),
+         |tot AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_masked
+         |  FROM toks GROUP BY 1),
+         |sp AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |         CAST(MAX(span_len) AS BIGINT) AS max_span
+         |  FROM spans GROUP BY 1)
+         |SELECT t.source, t.n_tokens, t.n_masked,
+         |       CAST(t.n_masked * 1000000 // t.n_tokens AS BIGINT)
+         |         AS masked_ppm,
+         |       s.n_spans, s.max_span,
+         |       CAST(t.n_masked * 1000000 // s.n_spans AS BIGINT)
+         |         AS mean_span_ppm
+         |FROM tot t JOIN sp s USING (source) ORDER BY t.source ASC""".stripMargin,
+    // q280: identical total-order head ranking, identical r·f products.
+    "q280_zipf_audit" ->
+      s"""WITH wc AS (
+         |  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS f
+         |  FROM (SELECT lang, unnest(str_split($duckNorm, ' ')) AS w
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT lang, w, f,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY f DESC, w ASC) AS rnk
+         |  FROM wc)
+         |SELECT lang, CAST(rnk AS BIGINT) AS rnk, w, f,
+         |       CAST(rnk * f AS BIGINT) AS rf
+         |FROM r WHERE rnk <= 20 ORDER BY lang ASC, rnk ASC""".stripMargin,
+    // q281: identical per-user span explode over the silver dedup —
+    // every day in [first, last] counts the user at risk.
+    "q281_churn_hazard" ->
+      (silverCte +
+        """,
+          |span AS (
+          |  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d,
+          |         MAX(CAST(ts AS DATE)) AS last_d
+          |  FROM silver GROUP BY 1),
+          |days AS (
+          |  SELECT last_d, CAST(u.d AS DATE) AS d
+          |  FROM span
+          |  CROSS JOIN unnest(generate_series(CAST(first_d AS TIMESTAMP),
+          |    CAST(last_d AS TIMESTAMP), INTERVAL 1 DAY)) AS u(d)),
+          |census AS (
+          |  SELECT d, CAST(COUNT(*) AS BIGINT) AS n_at_risk,
+          |         CAST(SUM(CASE WHEN last_d = d THEN 1 ELSE 0 END)
+          |           AS BIGINT) AS n_churned
+          |  FROM days GROUP BY 1)
+          |SELECT d, n_at_risk, n_churned,
+          |       CAST(n_churned * 1000000 // n_at_risk AS BIGINT)
+          |         AS hazard_ppm
+          |FROM census ORDER BY d ASC""".stripMargin),
     // q269: same 2-gram set, same (a*h+b) mod p permutation minima as
     // the doc-level q27 sketch, slot-agreement estimate vs the q84 exact
     // join in integer ppm.

@@ -90,6 +90,42 @@ object Funnels {
   def uShapedAttribution(spark: SparkSession, dir: String): DataFrame =
     uShapedAttribution(EventsPipeline.silver(spark, dir))
 
+  /** q281: DAILY CHURN-HAZARD table — discrete-time survival analysis
+    * over user activity: for each day, how many users are AT RISK (their
+    * observed activity span covers the day) and how many CHURN (it is
+    * their last active day); hazard = churned/at-risk in exact ppm. The
+    * hazard table is the survival curve's derivative and the input every
+    * retention model fits — kept as integer hazards per day rather than
+    * a Kaplan–Meier cumulative product precisely because a cumulative
+    * product of rationals cannot cross the hash gate without
+    * transcendentals. The final days' hazard spike is right-censoring
+    * made visible (everyone's span ends when observation does), which is
+    * the first thing a survival analyst checks for.
+    *
+    * Scale shape: one per-user span aggregation, then each user explodes
+    * their ≤|observation window| active days (sequence — linear with a
+    * domain-constant factor, no users × days cross join) into one daily
+    * census. */
+  def churnHazard(silver: DataFrame): DataFrame = {
+    val span = silver
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .groupBy(col("user_id"))
+      .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"))
+    span
+      .select(col("last_d"), explode(expr("sequence(first_d, last_d)")).as("d"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_at_risk"),
+        sum(when(col("last_d") === col("d"), 1L).otherwise(0L)).as("n_churned"))
+      .select(col("d"),
+        col("n_at_risk").cast("long").as("n_at_risk"),
+        col("n_churned").cast("long").as("n_churned"),
+        expr("n_churned * 1000000 div n_at_risk").cast("long").as("hazard_ppm"))
+      .orderBy(col("d").asc)
+  }
+
+  def churnHazard(spark: SparkSession, dir: String): DataFrame =
+    churnHazard(EventsPipeline.silver(spark, dir))
+
   /** Day-1 / day-7 cohort retention: cohort = a user's first active date;
     * retained = active exactly k days later. Exact ppm rates per cohort.
     * The (user, date) activity set is distinct-compressed BEFORE the

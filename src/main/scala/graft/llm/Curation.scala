@@ -1177,6 +1177,53 @@ object Curation {
   def unimaxAllocation(spark: SparkSession, dir: String): DataFrame =
     unimaxAllocation(Tables.documents(spark, dir))
 
+  /** q279: SPAN-CORRUPTION mask plan — the deterministic twin of the
+    * T5/BERT-style random span masking a denoising pretraining run
+    * applies: every token draws a keep/mask decision from a positional
+    * hash (h60("mask:doc:pos") mod 100 < 15 → ~15% mask rate), and
+    * CONTIGUOUS masked runs become corruption spans via the classic
+    * gaps-and-islands reduction (pos − row_number over the masked
+    * positions is constant within a run). The census per source — token
+    * and masked counts, exact masked ppm, span count, max span, mean
+    * span length in ppm — is what a data loader publishes so the
+    * training objective's corruption statistics are auditable and
+    * reproducible rather than RNG-dependent.
+    *
+    * Scale shape: one positional explode (linear), the island window
+    * partitions by doc (never corpus-global), two combinable censuses. */
+  def spanCorruptionPlan(docs: DataFrame, maskPct: Int = 15): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val toks = docs
+      .select(col("doc_id"), col("source"), posexplode(split(norm, " "))
+        .as(Seq("p0", "tok")))
+      .select(col("doc_id"), col("source"), (col("p0") + 1).as("pos"))
+      .withColumn("masked",
+        h60(concat(lit("mask:"), col("doc_id").cast("string"), lit(":"),
+          col("pos").cast("string"))) % 100 < maskPct)
+    val spans = toks.filter(col("masked"))
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)))
+      .groupBy(col("doc_id"), col("source"), col("grp"))
+      .agg(count(lit(1)).as("span_len"))
+    val tot = toks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"))
+    val sp = spans.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_spans"), max(col("span_len")).as("max_span"))
+    tot.join(sp, Seq("source"))
+      .select(col("source"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_masked").cast("long").as("n_masked"),
+        expr("n_masked * 1000000 div n_tokens").cast("long").as("masked_ppm"),
+        col("n_spans").cast("long").as("n_spans"),
+        col("max_span").cast("long").as("max_span"),
+        expr("n_masked * 1000000 div n_spans").cast("long").as("mean_span_ppm"))
+      .orderBy(col("source").asc)
+  }
+
+  def spanCorruptionPlan(spark: SparkSession, dir: String): DataFrame =
+    spanCorruptionPlan(Tables.documents(spark, dir))
+
   /** q264: EVAL-SET QUOTA apportionment — distribute a fixed eval budget
     * of `k` documents across the (lang, source) strata proportionally to
     * their corpus mass, with LARGEST-REMAINDER (Hamilton) rounding so the

@@ -696,6 +696,35 @@ object TextStats {
   def goodTuringCounts(spark: SparkSession, dir: String): DataFrame =
     goodTuringCounts(Tables.documents(spark, dir))
 
+  /** q280: ZIPF rank-frequency audit, logarithm-free — Zipf's law says
+    * rank × frequency is roughly constant over a natural corpus's head;
+    * the r·f product per head word IS that check in exact integers (a
+    * log-log slope fit would put IEEE transcendentals in the gate; the
+    * product column carries the same signal for the head, where Zipf
+    * deviations matter for tokenizer/stopword decisions). Per lang: the
+    * top-k words by frequency with a TOTAL (f DESC, w ASC) order, their
+    * counts, and r·f. A synthetic uniform vocabulary shows up instantly
+    * as r·f growing ~linearly in r instead of holding flat — exactly
+    * what this fixture's 31-word corpus does, and the audit's point.
+    *
+    * Scale shape: one corpus explode to the vocab-bounded count table;
+    * the rank window partitions per lang over that domain-sized frame;
+    * rank-limit pushdown turns the top-k into WindowGroupLimit. */
+  def zipfAudit(docs: DataFrame, k: Int = 20): DataFrame = {
+    val wc = docs
+      .select(col("lang"), explode(split(norm, " ")).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("f"))
+    wc.withColumn("rnk", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("f").desc, col("w").asc)).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("w"), col("f").cast("long").as("f"),
+        (col("rnk") * col("f")).cast("long").as("rf"))
+      .orderBy(col("lang").asc, col("rnk").asc)
+  }
+
+  def zipfAudit(spark: SparkSession, dir: String): DataFrame =
+    zipfAudit(Tables.documents(spark, dir))
+
   /** q134: per-lang k-shingle census through the LAZY shingle generator
     * ([[graft.functions.WordShingles]]): distinct and total word
     * trigrams per language — the corpus-profiling pass run before sizing

@@ -232,6 +232,36 @@ class FunnelsSpec extends SparkSpecBase {
     assert(!out.contains("purchase"), "purchases are conversions, not touches")
   }
 
+  test("churn hazard: hand-traced at-risk and churn counts") {
+    // u1 active days 1–3, u2 days 2–3, u3 day 2 only:
+    //  day1: risk {u1}, churn 0; day2: risk {u1,u2,u3}, churn {u3};
+    //  day3: risk {u1,u2}, churn both → hazard 1e6.
+    val day = 24 * 3600L
+    val sv = silverOf(Seq(
+      silverRow(1, 1, "view", 0), silverRow(2, 1, "view", 2 * day),
+      silverRow(3, 2, "view", 1 * day), silverRow(4, 2, "view", 2 * day),
+      silverRow(5, 3, "view", 1 * day)))
+    val out = Funnels.churnHazard(sv).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out === Seq((1L, 0L, 0L), (3L, 1L, 333333L), (2L, 2L, 1000000L)))
+  }
+
+  test("churn hazard over the corpus: risk monotone bookkeeping, final-day censoring") {
+    val out = Funnels.churnHazard(
+      graft.pipeline.EventsPipeline.silver(spark, sf)).collect()
+    assert(out.nonEmpty)
+    val users = graft.pipeline.EventsPipeline.silver(spark, sf)
+      .select("user_id").distinct().count()
+    assert(out.map(_.getLong(2)).sum === users,
+      "every user churns exactly once in a right-censored window")
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"more churned than at risk: $r")
+      assert(r.getLong(3) <= 1000000L)
+    }
+    // right-censoring: the final observed day's hazard is maximal (1e6)
+    assert(out.last.getLong(3) === 1000000L, "censoring spike missing")
+  }
+
   test("U-shaped attribution over the corpus: credit conserves per conversion") {
     val silver = graft.pipeline.EventsPipeline.silver(spark, sf)
     val out = Funnels.uShapedAttribution(silver).collect()

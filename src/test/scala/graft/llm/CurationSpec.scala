@@ -624,6 +624,25 @@ class CurationSpec extends SparkSpecBase {
       "length-sorted batching cannot pad more than arrival order")
   }
 
+  test("span-corruption plan: spans partition the mask, rate near target, deterministic") {
+    val docs = Tables.documents(spark, sf)
+    val out = Curation.spanCorruptionPlan(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nTok, nMask, ppm, nSpans, maxSpan, meanPpm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))
+      assert(nMask <= nTok && nSpans <= nMask, s"mask bookkeeping broken: $r")
+      assert(meanPpm >= 1000000L, s"a span shorter than one token: $r")
+      assert(maxSpan.toDouble * nSpans >= nMask, s"spans cannot cover mask: $r")
+      // 15% hash rate: binomial noise at ~1300 tokens stays well inside
+      assert(ppm > 100000L && ppm < 200000L, s"mask rate off target: $r")
+    }
+    // hash determinism: a second run is bit-identical
+    val again = Curation.spanCorruptionPlan(docs).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("UniMax: hand-traced level solve — tail lang gets full epochs, head is capped") {
     import spark.implicits._
     // tokens: A=10, B=100; caps (2 epochs): 20, 200; budget = 110·3÷2 = 165.

@@ -299,6 +299,23 @@ class TextStatsSpec extends SparkSpecBase {
     assert(got("varied").getLong(4) === 1000000L, "all-distinct TTR is 1e6")
   }
 
+  test("Zipf audit: dense head ranks, non-increasing counts, exact products") {
+    val out = TextStats.zipfAudit(docs).collect()
+    out.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to sorted.length).toSeq,
+        s"$lang ranks not dense")
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getLong(3) >= b.getLong(3), s"$lang counts not sorted")
+      case _ => }
+      sorted.foreach(r => assert(r.getLong(4) === r.getLong(1) * r.getLong(3)))
+      // the synthetic uniform vocabulary is ANTI-Zipf: r·f must grow
+      // from the head to rank 20 — the exact signal the audit exists for
+      assert(sorted.last.getLong(4) > sorted.head.getLong(4) * 5,
+        s"$lang: uniform vocab should be loudly non-Zipf")
+    }
+  }
+
   test("Good-Turing: hand-traced count-of-counts, discount, unseen mass") {
     import spark.implicits._
     // 'a b a b c': bigrams (a,b)×2, (b,a)×1, (b,c)×1 → N₁=2, N₂=1.
