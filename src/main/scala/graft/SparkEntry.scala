@@ -784,6 +784,12 @@ object SparkEntry {
     "q280_zipf_audit"          -> ((s, d) => TextStats.zipfAudit(s, d)),
     // ---- discrete-time churn hazard (survival analysis) ----
     "q281_churn_hazard"        -> ((s, d) => Funnels.churnHazard(s, d)),
+    // ---- Benford first-digit forensic audit ----
+    "q282_benford_audit"       -> ((s, d) => Diagnostics.benfordAudit(s, d)),
+    // ---- Tukey median polish of the weekday x hour matrix ----
+    "q283_median_polish"       -> ((s, d) => Funnels.medianPolish(s, d)),
+    // ---- Fano-factor burstiness census ----
+    "q284_fano_burstiness"     -> ((s, d) => Funnels.fanoBurstiness(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -6950,6 +6956,82 @@ object SparkEntry {
           |       CAST(n_churned * 1000000 // n_at_risk AS BIGINT)
           |         AS hazard_ppm
           |FROM census ORDER BY d ASC""".stripMargin),
+    // q282: identical integer-cents first digit, identical published
+    // Benford ppm literals.
+    "q282_benford_audit" ->
+      """WITH b(d, benford_ppm) AS (VALUES (1,301030),(2,176091),(3,124939),
+        |  (4,96910),(5,79181),(6,66947),(7,57992),(8,51153),(9,45757)),
+        |o AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INTEGER) AS d
+        |  FROM orders WHERE o_totalprice > 0),
+        |obs AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM obs)
+        |SELECT b.d, CAST(COALESCE(obs.n, 0) AS BIGINT) AS n,
+        |       CAST(COALESCE(obs.n, 0) * 1000000 // tot.t AS BIGINT)
+        |         AS obs_ppm,
+        |       CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+        |       CAST(ABS(COALESCE(obs.n, 0) * 1000000 // tot.t
+        |         - b.benford_ppm) AS BIGINT) AS dev_ppm
+        |FROM b LEFT JOIN obs ON obs.d = b.d CROSS JOIN tot
+        |ORDER BY b.d ASC""".stripMargin,
+    // q283: identical lower-median row/column sweeps over the 7x24 cell
+    // matrix; weekday 0=Sunday in both engines (Spark dayofweek - 1).
+    "q283_median_polish" ->
+      (silverCte +
+        """,
+          |cells AS (
+          |  SELECT dayofweek(ts) AS wd, hour(ts) AS hr,
+          |         CAST(COUNT(*) AS BIGINT) AS cnt
+          |  FROM silver GROUP BY 1, 2),
+          |rmed AS (
+          |  SELECT wd, CAST(MAX(CASE WHEN rnk = (n + 1) // 2 THEN cnt END)
+          |    AS BIGINT) AS row_med
+          |  FROM (SELECT wd, cnt,
+          |          row_number() OVER (PARTITION BY wd ORDER BY cnt ASC)
+          |            AS rnk,
+          |          COUNT(*) OVER (PARTITION BY wd) AS n FROM cells)
+          |  GROUP BY 1),
+          |res1 AS (
+          |  SELECT c.wd, c.hr, c.cnt, r.row_med, c.cnt - r.row_med AS r1
+          |  FROM cells c JOIN rmed r USING (wd)),
+          |cmed AS (
+          |  SELECT hr, CAST(MAX(CASE WHEN rnk = (n + 1) // 2 THEN r1 END)
+          |    AS BIGINT) AS col_med
+          |  FROM (SELECT hr, r1,
+          |          row_number() OVER (PARTITION BY hr ORDER BY r1 ASC)
+          |            AS rnk,
+          |          COUNT(*) OVER (PARTITION BY hr) AS n FROM res1)
+          |  GROUP BY 1)
+          |SELECT CAST(r.wd AS BIGINT) AS wd, CAST(r.hr AS BIGINT) AS hr,
+          |       r.cnt, r.row_med, c.col_med,
+          |       CAST(r.r1 - c.col_med AS BIGINT) AS residual
+          |FROM res1 r JOIN cmed c USING (hr)
+          |ORDER BY r.wd ASC, r.hr ASC""".stripMargin),
+    // q284: identical daily-count moments, identical integer Fano form,
+    // identical n >= 5 support floor and 0.5 overdispersion line.
+    "q284_fano_burstiness" ->
+      (silverCte +
+        """,
+          |daily AS (
+          |  SELECT user_id, event_type, CAST(ts AS DATE) AS d,
+          |         CAST(COUNT(*) AS BIGINT) AS x
+          |  FROM silver GROUP BY 1, 2, 3),
+          |peruser AS (
+          |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          |         CAST(SUM(x) AS BIGINT) AS sx,
+          |         CAST(SUM(x * x) AS BIGINT) AS sxx
+          |  FROM daily GROUP BY 1, 2),
+          |fano AS (
+          |  SELECT event_type,
+          |         (n * sxx - sx * sx) * 1000000 // (n * sx) AS fano_ppm
+          |  FROM peruser WHERE n >= 5)
+          |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+          |       CAST(SUM(fano_ppm) // COUNT(*) AS BIGINT) AS mean_fano_ppm,
+          |       CAST(MAX(fano_ppm) AS BIGINT) AS max_fano_ppm,
+          |       CAST(SUM(CASE WHEN fano_ppm > 500000 THEN 1 ELSE 0 END)
+          |         AS BIGINT) AS n_overdispersed
+          |FROM fano GROUP BY 1 ORDER BY event_type ASC""".stripMargin),
     // q269: same 2-gram set, same (a*h+b) mod p permutation minima as
     // the doc-level q27 sketch, slot-agreement estimate vs the q84 exact
     // join in integer ppm.

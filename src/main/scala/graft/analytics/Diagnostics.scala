@@ -111,6 +111,43 @@ object Diagnostics {
   def robustOutlierCensus(spark: SparkSession, dir: String): DataFrame =
     robustOutlierCensus(Tables.orders(spark, dir))
 
+  /** q282: BENFORD first-digit audit over order totals — the classic
+    * forensic-accounting screen: naturally-arising monetary amounts put
+    * ~30.1% of first digits at 1 (P(d) = log₁₀(1+1/d)); fabricated or
+    * mechanically-generated amounts don't. The expected shares enter as
+    * integer ppm LITERALS (the published constants), so no logarithm
+    * touches the hash gate; output per digit: observed count, observed
+    * ppm, Benford ppm, absolute deviation. This synthetic corpus's
+    * uniform prices are loudly non-Benford — which is the audit doing
+    * its job, same contract as the q280 anti-Zipf finding.
+    *
+    * Scale shape: one scan → 9-row census; the digit comes from the
+    * exact integer cents' decimal string, no float formatting. */
+  def benfordAudit(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val expected = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+      9 -> 45757L).toDF("d", "benford_ppm")
+    val obs = orders.filter(col("o_totalprice") > 0)
+      .select(substring(round(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+    val tot = obs.agg(sum(col("n")).as("t"))
+    broadcast(expected).join(obs, Seq("d"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("d"), col("n").cast("long").as("n"),
+        expr("n * 1000000 div t").cast("long").as("obs_ppm"),
+        col("benford_ppm").cast("long").as("benford_ppm"),
+        abs(expr("n * 1000000 div t") - col("benford_ppm")).cast("long")
+          .as("dev_ppm"))
+      .orderBy(col("d").asc)
+  }
+
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame =
+    benfordAudit(Tables.orders(spark, dir))
+
   /** Heavy hitters via the [[graft.functions.MisraGries]] sketch, gated
     * the q38/q64 way: the sketch's CONTENT is engine-specific (and
     * merge-order-dependent in its non-guaranteed tail), so the query

@@ -126,6 +126,94 @@ object Funnels {
   def churnHazard(spark: SparkSession, dir: String): DataFrame =
     churnHazard(EventsPipeline.silver(spark, dir))
 
+  /** q283: ONE-SWEEP MEDIAN POLISH of the weekday × hour activity
+    * matrix — Tukey's robust two-way decomposition: cell = row effect
+    * (weekday median) + column effect (hour median of the row residual)
+    * + residual. Mean-based two-way fits are dragged by one hot cell
+    * (a flash event on Tuesday 9pm poisons Tuesday AND 9pm); medians
+    * are not, which is why seasonality baselines for anomaly detection
+    * are polished, not averaged. Medians are LOWER medians at position
+    * (n+1) div 2 — integer elements, never interpolation — so the whole
+    * decomposition is exact. One sweep (production runs 2-3 to
+    * convergence; the residual column is where the next sweep starts).
+    *
+    * Scale shape: the corpus reduces to the 7×24 cell matrix in one
+    * aggregation; every window below partitions over that domain-sized
+    * frame. Weekday is 0=Sunday (dayofweek−1, the cross-engine
+    * convention). */
+  def medianPolish(silver: DataFrame): DataFrame = {
+    val cells = silver
+      .select(expr("dayofweek(ts) - 1").as("wd"), col("hour").as("hr"))
+      .groupBy(col("wd"), col("hr")).agg(count(lit(1)).as("cnt"))
+    val wr = Window.partitionBy(col("wd")).orderBy(col("cnt").asc)
+    val rmed = cells
+      .withColumn("rnk", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("wd"))))
+      .groupBy(col("wd"))
+      .agg(max(when(col("rnk") === expr("(n + 1) div 2"), col("cnt")))
+        .as("row_med"))
+    val res1 = cells.join(broadcast(rmed), Seq("wd"))
+      .withColumn("r1", col("cnt") - col("row_med"))
+    val wc = Window.partitionBy(col("hr")).orderBy(col("r1").asc)
+    val cmed = res1
+      .withColumn("rnk", row_number().over(wc))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("hr"))))
+      .groupBy(col("hr"))
+      .agg(max(when(col("rnk") === expr("(n + 1) div 2"), col("r1")))
+        .as("col_med"))
+    res1.join(broadcast(cmed), Seq("hr"))
+      .select(col("wd").cast("long").as("wd"), col("hr").cast("long").as("hr"),
+        col("cnt").cast("long").as("cnt"),
+        col("row_med").cast("long").as("row_med"),
+        col("col_med").cast("long").as("col_med"),
+        (col("r1") - col("col_med")).cast("long").as("residual"))
+      .orderBy(col("wd").asc, col("hr").asc)
+  }
+
+  def medianPolish(spark: SparkSession, dir: String): DataFrame =
+    medianPolish(EventsPipeline.silver(spark, dir))
+
+  /** q284: FANO-FACTOR burstiness census — per (user, event_type), the
+    * index of dispersion of DAILY event counts (variance/mean, exact
+    * integer ppm via (n·Σx² − (Σx)²)·10⁶ div (n·Σx)); a Poisson arrival
+    * process sits at 1e6, clumpy/bursty behavior above, metronomic
+    * behavior below. The per-type census (mean/max Fano, users over the
+    * 0.5 overdispersion line) is the telemetry screen that separates
+    * organic usage from scripted traffic. Users with < 5 active days are
+    * excluded (the estimator is meaningless at tiny n — documented
+    * support floor, same convention as the PMI minCount).
+    *
+    * Scale shape: two combinable aggregations (daily counts → per-user
+    * moments) riding silver's user clustering, then a |types| census. */
+  def fanoBurstiness(silver: DataFrame, minDays: Int = 5,
+      overPpm: Long = 500000L): DataFrame = {
+    val daily = silver
+      .select(col("user_id"), col("event_type"), col("ts").cast("date").as("d"))
+      .groupBy(col("user_id"), col("event_type"), col("d"))
+      .agg(count(lit(1)).as("x"))
+    val perUser = daily.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n") >= minDays)
+      .withColumn("fano_ppm",
+        expr("(n * sxx - sx * sx) * 1000000 div (n * sx)"))
+    perUser.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        expr("sum(fano_ppm) div count(1)").as("mean_fano_ppm"),
+        max(col("fano_ppm")).as("max_fano_ppm"),
+        sum(when(col("fano_ppm") > overPpm, 1L).otherwise(0L))
+          .as("n_overdispersed"))
+      .select(col("event_type"),
+        col("n_users").cast("long").as("n_users"),
+        col("mean_fano_ppm").cast("long").as("mean_fano_ppm"),
+        col("max_fano_ppm").cast("long").as("max_fano_ppm"),
+        col("n_overdispersed").cast("long").as("n_overdispersed"))
+      .orderBy(col("event_type").asc)
+  }
+
+  def fanoBurstiness(spark: SparkSession, dir: String): DataFrame =
+    fanoBurstiness(EventsPipeline.silver(spark, dir))
+
   /** Day-1 / day-7 cohort retention: cohort = a user's first active date;
     * retained = active exactly k days later. Exact ppm rates per cohort.
     * The (user, date) activity set is distinct-compressed BEFORE the

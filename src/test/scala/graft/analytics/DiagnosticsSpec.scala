@@ -223,6 +223,27 @@ class DiagnosticsSpec extends SparkSpecBase {
       r(0).getLong(4)) === ((4L, 2000L, 1000L, 1L)))
   }
 
+  test("Benford audit: digits partition the orders, constants exact, deviation lawful") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf)
+    val out = Diagnostics.benfordAudit(orders).collect()
+    assert(out.map(_.getInt(0)).toSeq === (1 to 9))
+    assert(out.map(_.getLong(1)).sum === orders.filter(col("o_totalprice") > 0).count())
+    // the published constants sum to 1e6 exactly
+    assert(out.map(_.getLong(3)).sum === 1000000L)
+    out.foreach { r =>
+      assert(r.getLong(4) === math.abs(r.getLong(2) - r.getLong(3)))
+    }
+    // hand-planted Benford-ish set: powers of 2 are famously Benford —
+    // first digits of 2^0..2^29 put 9 ones, 6 twos ... deviation small
+    val pow2 = (0 until 30).map(i => (i.toLong, java.sql.Date.valueOf("1995-01-01"),
+      BigDecimal(2).pow(i).toDouble / 100.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val p = Diagnostics.benfordAudit(pow2).collect()
+    assert(p.head.getLong(1) === 9L, "2^k first-digit-1 count is 9 of 30")
+    assert(p.head.getLong(4) < 50000L, "powers of two should be near-Benford")
+  }
+
   test("robust outliers over the corpus: orders conserved, flags lawful") {
     val orders = Tables.orders(spark, sf)
     val out = Diagnostics.robustOutlierCensus(orders).collect()

@@ -262,6 +262,45 @@ class FunnelsSpec extends SparkSpecBase {
     assert(out.last.getLong(3) === 1000000L, "censoring spike missing")
   }
 
+  test("median polish: decomposition reconstructs cells, effects are real medians") {
+    val silver = graft.pipeline.EventsPipeline.silver(spark, sf)
+    val out = Funnels.medianPolish(silver).collect()
+    assert(out.length <= 7 * 24)
+    // cell = row effect + column effect + residual, exactly
+    out.foreach { r =>
+      assert(r.getLong(2) === r.getLong(3) + r.getLong(4) + r.getLong(5),
+        s"decomposition broken: $r")
+    }
+    // per weekday, the row median is the lower median of its cells
+    out.groupBy(_.getLong(0)).foreach { case (wd, rows) =>
+      val cnts = rows.map(_.getLong(2)).sorted
+      val med = cnts((cnts.length + 1) / 2 - 1)
+      assert(rows.head.getLong(3) === med, s"wd $wd row median wrong")
+    }
+    // a robust fit leaves at least one exactly-zero residual per row
+    out.groupBy(_.getLong(0)).foreach { case (wd, rows) =>
+      assert(rows.map(r => r.getLong(2) - r.getLong(3)).contains(
+        rows.map(r => r.getLong(2) - r.getLong(3)).sorted.apply(
+          (rows.length + 1) / 2 - 1)), s"wd $wd median not an element")
+    }
+  }
+
+  test("fano burstiness: planted metronome scores 0, planted burst scores high") {
+    // metronome user: 1 event/day for 10 days → variance 0 → fano 0.
+    // bursty user: 10 events on one day, 1 on nine others → fano ≫ 0.5e6.
+    val day = 24 * 3600L
+    val rows =
+      (0 until 10).map(i => silverRow(i.toLong, 1, "view", i * day)) ++
+        (0 until 9).map(i => silverRow(100L + i, 2, "view", i * day)) ++
+        (0 until 10).map(i => silverRow(200L + i, 2, "view", 9 * day + i))
+    val out = Funnels.fanoBurstiness(silverOf(rows)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 2L, "both users meet the 5-day support floor")
+    assert(r.getLong(3) > 500000L, "bursty user must overdisperse")
+    assert(r.getLong(4) === 1L, "exactly the bursty user is flagged")
+  }
+
   test("U-shaped attribution over the corpus: credit conserves per conversion") {
     val silver = graft.pipeline.EventsPipeline.silver(spark, sf)
     val out = Funnels.uShapedAttribution(silver).collect()
