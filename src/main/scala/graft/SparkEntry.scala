@@ -790,6 +790,12 @@ object SparkEntry {
     "q283_median_polish"       -> ((s, d) => Funnels.medianPolish(s, d)),
     // ---- Fano-factor burstiness census ----
     "q284_fano_burstiness"     -> ((s, d) => Funnels.fanoBurstiness(s, d)),
+    // ---- CCNet-style per-lang perplexity terciles (head/middle/tail) ----
+    "q285_ccnet_buckets"       -> ((s, d) => TextStats.ccnetBuckets(s, d)),
+    // ---- Gopher quality-rule gate with first-fail attribution ----
+    "q286_gopher_rules"        -> ((s, d) => TextStats.gopherRules(s, d)),
+    // ---- four-fifths-rule parity audit of the quality gate across langs ----
+    "q287_filter_parity"       -> ((s, d) => TextStats.filterParity(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -7032,6 +7038,121 @@ object SparkEntry {
           |       CAST(SUM(CASE WHEN fano_ppm > 500000 THEN 1 ELSE 0 END)
           |         AS BIGINT) AS n_overdispersed
           |FROM fano GROUP BY 1 ORDER BY event_type ASC""".stripMargin),
+    // q285: identical q133 integer-ppm LM, identical per-lang
+    // (rnk-1)*3 // n tercile with the doc_id tiebreak.
+    "q285_ccnet_buckets" ->
+      s"""WITH t AS (SELECT doc_id, lang, str_split($duckNorm, ' ') AS w
+         |           FROM documents),
+         |base AS (SELECT doc_id, lang, len(w) AS n_tokens FROM t),
+         |idx AS (SELECT doc_id, lang, w,
+         |               unnest(generate_series(1, len(w)-1)) AS i FROM t),
+         |bg AS (SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2 FROM idx),
+         |docbg AS (SELECT doc_id, lang, w1, w2, COUNT(*) AS m
+         |          FROM bg GROUP BY 1, 2, 3, 4),
+         |c AS (SELECT lang, w1, w2, COUNT(*) AS cnt FROM bg GROUP BY 1, 2, 3),
+         |ctx AS (SELECT lang, w1, CAST(SUM(cnt) AS BIGINT) AS ctx_cnt
+         |        FROM c GROUP BY 1, 2),
+         |lm AS (SELECT c.lang, c.w1, c.w2,
+         |              c.cnt * 1000000 // ctx.ctx_cnt AS p_ppm
+         |       FROM c JOIN ctx ON c.lang = ctx.lang AND c.w1 = ctx.w1),
+         |s AS (SELECT d.doc_id, CAST(SUM(d.m) AS BIGINT) AS n_bigrams,
+         |             CAST(SUM(d.m * lm.p_ppm) AS BIGINT) AS sum_ppm
+         |      FROM docbg d JOIN lm ON d.lang = lm.lang
+         |        AND d.w1 = lm.w1 AND d.w2 = lm.w2
+         |      GROUP BY 1),
+         |perdoc AS (SELECT b.doc_id, b.lang, b.n_tokens,
+         |                  COALESCE(s.sum_ppm // s.n_bigrams, 0) AS score_ppm
+         |           FROM base b LEFT JOIN s ON b.doc_id = s.doc_id),
+         |ranked AS (SELECT lang, n_tokens, score_ppm,
+         |  row_number() OVER (PARTITION BY lang
+         |    ORDER BY score_ppm DESC, doc_id ASC) AS rnk,
+         |  COUNT(*) OVER (PARTITION BY lang) AS n FROM perdoc)
+         |SELECT lang, CAST((rnk - 1) * 3 // n AS BIGINT) AS bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |       CAST(MIN(score_ppm) AS BIGINT) AS min_score_ppm,
+         |       CAST(MAX(score_ppm) AS BIGINT) AS max_score_ppm
+         |FROM ranked GROUP BY 1, 2
+         |ORDER BY lang ASC, bucket ASC""".stripMargin,
+    // q286: identical (doc, word) count reduction, identical integer rule
+    // spellings (10·Σlen band — no division), identical first-fail CASE.
+    "q286_gopher_rules" ->
+      s"""WITH n AS (SELECT doc_id, $duckNorm AS nrm FROM documents),
+         |w AS (SELECT doc_id, unnest(str_split(nrm, ' ')) AS word FROM n),
+         |wc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+         |       FROM w GROUP BY 1, 2),
+         |perdoc AS (
+         |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n,
+         |         CAST(COUNT(*) AS BIGINT) AS u,
+         |         CAST(MAX(cnt) AS BIGINT) AS maxc,
+         |         CAST(SUM(CASE WHEN word IN ($duckStops) THEN cnt ELSE 0 END)
+         |           AS BIGINT) AS stop_cnt,
+         |         CAST(SUM(length(word) * cnt) AS BIGINT) AS sumlen
+         |  FROM wc GROUP BY 1),
+         |flags AS (
+         |  SELECT CAST(NOT (n BETWEEN 20 AND 100) AS BIGINT) AS f1,
+         |         CAST(sumlen * 10 < n * 30 OR sumlen * 10 > n * 45
+         |           AS BIGINT) AS f2,
+         |         CAST(stop_cnt < 2 AS BIGINT) AS f3,
+         |         CAST(u * 1000000 // n < 400000 AS BIGINT) AS f4,
+         |         CAST(maxc * 1000000 // n > 120000 AS BIGINT) AS f5
+         |  FROM perdoc),
+         |ff AS (SELECT f1, f2, f3, f4, f5,
+         |         CASE WHEN f1 = 1 THEN 1 WHEN f2 = 1 THEN 2
+         |              WHEN f3 = 1 THEN 3 WHEN f4 = 1 THEN 4
+         |              WHEN f5 = 1 THEN 5 ELSE 0 END AS first_fail
+         |       FROM flags),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(f1) AS BIGINT) AS s1, CAST(SUM(f2) AS BIGINT) AS s2,
+         |  CAST(SUM(f3) AS BIGINT) AS s3, CAST(SUM(f4) AS BIGINT) AS s4,
+         |  CAST(SUM(f5) AS BIGINT) AS s5,
+         |  CAST(SUM(CASE WHEN first_fail = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ff1,
+         |  CAST(SUM(CASE WHEN first_fail = 2 THEN 1 ELSE 0 END) AS BIGINT) AS ff2,
+         |  CAST(SUM(CASE WHEN first_fail = 3 THEN 1 ELSE 0 END) AS BIGINT) AS ff3,
+         |  CAST(SUM(CASE WHEN first_fail = 4 THEN 1 ELSE 0 END) AS BIGINT) AS ff4,
+         |  CAST(SUM(CASE WHEN first_fail = 5 THEN 1 ELSE 0 END) AS BIGINT) AS ff5,
+         |  CAST(SUM(CASE WHEN first_fail > 0 THEN 1 ELSE 0 END) AS BIGINT) AS sany
+         |  FROM ff),
+         |rules AS (
+         |  SELECT 'r1_word_count' AS rule, n_docs, s1 AS n_fail,
+         |         ff1 AS n_first_fail FROM agg
+         |  UNION ALL SELECT 'r2_mean_word_len', n_docs, s2, ff2 FROM agg
+         |  UNION ALL SELECT 'r3_stopword_floor', n_docs, s3, ff3 FROM agg
+         |  UNION ALL SELECT 'r4_ttr_floor', n_docs, s4, ff4 FROM agg
+         |  UNION ALL SELECT 'r5_dominance_cap', n_docs, s5, ff5 FROM agg
+         |  UNION ALL SELECT 'r6_any', n_docs, sany, sany FROM agg)
+         |SELECT rule, n_docs, n_fail, n_first_fail,
+         |       CAST(n_fail * 1000000 // n_docs AS BIGINT) AS fail_ppm
+         |FROM rules ORDER BY rule ASC""".stripMargin,
+    // q287: the q273 rubric CTE keyed by lang; floor-ppm rates; the
+    // four-fifths comparison on the already-floored ratio in both engines.
+    "q287_filter_parity" ->
+      s"""WITH n AS (SELECT doc_id, lang, $duckNorm AS nrm FROM documents),
+         |t AS (SELECT doc_id, lang, nrm, str_split(nrm, ' ') AS w FROM n),
+         |f AS (SELECT lang,
+         |        CAST(len(w) AS INTEGER) AS n_tokens,
+         |        CAST(len(list_filter(w, x -> x IN ($duckStops)))
+         |          AS INTEGER) AS stop_cnt,
+         |        CAST(length(replace(nrm, ' ', '')) AS DOUBLE) / len(w)
+         |          AS mean_token_len
+         |      FROM t),
+         |v AS (SELECT lang,
+         |        CAST(n_tokens BETWEEN 20 AND 1000 AND stop_cnt > 0
+         |          AND mean_token_len >= 2.0 AND mean_token_len <= 12.0
+         |          AS BIGINT) AS pass FROM f),
+         |census AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |                  CAST(SUM(pass) AS BIGINT) AS n_pass
+         |           FROM v GROUP BY 1),
+         |rates AS (SELECT lang, n_docs, n_pass,
+         |        n_pass * 1000000 // n_docs AS pass_ppm,
+         |        SUM(n_pass) OVER () * 1000000 // SUM(n_docs) OVER ()
+         |          AS overall_ppm
+         |      FROM census)
+         |SELECT lang, n_docs, n_pass, CAST(pass_ppm AS BIGINT) AS pass_ppm,
+         |       CAST(overall_ppm AS BIGINT) AS overall_ppm,
+         |       CAST(pass_ppm * 1000000 // overall_ppm AS BIGINT) AS ratio_ppm,
+         |       pass_ppm * 1000000 // overall_ppm >= 800000 AS four_fifths_ok
+         |FROM rates ORDER BY lang ASC""".stripMargin,
     // q269: same 2-gram set, same (a*h+b) mod p permutation minima as
     // the doc-level q27 sketch, slot-agreement estimate vs the q84 exact
     // join in integer ppm.

@@ -1523,4 +1523,171 @@ object TextStats {
 
   def qualityLengthCalibration(spark: SparkSession, dir: String): DataFrame =
     qualityLengthCalibration(Tables.documents(spark, dir))
+
+  /** q285: CCNet-STYLE PERPLEXITY BUCKETS — per language, rank every
+    * document by its bigram-LM score (the q133 model) and split the
+    * ranking into head / middle / tail terciles, reporting each bucket's
+    * doc and token mass and its score range. This is the exact shape of
+    * the CCNet curation step (Wenzek et al.): score a crawl against a
+    * clean-reference LM per language, keep "head" (most reference-like),
+    * treat "tail" as suspect. Spelled in the repo's integer-ppm LM so the
+    * cross-engine gate pins it bit-for-bit; ties broken by doc_id so the
+    * tercile boundary is deterministic.
+    *
+    * Scale shape: one bigram shuffle for the LM (vocab²-bounded table),
+    * one doc-keyed score join, then a per-lang ranking window — the
+    * window partitions by lang, so at 100 TB each language ranks
+    * independently (and a skewed lang is exactly the case where the
+    * tercile is wanted per-lang, not global). */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"), split(norm, " ").as("w"))
+      .withColumn("n_tokens", size(col("w")))
+    val bigrams = base.select(col("doc_id"), col("lang"), explode(expr(
+        "transform(slice(w, 1, size(w)-1), (x, i) -> " +
+          "struct(x AS w1, element_at(w, i+2) AS w2))")).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val docBg = bigrams
+      .groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    val lm = bigrams.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("ctx_cnt",
+        sum(col("cnt")).over(Window.partitionBy(col("lang"), col("w1"))))
+      .select(col("lang"), col("w1"), col("w2"),
+        ((col("cnt") * lit(1000000L)) / col("ctx_cnt")).cast("long").as("p_ppm"))
+    val scored = docBg.join(lm, Seq("lang", "w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"), sum(col("m") * col("p_ppm")).as("sum_ppm"))
+      .select(col("doc_id"),
+        (col("sum_ppm") / col("n_bigrams")).cast("long").as("score_ppm"))
+    base.select(col("doc_id"), col("lang"), col("n_tokens"))
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("score_ppm", coalesce(col("score_ppm"), lit(0L)))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("score_ppm").desc, col("doc_id").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .withColumn("bucket", expr("(rnk - 1) * 3 div n"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+        min(col("score_ppm")).as("min_score_ppm"),
+        max(col("score_ppm")).as("max_score_ppm"))
+      .select(col("lang"), col("bucket").cast("long").as("bucket"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("total_tokens").cast("long").as("total_tokens"),
+        col("min_score_ppm").cast("long").as("min_score_ppm"),
+        col("max_score_ppm").cast("long").as("max_score_ppm"))
+      .orderBy(col("lang").asc, col("bucket").asc)
+  }
+
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    ccnetBuckets(Tables.documents(spark, dir))
+
+  /** q286: GOPHER-STYLE QUALITY-RULE GATE with per-rule and FIRST-FAIL
+    * attribution — the multi-rule heuristic filter of Rae et al.'s Gopher
+    * pipeline (word-count band, mean-word-length band, stopword floor,
+    * type-token-ratio floor, single-word dominance cap), reported as a
+    * census: per rule, how many docs fail it at all and for how many it
+    * is the FIRST failing rule (exclusive attribution — the number the
+    * pipeline owner needs to decide which rule to tune), plus an `all`
+    * row for the docs failing any rule. Thresholds are calibrated to the
+    * synthetic corpus so every rule discriminates; at 100 TB they are the
+    * published Gopher bands.
+    *
+    * Exact integers throughout: the mean-word-length band is spelled as
+    * `10·Σlen BETWEEN 30·n AND 45·n` (no division), TTR and dominance as
+    * floor-ppm of non-negative integers.
+    *
+    * Scale shape: one (doc, word) count aggregation — the same shuffle
+    * every tokenizing pass pays — reduced to per-doc sufficient
+    * statistics, then a 6-row census; nothing quadratic, no windows over
+    * the corpus. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"), explode(split(norm, " ")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+    val perDoc = words.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n"),
+        count(lit(1)).as("u"),
+        max(col("cnt")).as("maxc"),
+        sum(when(col("word").isin(Stopwords.map(lit): _*), col("cnt"))
+          .otherwise(lit(0L))).as("stop_cnt"),
+        sum(length(col("word")) * col("cnt")).as("sumlen"))
+      .select(
+        (!col("n").between(20, 100)).cast("long").as("f1"),
+        (col("sumlen") * 10 < col("n") * 30 ||
+          col("sumlen") * 10 > col("n") * 45).cast("long").as("f2"),
+        (col("stop_cnt") < 2).cast("long").as("f3"),
+        expr("CAST(u * 1000000 div n < 400000 AS LONG)").as("f4"),
+        expr("CAST(maxc * 1000000 div n > 120000 AS LONG)").as("f5"))
+      .withColumn("first_fail", expr(
+        "CASE WHEN f1 = 1 THEN 1 WHEN f2 = 1 THEN 2 WHEN f3 = 1 THEN 3 " +
+          "WHEN f4 = 1 THEN 4 WHEN f5 = 1 THEN 5 ELSE 0 END"))
+    val agg = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("f1")).as("s1"), sum(col("f2")).as("s2"), sum(col("f3")).as("s3"),
+      sum(col("f4")).as("s4"), sum(col("f5")).as("s5"),
+      sum((col("first_fail") === 1).cast("long")).as("ff1"),
+      sum((col("first_fail") === 2).cast("long")).as("ff2"),
+      sum((col("first_fail") === 3).cast("long")).as("ff3"),
+      sum((col("first_fail") === 4).cast("long")).as("ff4"),
+      sum((col("first_fail") === 5).cast("long")).as("ff5"),
+      sum((col("first_fail") > 0).cast("long")).as("sany"))
+    agg.selectExpr("n_docs", "stack(6, " +
+        "'r1_word_count', s1, ff1, " +
+        "'r2_mean_word_len', s2, ff2, " +
+        "'r3_stopword_floor', s3, ff3, " +
+        "'r4_ttr_floor', s4, ff4, " +
+        "'r5_dominance_cap', s5, ff5, " +
+        "'r6_any', sany, sany) AS (rule, n_fail, n_first_fail)")
+      .select(col("rule"), col("n_docs").cast("long").as("n_docs"),
+        col("n_fail").cast("long").as("n_fail"),
+        col("n_first_fail").cast("long").as("n_first_fail"),
+        expr("n_fail * 1000000 div n_docs").cast("long").as("fail_ppm"))
+      .orderBy(col("rule").asc)
+  }
+
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRules(Tables.documents(spark, dir))
+
+  /** q287: FILTER DEMOGRAPHIC-PARITY AUDIT — does the q32 quality gate
+    * (pass = all three rubric signals ok) admit every language at a
+    * comparable rate? Quality heuristics tuned on high-resource text are
+    * a documented way curation pipelines silently starve low-resource
+    * languages; this is the four-fifths-rule audit (each group's pass
+    * rate ≥ 80% of the overall rate) applied to a data filter. Per lang:
+    * docs, passes, pass rate, ratio to the overall rate, and the
+    * four-fifths verdict — all floor-ppm integers.
+    *
+    * Scale shape: one linear rubric pass, a lang-keyed census, and a
+    * grand-total window over the ≤|langs|-row frame. */
+  def filterParity(docs: DataFrame): DataFrame = {
+    val withW = docs.withColumn("nrm", norm).withColumn("w", split(col("nrm"), " "))
+    val votes = withW
+      .withColumn("n_tokens", size(col("w")))
+      .withColumn("stop_cnt",
+        size(filter(col("w"), x => x.isin(Stopwords.map(lit): _*))))
+      .withColumn("mean_token_len",
+        length(regexp_replace(col("nrm"), " ", "")).cast("double")
+          / col("n_tokens"))
+      .select(col("lang"),
+        (col("n_tokens").between(20, 1000) && col("stop_cnt") > 0 &&
+          col("mean_token_len") >= 2.0 && col("mean_token_len") <= 12.0)
+          .cast("long").as("pass"))
+    votes.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("pass")).as("n_pass"))
+      .withColumn("pass_ppm", expr("n_pass * 1000000 div n_docs"))
+      .withColumn("overall_ppm", expr(
+        "sum(n_pass) over () * 1000000 div sum(n_docs) over ()"))
+      .withColumn("ratio_ppm", expr("pass_ppm * 1000000 div overall_ppm"))
+      .select(col("lang"), col("n_docs").cast("long").as("n_docs"),
+        col("n_pass").cast("long").as("n_pass"),
+        col("pass_ppm").cast("long").as("pass_ppm"),
+        col("overall_ppm").cast("long").as("overall_ppm"),
+        col("ratio_ppm").cast("long").as("ratio_ppm"),
+        (col("ratio_ppm") >= 800000L).as("four_fifths_ok"))
+      .orderBy(col("lang").asc)
+  }
+
+  def filterParity(spark: SparkSession, dir: String): DataFrame =
+    filterParity(Tables.documents(spark, dir))
 }
