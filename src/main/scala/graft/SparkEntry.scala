@@ -796,6 +796,13 @@ object SparkEntry {
     "q286_gopher_rules"        -> ((s, d) => TextStats.gopherRules(s, d)),
     // ---- four-fifths-rule parity audit of the quality gate across langs ----
     "q287_filter_parity"       -> ((s, d) => TextStats.filterParity(s, d)),
+    // ---- leave-one-source-out LM support (data valuation by
+    //      sufficient-statistic subtraction) ----
+    "q288_loso_support"        -> ((s, d) => TextStats.losoSupport(s, d)),
+    // ---- temporal-split hit-rate@k recommender backtest ----
+    "q289_rec_backtest"        -> ((s, d) => Graphs.recBacktest(s, d)),
+    // ---- split-conformal prediction-interval coverage audit ----
+    "q290_conformal_coverage"  -> ((s, d) => Diagnostics.conformalCoverage(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -7153,6 +7160,135 @@ object SparkEntry {
          |       CAST(pass_ppm * 1000000 // overall_ppm AS BIGINT) AS ratio_ppm,
          |       pass_ppm * 1000000 // overall_ppm >= 800000 AS four_fifths_ok
          |FROM rates ORDER BY lang ASC""".stripMargin,
+    // q288: identical (source, w1, w2) count reduction; leave-one-out by
+    // subtraction (cnt − m, ctx − sctx); floor-ppm, covered-only mean.
+    "q288_loso_support" ->
+      s"""WITH t AS (SELECT source, str_split($duckNorm, ' ') AS w
+         |           FROM documents),
+         |idx AS (SELECT source, w,
+         |               unnest(generate_series(1, len(w)-1)) AS i FROM t),
+         |bg AS (SELECT source, w[i] AS w1, w[i+1] AS w2 FROM idx),
+         |sc AS (SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS m
+         |       FROM bg GROUP BY 1, 2, 3),
+         |cnt AS (SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS cnt
+         |        FROM sc GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS ctx
+         |        FROM cnt GROUP BY 1),
+         |sctx AS (SELECT source, w1, CAST(SUM(m) AS BIGINT) AS sctx
+         |         FROM sc GROUP BY 1, 2),
+         |j AS (
+         |  SELECT sc.source, sc.m,
+         |         cnt.cnt - sc.m AS loo_cnt, ctx.ctx - sctx.sctx AS loo_ctx
+         |  FROM sc JOIN cnt ON sc.w1 = cnt.w1 AND sc.w2 = cnt.w2
+         |          JOIN ctx ON sc.w1 = ctx.w1
+         |          JOIN sctx ON sc.source = sctx.source AND sc.w1 = sctx.w1),
+         |f AS (
+         |  SELECT source, m,
+         |         CAST(loo_cnt > 0 AND loo_ctx > 0 AS BIGINT) AS covered,
+         |         CASE WHEN loo_cnt > 0 AND loo_ctx > 0
+         |              THEN loo_cnt * 1000000 // loo_ctx ELSE 0 END AS p_ppm
+         |  FROM j)
+         |SELECT source, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+         |       CAST(SUM(m * covered) AS BIGINT) AS covered_bigrams,
+         |       CAST(SUM(m * covered) * 1000000 // SUM(m) AS BIGINT)
+         |         AS support_ppm,
+         |       CAST(CASE WHEN SUM(m * covered) > 0
+         |         THEN SUM(m * p_ppm) // SUM(m * covered) ELSE 0 END
+         |         AS BIGINT) AS mean_p_ppm
+         |FROM f GROUP BY 1 ORDER BY source ASC""".stripMargin,
+    // q289: identical cross-multiplied 80%-of-date-range split, identical
+    // w DESC / rec ASC top-3, identical anchor and hit definitions.
+    "q289_rec_backtest" ->
+      """WITH b AS (SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi
+        |           FROM orders),
+        |op AS (
+        |  SELECT DISTINCT o.o_orderkey AS ord, l.l_partkey AS part,
+        |         date_diff('day', b.lo, o.o_orderdate) * 5
+        |           < date_diff('day', b.lo, b.hi) * 4 AS is_train
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  CROSS JOIN b),
+        |train AS (SELECT ord, part FROM op WHERE is_train),
+        |test AS (SELECT ord, part FROM op WHERE NOT is_train),
+        |cow AS (
+        |  SELECT a.part AS anchor, c.part AS rec, CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM train a JOIN train c ON a.ord = c.ord AND a.part <> c.part
+        |  GROUP BY 1, 2),
+        |recs AS (
+        |  SELECT anchor, rec,
+        |         CAST(row_number() OVER (PARTITION BY anchor
+        |           ORDER BY w DESC, rec ASC) AS BIGINT) AS rk
+        |  FROM cow QUALIFY rk <= 3),
+        |anchors AS (
+        |  SELECT DISTINCT t.ord, t.part FROM test t
+        |  WHERE t.part IN (SELECT DISTINCT anchor FROM recs)),
+        |tp AS (SELECT x.ord, x.part AS anchor, y.part AS other
+        |       FROM test x JOIN test y ON x.ord = y.ord AND x.part <> y.part),
+        |hits AS (SELECT tp.ord, tp.anchor, MIN(r.rk) AS min_rk
+        |         FROM tp JOIN recs r ON tp.anchor = r.anchor
+        |           AND tp.other = r.rec
+        |         GROUP BY 1, 2),
+        |agg AS (SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM anchors) AS n_anchors,
+        |  CAST(COALESCE(SUM(CASE WHEN min_rk <= 1 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS h1,
+        |  CAST(COALESCE(SUM(CASE WHEN min_rk <= 2 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS h2,
+        |  CAST(COALESCE(SUM(CASE WHEN min_rk <= 3 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS h3 FROM hits)
+        |SELECT CAST(k AS BIGINT) AS k, n_anchors, n_hits,
+        |       CAST(n_hits * 1000000 // GREATEST(1, n_anchors) AS BIGINT)
+        |         AS hit_ppm
+        |FROM (SELECT 1 AS k, n_anchors, h1 AS n_hits FROM agg
+        |      UNION ALL SELECT 2, n_anchors, h2 FROM agg
+        |      UNION ALL SELECT 3, n_anchors, h3 FROM agg)
+        |ORDER BY k ASC""".stripMargin,
+    // q290: identical hash split, identical exact-rank median and
+    // ⌈0.9(n+1)⌉ conformal quantile (value-at-rank is tie-invariant).
+    "q290_conformal_coverage" ->
+      (silverCte +
+        """,
+          |ev AS (
+          |  SELECT event_type AS part,
+          |         CAST(round(value * 100) AS BIGINT) AS cents,
+          |         CAST('0x' || substr(md5('conf:' ||
+          |           CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 < 5
+          |           AS is_cal
+          |  FROM silver),
+          |cal AS (SELECT part, cents AS v FROM ev WHERE is_cal),
+          |medr AS (SELECT part, v,
+          |           row_number() OVER (PARTITION BY part ORDER BY v ASC)
+          |             AS rnk,
+          |           COUNT(*) OVER (PARTITION BY part) AS n FROM cal),
+          |med AS (SELECT part,
+          |          CAST(MAX(CASE WHEN rnk = (n + 1) // 2 THEN v END)
+          |            AS BIGINT) AS med_cents,
+          |          CAST(MAX(n) AS BIGINT) AS n_cal
+          |        FROM medr GROUP BY 1),
+          |nc AS (SELECT c.part, ABS(c.v - m.med_cents) AS d
+          |       FROM cal c JOIN med m ON c.part = m.part),
+          |ncr AS (SELECT part, d,
+          |          row_number() OVER (PARTITION BY part ORDER BY d ASC)
+          |            AS rnk,
+          |          COUNT(*) OVER (PARTITION BY part) AS n FROM nc),
+          |qh AS (SELECT part,
+          |         CAST(MAX(CASE WHEN rnk =
+          |           LEAST((9 * (n + 1) + 9) // 10, n) THEN d END)
+          |           AS BIGINT) AS qhat_cents
+          |       FROM ncr GROUP BY 1)
+          |SELECT t.part AS event_type, m.n_cal,
+          |       CAST(COUNT(*) AS BIGINT) AS n_test,
+          |       m.med_cents, q.qhat_cents,
+          |       CAST(SUM(CASE WHEN ABS(t.cents - m.med_cents)
+          |         <= q.qhat_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_cover,
+          |       CAST(SUM(CASE WHEN ABS(t.cents - m.med_cents)
+          |         <= q.qhat_cents THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+          |         AS BIGINT) AS cover_ppm,
+          |       CAST(SUM(CASE WHEN ABS(t.cents - m.med_cents)
+          |         <= q.qhat_cents THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+          |         - 900000 AS BIGINT) AS gap_ppm
+          |FROM (SELECT part, cents FROM ev WHERE NOT is_cal) t
+          |JOIN med m ON t.part = m.part JOIN qh q ON t.part = q.part
+          |GROUP BY 1, 2, 4, 5 ORDER BY event_type ASC""".stripMargin),
     // q269: same 2-gram set, same (a*h+b) mod p permutation minima as
     // the doc-level q27 sketch, slot-agreement estimate vs the q84 exact
     // join in integer ppm.

@@ -633,4 +633,70 @@ object Diagnostics {
           <= col("exact_cents") * 10000L).as("within_1pct"))
       .orderBy(col("pct").asc)
   }
+
+  /** q290: SPLIT-CONFORMAL COVERAGE AUDIT — distribution-free prediction
+    * intervals with a finite-sample guarantee, checked empirically. Per
+    * event type: a deterministic hash split carves calibration/test
+    * halves; the "predictor" is the calibration median (cents); the
+    * nonconformity score is the absolute residual; q̂ is the
+    * ⌈0.9·(n+1)⌉-th smallest calibration score (the split-conformal
+    * quantile, exact rank arithmetic — `(9(n+1)+9) div 10`, clamped to
+    * n); the audit reports the TEST-side share of residuals ≤ q̂, which
+    * the conformal theorem lower-bounds by 90% in expectation. gap_ppm
+    * (cover − 900000) is a subtraction, never a signed division, so both
+    * engines agree on under-coverage.
+    *
+    * Scale shape: both exact order statistics (median, q̂) go through
+    * the bucket-offset OrderStats kernel — no per-type global sort — and
+    * the per-type results come back broadcast. The q278 checkpoint
+    * discipline applies to the positions frames. */
+  def conformalCoverage(silver: DataFrame): DataFrame = {
+    val ev = graft.core.Caches.scratch(silver.select(
+      col("event_type").as("part"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+      (conv(substring(md5(concat(lit("conf:"),
+        col("event_id").cast("string"))), 1, 15), 16, 10).cast("long")
+        % 10 < 5).as("is_cal")))
+    val cal = graft.core.Caches.scratch(
+      ev.filter(col("is_cal")).select(col("part"), col("cents").as("v")))
+    val calN = graft.core.Caches.trackCheckpoint(
+      cal.groupBy(col("part")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(true))
+    val medPos = calN.select(col("part"), lit(50L).as("q"),
+      expr("(n + 1) div 2").as("pos"))
+    val med = OrderStats.valueAtRank(cal, medPos)
+      .select(col("part").as("mpart"), col("v").as("med_cents"))
+    val nc = graft.core.Caches.scratch(
+      cal.join(broadcast(med), col("part") === col("mpart"))
+        .select(col("part"), abs(col("v") - col("med_cents")).as("v")))
+    val qPos = calN.select(col("part"), lit(90L).as("q"),
+      least(expr("(9 * (n + 1) + 9) div 10"), col("n")).as("pos"))
+    val qhat = OrderStats.valueAtRank(nc, qPos)
+      .select(col("part").as("qpart"), col("v").as("qhat_cents"))
+    ev.filter(!col("is_cal"))
+      .join(broadcast(med), col("part") === col("mpart"))
+      .join(broadcast(qhat), col("part") === col("qpart"))
+      .join(broadcast(calN.select(col("part").as("cpart"),
+        col("n").as("n_cal"))), col("part") === col("cpart"))
+      .groupBy(col("part"))
+      .agg(max(col("n_cal")).as("n_cal"),
+        count(lit(1)).as("n_test"),
+        max(col("med_cents")).as("med_cents"),
+        max(col("qhat_cents")).as("qhat_cents"),
+        sum((abs(col("cents") - col("med_cents")) <= col("qhat_cents"))
+          .cast("long")).as("n_cover"))
+      .select(col("part").as("event_type"),
+        col("n_cal").cast("long").as("n_cal"),
+        col("n_test").cast("long").as("n_test"),
+        col("med_cents").cast("long").as("med_cents"),
+        col("qhat_cents").cast("long").as("qhat_cents"),
+        col("n_cover").cast("long").as("n_cover"),
+        expr("n_cover * 1000000 div n_test").cast("long").as("cover_ppm"),
+        (expr("n_cover * 1000000 div n_test") - lit(900000L)).cast("long")
+          .as("gap_ppm"))
+      .orderBy(col("event_type").asc)
+  }
+
+  def conformalCoverage(spark: SparkSession, dir: String): DataFrame =
+    conformalCoverage(graft.pipeline.EventsPipeline.silver(spark, dir))
 }

@@ -801,4 +801,83 @@ object Graphs {
         // under 2^53, which a 100 TB edge census can exceed
         expr("sum_d div 2").cast("long").as("n_edges"))
   }
+
+  /** q289: RECOMMENDER BACKTEST — temporal-split hit-rate@k evaluation of
+    * the co-occurrence recommender. Orders are split by date (first 80%
+    * of the date RANGE trains, the rest tests — the cross-multiplied
+    * `(d − lo)·5 < (hi − lo)·4` predicate keeps it integer-exact in both
+    * engines); the item-item top-k is built on TRAIN co-occurrence only
+    * (w desc, rec asc — the q104 contract, via the same map-side TopK
+    * Aggregator); an eval anchor is a (test-order, part) occurrence whose
+    * part has any train-side recommendation, and it HITS at k if one of
+    * its top-k co-items appears in the same test order. This is the
+    * leakage-free offline eval every production recommender ships with —
+    * training on the full corpus and evaluating in-sample (the q104
+    * surface alone) overstates quality.
+    *
+    * Scale shape: within-order pair joins are bounded by order size (the
+    * q93 scaffold argument), the top-k is a partial-combining Aggregator
+    * (≤k rows per anchor cross the wire), and the hit probe is an
+    * equi-join of test pairs against the ≤k-per-anchor rec table. */
+  def recBacktest(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_partkey").as("part"))
+    val bounds = orders.agg(min(col("o_orderdate")).as("lo"),
+      max(col("o_orderdate")).as("hi"))
+    val tagged = Caches.scratch(orders.crossJoin(broadcast(bounds))
+      .select(col("o_orderkey"),
+        (datediff(col("o_orderdate"), col("lo")) * 5 <
+          datediff(col("hi"), col("lo")) * 4).as("is_train"))
+      .join(li, Seq("o_orderkey"))
+      .select(col("o_orderkey").as("ord"), col("part"), col("is_train"))
+      .distinct())
+    val train = tagged.filter(col("is_train")).select(col("ord"), col("part"))
+    val cow = train.as("a").join(train.as("b"),
+        col("a.ord") === col("b.ord") && col("a.part") =!= col("b.part"))
+      .groupBy(col("a.part").as("anchor"), col("b.part").as("rec"))
+      .agg(count(lit(1)).as("w"))
+    val top = new graft.functions.TopKPairsAgg(k).toColumn
+    val recs = Caches.scratch(cow
+      .select(col("anchor").cast("long"), col("rec").cast("long"),
+        col("w").cast("long")).as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(top.name("top"))
+      .flatMap { case (anchor, lst) =>
+        lst.iterator.zipWithIndex.map { case ((rec, _), i) =>
+          (anchor, rec, (i + 1).toLong)
+        }
+      }
+      .toDF("anchor", "rec", "rk"))
+    val test = Caches.scratch(
+      tagged.filter(!col("is_train")).select(col("ord"), col("part")))
+    val anchors = test
+      .join(recs.select(col("anchor").as("part")).distinct(), Seq("part"),
+        "leftsemi")
+    val testPairs = test.as("x").join(test.as("y"),
+        col("x.ord") === col("y.ord") && col("x.part") =!= col("y.part"))
+      .select(col("x.ord").as("ord"), col("x.part").as("anchor"),
+        col("y.part").as("other"))
+    val perAnchor = testPairs
+      .join(recs, testPairs("anchor") === recs("anchor")
+        && col("other") === recs("rec"))
+      .groupBy(col("ord"), testPairs("anchor"))
+      .agg(min(col("rk")).as("min_rk"))
+    val hitRow = perAnchor.agg(
+      coalesce(sum((col("min_rk") <= 1).cast("long")), lit(0L)).as("h1"),
+      coalesce(sum((col("min_rk") <= 2).cast("long")), lit(0L)).as("h2"),
+      coalesce(sum((col("min_rk") <= 3).cast("long")), lit(0L)).as("h3"))
+    anchors.agg(count(lit(1)).as("n_anchors")).crossJoin(hitRow)
+      .selectExpr("n_anchors",
+        "stack(3, 1, h1, 2, h2, 3, h3) AS (k, n_hits)")
+      .select(col("k").cast("long").as("k"),
+        col("n_anchors").cast("long").as("n_anchors"),
+        col("n_hits").cast("long").as("n_hits"),
+        expr("n_hits * 1000000 div greatest(1L, n_anchors)").cast("long")
+          .as("hit_ppm"))
+      .orderBy(col("k").asc)
+  }
 }

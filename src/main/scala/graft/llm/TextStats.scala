@@ -1690,4 +1690,59 @@ object TextStats {
 
   def filterParity(spark: SparkSession, dir: String): DataFrame =
     filterParity(Tables.documents(spark, dir))
+
+  /** q288: LEAVE-ONE-SOURCE-OUT SUPPORT — data valuation by sufficient-
+    * statistic subtraction. For every source, score its bigrams under
+    * the LM trained on EVERYTHING ELSE: a source the rest of the corpus
+    * "supports" (high coverage, high mean probability) is redundant; a
+    * source with low LOO support carries unique content (or noise). This
+    * is the cheap end of the influence-function family: instead of
+    * retraining |sources| models, the leave-one-out counts come from ONE
+    * global count table minus the source's own contribution
+    * (loo_cnt = cnt − m, loo_ctx = ctx − sctx) — the same trick exact
+    * cross-validation uses on additive sufficient statistics.
+    *
+    * Per source: bigram tokens, tokens covered by the LOO LM (loo count
+    * and context both > 0), floor-ppm coverage, and the mean LOO
+    * probability over covered tokens — all exact integers.
+    *
+    * Scale shape: one bigram shuffle to (source, w1, w2) counts, three
+    * linear recounts of that reduced frame, joins back on its own keys.
+    * Never a per-source model build; never a pair join. */
+  def losoSupport(docs: DataFrame): DataFrame = {
+    val bigrams = docs.select(col("source"), split(norm, " ").as("w"))
+      .select(col("source"), explode(expr(
+        "transform(slice(w, 1, size(w)-1), (x, i) -> " +
+          "struct(x AS w1, element_at(w, i+2) AS w2))")).as("bg"))
+      .select(col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val sc = graft.core.Caches.scratch(
+      bigrams.groupBy(col("source"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("m")))
+    val cnt = sc.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("cnt"))
+    val ctx = cnt.groupBy(col("w1")).agg(sum(col("cnt")).as("ctx"))
+    val sctx = sc.groupBy(col("source"), col("w1")).agg(sum(col("m")).as("sctx"))
+    sc.join(cnt, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .join(sctx, Seq("source", "w1"))
+      .withColumn("loo_cnt", col("cnt") - col("m"))
+      .withColumn("loo_ctx", col("ctx") - col("sctx"))
+      .withColumn("covered",
+        (col("loo_cnt") > 0 && col("loo_ctx") > 0).cast("long"))
+      .withColumn("p_ppm", when(col("covered") === 1,
+        expr("loo_cnt * 1000000 div loo_ctx")).otherwise(lit(0L)))
+      .groupBy(col("source"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m") * col("covered")).as("covered_bigrams"),
+        sum(col("m") * col("p_ppm")).as("sum_p"))
+      .select(col("source"),
+        col("n_bigrams").cast("long").as("n_bigrams"),
+        col("covered_bigrams").cast("long").as("covered_bigrams"),
+        expr("covered_bigrams * 1000000 div n_bigrams").cast("long")
+          .as("support_ppm"),
+        expr("CASE WHEN covered_bigrams > 0 THEN sum_p div covered_bigrams "
+          + "ELSE 0 END").cast("long").as("mean_p_ppm"))
+      .orderBy(col("source").asc)
+  }
+
+  def losoSupport(spark: SparkSession, dir: String): DataFrame =
+    losoSupport(Tables.documents(spark, dir))
 }
