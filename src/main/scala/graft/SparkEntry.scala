@@ -803,6 +803,12 @@ object SparkEntry {
     "q289_rec_backtest"        -> ((s, d) => Graphs.recBacktest(s, d)),
     // ---- split-conformal prediction-interval coverage audit ----
     "q290_conformal_coverage"  -> ((s, d) => Diagnostics.conformalCoverage(s, d)),
+    // ---- CUPED variance-reduced A/B readout (pooled theta, rho^2) ----
+    "q291_cuped_adjustment"    -> ((s, d) => Reports.cupedAdjustment(s, d)),
+    // ---- pairwise source unigram total-variation distance matrix ----
+    "q292_source_tv_matrix"    -> ((s, d) => TextStats.sourceTvMatrix(s, d)),
+    // ---- Mann-Whitney U / CLES per lang vs rest (doubled midranks) ----
+    "q293_mann_whitney"        -> ((s, d) => TextStats.mannWhitney(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -7289,6 +7295,102 @@ object SparkEntry {
           |FROM (SELECT part, cents FROM ev WHERE NOT is_cal) t
           |JOIN med m ON t.part = m.part JOIN qh q ON t.part = q.part
           |GROUP BY 1, 2, 4, 5 ORDER BY event_type ASC""".stripMargin),
+    // q291: identical integer sufficient statistics; the three ratios are
+    // the SAME double expression floored in both engines (FLOOR, not
+    // cast: DuckDB's double->int cast rounds, Spark's truncates).
+    "q291_cuped_adjustment" ->
+      (silverCte +
+        """,
+          |b AS (SELECT MIN(event_date) AS lo, MAX(event_date) AS hi
+          |      FROM silver),
+          |pu AS (
+          |  SELECT user_id,
+          |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+          |           AS BIGINT) % 2 AS arm,
+          |         CAST(SUM(CASE WHEN date_diff('day', b.lo, event_date) * 2
+          |             < date_diff('day', b.lo, b.hi)
+          |           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+          |           AS BIGINT) AS x,
+          |         CAST(SUM(CASE WHEN date_diff('day', b.lo, event_date) * 2
+          |             >= date_diff('day', b.lo, b.hi)
+          |           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+          |           AS BIGINT) AS y
+          |  FROM silver CROSS JOIN b GROUP BY 1, 2),
+          |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+          |        CAST(SUM(x * x) AS BIGINT) AS sxx,
+          |        CAST(SUM(x * y) AS BIGINT) AS sxy,
+          |        CAST(SUM(y * y) AS BIGINT) AS syy
+          |      FROM pu),
+          |g AS (SELECT sx * 1000 // n AS mx_all_milli,
+          |        CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0
+          |          / (n * sxx - sx * sx)) AS BIGINT) AS theta_ppm,
+          |        CAST(FLOOR(1000000.0
+          |          * (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))
+          |          * (CAST(n * sxy - sx * sy AS DOUBLE) / (n * syy - sy * sy)))
+          |          AS BIGINT) AS var_red_ppm
+          |      FROM m
+          |      WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0),
+          |arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+          |           CAST(SUM(x) AS BIGINT) AS sum_x_cents,
+          |           CAST(SUM(y) AS BIGINT) AS sum_y_cents
+          |         FROM pu GROUP BY 1)
+          |SELECT CAST(arm AS BIGINT) AS arm, n_users, sum_x_cents,
+          |       sum_y_cents,
+          |       CAST(sum_y_cents * 1000 // n_users AS BIGINT)
+          |         AS raw_mean_y_milli,
+          |       CAST(FLOOR(CAST(sum_y_cents * 1000 // n_users AS DOUBLE)
+          |         - CAST(g.theta_ppm AS DOUBLE)
+          |           * CAST(sum_x_cents * 1000 // n_users - g.mx_all_milli
+          |             AS DOUBLE) / 1000000.0) AS BIGINT) AS adj_mean_y_milli,
+          |       g.theta_ppm, g.var_red_ppm
+          |FROM arms CROSS JOIN g ORDER BY arm ASC""".stripMargin),
+    // q292: identical zero-filled share grid (floor-ppm), identical
+    // source_a < source_b pair orientation and Σ|Δ| // 2.
+    "q292_source_tv_matrix" ->
+      s"""WITH w AS (SELECT source, unnest(str_split($duckNorm, ' ')) AS word
+         |           FROM documents),
+         |counts AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+         |           FROM w GROUP BY 1, 2),
+         |totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t
+         |           FROM counts GROUP BY 1),
+         |grid AS (SELECT s.source, v.word
+         |         FROM (SELECT DISTINCT source FROM counts) s
+         |         CROSS JOIN (SELECT DISTINCT word FROM counts) v),
+         |filled AS (
+         |  SELECT grid.source, grid.word,
+         |         COALESCE(c.c, 0) * 1000000 // t.t AS share_ppm
+         |  FROM grid LEFT JOIN counts c
+         |    ON grid.source = c.source AND grid.word = c.word
+         |  JOIN totals t ON grid.source = t.source)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |       CAST(COUNT(*) AS BIGINT) AS vocab,
+         |       CAST(SUM(ABS(a.share_ppm - b.share_ppm)) // 2 AS BIGINT)
+         |         AS tv_ppm
+         |FROM filled a JOIN filled b
+         |  ON a.word = b.word AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY source_a ASC, source_b ASC""".stripMargin,
+    // q293: identical doubled-midrank census (2f + c + 1) so ties stay
+    // integer; identical 2U = R2 - n1(n1+1) and ppm CLES.
+    "q293_mann_whitney" ->
+      """WITH vals AS (SELECT lang, n_chars AS v FROM documents),
+        |vc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY 1),
+        |vf AS (SELECT v, c,
+        |         CAST(COALESCE(SUM(c) OVER (ORDER BY v ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS f
+        |       FROM vc),
+        |r AS (SELECT vals.lang, 2 * vf.f + vf.c + 1 AS mr2
+        |      FROM vals JOIN vf ON vals.v = vf.v),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM vals),
+        |g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n1,
+        |             CAST(SUM(mr2) AS BIGINT) AS r2
+        |      FROM r GROUP BY 1)
+        |SELECT lang, n1, CAST(n_total - n1 AS BIGINT) AS n2,
+        |       CAST(r2 - n1 * (n1 + 1) AS BIGINT) AS u2,
+        |       CAST((r2 - n1 * (n1 + 1)) * 1000000
+        |         // (2 * n1 * (n_total - n1)) AS BIGINT) AS cles_ppm
+        |FROM g CROSS JOIN tot ORDER BY lang ASC""".stripMargin,
     // q269: same 2-gram set, same (a*h+b) mod p permutation minima as
     // the doc-level q27 sketch, slot-agreement estimate vs the q84 exact
     // join in integer ppm.

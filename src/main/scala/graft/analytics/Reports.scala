@@ -993,4 +993,82 @@ object Reports {
 
   def aaBalance(spark: SparkSession, dir: String): DataFrame =
     aaBalance(EventsPipeline.silver(spark, dir))
+
+  /** q291: CUPED VARIANCE-REDUCED EXPERIMENT READOUT — the standard
+    * trick for making A/B metrics converge faster (Deng et al., WSDM'13):
+    * regress each user's experiment-period metric Y on their
+    * PRE-period metric X (θ = cov(X,Y)/var(X), fit on all users pooled —
+    * X predates assignment, so θ is assignment-independent) and report
+    * the adjusted arm means Ŷ = Y − θ·(X − X̄). Pre/post is the first /
+    * second half of the date range (cross-multiplied integer predicate);
+    * arms are the q222 user-hash split. Ships per arm: user count, raw
+    * and adjusted mean Y (milli-cents), plus the pooled θ (ppm) and the
+    * achieved variance-reduction fraction ρ² (ppm).
+    *
+    * Numerics: per-user sums and all five sufficient statistics are
+    * exact int64 cents (bounded: |users|·max_user_cents² must fit — at
+    * larger scale pre-scale cents to dollars first, same shape); the
+    * three ratios (θ, ρ², the adjustment term) are each a single
+    * identically-spelled double expression floored in both engines —
+    * floor, not cast, because DuckDB's double→int cast rounds while
+    * Spark's truncates, and θ can be legitimately negative.
+    *
+    * Scale shape: one user-keyed aggregation on silver's existing user
+    * clustering, a 1-row global moment frame broadcast back, a 2-row
+    * output. */
+  def cupedAdjustment(silver: DataFrame): DataFrame = {
+    val bounds = silver.agg(min(col("event_date")).as("lo"),
+      max(col("event_date")).as("hi"))
+    val perUser = silver.crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15),
+          16, 10).cast("long") % 2).as("arm"),
+        when(datediff(col("event_date"), col("lo")) * 2
+          < datediff(col("hi"), col("lo")),
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(lit(0L))
+          .as("xc"),
+        when(datediff(col("event_date"), col("lo")) * 2
+          >= datediff(col("hi"), col("lo")),
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(lit(0L))
+          .as("yc"))
+      .groupBy(col("user_id"), col("arm"))
+      .agg(sum(col("xc")).as("x"), sum(col("yc")).as("y"))
+    val g = perUser.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"),
+        sum(expr("y * y")).as("syy"))
+      .select(col("n"),
+        expr("n * sxy - sx * sy").as("num"),
+        expr("n * sxx - sx * sx").as("denx"),
+        expr("n * syy - sy * sy").as("deny"),
+        expr("sx * 1000 div n").as("mx_all_milli"))
+      // empty/degenerate guard (q222 discipline): a constant X or Y arm
+      // would divide by zero — emit no rows on both engines
+      .filter(col("denx") > 0 && col("deny") > 0)
+      .select(col("mx_all_milli"),
+        floor(col("num").cast("double") * lit(1000000.0) / col("denx"))
+          .cast("long").as("theta_ppm"),
+        floor(lit(1000000.0) * (col("num").cast("double") / col("denx"))
+          * (col("num").cast("double") / col("deny")))
+          .cast("long").as("var_red_ppm"))
+    perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("sum_x"),
+        sum(col("y")).as("sum_y"))
+      .crossJoin(broadcast(g))
+      .select(col("arm").cast("long").as("arm"),
+        col("n_users").cast("long").as("n_users"),
+        col("sum_x").cast("long").as("sum_x_cents"),
+        col("sum_y").cast("long").as("sum_y_cents"),
+        expr("sum_y * 1000 div n_users").cast("long").as("raw_mean_y_milli"),
+        floor(expr("sum_y * 1000 div n_users").cast("double")
+          - col("theta_ppm").cast("double")
+            * (expr("sum_x * 1000 div n_users") - col("mx_all_milli"))
+              .cast("double") / lit(1000000.0))
+          .cast("long").as("adj_mean_y_milli"),
+        col("theta_ppm"), col("var_red_ppm"))
+      .orderBy(col("arm").asc)
+  }
+
+  def cupedAdjustment(spark: SparkSession, dir: String): DataFrame =
+    cupedAdjustment(EventsPipeline.silver(spark, dir))
 }

@@ -1745,4 +1745,84 @@ object TextStats {
 
   def losoSupport(spark: SparkSession, dir: String): DataFrame =
     losoSupport(Tables.documents(spark, dir))
+
+  /** q292: PAIRWISE SOURCE TOTAL-VARIATION DISTANCE MATRIX — for every
+    * source pair, the TV distance ½·Σ|p(w) − q(w)| between their unigram
+    * distributions (floor-ppm shares). TV is the linear-arithmetic
+    * member of the distribution-distance family (no logs, unlike KL/JS),
+    * which is what lets a cross-engine hash gate pin it exactly; it is
+    * the standard "how different are these corpora" number behind
+    * mixture design and duplicate-source detection (complements q84's
+    * overlap — which measures SHARED content — by measuring
+    * distributional SHAPE even with zero shared documents).
+    *
+    * Scale shape: one (source, word) count shuffle; the matrix join runs
+    * on the VOCAB-bounded zero-filled share grid (|sources|·|vocab|
+    * rows), never on the corpus — at 100 TB cap vocab to the global
+    * top-V first (the q182 OOV pattern), which bounds the grid at
+    * |sources|·V. */
+  def sourceTvMatrix(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("source"), explode(split(norm, " ")).as("word"))
+    val counts = graft.core.Caches.scratch(
+      words.groupBy(col("source"), col("word")).agg(count(lit(1)).as("c")))
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    val grid = counts.select(col("source")).distinct()
+      .crossJoin(counts.select(col("word")).distinct())
+    val filled = grid.join(counts, Seq("source", "word"), "left")
+      .join(totals, Seq("source"))
+      .select(col("source"), col("word"),
+        expr("coalesce(c, 0) * 1000000 div t").as("share_ppm"))
+    filled.as("fa").join(filled.as("fb"),
+        col("fa.word") === col("fb.word")
+          && col("fa.source") < col("fb.source"))
+      .groupBy(col("fa.source").as("source_a"),
+        col("fb.source").as("source_b"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(abs(col("fa.share_ppm") - col("fb.share_ppm"))).as("sdiff"))
+      .select(col("source_a"), col("source_b"),
+        col("vocab").cast("long").as("vocab"),
+        expr("sdiff div 2").cast("long").as("tv_ppm"))
+      .orderBy(col("source_a").asc, col("source_b").asc)
+  }
+
+  def sourceTvMatrix(spark: SparkSession, dir: String): DataFrame =
+    sourceTvMatrix(Tables.documents(spark, dir))
+
+  /** q293: MANN–WHITNEY U per language vs the rest — the
+    * distribution-free two-sample test statistic over document lengths,
+    * with the common-language effect size (CLES = U/(n₁n₂) =
+    * P(random lang doc longer than random other doc), counting ties
+    * half). The rank-sum machinery is EXACT in integers by working in
+    * DOUBLED midranks: for a value with c copies and f smaller rows,
+    * 2·midrank = 2f + c + 1 (always odd ⇒ always integer), so
+    * 2U = ΣR₂ − n₁(n₁+1) with no halves anywhere.
+    *
+    * Scale shape: ranks come from a VALUE-DOMAIN census (distinct
+    * n_chars values), not a corpus sort — the only window is a prefix
+    * sum over that domain-sized frame (the q188 two-level-prefix-sum
+    * discipline applies if the domain ever grows); the per-lang U is a
+    * linear reaggregation. The ppm CLES keeps n₁·n₂ in int64 — at
+    * larger-than-int64 pair counts, divide through the census first. */
+  def mannWhitney(docs: DataFrame): DataFrame = {
+    val vals = docs.select(col("lang"), col("n_chars").as("v"))
+    val vc = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("f", coalesce(sum(col("c")).over(
+        Window.orderBy(col("v").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("v"), (lit(2L) * col("f") + col("c") + 1).as("mr2"))
+    val tot = vals.agg(count(lit(1)).as("n_total"))
+    vals.join(vc, Seq("v"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n1"), sum(col("mr2")).as("r2"))
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("n1").cast("long").as("n1"),
+        (col("n_total") - col("n1")).cast("long").as("n2"),
+        expr("r2 - n1 * (n1 + 1)").cast("long").as("u2"),
+        expr("(r2 - n1 * (n1 + 1)) * 1000000 div "
+          + "(2 * n1 * (n_total - n1))").cast("long").as("cles_ppm"))
+      .orderBy(col("lang").asc)
+  }
+
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame =
+    mannWhitney(Tables.documents(spark, dir))
 }
