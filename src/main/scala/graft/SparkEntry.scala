@@ -809,6 +809,12 @@ object SparkEntry {
     "q292_source_tv_matrix"    -> ((s, d) => TextStats.sourceTvMatrix(s, d)),
     // ---- Mann-Whitney U / CLES per lang vs rest (doubled midranks) ----
     "q293_mann_whitney"        -> ((s, d) => TextStats.mannWhitney(s, d)),
+    // ---- deterministic randomization test (hash-drawn relabelings) ----
+    "q294_permutation_test"    -> ((s, d) => TextStats.permutationTest(s, d)),
+    // ---- BLEU-style clipped n-gram precision vs rest-of-corpus ----
+    "q295_bleu_overlap"        -> ((s, d) => TextStats.bleuOverlap(s, d)),
+    // ---- per-source -> global decile quantile-mapping table ----
+    "q296_quantile_mapping"    -> ((s, d) => TextStats.quantileMapping(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -7391,6 +7397,93 @@ object SparkEntry {
         |       CAST((r2 - n1 * (n1 + 1)) * 1000000
         |         // (2 * n1 * (n_total - n1)) AS BIGINT) AS cles_ppm
         |FROM g CROSS JOIN tot ORDER BY lang ASC""".stripMargin,
+    // q294: identical hash-drawn relabelings (mod-n < n1), identical
+    // cross-multiplied extremeness test, add-one p.
+    "q294_permutation_test" ->
+      """WITH base AS (SELECT doc_id, n_chars,
+        |                CAST(lang = 'en' AS BIGINT) AS is_a FROM documents),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |          CAST(SUM(is_a) AS BIGINT) AS n1,
+        |          CAST(SUM(n_chars) AS BIGINT) AS s,
+        |          CAST(SUM(is_a * n_chars) AS BIGINT) AS s1 FROM base),
+        |t2 AS (SELECT n, n1, n - n1 AS n2, s1, s - s1 AS s2,  s,
+        |         ABS(s1 * (n - n1) - (s - s1) * n1) AS obs_num FROM tot),
+        |fan AS (SELECT b.doc_id, b.n_chars, t.n, t.n1, i.b
+        |        FROM base b CROSS JOIN t2 t
+        |        CROSS JOIN (SELECT unnest(range(0, 128)) AS b) i),
+        |asg AS (SELECT b, n_chars,
+        |          CAST(CAST('0x' || substr(md5('perm:' || CAST(b AS VARCHAR)
+        |            || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |            % n < n1 AS BIGINT) AS assign
+        |        FROM fan),
+        |pb AS (SELECT b, CAST(SUM(assign) AS BIGINT) AS n1b,
+        |         CAST(SUM(assign * n_chars) AS BIGINT) AS s1b
+        |       FROM asg GROUP BY 1),
+        |ext AS (SELECT t.n1, t.n2, t.obs_num,
+        |          CAST(ABS(s1b * (t.n - n1b) - (t.s - s1b) * n1b)
+        |              * (t.n1 * t.n2)
+        |            >= t.obs_num * (n1b * (t.n - n1b)) AS BIGINT) AS extreme
+        |        FROM pb CROSS JOIN t2 t)
+        |SELECT n1, n2,
+        |       CAST(obs_num * 1000 // (n1 * n2) AS BIGINT)
+        |         AS obs_absdiff_milli,
+        |       CAST(COUNT(*) AS BIGINT) AS n_perms,
+        |       CAST(SUM(extreme) AS BIGINT) AS n_extreme,
+        |       CAST((1 + SUM(extreme)) * 1000000 // (COUNT(*) + 1)
+        |         AS BIGINT) AS p_ppm
+        |FROM ext GROUP BY 1, 2, obs_num""".stripMargin,
+    // q295: identical gram unions, identical clipped min(c, ct - c)
+    // against the rest-of-corpus by subtraction.
+    "q295_bleu_overlap" ->
+      s"""WITH t AS (SELECT source, str_split($duckNorm, ' ') AS w
+         |           FROM documents),
+         |g1 AS (SELECT source, CAST(1 AS BIGINT) AS n, unnest(w) AS gram
+         |       FROM t),
+         |i2 AS (SELECT source, w,
+         |              unnest(generate_series(1, len(w)-1)) AS i FROM t),
+         |g2 AS (SELECT source, CAST(2 AS BIGINT) AS n,
+         |              w[i] || ' ' || w[i+1] AS gram FROM i2),
+         |i3 AS (SELECT source, w,
+         |              unnest(generate_series(1, len(w)-2)) AS i FROM t),
+         |g3 AS (SELECT source, CAST(3 AS BIGINT) AS n,
+         |              w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+         |       FROM i3),
+         |u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+         |      UNION ALL SELECT * FROM g3),
+         |counts AS (SELECT source, n, gram, CAST(COUNT(*) AS BIGINT) AS c
+         |           FROM u GROUP BY 1, 2, 3),
+         |gtab AS (SELECT n, gram, CAST(SUM(c) AS BIGINT) AS ct
+         |         FROM counts GROUP BY 1, 2)
+         |SELECT c.source, c.n AS ngram,
+         |       CAST(SUM(c.c) AS BIGINT) AS total_grams,
+         |       CAST(SUM(LEAST(c.c, g.ct - c.c)) AS BIGINT) AS clipped_grams,
+         |       CAST(SUM(LEAST(c.c, g.ct - c.c)) * 1000000 // SUM(c.c)
+         |         AS BIGINT) AS precision_ppm
+         |FROM counts c JOIN gtab g ON c.n = g.n AND c.gram = g.gram
+         |GROUP BY 1, 2 ORDER BY source ASC, ngram ASC""".stripMargin,
+    // q296: identical ⌈k·n/10⌉ decile ranks (value-at-rank is
+    // tie-invariant) with the '__all__' twin partition for the global.
+    "q296_quantile_mapping" ->
+      """WITH vals AS (
+        |  SELECT source AS part, n_chars AS v FROM documents
+        |  UNION ALL SELECT '__all__' AS part, n_chars FROM documents),
+        |r AS (SELECT part, v,
+        |        row_number() OVER (PARTITION BY part ORDER BY v ASC) AS rnk,
+        |        COUNT(*) OVER (PARTITION BY part) AS cn FROM vals),
+        |ks AS (SELECT part, unnest(range(1, 10)) AS q
+        |       FROM (SELECT DISTINCT part FROM vals)),
+        |at AS (SELECT k.part, CAST(k.q AS BIGINT) AS q,
+        |         MAX(CASE WHEN r.rnk = (k.q * r.cn + 9) // 10
+        |           THEN r.v END) AS v
+        |       FROM ks k JOIN r ON k.part = r.part GROUP BY 1, 2),
+        |gtab AS (SELECT q, CAST(v AS BIGINT) AS global_chars
+        |         FROM at WHERE part = '__all__')
+        |SELECT a.part AS source, a.q AS decile, CAST(a.v AS BIGINT)
+        |         AS src_chars,
+        |       g.global_chars,
+        |       CAST(a.v - g.global_chars AS BIGINT) AS shift_chars
+        |FROM at a JOIN gtab g ON a.q = g.q WHERE a.part <> '__all__'
+        |ORDER BY source ASC, decile ASC""".stripMargin,
     // q269: same 2-gram set, same (a*h+b) mod p permutation minima as
     // the doc-level q27 sketch, slot-agreement estimate vs the q84 exact
     // join in integer ppm.

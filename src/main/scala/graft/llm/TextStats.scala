@@ -1825,4 +1825,156 @@ object TextStats {
 
   def mannWhitney(spark: SparkSession, dir: String): DataFrame =
     mannWhitney(Tables.documents(spark, dir))
+
+  /** q294: DETERMINISTIC RANDOMIZATION TEST — is the English-doc length
+    * difference explainable by chance? B = 128 pseudo-random relabelings
+    * (hash-derived, so both engines draw the SAME "randomness") reassign
+    * every doc to group A with probability n₁/n — spelled exactly as
+    * `hash mod n < n₁`, an integer comparison — and the two-sided
+    * p-value is the add-one-smoothed share of relabelings whose absolute
+    * mean difference meets the observed one. The mean comparison never
+    * divides: |s₁ᵇn₂ᵇ − s₂ᵇn₁ᵇ|·(n₁n₂) ≥ |s₁n₂ − s₂n₁|·(n₁ᵇn₂ᵇ) is the
+    * cross-multiplied form (a degenerate relabeling with an empty side
+    * has RHS 0 and counts as extreme — same verdict in both engines).
+    *
+    * Scale shape: one corpus pass fans out ×B inside codegen
+    * (explode(sequence)), reduces map-side to B rows; the observed
+    * moments arrive broadcast. B is a constant, so at 100 TB this stays
+    * a single linear pass. */
+  def permutationTest(docs: DataFrame, b: Int = 128): DataFrame = {
+    val base = docs.select(col("doc_id"), col("n_chars"),
+      (col("lang") === "en").cast("long").as("is_a"))
+    val tot = base.agg(count(lit(1)).as("n"), sum(col("is_a")).as("n1"),
+        sum(col("n_chars")).as("s"),
+        sum(col("is_a") * col("n_chars")).as("s1"))
+      .select(col("n"), col("n1"), (col("n") - col("n1")).as("n2"),
+        col("s1"), (col("s") - col("s1")).as("s2"), col("s"))
+      .withColumn("obs_num", abs(col("s1") * col("n2") - col("s2") * col("n1")))
+    val perB = base.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_chars"), col("n"), col("n1"),
+        explode(expr(s"sequence(0, ${b - 1})")).as("b"))
+      .withColumn("assign",
+        (conv(substring(md5(concat(lit("perm:"), col("b").cast("string"),
+          lit(":"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % col("n") < col("n1")).cast("long"))
+      .groupBy(col("b"))
+      .agg(sum(col("assign")).as("n1b"),
+        sum(col("assign") * col("n_chars")).as("s1b"))
+    perB.crossJoin(broadcast(tot))
+      .select(col("b"), col("n1b"), (col("n") - col("n1b")).as("n2b"),
+        col("s1b"), (col("s") - col("s1b")).as("s2b"),
+        col("n1"), col("n2"), col("obs_num"))
+      .withColumn("extreme",
+        (abs(col("s1b") * col("n2b") - col("s2b") * col("n1b"))
+          * (col("n1") * col("n2"))
+          >= col("obs_num") * (col("n1b") * col("n2b"))).cast("long"))
+      .groupBy(col("n1"), col("n2"), col("obs_num"))
+      .agg(count(lit(1)).as("n_perms"), sum(col("extreme")).as("n_extreme"))
+      .select(col("n1").cast("long").as("n1"),
+        col("n2").cast("long").as("n2"),
+        expr("obs_num * 1000 div (n1 * n2)").cast("long")
+          .as("obs_absdiff_milli"),
+        col("n_perms").cast("long").as("n_perms"),
+        col("n_extreme").cast("long").as("n_extreme"),
+        expr("(1 + n_extreme) * 1000000 div (n_perms + 1)").cast("long")
+          .as("p_ppm"))
+  }
+
+  def permutationTest(spark: SparkSession, dir: String): DataFrame =
+    permutationTest(Tables.documents(spark, dir))
+
+  /** q295: BLEU-STYLE CORPUS OVERLAP — per source, the modified
+    * (clipped) n-gram precision of the source against the REST of the
+    * corpus for n = 1, 2, 3: Σ_g min(c_S(g), c_corpus(g) − c_S(g)) over
+    * the source's gram total. This is corpus-level BLEU precision with
+    * the rest-of-corpus as reference — the standard instrument for
+    * "is this (possibly synthetic) source just re-mixing what the corpus
+    * already says?" High overlap at n=3 with ordinary overlap at n=1
+    * flags templated/regurgitated phrasing specifically (on this
+    * fixture n=1,2 saturate near 10⁶ — tiny vocab — and n=3 is the
+    * discriminating order).
+    *
+    * The clip count needs no pair join: the reference count is the
+    * global count MINUS the source's own (the q288 subtraction trick).
+    *
+    * Scale shape: one gram-count shuffle per n (vocab-bounded frames),
+    * one linear recount for the global table, a source census. */
+  def bleuOverlap(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"), split(norm, " ").as("w"))
+    val g1 = toks.select(col("source"), lit(1L).as("n"),
+      explode(col("w")).as("gram"))
+    val g2 = toks.select(col("source"), lit(2L).as("n"), explode(expr(
+        "transform(slice(w, 1, size(w)-1), (x, i) -> " +
+          "concat(x, ' ', element_at(w, i+2)))")).as("gram"))
+    val g3 = toks.select(col("source"), lit(3L).as("n"), explode(expr(
+        "transform(slice(w, 1, size(w)-2), (x, i) -> " +
+          "concat(x, ' ', element_at(w, i+2), ' ', element_at(w, i+3)))"))
+      .as("gram"))
+    val counts = graft.core.Caches.scratch(g1.unionAll(g2).unionAll(g3)
+      .groupBy(col("source"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c")))
+    val glob = counts.groupBy(col("n"), col("gram"))
+      .agg(sum(col("c")).as("ct"))
+    counts.join(glob, Seq("n", "gram"))
+      .withColumn("clipped", least(col("c"), col("ct") - col("c")))
+      .groupBy(col("source"), col("n"))
+      .agg(sum(col("c")).as("total_grams"), sum(col("clipped")).as("clipped_grams"))
+      .select(col("source"), col("n").as("ngram"),
+        col("total_grams").cast("long").as("total_grams"),
+        col("clipped_grams").cast("long").as("clipped_grams"),
+        expr("clipped_grams * 1000000 div total_grams").cast("long")
+          .as("precision_ppm"))
+      .orderBy(col("source").asc, col("ngram").asc)
+  }
+
+  def bleuOverlap(spark: SparkSession, dir: String): DataFrame =
+    bleuOverlap(Tables.documents(spark, dir))
+
+  /** q296: QUANTILE-MAPPING TABLE — per source, the exact decile
+    * boundaries of document length next to the GLOBAL deciles, with the
+    * shift at each decile. This is the lookup table quantile
+    * normalization uses to re-shape one source's length distribution
+    * onto the corpus-wide one (the balancing step before length-bucketed
+    * packing mixes sources), and it doubles as a distribution-drift
+    * readout: a source whose shifts are all one-signed is systematically
+    * long/short, one with mixed signs differs in shape.
+    *
+    * Exact rank arithmetic: decile k boundary = value at rank
+    * ⌈k·n/10⌉ = (k·n + 9) div 10 — and BOTH the per-source and the
+    * global order statistics go through the bucket-offset OrderStats
+    * kernel (one values frame with an '__all__' twin partition), so no
+    * corpus-wide sort window exists in the plan.
+    *
+    * Scale shape: values are scanned by the kernel's census passes; the
+    * positions frame is |sources+1|·9 rows; output joins are on that
+    * domain-sized frame. */
+  def quantileMapping(docs: DataFrame): DataFrame = {
+    val vals = graft.core.Caches.scratch(
+      docs.select(col("source").as("part"), col("n_chars").as("v"))
+        .unionAll(docs.select(lit("__all__").as("part"),
+          col("n_chars").as("v"))))
+    val positions = graft.core.Caches.trackCheckpoint(
+      vals.groupBy(col("part")).agg(count(lit(1)).as("cn"))
+        .select(col("part"), explode(expr("sequence(1, 9)")).as("q"),
+          col("cn"))
+        .select(col("part"), col("q").cast("long").as("q"),
+          expr("(q * cn + 9) div 10").as("pos"))
+        .localCheckpoint(true))
+    val at = graft.analytics.OrderStats.valueAtRank(vals, positions)
+    val globalAt = at.filter(col("part") === "__all__")
+      .select(col("q"), col("v").as("global_chars"))
+    at.filter(col("part") =!= "__all__")
+      .select(col("part").as("source"), col("q").as("decile"),
+        col("v").as("src_chars"))
+      .join(broadcast(globalAt), col("decile") === globalAt("q"))
+      .select(col("source"), col("decile").cast("long").as("decile"),
+        col("src_chars").cast("long").as("src_chars"),
+        col("global_chars").cast("long").as("global_chars"),
+        (col("src_chars") - col("global_chars")).cast("long")
+          .as("shift_chars"))
+      .orderBy(col("source").asc, col("decile").asc)
+  }
+
+  def quantileMapping(spark: SparkSession, dir: String): DataFrame =
+    quantileMapping(Tables.documents(spark, dir))
 }
