@@ -815,6 +815,12 @@ object SparkEntry {
     "q295_bleu_overlap"        -> ((s, d) => TextStats.bleuOverlap(s, d)),
     // ---- per-source -> global decile quantile-mapping table ----
     "q296_quantile_mapping"    -> ((s, d) => TextStats.quantileMapping(s, d)),
+    // ---- Neyman vs proportional stratified sample allocation ----
+    "q297_neyman_allocation"   -> ((s, d) => Curation.neymanAllocation(s, d)),
+    // ---- dedup-granularity sweep over shingle widths 2..5 ----
+    "q298_dedup_sweep"         -> ((s, d) => TextDedup.dedupSweep(s, d)),
+    // ---- CUSUM changepoint scan (prefix-sum-minus-running-min form) ----
+    "q299_cusum_changepoint"   -> ((s, d) => TemporalOps.cusumChangepoint(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -7484,6 +7490,111 @@ object SparkEntry {
         |       CAST(a.v - g.global_chars AS BIGINT) AS shift_chars
         |FROM at a JOIN gtab g ON a.q = g.q WHERE a.part <> '__all__'
         |ORDER BY source ASC, decile ASC""".stripMargin,
+    // q297: N_h·S_h = isqrt(N·Σx² − (Σx)²) — one IEEE sqrt (correctly
+    // rounded, identical both engines) then floor; q264 largest-remainder
+    // apportionment for both allocations.
+    "q297_neyman_allocation" ->
+      """WITH stats AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS sx,
+        |         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents GROUP BY 1),
+        |ws AS (SELECT source, n_docs,
+        |         CAST(FLOOR(SQRT(CAST(n_docs * sxx - sx * sx AS DOUBLE)))
+        |           AS BIGINT) AS weight
+        |       FROM stats),
+        |tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw,
+        |               CAST(SUM(n_docs) AS BIGINT) AS tn FROM ws),
+        |based AS (SELECT source, n_docs, weight,
+        |            weight * 1000 // tw AS nbase, (weight * 1000) % tw AS nrem,
+        |            n_docs * 1000 // tn AS pbase, (n_docs * 1000) % tn AS prem
+        |          FROM ws CROSS JOIN tot),
+        |lef AS (SELECT 1000 - CAST(SUM(nbase) AS BIGINT) AS nleft,
+        |               1000 - CAST(SUM(pbase) AS BIGINT) AS pleft FROM based),
+        |ranked AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY nrem DESC, source ASC)
+        |      AS BIGINT) AS nrank,
+        |    CAST(row_number() OVER (ORDER BY prem DESC, source ASC)
+        |      AS BIGINT) AS prank
+        |  FROM based)
+        |SELECT source, n_docs, weight,
+        |       CAST(nbase + CASE WHEN nrank <= lef.nleft THEN 1 ELSE 0 END
+        |         AS BIGINT) AS neyman_alloc,
+        |       CAST(pbase + CASE WHEN prank <= lef.pleft THEN 1 ELSE 0 END
+        |         AS BIGINT) AS prop_alloc,
+        |       CAST(nbase + CASE WHEN nrank <= lef.nleft THEN 1 ELSE 0 END
+        |         - pbase - CASE WHEN prank <= lef.pleft THEN 1 ELSE 0 END
+        |         AS BIGINT) AS delta
+        |FROM ranked CROSS JOIN lef ORDER BY source ASC""".stripMargin,
+    // q298: identical per-doc-distinct gram sets per width (inclusive
+    // slice w[i:i+k-1]), df > 1 sharing, semi-join flagged census.
+    "q298_dedup_sweep" ->
+      s"""WITH t AS (SELECT doc_id, str_split($duckNorm, ' ') AS w
+         |           FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT 2 AS wsize, doc_id,
+         |         array_to_string(w[i:i+1], ' ') AS gram
+         |  FROM t, unnest(generate_series(1, len(w) - 1)) AS s(i)
+         |  UNION
+         |  SELECT DISTINCT 3, doc_id, array_to_string(w[i:i+2], ' ')
+         |  FROM t, unnest(generate_series(1, len(w) - 2)) AS s(i)
+         |  UNION
+         |  SELECT DISTINCT 4, doc_id, array_to_string(w[i:i+3], ' ')
+         |  FROM t, unnest(generate_series(1, len(w) - 3)) AS s(i)
+         |  UNION
+         |  SELECT DISTINCT 5, doc_id, array_to_string(w[i:i+4], ' ')
+         |  FROM t, unnest(generate_series(1, len(w) - 4)) AS s(i)),
+         |dfc AS (SELECT wsize, gram, CAST(COUNT(*) AS BIGINT) AS df
+         |        FROM grams GROUP BY 1, 2),
+         |perw AS (SELECT wsize, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |           CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |             AS n_shared_grams
+         |         FROM dfc GROUP BY 1),
+         |flagged AS (
+         |  SELECT g.wsize, CAST(COUNT(DISTINCT g.doc_id) AS BIGINT)
+         |           AS docs_flagged
+         |  FROM grams g JOIN dfc ON g.wsize = dfc.wsize AND g.gram = dfc.gram
+         |  WHERE dfc.df > 1 GROUP BY 1),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+         |SELECT CAST(p.wsize AS BIGINT) AS wsize, p.n_grams,
+         |       p.n_shared_grams,
+         |       CAST(COALESCE(f.docs_flagged, 0) AS BIGINT) AS docs_flagged,
+         |       CAST(COALESCE(f.docs_flagged, 0) * 1000000 // nd.n_docs
+         |         AS BIGINT) AS flagged_ppm
+         |FROM perw p LEFT JOIN flagged f ON p.wsize = f.wsize
+         |CROSS JOIN nd ORDER BY wsize ASC""".stripMargin,
+    // q299: identical daily census, identical integer μ/k/h, identical
+    // prefix-sum-minus-running-min CUSUM closed form.
+    "q299_cusum_changepoint" ->
+      (silverCte +
+        """,
+          |daily AS (SELECT event_date AS d, CAST(COUNT(*) AS BIGINT) AS x
+          |          FROM silver GROUP BY 1),
+          |tot AS (SELECT CAST(SUM(x) AS BIGINT) AS tx,
+          |               CAST(COUNT(*) AS BIGINT) AS nd FROM daily),
+          |base AS (SELECT d, x, tx // nd AS mu, (tx // nd) // 20 AS k,
+          |                (tx // nd) // 2 AS h
+          |         FROM daily CROSS JOIN tot),
+          |pref AS (SELECT d, x, h,
+          |           SUM(x - mu - k) OVER (ORDER BY d ASC
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |             AS p,
+          |           SUM(mu - k - x) OVER (ORDER BY d ASC
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |             AS q
+          |         FROM base),
+          |cs AS (SELECT d, x, h,
+          |         p - LEAST(0, MIN(p) OVER (ORDER BY d ASC
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          |           AS s_pos,
+          |         q - LEAST(0, MIN(q) OVER (ORDER BY d ASC
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          |           AS s_neg
+          |       FROM pref)
+          |SELECT d, x, CAST(s_pos AS BIGINT) AS s_pos,
+          |       CAST(s_neg AS BIGINT) AS s_neg, h,
+          |       s_pos > h OR s_neg > h AS breach
+          |FROM cs ORDER BY d ASC""".stripMargin),
     // q269: same 2-gram set, same (a*h+b) mod p permutation minima as
     // the doc-level q27 sketch, slot-agreement estimate vs the q84 exact
     // join in integer ppm.

@@ -893,4 +893,47 @@ object TemporalOps {
 
   def forecastBacktest(spark: SparkSession, dir: String): DataFrame =
     forecastBacktest(graft.pipeline.EventsPipeline.silver(spark, dir))
+
+  /** q299: CUSUM CHANGEPOINT SCAN over the daily event-count series —
+    * the sequential drift detector (Page, 1954) every volume-monitoring
+    * pipeline runs: S⁺ accumulates upward deviations past a slack k
+    * above the series mean, S⁻ downward ones, each resetting at zero;
+    * a breach of threshold h localizes the day the level shifted.
+    *
+    * The recursion Sₜ = max(0, Sₜ₋₁ + devₜ) is NOT a prefix sum — but it
+    * has the exact closed form Sₜ = pₜ − min_{0≤j≤t} pⱼ over the plain
+    * prefix sums pₜ (running-sum-minus-running-min), which IS two
+    * windows. That identity is what makes the operator declarative and
+    * engine-portable; all arithmetic is integer (μ, k = μ/20, h = μ/2
+    * are floor-divs of non-negative totals; the deviations go negative
+    * but are only ever summed, min'd, and subtracted).
+    *
+    * Scale shape: the corpus reduces to one DAILY census first; both
+    * windows run over that date-range-bounded frame (the q283/q247
+    * domain-window discipline). */
+  def cusumChangepoint(silver: DataFrame): DataFrame = {
+    val daily = silver.groupBy(col("event_date").as("d"))
+      .agg(count(lit(1)).as("x"))
+    val tot = daily.agg(sum(col("x")).as("tx"), count(lit(1)).as("nd"))
+    val base = daily.crossJoin(broadcast(tot))
+      .withColumn("mu", expr("tx div nd"))
+      .withColumn("k", expr("(tx div nd) div 20"))
+      .withColumn("h", expr("(tx div nd) div 2"))
+    val wRun = Window.orderBy(col("d").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    base
+      .withColumn("p", sum(col("x") - col("mu") - col("k")).over(wRun))
+      .withColumn("q", sum(col("mu") - col("k") - col("x")).over(wRun))
+      .withColumn("s_pos", col("p") - least(lit(0L), min(col("p")).over(wRun)))
+      .withColumn("s_neg", col("q") - least(lit(0L), min(col("q")).over(wRun)))
+      .select(col("d"), col("x").cast("long").as("x"),
+        col("s_pos").cast("long").as("s_pos"),
+        col("s_neg").cast("long").as("s_neg"),
+        col("h").cast("long").as("h"),
+        (col("s_pos") > col("h") || col("s_neg") > col("h")).as("breach"))
+      .orderBy(col("d").asc)
+  }
+
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame =
+    cusumChangepoint(graft.pipeline.EventsPipeline.silver(spark, dir))
 }

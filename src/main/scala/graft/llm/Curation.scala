@@ -1261,6 +1261,57 @@ object Curation {
   def evalQuotas(spark: SparkSession, dir: String): DataFrame =
     evalQuotas(Tables.documents(spark, dir))
 
+  /** q297: NEYMAN SAMPLE ALLOCATION — split a sampling budget across
+    * strata (sources) ∝ N_h·S_h (stratum size × stratum std of doc
+    * length), the allocation that minimizes the stratified estimator's
+    * variance, next to the naive proportional allocation (∝ N_h) and the
+    * per-stratum delta. High-variance sources earn extra probes; uniform
+    * ones give them up — the audit-sampling design every data-quality
+    * review at scale should use instead of flat-rate sampling.
+    *
+    * Exactness: N_h·S_h = √(N_h·Σx² − (Σx)²) — the whole weight is ONE
+    * integer under a square root, so the only non-integer step is
+    * IEEE-754 sqrt (correctly rounded, hence identical in both engines)
+    * followed by floor. Both allocations then go through the q264
+    * largest-remainder apportionment, so each sums to the budget
+    * exactly.
+    *
+    * Scale shape: one linear moment pass to a |sources|-row frame;
+    * windows only over that frame. */
+  def neymanAllocation(docs: DataFrame, budget: Int = 1000): DataFrame = {
+    val stats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sx"),
+        sum(expr("n_chars * n_chars")).as("sxx"))
+      .withColumn("weight",
+        floor(sqrt((col("n_docs") * col("sxx") - col("sx") * col("sx"))
+          .cast("double"))).cast("long"))
+    val tot = stats.agg(sum(col("weight")).as("tw"), sum(col("n_docs")).as("tn"))
+    val based = stats.crossJoin(broadcast(tot))
+      .withColumn("nbase", expr(s"weight * $budget div tw"))
+      .withColumn("nrem", expr(s"(weight * $budget) % tw"))
+      .withColumn("pbase", expr(s"n_docs * $budget div tn"))
+      .withColumn("prem", expr(s"(n_docs * $budget) % tn"))
+    val lef = based.agg((lit(budget.toLong) - sum(col("nbase"))).as("nleft"),
+      (lit(budget.toLong) - sum(col("pbase"))).as("pleft"))
+    val wN = Window.orderBy(col("nrem").desc, col("source").asc)
+    val wP = Window.orderBy(col("prem").desc, col("source").asc)
+    based.withColumn("nrank", row_number().over(wN).cast("long"))
+      .withColumn("prank", row_number().over(wP).cast("long"))
+      .crossJoin(broadcast(lef))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        col("weight"),
+        (col("nbase") + when(col("nrank") <= col("nleft"), 1L).otherwise(0L))
+          .cast("long").as("neyman_alloc"),
+        (col("pbase") + when(col("prank") <= col("pleft"), 1L).otherwise(0L))
+          .cast("long").as("prop_alloc"))
+      .withColumn("delta", (col("neyman_alloc") - col("prop_alloc"))
+        .cast("long"))
+      .orderBy(col("source").asc)
+  }
+
+  def neymanAllocation(spark: SparkSession, dir: String): DataFrame =
+    neymanAllocation(Tables.documents(spark, dir))
+
   /** q250: the END-TO-END curation pipeline as ONE declarative plan —
     * the composition a production training-data run actually ships, not
     * just its parts: bronze corpus → NEAR-dup keep-list (MinHash+LSH

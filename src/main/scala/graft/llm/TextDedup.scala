@@ -1006,4 +1006,51 @@ object TextDedup {
       .filter(col("jac_ppm") >= tauPpm)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
+
+  /** q298: DEDUP-GRANULARITY SWEEP — how much duplication does each
+    * shingle width see? For w ∈ {2..5}: the distinct w-gram vocabulary,
+    * the grams shared by ≥2 documents, and the documents carrying at
+    * least one shared gram (with corpus ppm). This is the tuning curve
+    * behind every shingled dedup operator in the suite (q27/q29/q157
+    * fix ONE w; the sweep shows the sensitivity): small w flags
+    * everything (common phrases), large w only true clones — where the
+    * curve knees is where the pipeline should sit. The q219 vocab sweep
+    * is the same instrument pointed at vocabulary growth; this one
+    * measures CROSS-document sharing.
+    *
+    * Scale shape: one per-doc-distinct gram explode per width (a
+    * constant number of linear passes, unioned into ONE shuffle), a
+    * gram-count reduction, and a semi-join back for the flagged-doc
+    * census. No pair joins at any width. */
+  def dedupSweep(docs: DataFrame, widths: Seq[Int] = Seq(2, 3, 4, 5))
+      : DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val toks = docs.select(col("doc_id"), split(norm, " ").as("w"))
+    val grams = widths.map { k =>
+      toks.select(lit(k.toLong).as("wsize"), col("doc_id"), explode(expr(
+        s"transform(slice(w, 1, size(w) - ${k - 1}), (x, i) -> " +
+          s"array_join(slice(w, i + 1, $k), ' '))")).as("gram"))
+    }.reduce(_ unionAll _).distinct()
+    val g = Caches.scratch(grams)
+    val dfc = g.groupBy(col("wsize"), col("gram")).agg(count(lit(1)).as("df"))
+    val perW = dfc.groupBy(col("wsize"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("df") > 1).cast("long")).as("n_shared_grams"))
+    val flagged = g.join(dfc.filter(col("df") > 1), Seq("wsize", "gram"))
+      .select(col("wsize"), col("doc_id")).distinct()
+      .groupBy(col("wsize")).agg(count(lit(1)).as("docs_flagged"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    perW.join(flagged, Seq("wsize"), "left").crossJoin(broadcast(nd))
+      .select(col("wsize").cast("long").as("wsize"),
+        col("n_grams").cast("long").as("n_grams"),
+        col("n_shared_grams").cast("long").as("n_shared_grams"),
+        coalesce(col("docs_flagged"), lit(0L)).cast("long")
+          .as("docs_flagged"),
+        expr("coalesce(docs_flagged, 0) * 1000000 div n_docs").cast("long")
+          .as("flagged_ppm"))
+      .orderBy(col("wsize").asc)
+  }
+
+  def dedupSweep(spark: SparkSession, dir: String): DataFrame =
+    dedupSweep(Tables.documents(spark, dir))
 }
