@@ -259,4 +259,30 @@ class DiagnosticsSpec extends SparkSpecBase {
     // degenerate all-zero column was the round-11 design smell test)
     assert(out.map(_.getLong(4)).sum > 0, "flag column is degenerate")
   }
+
+  test("q290 conformal: q-hat is the ceil(0.9(n+1))-th calibration score") {
+    val silver = graft.pipeline.EventsPipeline.silver(spark, sf)
+    val out = Diagnostics.conformalCoverage(silver).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(6)))).toMap
+    // re-derive per type from the raw split (same hash, driver-side)
+    import org.apache.spark.sql.functions._
+    val raw = silver.select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        (conv(substring(md5(concat(lit("conf:"),
+          col("event_id").cast("string"))), 1, 15), 16, 10).cast("long")
+          % 10 < 5).as("is_cal"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    raw.groupBy(_._1).foreach { case (t, rows) =>
+      val cal = rows.filter(_._3).map(_._2).sorted
+      val med = cal((cal.length + 1) / 2 - 1)
+      val nc = cal.map(v => math.abs(v - med)).sorted
+      val pos = math.min((9 * (cal.length + 1) + 9) / 10, cal.length)
+      val (nCal, medC, qhat, coverPpm) = out(t)
+      assert(nCal === cal.length.toLong)
+      assert(medC === med)
+      assert(qhat === nc(pos - 1))
+      assert(coverPpm >= 0L && coverPpm <= 1000000L)
+    }
+  }
 }

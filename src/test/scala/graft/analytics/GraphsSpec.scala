@@ -284,4 +284,18 @@ class GraphsSpec extends SparkSpecBase {
       .map { case (b, xs) => b -> ((xs.size.toLong, xs.map(_._2).sum)) }
     assert(out === expected)
   }
+
+  test("q289 rec backtest: hits cumulative in k, rates exact") {
+    val out = Graphs.recBacktest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(out.map(_._2).distinct.length === 1,
+      "anchor denominator is k-independent")
+    assert(out.map(_._3).sliding(2).forall(p => p(0) <= p(1)),
+      "hit@k must be non-decreasing in k")
+    out.foreach { r =>
+      assert(r._4 === r._3 * 1000000L / math.max(1L, r._2))
+      assert(r._3 <= r._2, "hits cannot exceed anchors")
+    }
+  }
 }

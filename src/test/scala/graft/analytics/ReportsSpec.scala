@@ -467,4 +467,41 @@ class ReportsSpec extends SparkSpecBase {
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq,
       "hash split must be bit-repeatable")
   }
+
+  test("q291 cuped: theta and adjustment match a driver-side re-derivation") {
+    val silver = EventsPipeline.silver(spark, sf)
+    val out = Reports.cupedAdjustment(silver).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7)))).toMap
+    assert(out.size === 2, "both arms must report")
+    // re-derive from raw per-user pre/post sums (same split predicate)
+    import org.apache.spark.sql.functions._
+    val b = silver.agg(min(col("event_date")).as("lo"),
+      max(col("event_date")).as("hi")).collect()(0)
+    val (lo, hi) = (b.getDate(0).toLocalDate, b.getDate(1).toLocalDate)
+    val span = java.time.temporal.ChronoUnit.DAYS.between(lo, hi)
+    val pu = silver.select(col("user_id"), col("event_date"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), java.time.temporal.ChronoUnit.DAYS.between(
+        lo, r.getDate(1).toLocalDate), r.getLong(2)))
+      .groupBy(_._1).map { case (u, rows) =>
+        (u, rows.filter(_._2 * 2 < span).map(_._3).sum,
+          rows.filter(_._2 * 2 >= span).map(_._3).sum)
+      }.toSeq
+    val n = pu.size.toLong
+    val sx = pu.map(_._2).sum; val sy = pu.map(_._3).sum
+    val sxx = pu.map(t => t._2 * t._2).sum
+    val sxy = pu.map(t => t._2 * t._3).sum
+    val num = n * sxy - sx * sy; val denx = n * sxx - sx * sx
+    val theta = math.floor(num.toDouble * 1000000.0 / denx).toLong
+    assert(out.values.map(_._4).toSet === Set(theta),
+      "pooled theta must match the exact re-derivation")
+    // the adjustment must shrink the arm gap on this positively
+    // pre-correlated fixture
+    val arms = out.toSeq.sortBy(_._1).map(_._2)
+    val rawGap = math.abs(arms(0)._2 - arms(1)._2)
+    val adjGap = math.abs(arms(0)._3 - arms(1)._3)
+    assert(adjGap <= rawGap, s"CUPED must not widen the gap: $out")
+  }
 }

@@ -517,4 +517,24 @@ class TemporalOpsSpec extends SparkSpecBase {
     // horizon is 26: views Jan 5 -> 26 days to Jan 31)
     assert(out.find(_._1 == 28L).get._2 === 1L)
   }
+
+  test("q299 cusum: closed form equals the max(0, S + dev) recursion") {
+    val silver = graft.pipeline.EventsPipeline.silver(spark, sf)
+    val out = TemporalOps.cusumChangepoint(silver).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    // re-derive the textbook recursion from the same daily series
+    val xs = out.map(x => (x._1, x._2)).sortBy(_._1)
+    val tx = xs.map(_._2).sum
+    val mu = tx / xs.length
+    val k = mu / 20
+    val h = mu / 2
+    var sp = 0L; var sn = 0L
+    val expected = xs.map { case (d, x) =>
+      sp = math.max(0L, sp + x - mu - k)
+      sn = math.max(0L, sn + mu - k - x)
+      (d, x, sp, sn, h, sp > h || sn > h)
+    }
+    assert(out.sortBy(_._1).toSeq === expected.toSeq)
+  }
 }

@@ -711,4 +711,22 @@ class CurationSpec extends SparkSpecBase {
       assert(mean > aMean, s"$s should score above the alien source")
     }
   }
+
+  test("q297 neyman allocation: both allocations sum to the budget; " +
+      "zero-variance stratum gets zero weight") {
+    import spark.implicits._
+    val out = Curation.neymanAllocation(docs, budget = 1000).collect()
+    assert(out.map(_.getLong(3)).sum === 1000L, "neyman must exhaust budget")
+    assert(out.map(_.getLong(4)).sum === 1000L, "prop must exhaust budget")
+    out.foreach(r => assert(r.getLong(5) === r.getLong(3) - r.getLong(4)))
+    // constant-length stratum: N·Σx² − (Σx)² = 0 ⇒ weight 0
+    val synth = Seq(
+      (1L, "t", "en", "flat", 100L), (2L, "t", "en", "flat", 100L),
+      (3L, "t", "en", "vary", 10L), (4L, "t", "en", "vary", 500L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val w = Curation.neymanAllocation(synth, budget = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(w("flat") === 0L)
+    assert(w("vary") > 0L)
+  }
 }

@@ -497,4 +497,18 @@ class TextDedupSpec extends SparkSpecBase {
     // loose floor that still catches a broken banding
     assert(recall >= 900000L, s"LSH banding recall collapsed: $r")
   }
+
+  test("q298 dedup sweep: flagged docs monotone non-increasing in width") {
+    val out = TextDedup.dedupSweep(graft.core.Tables.documents(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).toSeq === Seq(2L, 3L, 4L, 5L))
+    // a doc sharing a w-gram with another shares every sub-gram of it,
+    // so widening the shingle can only shrink the flagged set
+    assert(out.map(_._4).sliding(2).forall(p => p(0) >= p(1)),
+      s"flagged docs must be non-increasing in width: $out")
+    out.foreach { r =>
+      assert(r._3 <= r._2, "shared grams cannot exceed distinct grams")
+    }
+  }
 }

@@ -705,4 +705,138 @@ class TextStatsSpec extends SparkSpecBase {
     assert(out.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
       === rederived)
   }
+
+  test("q285 ccnet buckets: terciles balanced, score ranges monotone") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextStats.ccnetBuckets(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getLong(5)))
+    val perLang = out.groupBy(_._1)
+    val langTotals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === Seq(0L, 1L, 2L))
+      assert(rows.map(_._3).sum === langTotals(lang))
+      assert(rows.map(_._3).max - rows.map(_._3).min <= 1,
+        s"$lang terciles unbalanced")
+      val byB = rows.sortBy(_._2)
+      // head's min score >= middle's max score >= ... (rank-contiguous)
+      assert(byB(0)._4 >= byB(1)._5 && byB(1)._4 >= byB(2)._5,
+        s"$lang bucket score ranges overlap out of order")
+    }
+  }
+
+  test("q286 gopher rules: first-fail attribution is exclusive and exhaustive") {
+    val out = TextStats.gopherRules(Tables.documents(spark, sf)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val any = out("r6_any")
+    assert(any._1 === any._2, "r6_any rows carry the same count twice")
+    val firstSum = Seq("r1_word_count", "r2_mean_word_len",
+      "r3_stopword_floor", "r4_ttr_floor", "r5_dominance_cap")
+      .map(out(_)._2).sum
+    assert(firstSum === any._1,
+      "per-rule first-fails must partition the any-fail docs")
+    out.foreach { case (rule, (fail, first)) =>
+      assert(first <= fail, s"$rule: first-fail exceeds total fails")
+    }
+  }
+
+  test("q287 filter parity: overall rate is the pooled rate") {
+    val out = TextStats.filterParity(Tables.documents(spark, sf)).collect()
+    val n = out.map(_.getLong(1)).sum
+    val p = out.map(_.getLong(2)).sum
+    assert(out.map(_.getLong(4)).distinct.toSeq === Seq(p * 1000000L / n))
+    out.foreach { r =>
+      assert(r.getBoolean(6) === (r.getLong(5) >= 800000L))
+    }
+  }
+
+  test("q288 loso support: a vocabulary-disjoint source gets zero support") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", "en", "shared1", 1L),
+      (2L, "alpha beta gamma beta gamma", "en", "shared2", 1L),
+      (3L, "zeta eta theta zeta eta", "en", "alien", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.losoSupport(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out("alien") === ((0L, 0L)),
+      "no other source can explain the alien bigrams")
+    assert(out("shared1")._1 > 0 && out("shared2")._1 > 0)
+  }
+
+  test("q292 tv matrix: identical sources at 0, disjoint near 1e6") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d", "en", "s1", 1L), (2L, "a b c d", "en", "s2", 1L),
+      (3L, "x y z w", "en", "s3", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.sourceTvMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(out(("s1", "s2")) === 0L)
+    assert(out(("s1", "s3")) >= 999998L && out(("s1", "s3")) <= 1000000L)
+    // strictly upper-triangular: no (b, a) twin, no self-pairs
+    assert(out.keys.forall { case (a, b) => a < b })
+  }
+
+  test("q293 mann-whitney: total separation yields CLES = 1e6") {
+    import spark.implicits._
+    val docs = (1 to 10).map(i =>
+        (i.toLong, "t", if (i <= 5) "en" else "de", "s",
+          if (i <= 5) 1000L + i else i.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.mannWhitney(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out("en") === ((2L * 25L, 1000000L)),
+      "all-larger group must dominate every pair")
+    assert(out("de") === ((0L, 0L)))
+  }
+
+  test("q294 randomization test: planted massive effect is significant") {
+    import spark.implicits._
+    val docs = (1 to 60).map(i =>
+        (i.toLong, "t", if (i % 3 == 0) "en" else "de", "s",
+          if (i % 3 == 0) 5000L else 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextStats.permutationTest(docs).collect()(0)
+    // add-one smoothing floors p at 1/(B+1); a 500x planted effect
+    // should sit at that floor (no relabeling reproduces it)
+    assert(r.getAs[Long]("p_ppm") <= 50000L,
+      s"planted effect not detected: $r")
+    val fixture = TextStats.permutationTest(Tables.documents(spark, sf))
+      .collect()(0)
+    assert(fixture.getAs[Long]("n_perms") === 128L)
+    assert(fixture.getAs[Long]("p_ppm") > 0L)
+  }
+
+  test("q295 bleu overlap: an exact-copy source clips to full precision") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f", "en", "orig", 1L),
+      (2L, "a b c d e f", "en", "copy", 1L),
+      (3L, "p q r s t u", "en", "fresh", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.bleuOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4)).toMap
+    Seq(1L, 2L, 3L).foreach { n =>
+      assert(out(("copy", n)) === 1000000L, s"copy at n=$n")
+      assert(out(("fresh", n)) === 0L, s"fresh at n=$n")
+    }
+  }
+
+  test("q296 quantile mapping: deciles non-decreasing, shift exact") {
+    val out = TextStats.quantileMapping(Tables.documents(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(!out.exists(_._1 == "__all__"))
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val byQ = rows.sortBy(_._2)
+      assert(byQ.map(_._2).toSeq === (1L to 9L).toSeq, s"$src deciles")
+      assert(byQ.map(_._3).sliding(2).forall(p => p(0) <= p(1)),
+        s"$src source deciles must be non-decreasing")
+      assert(byQ.map(_._4).sliding(2).forall(p => p(0) <= p(1)),
+        s"$src global deciles must be non-decreasing")
+    }
+    out.foreach(r => assert(r._5 === r._3 - r._4))
+  }
 }
