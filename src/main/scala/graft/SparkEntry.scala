@@ -821,6 +821,12 @@ object SparkEntry {
     "q298_dedup_sweep"         -> ((s, d) => TextDedup.dedupSweep(s, d)),
     // ---- CUSUM changepoint scan (prefix-sum-minus-running-min form) ----
     "q299_cusum_changepoint"   -> ((s, d) => TemporalOps.cusumChangepoint(s, d)),
+    // ---- minhash-vs-exact threshold operating-point sweep (P/R/F1) ----
+    "q300_threshold_sweep"     -> ((s, d) => TextDedup.thresholdSweep(s, d)),
+    // ---- leave-one-source-out corpus-stat influence (jackknife) ----
+    "q301_loo_corpus_influence"-> ((s, d) => Datasheet.looCorpusInfluence(s, d)),
+    // ---- compression-dictionary candidate mining by modeled gain ----
+    "q302_dict_mining"         -> ((s, d) => TextStats.dictMining(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -1014,6 +1020,78 @@ object SparkEntry {
        |       CAST(MIN(jacc_ppm) AS BIGINT) AS min_jacc_ppm,
        |       CAST(MAX(jacc_ppm) AS BIGINT) AS max_jacc_ppm
        |FROM j GROUP BY 1 ORDER BY shared_bands ASC""".stripMargin
+  }
+
+  /** q300: the q178 CTE chain up to `cand` (distinct pairs), per-pair
+    * 32-slot signature agreement, exact-Jaccard labels, constant-τ
+    * sweep. Mirrors [[graft.llm.TextDedup.thresholdSweep]]. */
+  private def thresholdSweepOracle: String = {
+    import graft.llm.TextDedup.{MinhashP, NumHashes}
+    val (mins, bands) = minhashCtes
+    val agree = (0 until NumHashes)
+      .map(s => s"CAST(a.h$s = b.h$s AS BIGINT)").mkString(" + ")
+    s"""WITH nd AS (
+       |  SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, len(w) - 1),
+       |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
+       |  FROM nd WHERE len(w) >= 3),
+       |based AS (
+       |  SELECT doc_id,
+       |         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $MinhashP AS hb
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM based GROUP BY doc_id),
+       |bands AS (
+       |  $bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT c.doc_a, c.doc_b, $agree AS est32
+       |  FROM cand c JOIN sig a ON c.doc_a = a.doc_id
+       |              JOIN sig b ON c.doc_b = b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS icnt
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2),
+       |lab AS (
+       |  SELECT e.est32,
+       |         CAST(COALESCE(it.icnt, 0) * 1000000
+       |           // (sa.n + sb.n - COALESCE(it.icnt, 0)) >= 500000
+       |           AS BIGINT) AS pos
+       |  FROM est e
+       |  LEFT JOIN inter it ON it.doc_a = e.doc_a AND it.doc_b = e.doc_b
+       |  JOIN sizes sa ON sa.doc_id = e.doc_a
+       |  JOIN sizes sb ON sb.doc_id = e.doc_b),
+       |taus(tau_slots) AS (VALUES (4), (8), (12), (16), (20), (24),
+       |  (28), (32)),
+       |sweep AS (
+       |  SELECT CAST(t.tau_slots AS BIGINT) AS tau_slots,
+       |         CAST(SUM(CASE WHEN l.est32 >= t.tau_slots THEN l.pos
+       |           ELSE 0 END) AS BIGINT) AS tp,
+       |         CAST(SUM(CASE WHEN l.est32 >= t.tau_slots THEN 1 - l.pos
+       |           ELSE 0 END) AS BIGINT) AS fp,
+       |         CAST(SUM(CASE WHEN l.est32 < t.tau_slots THEN l.pos
+       |           ELSE 0 END) AS BIGINT) AS fn
+       |  FROM lab l CROSS JOIN taus t GROUP BY 1)
+       |SELECT tau_slots,
+       |       CAST(tau_slots * 1000000 // $NumHashes AS BIGINT) AS tau_ppm,
+       |       tp, fp, fn,
+       |       CAST(tp * 1000000 // GREATEST(1, tp + fp) AS BIGINT)
+       |         AS precision_ppm,
+       |       CAST(tp * 1000000 // GREATEST(1, tp + fn) AS BIGINT)
+       |         AS recall_ppm,
+       |       CAST(2 * tp * 1000000 // GREATEST(1, 2 * tp + fp + fn)
+       |         AS BIGINT) AS f1_ppm
+       |FROM sweep ORDER BY tau_slots ASC""".stripMargin
   }
 
   /** q76: same minhash family, ONE-SIDED candidate join (incoming % 5 = 0
@@ -7595,6 +7673,55 @@ object SparkEntry {
           |       CAST(s_neg AS BIGINT) AS s_neg, h,
           |       s_pos > h OR s_neg > h AS breach
           |FROM cs ORDER BY d ASC""".stripMargin),
+    // q300: the q27/q178 minhash chain, per-pair 32-slot agreement, and
+    // the identical candidate-restricted P/R/F1 sweep.
+    "q300_threshold_sweep" -> thresholdSweepOracle,
+    // q301: identical (source, lang) census; every leave-one-out stat by
+    // sufficient-statistic subtraction; signed delta is a subtraction.
+    "q301_loo_corpus_influence" ->
+      """WITH cells AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS nc,
+        |                 CAST(SUM(n_chars) AS BIGINT) AS sc
+        |               FROM documents GROUP BY 1, 2),
+        |ps AS (SELECT source, CAST(SUM(nc) AS BIGINT) AS n_s,
+        |              CAST(SUM(sc) AS BIGINT) AS s_s FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+        |               CAST(SUM(s_s) AS BIGINT) AS s FROM ps),
+        |lt AS (SELECT lang, CAST(SUM(nc) AS BIGINT) AS nl
+        |       FROM cells GROUP BY 1),
+        |grid AS (SELECT ps.source, ps.n_s, lt.lang, lt.nl
+        |         FROM ps CROSS JOIN lt),
+        |shift AS (
+        |  SELECT g.source,
+        |         CAST(SUM(ABS(g.nl * 1000000 // t.n
+        |           - (g.nl - COALESCE(c.nc, 0)) * 1000000 // (t.n - g.n_s)))
+        |           // 2 AS BIGINT) AS langmix_shift_ppm
+        |  FROM grid g LEFT JOIN cells c
+        |    ON g.source = c.source AND g.lang = c.lang
+        |  CROSS JOIN tot t GROUP BY 1)
+        |SELECT ps.source, ps.n_s AS n_docs,
+        |       CAST(t.s * 1000 // t.n AS BIGINT) AS mean_all_milli,
+        |       CAST((t.s - ps.s_s) * 1000 // (t.n - ps.n_s) AS BIGINT)
+        |         AS mean_wo_milli,
+        |       CAST((t.s - ps.s_s) * 1000 // (t.n - ps.n_s)
+        |         - t.s * 1000 // t.n AS BIGINT) AS delta_milli,
+        |       sh.langmix_shift_ppm
+        |FROM ps CROSS JOIN tot t JOIN shift sh ON ps.source = sh.source
+        |ORDER BY ps.source ASC""".stripMargin,
+    // q302: identical trigram gain model (c−1)(len−2), identical
+    // savings DESC / gram ASC top-20.
+    "q302_dict_mining" ->
+      s"""WITH t AS (SELECT str_split($duckNorm, ' ') AS w FROM documents),
+         |i AS (SELECT w, unnest(generate_series(1, len(w)-2)) AS i FROM t),
+         |g AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram FROM i),
+         |c AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1),
+         |s AS (SELECT gram, c,
+         |        CAST((c - 1) * (length(gram) - 2) AS BIGINT) AS savings
+         |      FROM c),
+         |r AS (SELECT CAST(row_number() OVER (
+         |        ORDER BY savings DESC, gram ASC) AS BIGINT) AS rank,
+         |        gram, c AS occurrences, savings AS savings_bytes FROM s)
+         |SELECT rank, gram, occurrences, savings_bytes FROM r
+         |WHERE rank <= 20 ORDER BY rank ASC""".stripMargin,
     // q269: same 2-gram set, same (a*h+b) mod p permutation minima as
     // the doc-level q27 sketch, slot-agreement estimate vs the q84 exact
     // join in integer ppm.

@@ -59,4 +59,52 @@ object Datasheet {
       .unionByName(one("09_neardup_docs", nearDups))
       .orderBy(col("metric").asc)
   }
+
+  /** q301: LEAVE-ONE-SOURCE-OUT CORPUS-STAT INFLUENCE — for every
+    * source, how the corpus-level datasheet numbers MOVE if that source
+    * is dropped: the without-it mean document length (and its signed
+    * delta, a subtraction so both engines agree on negatives) and the
+    * total-variation shift of the LANGUAGE mix. This is the jackknife
+    * companion to q288's LM-support valuation: q288 asks "is this
+    * source's content explainable by the rest", this asks "does removing
+    * it change what the corpus IS" — the number a curation owner checks
+    * before cutting a source. All leave-one-out statistics come from ONE
+    * pass by sufficient-statistic subtraction; no per-source rescan.
+    *
+    * Scale shape: one (source, lang) census; everything after runs on
+    * that |sources|·|langs| frame. */
+  def looCorpusInfluence(docs: DataFrame): DataFrame = {
+    val cells = graft.core.Caches.scratch(
+      docs.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("nc"), sum(col("n_chars")).as("sc")))
+    val perSource = cells.groupBy(col("source"))
+      .agg(sum(col("nc")).as("n_s"), sum(col("sc")).as("s_s"))
+    val tot = perSource.agg(sum(col("n_s")).as("n"), sum(col("s_s")).as("s"))
+    val langTot = cells.groupBy(col("lang")).agg(sum(col("nc")).as("nl"))
+    // TV of the lang mix with/without the source: per (source, lang),
+    // |share_all − share_wo| over the zero-filled grid
+    val grid = perSource.select(col("source"), col("n_s"))
+      .crossJoin(broadcast(langTot))
+    val shift = grid
+      .join(cells.select(col("source"), col("lang"), col("nc")),
+        Seq("source", "lang"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("c", coalesce(col("nc"), lit(0L)))
+      .withColumn("d", expr("abs(nl * 1000000 div n - "
+        + "(nl - c) * 1000000 div (n - n_s))"))
+      .groupBy(col("source")).agg(expr("sum(d) div 2").cast("long")
+        .as("langmix_shift_ppm"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s").cast("long").as("n_docs"),
+        expr("s * 1000 div n").cast("long").as("mean_all_milli"),
+        expr("(s - s_s) * 1000 div (n - n_s)").cast("long")
+          .as("mean_wo_milli"))
+      .withColumn("delta_milli",
+        (col("mean_wo_milli") - col("mean_all_milli")).cast("long"))
+      .join(shift, Seq("source"))
+      .orderBy(col("source").asc)
+  }
+
+  def looCorpusInfluence(spark: SparkSession, dir: String): DataFrame =
+    looCorpusInfluence(Tables.documents(spark, dir))
 }

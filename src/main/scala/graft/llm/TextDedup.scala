@@ -1053,4 +1053,75 @@ object TextDedup {
 
   def dedupSweep(spark: SparkSession, dir: String): DataFrame =
     dedupSweep(Tables.documents(spark, dir))
+
+  /** q300: MINHASH THRESHOLD OPERATING-POINT SWEEP — pick the signature-
+    * agreement cutoff by measuring it. Over the LSH candidate set, each
+    * pair carries (a) the 32-slot signature-agreement ESTIMATE of its
+    * Jaccard and (b) the exact shingle Jaccard; sweeping the agreement
+    * threshold τ yields the precision / recall / F1 of "declare dup when
+    * ≥ τ slots agree" against the exact-Jaccard-≥-0.5 truth. q178 showed
+    * the estimator's calibration curve; this query turns it into the
+    * operating point a production dedup actually configures. Truth is
+    * candidate-restricted (pairs the banding never surfaces are invisible
+    * to BOTH arms — the q243 recall audit owns that bias).
+    *
+    * Scale shape: the candidate set is band-bounded (the q27 argument);
+    * the estimate is 32 codegen'd slot comparisons per candidate — no
+    * extra shuffle; the sweep explodes candidates ×6 constant thresholds
+    * and reduces map-side. */
+  def thresholdSweep(docs: DataFrame): DataFrame =
+    thresholdSweepFrom(Caches.scratch(shingles(docs, MinhashK)))
+
+  private def thresholdSweepFrom(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sigs = Caches.scratch(signaturesOf(sh))
+    val bands = minhashBands(sigs)
+    val cand = Caches.scratch(bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct())
+    val agreeExpr = (0 until NumHashes)
+      .map(s => s"CAST(a.h$s = b.h$s AS LONG)").mkString(" + ")
+    val est = cand
+      .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), expr(agreeExpr).as("est32"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("icnt"))
+    val lab = est.join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .withColumn("ic", coalesce(col("icnt"), lit(0L)))
+      .withColumn("pos",
+        (expr("ic * 1000000 div (na + nb - ic)") >= 500000L).cast("long"))
+    val taus = Seq(4, 8, 12, 16, 20, 24, 28, 32)
+    lab.select(col("est32"), col("pos"),
+        explode(array(taus.map(t => lit(t.toLong)): _*)).as("tau_slots"))
+      .withColumn("pred", (col("est32") >= col("tau_slots")).cast("long"))
+      .groupBy(col("tau_slots"))
+      .agg(sum(col("pred") * col("pos")).as("tp"),
+        sum(col("pred") * (lit(1L) - col("pos"))).as("fp"),
+        sum((lit(1L) - col("pred")) * col("pos")).as("fn"))
+      .select(col("tau_slots").cast("long").as("tau_slots"),
+        expr(s"tau_slots * 1000000 div $NumHashes").cast("long")
+          .as("tau_ppm"),
+        col("tp").cast("long").as("tp"), col("fp").cast("long").as("fp"),
+        col("fn").cast("long").as("fn"),
+        expr("tp * 1000000 div greatest(1L, tp + fp)").cast("long")
+          .as("precision_ppm"),
+        expr("tp * 1000000 div greatest(1L, tp + fn)").cast("long")
+          .as("recall_ppm"),
+        expr("2 * tp * 1000000 div greatest(1L, 2 * tp + fp + fn)")
+          .cast("long").as("f1_ppm"))
+      .orderBy(col("tau_slots").asc)
+  }
+
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    thresholdSweepFrom(shinglesFor(spark, dir))
 }

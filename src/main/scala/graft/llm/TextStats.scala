@@ -1977,4 +1977,37 @@ object TextStats {
 
   def quantileMapping(spark: SparkSession, dir: String): DataFrame =
     quantileMapping(Tables.documents(spark, dir))
+
+  /** q302: COMPRESSION-DICTIONARY CANDIDATE MINING — the top trigram
+    * phrases by modeled dictionary gain (c−1)·(len−2): every occurrence
+    * beyond the first saves the phrase's bytes minus a token + separator
+    * overhead. This is the candidate-selection pass of shared-dictionary
+    * training (zstd --train and friends) expressed relationally — the
+    * storage-engineering sibling of q71's boilerplate census (which
+    * ranks by document REACH; a dictionary cares about total repeated
+    * BYTES). Deterministic tiebreak on the phrase itself.
+    *
+    * Scale shape: one gram-count shuffle, then a global top-k
+    * (TakeOrdered — never a full sort); the rank window runs over the
+    * ≤k-row result. */
+  def dictMining(docs: DataFrame, k: Int = 20): DataFrame = {
+    val grams = docs.select(split(norm, " ").as("w"))
+      .select(explode(expr(
+        "transform(slice(w, 1, size(w)-2), (x, i) -> " +
+          "concat(x, ' ', element_at(w, i+2), ' ', element_at(w, i+3)))"))
+        .as("gram"))
+    grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+      .withColumn("savings", (col("c") - 1) * (length(col("gram")) - 2))
+      .orderBy(col("savings").desc, col("gram").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("savings").desc, col("gram").asc)).cast("long"))
+      .select(col("rank"), col("gram"),
+        col("c").cast("long").as("occurrences"),
+        col("savings").cast("long").as("savings_bytes"))
+      .orderBy(col("rank").asc)
+  }
+
+  def dictMining(spark: SparkSession, dir: String): DataFrame =
+    dictMining(Tables.documents(spark, dir))
 }
