@@ -827,6 +827,12 @@ object SparkEntry {
     "q301_loo_corpus_influence"-> ((s, d) => Datasheet.looCorpusInfluence(s, d)),
     // ---- compression-dictionary candidate mining by modeled gain ----
     "q302_dict_mining"         -> ((s, d) => TextStats.dictMining(s, d)),
+    // ---- Hoeffding sampling-error screen on per-source means ----
+    "q303_hoeffding_screen"    -> ((s, d) => Datasheet.hoeffdingScreen(s, d)),
+    // ---- Wilson 95% bounds on per-lang quality pass rates ----
+    "q304_wilson_bounds"       -> ((s, d) => TextStats.wilsonBounds(s, d)),
+    // ---- near-dup pair-graph transitivity audit (cluster sanity) ----
+    "q305_dup_transitivity"    -> ((s, d) => TextDedup.dupTransitivity(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -7722,6 +7728,84 @@ object SparkEntry {
          |        gram, c AS occurrences, savings AS savings_bytes FROM s)
          |SELECT rank, gram, occurrences, savings_bytes FROM r
          |WHERE rank <= 20 ORDER BY rank ASC""".stripMargin,
+    // q303: ε spelled as the SAME double chain (one division, one IEEE
+    // sqrt, two multiplies, floor); ln(2/0.05) as a fixed literal.
+    "q303_hoeffding_screen" ->
+      """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |               CAST(SUM(n_chars) AS BIGINT) AS sx
+        |             FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS s,
+        |               CAST(COUNT(*) AS BIGINT) AS nt,
+        |               CAST(MIN(n_chars) AS BIGINT) AS lo,
+        |               CAST(MAX(n_chars) AS BIGINT) AS hi FROM documents)
+        |SELECT source, n AS n_docs,
+        |       CAST(sx * 1000 // n AS BIGINT) AS mean_milli,
+        |       CAST(s * 1000 // nt AS BIGINT) AS corpus_mean_milli,
+        |       CAST(FLOOR(CAST(hi - lo AS DOUBLE)
+        |         * SQRT(3.6888794541139363 / (2.0 * n)) * 1000.0)
+        |         AS BIGINT) AS eps_milli,
+        |       ABS(sx * 1000 // n - s * 1000 // nt)
+        |         <= CAST(FLOOR(CAST(hi - lo AS DOUBLE)
+        |           * SQRT(3.6888794541139363 / (2.0 * n)) * 1000.0)
+        |           AS BIGINT) AS within_bound
+        |FROM per CROSS JOIN tot ORDER BY source ASC""".stripMargin,
+    // q304: the q287 rubric census + Wilson bounds with z²/2 and z²/4 as
+    // exact binary halvings of the same literal; identical double order.
+    "q304_wilson_bounds" ->
+      s"""WITH n AS (SELECT doc_id, lang, $duckNorm AS nrm FROM documents),
+         |t AS (SELECT doc_id, lang, nrm, str_split(nrm, ' ') AS w FROM n),
+         |f AS (SELECT lang,
+         |        CAST(len(w) AS INTEGER) AS n_tokens,
+         |        CAST(len(list_filter(w, x -> x IN ($duckStops)))
+         |          AS INTEGER) AS stop_cnt,
+         |        CAST(length(replace(nrm, ' ', '')) AS DOUBLE) / len(w)
+         |          AS mean_token_len
+         |      FROM t),
+         |v AS (SELECT lang,
+         |        CAST(n_tokens BETWEEN 20 AND 1000 AND stop_cnt > 0
+         |          AND mean_token_len >= 2.0 AND mean_token_len <= 12.0
+         |          AS BIGINT) AS pass FROM f),
+         |census AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |                  CAST(SUM(pass) AS BIGINT) AS n_pass
+         |           FROM v GROUP BY 1),
+         |w2 AS (SELECT lang, n_docs, n_pass,
+         |         SUM(n_pass) OVER () * 1000000 // SUM(n_docs) OVER ()
+         |           AS overall_ppm,
+         |         1.959963984540054 * SQRT(CAST(n_pass AS DOUBLE)
+         |           * CAST(n_docs - n_pass AS DOUBLE) / n_docs
+         |           + 3.841458820694124 / 4) AS rad
+         |       FROM census),
+         |b AS (SELECT lang, n_docs, n_pass,
+         |        CAST(n_pass * 1000000 // n_docs AS BIGINT) AS pass_ppm,
+         |        CAST(FLOOR(1000000.0 * (CAST(n_pass AS DOUBLE)
+         |          + 3.841458820694124 / 2 - rad)
+         |          / (n_docs + 3.841458820694124)) AS BIGINT) AS lo_ppm,
+         |        CAST(FLOOR(1000000.0 * (CAST(n_pass AS DOUBLE)
+         |          + 3.841458820694124 / 2 + rad)
+         |          / (n_docs + 3.841458820694124)) AS BIGINT) AS hi_ppm,
+         |        CAST(overall_ppm AS BIGINT) AS overall_ppm
+         |      FROM w2)
+         |SELECT lang, n_docs, n_pass, pass_ppm, lo_ppm, hi_ppm, overall_ppm,
+         |       overall_ppm >= lo_ppm AND overall_ppm <= hi_ppm
+         |         AS covers_overall
+         |FROM b ORDER BY lang ASC""".stripMargin,
+    // q305: the q27 pair set as the edge list; wedges from the degree
+    // census, triangles via the ordered a<b<c three-way join.
+    "q305_dup_transitivity" ->
+      s"""$minhashPairSql,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs),
+         |sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+         |wg AS (SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT)
+         |         AS n_wedges FROM deg),
+         |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |        FROM edges e1 JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+         |        JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v),
+         |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+         |SELECT ne.n_edges, wg.n_wedges, tri.n_triangles,
+         |       CAST(3 * tri.n_triangles * 1000000
+         |         // GREATEST(1, wg.n_wedges) AS BIGINT) AS transitivity_ppm
+         |FROM ne CROSS JOIN wg CROSS JOIN tri""".stripMargin,
     // q269: same 2-gram set, same (a*h+b) mod p permutation minima as
     // the doc-level q27 sketch, slot-agreement estimate vs the q84 exact
     // join in integer ppm.

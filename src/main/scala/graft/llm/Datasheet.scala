@@ -107,4 +107,37 @@ object Datasheet {
 
   def looCorpusInfluence(spark: SparkSession, dir: String): DataFrame =
     looCorpusInfluence(Tables.documents(spark, dir))
+
+  /** q303: HOEFFDING SAMPLING-ERROR SCREEN — is each source's mean doc
+    * length within the distribution-free sampling-error band of the
+    * corpus mean? ε = (hi − lo)·√(ln(2/δ)/(2n)) at δ = 0.05 is the
+    * Hoeffding bound for a bounded variable; a source outside the band
+    * differs by MORE than chance could explain even adversarially — the
+    * screen that separates "this source is genuinely different" from
+    * "this source is just small". ln(2/δ) enters as a fixed full-
+    * precision literal (the q282 Benford-constant discipline); the only
+    * floating ops are one IEEE division, one correctly-rounded sqrt and
+    * two multiplies, spelled identically in both engines and floored.
+    *
+    * Scale shape: one linear moment pass; the corpus bounds arrive
+    * broadcast; output is |sources| rows. */
+  def hoeffdingScreen(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sx"))
+    val tot = docs.agg(sum(col("n_chars")).as("s"), count(lit(1)).as("nt"),
+      min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n").cast("long").as("n_docs"),
+        expr("sx * 1000 div n").cast("long").as("mean_milli"),
+        expr("s * 1000 div nt").cast("long").as("corpus_mean_milli"),
+        floor((col("hi") - col("lo")).cast("double")
+          * sqrt(lit(3.6888794541139363) / (lit(2.0) * col("n")))
+          * lit(1000.0)).cast("long").as("eps_milli"))
+      .withColumn("within_bound",
+        abs(col("mean_milli") - col("corpus_mean_milli")) <= col("eps_milli"))
+      .orderBy(col("source").asc)
+  }
+
+  def hoeffdingScreen(spark: SparkSession, dir: String): DataFrame =
+    hoeffdingScreen(Tables.documents(spark, dir))
 }

@@ -1124,4 +1124,44 @@ object TextDedup {
 
   def thresholdSweep(spark: SparkSession, dir: String): DataFrame =
     thresholdSweepFrom(shinglesFor(spark, dir))
+
+  /** q305: NEAR-DUP GRAPH TRANSITIVITY AUDIT — how cluster-like is the
+    * q27 pair graph? Connected-component dedup clustering (q60/q78)
+    * implicitly assumes near-duplication is transitive; chains of
+    * pairwise-similar-but-jointly-different docs (the "semantic drift"
+    * failure) make components overmerge. Global transitivity
+    * 3·triangles / wedges is the standard one-number check: near 10⁶ ⇒
+    * pairs close into cliques (components ≈ duplicate groups); low ⇒
+    * the keep-list is gluing chains and needs a stricter τ or pairwise
+    * re-verification inside clusters.
+    *
+    * Scale shape: runs on the PAIR graph (band-bounded, tiny relative to
+    * the corpus); wedges from the degree census, triangles via the
+    * ordered a<b<c three-way equi-join — the q93 orientation argument
+    * bounds the skew, and here the graph itself is dedup-pair-sized. */
+  def dupTransitivity(docs: DataFrame): DataFrame =
+    dupTransitivityFrom(Caches.scratch(shingles(docs, MinhashK)))
+
+  private def dupTransitivityFrom(sh: DataFrame): DataFrame = {
+    val edges = Caches.scratch(minhashNearDupsFrom(sh, 0.8)
+      .select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    val wedges = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
+    val tri = edges.as("e1").join(edges.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .join(edges.as("e3"),
+        col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wedges).crossJoin(tri)
+      .select(col("n_edges").cast("long").as("n_edges"),
+        col("n_wedges").cast("long").as("n_wedges"),
+        col("n_triangles").cast("long").as("n_triangles"),
+        expr("3 * n_triangles * 1000000 div greatest(1L, n_wedges)")
+          .cast("long").as("transitivity_ppm"))
+  }
+
+  def dupTransitivity(spark: SparkSession, dir: String): DataFrame =
+    dupTransitivityFrom(shinglesFor(spark, dir))
 }

@@ -2010,4 +2010,60 @@ object TextStats {
 
   def dictMining(spark: SparkSession, dir: String): DataFrame =
     dictMining(Tables.documents(spark, dir))
+
+  /** q304: WILSON CONFIDENCE BOUNDS for the per-language quality-gate
+    * pass rate — the uncertainty companion to the q287 parity audit: a
+    * small language's pass rate is a noisy estimate, and comparing point
+    * rates (as the four-fifths rule does) can cry bias where the
+    * interval says "insufficient data". Wilson at 95% (z² enters as a
+    * fixed full-precision literal, like the Benford table) with the
+    * floating tail — one division, one correctly-rounded sqrt, fixed
+    * multiply order — spelled identically in both engines and floored.
+    * `covers_overall` = the pooled rate lies inside the language's
+    * interval.
+    *
+    * Scale shape: the q287 linear rubric pass and a |langs|-row frame;
+    * all interval arithmetic happens on that census. */
+  def wilsonBounds(docs: DataFrame): DataFrame = {
+    val z = 1.959963984540054
+    val z2 = 3.841458820694124
+    val withW = docs.withColumn("nrm", norm).withColumn("w", split(col("nrm"), " "))
+    val votes = withW
+      .withColumn("n_tokens", size(col("w")))
+      .withColumn("stop_cnt",
+        size(filter(col("w"), x => x.isin(Stopwords.map(lit): _*))))
+      .withColumn("mean_token_len",
+        length(regexp_replace(col("nrm"), " ", "")).cast("double")
+          / col("n_tokens"))
+      .select(col("lang"),
+        (col("n_tokens").between(20, 1000) && col("stop_cnt") > 0 &&
+          col("mean_token_len") >= 2.0 && col("mean_token_len") <= 12.0)
+          .cast("long").as("pass"))
+    votes.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("pass")).as("n_pass"))
+      .withColumn("overall_ppm", expr(
+        "sum(n_pass) over () * 1000000 div sum(n_docs) over ()"))
+      .withColumn("rad", lit(z) * sqrt(
+        col("n_pass").cast("double")
+          * (col("n_docs") - col("n_pass")).cast("double") / col("n_docs")
+          + lit(z2 / 4)))
+      .select(col("lang"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_pass").cast("long").as("n_pass"),
+        expr("n_pass * 1000000 div n_docs").cast("long").as("pass_ppm"),
+        floor(lit(1000000.0)
+          * (col("n_pass").cast("double") + lit(z2 / 2) - col("rad"))
+          / (col("n_docs") + lit(z2))).cast("long").as("lo_ppm"),
+        floor(lit(1000000.0)
+          * (col("n_pass").cast("double") + lit(z2 / 2) + col("rad"))
+          / (col("n_docs") + lit(z2))).cast("long").as("hi_ppm"),
+        col("overall_ppm").cast("long").as("overall_ppm"))
+      .withColumn("covers_overall",
+        col("overall_ppm") >= col("lo_ppm")
+          && col("overall_ppm") <= col("hi_ppm"))
+      .orderBy(col("lang").asc)
+  }
+
+  def wilsonBounds(spark: SparkSession, dir: String): DataFrame =
+    wilsonBounds(Tables.documents(spark, dir))
 }
