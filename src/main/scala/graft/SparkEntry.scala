@@ -833,6 +833,12 @@ object SparkEntry {
     "q304_wilson_bounds"       -> ((s, d) => TextStats.wilsonBounds(s, d)),
     // ---- near-dup pair-graph transitivity audit (cluster sanity) ----
     "q305_dup_transitivity"    -> ((s, d) => TextDedup.dupTransitivity(s, d)),
+    // ---- 1-NN label-margin census (confident-learning screen) ----
+    "q306_label_margin"        -> ((s, d) => Similarity.labelMargin(s, d)),
+    // ---- experiment power analysis: users/arm, raw vs CUPED ----
+    "q307_power_analysis"      -> ((s, d) => Reports.powerAnalysis(s, d)),
+    // ---- minhash signature-length error sweep (K = 8/16/32) ----
+    "q308_minhash_k_sweep"     -> ((s, d) => TextDedup.minhashKSweep(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -1098,6 +1104,69 @@ object SparkEntry {
        |       CAST(2 * tp * 1000000 // GREATEST(1, 2 * tp + fp + fn)
        |         AS BIGINT) AS f1_ppm
        |FROM sweep ORDER BY tau_slots ASC""".stripMargin
+  }
+
+  /** q308: the q300 CTE chain with prefix-K slot agreements (K = 8, 16,
+    * 32 of the one 32-slot signature), absolute error vs exact Jaccard.
+    * Mirrors [[graft.llm.TextDedup.minhashKSweep]]. */
+  private def minhashKSweepOracle: String = {
+    import graft.llm.TextDedup.MinhashP
+    val (mins, bands) = minhashCtes
+    def agree(k: Int): String =
+      (0 until k).map(s => s"CAST(a.h$s = b.h$s AS BIGINT)").mkString(" + ")
+    s"""WITH nd AS (
+       |  SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, len(w) - 1),
+       |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
+       |  FROM nd WHERE len(w) >= 3),
+       |based AS (
+       |  SELECT doc_id,
+       |         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $MinhashP AS hb
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM based GROUP BY doc_id),
+       |bands AS (
+       |  $bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         ${agree(8)} AS agree8,
+       |         ${agree(16)} AS agree16,
+       |         ${agree(32)} AS agree32
+       |  FROM cand c JOIN sig a ON c.doc_a = a.doc_id
+       |              JOIN sig b ON c.doc_b = b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS icnt
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2),
+       |lab AS (
+       |  SELECT e.agree8, e.agree16, e.agree32,
+       |         CAST(COALESCE(it.icnt, 0) * 1000000
+       |           // (sa.n + sb.n - COALESCE(it.icnt, 0)) AS BIGINT)
+       |           AS jacc_ppm
+       |  FROM est e
+       |  LEFT JOIN inter it ON it.doc_a = e.doc_a AND it.doc_b = e.doc_b
+       |  JOIN sizes sa ON sa.doc_id = e.doc_a
+       |  JOIN sizes sb ON sb.doc_id = e.doc_b),
+       |err AS (
+       |  SELECT CAST(t.k AS BIGINT) AS k,
+       |         ABS((CASE t.k WHEN 8 THEN agree8 WHEN 16 THEN agree16
+       |           ELSE agree32 END) * 1000000 // t.k - jacc_ppm) AS abs_err
+       |  FROM lab CROSS JOIN (VALUES (8), (16), (32)) t(k))
+       |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |       CAST(SUM(abs_err) // COUNT(*) AS BIGINT) AS mean_abs_err_ppm,
+       |       CAST(MAX(abs_err) AS BIGINT) AS max_abs_err_ppm
+       |FROM err GROUP BY 1 ORDER BY k ASC""".stripMargin
   }
 
   /** q76: same minhash family, ONE-SIDED candidate join (incoming % 5 = 0
@@ -7806,6 +7875,95 @@ object SparkEntry {
          |       CAST(3 * tri.n_triangles * 1000000
          |         // GREATEST(1, wg.n_wedges) AS BIGINT) AS transitivity_ppm
          |FROM ne CROSS JOIN wg CROSS JOIN tri""".stripMargin,
+    // q306: the q274 band pairs + the q252 floor-cosine; signed mean via
+    // the shift trick (margins ≥ −2·10⁶ by construction).
+    "q306_label_margin" ->
+      (lshCte +
+        """,
+          |nv AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+          |       FROM v),
+          |pairs AS (
+          |  SELECT DISTINCT a.vec_id AS vid, b.vec_id AS pid
+          |  FROM bands a JOIN bands b
+          |    ON a.band = b.band AND a.bval = b.bval AND a.vec_id <> b.vec_id),
+          |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+          |        FROM embeddings),
+          |sc AS (
+          |  SELECT p.vid, la.label AS la, lb.label AS lb,
+          |         CAST(FLOOR(list_dot_product(qv.e, xv.e)
+          |           / (qv.nrm * xv.nrm) * 1000000) AS BIGINT) AS cos_ppm
+          |  FROM pairs p JOIN nv qv ON p.vid = qv.vec_id
+          |               JOIN nv xv ON p.pid = xv.vec_id
+          |               JOIN lab la ON p.vid = la.vec_id
+          |               JOIN lab lb ON p.pid = lb.vec_id),
+          |pv AS (SELECT vid, la,
+          |         MAX(CASE WHEN la = lb THEN cos_ppm END) AS pos,
+          |         MAX(CASE WHEN la <> lb THEN cos_ppm END) AS neg
+          |       FROM sc GROUP BY 1, 2),
+          |m AS (SELECT la AS label, pos - neg AS margin FROM pv
+          |      WHERE pos IS NOT NULL AND neg IS NOT NULL)
+          |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_scored,
+          |       CAST((SUM(margin) + COUNT(*) * 2000000) // COUNT(*)
+          |         - 2000000 AS BIGINT) AS mean_margin_ppm,
+          |       CAST(MIN(margin) AS BIGINT) AS min_margin_ppm,
+          |       CAST(SUM(CASE WHEN margin < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_negative_margin
+          |FROM m GROUP BY 1 ORDER BY label ASC""".stripMargin),
+    // q307: the q291 sufficient statistics; z constants summed as the
+    // same literals; one identically-ordered double chain under CEIL.
+    "q307_power_analysis" ->
+      (silverCte +
+        """,
+          |b AS (SELECT MIN(event_date) AS lo, MAX(event_date) AS hi
+          |      FROM silver),
+          |pu AS (
+          |  SELECT user_id,
+          |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+          |           AS BIGINT) % 2 AS arm,
+          |         CAST(SUM(CASE WHEN date_diff('day', b.lo, event_date) * 2
+          |             < date_diff('day', b.lo, b.hi)
+          |           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+          |           AS BIGINT) AS x,
+          |         CAST(SUM(CASE WHEN date_diff('day', b.lo, event_date) * 2
+          |             >= date_diff('day', b.lo, b.hi)
+          |           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+          |           AS BIGINT) AS y
+          |  FROM silver CROSS JOIN b GROUP BY 1, 2),
+          |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+          |        CAST(SUM(x * x) AS BIGINT) AS sxx,
+          |        CAST(SUM(x * y) AS BIGINT) AS sxy,
+          |        CAST(SUM(y * y) AS BIGINT) AS syy
+          |      FROM pu),
+          |mm AS (SELECT * FROM m
+          |       WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0),
+          |arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS na,
+          |                CAST(SUM(y) AS BIGINT) AS sya FROM pu GROUP BY 1),
+          |a0 AS (SELECT na AS n0, sya AS sy0 FROM arms WHERE arm = 0),
+          |a1 AS (SELECT na AS n1, sya AS sy1 FROM arms WHERE arm = 1),
+          |zz AS (SELECT (1.959963984540054 + 0.8416212335729143) AS z),
+          |f AS (
+          |  SELECT
+          |    CAST(mm.n * mm.syy - mm.sy * mm.sy AS DOUBLE)
+          |      / (CAST(mm.n AS DOUBLE) * CAST(mm.n AS DOUBLE)) AS sigma2,
+          |    (CAST(mm.n * mm.sxy - mm.sx * mm.sy AS DOUBLE)
+          |      / CAST(mm.n * mm.sxx - mm.sx * mm.sx AS DOUBLE))
+          |      * (CAST(mm.n * mm.sxy - mm.sx * mm.sy AS DOUBLE)
+          |        / CAST(mm.n * mm.syy - mm.sy * mm.sy AS DOUBLE)) AS rho2,
+          |    CAST(a1.sy1 AS DOUBLE) / a1.n1
+          |      - CAST(a0.sy0 AS DOUBLE) / a0.n0 AS d,
+          |    zz.z AS z
+          |  FROM mm CROSS JOIN a0 CROSS JOIN a1 CROSS JOIN zz)
+          |SELECT CAST(FLOOR(d * 1000.0) AS BIGINT) AS obs_gap_milli,
+          |       CAST(CEIL(z * z * 2.0 * sigma2 / (d * d)) AS BIGINT)
+          |         AS n_per_arm_raw,
+          |       CAST(CEIL(z * z * 2.0 * sigma2 * (1.0 - rho2) / (d * d))
+          |         AS BIGINT) AS n_per_arm_cuped,
+          |       CAST(FLOOR(rho2 * 1000000.0) AS BIGINT) AS rho2_ppm
+          |FROM f WHERE d <> 0""".stripMargin),
+    // q308: the q300 chain with 8/16/32-slot prefix agreements; abs
+    // error vs exact Jaccard, nonnegative floor-div census.
+    "q308_minhash_k_sweep" -> minhashKSweepOracle,
     // q269: same 2-gram set, same (a*h+b) mod p permutation minima as
     // the doc-level q27 sketch, slot-agreement estimate vs the q84 exact
     // join in integer ppm.

@@ -1071,4 +1071,72 @@ object Reports {
 
   def cupedAdjustment(spark: SparkSession, dir: String): DataFrame =
     cupedAdjustment(EventsPipeline.silver(spark, dir))
+
+  /** q307: EXPERIMENT POWER ANALYSIS — how many users per arm would the
+    * q291 experiment need to detect its own observed effect at α = 0.05
+    * (two-sided) and 80% power, with and without CUPED? The classic
+    * two-sample formula n = (z_{α/2}+z_β)²·2σ²/Δ², where CUPED shrinks
+    * σ² by the factor (1 − ρ²) — so the pair of numbers quantifies, in
+    * the unit experimenters actually budget (users), what the q291
+    * variance-reduction buys. z constants enter as full-precision
+    * literals summed identically in both engines; the sufficient
+    * statistics are exact int64 cents; the final formula is one
+    * identically-spelled double chain under CEIL (exact on doubles in
+    * both engines).
+    *
+    * Scale shape: one user-keyed aggregation (shared shape with q291),
+    * two 1-row moment frames, a 1-row output. */
+  def powerAnalysis(silver: DataFrame): DataFrame = {
+    val bounds = silver.agg(min(col("event_date")).as("lo"),
+      max(col("event_date")).as("hi"))
+    val perUser = silver.crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15),
+          16, 10).cast("long") % 2).as("arm"),
+        when(datediff(col("event_date"), col("lo")) * 2
+          < datediff(col("hi"), col("lo")),
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(lit(0L))
+          .as("xc"),
+        when(datediff(col("event_date"), col("lo")) * 2
+          >= datediff(col("hi"), col("lo")),
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(lit(0L))
+          .as("yc"))
+      .groupBy(col("user_id"), col("arm"))
+      .agg(sum(col("xc")).as("x"), sum(col("yc")).as("y"))
+    val m = perUser.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"),
+        sum(expr("y * y")).as("syy"))
+      .filter(expr("n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("na"), sum(col("y")).as("sya"))
+    val a0 = arms.filter(col("arm") === 0)
+      .select(col("na").as("n0"), col("sya").as("sy0"))
+    val a1 = arms.filter(col("arm") === 1)
+      .select(col("na").as("n1"), col("sya").as("sy1"))
+    val z2 = lit(1.959963984540054) + lit(0.8416212335729143)
+    m.crossJoin(broadcast(a0)).crossJoin(broadcast(a1))
+      .withColumn("sigma2",
+        expr("n * syy - sy * sy").cast("double")
+          / (col("n").cast("double") * col("n").cast("double")))
+      .withColumn("rho2",
+        (expr("n * sxy - sx * sy").cast("double")
+          / expr("n * sxx - sx * sx").cast("double"))
+          * (expr("n * sxy - sx * sy").cast("double")
+            / expr("n * syy - sy * sy").cast("double")))
+      .withColumn("d",
+        col("sy1").cast("double") / col("n1")
+          - col("sy0").cast("double") / col("n0"))
+      .filter(col("d") =!= 0.0)
+      .select(
+        floor(col("d") * lit(1000.0)).cast("long").as("obs_gap_milli"),
+        ceil(z2 * z2 * lit(2.0) * col("sigma2") / (col("d") * col("d")))
+          .cast("long").as("n_per_arm_raw"),
+        ceil(z2 * z2 * lit(2.0) * col("sigma2") * (lit(1.0) - col("rho2"))
+          / (col("d") * col("d"))).cast("long").as("n_per_arm_cuped"),
+        floor(col("rho2") * lit(1000000.0)).cast("long").as("rho2_ppm"))
+  }
+
+  def powerAnalysis(spark: SparkSession, dir: String): DataFrame =
+    powerAnalysis(EventsPipeline.silver(spark, dir))
 }

@@ -980,4 +980,59 @@ object Similarity {
 
   def semanticLeakage(spark: SparkSession, dir: String): DataFrame =
     semanticLeakage(Tables.embeddings(spark, dir))
+
+  /** q306: 1-NN LABEL-MARGIN CENSUS — for every vector with both kinds
+    * of LSH-candidate neighbors, the gap between its best same-label and
+    * best other-label cosine. Negative margin = the nearest thing to
+    * this vector is labeled DIFFERENTLY — the confident-learning signal
+    * for a mislabeled example, and exactly the pairs contrastive mining
+    * (q260) wants as hard negatives. Complements q274, which counts
+    * neighborhood label AGREEMENT; the margin measures geometric
+    * separation, catching labels that agree by majority but sit on the
+    * boundary.
+    *
+    * The per-label mean margin can be legitimately negative: it ships
+    * through the q181 shift trick ((Σ + n·2·10⁶) div n − 2·10⁶, margins
+    * are ≥ −2·10⁶ by construction) so Spark's truncating div and
+    * DuckDB's flooring `//` agree.
+    *
+    * Scale shape: band-bounded candidate pairs (the q35 argument), one
+    * codegen'd dot product per pair, a vec-keyed reduction, a
+    * label-sized census. */
+  def labelMargin(embeddings: DataFrame): DataFrame = {
+    val bands = graft.core.Caches.scratch(bandRows(signatures(embeddings)))
+    val pairs = bands.select(col("band"), col("bval"), col("vec_id").as("vid"))
+      .join(bands.select(col("band"), col("bval"), col("vec_id").as("pid")),
+        Seq("band", "bval"))
+      .filter(col("vid") =!= col("pid"))
+      .select(col("vid"), col("pid")).distinct()
+    val c = graft.core.Caches.scratch(vecsNormed(embeddings)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("v"), col("nrm")))
+    val scored = pairs
+      .join(c.as("q"), col("vid") === col("q.vec_id"))
+      .join(c.as("x"), col("pid") === col("x.vec_id"))
+      .select(col("vid"), col("q.label").as("la"), col("x.label").as("lb"),
+        floor(cosinePre(col("q.v"), col("x.v"), col("q.nrm"), col("x.nrm"))
+          * 1000000).cast("long").as("cos_ppm"))
+    scored.groupBy(col("vid"), col("la"))
+      .agg(max(when(col("la") === col("lb"), col("cos_ppm"))).as("pos"),
+        max(when(col("la") =!= col("lb"), col("cos_ppm"))).as("neg"))
+      .filter(col("pos").isNotNull && col("neg").isNotNull)
+      .withColumn("margin", col("pos") - col("neg"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("n_scored"),
+        expr("(sum(margin) + count(1) * 2000000) div count(1) - 2000000")
+          .as("mean_margin_ppm"),
+        min(col("margin")).as("min_margin_ppm"),
+        sum((col("margin") < 0).cast("long")).as("n_negative_margin"))
+      .select(col("label"), col("n_scored").cast("long").as("n_scored"),
+        col("mean_margin_ppm").cast("long").as("mean_margin_ppm"),
+        col("min_margin_ppm").cast("long").as("min_margin_ppm"),
+        col("n_negative_margin").cast("long").as("n_negative_margin"))
+      .orderBy(col("label").asc)
+  }
+
+  def labelMargin(spark: SparkSession, dir: String): DataFrame =
+    labelMargin(Tables.embeddings(spark, dir))
 }

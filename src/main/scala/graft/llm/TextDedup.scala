@@ -1164,4 +1164,68 @@ object TextDedup {
 
   def dupTransitivity(spark: SparkSession, dir: String): DataFrame =
     dupTransitivityFrom(shinglesFor(spark, dir))
+
+  /** q308: MINHASH SIGNATURE-LENGTH SWEEP — estimator error vs the exact
+    * Jaccard at K = 8, 16, 32 signature slots, over the LSH candidate
+    * set. The accuracy-vs-cost dial every minhash deployment sets: the
+    * standard error falls as 1/√K while signature bytes (and the q269
+    * sketch-merge cost) grow linearly, and this measures the actual
+    * tradeoff on the corpus instead of trusting the asymptotic formula.
+    * The K-slot estimate reuses the FIRST K slots of the one 32-slot
+    * signature pass — no re-hashing per sweep point.
+    *
+    * Scale shape: identical to q300 (band-bounded pairs, codegen'd slot
+    * comparisons), reduced to a 3-row census. */
+  def minhashKSweep(docs: DataFrame): DataFrame =
+    minhashKSweepFrom(Caches.scratch(shingles(docs, MinhashK)))
+
+  private def minhashKSweepFrom(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sigs = Caches.scratch(signaturesOf(sh))
+    val bands = minhashBands(sigs)
+    val cand = Caches.scratch(bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct())
+    def agreeExpr(k: Int): String =
+      (0 until k).map(s => s"CAST(a.h$s = b.h$s AS LONG)").mkString(" + ")
+    val est = cand
+      .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        expr(agreeExpr(8)).as("agree8"), expr(agreeExpr(16)).as("agree16"),
+        expr(agreeExpr(32)).as("agree32"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("icnt"))
+    est.join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .withColumn("ic", coalesce(col("icnt"), lit(0L)))
+      .withColumn("jacc_ppm", expr("ic * 1000000 div (na + nb - ic)"))
+      .select(col("jacc_ppm"),
+        explode(expr("array(" +
+          "struct(8L AS k, agree8 AS agree), " +
+          "struct(16L AS k, agree16 AS agree), " +
+          "struct(32L AS k, agree32 AS agree))")).as("e"))
+      .select(col("jacc_ppm"), col("e.k").as("k"),
+        expr("abs(e.agree * 1000000 div e.k - jacc_ppm)").as("abs_err"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(abs_err) div count(1)").as("mean_abs_err_ppm"),
+        max(col("abs_err")).as("max_abs_err_ppm"))
+      .select(col("k").cast("long").as("k"),
+        col("n_pairs").cast("long").as("n_pairs"),
+        col("mean_abs_err_ppm").cast("long").as("mean_abs_err_ppm"),
+        col("max_abs_err_ppm").cast("long").as("max_abs_err_ppm"))
+      .orderBy(col("k").asc)
+  }
+
+  def minhashKSweep(spark: SparkSession, dir: String): DataFrame =
+    minhashKSweepFrom(shinglesFor(spark, dir))
 }
