@@ -839,6 +839,12 @@ object SparkEntry {
     "q307_power_analysis"      -> ((s, d) => Reports.powerAnalysis(s, d)),
     // ---- minhash signature-length error sweep (K = 8/16/32) ----
     "q308_minhash_k_sweep"     -> ((s, d) => TextDedup.minhashKSweep(s, d)),
+    // ---- nested-subsample vocabulary curve (10/25/50/100%) ----
+    "q309_sample_curve"        -> ((s, d) => TextStats.sampleCurve(s, d)),
+    // ---- Theil-Sen robust daily trend (median pairwise slope) ----
+    "q310_theil_sen"           -> ((s, d) => TemporalOps.theilSen(s, d)),
+    // ---- data-constrained effective tokens (epoch-decay valuation) ----
+    "q311_data_constrained"    -> ((s, d) => Curation.dataConstrainedValue(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -1167,6 +1173,42 @@ object SparkEntry {
        |       CAST(SUM(abs_err) // COUNT(*) AS BIGINT) AS mean_abs_err_ppm,
        |       CAST(MAX(abs_err) AS BIGINT) AS max_abs_err_ppm
        |FROM err GROUP BY 1 ORDER BY k ASC""".stripMargin
+  }
+
+  /** q311: the decay-ppm table comes from the SAME Scala recurrence the
+    * Spark side uses ([[graft.llm.Curation.DecayTable]]) — one source of
+    * truth, spelled as VALUES. */
+  private def dataConstrainedOracle: String = {
+    val decayVals = graft.llm.Curation.DecayTable(16)
+      .map { case (i, r) => s"($i, $r)" }.mkString(", ")
+    s"""WITH per AS (
+       |  SELECT source,
+       |         CAST(SUM(len(str_split($duckNorm, ' '))) AS BIGINT) AS u
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(u) AS BIGINT) AS t,
+       |               CAST(COUNT(*) AS BIGINT) AS ns FROM per),
+       |base AS (SELECT source, u, t * 4 // ns AS budget,
+       |                LEAST(t * 4 // ns // u, 16) AS k
+       |         FROM per CROSS JOIN tot),
+       |b2 AS (SELECT source, u, budget, k,
+       |              CASE WHEN k < 16 THEN budget - k * u ELSE 0 END AS rem
+       |       FROM base),
+       |decay(i, r) AS (VALUES $decayVals),
+       |fullx AS (SELECT b.source,
+       |            CAST(SUM(b.u * d.r // 1000000) AS BIGINT) AS full_eff
+       |          FROM b2 b JOIN decay d ON d.i < b.k GROUP BY 1),
+       |remt AS (SELECT b.source,
+       |           CAST(b.rem * d.r // 1000000 AS BIGINT) AS rem_eff
+       |         FROM b2 b JOIN decay d ON d.i = b.k)
+       |SELECT b.source, b.u AS u_tokens, b.budget AS budget_tokens,
+       |       CAST(b.k AS BIGINT) AS epochs,
+       |       CAST(COALESCE(f.full_eff, 0) + COALESCE(r.rem_eff, 0)
+       |         AS BIGINT) AS eff_tokens,
+       |       CAST((COALESCE(f.full_eff, 0) + COALESCE(r.rem_eff, 0))
+       |         * 1000000 // b.budget AS BIGINT) AS utilization_ppm
+       |FROM b2 b LEFT JOIN fullx f ON b.source = f.source
+       |LEFT JOIN remt r ON b.source = r.source
+       |ORDER BY b.source ASC""".stripMargin
   }
 
   /** q76: same minhash family, ONE-SIDED candidate join (incoming % 5 = 0
@@ -7964,6 +8006,50 @@ object SparkEntry {
     // q308: the q300 chain with 8/16/32-slot prefix agreements; abs
     // error vs exact Jaccard, nonnegative floor-div census.
     "q308_minhash_k_sweep" -> minhashKSweepOracle,
+    // q309: identical hash buckets, per-gram MIN bucket, nested cutoffs.
+    "q309_sample_curve" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST('0x' || substr(md5('curve:' || CAST(doc_id AS VARCHAR)),
+         |      1, 15) AS BIGINT) % 100 AS b,
+         |    str_split($duckNorm, ' ') AS w FROM documents),
+         |words AS (SELECT b, unnest(w) AS gram, 'word' AS kind FROM t),
+         |i3 AS (SELECT b, w, unnest(generate_series(1, len(w)-2)) AS i
+         |       FROM t),
+         |tris AS (SELECT b, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram,
+         |                'trigram' AS kind FROM i3),
+         |minb AS (SELECT kind, gram, CAST(MIN(b) AS BIGINT) AS min_b
+         |         FROM (SELECT * FROM words UNION ALL SELECT * FROM tris)
+         |         GROUP BY 1, 2),
+         |f(sample_pct) AS (VALUES (10), (25), (50), (100))
+         |SELECT m.kind, CAST(f.sample_pct AS BIGINT) AS sample_pct,
+         |       CAST(COUNT(*) AS BIGINT) AS n_types
+         |FROM minb m JOIN f ON m.min_b < f.sample_pct
+         |GROUP BY 1, 2 ORDER BY kind ASC, sample_pct ASC""".stripMargin,
+    // q310: identical daily census; each slope is ONE floored double
+    // division (sign-safe); median = value at rank ⌈n/2⌉.
+    "q310_theil_sen" ->
+      (silverCte +
+        """,
+          |daily AS (SELECT event_date AS d, CAST(COUNT(*) AS BIGINT) AS y
+          |          FROM silver GROUP BY 1),
+          |d0 AS (SELECT MIN(d) AS d0 FROM daily),
+          |pts AS (SELECT CAST(date_diff('day', d0.d0, d) AS BIGINT) AS t, y
+          |        FROM daily CROSS JOIN d0),
+          |slopes AS (
+          |  SELECT CAST(FLOOR(CAST(p2.y - p1.y AS DOUBLE) * 1000.0
+          |    / (p2.t - p1.t)) AS BIGINT) AS slope_milli
+          |  FROM pts p1 JOIN pts p2 ON p2.t > p1.t),
+          |ranked AS (SELECT slope_milli,
+          |             row_number() OVER (ORDER BY slope_milli ASC) AS rnk,
+          |             COUNT(*) OVER () AS n FROM slopes),
+          |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+          |SELECT nd.n_days, CAST(r.n AS BIGINT) AS n_pairs, r.slope_milli,
+          |       r.slope_milli > 0 AS trending_up
+          |FROM ranked r CROSS JOIN nd
+          |WHERE r.rnk = (r.n + 1) // 2""".stripMargin),
+    // q311: identical token census; the SAME precomputed decay-ppm table
+    // (generated from one Scala recurrence) spelled as VALUES.
+    "q311_data_constrained" -> dataConstrainedOracle,
     // q269: same 2-gram set, same (a*h+b) mod p permutation minima as
     // the doc-level q27 sketch, slot-agreement estimate vs the q84 exact
     // join in integer ppm.

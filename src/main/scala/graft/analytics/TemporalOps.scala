@@ -936,4 +936,41 @@ object TemporalOps {
 
   def cusumChangepoint(spark: SparkSession, dir: String): DataFrame =
     cusumChangepoint(graft.pipeline.EventsPipeline.silver(spark, dir))
+
+  /** q310: THEIL–SEN ROBUST TREND of the daily event-count series — the
+    * median of all pairwise slopes, the estimator that shrugs off the
+    * outlier days that wreck the q148 least-squares trend (a single
+    * backfill spike moves OLS arbitrarily; it moves the slope median by
+    * at most one rank). Each slope is ONE double division floored in
+    * both engines (sign-safe, unlike integer div on negative deltas —
+    * the q175 lesson); the median is the value at rank ⌈n/2⌉ over the
+    * date-range-bounded pair frame.
+    *
+    * Scale shape: the corpus reduces to the daily census FIRST; the
+    * pairwise frame is |days|², bounded by the date range, not the data
+    * (the q283 domain-window discipline). */
+  def theilSen(silver: DataFrame): DataFrame = {
+    val daily = silver.groupBy(col("event_date").as("d"))
+      .agg(count(lit(1)).as("y"))
+    val d0 = daily.agg(min(col("d")).as("d0"))
+    val pts = daily.crossJoin(broadcast(d0))
+      .select(datediff(col("d"), col("d0")).cast("long").as("t"), col("y"))
+    val slopes = pts.as("p1").join(pts.as("p2"), col("p2.t") > col("p1.t"))
+      .select(floor((col("p2.y") - col("p1.y")).cast("double") * lit(1000.0)
+        / (col("p2.t") - col("p1.t"))).cast("long").as("slope_milli"))
+    val ranked = slopes
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("slope_milli").asc)))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy()))
+    ranked.filter(col("rnk") === expr("(n + 1) div 2"))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
+      .select(col("n_days").cast("long").as("n_days"),
+        col("n").cast("long").as("n_pairs"),
+        col("slope_milli").cast("long").as("slope_milli"),
+        (col("slope_milli") > 0).as("trending_up"))
+  }
+
+  def theilSen(spark: SparkSession, dir: String): DataFrame =
+    theilSen(graft.pipeline.EventsPipeline.silver(spark, dir))
 }

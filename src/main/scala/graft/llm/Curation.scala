@@ -1312,6 +1312,57 @@ object Curation {
   def neymanAllocation(spark: SparkSession, dir: String): DataFrame =
     neymanAllocation(Tables.documents(spark, dir))
 
+  /** q311: DATA-CONSTRAINED EFFECTIVE TOKENS — when a source's token
+    * budget exceeds its unique tokens, extra epochs are worth less than
+    * fresh data (Muennighoff et al., "Scaling Data-Constrained Language
+    * Models"): this query values each source's uniform budget share
+    * under a geometric per-epoch decay (5% per repeat), reporting epochs
+    * consumed, effective tokens, and budget utilization. The decay curve
+    * enters as a PRECOMPUTED integer-ppm table (r₀ = 10⁶,
+    * rᵢ₊₁ = rᵢ·950000 div 10⁶, capped at 16 epochs — the UniMax cap
+    * family), so the whole valuation is exact integer arithmetic in both
+    * engines; the same literal table is spelled in the oracle.
+    *
+    * Scale shape: one token-count pass to a |sources| frame; the decay
+    * join is |sources| × 17 literal rows. */
+  def dataConstrainedValue(docs: DataFrame, epochsCap: Int = 16,
+      budgetMult: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val decay = DecayTable(epochsCap).toDF("i", "r")
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val per = docs.select(col("source"), size(split(norm, " ")).as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("u"))
+    val tot = per.agg(sum(col("u")).as("t"), count(lit(1)).as("ns"))
+    val base = graft.core.Caches.scratch(per.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"t * $budgetMult div ns"))
+      .withColumn("k", least(expr("budget div u"), lit(epochsCap.toLong)))
+      .withColumn("rem", when(col("k") < epochsCap,
+        col("budget") - col("k") * col("u")).otherwise(lit(0L))))
+    val full = base.join(broadcast(decay), col("i") < col("k"))
+      .groupBy(col("source"))
+      .agg(sum(expr("u * r div 1000000")).as("full_eff"))
+    val remT = base.join(broadcast(decay), col("i") === col("k"))
+      .select(col("source"), expr("rem * r div 1000000").as("rem_eff"))
+    base.join(full, Seq("source"), "left").join(remT, Seq("source"), "left")
+      .select(col("source"), col("u").cast("long").as("u_tokens"),
+        col("budget").cast("long").as("budget_tokens"),
+        col("k").cast("long").as("epochs"),
+        (coalesce(col("full_eff"), lit(0L))
+          + coalesce(col("rem_eff"), lit(0L))).cast("long").as("eff_tokens"))
+      .withColumn("utilization_ppm",
+        expr("eff_tokens * 1000000 div budget_tokens").cast("long"))
+      .orderBy(col("source").asc)
+  }
+
+  /** The q311 decay table rᵢ (ppm), shared with the oracle spelling. */
+  def DecayTable(cap: Int): Seq[(Long, Long)] =
+    Iterator.iterate(1000000L)(r => r * 950000L / 1000000L)
+      .take(cap + 1).zipWithIndex.map { case (r, i) => (i.toLong, r) }.toSeq
+
+  def dataConstrainedValue(spark: SparkSession, dir: String): DataFrame =
+    dataConstrainedValue(Tables.documents(spark, dir))
+
   /** q250: the END-TO-END curation pipeline as ONE declarative plan —
     * the composition a production training-data run actually ships, not
     * just its parts: bronze corpus → NEAR-dup keep-list (MinHash+LSH

@@ -2066,4 +2066,46 @@ object TextStats {
 
   def wilsonBounds(spark: SparkSession, dir: String): DataFrame =
     wilsonBounds(Tables.documents(spark, dir))
+
+  /** q309: NESTED-SUBSAMPLE VOCABULARY CURVE — distinct word types and
+    * distinct trigram shingles at hash-nested 10% / 25% / 50% / 100%
+    * corpus samples. The "what does more data buy" instrument: type
+    * counts growing near-linearly in the sample say the corpus is
+    * nowhere near vocabulary saturation (keep collecting); a flattening
+    * curve says new data is mostly re-spending known types (dedup /
+    * diversify instead). Nested by construction (a doc in the 10% sample
+    * is in every larger one — same hash, larger cutoff), so the curve is
+    * monotone and comparable point to point; q151 measures growth in
+    * doc-id order, this measures it under uniform sampling.
+    *
+    * Scale shape: one explode per gram kind with the 4 membership flags
+    * as map-side expressions; distinct counts via one aggregation per
+    * (kind, fraction) on the gram-count frame — never 4 corpus scans. */
+  def sampleCurve(docs: DataFrame): DataFrame = {
+    val fracs = Seq(10, 25, 50, 100)
+    val bucket = conv(substring(md5(concat(lit("curve:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100
+    val toks = docs.select(col("doc_id"), bucket.as("b"), split(norm, " ").as("w"))
+    val words = toks.select(col("b"), explode(col("w")).as("gram"))
+      .withColumn("kind", lit("word"))
+    val tris = toks.select(col("b"), explode(expr(
+        "transform(slice(w, 1, size(w)-2), (x, i) -> " +
+          "concat(x, ' ', element_at(w, i+2), ' ', element_at(w, i+3)))"))
+        .as("gram"))
+      .withColumn("kind", lit("trigram"))
+    val minB = words.unionAll(tris)
+      .groupBy(col("kind"), col("gram")).agg(min(col("b")).as("min_b"))
+    val out = fracs.map { f =>
+      minB.filter(col("min_b") < f)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_types"))
+        .withColumn("sample_pct", lit(f.toLong))
+    }.reduce(_ unionByName _)
+    out.select(col("kind"), col("sample_pct"),
+        col("n_types").cast("long").as("n_types"))
+      .orderBy(col("kind").asc, col("sample_pct").asc)
+  }
+
+  def sampleCurve(spark: SparkSession, dir: String): DataFrame =
+    sampleCurve(Tables.documents(spark, dir))
 }
