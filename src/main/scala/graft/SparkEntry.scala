@@ -845,6 +845,12 @@ object SparkEntry {
     "q310_theil_sen"           -> ((s, d) => TemporalOps.theilSen(s, d)),
     // ---- data-constrained effective tokens (epoch-decay valuation) ----
     "q311_data_constrained"    -> ((s, d) => Curation.dataConstrainedValue(s, d)),
+    // ---- absorbing-Markov expected steps to purchase ----
+    "q312_absorbing_markov"    -> ((s, d) => Funnels.absorbingMarkov(s, d)),
+    // ---- group-sequential OBF monitoring of the q291 experiment ----
+    "q313_group_sequential"    -> ((s, d) => Reports.groupSequential(s, d)),
+    // ---- exponential Q-Q table for inter-event gaps ----
+    "q314_exponential_qq"      -> ((s, d) => TemporalOps.exponentialQq(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -1209,6 +1215,86 @@ object SparkEntry {
        |FROM b2 b LEFT JOIN fullx f ON b.source = f.source
        |LEFT JOIN remt r ON b.source = r.source
        |ORDER BY b.source ASC""".stripMargin
+  }
+
+  /** q312: the q192 matrix head + T unrolled expected-steps rounds
+    * (mₜ₊₁ = 1000 + Σ q·mₜ // 10⁶ over transient states). */
+  private def absorbingMarkovOracle(iters: Int): String = {
+    val head = silverCte +
+      """, pairs AS (
+        |  SELECT event_type AS prev_type,
+        |         lead(event_type) OVER (
+        |           PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |           AS next_type
+        |  FROM silver),
+        |t AS (
+        |  SELECT prev_type, next_type, COUNT(*) AS c
+        |  FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |p AS (
+        |  SELECT prev_type, next_type,
+        |         CAST(c * 1000000
+        |           // SUM(c) OVER (PARTITION BY prev_type) AS BIGINT) AS p_ppm
+        |  FROM t),
+        |q AS MATERIALIZED (SELECT prev_type, next_type, p_ppm FROM p
+        |      WHERE prev_type <> 'purchase'),
+        |trans AS MATERIALIZED (SELECT DISTINCT prev_type AS st FROM q),
+        |m0 AS MATERIALIZED (SELECT st AS cur, CAST(0 AS BIGINT) AS m
+        |      FROM trans)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""m$k AS MATERIALIZED (
+         |  SELECT t2.st AS cur,
+         |         CAST(1000 + COALESCE(SUM(q.p_ppm * m${k - 1}.m
+         |           // 1000000), 0) AS BIGINT) AS m
+         |  FROM trans t2
+         |  LEFT JOIN q ON q.prev_type = t2.st AND q.next_type <> 'purchase'
+         |  LEFT JOIN m${k - 1} ON m${k - 1}.cur = q.next_type
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    val tail =
+      s""", outx AS (SELECT prev_type, CAST(SUM(c) AS BIGINT) AS n_out
+         |          FROM t WHERE prev_type <> 'purchase' GROUP BY 1),
+         |pa AS (SELECT prev_type, p_ppm FROM p
+         |       WHERE next_type = 'purchase' AND prev_type <> 'purchase')
+         |SELECT o.prev_type AS event_type, o.n_out,
+         |       CAST(COALESCE(pa.p_ppm, 0) AS BIGINT) AS p_absorb_ppm,
+         |       CAST(m$iters.m AS BIGINT) AS exp_steps_milli
+         |FROM outx o LEFT JOIN pa ON pa.prev_type = o.prev_type
+         |JOIN m$iters ON m$iters.cur = o.prev_type
+         |ORDER BY event_type ASC""".stripMargin
+    // the rounds block opens with ",\n" and closes before tail's ","
+    head + rounds.stripSuffix("\n") + tail
+  }
+
+  /** q314: the −ln(1−p) quantile table from the SAME JVM computation the
+    * Spark side uses ([[graft.analytics.TemporalOps.ExpQuantiles]]). */
+  private def exponentialQqOracle: String = {
+    val vals = graft.analytics.TemporalOps.ExpQuantiles
+      .map { case (k, l) => s"($k, $l)" }.mkString(", ")
+    silverCte +
+      s""",
+         |g AS (SELECT date_diff('second', ts, lead(ts) OVER (
+         |        PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) AS v
+         |      FROM silver),
+         |gaps AS (SELECT CAST(v AS BIGINT) AS v FROM g WHERE v IS NOT NULL),
+         |r AS (SELECT v, row_number() OVER (ORDER BY v ASC) AS rnk,
+         |             COUNT(*) OVER () AS cn FROM gaps),
+         |at AS (SELECT CAST(k.q AS BIGINT) AS decile,
+         |         MAX(CASE WHEN r.rnk = (k.q * r.cn + 9) // 10
+         |           THEN r.v END) AS obs
+         |       FROM (SELECT unnest(range(1, 10)) AS q) k CROSS JOIN r
+         |       GROUP BY 1),
+         |meanx AS (SELECT CAST(SUM(v) * 1000 // COUNT(*) AS BIGINT)
+         |            AS mean_milli FROM gaps),
+         |lq(decile, l) AS (VALUES $vals)
+         |SELECT a.decile, CAST(a.obs AS BIGINT) AS obs_gap_s,
+         |       CAST(FLOOR(CAST(m.mean_milli AS DOUBLE) * lq.l / 1000.0)
+         |         AS BIGINT) AS exp_gap_s,
+         |       m.mean_milli AS mean_gap_milli,
+         |       CAST(a.obs * 1000000 // GREATEST(1,
+         |         CAST(FLOOR(CAST(m.mean_milli AS DOUBLE) * lq.l / 1000.0)
+         |           AS BIGINT)) AS BIGINT) AS ratio_ppm
+         |FROM at a JOIN lq ON a.decile = lq.decile CROSS JOIN meanx m
+         |ORDER BY a.decile ASC""".stripMargin
   }
 
   /** q76: same minhash family, ONE-SIDED candidate join (incoming % 5 = 0
@@ -8050,6 +8136,59 @@ object SparkEntry {
     // q311: identical token census; the SAME precomputed decay-ppm table
     // (generated from one Scala recurrence) spelled as VALUES.
     "q311_data_constrained" -> dataConstrainedOracle,
+    // q312: the q192 transition matrix, T = 24 unrolled milli-step
+    // rounds (1000 + Σ q·m // 10⁶); dead-end successors drop to 0 via
+    // the missing join row in both spellings.
+    "q312_absorbing_markov" -> absorbingMarkovOracle(24),
+    // q313: identical per-look user sums; z and the OBF boundary are the
+    // same double chains floored to milli.
+    "q313_group_sequential" ->
+      (silverCte +
+        """,
+          |b AS (SELECT MIN(event_date) AS lo, MAX(event_date) AS hi
+          |      FROM silver),
+          |pul AS (
+          |  SELECT l.look,
+          |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+          |      AS BIGINT) % 2 AS arm,
+          |    user_id,
+          |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          |  FROM silver CROSS JOIN b
+          |  CROSS JOIN (SELECT unnest(range(1, 5)) AS look) l
+          |  WHERE date_diff('day', b.lo, event_date) * 4
+          |      < date_diff('day', b.lo, b.hi) * l.look
+          |     OR l.look = 4
+          |  GROUP BY 1, 2, 3),
+          |mom AS (SELECT look, arm, CAST(COUNT(*) AS BIGINT) AS n,
+          |               CAST(SUM(y) AS BIGINT) AS sy,
+          |               CAST(SUM(y * y) AS BIGINT) AS syy
+          |        FROM pul GROUP BY 1, 2),
+          |ma AS (SELECT look, n AS n0, sy AS sy0, syy AS syy0 FROM mom
+          |       WHERE arm = 0),
+          |mb AS (SELECT look AS look1, n AS n1, sy AS sy1, syy AS syy1
+          |       FROM mom WHERE arm = 1),
+          |f AS (
+          |  SELECT ma.look, n0, n1,
+          |    (CAST(syy0 AS DOUBLE) - CAST(sy0 AS DOUBLE) * sy0 / n0)
+          |      + (CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * sy1 / n1)
+          |      AS ss,
+          |    CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0 AS d
+          |  FROM ma JOIN mb ON ma.look = mb.look1
+          |  WHERE n0 > 1 AND n1 > 1),
+          |g AS (SELECT look, n0, n1, d, ss / (n0 + n1 - 2) AS s2p FROM f),
+          |h AS (SELECT look, n0, n1, d,
+          |        d / sqrt(s2p * (1.0 / n0 + 1.0 / n1)) AS z,
+          |        2.024 * sqrt(4.0 / look) AS boundary FROM g)
+          |SELECT CAST(look AS BIGINT) AS look, n0, n1,
+          |       CAST(FLOOR(d * 1000.0) AS BIGINT) AS gap_milli,
+          |       CAST(FLOOR(z * 1000.0) AS BIGINT) AS z_milli,
+          |       CAST(FLOOR(boundary * 1000.0) AS BIGINT) AS boundary_milli,
+          |       ABS(CAST(FLOOR(z * 1000.0) AS BIGINT))
+          |         > CAST(FLOOR(boundary * 1000.0) AS BIGINT) AS crossed
+          |FROM h ORDER BY look ASC""".stripMargin),
+    // q314: gaps ≡ q193's date_diff('second'); deciles by exact rank;
+    // the −ln(1−p) table is the SAME JVM-printed literal list.
+    "q314_exponential_qq" -> exponentialQqOracle,
     // q269: same 2-gram set, same (a*h+b) mod p permutation minima as
     // the doc-level q27 sketch, slot-agreement estimate vs the q84 exact
     // join in integer ppm.

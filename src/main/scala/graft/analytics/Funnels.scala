@@ -480,4 +480,64 @@ object Funnels {
 
   def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame =
     lastTouchAttribution(EventsPipeline.silver(spark, dir))
+
+  /** q312: ABSORBING-MARKOV EXPECTED STEPS — for every transient event
+    * type, the expected number of further events before the user reaches
+    * 'purchase' under the first-order transition chain: the fundamental-
+    * matrix readout E = (I − Q)⁻¹·1, computed as the TRUNCATED power sum
+    * Σ_{t<T} Qᵗ·1 in exact integer milli-steps
+    * (mₜ₊₁ = 1000 + Σⱼ Q_ppm·mₜ div 10⁶, T = 24 — the truncation IS the
+    * contract, identical in both engines; the q192 iterative-kernel
+    * discipline). A state whose only successors dead-end contributes 0
+    * from the missing row in both spellings. Complements q192 (where the
+    * chain settles) and q238 (empirical conversion timing) with the
+    * model-implied DISTANCE to conversion.
+    *
+    * Scale shape: one corpus pass to the |types|² transition matrix
+    * (driver-collected, domain-sized — the q192 precedent); the T-round
+    * loop runs on ≤ |types| rows. */
+  def absorbingMarkov(silver: DataFrame, iters: Int = 24,
+      absorb: String = "purchase"): DataFrame = {
+    val spark = silver.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = silver
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("prev_type"))
+      .withColumn("next_type", lead(col("prev_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val p = pairs.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("r",
+        sum(col("c")).over(Window.partitionBy(col("prev_type"))))
+      .select(col("prev_type"), col("next_type"),
+        expr("c * 1000000 div r").cast("long").as("p_ppm"),
+        col("c").cast("long").as("c"))
+      .collect()
+      .map(r0 => (r0.getString(0), r0.getString(1), r0.getLong(2),
+        r0.getLong(3)))
+    val trans = p.map(_._1).distinct.filterNot(_ == absorb).sorted.toSeq
+    if (trans.isEmpty)
+      return Seq.empty[(String, Long, Long, Long)]
+        .toDF("event_type", "n_out", "p_absorb_ppm", "exp_steps_milli")
+    val transSet = trans.toSet
+    var m: Map[String, Long] = trans.map(_ -> 0L).toMap
+    for (_ <- 1 to iters) {
+      m = trans.map { i =>
+        i -> (1000L + p.iterator
+          .filter(r => r._1 == i && r._2 != absorb && transSet(r._2))
+          .map(r => r._3 * m(r._2) / 1000000L).sum)
+      }.toMap
+    }
+    trans.map { i =>
+      val out = p.filter(_._1 == i)
+      (i, out.map(_._4).sum,
+        out.find(_._2 == absorb).map(_._3).getOrElse(0L), m(i))
+    }.toDF("event_type", "n_out", "p_absorb_ppm", "exp_steps_milli")
+      .orderBy(col("event_type").asc)
+  }
+
+  def absorbingMarkov(spark: SparkSession, dir: String): DataFrame =
+    absorbingMarkov(EventsPipeline.silver(spark, dir))
 }

@@ -1139,4 +1139,74 @@ object Reports {
 
   def powerAnalysis(spark: SparkSession, dir: String): DataFrame =
     powerAnalysis(EventsPipeline.silver(spark, dir))
+
+  /** q313: GROUP-SEQUENTIAL MONITORING TABLE — the q291 experiment
+    * re-read at four interim looks (quartiles of the date range) against
+    * O'Brien–Fleming spending boundaries: per look, each arm's active
+    * users and mean, the pooled-variance z statistic, the OBF boundary
+    * c·√(K/k) (computed, not tabulated — one IEEE sqrt, identical in
+    * both engines), and whether the look crosses. This is the peeking
+    * discipline every sequential experiment needs — reading an A/B
+    * dashboard daily against the fixed-horizon 1.96 inflates false
+    * positives several-fold; OBF spends almost no α early.
+    *
+    * All sufficient statistics are exact int64 cents per (look, arm);
+    * z and the boundary are single identically-spelled double chains
+    * floored to milli.
+    *
+    * Scale shape: events fan out to the ≤4 looks that include them
+    * (explode over a constant), reduce to per (look, arm, user) sums on
+    * the user clustering, then to an 8-row moment frame. */
+  def groupSequential(silver: DataFrame, looks: Int = 4): DataFrame = {
+    val bounds = silver.agg(min(col("event_date")).as("lo"),
+      max(col("event_date")).as("hi"))
+    val perUserLook = silver.crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15),
+          16, 10).cast("long") % 2).as("arm"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        datediff(col("event_date"), col("lo")).as("dd"),
+        datediff(col("hi"), col("lo")).as("span"),
+        explode(expr(s"sequence(1, $looks)")).as("look"))
+      .filter(col("dd") * looks < col("span") * col("look")
+        || col("look") === looks)
+      .groupBy(col("look"), col("arm"), col("user_id"))
+      .agg(sum(col("cents")).as("y"))
+    val moments = perUserLook.groupBy(col("look"), col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(expr("y * y")).as("syy"))
+    val m0 = moments.filter(col("arm") === 0)
+      .select(col("look"), col("n").as("n0"), col("sy").as("sy0"),
+        col("syy").as("syy0"))
+    val m1 = moments.filter(col("arm") === 1)
+      .select(col("look").as("look1"), col("n").as("n1"),
+        col("sy").as("sy1"), col("syy").as("syy1"))
+    m0.join(m1, col("look") === col("look1"))
+      .filter(col("n0") > 1 && col("n1") > 1)
+      // pooled variance: (Σ(y−ȳ)² both arms) / (n0+n1−2), each arm's SS
+      // from exact moments, the ratio one double chain
+      .withColumn("ss", (col("syy0").cast("double")
+          - col("sy0").cast("double") * col("sy0") / col("n0"))
+        + (col("syy1").cast("double")
+          - col("sy1").cast("double") * col("sy1") / col("n1")))
+      .withColumn("s2p", col("ss") / (col("n0") + col("n1") - 2))
+      .withColumn("d", col("sy1").cast("double") / col("n1")
+        - col("sy0").cast("double") / col("n0"))
+      .withColumn("z", col("d") / sqrt(col("s2p")
+        * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))))
+      .withColumn("boundary", lit(2.024)
+        * sqrt(lit(looks.toDouble) / col("look")))
+      .select(col("look").cast("long").as("look"),
+        col("n0").cast("long").as("n0"), col("n1").cast("long").as("n1"),
+        floor(col("d") * lit(1000.0)).cast("long").as("gap_milli"),
+        floor(col("z") * lit(1000.0)).cast("long").as("z_milli"),
+        floor(col("boundary") * lit(1000.0)).cast("long")
+          .as("boundary_milli"))
+      .withColumn("crossed",
+        abs(col("z_milli")) > col("boundary_milli"))
+      .orderBy(col("look").asc)
+  }
+
+  def groupSequential(spark: SparkSession, dir: String): DataFrame =
+    groupSequential(EventsPipeline.silver(spark, dir))
 }

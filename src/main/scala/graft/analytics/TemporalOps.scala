@@ -973,4 +973,61 @@ object TemporalOps {
 
   def theilSen(spark: SparkSession, dir: String): DataFrame =
     theilSen(graft.pipeline.EventsPipeline.silver(spark, dir))
+
+  /** The q314 exponential quantiles −ln(1−k/10), k = 1..9, computed ONCE
+    * on the JVM and shared with the oracle as printed literals (the
+    * round-trip print re-parses to the identical double in both
+    * engines — the q311 shared-table discipline for irrational
+    * constants). */
+  def ExpQuantiles: Seq[(Long, Double)] =
+    (1 to 9).map(k => (k.toLong, -math.log(1.0 - k / 10.0)))
+
+  /** q314: EXPONENTIAL Q–Q TABLE for inter-event gaps — the user-level
+    * arrival-process fit check: if arrivals were memoryless (Poisson),
+    * the gap deciles would match mean·(−ln(1−p)). Per decile: the exact
+    * observed gap (bucket-offset order statistics — no corpus sort), the
+    * exponential expectation, and their ratio. Ratios sagging below 10⁶
+    * at low deciles with a heavy top decile = bursty sessions (the q284
+    * Fano verdict, localized to WHERE in the distribution the burstiness
+    * lives).
+    *
+    * Scale shape: gaps from one lead() over the user clustering; deciles
+    * via the OrderStats kernel; the quantile table is 9 literal rows. */
+  def exponentialQq(silver: DataFrame): DataFrame = {
+    val spark = silver.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gaps = graft.core.Caches.scratch(silver
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_s", unix_timestamp(lead(col("ts"), 1).over(w))
+        - unix_timestamp(col("ts")))
+      .filter(col("gap_s").isNotNull)
+      .select(lit("all").as("part"), col("gap_s").as("v")))
+    val positions = graft.core.Caches.trackCheckpoint(
+      gaps.groupBy(col("part")).agg(count(lit(1)).as("cn"))
+        .select(col("part"), explode(expr("sequence(1, 9)")).as("q"),
+          col("cn"))
+        .select(col("part"), col("q").cast("long").as("q"),
+          expr("(q * cn + 9) div 10").as("pos"))
+        .localCheckpoint(true))
+    val at = OrderStats.valueAtRank(gaps, positions)
+      .select(col("q").as("decile"), col("v").as("obs_gap_s"))
+    val mean = gaps.agg(expr("sum(v) * 1000 div count(1)").as("mean_milli"))
+    val lq = ExpQuantiles.toDF("decile", "l")
+    at.join(broadcast(lq), Seq("decile"))
+      .crossJoin(broadcast(mean))
+      .select(col("decile").cast("long").as("decile"),
+        col("obs_gap_s").cast("long").as("obs_gap_s"),
+        floor(col("mean_milli").cast("double") * col("l") / lit(1000.0))
+          .cast("long").as("exp_gap_s"),
+        col("mean_milli").cast("long").as("mean_gap_milli"))
+      .withColumn("ratio_ppm",
+        expr("obs_gap_s * 1000000 div greatest(1L, exp_gap_s)")
+          .cast("long"))
+      .orderBy(col("decile").asc)
+  }
+
+  def exponentialQq(spark: SparkSession, dir: String): DataFrame =
+    exponentialQq(graft.pipeline.EventsPipeline.silver(spark, dir))
 }
