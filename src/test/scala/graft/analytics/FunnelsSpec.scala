@@ -318,4 +318,19 @@ class FunnelsSpec extends SparkSpecBase {
     assert(totalCredit <= touched * 1000000L, "credit exceeds conversions")
     assert(totalCredit > touched * 990000L, "floor loss beyond plausible")
   }
+
+  test("q312 absorbing markov: truncated steps consistent with absorption") {
+    val silver = graft.pipeline.EventsPipeline.silver(spark, sf)
+    val out = Funnels.absorbingMarkov(silver).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty && !out.exists(_._1 == "purchase"))
+    out.foreach { case (st, nOut, pAbs, steps) =>
+      assert(nOut > 0L, s"$st has no outgoing transitions")
+      assert(steps >= 1000L, s"$st: at least one step to absorb")
+      // a state that can absorb directly cannot have unbounded steps;
+      // sanity ceiling: T rounds of 1 step each
+      assert(steps <= 24L * 1000L, s"$st exceeds the truncation ceiling")
+      assert(pAbs >= 0L && pAbs <= 1000000L)
+    }
+  }
 }

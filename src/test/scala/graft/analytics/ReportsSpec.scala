@@ -504,4 +504,25 @@ class ReportsSpec extends SparkSpecBase {
     val adjGap = math.abs(arms(0)._3 - arms(1)._3)
     assert(adjGap <= rawGap, s"CUPED must not widen the gap: $out")
   }
+
+  test("q313 group sequential: looks nest and OBF boundaries tighten") {
+    val silver = EventsPipeline.silver(spark, sf)
+    val out = Reports.groupSequential(silver).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(out.map(_._1).toSeq === (1L to 4L).toSeq)
+    // users active by look k are active by look k+1 (nested windows)
+    assert(out.map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+    assert(out.map(_._3).sliding(2).forall(p => p(0) <= p(1)))
+    assert(out.map(_._4).sliding(2).forall(p => p(0) > p(1)),
+      "OBF boundaries must strictly tighten")
+    assert(out.last._4 === 2024L)
+  }
+
+  test("q307 power analysis: CUPED never needs more users than raw") {
+    val r = Reports.powerAnalysis(EventsPipeline.silver(spark, sf))
+      .collect()(0)
+    assert(r.getLong(1) >= r.getLong(2),
+      "variance reduction cannot increase the requirement")
+    assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+  }
 }

@@ -537,4 +537,33 @@ class TemporalOpsSpec extends SparkSpecBase {
     }
     assert(out.sortBy(_._1).toSeq === expected.toSeq)
   }
+
+  test("q310 theil-sen: median slope matches a driver-side re-derivation") {
+    val silver = graft.pipeline.EventsPipeline.silver(spark, sf)
+    val r = TemporalOps.theilSen(silver).collect()(0)
+    import org.apache.spark.sql.functions._
+    val daily = silver.groupBy(col("event_date")).count().collect()
+      .map(x => (x.getDate(0).toLocalDate.toEpochDay, x.getLong(1)))
+      .sortBy(_._1)
+    val slopes = for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield math.floor((daily(j)._2 - daily(i)._2).toDouble * 1000.0
+      / (daily(j)._1 - daily(i)._1)).toLong
+    val sorted = slopes.sorted
+    assert(r.getLong(0) === daily.length.toLong)
+    assert(r.getLong(1) === slopes.length.toLong)
+    assert(r.getLong(2) === sorted((sorted.length + 1) / 2 - 1))
+  }
+
+  test("q314 exponential QQ: deciles monotone, mean exact") {
+    val silver = graft.pipeline.EventsPipeline.silver(spark, sf)
+    val out = TemporalOps.exponentialQq(silver).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq === (1L to 9L).toSeq)
+    assert(out.map(_._2).sliding(2).forall(p => p(0) <= p(1)),
+      "observed deciles must be non-decreasing")
+    assert(out.map(_._3).sliding(2).forall(p => p(0) <= p(1)),
+      "exponential quantiles must be non-decreasing")
+    assert(out.map(_._4).distinct.length === 1, "one global mean")
+  }
 }

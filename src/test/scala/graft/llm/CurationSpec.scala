@@ -729,4 +729,18 @@ class CurationSpec extends SparkSpecBase {
     assert(w("flat") === 0L)
     assert(w("vary") > 0L)
   }
+
+  test("q311 data-constrained: effective tokens bounded by budget, " +
+      "first epoch at full value") {
+    val out = Curation.dataConstrainedValue(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    out.foreach { case (src, u, budget, k, eff, util) =>
+      assert(eff <= budget, s"$src: decay cannot create tokens")
+      assert(util <= 1000000L)
+      // at least the first epoch is undiscounted
+      assert(eff >= math.min(u, budget), s"$src: first epoch undervalued")
+      assert(k === math.min(budget / u, 16L))
+    }
+  }
 }

@@ -27,4 +27,39 @@ class DatasheetSpec extends SparkSpecBase {
     assert(m("08_exact_dup_docs") <= m("01_docs"))
     assert(m("08_exact_dup_docs") === 0L || m("08_exact_dup_docs") >= 2L)
   }
+
+  test("q301 loo influence: deltas re-derivable, lang shift bounded") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val out = Datasheet.looCorpusInfluence(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val n = docs.count()
+    val s = docs.agg(org.apache.spark.sql.functions.sum("n_chars"))
+      .collect()(0).getLong(0)
+    out.foreach { case (_, nd, allM, woM, delta, shift) =>
+      assert(allM === s * 1000 / n)
+      assert(delta === woM - allM)
+      assert(shift >= 0L && shift <= 1000000L)
+      assert(nd < n, "no source may own the whole corpus")
+    }
+  }
+
+  test("q303 hoeffding screen: small sources get wide bands") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sf)
+    val out = Datasheet.hoeffdingScreen(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    // epsilon shrinks as 1/sqrt(n): any strictly larger source has a
+    // strictly smaller band
+    for ((_, na, ea) <- out; (_, nb, eb) <- out if na < nb)
+      assert(ea > eb, s"eps must shrink with n: ($na,$ea) vs ($nb,$eb)")
+    // a planted far-out small source breaches even its wide band
+    val synth = ((1 to 50).map(i => (i.toLong, "t", "en", "bulk", 300L))
+      ++ (51 to 55).map(i => (i.toLong, "t", "en", "outlier", 5000L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val flags = Datasheet.hoeffdingScreen(synth).collect()
+      .map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(!flags("outlier"), "planted outlier must breach the bound")
+    assert(flags("bulk"))
+  }
 }

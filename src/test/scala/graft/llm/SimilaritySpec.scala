@@ -397,4 +397,21 @@ class SimilaritySpec extends SparkSpecBase {
     }
     assert(out.map(_.getLong(1)).sum > 0L, "no candidate pairs at all")
   }
+
+  test("q306 label margin: bounds hold and the census is deterministic") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val out = Similarity.labelMargin(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, n, mean, mn, neg) =>
+      assert(n > 0L)
+      assert(mn >= -2000000L && mn <= 2000000L, "margin out of cosine range")
+      assert(mean >= mn, "mean below the minimum")
+      assert(neg <= n)
+    }
+    val again = Similarity.labelMargin(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.map(r => (r._1, r._3)).toSeq === again.toSeq)
+  }
 }

@@ -511,4 +511,35 @@ class TextDedupSpec extends SparkSpecBase {
       assert(r._3 <= r._2, "shared grams cannot exceed distinct grams")
     }
   }
+
+  test("q300 threshold sweep: recall monotone down, truth fixed across taus") {
+    val out = TextDedup.thresholdSweep(graft.core.Tables.documents(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(6)))
+    assert(out.map(_._1).toSeq === Seq(4L, 8L, 12L, 16L, 20L, 24L, 28L, 32L))
+    // the positive set is threshold-independent: tp + fn constant
+    assert(out.map(r => r._2 + r._4).distinct.length === 1)
+    assert(out.map(_._5).sliding(2).forall(p => p(0) >= p(1)),
+      "recall must be non-increasing in tau")
+    // predictions shrink with tau: tp + fp non-increasing
+    assert(out.map(r => r._2 + r._3).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("q305 dup transitivity: wedge/triangle accounting bounds") {
+    val r = TextDedup.dupTransitivity(graft.core.Tables.documents(spark, sf))
+      .collect()(0)
+    val (wedges, tris, tv) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(3 * tris <= wedges || wedges === 0,
+      "closed wedges cannot exceed all wedges")
+    assert(tv >= 0L && tv <= 1000000L)
+  }
+
+  test("q308 minhash K sweep: same candidate set at every K") {
+    val out = TextDedup.minhashKSweep(graft.core.Tables.documents(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq === Seq(8L, 16L, 32L))
+    assert(out.map(_._2).distinct.length === 1,
+      "the sweep reuses one candidate set")
+    out.foreach(r => assert(r._3 >= 0L && r._3 <= 1000000L))
+  }
 }

@@ -839,4 +839,38 @@ class TextStatsSpec extends SparkSpecBase {
     }
     out.foreach(r => assert(r._5 === r._3 - r._4))
   }
+
+  test("q309 sample curve: nested samples give monotone type counts") {
+    val out = TextStats.sampleCurve(Tables.documents(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.groupBy(_._1).foreach { case (kind, rows) =>
+      val byPct = rows.sortBy(_._2)
+      assert(byPct.map(_._2).toSeq === Seq(10L, 25L, 50L, 100L), kind)
+      assert(byPct.map(_._3).sliding(2).forall(p => p(0) <= p(1)),
+        s"$kind: nested samples cannot lose types")
+    }
+  }
+
+  test("q302 dict mining: gain model exact, ranking respects the tiebreak") {
+    val out = TextStats.dictMining(Tables.documents(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq === (1L to out.length.toLong).toSeq)
+    out.foreach { case (_, gram, c, sav) =>
+      assert(sav === (c - 1) * (gram.length - 2))
+    }
+    val keys = out.map(r => (-r._4, r._2))
+    assert(keys.sorted.toSeq === keys.toSeq,
+      "rank must follow (savings desc, gram asc)")
+  }
+
+  test("q304 wilson bounds: interval contains the point estimate") {
+    val out = TextStats.wilsonBounds(Tables.documents(spark, sf)).collect()
+    out.foreach { r =>
+      val (pass, lo, hi) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(lo <= pass && pass <= hi,
+        s"Wilson interval must contain the MLE: $r")
+      assert(r.getBoolean(7) ===
+        (r.getLong(6) >= lo && r.getLong(6) <= hi))
+    }
+  }
 }
