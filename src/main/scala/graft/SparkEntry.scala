@@ -851,6 +851,12 @@ object SparkEntry {
     "q313_group_sequential"    -> ((s, d) => Reports.groupSequential(s, d)),
     // ---- exponential Q-Q table for inter-event gaps ----
     "q314_exponential_qq"      -> ((s, d) => TemporalOps.exponentialQq(s, d)),
+    // ---- post-stratified treatment effect (activity strata) ----
+    "q315_stratified_ate"      -> ((s, d) => Reports.stratifiedAte(s, d)),
+    // ---- in-batch duplicate-collision expectation per batch size ----
+    "q316_inbatch_collisions"  -> ((s, d) => TextDedup.inBatchCollisions(s, d)),
+    // ---- shard locality of exact vs near dup pairs ----
+    "q317_shard_locality"      -> ((s, d) => TextDedup.shardLocality(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -8189,6 +8195,77 @@ object SparkEntry {
     // q314: gaps ≡ q193's date_diff('second'); deciles by exact rank;
     // the −ln(1−p) table is the SAME JVM-printed literal list.
     "q314_exponential_qq" -> exponentialQqOracle,
+    // q315: identical data-relative strata; pooled effect as an exact
+    // num/den pair (signed gaps never divide — the q193 discipline).
+    "q315_stratified_ate" ->
+      (silverCte +
+        """,
+          |pu AS (
+          |  SELECT user_id,
+          |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+          |      AS BIGINT) % 2 AS arm,
+          |    CAST(COUNT(*) AS BIGINT) AS ne,
+          |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          |  FROM silver GROUP BY 1, 2),
+          |av AS (SELECT CAST(SUM(ne) // COUNT(*) AS BIGINT) AS avg_ne
+          |       FROM pu),
+          |cells AS (
+          |  SELECT LEAST(3, ne * 2 // GREATEST(1, av.avg_ne)) AS stratum,
+          |         arm, CAST(COUNT(*) AS BIGINT) AS n,
+          |         CAST(SUM(y) AS BIGINT) AS sy
+          |  FROM pu CROSS JOIN av GROUP BY 1, 2),
+          |s0 AS (SELECT stratum, n AS n0, sy AS sy0 FROM cells
+          |       WHERE arm = 0),
+          |s1 AS (SELECT stratum AS st1, n AS n1, sy AS sy1 FROM cells
+          |       WHERE arm = 1),
+          |strata AS (
+          |  SELECT s0.stratum, n0, n1,
+          |         sy0 * 1000 // n0 AS mean0_milli,
+          |         sy1 * 1000 // n1 AS mean1_milli,
+          |         sy1 * 1000 // n1 - sy0 * 1000 // n0 AS gap_milli
+          |  FROM s0 JOIN s1 ON s0.stratum = s1.st1)
+          |SELECT CAST(stratum AS BIGINT) AS stratum, n0, n1,
+          |       CAST(mean0_milli AS BIGINT) AS mean0_milli,
+          |       CAST(mean1_milli AS BIGINT) AS mean1_milli,
+          |       CAST(gap_milli AS BIGINT) AS gap_milli,
+          |       CAST(SUM((n0 + n1) * gap_milli) OVER () AS BIGINT)
+          |         AS pooled_num,
+          |       CAST(SUM(n0 + n1) OVER () AS BIGINT) AS pooled_den
+          |FROM strata ORDER BY stratum ASC""".stripMargin),
+    // q316: identical prefix-fingerprint census;
+    // E = B(B−1)/2·Σc(c−1)/N(N−1) in exact milli-pairs.
+    "q316_inbatch_collisions" ->
+      s"""WITH g AS (SELECT md5(substr($duckNorm, 1, 64)) AS h, COUNT(*) AS c
+         |           FROM documents GROUP BY 1),
+         |m AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+         |             CAST(SUM(c * (c - 1)) AS BIGINT) AS pnum FROM g),
+         |bs(b) AS (VALUES (16), (64), (256), (1024))
+         |SELECT CAST(b AS BIGINT) AS batch_size, n AS n_docs,
+         |       pnum AS dup_ordered_pairs,
+         |       CAST(pnum * 1000000 // (n * (n - 1)) AS BIGINT)
+         |         AS p_pair_ppm,
+         |       CAST(b * (b - 1) // 2 * pnum * 1000 // (n * (n - 1))
+         |         AS BIGINT) AS exp_pairs_milli
+         |FROM bs CROSS JOIN m WHERE b <= n
+         |ORDER BY batch_size ASC""".stripMargin,
+    // q317: the q27 pair set × the q30 fingerprint shards; exact pairs
+    // validate the wiring (fingerprint-equal ⇒ same shard).
+    "q317_shard_locality" ->
+      s"""$minhashPairSql,
+         |shards AS (SELECT doc_id,
+         |             CAST('0x' || substr(md5($duckNorm), 1, 15) AS BIGINT)
+         |               % 64 AS shard
+         |           FROM documents),
+         |k AS (SELECT CASE WHEN p.jaccard >= 0.999999 THEN 'exact'
+         |               ELSE 'near' END AS kind,
+         |             CAST(sa.shard = sb.shard AS BIGINT) AS same
+         |      FROM pairs p JOIN shards sa ON p.doc_a = sa.doc_id
+         |                   JOIN shards sb ON p.doc_b = sb.doc_id)
+         |SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       CAST(SUM(same) AS BIGINT) AS n_same_shard,
+         |       CAST(SUM(same) * 1000000 // COUNT(*) AS BIGINT)
+         |         AS same_shard_ppm
+         |FROM k GROUP BY 1 ORDER BY kind ASC""".stripMargin,
     // q269: same 2-gram set, same (a*h+b) mod p permutation minima as
     // the doc-level q27 sketch, slot-agreement estimate vs the q84 exact
     // join in integer ppm.

@@ -1209,4 +1209,61 @@ object Reports {
 
   def groupSequential(spark: SparkSession, dir: String): DataFrame =
     groupSequential(EventsPipeline.silver(spark, dir))
+
+  /** q315: POST-STRATIFIED TREATMENT-EFFECT TABLE — the q291 arm gap
+    * re-read within activity strata (user event count relative to the
+    * corpus mean: <½, <1, <1½, ≥1½ — data-relative integer thresholds,
+    * no rank machinery), plus the precision-weighted pooled effect
+    * shipped as an exact NUMERATOR/DENOMINATOR pair (the q193
+    * discipline: the stratum gaps are signed, and signed division is
+    * where the engines' semantics split). Stratification is the
+    * first-line bias/variance fix when arms are activity-imbalanced:
+    * a raw gap driven by one arm catching more heavy users vanishes in
+    * the within-stratum reads.
+    *
+    * Scale shape: one user census (count + cents), stratum assignment as
+    * a row-local expression against the broadcast mean, an 8-cell
+    * moment frame. */
+  def stratifiedAte(silver: DataFrame): DataFrame = {
+    val perUser = silver
+      .select(col("user_id"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15),
+          16, 10).cast("long") % 2).as("arm"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("user_id"), col("arm"))
+      .agg(count(lit(1)).as("ne"), sum(col("cents")).as("y"))
+    val avg = perUser.agg(
+      expr("sum(ne) div count(1)").as("avg_ne"))
+    val cells = perUser.crossJoin(broadcast(avg))
+      .withColumn("stratum", least(lit(3L),
+        expr("ne * 2 div greatest(1L, avg_ne)")))
+      .groupBy(col("stratum"), col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    val s0 = cells.filter(col("arm") === 0)
+      .select(col("stratum"), col("n").as("n0"), col("sy").as("sy0"))
+    val s1 = cells.filter(col("arm") === 1)
+      .select(col("stratum").as("st1"), col("n").as("n1"),
+        col("sy").as("sy1"))
+    val strata = s0.join(s1, col("stratum") === col("st1"))
+      .select(col("stratum"), col("n0"), col("n1"),
+        expr("sy0 * 1000 div n0").as("mean0_milli"),
+        expr("sy1 * 1000 div n1").as("mean1_milli"))
+      .withColumn("gap_milli", col("mean1_milli") - col("mean0_milli"))
+    strata
+      .withColumn("pooled_num", sum((col("n0") + col("n1"))
+        * col("gap_milli")).over(Window.partitionBy()))
+      .withColumn("pooled_den",
+        sum(col("n0") + col("n1")).over(Window.partitionBy()))
+      .select(col("stratum").cast("long").as("stratum"),
+        col("n0").cast("long").as("n0"), col("n1").cast("long").as("n1"),
+        col("mean0_milli").cast("long").as("mean0_milli"),
+        col("mean1_milli").cast("long").as("mean1_milli"),
+        col("gap_milli").cast("long").as("gap_milli"),
+        col("pooled_num").cast("long").as("pooled_num"),
+        col("pooled_den").cast("long").as("pooled_den"))
+      .orderBy(col("stratum").asc)
+  }
+
+  def stratifiedAte(spark: SparkSession, dir: String): DataFrame =
+    stratifiedAte(EventsPipeline.silver(spark, dir))
 }

@@ -1228,4 +1228,81 @@ object TextDedup {
 
   def minhashKSweep(spark: SparkSession, dir: String): DataFrame =
     minhashKSweepFrom(shinglesFor(spark, dir))
+
+  /** q316: IN-BATCH DUPLICATE-COLLISION EXPECTATION — for contrastive
+    * training with in-batch negatives, the expected number of duplicate
+    * pairs a uniformly-drawn batch contains: E = B(B−1)/2 · p where
+    * p = Σ cᵢ(cᵢ−1) / N(N−1) over exact-duplicate group sizes. A batch
+    * that contains a duplicate pair feeds the loss a false negative
+    * (the "negative" IS the anchor), so this number decides whether
+    * dedup must run BEFORE contrastive fine-tuning at a given batch
+    * size. Duplicate groups key on the 64-char normalized PREFIX
+    * fingerprint (the q191 granularity — this corpus's near-dups share
+    * prefixes while full-text hashes all differ; at 100 TB swap in the
+    * q78 keep-list's cluster ids, same shape). Exact integers end to
+    * end (milli-pairs per batch).
+    *
+    * Scale shape: one prefix-hash census reduced to Σc(c−1) and N; the
+    * batch sweep is 4 constant rows. */
+  def inBatchCollisions(docs: DataFrame,
+      batches: Seq[Int] = Seq(16, 64, 256, 1024)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val groups = docs.select(md5(substring(norm, 1, 64)).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val m = groups.agg(sum(col("c")).as("n"),
+      sum(expr("c * (c - 1)")).as("pnum"))
+    batches.toDF("b").crossJoin(broadcast(m))
+      .filter(col("b") <= col("n"))
+      .select(col("b").cast("long").as("batch_size"),
+        col("n").cast("long").as("n_docs"),
+        col("pnum").cast("long").as("dup_ordered_pairs"),
+        expr("pnum * 1000000 div (n * (n - 1))").cast("long")
+          .as("p_pair_ppm"),
+        expr("b * (b - 1) div 2 * pnum * 1000 div (n * (n - 1))")
+          .cast("long").as("exp_pairs_milli"))
+      .orderBy(col("batch_size").asc)
+  }
+
+  def inBatchCollisions(spark: SparkSession, dir: String): DataFrame =
+    inBatchCollisions(Tables.documents(spark, dir))
+
+  /** q317: SHARD LOCALITY OF NEAR-DUP PAIRS — if dedup runs shard-local
+    * (the only shape that scales to 100 TB: partition by content
+    * fingerprint, dedup within partitions), what fraction of true pairs
+    * does the sharding keep together? Exact duplicates share the
+    * fingerprint by construction (same-shard always — the control row
+    * that validates the wiring); NEAR-duplicates land together only by
+    * luck, and their cross-shard share is precisely the recall the
+    * shard-local pass gives up — the number that justifies the banded
+    * global pass (q27) over the cheap local one.
+    *
+    * Scale shape: the pair frame is band-bounded; shards join in from
+    * the q30 fingerprint (broadcast-sized census keyed by doc). */
+  def shardLocality(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val shards = docs.select(col("doc_id"),
+      (conv(substring(md5(norm), 1, 15), 16, 10).cast("long") % 64)
+        .as("shard"))
+    val pairs = minhashNearDups(docs)
+      .withColumn("kind",
+        when(col("jaccard") >= 0.999999, lit("exact")).otherwise(lit("near")))
+    pairs
+      .join(shards.select(col("doc_id").as("doc_a"),
+        col("shard").as("sa")), Seq("doc_a"))
+      .join(shards.select(col("doc_id").as("doc_b"),
+        col("shard").as("sb")), Seq("doc_b"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("sa") === col("sb")).cast("long")).as("n_same_shard"))
+      .select(col("kind"), col("n_pairs").cast("long").as("n_pairs"),
+        col("n_same_shard").cast("long").as("n_same_shard"),
+        expr("n_same_shard * 1000000 div n_pairs").cast("long")
+          .as("same_shard_ppm"))
+      .orderBy(col("kind").asc)
+  }
+
+  def shardLocality(spark: SparkSession, dir: String): DataFrame =
+    shardLocality(Tables.documents(spark, dir))
 }
