@@ -518,6 +518,19 @@ class ReportsSpec extends SparkSpecBase {
     assert(out.last._4 === 2024L)
   }
 
+  test("q315 stratified ATE: pooled pair consistent with the strata") {
+    val out = Reports.stratifiedAte(EventsPipeline.silver(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    assert(out.nonEmpty)
+    val num = out.map(r => (r._2 + r._3) * r._6).sum
+    val den = out.map(r => r._2 + r._3).sum
+    assert(out.map(_._7).distinct.toSeq === Seq(num))
+    assert(out.map(_._8).distinct.toSeq === Seq(den))
+    out.foreach(r => assert(r._6 === r._5 - r._4, "gap must be mean1 - mean0"))
+  }
+
   test("q307 power analysis: CUPED never needs more users than raw") {
     val r = Reports.powerAnalysis(EventsPipeline.silver(spark, sf))
       .collect()(0)

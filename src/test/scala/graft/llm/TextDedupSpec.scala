@@ -534,6 +534,36 @@ class TextDedupSpec extends SparkSpecBase {
     assert(tv >= 0L && tv <= 1000000L)
   }
 
+  test("q316 in-batch collisions: quadratic growth in batch size") {
+    val out = TextDedup.inBatchCollisions(
+      graft.core.Tables.documents(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._2).distinct.length === 1, "p is batch-independent")
+    // E scales as B(B-1)/2: the 16->64 step must grow ~16x (floor slack)
+    for (Array((b1, _, e1), (b2, _, e2)) <- out.sliding(2)) {
+      val expected = (b2 * (b2 - 1)).toDouble / (b1 * (b1 - 1))
+      if (e1 > 0)
+        assert(math.abs(e2.toDouble / e1 - expected) < 0.2 * expected,
+          s"batch $b1->$b2 growth off: $e1 -> $e2")
+    }
+  }
+
+  test("q317 shard locality: exact dups always land in one shard") {
+    import spark.implicits._
+    val base = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 11).map(i => s"tok$i").mkString(" ") + " other"
+    val docs = Seq(
+      (1L, base, "en", "s1", 1L), (2L, base, "en", "s2", 1L),
+      (3L, near, "en", "s3", 1L),
+      (4L, "totally different words here now ok", "en", "s4", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextDedup.shardLocality(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(out("exact")._2 === 1000000L,
+      "content-hash sharding must keep exact dups together")
+    assert(out.contains("near"), "the 5/6-overlap pair must surface")
+  }
+
   test("q308 minhash K sweep: same candidate set at every K") {
     val out = TextDedup.minhashKSweep(graft.core.Tables.documents(spark, sf))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
