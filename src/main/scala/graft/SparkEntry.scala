@@ -857,6 +857,33 @@ object SparkEntry {
     "q316_inbatch_collisions"  -> ((s, d) => TextDedup.inBatchCollisions(s, d)),
     // ---- shard locality of exact vs near dup pairs ----
     "q317_shard_locality"      -> ((s, d) => TextDedup.shardLocality(s, d)),
+    // ---- B-cubed precision/recall of near-dup vs exact-dup clusters ----
+    "q318_bcubed_cluster_eval" -> ((s, d) => DupClusters.bcubedEval(s, d)),
+    // ---- order-sensitive IVF ranking audit: AP@k + rank-biased overlap ----
+    "q319_rank_quality"        -> ((s, d) => Similarity.rankQualityAudit(s, d)),
+    // ---- Brier decomposition of a train->test purchase forecast ----
+    "q320_brier_decomposition" -> ((s, d) => Reports.brierDecomposition(s, d)),
+    // ---- Allen interval-algebra census over per-type activity spans ----
+    "q321_allen_relations"     -> ((s, d) => TemporalOps.allenRelations(s, d)),
+    // ---- sorted-neighborhood dedup + blocking-quality audit ----
+    "q322_snm_dedup"           -> ((s, d) => TextDedup.snmDedupAudit(s, d)),
+    // ---- blocked prefix-Levenshtein near-dup pairs ----
+    "q323_edit_distance_dups"  -> ((s, d) => graft.llm.FuzzyMatch.editDistanceDups(s, d)),
+    // ---- 1-D Wasserstein matrix between source length distributions ----
+    "q324_wasserstein_matrix"  -> ((s, d) => TextStats.sourceWassersteinMatrix(s, d)),
+    // ---- adjusted Rand index between near-dup and exact-dup clusterings ----
+    "q326_adjusted_rand"       -> ((s, d) => DupClusters.adjustedRand(s, d)),
+    // ---- Hilbert vs Z-order shard locality on the order key grid ----
+    "q327_hilbert_locality"    -> ((s, d) =>
+      graft.analytics.Layout.curveLocalityAudit(s, d)),
+    // ---- Hájek IPW contrast for a self-selected exposure ----
+    "q325_ipw_effect"          -> ((s, d) => Reports.ipwEffect(s, d)),
+    // ---- bucketed delete-one jackknife for the revenue/user ratio ----
+    "q328_jackknife_ratio"     -> ((s, d) => Reports.jackknifeRatio(s, d)),
+    // ---- soft-dedup 1/|cluster| weighted training mass per source ----
+    "q329_dup_weighted_mass"   -> ((s, d) => DupClusters.dupWeightedMass(s, d)),
+    // ---- AUC of the LM fluency score as a near-dup detector ----
+    "q330_dup_score_auc"       -> ((s, d) => DupClusters.dupScoreAuc(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -8266,6 +8293,631 @@ object SparkEntry {
          |       CAST(SUM(same) * 1000000 // COUNT(*) AS BIGINT)
          |         AS same_shard_ppm
          |FROM k GROUP BY 1 ORDER BY kind ASC""".stripMargin,
+    // q318: the q60 MinHash closure as the SYSTEM clustering, the q28
+    // SimHash pairs at hamming <= 1 (the bounded high-confidence subset;
+    // see DupClusters.simClustersFor) as the REFERENCE closure;
+    // element-level B³ averaged as the cell-weighted sum (the per-doc
+    // ratio is constant within a cell).
+    "q318_bcubed_cluster_eval" ->
+      s"""WITH RECURSIVE mpairs AS (
+         |$minhashOracle
+         |),
+         |spairs AS (
+         |$simhashOracle
+         |),
+         |medges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM mpairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM mpairs),
+         |sedges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM spairs WHERE hamming <= 1
+         |  UNION
+         |  SELECT doc_b, doc_a FROM spairs WHERE hamming <= 1),
+         |mreach(src, dst) AS (
+         |  SELECT src, dst FROM medges
+         |  UNION
+         |  SELECT r.src, e.dst FROM mreach r
+         |  JOIN medges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src),
+         |sreach(src, dst) AS (
+         |  SELECT src, dst FROM sedges
+         |  UNION
+         |  SELECT r.src, e.dst FROM sreach r
+         |  JOIN sedges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src),
+         |mlab AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM mreach GROUP BY src),
+         |slab AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM sreach GROUP BY src),
+         |assign AS (
+         |  SELECT d.doc_id,
+         |         COALESCE(m.cluster_id, d.doc_id) AS sys_id,
+         |         COALESCE(s.cluster_id, d.doc_id) AS gold_id
+         |  FROM documents d
+         |  LEFT JOIN mlab m USING (doc_id)
+         |  LEFT JOIN slab s USING (doc_id)),
+         |cells AS (
+         |  SELECT sys_id, gold_id, CAST(COUNT(*) AS BIGINT) AS i_cnt
+         |  FROM assign GROUP BY 1, 2),
+         |cs AS (SELECT sys_id, CAST(SUM(i_cnt) AS BIGINT) AS c_cnt
+         |       FROM cells GROUP BY 1),
+         |gs AS (SELECT gold_id, CAST(SUM(i_cnt) AS BIGINT) AS g_cnt
+         |       FROM cells GROUP BY 1),
+         |m AS (
+         |  SELECT c.i_cnt, c.sys_id, c.gold_id,
+         |         c.i_cnt * (c.i_cnt * 1000000 // cs.c_cnt) AS p_mass,
+         |         c.i_cnt * (c.i_cnt * 1000000 // gs.g_cnt) AS r_mass
+         |  FROM cells c JOIN cs USING (sys_id) JOIN gs USING (gold_id)),
+         |t AS (
+         |  SELECT CAST(SUM(i_cnt) AS BIGINT) AS n_docs,
+         |         CAST(COUNT(DISTINCT sys_id) AS BIGINT) AS n_sys_clusters,
+         |         CAST(COUNT(DISTINCT gold_id) AS BIGINT) AS n_gold_clusters,
+         |         CAST(SUM(p_mass) AS BIGINT) AS pm,
+         |         CAST(SUM(r_mass) AS BIGINT) AS rm
+         |  FROM m)
+         |SELECT n_docs, n_sys_clusters, n_gold_clusters,
+         |       CAST(pm // n_docs AS BIGINT) AS b3_precision_ppm,
+         |       CAST(rm // n_docs AS BIGINT) AS b3_recall_ppm,
+         |       CAST(2 * (pm // n_docs) * (rm // n_docs)
+         |         // ((pm // n_docs) + (rm // n_docs)) AS BIGINT) AS b3_f1_ppm
+         |FROM t""".stripMargin,
+    // q326: same two closures as q318, scored by pair-counting; the
+    // final ratio is the q291 exact-BIGINT-operands /
+    // one-double-division / FLOOR discipline.
+    "q326_adjusted_rand" ->
+      s"""WITH RECURSIVE mpairs AS (
+         |$minhashOracle
+         |),
+         |spairs AS (
+         |$simhashOracle
+         |),
+         |medges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM mpairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM mpairs),
+         |sedges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM spairs WHERE hamming <= 1
+         |  UNION
+         |  SELECT doc_b, doc_a FROM spairs WHERE hamming <= 1),
+         |mreach(src, dst) AS (
+         |  SELECT src, dst FROM medges
+         |  UNION
+         |  SELECT r.src, e.dst FROM mreach r
+         |  JOIN medges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src),
+         |sreach(src, dst) AS (
+         |  SELECT src, dst FROM sedges
+         |  UNION
+         |  SELECT r.src, e.dst FROM sreach r
+         |  JOIN sedges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src),
+         |mlab AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM mreach GROUP BY src),
+         |slab AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM sreach GROUP BY src),
+         |assign AS (
+         |  SELECT d.doc_id,
+         |         COALESCE(m.cluster_id, d.doc_id) AS sys_id,
+         |         COALESCE(s.cluster_id, d.doc_id) AS gold_id
+         |  FROM documents d
+         |  LEFT JOIN mlab m USING (doc_id)
+         |  LEFT JOIN slab s USING (doc_id)),
+         |cells AS (
+         |  SELECT sys_id, gold_id, CAST(COUNT(*) AS BIGINT) AS i_cnt
+         |  FROM assign GROUP BY 1, 2),
+         |i AS (SELECT CAST(SUM(i_cnt * (i_cnt - 1) // 2) AS BIGINT)
+         |        AS pairs_both FROM cells),
+         |a AS (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS pairs_sys
+         |      FROM (SELECT CAST(SUM(i_cnt) AS BIGINT) AS c
+         |            FROM cells GROUP BY sys_id)),
+         |b AS (SELECT CAST(SUM(g * (g - 1) // 2) AS BIGINT) AS pairs_gold
+         |      FROM (SELECT CAST(SUM(i_cnt) AS BIGINT) AS g
+         |            FROM cells GROUP BY gold_id)),
+         |t AS (SELECT CAST(n * (n - 1) // 2 AS BIGINT) AS pairs_total
+         |      FROM (SELECT CAST(SUM(i_cnt) AS BIGINT) AS n FROM cells))
+         |SELECT pairs_both, pairs_sys, pairs_gold, pairs_total,
+         |       CAST(FLOOR(1000000.0
+         |         * (2.0 * CAST(pairs_total * pairs_both
+         |             - pairs_sys * pairs_gold AS DOUBLE))
+         |         / CAST(pairs_total * (pairs_sys + pairs_gold)
+         |             - 2 * pairs_sys * pairs_gold AS DOUBLE)) AS BIGINT)
+         |         AS ari_ppm
+         |FROM i, a, b, t
+         |WHERE pairs_total * (pairs_sys + pairs_gold)
+         |  - 2 * pairs_sys * pairs_gold > 0""".stripMargin,
+    // q319: the q34 exact ranking and the q48 IVF ranking verbatim, then
+    // AP@5 (cumulative-hit window) and truncated RBO (p = 0.9 as exact
+    // 9^d/10^d BIGINT weights) per query.
+    "q319_rank_quality" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |exq AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < 10),
+         |excos AS (
+         |  SELECT qv.query_id, nv.vec_id AS neighbor_id, $duckCos AS cos
+         |  FROM exq qv, v nv WHERE nv.vec_id <> qv.query_id),
+         |exact AS (
+         |  SELECT query_id, neighbor_id, er FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+         |      AS er
+         |    FROM excos)
+         |  WHERE er <= 5),
+         |n AS (SELECT vec_id, label, e,
+         |        sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |seeds AS (SELECT label AS slabel0, MIN(vec_id) AS svid
+         |          FROM v GROUP BY 1),
+         |sv AS (
+         |  SELECT s.slabel0 AS slabel, nn.e AS se, nn.nrm AS snrm
+         |  FROM seeds s JOIN n nn ON nn.vec_id = s.svid),
+         |ranks AS (
+         |  SELECT nn.vec_id, sv.slabel,
+         |         row_number() OVER (
+         |           PARTITION BY nn.vec_id
+         |           ORDER BY list_dot_product(nn.e, sv.se)
+         |             / (nn.nrm * sv.snrm) DESC, sv.slabel ASC) AS rn
+         |  FROM n nn, sv),
+         |assigned AS (SELECT vec_id, slabel FROM ranks WHERE rn = 1),
+         |probeset AS (
+         |  SELECT vec_id AS query_id, slabel FROM ranks
+         |  WHERE rn <= 2 AND vec_id < 10),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probeset p JOIN assigned a ON a.slabel = p.slabel
+         |  WHERE a.vec_id <> p.query_id),
+         |acos AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         list_dot_product(qv.e, nv.e) / (qv.nrm * nv.nrm) AS cos
+         |  FROM cand c
+         |  JOIN n qv ON qv.vec_id = c.query_id
+         |  JOIN n nv ON nv.vec_id = c.neighbor_id),
+         |approx AS (
+         |  SELECT query_id, neighbor_id, ar FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+         |      AS ar
+         |    FROM acos)
+         |  WHERE ar <= 5),
+         |hits AS (
+         |  SELECT a.query_id, a.ar,
+         |         CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END
+         |           AS hit
+         |  FROM approx a LEFT JOIN exact e
+         |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id),
+         |apq AS (
+         |  SELECT query_id,
+         |         CAST(SUM(hit * (cum * 1000000 // ar)) // 5 AS BIGINT)
+         |           AS ap_ppm
+         |  FROM (SELECT query_id, ar, hit,
+         |          SUM(hit) OVER (PARTITION BY query_id ORDER BY ar ASC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            AS cum
+         |        FROM hits)
+         |  GROUP BY 1),
+         |mt AS (
+         |  SELECT a.query_id, GREATEST(a.ar, e.er) AS md
+         |  FROM approx a JOIN exact e
+         |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id),
+         |grid AS (
+         |  SELECT DISTINCT e.query_id, d.d
+         |  FROM exact e CROSS JOIN (SELECT unnest(range(1, 6)) AS d) d),
+         |ov AS (
+         |  SELECT g.query_id, g.d,
+         |         CAST(SUM(CASE WHEN mt.md IS NOT NULL AND mt.md <= g.d
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS ov
+         |  FROM grid g LEFT JOIN mt ON mt.query_id = g.query_id
+         |  GROUP BY 1, 2),
+         |rboq AS (
+         |  SELECT query_id,
+         |         CAST(SUM(ov * 1000000 * CAST(power(9, d - 1) AS BIGINT)
+         |           // (d * CAST(power(10, d - 1) AS BIGINT))) // 10
+         |           AS BIGINT) AS rbo_ppm
+         |  FROM ov GROUP BY 1)
+         |SELECT 'ivf' AS method, a.query_id, CAST(5 AS BIGINT) AS k,
+         |       a.ap_ppm, r.rbo_ppm
+         |FROM apq a JOIN rboq r USING (query_id)
+         |ORDER BY query_id""".stripMargin,
+    // q320: q291's midpoint split and cents conventions; forecast fit on
+    // the train half per activity octile, scored on the test half;
+    // Murphy decomposition in exact integer ppm.
+    "q320_brier_decomposition" ->
+      (silverCte +
+        """,
+          |b AS (SELECT MIN(event_date) AS lo, MAX(event_date) AS hi
+          |      FROM silver),
+          |pu AS (
+          |  SELECT user_id,
+          |         CAST(SUM(CASE WHEN date_diff('day', b.lo, event_date) * 2
+          |             < date_diff('day', b.lo, b.hi)
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+          |         CAST(SUM(CASE WHEN date_diff('day', b.lo, event_date) * 2
+          |             < date_diff('day', b.lo, b.hi)
+          |             AND event_type = 'purchase'
+          |           THEN CAST(round(value * 100) AS BIGINT)
+          |           ELSE 0 END) AS BIGINT) AS train_cents,
+          |         CAST(SUM(CASE WHEN date_diff('day', b.lo, event_date) * 2
+          |             >= date_diff('day', b.lo, b.hi)
+          |             AND event_type = 'purchase'
+          |           THEN CAST(round(value * 100) AS BIGINT)
+          |           ELSE 0 END) AS BIGINT) AS test_cents
+          |  FROM silver CROSS JOIN b GROUP BY 1),
+          |pop AS (SELECT * FROM pu WHERE n_train >= 1),
+          |avgs AS (SELECT CAST(SUM(n_train) // COUNT(*) AS BIGINT)
+          |            AS avg_n,
+          |          CAST(SUM(train_cents) // COUNT(*) AS BIGINT)
+          |            AS avg_train_cents,
+          |          CAST(SUM(test_cents) // COUNT(*) AS BIGINT)
+          |            AS avg_test_cents
+          |         FROM pop),
+          |bk AS (
+          |  SELECT LEAST(7, p.n_train * 4 // GREATEST(1, a.avg_n))
+          |           AS bucket,
+          |         CAST(p.train_cents > a.avg_train_cents AS BIGINT)
+          |           AS train_hi,
+          |         CAST(p.test_cents > a.avg_test_cents AS BIGINT)
+          |           AS test_hi
+          |  FROM pop p CROSS JOIN avgs a),
+          |cells AS (
+          |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_k,
+          |         CAST(SUM(train_hi) * 1000000 // COUNT(*) AS BIGINT)
+          |           AS f_ppm,
+          |         CAST(SUM(test_hi) * 1000000 // COUNT(*) AS BIGINT)
+          |           AS o_ppm,
+          |         CAST(SUM(test_hi) AS BIGINT) AS ob
+          |  FROM bk GROUP BY 1),
+          |tot AS (
+          |  SELECT CAST(SUM(n_k) AS BIGINT) AS n_users,
+          |         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+          |         CAST(SUM(ob) * 1000000 // SUM(n_k) AS BIGINT)
+          |           AS obar_ppm
+          |  FROM cells),
+          |s AS (
+          |  SELECT t.n_users, t.n_buckets, t.obar_ppm,
+          |         CAST(SUM(c.n_k * (c.f_ppm - c.o_ppm)
+          |           * (c.f_ppm - c.o_ppm)) AS BIGINT) AS rel_sum,
+          |         CAST(SUM(c.n_k * (c.o_ppm - t.obar_ppm)
+          |           * (c.o_ppm - t.obar_ppm)) AS BIGINT) AS res_sum
+          |  FROM cells c CROSS JOIN tot t GROUP BY 1, 2, 3)
+          |SELECT n_users, n_buckets, obar_ppm,
+          |       CAST(rel_sum // (n_users * 1000000) AS BIGINT) AS rel_ppm,
+          |       CAST(res_sum // (n_users * 1000000) AS BIGINT) AS res_ppm,
+          |       CAST(obar_ppm * (1000000 - obar_ppm) // 1000000 AS BIGINT)
+          |         AS unc_ppm,
+          |       CAST(rel_sum // (n_users * 1000000)
+          |         - res_sum // (n_users * 1000000)
+          |         + obar_ppm * (1000000 - obar_ppm) // 1000000 AS BIGINT)
+          |         AS brier_ppm
+          |FROM s""".stripMargin),
+    // q325: per-stratum estimated propensity (HAVING = the positivity
+    // guard), 10^9-scaled integer weights, Hájek self-normalized means.
+    "q325_ipw_effect" ->
+      (silverCte +
+        """,
+          |pu AS (
+          |  SELECT user_id, COUNT(*) AS ne,
+          |         CAST(SUM(CASE WHEN event_type = 'error' THEN 1
+          |           ELSE 0 END) AS BIGINT) AS nerr,
+          |         CAST(SUM(CASE WHEN event_type = 'purchase'
+          |           THEN CAST(round(value * 100) AS BIGINT)
+          |           ELSE 0 END) AS BIGINT) AS y
+          |  FROM silver GROUP BY 1),
+          |a AS (SELECT CAST(SUM(ne) // COUNT(*) AS BIGINT) AS avg_ne,
+          |             CAST(SUM(nerr) * 1000000 // SUM(ne) AS BIGINT)
+          |               AS rate_ppm
+          |      FROM pu),
+          |st AS (
+          |  SELECT p.*, LEAST(3, p.ne * 2 // GREATEST(1, a.avg_ne))
+          |    AS stratum,
+          |         CAST(p.nerr * 1000000 // p.ne > a.rate_ppm AS BIGINT)
+          |           AS t
+          |  FROM pu p CROSS JOIN a),
+          |prop AS (
+          |  SELECT stratum,
+          |         CAST(SUM(t) * 1000000 // COUNT(*) AS BIGINT) AS e_ppm
+          |  FROM st GROUP BY 1
+          |  HAVING SUM(t) * 1000000 // COUNT(*) > 0
+          |     AND SUM(t) * 1000000 // COUNT(*) < 1000000),
+          |wt AS (
+          |  SELECT s.t, s.y,
+          |         CASE WHEN s.t = 1 THEN 1000000000 // e.e_ppm
+          |              ELSE 1000000000 // (1000000 - e.e_ppm) END AS w
+          |  FROM st s JOIN prop e USING (stratum))
+          |SELECT CAST(t AS BIGINT) AS treated,
+          |       CAST(COUNT(*) AS BIGINT) AS n_users,
+          |       CAST(SUM(y) * 1000 // COUNT(*) AS BIGINT)
+          |         AS raw_mean_milli,
+          |       CAST(SUM(w * y) * 1000 // SUM(w) AS BIGINT)
+          |         AS ipw_mean_milli
+          |FROM wt GROUP BY 1 ORDER BY treated ASC""".stripMargin),
+    // q328: per-bucket reduce + leave-one-out composed from totals; one
+    // deterministic double sqrt at the end (q291 discipline).
+    "q328_jackknife_ratio" ->
+      (silverCte +
+        """,
+          |uy AS (
+          |  SELECT user_id,
+          |         CAST(SUM(CASE WHEN event_type = 'purchase'
+          |           THEN CAST(round(value * 100) AS BIGINT)
+          |           ELSE 0 END) AS BIGINT) AS y
+          |  FROM silver GROUP BY 1),
+          |bk AS (
+          |  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+          |           AS BIGINT) % 20 AS bucket,
+          |         COUNT(*) AS u_b, CAST(SUM(y) AS BIGINT) AS c_b
+          |  FROM uy GROUP BY 1),
+          |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+          |               CAST(SUM(u_b) AS BIGINT) AS u,
+          |               CAST(SUM(c_b) AS BIGINT) AS c FROM bk),
+          |loo AS (
+          |  SELECT t.nb, t.u, t.c,
+          |         (t.c - b.c_b) * 1000 // (t.u - b.u_b) AS r_loo
+          |  FROM bk b CROSS JOIN tot t WHERE t.u > b.u_b),
+          |rb AS (SELECT nb, u, c,
+          |              CAST(SUM(r_loo) // COUNT(*) AS BIGINT) AS rbar
+          |       FROM loo GROUP BY 1, 2, 3),
+          |sq AS (
+          |  SELECT l.nb, l.u, l.c,
+          |         CAST(SUM((l.r_loo - r.rbar) * (l.r_loo - r.rbar))
+          |           AS BIGINT) AS ssq
+          |  FROM loo l JOIN rb r
+          |    ON l.nb = r.nb AND l.u = r.u AND l.c = r.c
+          |  GROUP BY 1, 2, 3)
+          |SELECT nb AS n_buckets, u AS n_users, c AS total_cents,
+          |       CAST(c * 1000 // u AS BIGINT) AS ratio_milli,
+          |       CAST((nb - 1) * ssq // nb AS BIGINT) AS jk_var_milli2,
+          |       CAST(FLOOR(SQRT(CAST((nb - 1) * ssq // nb AS DOUBLE)))
+          |         AS BIGINT) AS jk_se_milli
+          |FROM sq""".stripMargin),
+    // q329: the q60 closure + cluster sizes, 1/|cluster| weights in
+    // exact ppm, per-source mass census.
+    "q329_dup_weighted_mass" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashOracle
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r
+         |  JOIN edges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src),
+         |lab AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |sizes AS (SELECT cluster_id, COUNT(*) AS csize
+         |          FROM lab GROUP BY 1),
+         |wdoc AS (
+         |  SELECT d.source, d.n_chars,
+         |         1000000 // COALESCE(s.csize, 1) AS w_ppm
+         |  FROM documents d
+         |  LEFT JOIN lab l ON l.doc_id = d.doc_id
+         |  LEFT JOIN sizes s ON s.cluster_id = l.cluster_id)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS raw_chars,
+         |       CAST(SUM(n_chars * w_ppm) AS BIGINT)
+         |         AS weighted_chars_ppm,
+         |       CAST(SUM(n_chars * w_ppm) // SUM(n_chars) AS BIGINT)
+         |         AS retention_ppm
+         |FROM wdoc GROUP BY 1 ORDER BY source ASC""".stripMargin,
+    // q330: the q133 fluency chain + the q60 closure membership label,
+    // scored with the q293 doubled-midrank rank sum.
+    "q330_dup_score_auc" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, lang, str_split($duckNorm, ' ') AS w
+         |  FROM documents),
+         |idx AS (SELECT doc_id, lang, w,
+         |          unnest(generate_series(1, len(w)-1)) AS i FROM t),
+         |bg AS (SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2 FROM idx),
+         |docbg AS (SELECT doc_id, lang, w1, w2, COUNT(*) AS m
+         |          FROM bg GROUP BY 1, 2, 3, 4),
+         |c AS (SELECT lang, w1, w2, COUNT(*) AS cnt FROM bg
+         |      GROUP BY 1, 2, 3),
+         |ctx AS (SELECT lang, w1, CAST(SUM(cnt) AS BIGINT) AS ctx_cnt
+         |        FROM c GROUP BY 1, 2),
+         |lm AS (SELECT c.lang, c.w1, c.w2,
+         |              c.cnt * 1000000 // ctx.ctx_cnt AS p_ppm
+         |       FROM c JOIN ctx ON c.lang = ctx.lang AND c.w1 = ctx.w1),
+         |s AS (SELECT d.doc_id, CAST(SUM(d.m) AS BIGINT) AS n_bigrams,
+         |             CAST(SUM(d.m * lm.p_ppm) AS BIGINT) AS sum_ppm
+         |      FROM docbg d JOIN lm ON d.lang = lm.lang
+         |        AND d.w1 = lm.w1 AND d.w2 = lm.w2
+         |      GROUP BY 1),
+         |sc AS (
+         |  SELECT docs.doc_id,
+         |         COALESCE(s.sum_ppm // s.n_bigrams, 0) AS v
+         |  FROM (SELECT doc_id FROM documents) docs
+         |  LEFT JOIN s ON docs.doc_id = s.doc_id),
+         |pairs AS (
+         |$minhashOracle
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r
+         |  JOIN edges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src),
+         |lab AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |labeled AS (
+         |  SELECT sc.v,
+         |         CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END AS pos
+         |  FROM sc LEFT JOIN (SELECT DISTINCT doc_id FROM lab) l
+         |    ON l.doc_id = sc.doc_id),
+         |vc AS (SELECT v, COUNT(*) AS c FROM labeled GROUP BY 1),
+         |mr AS (
+         |  SELECT v, 2 * COALESCE(SUM(c) OVER (ORDER BY v ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      + c + 1 AS mr2
+         |  FROM vc),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |               CAST(SUM(pos) AS BIGINT) AS n1 FROM labeled),
+         |r AS (SELECT CAST(SUM(m.mr2) AS BIGINT) AS r2
+         |      FROM labeled lb JOIN mr m USING (v) WHERE lb.pos = 1)
+         |SELECT t.n1 AS n_dup, t.n - t.n1 AS n_unique,
+         |       CAST(r.r2 - t.n1 * (t.n1 + 1) AS BIGINT) AS u2,
+         |       CAST((r.r2 - t.n1 * (t.n1 + 1)) * 1000000
+         |         // (2 * t.n1 * (t.n - t.n1)) AS BIGINT) AS auc_ppm
+         |FROM r, tot t
+         |WHERE t.n1 > 0 AND t.n1 < t.n""".stripMargin,
+    // q321: per-(user, type) activity spans in exact epoch micros; the
+    // CASE ladder is the same fixed branch order as the Spark side.
+    "q321_allen_relations" ->
+      (silverCte +
+        """,
+          |spans AS (
+          |  SELECT user_id, event_type,
+          |         MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+          |  FROM silver GROUP BY 1, 2),
+          |cls AS (
+          |  SELECT CASE
+          |      WHEN a.e < b.s THEN 'precedes'
+          |      WHEN a.s > b.e THEN 'preceded_by'
+          |      WHEN a.e = b.s THEN 'meets'
+          |      WHEN a.s = b.e THEN 'met_by'
+          |      WHEN a.s = b.s AND a.e = b.e THEN 'equals'
+          |      WHEN a.s = b.s AND a.e < b.e THEN 'starts'
+          |      WHEN a.s = b.s THEN 'started_by'
+          |      WHEN a.e = b.e AND a.s < b.s THEN 'finished_by'
+          |      WHEN a.e = b.e THEN 'finishes'
+          |      WHEN a.s < b.s AND a.e > b.e THEN 'contains'
+          |      WHEN a.s > b.s AND a.e < b.e THEN 'during'
+          |      WHEN a.s < b.s THEN 'overlaps'
+          |      ELSE 'overlapped_by' END AS relation
+          |  FROM spans a JOIN spans b
+          |    ON a.user_id = b.user_id AND a.event_type < b.event_type),
+          |c AS (SELECT relation, CAST(COUNT(*) AS BIGINT) AS n_pairs
+          |      FROM cls GROUP BY 1),
+          |t AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS total FROM c)
+          |SELECT relation, n_pairs,
+          |       CAST(n_pairs * 1000000 // total AS BIGINT) AS share_ppm
+          |FROM c CROSS JOIN t ORDER BY relation ASC""".stripMargin),
+    // q322: SNM candidates from the blocked prefix sort; verification is
+    // the q27 3-word-shingle Jaccard; the LSH pair set is the q27 chain
+    // nested verbatim.
+    "q322_snm_dedup" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, substr($duckNorm, 1, 16) AS k,
+         |         substr($duckNorm, 1, 2) AS blk
+         |  FROM documents),
+         |rn AS (
+         |  SELECT doc_id, blk, row_number() OVER (
+         |    PARTITION BY blk ORDER BY k ASC, doc_id ASC) AS rn
+         |  FROM keyed),
+         |cand AS (
+         |  SELECT LEAST(x.doc_id, y.doc_id) AS doc_a,
+         |         GREATEST(x.doc_id, y.doc_id) AS doc_b
+         |  FROM rn x JOIN rn y
+         |    ON x.blk = y.blk AND y.rn > x.rn AND y.rn <= x.rn + 3),
+         |snd AS (SELECT doc_id, str_split($duckNorm, ' ') AS w
+         |        FROM documents),
+         |ssh AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(1, len(w) - 1),
+         |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
+         |  FROM snd WHERE len(w) >= 3),
+         |ssizes AS (SELECT doc_id, COUNT(*) AS n FROM ssh GROUP BY 1),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS icnt
+         |  FROM cand c
+         |  JOIN ssh sa ON sa.doc_id = c.doc_a
+         |  JOIN ssh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2),
+         |verified AS (
+         |  SELECT it.doc_a, it.doc_b
+         |  FROM inter it
+         |  JOIN ssizes sa ON sa.doc_id = it.doc_a
+         |  JOIN ssizes sb ON sb.doc_id = it.doc_b
+         |  WHERE CAST(it.icnt AS DOUBLE) / (sa.n + sb.n - it.icnt) >= 0.8),
+         |lshp AS (
+         |$minhashOracle
+         |),
+         |common AS (
+         |  SELECT v.doc_a FROM verified v
+         |  JOIN lshp l ON l.doc_a = v.doc_a AND l.doc_b = v.doc_b),
+         |counts AS (
+         |  SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
+         |           AS n_docs,
+         |         CAST((SELECT COUNT(*) FROM cand) AS BIGINT)
+         |           AS n_candidates,
+         |         CAST((SELECT COUNT(*) FROM verified) AS BIGINT)
+         |           AS n_verified,
+         |         CAST((SELECT COUNT(*) FROM lshp) AS BIGINT)
+         |           AS n_lsh_pairs,
+         |         CAST((SELECT COUNT(*) FROM common) AS BIGINT)
+         |           AS n_common)
+         |SELECT n_docs, n_candidates, n_verified, n_lsh_pairs, n_common,
+         |       CAST(n_common * 1000000 // GREATEST(1, n_lsh_pairs)
+         |         AS BIGINT) AS completeness_ppm,
+         |       CAST(1000000 - n_candidates * 1000000
+         |         // (n_docs * (n_docs - 1) // 2) AS BIGINT)
+         |         AS reduction_ppm
+         |FROM counts""".stripMargin,
+    // q323: (lang, length band, adaptive md5 subshard) blocking — the
+    // q29 contract — then exact prefix-window Levenshtein.
+    "q323_edit_distance_dups" ->
+      s"""WITH meta AS (
+         |  SELECT doc_id, lang, n_chars // 64 AS band,
+         |         substr($duckNorm, 1, 64) AS p
+         |  FROM documents),
+         |census AS (
+         |  SELECT lang, band, COUNT(*) AS bdocs FROM meta GROUP BY 1, 2),
+         |keyed AS (
+         |  SELECT m.doc_id, m.lang, m.band, m.p,
+         |         CAST('0x' || substr(md5(CAST(m.doc_id AS VARCHAR)), 1, 15)
+         |           AS BIGINT) % ((c.bdocs + 63) // 64) AS subshard
+         |  FROM meta m JOIN census c USING (lang, band))
+         |SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+         |FROM keyed a JOIN keyed b
+         |  ON a.lang = b.lang AND a.band = b.band
+         | AND a.subshard = b.subshard AND a.doc_id < b.doc_id
+         |WHERE levenshtein(a.p, b.p) <= 8
+         |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    // q324: CDF identity on the merged length support; every term is a
+    // floor-div/abs on exact counts.
+    "q324_wasserstein_matrix" ->
+      """WITH counts AS (
+        |  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t
+        |           FROM counts GROUP BY 1),
+        |grid AS (
+        |  SELECT s.source, v.n_chars
+        |  FROM (SELECT DISTINCT source FROM counts) s
+        |  CROSS JOIN (SELECT DISTINCT n_chars FROM counts) v),
+        |cdfs AS (
+        |  SELECT g.source, g.n_chars,
+        |         CAST(SUM(COALESCE(c.c, 0)) OVER (
+        |           PARTITION BY g.source ORDER BY g.n_chars ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           * 1000000 // t.t AS BIGINT) AS cdf_ppm,
+        |         COALESCE(lead(g.n_chars, 1) OVER (
+        |           PARTITION BY g.source ORDER BY g.n_chars ASC)
+        |           - g.n_chars, 0) AS gap
+        |  FROM grid g LEFT JOIN counts c USING (source, n_chars)
+        |  JOIN totals t ON t.source = g.source)
+        |SELECT fa.source AS source_a, fb.source AS source_b,
+        |       CAST(SUM(abs(fa.cdf_ppm - fb.cdf_ppm) * fa.gap) AS BIGINT)
+        |         AS w1_ppm_chars
+        |FROM cdfs fa JOIN cdfs fb
+        |  ON fa.n_chars = fb.n_chars AND fa.source < fb.source
+        |GROUP BY 1, 2 ORDER BY source_a ASC, source_b ASC""".stripMargin,
+    // q327: the Hilbert state machine unrolled as one CTE per bit level
+    // (graft.functions.Hilbert emits the identical chain) + the q96
+    // Z-value bit interleave; locality scored on neighbor equi-joins.
+    "q327_hilbert_locality" -> curveLocalityOracleSql,
     // q269: same 2-gram set, same (a*h+b) mod p permutation minima as
     // the doc-level q27 sketch, slot-agreement estimate vs the q84 exact
     // join in integer ppm.
@@ -8613,6 +9265,58 @@ object SparkEntry {
     * check-block slack yields the identical relation — 64 carries that
     * margin. MATERIALIZED keeps DuckDB from inlining each round into the
     * next three times over. */
+  /** q327: cells grid + Hilbert CTE chain + Z interleave + neighbor
+    * locality census — every constant derived from the same Layout /
+    * ZOrder / Hilbert definitions the Spark side evaluates. */
+  private def curveLocalityOracleSql: String = {
+    val bits = graft.analytics.Layout.LocalityBits
+    val n = 1L << bits
+    val shards = graft.analytics.Layout.LocalityShards
+    val shardsM1 = shards - 1
+    val z = graft.functions.ZOrder.zValueSql("x", "y", bits)
+    val (hctes, hFinal) =
+      graft.functions.Hilbert.hilbertCtesSql(bits, "cells", Seq("x", "y"))
+    s"""WITH cells AS (
+       |  SELECT DISTINCT o_custkey % $n AS x,
+       |         date_diff('day', DATE '1970-01-01', o_orderdate) % $n AS y
+       |  FROM orders)
+       |$hctes
+       |,vbase AS (
+       |  SELECT x, y, $z AS zv, hd, COUNT(*) OVER () AS nc
+       |  FROM $hFinal),
+       |valued AS (
+       |  SELECT x, y,
+       |         (row_number() OVER (ORDER BY zv ASC) - 1)
+       |           // ((nc + $shardsM1) // $shards) AS zshard,
+       |         (row_number() OVER (ORDER BY hd ASC) - 1)
+       |           // ((nc + $shardsM1) // $shards) AS hshard
+       |  FROM vbase),
+       |pairs AS (
+       |  SELECT a.zshard = b.zshard AS zs, a.hshard = b.hshard AS hs
+       |  FROM valued a JOIN valued b ON a.x + 1 = b.x AND a.y = b.y
+       |  UNION ALL
+       |  SELECT a.zshard = b.zshard, a.hshard = b.hshard
+       |  FROM valued a JOIN valued b ON a.x = b.x AND a.y + 1 = b.y),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |         CAST(SUM(CASE WHEN zs THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS z_same,
+       |         CAST(SUM(CASE WHEN hs THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS h_same
+       |  FROM pairs),
+       |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells FROM valued)
+       |SELECT 'hilbert' AS method, n_cells, n_pairs AS n_neighbor_pairs,
+       |       h_same AS n_same_shard,
+       |       CAST(h_same * 1000000 // GREATEST(1, n_pairs) AS BIGINT)
+       |         AS same_shard_ppm
+       |FROM nc CROSS JOIN stats
+       |UNION ALL
+       |SELECT 'zorder', n_cells, n_pairs, z_same,
+       |       CAST(z_same * 1000000 // GREATEST(1, n_pairs) AS BIGINT)
+       |FROM nc CROSS JOIN stats
+       |ORDER BY method ASC""".stripMargin
+  }
+
   private def pagerankConvergedOracleSql(iters: Int): String = {
     val head =
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -159,5 +160,90 @@ object Layout {
         col("n_chunks").cast("long").as("n_chunks"),
         col("n_scanned").cast("long").as("n_scanned"))
       .orderBy(col("layout").asc, col("probe_id").asc)
+  }
+
+  /** Grid size (bits per dimension) and shard count for
+    * [[curveLocalityAudit]]: a 64×64 key grid carved into 48
+    * contiguous curve-rank shards. 48 is deliberately NOT a divisor
+    * that makes shards power-of-4 aligned: a fully occupied grid cut
+    * into 4^k-cell slices gives BOTH curves the identical aligned-block
+    * partition (measured tie); real file sizes aren't aligned, and an
+    * off-alignment shard count models that. */
+  val LocalityBits = 6
+  val LocalityShards = 48L
+
+  /** q327: CURVE LOCALITY audit — Z-order vs Hilbert, scored on this
+    * corpus. Orders map to a 2-D key grid (customer bucket × order-date
+    * epoch-day bucket, the two-filter-column layout case q96 argues);
+    * each curve linearizes the OCCUPIED cells and the curve-ordered
+    * cell sequence is cut into [[LocalityShards]] equal-COUNT rank
+    * slices — exactly what `writeZClustered`'s repartitionByRange does
+    * to make equal-sized files (fixed curve-space slices would be a
+    * strawman: any power-of-4 slice is the same aligned square under
+    * BOTH curves, and the two layouts come out identical — measured).
+    * The metric: of all occupied grid-NEIGHBOR cell pairs (right/up
+    * adjacency), how many land in the same shard? Every 2-D box
+    * predicate reads neighbor cells together, so same-shard neighbors ≈
+    * fewer files touched per box — the number that justifies choosing
+    * Hilbert over Z-order for OPTIMIZE at 100 TB (the Z-curve's
+    * quadrant seams are exactly the neighbor pairs it sends to distant
+    * shards; the Hilbert curve is continuous and keeps more of them).
+    *
+    * Scale shape: cells are DISTINCT grid coordinates (≤ 2^(2·bits) =
+    * 65 536 rows regardless of corpus size — domain-bounded after one
+    * distinct shuffle), so the rank windows run over a bounded frame
+    * (the pinned global-window discipline); the neighbor self-joins are
+    * equi-joins on the shifted coordinate. The curve transforms are
+    * flat integer projection chains (see [[graft.functions.Hilbert]]),
+    * no UDF. */
+  def curveLocalityAudit(spark: SparkSession, dir: String): DataFrame =
+    curveLocalityAudit(Tables.orders(spark, dir))
+
+  def curveLocalityAudit(orders: DataFrame): DataFrame = {
+    val bits = LocalityBits
+    val n = 1L << bits
+    val cells = orders
+      .select((col("o_custkey") % n).as("x"),
+        (datediff(col("o_orderdate"), lit("1970-01-01")) % n).as("y"))
+      .distinct()
+    val wz = Window.orderBy(col("zv").asc)
+    val wh = Window.orderBy(col("hv").asc)
+    val valued = graft.core.Caches.scratch(
+      graft.functions.Hilbert.withHValue(
+          cells.withColumn("zv", ZOrder.zValue(col("x"), col("y"), bits)),
+          col("x"), col("y"), bits, "hv")
+        .withColumn("zr", row_number().over(wz))
+        .withColumn("hr", row_number().over(wh))
+        .withColumn("nc", count(lit(1)).over(Window.partitionBy()))
+        .select(col("x"), col("y"),
+          expr(s"(zr - 1) div ((nc + ${LocalityShards - 1})" +
+            s" div $LocalityShards)").as("zshard"),
+          expr(s"(hr - 1) div ((nc + ${LocalityShards - 1})" +
+            s" div $LocalityShards)").as("hshard")))
+    def neighborFlags(cond: org.apache.spark.sql.Column) =
+      valued.as("a").join(valued.as("b"), cond)
+        .select((col("a.zshard") === col("b.zshard")).cast("long").as("zs"),
+          (col("a.hshard") === col("b.hshard")).cast("long").as("hs"))
+    val pairs = neighborFlags(
+        col("a.x") + 1 === col("b.x") && col("a.y") === col("b.y"))
+      .unionByName(neighborFlags(
+        col("a.x") === col("b.x") && col("a.y") + 1 === col("b.y")))
+    val stats = pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(col("zs")).as("z_same"), sum(col("hs")).as("h_same"))
+    val nc = valued.agg(count(lit(1)).as("n_cells"))
+    val base = nc.crossJoin(stats)
+    base.select(lit("hilbert").as("method"),
+        col("n_cells").cast("long").as("n_cells"),
+        col("n_pairs").cast("long").as("n_neighbor_pairs"),
+        col("h_same").cast("long").as("n_same_shard"),
+        expr("h_same * 1000000 div greatest(1L, n_pairs)").cast("long")
+          .as("same_shard_ppm"))
+      .unionByName(base.select(lit("zorder").as("method"),
+        col("n_cells").cast("long").as("n_cells"),
+        col("n_pairs").cast("long").as("n_neighbor_pairs"),
+        col("z_same").cast("long").as("n_same_shard"),
+        expr("z_same * 1000000 div greatest(1L, n_pairs)").cast("long")
+          .as("same_shard_ppm")))
+      .orderBy(col("method").asc)
   }
 }

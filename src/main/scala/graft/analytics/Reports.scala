@@ -1266,4 +1266,208 @@ object Reports {
 
   def stratifiedAte(spark: SparkSession, dir: String): DataFrame =
     stratifiedAte(EventsPipeline.silver(spark, dir))
+
+  /** q320: BRIER-SCORE DECOMPOSITION (Murphy) of a train-period purchase
+    * forecast against test-period outcomes — the calibration audit that
+    * splits squared-error loss into its three named parts:
+    *
+    *   brier = reliability − resolution + uncertainty
+    *
+    * Protocol (the q291 conventions): the event range splits at its
+    * midpoint (data-relative, so every sf works); the population is
+    * users with ≥ 1 train-period event; the binary event being forecast
+    * is "HIGH SPENDER: purchase cents above the population mean" —
+    * data-relative on each half separately, so the base rate is
+    * informative (~half) at every sf (a purchase-anywhere outcome
+    * saturates at 10⁶ on this corpus and zeroes the whole
+    * decomposition). Each user's FORECAST is their activity bucket's
+    * train-period high-spender share (fit on train only), their OUTCOME
+    * is being a test-period high spender. Buckets are data-relative
+    * activity octiles (train event count vs the mean, the q315 stratum
+    * trick). All terms are exact integer ppm — (f−o)² sits inside 10¹²,
+    * ×n_k ≪ 2⁶³ — composed with the same floor-divs both engines
+    * evaluate identically:
+    *
+    *   rel_ppm = Σ n_k·(f_k−o_k)² div (N·10⁶)
+    *   res_ppm = Σ n_k·(o_k−ō)²  div (N·10⁶)
+    *   unc_ppm = ō·(10⁶−ō) div 10⁶
+    *
+    * Scale shape: one keyed per-user aggregation over the corpus, then
+    * |buckets| rows of scalar reduces — the 100 TB cost is the single
+    * silver pass every calibration readout already pays. */
+  def brierDecomposition(silver: DataFrame): DataFrame = {
+    val bounds = silver.agg(min(col("event_date")).as("lo"),
+      max(col("event_date")).as("hi"))
+    val perUser = silver.crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        (datediff(col("event_date"), col("lo")) * 2
+          < datediff(col("hi"), col("lo"))).as("is_train"),
+        when(col("event_type") === "purchase",
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(lit(0L))
+          .as("cents"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("is_train"), col("cents")).otherwise(lit(0L)))
+          .as("train_cents"),
+        sum(when(!col("is_train"), col("cents")).otherwise(lit(0L)))
+          .as("test_cents"))
+      .filter(col("n_train") >= 1)
+    val avg = perUser.agg(expr("sum(n_train) div count(1)").as("avg_n"),
+      expr("sum(train_cents) div count(1)").as("avg_train_cents"),
+      expr("sum(test_cents) div count(1)").as("avg_test_cents"))
+    val bucketed = perUser.crossJoin(broadcast(avg))
+      .select(least(lit(7L),
+          expr("n_train * 4 div greatest(1L, avg_n)")).as("bucket"),
+        (col("train_cents") > col("avg_train_cents")).cast("long")
+          .as("train_hi"),
+        (col("test_cents") > col("avg_test_cents")).cast("long")
+          .as("test_hi"))
+    val cells = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_k"),
+        sum(col("train_hi")).as("tb"), sum(col("test_hi")).as("ob"))
+      .select(col("bucket"), col("n_k"),
+        expr("tb * 1000000 div n_k").as("f_ppm"),
+        expr("ob * 1000000 div n_k").as("o_ppm"), col("ob"))
+    val tot = cells.agg(sum(col("n_k")).as("n_users"),
+        count(lit(1)).as("n_buckets"), sum(col("ob")).as("total_ob"))
+      .select(col("n_users"), col("n_buckets"),
+        expr("total_ob * 1000000 div n_users").as("obar_ppm"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("n_users"), col("n_buckets"), col("obar_ppm"),
+        (col("n_k") * (col("f_ppm") - col("o_ppm"))
+          * (col("f_ppm") - col("o_ppm"))).as("rel_term"),
+        (col("n_k") * (col("o_ppm") - col("obar_ppm"))
+          * (col("o_ppm") - col("obar_ppm"))).as("res_term"))
+      .groupBy(col("n_users"), col("n_buckets"), col("obar_ppm"))
+      .agg(sum(col("rel_term")).as("rel_sum"),
+        sum(col("res_term")).as("res_sum"))
+      .select(col("n_users").cast("long").as("n_users"),
+        col("n_buckets").cast("long").as("n_buckets"),
+        col("obar_ppm").cast("long").as("obar_ppm"),
+        expr("rel_sum div (n_users * 1000000)").cast("long").as("rel_ppm"),
+        expr("res_sum div (n_users * 1000000)").cast("long").as("res_ppm"),
+        expr("obar_ppm * (1000000 - obar_ppm) div 1000000").cast("long")
+          .as("unc_ppm"))
+      .withColumn("brier_ppm",
+        (col("rel_ppm") - col("res_ppm") + col("unc_ppm")).cast("long"))
+  }
+
+  def brierDecomposition(spark: SparkSession, dir: String): DataFrame =
+    brierDecomposition(EventsPipeline.silver(spark, dir))
+
+  /** q325: HÁJEK INVERSE-PROPENSITY-WEIGHTED outcome contrast for an
+    * OBSERVATIONAL exposure — the causal-adjustment estimator the
+    * experiment family (q291 CUPED, q315 post-stratification) lacks:
+    * those adjust a RANDOMIZED arm; here the "treatment" is
+    * self-selected — users whose per-event ERROR RATE exceeds the
+    * population rate (an any-error flag saturates at 10⁶ on an active
+    * corpus and fails positivity everywhere; the data-relative rate cut
+    * splits every sf) — and correlated with activity, so the raw
+    * treated-vs-control spend gap is biased. Propensity is estimated per activity stratum (the q315
+    * data-relative strata — the observed confounder), each user is
+    * weighted by 10⁹ div ê (treated) or 10⁹ div (10⁶ − ê) (control),
+    * and the Hájek (self-normalized) weighted means are reported next
+    * to the raw means — the gap between the two columns IS the measured
+    * confounding.
+    *
+    * Positivity guard: strata with ê ∈ {0, 10⁶} carry no overlap and
+    * are dropped on both engines (the q222 empty-frame discipline).
+    * Integer ranges: ê ≥ 10⁴ in any populated stratum ⇒ w ≤ 10⁵;
+    * w·y ≤ 10¹¹ per user — sums stay far inside 2⁶³.
+    *
+    * Scale shape: one per-user reduce, one broadcast of the
+    * |strata|-row propensity table, one keyed aggregation. */
+  def ipwEffect(silver: DataFrame): DataFrame = {
+    val perUser = silver
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("ne"),
+        sum((col("event_type") === "error").cast("long")).as("nerr"),
+        sum(when(col("event_type") === "purchase",
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(lit(0L)))
+          .as("y"))
+    val avg = perUser.agg(expr("sum(ne) div count(1)").as("avg_ne"),
+      expr("sum(nerr) * 1000000 div sum(ne)").as("rate_ppm"))
+    val strat = perUser.crossJoin(broadcast(avg))
+      .withColumn("stratum", least(lit(3L),
+        expr("ne * 2 div greatest(1L, avg_ne)")))
+      .withColumn("t",
+        (expr("nerr * 1000000 div ne") > col("rate_ppm")).cast("long"))
+    val prop = strat.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("n1"))
+      .select(col("stratum"), expr("n1 * 1000000 div n").as("e_ppm"))
+      .filter(col("e_ppm") > 0 && col("e_ppm") < 1000000)
+    strat.join(broadcast(prop), Seq("stratum"))
+      .withColumn("w", when(col("t") === 1,
+          expr("1000000000 div e_ppm"))
+        .otherwise(expr("1000000000 div (1000000 - e_ppm)")))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_users"), sum(col("y")).as("sy"),
+        sum(col("w")).as("sw"), sum(col("w") * col("y")).as("swy"))
+      .select(col("t").cast("long").as("treated"),
+        col("n_users").cast("long").as("n_users"),
+        expr("sy * 1000 div n_users").cast("long").as("raw_mean_milli"),
+        expr("swy * 1000 div sw").cast("long").as("ipw_mean_milli"))
+      .orderBy(col("treated").asc)
+  }
+
+  def ipwEffect(spark: SparkSession, dir: String): DataFrame =
+    ipwEffect(EventsPipeline.silver(spark, dir))
+
+  /** q328: BUCKETED DELETE-ONE-GROUP JACKKNIFE for a ratio metric —
+    * the industry-standard variance estimator for per-user ratios
+    * (revenue per active user here): a ratio of sums is nonlinear, so
+    * the naive per-user variance formula is wrong, and at 100 TB the
+    * practical fix is B hash buckets of users + leave-one-bucket-out
+    * re-estimates (delta method's main production competitor; the
+    * q262 Poisson bootstrap covers the resampling side, this is the
+    * deterministic one). All in exact integer milli-cents:
+    *
+    *   r      = C·1000 div U
+    *   r_(−b) = (C−c_b)·1000 div (U−u_b)
+    *   var    = (B−1) · Σ_b (r_(−b) − r̄)² div B      (milli²)
+    *   se     = floor(sqrt(var))  — one deterministic double sqrt, the
+    *            q291 discipline
+    *
+    * Scale shape: one per-bucket reduce (B = 20 rows), leave-one-out
+    * composed from the totals — never a second corpus pass per bucket. */
+  def jackknifeRatio(silver: DataFrame): DataFrame = {
+    val buckets = silver
+      .select(col("user_id"),
+        when(col("event_type") === "purchase",
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(lit(0L))
+          .as("cents"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("cents")).as("y"))
+      .withColumn("bucket",
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15),
+          16, 10).cast("long") % 20))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("u_b"), sum(col("y")).as("c_b"))
+    val totals = buckets.agg(count(lit(1)).as("nb"),
+      sum(col("u_b")).as("u"), sum(col("c_b")).as("c"))
+    val loo = buckets.crossJoin(broadcast(totals))
+      .filter(col("u") > col("u_b"))
+      .select(col("nb"), col("u"), col("c"),
+        expr("(c - c_b) * 1000 div (u - u_b)").as("r_loo"))
+    val rbar = loo.groupBy(col("nb"), col("u"), col("c"))
+      .agg(sum(col("r_loo")).as("sr"), count(lit(1)).as("nl"))
+      .select(col("nb"), col("u"), col("c"),
+        expr("sr div nl").as("rbar"))
+    loo.join(broadcast(rbar), Seq("nb", "u", "c"))
+      .select(col("nb"), col("u"), col("c"),
+        ((col("r_loo") - col("rbar")) * (col("r_loo") - col("rbar")))
+          .as("sq"))
+      .groupBy(col("nb"), col("u"), col("c"))
+      .agg(sum(col("sq")).as("ssq"))
+      .select(col("nb").cast("long").as("n_buckets"),
+        col("u").cast("long").as("n_users"),
+        col("c").cast("long").as("total_cents"),
+        expr("c * 1000 div u").cast("long").as("ratio_milli"),
+        expr("(nb - 1) * ssq div nb").cast("long").as("jk_var_milli2"))
+      .withColumn("jk_se_milli",
+        floor(sqrt(col("jk_var_milli2").cast("double"))).cast("long"))
+  }
+
+  def jackknifeRatio(spark: SparkSession, dir: String): DataFrame =
+    jackknifeRatio(EventsPipeline.silver(spark, dir))
 }

@@ -1030,4 +1030,60 @@ object TemporalOps {
 
   def exponentialQq(spark: SparkSession, dir: String): DataFrame =
     exponentialQq(graft.pipeline.EventsPipeline.silver(spark, dir))
+
+  /** q321: ALLEN INTERVAL-ALGEBRA census — each user's per-event-type
+    * activity span ([min ts, max ts], microseconds) classified pairwise
+    * into Allen's 13 interval relations. q117 answers "do intervals
+    * overlap at all"; this is the full topological census (precedes /
+    * meets / overlaps / starts / during / finishes / equals + inverses),
+    * the vocabulary temporal-reasoning audits use: e.g. a "purchase
+    * preceded_by view" mass vs "purchase during view" mass is a causal
+    * ordering readout no plain overlap join gives.
+    *
+    * Pairs are per-user over the TYPE-ordered span pair (ta < tb), so
+    * the inverse relations are genuinely distinguishable, and the
+    * fan-out is |types|²/2 per user — bounded by the event-type domain,
+    * never corpus-quadratic. The CASE ladder tests equalities and
+    * strict orders in a fixed sequence both engines evaluate
+    * identically on exact integer microseconds. */
+  def allenRelations(silver: DataFrame): DataFrame = {
+    val spans = silver.groupBy(col("user_id"), col("event_type"))
+      .agg(min(unix_micros(col("ts"))).as("s"),
+        max(unix_micros(col("ts"))).as("e"))
+    val a = spans.select(col("user_id"), col("event_type").as("ta"),
+      col("s").as("sa"), col("e").as("ea"))
+    val b = spans.select(col("user_id"), col("event_type").as("tb"),
+      col("s").as("sb"), col("e").as("eb"))
+    val classified = a.join(b, Seq("user_id"))
+      .filter(col("ta") < col("tb"))
+      .withColumn("relation",
+        when(col("ea") < col("sb"), lit("precedes"))
+          .when(col("sa") > col("eb"), lit("preceded_by"))
+          .when(col("ea") === col("sb"), lit("meets"))
+          .when(col("sa") === col("eb"), lit("met_by"))
+          .when(col("sa") === col("sb") && col("ea") === col("eb"),
+            lit("equals"))
+          .when(col("sa") === col("sb") && col("ea") < col("eb"),
+            lit("starts"))
+          .when(col("sa") === col("sb"), lit("started_by"))
+          .when(col("ea") === col("eb") && col("sa") < col("sb"),
+            lit("finished_by"))
+          .when(col("ea") === col("eb"), lit("finishes"))
+          .when(col("sa") < col("sb") && col("ea") > col("eb"),
+            lit("contains"))
+          .when(col("sa") > col("sb") && col("ea") < col("eb"),
+            lit("during"))
+          .when(col("sa") < col("sb"), lit("overlaps"))
+          .otherwise(lit("overlapped_by")))
+    classified.groupBy(col("relation"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("total",
+        sum(col("n_pairs")).over(Window.partitionBy()))
+      .select(col("relation"), col("n_pairs").cast("long").as("n_pairs"),
+        expr("n_pairs * 1000000 div total").cast("long").as("share_ppm"))
+      .orderBy(col("relation").asc)
+  }
+
+  def allenRelations(spark: SparkSession, dir: String): DataFrame =
+    allenRelations(graft.pipeline.EventsPipeline.silver(spark, dir))
 }

@@ -313,4 +313,217 @@ object DupClusters {
           .as("direct_ppm"))
       .orderBy(col("cluster_size").asc)
   }
+
+  /** Memoized SimHash-closure twin of [[clustersFor]] — the REFERENCE
+    * clustering for the cross-family agreement audits (q318/q326). Same
+    * component kernel, same per-(session, dir) materialization
+    * discipline. The reference keeps only hamming ≤ 1 matches (not
+    * q28's full ≤ 3 set): an INDEPENDENT family at a high-precision
+    * threshold is what agreement against means something, and — the
+    * scale constraint — the ≤ 3 graph CHAINS (at sf0.1 one hamming
+    * component swallows 88% of the corpus; its transitive closure is
+    * |C|²-quadratic in any engine). Bounding the reference by match
+    * confidence keeps components small the same way the dedup blocks
+    * bound candidate pairs. */
+  private val simClusterCache = new graft.core.FrameMemo(4)
+
+  val SimRefHammingMax = 1
+
+  def simClustersFor(spark: SparkSession, dir: String): DataFrame =
+    simClusterCache.get(spark, dir) {
+      connectedComponents(TextDedup.simhashNearDups(spark, dir)
+        .filter(col("hamming") <= SimRefHammingMax)
+        .select(col("doc_a"), col("doc_b")))
+    }
+
+  /** Joint cluster assignment of every doc under two clusterings:
+    * SYSTEM = the MinHash-LSH near-dup components and REFERENCE = the
+    * SimHash components (singletons are their own cluster in both, the
+    * q78 keep-list convention). Both frames are pair-graph-sized and
+    * broadcast onto the corpus id list — the corpus is never shuffled
+    * to be scored. */
+  private def jointAssignments(docs: DataFrame, clusters: DataFrame,
+                               reference: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(broadcast(clusters.select(col("doc_id"), col("cluster_id"))),
+        Seq("doc_id"), "left")
+      .join(broadcast(reference
+          .select(col("doc_id"), col("cluster_id").as("ref_cluster"))),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("sys_id"),
+        coalesce(col("ref_cluster"), col("doc_id")).as("gold_id"))
+
+  /** q318: B-CUBED cross-family agreement of the MinHash-LSH clustering
+    * against the SimHash closure — the element-level cluster metric
+    * (Bagga & Baldwin) that dedup-quality reports use alongside pair
+    * recall (q243): per doc, precision = |C∩R|/|C| and recall =
+    * |C∩R|/|R| over its MinHash cluster C and SimHash cluster R,
+    * averaged over ALL docs. Two independent dedup families agreeing is
+    * the cheap proxy for ground truth a 100 TB corpus can actually
+    * afford (no labeled dup set exists at that scale); the reference is
+    * the hamming ≤ [[SimRefHammingMax]] closure (see [[simClustersFor]]
+    * for why the threshold bounds component size), so B³ recall reads
+    * as "how much of SimHash's confident dup mass the Jaccard family
+    * confirms".
+    *
+    * Exact integer ppm: the per-doc ratios are constant within a
+    * (sys, gold) contingency CELL, so the doc-average is computed as the
+    * cell-weighted sum — contingency cells ≤ |cluster members| rows, a
+    * vanishing fraction of the corpus; nothing here is all-pairs.
+    * F1 composes the two averaged ppm values (2·p·r div (p+r)). */
+  def bcubedEval(docs: DataFrame, clusters: DataFrame,
+                 reference: DataFrame): DataFrame = {
+    val assign = jointAssignments(docs, clusters, reference)
+    val cells = assign.groupBy(col("sys_id"), col("gold_id"))
+      .agg(count(lit(1)).as("i_cnt"))
+    val sysSizes = cells.groupBy(col("sys_id"))
+      .agg(sum(col("i_cnt")).as("c_cnt"))
+    val goldSizes = cells.groupBy(col("gold_id"))
+      .agg(sum(col("i_cnt")).as("g_cnt"))
+    cells
+      .join(sysSizes, Seq("sys_id"))
+      .join(goldSizes, Seq("gold_id"))
+      .select(col("i_cnt"), col("sys_id"), col("gold_id"),
+        (col("i_cnt") * expr("i_cnt * 1000000 div c_cnt")).as("p_mass"),
+        (col("i_cnt") * expr("i_cnt * 1000000 div g_cnt")).as("r_mass"))
+      .agg(sum(col("i_cnt")).as("n_docs"),
+        countDistinct(col("sys_id")).as("n_sys_clusters"),
+        countDistinct(col("gold_id")).as("n_gold_clusters"),
+        sum(col("p_mass")).as("pm"), sum(col("r_mass")).as("rm"))
+      .select(col("n_docs").cast("long").as("n_docs"),
+        col("n_sys_clusters").cast("long").as("n_sys_clusters"),
+        col("n_gold_clusters").cast("long").as("n_gold_clusters"),
+        expr("pm div n_docs").cast("long").as("b3_precision_ppm"),
+        expr("rm div n_docs").cast("long").as("b3_recall_ppm"),
+        expr("2 * (pm div n_docs) * (rm div n_docs) " +
+          "div ((pm div n_docs) + (rm div n_docs))").cast("long")
+          .as("b3_f1_ppm"))
+  }
+
+  def bcubedEval(spark: SparkSession, dir: String): DataFrame =
+    bcubedEval(Tables.documents(spark, dir), clustersFor(spark, dir),
+      simClustersFor(spark, dir))
+
+  /** q326: ADJUSTED RAND INDEX between the MinHash and SimHash closures
+    * — the pair-counting twin of q318's element-level B³ (a complete
+    * cluster-eval report carries both: B³ is sensitive to cluster-size
+    * distribution, ARI corrects agreement for chance — vital here, where
+    * almost every doc is a singleton in both clusterings and a naive
+    * Rand index would read ≈ 1 on any two dedups). All four pair counts
+    * are exact integers from the contingency cells (n·(n−1) is even, so
+    * `div 2` is exact); the final ratio follows the q291 discipline —
+    * exact BIGINT numerator and denominator (all ≲ n²·|pairs|, inside
+    * the 2⁵³ IEEE-exact window at any plausible |clusters|), one double
+    * division, floor, BIGINT.
+    *
+    *   ARI = 2·(T·I − A·B) / (T·(A+B) − 2·A·B)
+    *
+    * where I/A/B = same-cluster pairs in (both / system / reference) and
+    * T = all pairs. Scale shape: everything after the q318 contingency
+    * aggregation is a handful of scalar reduces. */
+  def adjustedRand(docs: DataFrame, clusters: DataFrame,
+                   reference: DataFrame): DataFrame = {
+    val assign = jointAssignments(docs, clusters, reference)
+    val cells = graft.core.Caches.scratch(
+      assign.groupBy(col("sys_id"), col("gold_id"))
+        .agg(count(lit(1)).as("i_cnt")))
+    val i = cells.agg(
+      sum(expr("i_cnt * (i_cnt - 1) div 2")).as("pairs_both"))
+    val a = cells.groupBy(col("sys_id")).agg(sum(col("i_cnt")).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("pairs_sys"))
+    val b = cells.groupBy(col("gold_id")).agg(sum(col("i_cnt")).as("g"))
+      .agg(sum(expr("g * (g - 1) div 2")).as("pairs_gold"))
+    val t = cells.agg(sum(col("i_cnt")).as("n"))
+      .select(expr("n * (n - 1) div 2").as("pairs_total"))
+    i.crossJoin(a).crossJoin(b).crossJoin(t)
+      .select(col("pairs_both").cast("long").as("pairs_both"),
+        col("pairs_sys").cast("long").as("pairs_sys"),
+        col("pairs_gold").cast("long").as("pairs_gold"),
+        col("pairs_total").cast("long").as("pairs_total"))
+      .withColumn("num",
+        expr("pairs_total * pairs_both - pairs_sys * pairs_gold"))
+      .withColumn("den",
+        expr("pairs_total * (pairs_sys + pairs_gold) " +
+          "- 2 * pairs_sys * pairs_gold"))
+      .filter(col("den") > 0)
+      .select(col("pairs_both"), col("pairs_sys"), col("pairs_gold"),
+        col("pairs_total"),
+        floor(lit(1000000.0) * (lit(2.0) * col("num").cast("double"))
+          / col("den").cast("double")).cast("long").as("ari_ppm"))
+  }
+
+  def adjustedRand(spark: SparkSession, dir: String): DataFrame =
+    adjustedRand(Tables.documents(spark, dir), clustersFor(spark, dir),
+      simClustersFor(spark, dir))
+
+  /** q329: SOFT-DEDUP WEIGHTED MASS census — the modern alternative to
+    * the hard keep/drop list (q78): keep every copy but weight each
+    * duplicate-cluster member 1/|cluster| so a template family
+    * contributes ONE document's worth of training mass however many
+    * times it was crawled (count-based down-weighting; the epoch-decay
+    * valuation q311 applies the same idea across epochs). Per source:
+    * raw char mass, the 10⁶-scaled weighted mass, and the retention
+    * ratio — the per-source number a mixture design (q54/q266/q270)
+    * should consume INSTEAD of raw counts on a duplicated corpus.
+    *
+    * Scale shape: the cluster frame is pair-graph-sized, so members ×
+    * sizes broadcasts onto the corpus; one keyed reduce per source. */
+  def dupWeightedMass(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val cl = clustersFor(spark, dir)
+    val sizes = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+    val memberSize = cl.select(col("doc_id"), col("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("csize"))
+    docs.join(broadcast(memberSize), Seq("doc_id"), "left")
+      .withColumn("w_ppm", expr("1000000 div coalesce(csize, 1)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("raw_chars"),
+        sum(col("n_chars") * col("w_ppm")).as("wppm"))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        col("raw_chars").cast("long").as("raw_chars"),
+        col("wppm").cast("long").as("weighted_chars_ppm"),
+        expr("wppm div raw_chars").cast("long").as("retention_ppm"))
+      .orderBy(col("source").asc)
+  }
+
+  /** q330: AUC of the bigram-LM fluency score (q133) as a detector of
+    * NEAR-DUP MEMBERSHIP — the rank-sum readout of the q177
+    * quality-duplication interaction: AUC = P(random dup scores higher
+    * than random unique doc), ties counted half. Template families are
+    * self-similar, repetitive text, so the LM (trained on the corpus
+    * itself) scores them high — a measured warning that fluency filters
+    * SELECT FOR duplication and must run after dedup, not before.
+    *
+    * Exact integers via the q293 midrank machinery: counts aggregate
+    * per distinct score (the value-domain frame), doubled midranks
+    * `2f + c + 1` come from one cumulative window over that support,
+    * and AUC = (R₂ − n₁(n₁+1)) · 10⁶ div (2·n₁·n₀). Degenerate label
+    * sides (no dups, all dups) emit no rows on both engines. */
+  def dupScoreAuc(spark: SparkSession, dir: String): DataFrame = {
+    val scores = graft.llm.TextStats
+      .docLmScore(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lm_score_ppm").as("v"))
+    val dups = clustersFor(spark, dir).select(col("doc_id"))
+      .withColumn("is_dup", lit(1L))
+    val labeled = scores.join(broadcast(dups), Seq("doc_id"), "left")
+      .select(col("v"), coalesce(col("is_dup"), lit(0L)).as("pos"))
+    val vc = labeled.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("f", coalesce(sum(col("c")).over(
+        Window.orderBy(col("v").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("v"), (lit(2L) * col("f") + col("c") + 1).as("mr2"))
+    val tot = labeled.agg(count(lit(1)).as("n"), sum(col("pos")).as("n1"))
+    labeled.filter(col("pos") === 1).join(vc, Seq("v"))
+      .agg(sum(col("mr2")).as("r2"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n1") > 0 && col("n1") < col("n"))
+      .select(col("n1").cast("long").as("n_dup"),
+        (col("n") - col("n1")).cast("long").as("n_unique"),
+        expr("r2 - n1 * (n1 + 1)").cast("long").as("u2"),
+        expr("(r2 - n1 * (n1 + 1)) * 1000000 div (2 * n1 * (n - n1))")
+          .cast("long").as("auc_ppm"))
+  }
 }

@@ -1035,4 +1035,78 @@ object Similarity {
 
   def labelMargin(spark: SparkSession, dir: String): DataFrame =
     labelMargin(Tables.embeddings(spark, dir))
+
+  /** q319: ORDER-SENSITIVE ranking-quality audit of the IVF index against
+    * the exact brute-force ranking — the metrics a retrieval eval ships
+    * beyond recall@k (q161 counts set overlap; two indexes with identical
+    * recall can rank the survivors very differently):
+    *
+    *  - AP@k (average precision, ppm): over the approximate list in rank
+    *    order, precision-at-i summed at each exact-set hit, div k. Exact
+    *    integers: `ap_ppm = Σ_{hits i} (cum_hits_i·10⁶ div i) div k`.
+    *  - RBO@k (rank-biased overlap, Webber et al., p = 0.9, truncated):
+    *    `rbo_ppm = (Σ_d overlap_d·10⁶·9^(d−1) div (d·10^(d−1))) div 10`
+    *    — the geometric weights are exact BIGINT powers (9⁴ = 6561 ≪ 2⁵³
+    *    at k = 5), so every term is an integer floor-div both engines
+    *    compute identically; overlap_d = |exact∩approx over both depth-d
+    *    prefixes| comes from the rank pair join (an element is in both
+    *    prefixes iff max(rank_a, rank_e) ≤ d).
+    *
+    * Scale shape: both metrics read only the two top-k frames —
+    * |queries|·k rows each — so the audit is constant-cost at any corpus
+    * size; the depth grid is |queries|·k rows more. The expensive part
+    * (the searches) is already bounded (bucketed IVF probes, broadcast
+    * query set). */
+  def rankQualityAudit(embeddings: DataFrame, numQueries: Int = 10,
+                       k: Int = 5): DataFrame = {
+    val exact = Caches.scratch(
+      knnExact(embeddings, numQueries, k)
+        .select(col("query_id"), col("rank").as("er"), col("neighbor_id")))
+    val approx = knnIvf(embeddings, numQueries, k = k)
+      .select(col("query_id"), col("rank").as("ar"), col("neighbor_id"))
+    // AP: the approximate list in rank order, hit = membership in the
+    // exact top-k set; cumulative hits via a bounded per-query window.
+    val w = Window.partitionBy(col("query_id")).orderBy(col("ar").asc)
+    val ap = approx
+      .join(exact.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("ar"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+      .withColumn("cum", sum(col("hit")).over(w))
+      .groupBy(col("query_id"))
+      .agg(sum(col("hit") * expr("cum * 1000000 div ar")).as("ap_sum"))
+      .select(col("query_id"),
+        expr(s"ap_sum div $k").cast("long").as("ap_ppm"))
+    // RBO: common elements with both ranks; overlap at depth d counts
+    // those inside both depth-d prefixes. The grid keeps zero-overlap
+    // depths alive so every query emits a full sum.
+    val spark = embeddings.sparkSession
+    val depths = spark.range(1, k + 1).toDF("d")
+    val matches = approx.join(exact, Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), greatest(col("ar"), col("er")).as("md"))
+    val grid = exact.select(col("query_id")).distinct()
+      .crossJoin(broadcast(depths))
+    val rbo = grid
+      .join(matches, Seq("query_id"), "left")
+      .select(col("query_id"), col("d"),
+        when(col("md").isNotNull && col("md") <= col("d"), lit(1L))
+          .otherwise(lit(0L)).as("m"))
+      .groupBy(col("query_id"), col("d"))
+      .agg(sum(col("m")).as("ov"))
+      .select(col("query_id"),
+        expr("ov * 1000000 * CAST(power(9, d - 1) AS BIGINT) " +
+          "div (d * CAST(power(10, d - 1) AS BIGINT))").as("term"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("term")).as("rbo_sum"))
+      .select(col("query_id"),
+        expr("rbo_sum div 10").cast("long").as("rbo_ppm"))
+    ap.join(rbo, Seq("query_id"))
+      .select(lit("ivf").as("method"), col("query_id"),
+        lit(k.toLong).as("k"), col("ap_ppm"), col("rbo_ppm"))
+      .orderBy(col("query_id").asc)
+  }
+
+  def rankQualityAudit(spark: SparkSession, dir: String): DataFrame =
+    rankQualityAudit(Tables.embeddings(spark, dir))
 }

@@ -1305,4 +1305,76 @@ object TextDedup {
 
   def shardLocality(spark: SparkSession, dir: String): DataFrame =
     shardLocality(Tables.documents(spark, dir))
+
+  /** q322: SORTED-NEIGHBORHOOD dedup (Hernández–Stolfo SNM) + the
+    * blocking-quality audit record-linkage reports ship — the classic
+    * alternative to LSH banding: sort on a cheap key, compare each
+    * record only to its `window − 1` successors. Inherently LINEAR in
+    * the corpus (candidates = (w−1)·N by construction, no block-size
+    * hazard), at the price of missing near-dups whose keys sort apart —
+    * which is exactly what the audit quantifies against the q27 LSH
+    * pair set:
+    *
+    *  - `completeness_ppm` (pairs completeness): share of LSH's
+    *    verified pairs the SNM window also found and verified;
+    *  - `reduction_ppm` (reduction ratio): 1 − candidates/allPairs —
+    *    how much of the corpus² comparison space the sort avoided.
+    *
+    * The sort key is the 16-char normalized prefix; the sort itself is
+    * range-partitioned by the 2-char block prefix (windows never cross a
+    * block boundary — at 100 TB this is the orderly range-shuffle SNM
+    * always needs, and block-edge misses are part of the measured
+    * trade). Verification is the SAME 3-word-shingle Jaccard ≥ 0.8 as
+    * q27, so the two pair sets are directly comparable. */
+  def snmDedupAudit(spark: SparkSession, dir: String, window: Int = 4,
+                    prefixLen: Int = 16): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keyed = normalized(docs).select(col("doc_id"),
+      substring(col("norm"), 1, prefixLen).as("k"),
+      substring(col("norm"), 1, 2).as("blk"))
+    val w = Window.partitionBy(col("blk"))
+      .orderBy(col("k").asc, col("doc_id").asc)
+    val rn = keyed.withColumn("rn", row_number().over(w))
+      .select(col("blk"), col("rn"), col("doc_id"))
+    val cand = graft.core.Caches.scratch(
+      rn.as("x").join(rn.as("y"),
+          col("x.blk") === col("y.blk")
+            && col("y.rn") > col("x.rn")
+            && col("y.rn") <= col("x.rn") + (window - 1))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b")))
+    val sh = shinglesFor(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val verified = graft.core.Caches.scratch(cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")),
+        Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("icnt"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .filter(col("icnt").cast("double")
+        / (col("na") + col("nb") - col("icnt")) >= 0.8)
+      .select(col("doc_a"), col("doc_b")))
+    val lsh = graft.core.Caches.scratch(
+      minhashNearDups(spark, dir).select(col("doc_a"), col("doc_b")))
+    val common = verified.join(lsh, Seq("doc_a", "doc_b"))
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh_pairs")))
+      .crossJoin(common.agg(count(lit(1)).as("n_common")))
+      .select(col("n_docs").cast("long").as("n_docs"),
+        col("n_candidates").cast("long").as("n_candidates"),
+        col("n_verified").cast("long").as("n_verified"),
+        col("n_lsh_pairs").cast("long").as("n_lsh_pairs"),
+        col("n_common").cast("long").as("n_common"),
+        expr("n_common * 1000000 div greatest(1L, n_lsh_pairs)")
+          .cast("long").as("completeness_ppm"),
+        expr("1000000 - n_candidates * 1000000" +
+          " div (n_docs * (n_docs - 1) div 2)")
+          .cast("long").as("reduction_ppm"))
+  }
 }

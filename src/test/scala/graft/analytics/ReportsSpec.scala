@@ -538,4 +538,85 @@ class ReportsSpec extends SparkSpecBase {
       "variance reduction cannot increase the requirement")
     assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
   }
+
+  test("q320 Brier decomposition: identity, bounds, perfect calibration") {
+    import spark.implicits._
+    val out = Reports.brierDecomposition(silver).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    val (obar, rel, res, unc, brier) = (r.getAs[Long]("obar_ppm"),
+      r.getAs[Long]("rel_ppm"), r.getAs[Long]("res_ppm"),
+      r.getAs[Long]("unc_ppm"), r.getAs[Long]("brier_ppm"))
+    assert(obar >= 0L && obar <= 1000000L)
+    assert(rel >= 0L && res >= 0L)
+    assert(unc <= 250000L, "p(1-p) peaks at 1/4")
+    assert(brier === rel - res + unc, "Murphy identity must hold exactly")
+    assert(r.getAs[Long]("n_users") > 0L)
+    // perfectly mirrored halves: each user spends the same cents in
+    // train and test, so every bucket forecast equals its outcome and
+    // reliability is exactly zero
+    val mirrored = (1 to 40).flatMap { u =>
+      val spend = (u % 5) * 10.0
+      Seq((u.toLong, "2024-01-01", "purchase", spend),
+        (u.toLong, "2024-01-10", "purchase", spend)) ++
+        (0 until u % 3).map(i =>
+          (u.toLong, "2024-01-02", "click", 0.0))
+    }.toDF("user_id", "d", "event_type", "value")
+      .select(col("user_id"), col("d").cast("date").as("event_date"),
+        col("event_type"), col("value"))
+    val m = Reports.brierDecomposition(mirrored).collect()(0)
+    assert(m.getAs[Long]("rel_ppm") === 0L,
+      "mirrored halves must be perfectly calibrated")
+    assert(m.getAs[Long]("brier_ppm") ===
+      m.getAs[Long]("unc_ppm") - m.getAs[Long]("res_ppm"))
+  }
+
+  test("q325 IPW: balanced exposure collapses Hájek to the raw mean") {
+    import spark.implicits._
+    // one stratum (equal activity), exactly half the users treated:
+    // constant weights per arm, so the self-normalized mean must equal
+    // the raw mean EXACTLY (floor(ak/bk) = floor(a/b))
+    val rows = (1 to 40).flatMap { u =>
+      val spend = (u % 7) * 3.0
+      Seq((u.toLong, "purchase", spend)) ++
+        (if (u % 2 == 0) Seq((u.toLong, "error", 0.0)) else Seq((u.toLong, "click", 0.0)))
+    }.toDF("user_id", "event_type", "value")
+    val out = Reports.ipwEffect(rows).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.keySet === Set(0L, 1L))
+    out.foreach { case (_, (n, raw, ipw)) =>
+      assert(n === 20L)
+      assert(ipw === raw, "no confounding -> IPW must equal raw")
+    }
+    // sf corpus: both arms present, means positive, estimator finite
+    val sfOut = Reports.ipwEffect(EventsPipeline.silver(spark, sf))
+      .collect()
+    assert(sfOut.length === 2)
+    sfOut.foreach { r =>
+      assert(r.getLong(1) > 0L)
+      assert(r.getLong(2) >= 0L && r.getLong(3) >= 0L)
+    }
+  }
+
+  test("q328 jackknife: zero variance for a constant ratio; sf bounds") {
+    import spark.implicits._
+    val flat = (1 to 40)
+      .map(u => (u.toLong, "purchase", 2.0))
+      .toDF("user_id", "event_type", "value")
+    val z = Reports.jackknifeRatio(flat).collect()(0)
+    assert(z.getAs[Long]("ratio_milli") === 200000L)
+    assert(z.getAs[Long]("jk_var_milli2") === 0L)
+    assert(z.getAs[Long]("jk_se_milli") === 0L)
+    val r = Reports.jackknifeRatio(silver).collect()(0)
+    val (u, c, ratio, v, se) = (r.getAs[Long]("n_users"),
+      r.getAs[Long]("total_cents"), r.getAs[Long]("ratio_milli"),
+      r.getAs[Long]("jk_var_milli2"), r.getAs[Long]("jk_se_milli"))
+    assert(r.getAs[Long]("n_buckets") >= 2L &&
+      r.getAs[Long]("n_buckets") <= 20L)
+    assert(ratio === c * 1000L / u)
+    assert(v >= 0L)
+    assert(se * se <= v && v < (se + 1) * (se + 1),
+      "se must be the floor square root of the variance")
+  }
 }

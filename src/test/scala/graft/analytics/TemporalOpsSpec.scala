@@ -566,4 +566,36 @@ class TemporalOpsSpec extends SparkSpecBase {
       "exponential quantiles must be non-decreasing")
     assert(out.map(_._4).distinct.length === 1, "one global mean")
   }
+
+  test("q321 Allen relations: planted fixture hits each planned relation") {
+    import spark.implicits._
+    // one user per relation; spans are [min ts, max ts] of type events
+    val rows = Seq(
+      (1L, "a", 0L), (1L, "a", 10L), (1L, "b", 20L), (1L, "b", 30L), // precedes
+      (2L, "a", 0L), (2L, "a", 10L), (2L, "b", 10L), (2L, "b", 20L), // meets
+      (3L, "a", 0L), (3L, "a", 30L), (3L, "b", 10L), (3L, "b", 20L), // contains
+      (4L, "a", 10L), (4L, "a", 20L), (4L, "b", 0L), (4L, "b", 30L), // during
+      (5L, "a", 0L), (5L, "a", 10L), (5L, "b", 0L), (5L, "b", 10L), // equals
+      (6L, "a", 0L), (6L, "a", 20L), (6L, "b", 10L), (6L, "b", 30L)) // overlaps
+      .toDF("user_id", "event_type", "sec")
+      .select(col("user_id"), col("event_type"),
+        timestamp_seconds(col("sec")).as("ts"))
+    val out = TemporalOps.allenRelations(rows).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = Seq("precedes", "meets", "contains", "during",
+      "equals", "overlaps")
+    assert(out.keySet === expected.toSet)
+    expected.foreach { rel =>
+      assert(out(rel) === ((1L, 166666L)), s"relation $rel")
+    }
+    // sf corpus: census conserves the pair count and shares stay sane
+    val silver = EventsPipeline.silver(spark, sf)
+    val census = TemporalOps.allenRelations(silver).collect()
+    val spanPairs = silver.groupBy(col("user_id"), col("event_type"))
+      .count().groupBy(col("user_id")).count()
+      .select(sum(expr("count * (count - 1) div 2"))).collect()(0).getLong(0)
+    assert(census.map(_.getLong(1)).sum === spanPairs,
+      "every type pair classified exactly once")
+    assert(census.map(_.getLong(2)).sum <= 1000000L)
+  }
 }

@@ -146,4 +146,119 @@ class DupClustersSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap === sizes)
   }
+
+  test("q318 B-cubed: hand-computed fixture and sf-corpus bounds") {
+    import spark.implicits._
+    // docs 1..6; system clusters {1,2} {3,4}; reference cluster {1,2,3};
+    // 4,5,6 reference singletons, 5,6 system singletons.
+    val docs = (1L to 6L).toDF("doc_id")
+    val sys = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "cluster_id")
+    val ref = Seq((1L, 1L), (2L, 1L), (3L, 1L))
+      .toDF("doc_id", "cluster_id")
+    val r = DupClusters.bcubedEval(docs, sys, ref).collect()(0)
+    // per-doc precision: 1,1,.5,.5,1,1 -> cell-weighted floor sum 5e6/6
+    assert(r.getAs[Long]("n_docs") === 6L)
+    assert(r.getAs[Long]("b3_precision_ppm") === 833333L)
+    // per-doc recall: 2/3,2/3,1/3,1,1,1 -> (2*666666+333333+3e6)/6
+    assert(r.getAs[Long]("b3_recall_ppm") === 777777L)
+    assert(r.getAs[Long]("b3_f1_ppm") ===
+      2L * 833333L * 777777L / (833333L + 777777L))
+    // sf corpus: averages bounded, doc conservation, F1 between P and R
+    val c = DupClusters.bcubedEval(spark, sf).collect()(0)
+    graft.core.Caches.releaseScratch(spark)
+    assert(c.getAs[Long]("n_docs") === Tables.documents(spark, sf).count())
+    val (p, rc, f1) = (c.getAs[Long]("b3_precision_ppm"),
+      c.getAs[Long]("b3_recall_ppm"), c.getAs[Long]("b3_f1_ppm"))
+    assert(p > 0L && p <= 1000000L)
+    assert(rc > 0L && rc <= 1000000L)
+    assert(f1 >= math.min(p, rc) - 1 && f1 <= math.max(p, rc))
+  }
+
+  test("q326 ARI: identical clusterings score 1e6; fixture is exact") {
+    import spark.implicits._
+    val docs = (1L to 6L).toDF("doc_id")
+    val sys = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "cluster_id")
+    val ref = Seq((1L, 1L), (2L, 1L), (3L, 1L))
+      .toDF("doc_id", "cluster_id")
+    val same = DupClusters.adjustedRand(docs, sys, sys).collect()(0)
+    assert(same.getAs[Long]("ari_ppm") === 1000000L)
+    // hand contingency: I=1, A=2, B=3, T=15 -> 2*(15-6)/(75-12)=18/63
+    val r = DupClusters.adjustedRand(docs, sys, ref).collect()(0)
+    assert(r.getAs[Long]("pairs_both") === 1L)
+    assert(r.getAs[Long]("pairs_sys") === 2L)
+    assert(r.getAs[Long]("pairs_gold") === 3L)
+    assert(r.getAs[Long]("pairs_total") === 15L)
+    assert(r.getAs[Long]("ari_ppm") === 285714L)
+    // sf corpus: both-pairs bounded by each marginal; index inside [-1,1]
+    val c = DupClusters.adjustedRand(spark, sf).collect()(0)
+    graft.core.Caches.releaseScratch(spark)
+    assert(c.getAs[Long]("pairs_both") <= c.getAs[Long]("pairs_sys"))
+    assert(c.getAs[Long]("pairs_both") <= c.getAs[Long]("pairs_gold"))
+    assert(c.getAs[Long]("ari_ppm") >= -1000000L &&
+      c.getAs[Long]("ari_ppm") <= 1000000L)
+  }
+
+  test("q329 weighted mass: conservation, bounds, clean-source identity") {
+    val docs = Tables.documents(spark, sf)
+    val out = DupClusters.dupWeightedMass(spark, sf).collect()
+    graft.core.Caches.releaseScratch(spark)
+    assert(out.map(_.getLong(1)).sum === docs.count())
+    out.foreach { r =>
+      val (raw, w, ret) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(w <= raw * 1000000L, "weighting can only shrink mass")
+      assert(ret === w / raw)
+      assert(ret > 0L && ret <= 1000000L)
+    }
+    // sources with no clustered doc must retain exactly 1e6
+    val dupSources = docs
+      .join(DupClusters.dupClusters(spark, sf).select(col("doc_id")),
+        Seq("doc_id"))
+      .select(col("source")).distinct()
+      .collect().map(_.getString(0)).toSet
+    graft.core.Caches.releaseScratch(spark)
+    out.filterNot(r => dupSources(r.getString(0))).foreach { r =>
+      assert(r.getLong(4) === 1000000L,
+        s"clean source ${r.getString(0)} must keep all mass")
+    }
+  }
+
+  test("q330 dup-score AUC matches the brute-force pair count") {
+    val out = DupClusters.dupScoreAuc(spark, sf).collect()
+    graft.core.Caches.releaseScratch(spark)
+    assert(out.length === 1)
+    val r = out(0)
+    val (n1, n0, u2, auc) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    // brute force over the collected (score, label) frame
+    val dupIds = DupClusters.dupClusters(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val scored = graft.llm.TextStats
+      .docLmScore(Tables.documents(spark, sf))
+      .select(col("doc_id"), col("lm_score_ppm")).collect()
+      .map(row => (row.getLong(1), dupIds(row.getLong(0))))
+    graft.core.Caches.releaseScratch(spark)
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    assert(n1 === pos.length.toLong && n0 === neg.length.toLong)
+    val bruteU2 = (for (p <- pos; q <- neg) yield {
+      if (p > q) 2L else if (p == q) 1L else 0L
+    }).sum
+    assert(u2 === bruteU2, "rank-sum U must equal the pair count")
+    assert(auc === bruteU2 * 1000000L / (2L * n1 * n0))
+    assert(auc >= 0L && auc <= 1000000L)
+  }
+
+  test("reference closure only admits hamming <= 1 simhash pairs") {
+    val refDocs = DupClusters.simClustersFor(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val tight = TextDedup.simhashNearDups(spark, sf)
+      .filter(col("hamming") <= DupClusters.SimRefHammingMax)
+    val tightDocs = tight.select(col("doc_a")).collect().map(_.getLong(0))
+      .toSet ++ tight.select(col("doc_b")).collect().map(_.getLong(0)).toSet
+    graft.core.Caches.releaseScratch(spark)
+    assert(refDocs === tightDocs,
+      "reference closure must cover exactly the tight simhash pair nodes")
+  }
 }

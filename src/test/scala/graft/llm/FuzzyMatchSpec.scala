@@ -52,4 +52,27 @@ class FuzzyMatchSpec extends SparkSpecBase {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(got === brute)
   }
+
+  test("q323 edit-distance dups: planted pair found, blocking respected") {
+    import spark.implicits._
+    // same lang + same 64-char band + small block => one subshard; the
+    // first two texts differ by one substitution, the third is another
+    // language
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base, "en", base.length.toLong),
+      (2L, base.replace("quick", "quack"), "en", base.length.toLong),
+      (3L, base, "de", base.length.toLong))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val out = FuzzyMatch.editDistanceDups(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 2L, 1L)),
+      "exactly the same-language planted pair at distance 1")
+    // sf corpus: pairs ordered, distance within threshold
+    val sfOut = FuzzyMatch.editDistanceDups(spark, sf).collect()
+    sfOut.foreach { r =>
+      assert(r.getLong(1) < r.getLong(2))
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 8L)
+    }
+  }
 }

@@ -414,4 +414,34 @@ class SimilaritySpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(2)))
     assert(out.map(r => (r._1, r._3)).toSeq === again.toSeq)
   }
+
+  test("q319 rank quality: bounds, perfect-ranking law, recall consistency") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val out = Similarity.rankQualityAudit(emb).collect()
+      .map(r => r.getLong(1) -> (r.getAs[Long]("ap_ppm"),
+        r.getAs[Long]("rbo_ppm"))).toMap
+    graft.core.Caches.releaseScratch(spark)
+    assert(out.size === 10, "one row per query")
+    // truncated RBO ceiling at k=5, p=0.9: (1e6+9e5+81e4+729e3+6561e2)/10
+    val rboMax = 409510L
+    out.values.foreach { case (ap, rbo) =>
+      assert(ap >= 0L && ap <= 1000000L)
+      assert(rbo >= 0L && rbo <= rboMax)
+    }
+    // identical rankings are the only way to reach the RBO ceiling, and
+    // they force AP = 1; AP = 1 is exactly set-equality (recall 1e6)
+    out.values.foreach { case (ap, rbo) =>
+      if (rbo == rboMax) assert(ap === 1000000L)
+    }
+    val recalls = Similarity.annRecallAudit(emb).collect()
+      .filter(_.getString(0) == "ivf")
+      .map(r => r.getLong(1) -> r.getAs[Long]("recall_ppm")).toMap
+    graft.core.Caches.releaseScratch(spark)
+    out.foreach { case (q, (ap, _)) =>
+      assert((ap == 1000000L) === (recalls(q) == 1000000L),
+        s"AP=1 must coincide with full recall for query $q")
+      assert(ap <= recalls(q),
+        s"AP can never exceed recall at the same k for query $q")
+    }
+  }
 }

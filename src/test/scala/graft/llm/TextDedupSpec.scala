@@ -572,4 +572,21 @@ class TextDedupSpec extends SparkSpecBase {
       "the sweep reuses one candidate set")
     out.foreach(r => assert(r._3 >= 0L && r._3 <= 1000000L))
   }
+
+  test("q322 SNM: linear candidate bound and audit arithmetic hold") {
+    val r = TextDedup.snmDedupAudit(spark, sf).collect()(0)
+    graft.core.Caches.releaseScratch(spark)
+    val (nDocs, cand, ver, lsh, common) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    // THE sorted-neighborhood law: candidates are bounded by
+    // (window-1) * N regardless of data — SNM is linear by construction
+    assert(cand <= 3 * nDocs, "SNM candidate set must stay linear")
+    assert(ver <= cand)
+    assert(common <= math.min(ver, lsh))
+    assert(r.getLong(5) === common * 1000000L / math.max(1L, lsh))
+    assert(r.getLong(6) ===
+      1000000L - cand * 1000000L / (nDocs * (nDocs - 1) / 2))
+    assert(r.getLong(6) > 900000L,
+      "reduction ratio must eliminate almost all of the pair space")
+  }
 }

@@ -873,4 +873,28 @@ class TextStatsSpec extends SparkSpecBase {
         (r.getLong(6) >= lo && r.getLong(6) <= hi))
     }
   }
+
+  test("q324 Wasserstein: zero for identical, exact for a pure shift") {
+    import spark.implicits._
+    // a and b share a histogram -> W1 = 0; c is b shifted +10 chars ->
+    // W1 = 1e6 ppm * 10 chars (full mass moves 10)
+    val docs = (Seq(("a", 100L), ("a", 200L), ("b", 100L), ("b", 200L)) ++
+        Seq(("c", 110L), ("c", 210L)))
+      .zipWithIndex.map { case ((s, n), i) => (i.toLong, s, n) }
+      .toDF("doc_id", "source", "n_chars")
+    val out = TextStats.sourceWassersteinMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    graft.core.Caches.releaseScratch(spark)
+    assert(out(("a", "b")) === 0L, "identical distributions")
+    // support {100,110,200,210}: |F_b - F_c| = 500000 on [100,110) and
+    // [200,210), gaps 10 each -> 2 * 500000 * 10
+    assert(out(("b", "c")) === 10000000L, "pure +10 shift")
+    assert(out(("a", "c")) === 10000000L)
+    // sf corpus: full matrix, non-negative, deterministic
+    val m = TextStats.sourceWassersteinMatrix(spark, sf).collect()
+    graft.core.Caches.releaseScratch(spark)
+    val nSrc = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(m.length === (nSrc * (nSrc - 1) / 2).toInt)
+    m.foreach(r => assert(r.getLong(2) >= 0L))
+  }
 }
