@@ -884,6 +884,9 @@ object SparkEntry {
     "q329_dup_weighted_mass"   -> ((s, d) => DupClusters.dupWeightedMass(s, d)),
     // ---- AUC of the LM fluency score as a near-dup detector ----
     "q330_dup_score_auc"       -> ((s, d) => DupClusters.dupScoreAuc(s, d)),
+    // ---- successive-halving tuning of the LM keep-threshold ----
+    "q331_successive_halving"  -> ((s, d) =>
+      Curation.successiveHalvingFilter(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -8771,6 +8774,111 @@ object SparkEntry {
          |         // (2 * t.n1 * (t.n - t.n1)) AS BIGINT) AS auc_ppm
          |FROM r, tot t
          |WHERE t.n1 > 0 AND t.n1 < t.n""".stripMargin,
+    // q331: the q133 per-doc score + the q286 per-doc gate as label,
+    // three unrolled halving rounds (25% -> 50% -> 100% hash slices),
+    // survivors by (F1 DESC, t ASC) LIMIT n/2.
+    "q331_successive_halving" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, str_split($duckNorm, ' ') AS w
+         |  FROM documents),
+         |idx AS (SELECT doc_id, lang, w,
+         |          unnest(generate_series(1, len(w)-1)) AS i FROM t),
+         |bg AS (SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2 FROM idx),
+         |docbg AS (SELECT doc_id, lang, w1, w2, COUNT(*) AS m
+         |          FROM bg GROUP BY 1, 2, 3, 4),
+         |c AS (SELECT lang, w1, w2, COUNT(*) AS cnt FROM bg
+         |      GROUP BY 1, 2, 3),
+         |ctx AS (SELECT lang, w1, CAST(SUM(cnt) AS BIGINT) AS ctx_cnt
+         |        FROM c GROUP BY 1, 2),
+         |lm AS (SELECT c.lang, c.w1, c.w2,
+         |              c.cnt * 1000000 // ctx.ctx_cnt AS p_ppm
+         |       FROM c JOIN ctx ON c.lang = ctx.lang AND c.w1 = ctx.w1),
+         |s AS (SELECT d.doc_id, CAST(SUM(d.m) AS BIGINT) AS n_bigrams,
+         |             CAST(SUM(d.m * lm.p_ppm) AS BIGINT) AS sum_ppm
+         |      FROM docbg d JOIN lm ON d.lang = lm.lang
+         |        AND d.w1 = lm.w1 AND d.w2 = lm.w2
+         |      GROUP BY 1),
+         |sc AS (
+         |  SELECT docs.doc_id,
+         |         COALESCE(s.sum_ppm // s.n_bigrams, 0) AS v
+         |  FROM (SELECT doc_id FROM documents) docs
+         |  LEFT JOIN s ON docs.doc_id = s.doc_id),
+         |gw AS (SELECT doc_id, unnest(str_split($duckNorm, ' ')) AS word
+         |       FROM documents),
+         |gwc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+         |        FROM gw GROUP BY 1, 2),
+         |gp AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n,
+         |              CAST(COUNT(*) AS BIGINT) AS u,
+         |              CAST(MAX(cnt) AS BIGINT) AS maxc,
+         |              CAST(SUM(CASE WHEN word IN ($duckStops)
+         |                THEN cnt ELSE 0 END) AS BIGINT) AS stop_cnt,
+         |              CAST(SUM(length(word) * cnt) AS BIGINT) AS sumlen
+         |       FROM gwc GROUP BY 1),
+         |gl AS (SELECT doc_id,
+         |         CAST((n BETWEEN 20 AND 100)
+         |           AND NOT (sumlen * 10 < n * 30 OR sumlen * 10 > n * 45)
+         |           AND stop_cnt >= 2
+         |           AND u * 1000000 // n >= 400000
+         |           AND maxc * 1000000 // n <= 120000 AS BIGINT) AS label
+         |       FROM gp),
+         |base AS (SELECT sc.doc_id, sc.v, gl.label
+         |         FROM sc JOIN gl ON gl.doc_id = sc.doc_id),
+         |arms1(t) AS (VALUES (30000), (32000), (34000), (36000),
+         |                    (38000), (40000), (42000), (44000)),
+         |r1 AS (
+         |  SELECT CAST(a.t AS BIGINT) AS t,
+         |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(CASE WHEN b.v >= a.t AND b.label = 1
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(SUM(CASE WHEN b.v >= a.t AND b.label = 0
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |         CAST(SUM(CASE WHEN b.v < a.t AND b.label = 1
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM base b CROSS JOIN arms1 a
+         |  WHERE b.doc_id % 4 = 0 GROUP BY 1),
+         |r1f AS (SELECT *, CAST(2 * tp * 1000000
+         |          // GREATEST(1, 2 * tp + fp + fn) AS BIGINT) AS f1_ppm
+         |        FROM r1),
+         |k1 AS (SELECT t FROM r1f ORDER BY f1_ppm DESC, t ASC LIMIT 4),
+         |r2 AS (
+         |  SELECT a.t, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(CASE WHEN b.v >= a.t AND b.label = 1
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(SUM(CASE WHEN b.v >= a.t AND b.label = 0
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |         CAST(SUM(CASE WHEN b.v < a.t AND b.label = 1
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM base b CROSS JOIN k1 a
+         |  WHERE b.doc_id % 2 = 0 GROUP BY 1),
+         |r2f AS (SELECT *, CAST(2 * tp * 1000000
+         |          // GREATEST(1, 2 * tp + fp + fn) AS BIGINT) AS f1_ppm
+         |        FROM r2),
+         |k2 AS (SELECT t FROM r2f ORDER BY f1_ppm DESC, t ASC LIMIT 2),
+         |r3 AS (
+         |  SELECT a.t, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(CASE WHEN b.v >= a.t AND b.label = 1
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(SUM(CASE WHEN b.v >= a.t AND b.label = 0
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |         CAST(SUM(CASE WHEN b.v < a.t AND b.label = 1
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM base b CROSS JOIN k2 a GROUP BY 1),
+         |r3f AS (SELECT *, CAST(2 * tp * 1000000
+         |          // GREATEST(1, 2 * tp + fp + fn) AS BIGINT) AS f1_ppm
+         |        FROM r3),
+         |k3 AS (SELECT t FROM r3f ORDER BY f1_ppm DESC, t ASC LIMIT 1)
+         |SELECT CAST(1 AS BIGINT) AS round, t AS threshold_ppm, n_docs,
+         |       tp, fp, fn, f1_ppm, t IN (SELECT t FROM k1) AS survived
+         |FROM r1f
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), t, n_docs, tp, fp, fn, f1_ppm,
+         |       t IN (SELECT t FROM k2)
+         |FROM r2f
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), t, n_docs, tp, fp, fn, f1_ppm,
+         |       t IN (SELECT t FROM k3)
+         |FROM r3f
+         |ORDER BY round ASC, threshold_ppm ASC""".stripMargin,
     // q321: per-(user, type) activity spans in exact epoch micros; the
     // CASE ladder is the same fixed branch order as the Spark side.
     "q321_allen_relations" ->

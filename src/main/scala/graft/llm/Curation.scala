@@ -1442,4 +1442,69 @@ object Curation {
       .withColumn("n_chunks", coalesce(col("n_chunks"), lit(0L)))
       .orderBy(col("source").asc)
   }
+
+  /** q331: SUCCESSIVE-HALVING filter-threshold tuning — the
+    * hyperparameter-search kernel (Jamieson–Talwalkar / Hyperband's
+    * inner loop) applied to a data-curation knob: which LM-fluency
+    * keep-threshold (q133's `keepPpm`) best reproduces the Gopher rule
+    * gate (q286) as its cheap proxy? Eight candidate arms start on a
+    * 25% hash slice, the top half survives to 50%, the top quarter to
+    * the full corpus — the budget shape that makes wide sweeps
+    * affordable at 100 TB (bad arms die on cheap slices; only finalists
+    * pay a full pass).
+    *
+    * Fully deterministic: hash slices are `doc_id % m = 0` (NOT a
+    * data-dependent sample), the score per (arm, round) is exact
+    * integer F1 ppm vs the Gopher label, survivors rank by
+    * (F1 DESC, threshold ASC). The per-round selection is a ≤ 8-row
+    * driver collect — arm-count-sized, like the k-means centroids
+    * (Similarity.scala), never data-sized.
+    *
+    * Scale shape: each round is ONE aggregation over (slice × arms) —
+    * the arm dimension broadcasts, the slice is a partition-pruned
+    * subset of the memoized scored frame; 3 linear passes total, the
+    * last over the full corpus (exactly the cost any single-threshold
+    * evaluation already pays). */
+  def successiveHalvingFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = graft.core.Caches.scratch(
+      TextStats.docLmScore(spark, dir)
+        .select(col("doc_id"), col("lm_score_ppm").as("v"))
+        .join(TextStats.gopherPass(docs), Seq("doc_id")))
+    import spark.implicits._
+    var arms: Seq[Long] = 30000L to 44000L by 2000L
+    val rounds = Seq((1, 4L), (2, 2L), (3, 1L))
+    val collected = rounds.map { case (round, m) =>
+      val armsDf = arms.toDF("t")
+      val evals = scored.filter(col("doc_id") % m === 0)
+        .crossJoin(broadcast(armsDf))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("v") >= col("t") && col("label") === 1).cast("long"))
+            .as("tp"),
+          sum((col("v") >= col("t") && col("label") === 0).cast("long"))
+            .as("fp"),
+          sum((col("v") < col("t") && col("label") === 1).cast("long"))
+            .as("fn"))
+        .withColumn("f1_ppm",
+          expr("2 * tp * 1000000 div greatest(1L, 2 * tp + fp + fn)"))
+        .collect()
+        .map(r => (round, r.getAs[Long]("t"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"),
+          r.getAs[Long]("f1_ppm")))
+        .sortBy(row => (-row._7, row._2))
+      val nKeep = math.max(1, arms.size / 2)
+      val survivors = evals.take(nKeep).map(_._2).toSet
+      arms = arms.filter(survivors)
+      evals.map(row => (row._1, row._2, row._3, row._4, row._5, row._6,
+        row._7, survivors(row._2)))
+    }
+    collected.flatten
+      .toDF("round", "threshold_ppm", "n_docs", "tp", "fp", "fn",
+        "f1_ppm", "survived")
+      .select(col("round").cast("long").as("round"), col("threshold_ppm"),
+        col("n_docs"), col("tp"), col("fp"), col("fn"), col("f1_ppm"),
+        col("survived"))
+      .orderBy(col("round").asc, col("threshold_ppm").asc)
+  }
 }

@@ -503,8 +503,7 @@ object DupClusters {
     * and AUC = (R₂ − n₁(n₁+1)) · 10⁶ div (2·n₁·n₀). Degenerate label
     * sides (no dups, all dups) emit no rows on both engines. */
   def dupScoreAuc(spark: SparkSession, dir: String): DataFrame = {
-    val scores = graft.llm.TextStats
-      .docLmScore(Tables.documents(spark, dir))
+    val scores = graft.llm.TextStats.docLmScore(spark, dir)
       .select(col("doc_id"), col("lm_score_ppm").as("v"))
     val dups = clustersFor(spark, dir).select(col("doc_id"))
       .withColumn("is_dup", lit(1L))

@@ -799,8 +799,17 @@ object TextStats {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Memoized per-(session, dir) per-doc LM score frame — the q133
+    * chain is re-read by q263/q330/q331-class consumers, and the
+    * per-doc result is corpus-LINEAR but tiny (one row per doc), so it
+    * follows the shingle/cluster materialized-frame pattern
+    * (TextDedup.shinglesFor): build the bigram LM once per corpus,
+    * share the scored frame. */
+  private val lmScoreCache = new graft.core.FrameMemo(4)
+
   def docLmScore(spark: SparkSession, dir: String): DataFrame =
-    docLmScore(Tables.documents(spark, dir))
+    lmScoreCache.get(spark, dir)(
+      docLmScore(Tables.documents(spark, dir)))
 
   /** q261: KNESER–NEY smoothed bigram LM table — the smoothing that
     * makes an n-gram LM usable for held-out scoring (the q120/q133 MLE
@@ -1602,23 +1611,39 @@ object TextStats {
     * every tokenizing pass pays — reduced to per-doc sufficient
     * statistics, then a 6-row census; nothing quadratic, no windows over
     * the corpus. */
-  def gopherRules(docs: DataFrame): DataFrame = {
+  /** Per-doc Gopher-rule failure flags (the q286 rubric, one row per
+    * doc) — shared by the census (q286) and by consumers that need the
+    * gate as a per-doc label (q331 uses pass/fail as the tuning
+    * target). */
+  private[llm] def gopherFlags(docs: DataFrame): DataFrame = {
     val words = docs.select(col("doc_id"), explode(split(norm, " ")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
-    val perDoc = words.groupBy(col("doc_id"))
+    words.groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n"),
         count(lit(1)).as("u"),
         max(col("cnt")).as("maxc"),
         sum(when(col("word").isin(Stopwords.map(lit): _*), col("cnt"))
           .otherwise(lit(0L))).as("stop_cnt"),
         sum(length(col("word")) * col("cnt")).as("sumlen"))
-      .select(
+      .select(col("doc_id"),
         (!col("n").between(20, 100)).cast("long").as("f1"),
         (col("sumlen") * 10 < col("n") * 30 ||
           col("sumlen") * 10 > col("n") * 45).cast("long").as("f2"),
         (col("stop_cnt") < 2).cast("long").as("f3"),
         expr("CAST(u * 1000000 div n < 400000 AS LONG)").as("f4"),
         expr("CAST(maxc * 1000000 div n > 120000 AS LONG)").as("f5"))
+  }
+
+  /** The q286 gate as a per-doc binary label: 1 = passes all five
+    * Gopher rules. */
+  def gopherPass(docs: DataFrame): DataFrame =
+    gopherFlags(docs).select(col("doc_id"),
+      (col("f1") + col("f2") + col("f3") + col("f4") + col("f5") === 0)
+        .cast("long").as("label"))
+
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val perDoc = gopherFlags(docs)
+      .select(col("f1"), col("f2"), col("f3"), col("f4"), col("f5"))
       .withColumn("first_fail", expr(
         "CASE WHEN f1 = 1 THEN 1 WHEN f2 = 1 THEN 2 WHEN f3 = 1 THEN 3 " +
           "WHEN f4 = 1 THEN 4 WHEN f5 = 1 THEN 5 ELSE 0 END"))

@@ -743,4 +743,40 @@ class CurationSpec extends SparkSpecBase {
       assert(k === math.min(budget / u, 16L))
     }
   }
+
+  test("q331 successive halving: budget shape, survivor law, F1 sanity") {
+    val out = Curation.successiveHalvingFilter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    graft.core.Caches.releaseScratch(spark)
+    val byRound = out.groupBy(_._1)
+    // 8 arms -> 4 -> 2, survivors half each round (winner = 1 in round 3)
+    assert(byRound(1L).length === 8 && byRound(2L).length === 4 &&
+      byRound(3L).length === 2)
+    assert(byRound(1L).count(_._7) === 4)
+    assert(byRound(2L).count(_._7) === 2)
+    assert(byRound(3L).count(_._7) === 1)
+    // the next round evaluates exactly the previous survivors
+    assert(byRound(2L).map(_._2).toSet ===
+      byRound(1L).filter(_._7).map(_._2).toSet)
+    assert(byRound(3L).map(_._2).toSet ===
+      byRound(2L).filter(_._7).map(_._2).toSet)
+    // within a round every arm sees the same slice: same n_docs and the
+    // same positive count tp + fn
+    byRound.values.foreach { rows =>
+      assert(rows.map(_._3).distinct.length === 1, "one slice per round")
+      assert(rows.map(r => r._4 + r._5).distinct.length === 1,
+        "positives are arm-independent")
+    }
+    // slices grow 25% -> 50% -> 100%
+    val sizes = (1L to 3L).map(r => byRound(r).head._3)
+    assert(sizes(0) <= sizes(1) && sizes(1) <= sizes(2))
+    out.foreach(r => assert(r._6 >= 0L && r._6 <= 1000000L))
+    // survivors are the F1-best (ties by threshold) of their round
+    byRound.foreach { case (_, rows) =>
+      val ranked = rows.sortBy(r => (-r._6, r._2))
+      val k = rows.count(_._7)
+      assert(ranked.take(k).forall(_._7), "survivors must be the top-k")
+    }
+  }
 }
