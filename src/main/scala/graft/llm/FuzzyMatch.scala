@@ -75,12 +75,16 @@ object FuzzyMatch {
       .withColumn("subshard",
         conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
           .cast("long") % expr(s"(bdocs + ${BlockCap - 1}) div $BlockCap"))
+    // thresholded levenshtein: the banded DP short-circuits at maxDist
+    // (returns -1 above it) — O(maxDist·len) per pair instead of len²,
+    // the difference between a cheap verify and the dominant bench cost
+    // at 128k candidates
     keyed.as("a").join(keyed.as("b"),
         col("a.lang") === col("b.lang") && col("a.band") === col("b.band")
           && col("a.subshard") === col("b.subshard")
           && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("dist", levenshtein(col("a.p"), col("b.p")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("a.p"), col("b.p"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("a.lang").as("lang"), col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"), col("dist").cast("long").as("dist"))
       .orderBy(col("doc_a").asc, col("doc_b").asc)
