@@ -909,6 +909,12 @@ object SparkEntry {
 
   private val duckNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+  // q319's eval frame, single-sourced from Similarity so the oracle SQL
+  // and the Spark defaults cannot drift (round-11 advice item 3).
+  private val rankAuditQ = graft.llm.Similarity.RankAuditQueries
+  private val rankAuditP = graft.llm.Similarity.RankAuditProbes
+  private val rankAuditK = graft.llm.Similarity.RankAuditK
+
   /** Shared CDC-chunking CTE chain (q58 polynomial rolling hash, cut where
     * hash ≡ 0 mod 64) ending in `chunks(doc_id, chunk)` — used by the q65
     * chunk census and the q160 per-doc duplication coverage. */
@@ -991,7 +997,7 @@ object SparkEntry {
     val (mins, bands) = minhashCtes
     s"""WITH nd AS (
        |  SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
-       |sh AS (
+       |sh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id,
        |         unnest(list_transform(range(1, len(w) - 1),
        |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
@@ -1000,24 +1006,24 @@ object SparkEntry {
        |  SELECT doc_id,
        |         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $MinhashP AS hb
        |  FROM sh),
-       |sig AS (
+       |sig AS MATERIALIZED (
        |  SELECT doc_id,
        |    $mins
        |  FROM based GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bands),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS icnt
        |  FROM cand c
        |  JOIN sh sa ON sa.doc_id = c.doc_a
        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
        |  GROUP BY 1, 2),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT it.doc_a, it.doc_b,
        |         CAST(it.icnt AS DOUBLE) / (sa.n + sb.n - it.icnt) AS jaccard
        |  FROM inter it
@@ -1031,6 +1037,34 @@ object SparkEntry {
        |SELECT doc_a, doc_b, jaccard FROM pairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The ONE transitive-closure CTE block every dup-cluster oracle reuses
+    * (round-11 verdict item 6: a single bounded builder so no oracle can
+    * re-derive its own closure). Emits `<p>edges`, `<p>reach`, `<p>lab`
+    * over a pair-shaped CTE `pairsCte` (columns doc_a, doc_b); `<p>lab`
+    * is (doc_id, cluster_id) with cluster_id = component-min doc_id.
+    *
+    * `AS MATERIALIZED` on edges and lab is LOAD-BEARING: DuckDB 1.0
+    * inlines plain CTEs per reference, and the recursive step re-executes
+    * its inlined inputs EVERY iteration — with the full minhash/simhash
+    * pipeline upstream, the round-11 cluster-agreement oracles compounded
+    * to 186-217 s at sf0.1 while the genuine work (pipelines + closures,
+    * each run once) measures ~5 s. Materializing pins each subtree to one
+    * execution; results are bit-identical (purely physical). */
+  private def closureCtes(pairsCte: String, p: String = ""): String =
+    s"""${p}edges AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM $pairsCte
+       |  UNION
+       |  SELECT doc_b, doc_a FROM $pairsCte),
+       |${p}reach(src, dst) AS (
+       |  SELECT src, dst FROM ${p}edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM ${p}reach r
+       |  JOIN ${p}edges e ON r.dst = e.src
+       |  WHERE e.dst <> r.src),
+       |${p}lab AS MATERIALIZED (
+       |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+       |  FROM ${p}reach GROUP BY src)""".stripMargin
+
   /** q178: the q27 CTE chain up to `bands`, then a band-count candidate
     * aggregation and an UNFILTERED integer-ppm Jaccard census per
     * shared-band tier (left join keeps pure-collision pairs at 0). */
@@ -1039,7 +1073,7 @@ object SparkEntry {
     val (mins, bands) = minhashCtes
     s"""WITH nd AS (
        |  SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
-       |sh AS (
+       |sh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id,
        |         unnest(list_transform(range(1, len(w) - 1),
        |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
@@ -1048,11 +1082,11 @@ object SparkEntry {
        |  SELECT doc_id,
        |         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $MinhashP AS hb
        |  FROM sh),
-       |sig AS (
+       |sig AS MATERIALIZED (
        |  SELECT doc_id,
        |    $mins
        |  FROM based GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bands),
        |cand AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1060,7 +1094,7 @@ object SparkEntry {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
-       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS icnt
        |  FROM cand c
@@ -1092,7 +1126,7 @@ object SparkEntry {
       .map(s => s"CAST(a.h$s = b.h$s AS BIGINT)").mkString(" + ")
     s"""WITH nd AS (
        |  SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
-       |sh AS (
+       |sh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id,
        |         unnest(list_transform(range(1, len(w) - 1),
        |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
@@ -1101,13 +1135,13 @@ object SparkEntry {
        |  SELECT doc_id,
        |         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $MinhashP AS hb
        |  FROM sh),
-       |sig AS (
+       |sig AS MATERIALIZED (
        |  SELECT doc_id,
        |    $mins
        |  FROM based GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bands),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -1115,7 +1149,7 @@ object SparkEntry {
        |  SELECT c.doc_a, c.doc_b, $agree AS est32
        |  FROM cand c JOIN sig a ON c.doc_a = a.doc_id
        |              JOIN sig b ON c.doc_b = b.doc_id),
-       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS icnt
        |  FROM cand c
@@ -1164,7 +1198,7 @@ object SparkEntry {
       (0 until k).map(s => s"CAST(a.h$s = b.h$s AS BIGINT)").mkString(" + ")
     s"""WITH nd AS (
        |  SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
-       |sh AS (
+       |sh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id,
        |         unnest(list_transform(range(1, len(w) - 1),
        |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
@@ -1173,13 +1207,13 @@ object SparkEntry {
        |  SELECT doc_id,
        |         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $MinhashP AS hb
        |  FROM sh),
-       |sig AS (
+       |sig AS MATERIALIZED (
        |  SELECT doc_id,
        |    $mins
        |  FROM based GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bands),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -1190,7 +1224,7 @@ object SparkEntry {
        |         ${agree(32)} AS agree32
        |  FROM cand c JOIN sig a ON c.doc_a = a.doc_id
        |              JOIN sig b ON c.doc_b = b.doc_id),
-       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS icnt
        |  FROM cand c
@@ -1340,7 +1374,7 @@ object SparkEntry {
     val (mins, bands) = minhashCtes
     s"""WITH nd AS (
        |  SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
-       |sh AS (
+       |sh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id,
        |         unnest(list_transform(range(1, len(w) - 1),
        |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
@@ -1349,18 +1383,18 @@ object SparkEntry {
        |  SELECT doc_id,
        |         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $MinhashP AS hb
        |  FROM sh),
-       |sig AS (
+       |sig AS MATERIALIZED (
        |  SELECT doc_id,
        |    $mins
        |  FROM based GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bands),
        |cand AS (
        |  SELECT DISTINCT i.doc_id AS doc_in, e.doc_id AS doc_ex
        |  FROM bands i JOIN bands e
        |    ON i.band = e.band AND i.bkey = e.bkey
        |   AND i.doc_id % 5 = 0 AND e.doc_id % 5 <> 0),
-       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT c.doc_in, c.doc_ex, COUNT(*) AS icnt
        |  FROM cand c
@@ -1398,7 +1432,7 @@ object SparkEntry {
        |    $sums
        |  FROM wc GROUP BY doc_id),
        |sim AS (SELECT doc_id, $simExpr AS simhash FROM sums),
-       |chunks AS (
+       |chunks AS MATERIALIZED (
        |  SELECT doc_id, simhash, c.c AS chunk,
        |         (simhash >> (c.c * 8)) & 255 AS cval
        |  FROM sim, (VALUES (0), (1), (2), (3)) c(c)),
@@ -1496,7 +1530,7 @@ object SparkEntry {
        |         CAST('0x' || substr(md5(CAST(bands.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
        |           % ((bdocs + ${MaxBandBucketDocs - 1}) // $MaxBandBucketDocs) AS sub
        |  FROM bands JOIN bcensus USING (band, bval)),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bsub a JOIN bsub b
        |    ON a.band = b.band AND a.bval = b.bval AND a.sub = b.sub
@@ -1767,14 +1801,14 @@ object SparkEntry {
     // q79: same ordered-stage semantics (>= previous stage's first ts).
     "q79_funnel" ->
       (silverCte +
-        """, v AS (
+        """, v AS MATERIALIZED (
           |  SELECT user_id, MIN(ts) AS v_ts FROM silver
           |  WHERE event_type = 'view' GROUP BY 1),
-          |c AS (
+          |c AS MATERIALIZED (
           |  SELECT s.user_id, MIN(s.ts) AS c_ts FROM silver s
           |  JOIN v ON v.user_id = s.user_id AND s.ts >= v.v_ts
           |  WHERE s.event_type = 'click' GROUP BY 1),
-          |p AS (
+          |p AS MATERIALIZED (
           |  SELECT s.user_id, MIN(s.ts) AS p_ts FROM silver s
           |  JOIN c ON c.user_id = s.user_id AND s.ts >= c.c_ts
           |  WHERE s.event_type = 'purchase' GROUP BY 1)
@@ -2002,16 +2036,16 @@ object SparkEntry {
     // counts. The (deg, id) total order makes the wedge/closing joins
     // engine-independent.
     "q93_copurchase_triangles" ->
-      """WITH op AS (
+      """WITH op AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT DISTINCT a.pk AS u, b.pk AS v
         |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
-        |deg AS (
+        |deg AS MATERIALIZED (
         |  SELECT n, COUNT(*) AS d FROM (
         |    SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
         |  GROUP BY 1),
-        |o AS (
+        |o AS MATERIALIZED (
         |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
         |              THEN e.u ELSE e.v END AS src,
         |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
@@ -2019,8 +2053,8 @@ object SparkEntry {
         |  FROM edges e
         |  JOIN deg du ON du.n = e.u
         |  JOIN deg dv ON dv.n = e.v),
-        |od AS (SELECT o.src, o.dst, d.d AS dst_d FROM o JOIN deg d ON d.n = o.dst),
-        |w AS (
+        |od AS MATERIALIZED (SELECT o.src, o.dst, d.d AS dst_d FROM o JOIN deg d ON d.n = o.dst),
+        |w AS MATERIALIZED (
         |  SELECT e1.dst AS b, e2.dst AS c
         |  FROM od e1 JOIN od e2 ON e1.src = e2.src
         |   AND (e1.dst_d < e2.dst_d OR (e1.dst_d = e2.dst_d AND e1.dst < e2.dst))),
@@ -2244,7 +2278,7 @@ object SparkEntry {
     // q107: the greedy fold as a recursive CTE walking rn → rn+1 per
     // source — the same sequential recurrence, exact integers.
     "q107_greedy_packing" ->
-      s"""WITH RECURSIVE toks AS (
+      s"""WITH RECURSIVE toks AS MATERIALIZED (
          |  SELECT source, doc_id,
          |         CAST(len(str_split($duckNorm, ' ')) AS BIGINT) AS n_tokens,
          |         row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
@@ -2386,12 +2420,12 @@ object SparkEntry {
          |  SELECT doc_id, lang, source, band, subshard,
          |         str_split(norm, ' ') AS w
          |  FROM keyed),
-         |sh AS (
+         |sh AS MATERIALIZED (
          |  SELECT DISTINCT doc_id, lang, source, band, subshard,
          |         unnest(list_transform(range(1, len(w)),
          |                i -> array_to_string(w[i:i+1], ' '))) AS shingle
          |  FROM nd WHERE len(w) >= 2),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
          |inter AS (
          |  SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS icnt
          |  FROM sh a JOIN sh b
@@ -2624,8 +2658,8 @@ object SparkEntry {
     // aggregates in a recursive member; fixed-iteration IS the semantics).
     // All-integer ppm arithmetic — floor div both engines, zero drift.
     "q115_pagerank_ppm" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |und AS (
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |und AS MATERIALIZED (
         |  SELECT DISTINCT a.pk AS u, b.pk AS v
         |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
         |dir AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
@@ -2905,22 +2939,10 @@ object SparkEntry {
     // q128: q60's transitive closure + q32's quality, argmax by
     // (quality DESC, doc_id ASC) per cluster.
     "q128_best_of_cluster" ->
-      s"""WITH RECURSIVE pairs AS (
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (
          |$minhashOracle
          |),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r
-         |  JOIN edges e ON r.dst = e.src
-         |  WHERE e.dst <> r.src),
-         |lab AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |  FROM reach GROUP BY src),
+         |${closureCtes("pairs")},
          |nn AS (SELECT doc_id, $duckNorm AS norm FROM documents),
          |tt AS (SELECT doc_id, norm, str_split(norm, ' ') AS w FROM nn),
          |q AS (
@@ -3329,7 +3351,7 @@ object SparkEntry {
          |         unnest(list_transform(range(1, len(rh) - 6), i ->
          |           list_aggregate(rh[i:i+7], 'min'))) AS fp
          |  FROM w WHERE len(rh) >= 8),
-         |fd AS (
+         |fd AS MATERIALIZED (
          |  SELECT doc_id, fp FROM f
          |  QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 16)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
@@ -3340,42 +3362,18 @@ object SparkEntry {
     // node labeled with its component's min doc_id — the oracle for the
     // engine's hash-to-min label propagation.
     "q60_dup_clusters" ->
-      s"""WITH RECURSIVE pairs AS (
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (
          |$minhashOracle
          |),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r
-         |  JOIN edges e ON r.dst = e.src
-         |  WHERE e.dst <> r.src),
-         |lab AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |  FROM reach GROUP BY src)
+         |${closureCtes("pairs")}
          |SELECT cluster_id, doc_id, doc_id = cluster_id AS is_canonical
          |FROM lab ORDER BY cluster_id ASC, doc_id ASC""".stripMargin,
     // q78: q60's closure joined back onto the corpus as keep verdicts.
     "q78_dedup_keep_list" ->
-      s"""WITH RECURSIVE pairs AS (
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (
          |$minhashOracle
          |),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r
-         |  JOIN edges e ON r.dst = e.src
-         |  WHERE e.dst <> r.src),
-         |lab AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |  FROM reach GROUP BY src)
+         |${closureCtes("pairs")}
          |SELECT d.doc_id,
          |       COALESCE(l.doc_id = l.cluster_id, TRUE) AS kept,
          |       l.cluster_id
@@ -3911,22 +3909,22 @@ object SparkEntry {
     "q157_containment_dups" ->
       s"""WITH nd AS (
          |  SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
-         |sh AS (
+         |sh AS MATERIALIZED (
          |  SELECT DISTINCT doc_id,
          |         unnest(list_transform(range(1, len(w) - 1),
          |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
          |  FROM nd WHERE len(w) >= 3),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
          |rare AS (
          |  SELECT shingle FROM (
          |    SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
-         |  WHERE df BETWEEN 2 AND 64),
+         |  WHERE df BETWEEN 2 AND ${TextDedup.ContainDfCap}),
          |rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
          |cand AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM rsh a JOIN rsh b
          |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= 8),
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= ${TextDedup.ContainMinShared}),
          |inter AS (
          |  SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
          |  FROM cand c
@@ -3953,22 +3951,10 @@ object SparkEntry {
     // doc_id); the straddle count is DERIVED zero on both sides (each
     // engine runs its own clustering + split), not a literal.
     "q159_cluster_split" ->
-      s"""WITH RECURSIVE pairs AS (
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (
          |$minhashOracle
          |),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r
-         |  JOIN edges e ON r.dst = e.src
-         |  WHERE e.dst <> r.src),
-         |lab AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |  FROM reach GROUP BY src),
+         |${closureCtes("pairs")},
          |keyed AS (
          |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS ckey
          |  FROM documents d LEFT JOIN lab l USING (doc_id)),
@@ -3991,7 +3977,7 @@ object SparkEntry {
     // in cross-doc-shared chunks as exact integer ppm of the doc's chars.
     "q160_dup_coverage" ->
       s"""WITH $cdcChunksOracle,
-         |ch AS (
+         |ch AS MATERIALIZED (
          |  SELECT doc_id, md5(chunk) AS h, len(chunk) AS l
          |  FROM chunks WHERE chunk <> ''),
          |shared AS (
@@ -4246,22 +4232,10 @@ object SparkEntry {
     // q163: the q78 keep rule (recursive dup-cluster closure, canonical =
     // cluster min) aggregated into per-source doc/token budgets.
     "q163_dedup_token_budget" ->
-      s"""WITH RECURSIVE pairs AS (
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (
          |$minhashOracle
          |),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r
-         |  JOIN edges e ON r.dst = e.src
-         |  WHERE e.dst <> r.src),
-         |lab AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |  FROM reach GROUP BY src),
+         |${closureCtes("pairs")},
          |keepx AS (
          |  SELECT d.doc_id, d.source,
          |         COALESCE(l.doc_id = l.cluster_id, TRUE) AS kept
@@ -4298,22 +4272,10 @@ object SparkEntry {
     // q165: cluster sizes from the recursive closure (same lab CTE the
     // q78/q159/q60 oracles use), folded into a size histogram.
     "q165_cluster_sizes" ->
-      s"""WITH RECURSIVE pairs AS (
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (
          |$minhashOracle
          |),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r
-         |  JOIN edges e ON r.dst = e.src
-         |  WHERE e.dst <> r.src),
-         |lab AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |  FROM reach GROUP BY src),
+         |${closureCtes("pairs")},
          |sizes AS (
          |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
          |  FROM lab GROUP BY 1)
@@ -4408,7 +4370,7 @@ object SparkEntry {
     "q170_novelty_curve" ->
       s"""WITH nd AS (
          |  SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
-         |sh AS (
+         |sh AS MATERIALIZED (
          |  SELECT DISTINCT doc_id,
          |         unnest(list_transform(range(1, len(w) - 1),
          |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
@@ -4458,22 +4420,10 @@ object SparkEntry {
     // (doc is its cluster's min id); canonical source looked up via the
     // cluster key.
     "q173_dedup_survivorship" ->
-      s"""WITH RECURSIVE pairs AS (
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (
          |$minhashOracle
          |),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r
-         |  JOIN edges e ON r.dst = e.src
-         |  WHERE e.dst <> r.src),
-         |lab AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |  FROM reach GROUP BY src),
+         |${closureCtes("pairs")},
          |keyed AS (
          |  SELECT d.doc_id, d.source,
          |         COALESCE(l.cluster_id, d.doc_id) AS ckey,
@@ -4560,7 +4510,7 @@ object SparkEntry {
     // coverage kept for zero-dup docs (left join, coalesce 0).
     "q177_quality_dup_interaction" ->
       s"""WITH $cdcChunksOracle,
-         |ch AS (
+         |ch AS MATERIALIZED (
          |  SELECT doc_id, md5(chunk) AS h, len(chunk) AS l
          |  FROM chunks WHERE chunk <> ''),
          |shared AS (
@@ -5182,16 +5132,16 @@ object SparkEntry {
     // count to per-node counts (each triangle credited to its three
     // corners) and integer coefficient deciles.
     "q206_clustering_coeff" ->
-      """WITH op AS (
+      """WITH op AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT DISTINCT a.pk AS u, b.pk AS v
         |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
-        |deg AS (
+        |deg AS MATERIALIZED (
         |  SELECT n, COUNT(*) AS d FROM (
         |    SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
         |  GROUP BY 1),
-        |o AS (
+        |o AS MATERIALIZED (
         |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
         |              THEN e.u ELSE e.v END AS src,
         |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
@@ -5199,12 +5149,12 @@ object SparkEntry {
         |  FROM edges e
         |  JOIN deg du ON du.n = e.u
         |  JOIN deg dv ON dv.n = e.v),
-        |od AS (SELECT o.src, o.dst, d.d AS dst_d FROM o JOIN deg d ON d.n = o.dst),
-        |w AS (
+        |od AS MATERIALIZED (SELECT o.src, o.dst, d.d AS dst_d FROM o JOIN deg d ON d.n = o.dst),
+        |w AS MATERIALIZED (
         |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
         |  FROM od e1 JOIN od e2 ON e1.src = e2.src
         |   AND (e1.dst_d < e2.dst_d OR (e1.dst_d = e2.dst_d AND e1.dst < e2.dst))),
-        |tri AS (
+        |tri AS MATERIALIZED (
         |  SELECT w.a, w.b, w.c FROM w JOIN o ON o.src = w.b AND o.dst = w.c),
         |tn AS (
         |  SELECT n, CAST(COUNT(*) AS BIGINT) AS tri FROM (
@@ -5379,22 +5329,10 @@ object SparkEntry {
     // q213: the q60 closure CTEs extended with the verified-pair census;
     // all counts integer.
     "q213_cluster_dilution" ->
-      s"""WITH RECURSIVE pairs AS (
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (
          |$minhashOracle
          |),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r
-         |  JOIN edges e ON r.dst = e.src
-         |  WHERE e.dst <> r.src),
-         |lab AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |  FROM reach GROUP BY src),
+         |${closureCtes("pairs")},
          |sizes AS (
          |  SELECT cluster_id, COUNT(*) AS k FROM lab
          |  GROUP BY 1 HAVING COUNT(*) >= 2),
@@ -5466,22 +5404,10 @@ object SparkEntry {
     // q218: the q60 closure supplies cluster ids; the hash rank is the
     // same 60-bit md5 integer on both sides.
     "q218_negative_samples" ->
-      s"""WITH RECURSIVE pairs AS (
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (
          |$minhashOracle
          |),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r
-         |  JOIN edges e ON r.dst = e.src
-         |  WHERE e.dst <> r.src),
-         |lab AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |  FROM reach GROUP BY src),
+         |${closureCtes("pairs")},
          |q AS (
          |  SELECT d.doc_id AS query_id, l.cluster_id AS qc
          |  FROM documents d LEFT JOIN lab l USING (doc_id)
@@ -5531,22 +5457,10 @@ object SparkEntry {
     // q220: each metric as a scalar CTE UNION ALL'd; near-dup docs via
     // the q60 closure.
     "q220_corpus_datasheet" ->
-      s"""WITH RECURSIVE pairs AS (
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (
          |$minhashOracle
          |),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r
-         |  JOIN edges e ON r.dst = e.src
-         |  WHERE e.dst <> r.src),
-         |lab AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |  FROM reach GROUP BY src),
+         |${closureCtes("pairs")},
          |nd0 AS (
          |  SELECT doc_id, $duckNorm AS norm, source, lang, n_chars
          |  FROM documents),
@@ -5815,7 +5729,7 @@ object SparkEntry {
     "q232_prefix_filter_dups" ->
       s"""WITH nd AS (
          |  SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
-         |sh AS (
+         |sh AS MATERIALIZED (
          |  SELECT DISTINCT doc_id,
          |         unnest(list_transform(range(1, len(w) - 1),
          |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
@@ -6332,22 +6246,10 @@ object SparkEntry {
     // recursive walk (verdict what's-wrong 3), in lockstep with the
     // Spark side's greedyGroupedPlacement composition.
     "q250_curation_pipeline" ->
-      s"""WITH RECURSIVE pairs AS (
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (
          |$minhashOracle
          |),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r
-         |  JOIN edges e ON r.dst = e.src
-         |  WHERE e.dst <> r.src),
-         |lab AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |  FROM reach GROUP BY src),
+         |${closureCtes("pairs")},
          |keepl AS (
          |  SELECT d.doc_id, COALESCE(l.doc_id = l.cluster_id, TRUE) AS kept
          |  FROM documents d LEFT JOIN lab l USING (doc_id)),
@@ -8026,7 +7928,7 @@ object SparkEntry {
     // census, triangles via the ordered a<b<c three-way join.
     "q305_dup_transitivity" ->
       s"""$minhashPairSql,
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs),
+         |edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs),
          |sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
          |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
          |wg AS (SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT)
@@ -8302,38 +8204,16 @@ object SparkEntry {
     // element-level B³ averaged as the cell-weighted sum (the per-doc
     // ratio is constant within a cell).
     "q318_bcubed_cluster_eval" ->
-      s"""WITH RECURSIVE mpairs AS (
+      s"""WITH RECURSIVE mpairs AS MATERIALIZED (
          |$minhashOracle
          |),
-         |spairs AS (
+         |spairs AS MATERIALIZED (
          |$simhashOracle
          |),
-         |medges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM mpairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM mpairs),
-         |sedges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM spairs WHERE hamming <= 1
-         |  UNION
-         |  SELECT doc_b, doc_a FROM spairs WHERE hamming <= 1),
-         |mreach(src, dst) AS (
-         |  SELECT src, dst FROM medges
-         |  UNION
-         |  SELECT r.src, e.dst FROM mreach r
-         |  JOIN medges e ON r.dst = e.src
-         |  WHERE e.dst <> r.src),
-         |sreach(src, dst) AS (
-         |  SELECT src, dst FROM sedges
-         |  UNION
-         |  SELECT r.src, e.dst FROM sreach r
-         |  JOIN sedges e ON r.dst = e.src
-         |  WHERE e.dst <> r.src),
-         |mlab AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |  FROM mreach GROUP BY src),
-         |slab AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |  FROM sreach GROUP BY src),
+         |spairs1 AS (
+         |  SELECT doc_a, doc_b FROM spairs WHERE hamming <= 1),
+         |${closureCtes("mpairs", "m")},
+         |${closureCtes("spairs1", "s")},
          |assign AS (
          |  SELECT d.doc_id,
          |         COALESCE(m.cluster_id, d.doc_id) AS sys_id,
@@ -8341,7 +8221,7 @@ object SparkEntry {
          |  FROM documents d
          |  LEFT JOIN mlab m USING (doc_id)
          |  LEFT JOIN slab s USING (doc_id)),
-         |cells AS (
+         |cells AS MATERIALIZED (
          |  SELECT sys_id, gold_id, CAST(COUNT(*) AS BIGINT) AS i_cnt
          |  FROM assign GROUP BY 1, 2),
          |cs AS (SELECT sys_id, CAST(SUM(i_cnt) AS BIGINT) AS c_cnt
@@ -8370,38 +8250,16 @@ object SparkEntry {
     // final ratio is the q291 exact-BIGINT-operands /
     // one-double-division / FLOOR discipline.
     "q326_adjusted_rand" ->
-      s"""WITH RECURSIVE mpairs AS (
+      s"""WITH RECURSIVE mpairs AS MATERIALIZED (
          |$minhashOracle
          |),
-         |spairs AS (
+         |spairs AS MATERIALIZED (
          |$simhashOracle
          |),
-         |medges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM mpairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM mpairs),
-         |sedges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM spairs WHERE hamming <= 1
-         |  UNION
-         |  SELECT doc_b, doc_a FROM spairs WHERE hamming <= 1),
-         |mreach(src, dst) AS (
-         |  SELECT src, dst FROM medges
-         |  UNION
-         |  SELECT r.src, e.dst FROM mreach r
-         |  JOIN medges e ON r.dst = e.src
-         |  WHERE e.dst <> r.src),
-         |sreach(src, dst) AS (
-         |  SELECT src, dst FROM sedges
-         |  UNION
-         |  SELECT r.src, e.dst FROM sreach r
-         |  JOIN sedges e ON r.dst = e.src
-         |  WHERE e.dst <> r.src),
-         |mlab AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |  FROM mreach GROUP BY src),
-         |slab AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |  FROM sreach GROUP BY src),
+         |spairs1 AS (
+         |  SELECT doc_a, doc_b FROM spairs WHERE hamming <= 1),
+         |${closureCtes("mpairs", "m")},
+         |${closureCtes("spairs1", "s")},
          |assign AS (
          |  SELECT d.doc_id,
          |         COALESCE(m.cluster_id, d.doc_id) AS sys_id,
@@ -8409,7 +8267,7 @@ object SparkEntry {
          |  FROM documents d
          |  LEFT JOIN mlab m USING (doc_id)
          |  LEFT JOIN slab s USING (doc_id)),
-         |cells AS (
+         |cells AS MATERIALIZED (
          |  SELECT sys_id, gold_id, CAST(COUNT(*) AS BIGINT) AS i_cnt
          |  FROM assign GROUP BY 1, 2),
          |i AS (SELECT CAST(SUM(i_cnt * (i_cnt - 1) // 2) AS BIGINT)
@@ -8439,7 +8297,7 @@ object SparkEntry {
       s"""WITH v AS (
          |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
          |  FROM embeddings),
-         |exq AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < 10),
+         |exq AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < $rankAuditQ),
          |excos AS (
          |  SELECT qv.query_id, nv.vec_id AS neighbor_id, $duckCos AS cos
          |  FROM exq qv, v nv WHERE nv.vec_id <> qv.query_id),
@@ -8449,7 +8307,7 @@ object SparkEntry {
          |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
          |      AS er
          |    FROM excos)
-         |  WHERE er <= 5),
+         |  WHERE er <= $rankAuditK),
          |n AS (SELECT vec_id, label, e,
          |        sqrt(list_dot_product(e, e)) AS nrm FROM v),
          |seeds AS (SELECT label AS slabel0, MIN(vec_id) AS svid
@@ -8467,7 +8325,7 @@ object SparkEntry {
          |assigned AS (SELECT vec_id, slabel FROM ranks WHERE rn = 1),
          |probeset AS (
          |  SELECT vec_id AS query_id, slabel FROM ranks
-         |  WHERE rn <= 2 AND vec_id < 10),
+         |  WHERE rn <= $rankAuditP AND vec_id < $rankAuditQ),
          |cand AS (
          |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
          |  FROM probeset p JOIN assigned a ON a.slabel = p.slabel
@@ -8484,7 +8342,7 @@ object SparkEntry {
          |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
          |      AS ar
          |    FROM acos)
-         |  WHERE ar <= 5),
+         |  WHERE ar <= $rankAuditK),
          |hits AS (
          |  SELECT a.query_id, a.ar,
          |         CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END
@@ -8493,7 +8351,7 @@ object SparkEntry {
          |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id),
          |apq AS (
          |  SELECT query_id,
-         |         CAST(SUM(hit * (cum * 1000000 // ar)) // 5 AS BIGINT)
+         |         CAST(SUM(hit * (cum * 1000000 // ar)) // $rankAuditK AS BIGINT)
          |           AS ap_ppm
          |  FROM (SELECT query_id, ar, hit,
          |          SUM(hit) OVER (PARTITION BY query_id ORDER BY ar ASC
@@ -8507,7 +8365,7 @@ object SparkEntry {
          |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id),
          |grid AS (
          |  SELECT DISTINCT e.query_id, d.d
-         |  FROM exact e CROSS JOIN (SELECT unnest(range(1, 6)) AS d) d),
+         |  FROM exact e CROSS JOIN (SELECT unnest(range(1, $rankAuditK + 1)) AS d) d),
          |ov AS (
          |  SELECT g.query_id, g.d,
          |         CAST(SUM(CASE WHEN mt.md IS NOT NULL AND mt.md <= g.d
@@ -8520,7 +8378,7 @@ object SparkEntry {
          |           // (d * CAST(power(10, d - 1) AS BIGINT))) // 10
          |           AS BIGINT) AS rbo_ppm
          |  FROM ov GROUP BY 1)
-         |SELECT 'ivf' AS method, a.query_id, CAST(5 AS BIGINT) AS k,
+         |SELECT 'ivf' AS method, a.query_id, CAST($rankAuditK AS BIGINT) AS k,
          |       a.ap_ppm, r.rbo_ppm
          |FROM apq a JOIN rboq r USING (query_id)
          |ORDER BY query_id""".stripMargin,
@@ -8678,22 +8536,10 @@ object SparkEntry {
     // q329: the q60 closure + cluster sizes, 1/|cluster| weights in
     // exact ppm, per-source mass census.
     "q329_dup_weighted_mass" ->
-      s"""WITH RECURSIVE pairs AS (
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (
          |$minhashOracle
          |),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r
-         |  JOIN edges e ON r.dst = e.src
-         |  WHERE e.dst <> r.src),
-         |lab AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |  FROM reach GROUP BY src),
+         |${closureCtes("pairs")},
          |sizes AS (SELECT cluster_id, COUNT(*) AS csize
          |          FROM lab GROUP BY 1),
          |wdoc AS (
@@ -8717,10 +8563,10 @@ object SparkEntry {
          |  FROM documents),
          |idx AS (SELECT doc_id, lang, w,
          |          unnest(generate_series(1, len(w)-1)) AS i FROM t),
-         |bg AS (SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2 FROM idx),
+         |bg AS MATERIALIZED (SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2 FROM idx),
          |docbg AS (SELECT doc_id, lang, w1, w2, COUNT(*) AS m
          |          FROM bg GROUP BY 1, 2, 3, 4),
-         |c AS (SELECT lang, w1, w2, COUNT(*) AS cnt FROM bg
+         |c AS MATERIALIZED (SELECT lang, w1, w2, COUNT(*) AS cnt FROM bg
          |      GROUP BY 1, 2, 3),
          |ctx AS (SELECT lang, w1, CAST(SUM(cnt) AS BIGINT) AS ctx_cnt
          |        FROM c GROUP BY 1, 2),
@@ -8737,23 +8583,11 @@ object SparkEntry {
          |         COALESCE(s.sum_ppm // s.n_bigrams, 0) AS v
          |  FROM (SELECT doc_id FROM documents) docs
          |  LEFT JOIN s ON docs.doc_id = s.doc_id),
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |$minhashOracle
          |),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r
-         |  JOIN edges e ON r.dst = e.src
-         |  WHERE e.dst <> r.src),
-         |lab AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |  FROM reach GROUP BY src),
-         |labeled AS (
+         |${closureCtes("pairs")},
+         |labeled AS MATERIALIZED (
          |  SELECT sc.v,
          |         CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END AS pos
          |  FROM sc LEFT JOIN (SELECT DISTINCT doc_id FROM lab) l
@@ -9323,7 +9157,7 @@ object SparkEntry {
     val (mins, bands) = minhashCtes
     s"""WITH nd AS (
        |  SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
-       |sh AS (
+       |sh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id,
        |         unnest(list_transform(range(1, len(w) - 1),
        |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
@@ -9332,13 +9166,13 @@ object SparkEntry {
        |  SELECT doc_id,
        |         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $MinhashP AS hb
        |  FROM sh),
-       |sig AS (
+       |sig AS MATERIALIZED (
        |  SELECT doc_id,
        |    $mins
        |  FROM based GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bands),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -9427,8 +9261,8 @@ object SparkEntry {
 
   private def pagerankConvergedOracleSql(iters: Int): String = {
     val head =
-      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |und AS (
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |und AS MATERIALIZED (
         |  SELECT DISTINCT a.pk AS u, b.pk AS v
         |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
         |dir AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
@@ -9546,12 +9380,12 @@ object SparkEntry {
         |t AS (
         |  SELECT prev_type, next_type, COUNT(*) AS c
         |  FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2),
-        |p AS (
+        |p AS MATERIALIZED (
         |  SELECT prev_type, next_type,
         |         CAST(c * 1000000
         |           // SUM(c) OVER (PARTITION BY prev_type) AS BIGINT) AS p_ppm
         |  FROM t),
-        |states AS (
+        |states AS MATERIALIZED (
         |  SELECT DISTINCT prev_type AS st FROM p
         |  UNION SELECT DISTINCT next_type FROM p),
         |it0 AS (
@@ -9582,19 +9416,19 @@ object SparkEntry {
     val head =
       s"""WITH nd AS (
          |  SELECT doc_id, str_split($duckNorm, ' ') AS w FROM documents),
-         |sh AS (
+         |sh AS MATERIALIZED (
          |  SELECT DISTINCT doc_id,
          |         unnest(list_transform(range(1, len(w) - 1),
          |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
          |  FROM nd WHERE len(w) >= 3),
-         |m AS (
+         |m AS MATERIALIZED (
          |  SELECT DISTINCT d.source, s.shingle
          |  FROM sh s JOIN documents d USING (doc_id)),
          |r1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS m
          |       FROM m GROUP BY 1),
-         |p1 AS (SELECT source, m FROM r1
+         |p1 AS MATERIALIZED (SELECT source, m FROM r1
          |       ORDER BY m DESC, source ASC LIMIT 1),
-         |c1 AS (SELECT DISTINCT m.shingle FROM m JOIN p1 USING (source))"""
+         |c1 AS MATERIALIZED (SELECT DISTINCT m.shingle FROM m JOIN p1 USING (source))"""
         .stripMargin
     val later = (2 to rounds).map { k =>
       val prevPicks = (1 until k)
@@ -9604,9 +9438,9 @@ object SparkEntry {
          |  FROM m ANTI JOIN c${k - 1} USING (shingle)
          |  WHERE m.source NOT IN ($prevPicks)
          |  GROUP BY 1),
-         |p$k AS (SELECT source, m FROM r$k
+         |p$k AS MATERIALIZED (SELECT source, m FROM r$k
          |        ORDER BY m DESC, source ASC LIMIT 1),
-         |c$k AS (SELECT shingle FROM c${k - 1}
+         |c$k AS MATERIALIZED (SELECT shingle FROM c${k - 1}
          |        UNION
          |        SELECT m.shingle FROM m JOIN p$k USING (source))"""
         .stripMargin

@@ -1294,7 +1294,14 @@ object Reports {
     *
     * Scale shape: one keyed per-user aggregation over the corpus, then
     * |buckets| rows of scalar reduces — the 100 TB cost is the single
-    * silver pass every calibration readout already pays. */
+    * silver pass every calibration readout already pays.
+    *
+    * Headroom: n_k·(f−o)² reaches N·10¹², past int64 above ~9.2M users
+    * per bucket — so the rel/res terms multiply and sum through
+    * decimal(38,0), matching DuckDB's HUGEINT SUM(BIGINT) promotion
+    * instead of wrapping silently where the oracle doesn't (round-11
+    * advice). Good to N ≈ 10²⁶ users; the reduce is |buckets| rows, so
+    * the decimal path costs nothing. */
   def brierDecomposition(silver: DataFrame): DataFrame = {
     val bounds = silver.agg(min(col("event_date")).as("lo"),
       max(col("event_date")).as("hi"))
@@ -1334,9 +1341,9 @@ object Reports {
         expr("total_ob * 1000000 div n_users").as("obar_ppm"))
     cells.crossJoin(broadcast(tot))
       .select(col("n_users"), col("n_buckets"), col("obar_ppm"),
-        (col("n_k") * (col("f_ppm") - col("o_ppm"))
+        (col("n_k").cast("decimal(38,0)") * (col("f_ppm") - col("o_ppm"))
           * (col("f_ppm") - col("o_ppm"))).as("rel_term"),
-        (col("n_k") * (col("o_ppm") - col("obar_ppm"))
+        (col("n_k").cast("decimal(38,0)") * (col("o_ppm") - col("obar_ppm"))
           * (col("o_ppm") - col("obar_ppm"))).as("res_term"))
       .groupBy(col("n_users"), col("n_buckets"), col("obar_ppm"))
       .agg(sum(col("rel_term")).as("rel_sum"),
@@ -1372,8 +1379,12 @@ object Reports {
     *
     * Positivity guard: strata with ê ∈ {0, 10⁶} carry no overlap and
     * are dropped on both engines (the q222 empty-frame discipline).
-    * Integer ranges: ê ≥ 10⁴ in any populated stratum ⇒ w ≤ 10⁵;
-    * w·y ≤ 10¹¹ per user — sums stay far inside 2⁶³.
+    * Integer ranges: w ≤ 10⁹ per user and w·y reaches 10¹⁵, so the
+    * Σw / Σw·y / Σy reduces run through decimal(38,0) — the same
+    * HUGEINT-matching headroom fix as [[brierDecomposition]]; int64
+    * sums would wrap past ~10⁴ heavy users per arm while DuckDB's
+    * promoted sums don't (round-11 advice). The reduce side is two
+    * rows, so the decimal path is free.
     *
     * Scale shape: one per-user reduce, one broadcast of the
     * |strata|-row propensity table, one keyed aggregation. */
@@ -1401,8 +1412,10 @@ object Reports {
           expr("1000000000 div e_ppm"))
         .otherwise(expr("1000000000 div (1000000 - e_ppm)")))
       .groupBy(col("t"))
-      .agg(count(lit(1)).as("n_users"), sum(col("y")).as("sy"),
-        sum(col("w")).as("sw"), sum(col("w") * col("y")).as("swy"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("w").cast("decimal(38,0)")).as("sw"),
+        sum(col("w").cast("decimal(38,0)") * col("y")).as("swy"))
       .select(col("t").cast("long").as("treated"),
         col("n_users").cast("long").as("n_users"),
         expr("sy * 1000 div n_users").cast("long").as("raw_mean_milli"),

@@ -30,7 +30,11 @@ import graft.core.Tables
   */
 object DupClusters {
 
-  val MaxIters = 20
+  // Convergence bound = component diameter + 1. Raised 20 -> 40 after the
+  // sf0.1 simhash h<=1 closure measured a 1288-member CHAINED component
+  // (diameter grows with corpus); rounds past convergence never run, so
+  // the raise costs nothing on well-behaved graphs.
+  val MaxIters = 40
 
   /** Connected components over undirected candidate pairs
     * `(doc_a, doc_b)`. Returns one row per member doc:
@@ -319,12 +323,17 @@ object DupClusters {
     * component kernel, same per-(session, dir) materialization
     * discipline. The reference keeps only hamming ≤ 1 matches (not
     * q28's full ≤ 3 set): an INDEPENDENT family at a high-precision
-    * threshold is what agreement against means something, and — the
-    * scale constraint — the ≤ 3 graph CHAINS (at sf0.1 one hamming
-    * component swallows 88% of the corpus; its transitive closure is
-    * |C|²-quadratic in any engine). Bounding the reference by match
-    * confidence keeps components small the same way the dedup blocks
-    * bound candidate pairs. */
+    * threshold is what agreement against means something, and the ≤ 3
+    * graph CHAINS outright (at sf0.1 one hamming component swallows 88%
+    * of the corpus). The ≤ 1 threshold only SLOWS that chaining, it
+    * does not bound it — measured components: max 5 members at sf0.01,
+    * max 1288 at sf0.1 (SCALE_GROWTH `simhash_h1_max_component`, a
+    * watch counter). That is exactly the union-find over-merge hazard
+    * the q213 dilution and q318/q326 agreement audits exist to measure,
+    * so it stays in the reference's semantics; the ENGINE cost is
+    * linear either way (label propagation is O(|E|·diameter) with
+    * checkpointed constant-size plans), and the oracle closure is
+    * materialized once per query. */
   private val simClusterCache = new graft.core.FrameMemo(4)
 
   val SimRefHammingMax = 1

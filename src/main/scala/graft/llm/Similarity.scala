@@ -1036,6 +1036,13 @@ object Similarity {
   def labelMargin(spark: SparkSession, dir: String): DataFrame =
     labelMargin(Tables.embeddings(spark, dir))
 
+  /** q319 eval frame, single-sourced into BOTH engines: the Spark
+    * defaults below and the oracle SQL literals in SparkEntry are all
+    * interpolated from these three values. */
+  val RankAuditQueries = 10
+  val RankAuditProbes = 2
+  val RankAuditK = 5
+
   /** q319: ORDER-SENSITIVE ranking-quality audit of the IVF index against
     * the exact brute-force ranking — the metrics a retrieval eval ships
     * beyond recall@k (q161 counts set overlap; two indexes with identical
@@ -1056,13 +1063,21 @@ object Similarity {
     * |queries|·k rows each — so the audit is constant-cost at any corpus
     * size; the depth grid is |queries|·k rows more. The expensive part
     * (the searches) is already bounded (bucketed IVF probes, broadcast
-    * query set). */
-  def rankQualityAudit(embeddings: DataFrame, numQueries: Int = 10,
-                       k: Int = 5): DataFrame = {
+    * query set).
+    *
+    * The q319 oracle SQL is generated from [[RankAuditQueries]] /
+    * [[RankAuditProbes]] / [[RankAuditK]] (round-11 advice: the literals
+    * used to be hand-inlined, so a non-default call here silently
+    * de-synced from the oracle); change the constants and both engines
+    * move together. */
+  def rankQualityAudit(embeddings: DataFrame,
+                       numQueries: Int = RankAuditQueries,
+                       k: Int = RankAuditK): DataFrame = {
     val exact = Caches.scratch(
       knnExact(embeddings, numQueries, k)
         .select(col("query_id"), col("rank").as("er"), col("neighbor_id")))
-    val approx = knnIvf(embeddings, numQueries, k = k)
+    val approx = knnIvf(embeddings, numQueries, probes = RankAuditProbes,
+      k = k)
       .select(col("query_id"), col("rank").as("ar"), col("neighbor_id"))
     // AP: the approximate list in rank order, hit = membership in the
     // exact top-k set; cumulative hits via a bounded per-query window.

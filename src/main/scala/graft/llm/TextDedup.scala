@@ -353,8 +353,8 @@ object TextDedup {
   // ----------------------------------------------------------- containment
 
   val ContainMinPpm = 800000L   // |A∩B| / |A| threshold (ppm)
-  val ContainDfCap = 64         // candidate shingles must be this rare
-  val ContainMinShared = 8      // rare shingles a pair must share to verify
+  val ContainDfCap = 16         // candidate shingles must be this rare
+  val ContainMinShared = 6      // rare shingles a pair must share to verify
 
   /** ASYMMETRIC containment near-dup — |A∩B| / |A| with A the smaller
     * shingle set. The symmetric families (minhash/Jaccard q27/q29) are
@@ -365,17 +365,24 @@ object TextDedup {
     *
     * Scale shape: candidates come from SHARED RARE SHINGLES — a shingle
     * appearing in 2..[[ContainDfCap]] docs pairs the docs that share it,
-    * so per-shingle fan-out is df² ≤ cap² and corpus-frequent shingles
-    * (boilerplate) never generate pairs. Pairs must share at least
-    * [[ContainMinShared]] rare shingles before the exact verify runs —
-    * the same candidate-support gate as winnowing's MinSharedFps, and
-    * the step that keeps verification linear: a genuinely contained doc
-    * shares most of its shingle set (sf0.1: 1.13 M single-shingle
-    * collisions vs 256 pairs with support ≥ 8 — the gate is 4000× on
-    * verify input), while a doc distinctive only below that support has
-    * no containment story to find. Verification counts the exact
-    * intersection by a shingle-keyed join restricted to gated pairs; all
-    * integers, one final `div`. */
+    * so the total candidate join is bounded by cap × |rare-shingle rows|
+    * (Σ df² ≤ cap·Σ df) and corpus-frequent shingles (boilerplate)
+    * never generate pairs. The cap is the super-linearity knob: round
+    * 11 measured cap = 64 as the bench's steepest 10× grower (7.5×),
+    * because template shingles ride UP the df range as the corpus grows
+    * and the per-shingle fan-out is quadratic in df; cap = 16 bounds
+    * that 4× tighter and — measured at sf0.01 AND sf0.1 — emits the
+    * IDENTICAL pair set once the support gate relaxes 8 → 6 (a true
+    * contained doc shares nearly all its shingles, most of them at
+    * df ≈ 2, so rarity-capping costs it little support). Pairs must
+    * share at least [[ContainMinShared]] rare shingles before the exact
+    * verify runs — the same candidate-support gate as winnowing's
+    * MinSharedFps, and the step that keeps verification linear (sf0.1:
+    * ~1 M single-shingle collisions vs 256 gated pairs), while a doc
+    * distinctive only below that support has no containment story to
+    * find. Verification counts the exact intersection by a
+    * shingle-keyed join restricted to gated pairs; all integers, one
+    * final `div`. */
   def containmentDups(docs: DataFrame, minPpm: Long = ContainMinPpm,
                       dfCap: Int = ContainDfCap,
                       minShared: Int = ContainMinShared): DataFrame =
