@@ -123,6 +123,50 @@ object ScaleGrowth {
         // adaptive subshard cap — bounded by 4·n_docs·(cap−1)/2
         pairSum(Multimodal.phashBands(docs), 2L, Long.MaxValue,
           "b", "bv", "sub")
+      },
+      // q322: sorted-neighborhood candidates — (window−1)·N by
+      // construction (block-edge truncation only shrinks it)
+      timedCount("snm_candidates") {
+        val keyed = TextDedup.normalized(docs).select(col("doc_id"),
+          substring(col("norm"), 1, 16).as("k"),
+          substring(col("norm"), 1, 2).as("blk"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("blk")).orderBy(col("k").asc, col("doc_id").asc)
+        val rn = Caches.scratch(
+          keyed.withColumn("rn", row_number().over(w))
+            .select(col("blk"), col("rn")))
+        rn.as("x").join(rn.as("y"),
+            col("x.blk") === col("y.blk") && col("y.rn") > col("x.rn")
+              && col("y.rn") <= col("x.rn") + 3)
+          .count()
+      },
+      // q323: Σ n·(n−1)/2 over (lang, length-band, adaptive subshard)
+      // blocks — the exact pair count the edit-distance verify pays
+      timedCount("edit_block_pairs") {
+        val meta = docs.select(col("doc_id"), col("lang"),
+          expr("n_chars div 64").as("band"))
+        val census = meta.groupBy(col("lang"), col("band"))
+          .agg(count(lit(1)).as("bdocs"))
+        val cap = graft.llm.FuzzyMatch.BlockCap
+        val keyed = meta.join(census, Seq("lang", "band"))
+          .withColumn("subshard",
+            conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+              .cast("long") % expr(s"(bdocs + ${cap - 1}) div $cap"))
+        pairSum(keyed, 2L, Long.MaxValue, "lang", "band", "subshard")
+      },
+      // q318/q326 watch counter: LARGEST simhash hamming≤1 component.
+      // Not a candidate volume — a merge-structure metric: hamming
+      // components CHAIN with corpus growth (5 → 1288 members for 10×
+      // docs), which is the union-find over-merge hazard the q213/q318
+      // audits quantify. Recorded so the drift is visible; excluded
+      // from the linear criterion (see `watch` below).
+      timedCount("simhash_h1_max_component") {
+        val pairs = TextDedup.simhashNearDups(docs)
+          .filter(col("hamming") <= graft.llm.DupClusters.SimRefHammingMax)
+          .select(col("doc_a"), col("doc_b"))
+        graft.llm.DupClusters.connectedComponents(pairs)
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("k"))
+          .agg(coalesce(max(col("k")), lit(0L))).head().getLong(0)
       })
   }
 
@@ -149,7 +193,18 @@ object ScaleGrowth {
       counts("n_docs") * EmbedDedup.NumBands * (EmbedDedup.MaxBandBucketDocs - 1) / 2,
     // 4 band postings per doc, each bucket subsharded to ≤ cap docs
     "phash_band_pairs" ->
-      counts("n_docs") * 4 * (Multimodal.MaxPhashBandDocs - 1) / 2)
+      counts("n_docs") * 4 * (Multimodal.MaxPhashBandDocs - 1) / 2,
+    // (window − 1) successors per row, blocks only truncate
+    "snm_candidates" -> counts("n_docs") * 3,
+    // per subshard ≤ cap docs → pairs ≤ n_docs·(cap−1)/2
+    "edit_block_pairs" ->
+      counts("n_docs") * (graft.llm.FuzzyMatch.BlockCap - 1) / 2)
+
+  /** Counters RECORDED but excluded from the linear criterion: structure
+    * metrics whose growth IS the measured hazard (not a candidate volume
+    * with a cap to hold). `simhash_h1_max_component` tracks hamming-
+    * closure chaining — the q213/q318 over-merge signal. */
+  private val watch = Set("simhash_h1_max_component")
 
   def main(args: Array[String]): Unit = {
     val (dirs, out) = {
@@ -169,10 +224,11 @@ object ScaleGrowth {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val keys = Seq("n_docs", "n_shingle_rows", "n_fp_rows", "minhash_cand",
       "ngram_block_pairs", "contain_rare_collisions", "contain_gated",
-      "winnow_collisions", "embed_cand", "cdc_chunks", "phash_band_pairs")
+      "winnow_collisions", "embed_cand", "cdc_chunks", "phash_band_pairs",
+      "snm_candidates", "edit_block_pairs", "simhash_h1_max_component")
     // bound at EVERY point, judged at the largest (the saturated regime)
     val lastBounds = capBound(last)
-    def ok(k: String): Boolean = lastBounds.get(k) match {
+    def ok(k: String): Boolean = if (watch(k)) true else lastBounds.get(k) match {
       // capped family: the scale claim is the cap-derived linear bound
       case Some(bound) => last(k) <= bound
       // uncapped family: growth within 2x of doc growth (slack covers
@@ -185,8 +241,9 @@ object ScaleGrowth {
       val ratio = if (first(k) == 0L) -1.0 else last(k).toDouble / first(k)
       val boundPart =
         lastBounds.get(k).map(v => s""","bound_last":$v""").getOrElse("")
+      val verdict = if (watch(k)) """"watch":true""" else s""""linear":${ok(k)}"""
       s""""$k":{"vals":${vals.mkString("[", ",", "]")},""" +
-        s""""ratio":${num(ratio)}$boundPart,"linear":${ok(k)}}"""
+        s""""ratio":${num(ratio)}$boundPart,$verdict}"""
     }
     val line =
       s"""{"dirs":${dirs.map(d => "\"" + d + "\"").mkString("[", ",", "]")},""" +

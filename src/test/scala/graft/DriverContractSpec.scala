@@ -44,6 +44,59 @@ class DriverContractSpec extends AnyFunSuite {
     }
   }
 
+  // Round-11 postmortem: q318/q326 each embedded TWO hand-written
+  // recursive closures over two inlined dedup pipelines; DuckDB re-ran
+  // the pipelines per CTE reference and per recursive iteration, and the
+  // end-of-round gate died on the compounded cost (186-217 s per query
+  // at sf0.1 for ~5 s of real work). Every closure must now come from
+  // SparkEntry.closureCtes, whose edges/lab are AS MATERIALIZED.
+  test("oracle closures all use the single materialized builder") {
+    val closureDef = """(\w*)reach\(src, dst\) AS \(""".r
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      val recursives = "WITH RECURSIVE".r.findAllIn(sql).size
+      assert(recursives <= 1,
+        s"$k: $recursives WITH RECURSIVE blocks — single-WITH queries only")
+      closureDef.findAllMatchIn(sql).map(_.group(1)).foreach { p =>
+        assert(sql.contains(s"${p}edges AS MATERIALIZED ("),
+          s"$k: closure '${p}reach' without a materialized ${p}edges — " +
+            "use SparkEntry.closureCtes")
+        assert(sql.contains(s"${p}lab AS MATERIALIZED ("),
+          s"$k: closure '${p}reach' without a materialized ${p}lab — " +
+            "use SparkEntry.closureCtes")
+      }
+    }
+  }
+
+  // Round-11 postmortem, part 2: 47 queries landed AFTER the round's
+  // final verify/bench artifacts ran, so the round closed with a surface
+  // its artifacts never measured. ROUNDCHECK.json (tools/roundcheck.py)
+  // records the md5 of the query surface it verified; this law makes a
+  // query-surface change without a roundcheck re-run turn `sbt test`
+  // red — artifacts are now structurally last.
+  test("ROUNDCHECK.json covers the live query surface") {
+    val f = new java.io.File("ROUNDCHECK.json")
+    assert(f.exists,
+      "ROUNDCHECK.json missing — run tools/roundcheck.py")
+    val txt = {
+      val src = scala.io.Source.fromFile(f)
+      try src.mkString finally src.close()
+    }
+    def field(name: String): String =
+      (s""""$name":\\s*("[^"]*"|true|false|[0-9.]+)""").r
+        .findFirstMatchIn(txt)
+        .map(_.group(1).stripPrefix("\"").stripSuffix("\""))
+        .getOrElse(fail(s"ROUNDCHECK.json lacks $name"))
+    val names = SparkEntry.queries.keys.toSeq.sorted.mkString("\n")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(names.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(field("query_md5") === md5,
+      "ROUNDCHECK.json was generated for a DIFFERENT query surface — " +
+        "re-run tools/roundcheck.py (--incremental for new queries)")
+    assert(field("ok") === "true",
+      "last roundcheck run failed (verify fails or budget exceeded) — " +
+        "see ROUNDCHECK.json")
+  }
+
   test("entry() returns rows on the smoke scale factor") {
     val spark = graft.core.Sessions.local(4, "graft-contract")
     assert(SparkEntry.entry(spark).count() > 0)
