@@ -887,6 +887,13 @@ object SparkEntry {
     // ---- successive-halving tuning of the LM keep-threshold ----
     "q331_successive_halving"  -> ((s, d) =>
       Curation.successiveHalvingFilter(s, d)),
+    // ---- Pickands tail-index audit of doc-length per language ----
+    "q332_tail_index"          -> ((s, d) => TextStats.tailIndexAudit(s, d)),
+    // ---- cross-source bigram-LM transfer matrix ----
+    "q333_lm_transfer_matrix"  -> ((s, d) => Curation.lmTransferMatrix(s, d)),
+    // ---- MinHash pair precision under 5-word shingles ----
+    "q334_dedup_precision_strict" -> ((s, d) =>
+      TextDedup.dedupPrecisionStrict(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -8713,6 +8720,123 @@ object SparkEntry {
          |       t IN (SELECT t FROM k3)
          |FROM r3f
          |ORDER BY round ASC, threshold_ppm ASC""".stripMargin,
+    // q332: the value-domain order-statistic trick (q293/q330 midranks)
+    // — per-(lang, len) census, cumulative window over len DESC, rank
+    // rₖ lands in the length whose [f, f+c) range covers it; one
+    // integer div closes it out. Degenerate-gap langs drop via WHERE.
+    "q332_tail_index" ->
+      s"""WITH t AS (
+         |  SELECT lang, CAST(len(str_split($duckNorm, ' ')) AS BIGINT) AS l
+         |  FROM documents),
+         |vc AS (SELECT lang, l, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM t GROUP BY 1, 2),
+         |n AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM vc GROUP BY 1),
+         |cum AS (
+         |  SELECT vc.lang, vc.l, vc.c,
+         |         COALESCE(SUM(vc.c) OVER (PARTITION BY vc.lang
+         |           ORDER BY vc.l DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS f,
+         |         (n.n + 63) // 64 AS r1, (n.n + 31) // 32 AS r2,
+         |         (n.n + 15) // 16 AS r4, n.n AS n
+         |  FROM vc JOIN n USING (lang)),
+         |q AS (
+         |  SELECT lang, n,
+         |         MAX(CASE WHEN f < r1 AND r1 <= f + c THEN l END) AS x1,
+         |         MAX(CASE WHEN f < r2 AND r2 <= f + c THEN l END) AS x2,
+         |         MAX(CASE WHEN f < r4 AND r4 <= f + c THEN l END) AS x4
+         |  FROM cum GROUP BY 1, 2)
+         |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+         |       CAST(x1 AS BIGINT) AS tail_q64_len,
+         |       CAST(x2 AS BIGINT) AS tail_q32_len,
+         |       CAST(x4 AS BIGINT) AS tail_q16_len,
+         |       CAST((x1 - x2) * 1000000 // (x2 - x4) AS BIGINT)
+         |         AS pickands_ratio_ppm
+         |FROM q WHERE x1 > x2 AND x2 > x4 ORDER BY lang ASC""".stripMargin,
+    // q333: the q270 bigram/split machinery per train source — MLE
+    // p_ppm (q133 law), unseen val bigrams score 0 but stay in the
+    // denominator (q330 COALESCE convention), |S|² grid via CROSS JOIN.
+    "q333_lm_transfer_matrix" ->
+      s"""WITH d AS (
+         |  SELECT source, lang, str_split($duckNorm, ' ') AS w,
+         |    CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80 THEN 'train'
+         |         WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |idx AS (SELECT split, source, lang, w,
+         |          unnest(generate_series(1, len(w)-1)) AS i FROM d),
+         |bg AS MATERIALIZED (
+         |  SELECT split, source, lang, w[i] AS w1, w[i+1] AS w2,
+         |         CAST(COUNT(*) AS BIGINT) AS m
+         |  FROM idx GROUP BY 1, 2, 3, 4, 5),
+         |counts AS (SELECT source AS train_source, lang, w1, w2, m AS cnt
+         |           FROM bg WHERE split = 'train'),
+         |ctx AS (SELECT train_source, lang, w1,
+         |          CAST(SUM(cnt) AS BIGINT) AS ctx_cnt
+         |        FROM counts GROUP BY 1, 2, 3),
+         |lm AS MATERIALIZED (
+         |  SELECT c.train_source, c.lang, c.w1, c.w2,
+         |         c.cnt * 1000000 // ctx.ctx_cnt AS p_ppm
+         |  FROM counts c JOIN ctx ON ctx.train_source = c.train_source
+         |    AND ctx.lang = c.lang AND ctx.w1 = c.w1),
+         |ev AS MATERIALIZED (SELECT source AS eval_source, lang, w1, w2, m
+         |      FROM bg WHERE split = 'val'),
+         |evtot AS (SELECT eval_source, CAST(SUM(m) AS BIGINT) AS n_bigrams
+         |          FROM ev GROUP BY 1),
+         |scored AS (
+         |  SELECT lm.train_source, ev.eval_source,
+         |         CAST(SUM(ev.m) AS BIGINT) AS m_cov,
+         |         CAST(SUM(ev.m * lm.p_ppm) AS BIGINT) AS sp
+         |  FROM ev JOIN lm ON lm.lang = ev.lang AND lm.w1 = ev.w1
+         |    AND lm.w2 = ev.w2
+         |  GROUP BY 1, 2)
+         |SELECT g.train_source, g.eval_source, g.n_bigrams,
+         |       CAST(COALESCE(s.m_cov, 0) * 1000000 // g.n_bigrams
+         |         AS BIGINT) AS covered_ppm,
+         |       CAST(COALESCE(s.sp, 0) // g.n_bigrams AS BIGINT)
+         |         AS mean_p_ppm
+         |FROM (SELECT t.train_source, e.eval_source, e.n_bigrams
+         |      FROM (SELECT DISTINCT train_source FROM lm) t
+         |      CROSS JOIN evtot e) g
+         |LEFT JOIN scored s ON s.train_source = g.train_source
+         |  AND s.eval_source = g.eval_source
+         |ORDER BY g.train_source ASC, g.eval_source ASC""".stripMargin,
+    // q334: the q27 pair chain + a 5-word re-shingle of PAIR MEMBERS
+    // only (semi-join before unnest), exact j5 ppm, 10-bucket census.
+    "q334_dedup_precision_strict" ->
+      s"""$minhashPairSql,
+         |mem AS (SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_a AS doc_id FROM pairs
+         |    UNION ALL SELECT doc_b FROM pairs)),
+         |nd5 AS (SELECT d.doc_id, str_split($duckNorm, ' ') AS w
+         |        FROM documents d JOIN mem USING (doc_id)),
+         |sh5 AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(1, len(w) - 3),
+         |                i -> array_to_string(w[i:i+4], ' '))) AS shingle
+         |  FROM nd5 WHERE len(w) >= 5),
+         |sz5 AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM sh5 GROUP BY 1),
+         |i5 AS (
+         |  SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS i5
+         |  FROM pairs p
+         |  JOIN sh5 sa ON sa.doc_id = p.doc_a
+         |  JOIN sh5 sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |         COALESCE(i.i5, 0) * 1000000
+         |           // (sa.n + sb.n - COALESCE(i.i5, 0)) AS j5_ppm
+         |  FROM pairs p
+         |  LEFT JOIN i5 i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |  JOIN sz5 sa ON sa.doc_id = p.doc_a
+         |  JOIN sz5 sb ON sb.doc_id = p.doc_b)
+         |SELECT CAST(LEAST(9, j5_ppm // 100000) AS BIGINT) AS j5_decile,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       CAST(SUM(CASE WHEN j5_ppm >= 800000 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_strict,
+         |       CAST(SUM(j5_ppm) // COUNT(*) AS BIGINT) AS mean_j5_ppm
+         |FROM j GROUP BY 1 ORDER BY j5_decile ASC""".stripMargin,
     // q321: per-(user, type) activity spans in exact epoch micros; the
     // CASE ladder is the same fixed branch order as the Spark side.
     "q321_allen_relations" ->

@@ -1507,4 +1507,71 @@ object Curation {
         col("survived"))
       .orderBy(col("round").asc, col("threshold_ppm").asc)
   }
+
+  /** q333: CROSS-SOURCE LM TRANSFER MATRIX — train the q133 bigram MLE
+    * LM on each source's TRAIN split and score every source's VAL-split
+    * bigram mass with it: the |S|×|S| matrix of "how well does source
+    * i's language model explain source j". The row-wise structure is the
+    * data-driven complement to the distributional distances (q292 TV,
+    * q324 Wasserstein): two sources can share a word histogram yet
+    * transfer poorly (different collocations), and a mixture designer
+    * deciding whether source i substitutes for scarce source j needs the
+    * transfer number, not the marginal one. The q263/q270 split
+    * discipline (deterministic md5 80/10/10) keeps the diagonal honest —
+    * it is train→val generalization, not memorization of the same rows.
+    *
+    * Exact integers: the per-LM probability is q133's law
+    * (cnt·10⁶ div ctx_cnt); a val bigram unseen by that LM scores 0 but
+    * stays in the denominator (the q330 COALESCE convention), so
+    * `mean_p_ppm = Σ m·p_ppm div Σ m` over the eval source's full val
+    * mass and `covered_ppm` reports the seen share.
+    *
+    * Scale shape: one bigram census feeds both sides (scratch); each
+    * LM is that source's vocab²-bounded count frame; the scoring join is
+    * keyed on (lang, w1, w2) and fans out only to the train sources that
+    * actually contain the bigram; the matrix reduce is |S|² rows. */
+  def lmTransferMatrix(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val d = withSplit(docs)
+      .select(col("source"), col("lang"), split(norm, " ").as("w"),
+        col("split"))
+    val bg = graft.core.Caches.scratch(d
+      .select(col("split"), col("source"), col("lang"), explode(expr(
+        "transform(slice(w, 1, size(w)-1), (x, i) -> " +
+          "struct(x AS w1, element_at(w, i+2) AS w2))")).as("p"))
+      .groupBy(col("split"), col("source"), col("lang"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("m")))
+    val counts = bg.filter(col("split") === "train")
+      .select(col("source").as("train_source"), col("lang"),
+        col("w1"), col("w2"), col("m").as("cnt"))
+    val ctx = counts.groupBy(col("train_source"), col("lang"), col("w1"))
+      .agg(sum(col("cnt")).as("ctx_cnt"))
+    val lm = graft.core.Caches.scratch(
+      counts.join(ctx, Seq("train_source", "lang", "w1"))
+        .select(col("train_source"), col("lang"), col("w1"), col("w2"),
+          expr("cnt * 1000000 div ctx_cnt").as("p_ppm")))
+    val ev = graft.core.Caches.scratch(bg.filter(col("split") === "val")
+      .select(col("source").as("eval_source"), col("lang"),
+        col("w1"), col("w2"), col("m")))
+    val evTot = ev.groupBy(col("eval_source"))
+      .agg(sum(col("m")).as("n_bigrams"))
+    val scored = ev.join(lm, Seq("lang", "w1", "w2"))
+      .groupBy(col("train_source"), col("eval_source"))
+      .agg(sum(col("m")).as("m_cov"),
+        sum(col("m") * col("p_ppm")).as("sp"))
+    lm.select(col("train_source")).distinct()
+      .crossJoin(evTot)
+      .join(scored, Seq("train_source", "eval_source"), "left")
+      .select(col("train_source"), col("eval_source"),
+        col("n_bigrams").cast("long").as("n_bigrams"),
+        expr("coalesce(m_cov, 0) * 1000000 div n_bigrams").cast("long")
+          .as("covered_ppm"),
+        expr("coalesce(sp, 0) div n_bigrams").cast("long")
+          .as("mean_p_ppm"))
+      .orderBy(col("train_source").asc, col("eval_source").asc)
+  }
+
+  def lmTransferMatrix(spark: SparkSession, dir: String): DataFrame =
+    lmTransferMatrix(Tables.documents(spark, dir))
 }

@@ -1384,4 +1384,58 @@ object TextDedup {
           " div (n_docs * (n_docs - 1) div 2)")
           .cast("long").as("reduction_ppm"))
   }
+
+  /** q334: FAMILY-PRECISION audit of the q27 MinHash pair set against a
+    * STRICTER lexical definition — every accepted pair re-verified at
+    * 5-word shingles (Jaccard is k-sensitive: wider shingles demand
+    * longer exact runs, so j₅ < j₃ whenever similarity comes from
+    * reshuffled short phrases rather than shared passages). The census
+    * buckets pairs by their exact j₅ decile and counts how many survive
+    * the same 0.8 bar — the number a curation team quotes as "pair
+    * precision under a stricter reviewer" when no labeled dup set
+    * exists, and the k-sensitivity complement to the q308 signature-K
+    * sweep (which varies the HASH budget, not the DEFINITION).
+    *
+    * Scale shape: the pair set is candidate-sized, so the 5-shingle pass
+    * runs over PAIR MEMBERS only (semi-join before exploding — the
+    * corpus never re-shingles for this audit); intersection is the
+    * shingle-keyed join restricted to pairs; the census is ≤ 10 rows.
+    * Exact integers: j₅ in ppm from intersection/union counts, decile =
+    * j₅_ppm div 10⁵. Pairs whose members are shorter than 5 words have
+    * no 5-shingle set to verify against and are dropped on both
+    * engines (inner size join). */
+  def dedupPrecisionStrict(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.core.Caches.scratch(
+      minhashNearDups(spark, dir).select(col("doc_a"), col("doc_b")))
+    val members = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sh5 = graft.core.Caches.scratch(
+      shingles(Tables.documents(spark, dir).join(members, Seq("doc_id")), 5))
+    val sizes = sh5.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh5.select(col("doc_id").as("doc_a"), col("shingle")),
+        Seq("doc_a"))
+      .join(sh5.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i5"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .withColumn("j5_ppm", expr(
+        "coalesce(i5, 0L) * 1000000 div (na + nb - coalesce(i5, 0L))"))
+      .withColumn("j5_decile", least(lit(9L), expr("j5_ppm div 100000")))
+      .groupBy(col("j5_decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("j5_ppm") >= 800000L).cast("long")).as("n_strict"),
+        expr("sum(j5_ppm) div count(1)").as("mean_j5_ppm"))
+      .select(col("j5_decile").cast("long").as("j5_decile"),
+        col("n_pairs").cast("long").as("n_pairs"),
+        col("n_strict").cast("long").as("n_strict"),
+        col("mean_j5_ppm").cast("long").as("mean_j5_ppm"))
+      .orderBy(col("j5_decile").asc)
+  }
 }

@@ -2183,4 +2183,59 @@ object TextStats {
 
   def sourceWassersteinMatrix(spark: SparkSession, dir: String): DataFrame =
     sourceWassersteinMatrix(Tables.documents(spark, dir))
+
+  /** q332: PICKANDS-STYLE heavy-tail index audit of per-document token
+    * length, per language — the shard-planning instrument the length
+    * censuses (q154 buckets, q176 weighted percentiles) lack: how FAT is
+    * the tail, not where it is. Pickands (1975) reads the tail index ξ
+    * off three upper order statistics; here the 1/64, 1/32 and 1/16 tail
+    * quantiles x₁ ≥ x₂ ≥ x₄ give ξ = log₂((x₁−x₂)/(x₂−x₄)). A ratio
+    * around 10⁶ ppm (ξ ≈ 0) is exponential-tailed; materially above it
+    * is power-law territory, where P99-length stragglers dominate packed
+    * shards and a token-budget packer (q94/q107) needs a long-doc split
+    * rule. The gate carries the exact integer ratio in ppm (ξ is the
+    * analyst's one log away — a cross-engine libm log would risk 1-ulp
+    * hash drift for zero information gain).
+    *
+    * Exact integers throughout: order statistics are computed on the
+    * per-(lang, len) VALUE-DOMAIN census (the q293/q330 midrank trick —
+    * cumulative counts over distinct lengths, never a corpus-wide rank
+    * window), rank rₖ = ceil(n/64·k) lands in the length whose
+    * cumulative range covers it, and the readout is one integer div.
+    * Languages where tail ties make a gap collapse (x₁ = x₂ or
+    * x₂ = x₄, inevitable at tiny n) emit no row on both engines. */
+  def tailIndexAudit(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("lang"),
+      size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+        .cast("long").as("len"))
+    val vc = t.groupBy(col("lang"), col("len")).agg(count(lit(1)).as("c"))
+    val n = vc.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("len").desc)
+    val cum = vc
+      .withColumn("f", coalesce(sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(n, Seq("lang"))
+      .withColumn("r1", expr("(n + 63) div 64"))
+      .withColumn("r2", expr("(n + 31) div 32"))
+      .withColumn("r4", expr("(n + 15) div 16"))
+    cum.groupBy(col("lang"), col("n"))
+      .agg(
+        max(when(col("f") < col("r1") && col("r1") <= col("f") + col("c"),
+          col("len"))).as("x1"),
+        max(when(col("f") < col("r2") && col("r2") <= col("f") + col("c"),
+          col("len"))).as("x2"),
+        max(when(col("f") < col("r4") && col("r4") <= col("f") + col("c"),
+          col("len"))).as("x4"))
+      .filter(col("x1") > col("x2") && col("x2") > col("x4"))
+      .select(col("lang"), col("n").cast("long").as("n_docs"),
+        col("x1").cast("long").as("tail_q64_len"),
+        col("x2").cast("long").as("tail_q32_len"),
+        col("x4").cast("long").as("tail_q16_len"),
+        expr("(x1 - x2) * 1000000 div (x2 - x4)").cast("long")
+          .as("pickands_ratio_ppm"))
+      .orderBy(col("lang").asc)
+  }
+
+  def tailIndexAudit(spark: SparkSession, dir: String): DataFrame =
+    tailIndexAudit(Tables.documents(spark, dir))
 }

@@ -1,0 +1,118 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.core.Tables
+
+/** q332 tail index, q333 LM transfer matrix, q334 strict-shingle
+  * precision: invariants + hand-computable fixtures. */
+class Round12OpsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  // ---------------------------------------------------- q332 tail index
+
+  test("tail index: exact order statistics on a hand-built length ladder") {
+    // one lang, 64 docs with token lengths 1..64: ranks from the top are
+    // r1 = ceil(64/64) = 1 -> len 64, r2 = 2 -> 63, r4 = 4 -> 61
+    val docs = (1 to 64).map { i =>
+      (i.toLong, "en", ("w " * i).trim, 2L * i, "src")
+    }.toDF("doc_id", "lang", "text", "n_chars", "source")
+    val out = TextStats.tailIndexAudit(docs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") === 64L)
+    assert(r.getAs[Long]("tail_q64_len") === 64L)
+    assert(r.getAs[Long]("tail_q32_len") === 63L)
+    assert(r.getAs[Long]("tail_q16_len") === 61L)
+    // (64-63)*1e6 div (63-61) = 500000 — ratio < 1e6 = thin tail
+    assert(r.getAs[Long]("pickands_ratio_ppm") === 500000L)
+  }
+
+  test("tail index: degenerate tail gaps emit no row") {
+    // all docs the same length -> x1 = x2 = x4 -> filtered
+    val docs = (1 to 40).map { i =>
+      (i.toLong, "en", "a b c d e", 9L, "src")
+    }.toDF("doc_id", "lang", "text", "n_chars", "source")
+    assert(TextStats.tailIndexAudit(docs).count() === 0)
+  }
+
+  test("tail index: per-lang rows on the real corpus, ratio positive") {
+    val out = TextStats.tailIndexAudit(Tables.documents(spark, sf))
+    out.collect().foreach { r =>
+      assert(r.getAs[Long]("tail_q64_len") > r.getAs[Long]("tail_q32_len"))
+      assert(r.getAs[Long]("tail_q32_len") > r.getAs[Long]("tail_q16_len"))
+      assert(r.getAs[Long]("pickands_ratio_ppm") > 0L)
+    }
+  }
+
+  // ------------------------------------------------ q333 transfer matrix
+
+  test("transfer matrix: full grid, diagonal strongest on disjoint vocab") {
+    // two sources with DISJOINT vocabularies: cross-source transfer must
+    // cover ~0 bigram mass while the diagonal covers what the val split
+    // shares with train. Many docs per source so 80/10/10 leaves both
+    // splits populated.
+    val docs = (1 to 200).map { i =>
+      val src = if (i % 2 == 0) "alpha" else "beta"
+      val text = if (i % 2 == 0) "aa bb cc dd aa bb" else "xx yy zz ww xx yy"
+      (i.toLong, "en", text, text.length.toLong, src)
+    }.toDF("doc_id", "lang", "text", "n_chars", "source")
+    val out = Curation.lmTransferMatrix(docs).collect()
+    val srcs = out.map(_.getAs[String]("train_source")).distinct.sorted
+    assert(srcs.toSeq === Seq("alpha", "beta"))
+    assert(out.length === 4, "grid must be |train| x |eval|")
+    val byKey = out.map(r => (r.getAs[String]("train_source"),
+      r.getAs[String]("eval_source")) -> r).toMap
+    Seq("alpha", "beta").foreach { s =>
+      val other = if (s == "alpha") "beta" else "alpha"
+      assert(byKey((s, s)).getAs[Long]("covered_ppm") === 1000000L,
+        "identical-template source must fully cover its own val split")
+      assert(byKey((s, other)).getAs[Long]("covered_ppm") === 0L,
+        "disjoint vocab must transfer zero")
+      assert(byKey((s, other)).getAs[Long]("mean_p_ppm") === 0L)
+    }
+  }
+
+  test("transfer matrix: mean_p_ppm never exceeds 1e6 on the real corpus") {
+    val out = Curation.lmTransferMatrix(Tables.documents(spark, sf))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("mean_p_ppm")
+      val cov = r.getAs[Long]("covered_ppm")
+      assert(p >= 0L && p <= 1000000L)
+      assert(cov >= 0L && cov <= 1000000L)
+      assert(p <= cov, "unseen bigrams score 0, so mean p <= covered share")
+    }
+  }
+
+  // ------------------------------------------ q334 strict-pair precision
+
+  test("strict precision: census counts the q27 pairs it bucketed") {
+    val out = TextDedup.dedupPrecisionStrict(spark, sf).collect()
+    val total = out.map(_.getAs[Long]("n_pairs")).sum
+    val pairs = TextDedup.minhashNearDups(spark, sf).count()
+    // inner size-join may only DROP pairs (members under 5 words)
+    assert(total <= pairs)
+    assert(total > 0, "sf0.001 corpus plants near-dups; census must see them")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_strict") <= r.getAs[Long]("n_pairs"))
+      val d = r.getAs[Long]("j5_decile")
+      assert(d >= 0L && d <= 9L)
+      // strict pairs only live in the >= 0.8 deciles
+      if (d < 8L) assert(r.getAs[Long]("n_strict") === 0L)
+    }
+  }
+
+  test("strict precision: an exact copy lands in decile 9 and passes") {
+    // j5(copy) = 1.0 regardless of shingle width — the strict re-verify
+    // must keep exact dups at decile 9 with n_strict counting them
+    val out = TextDedup.dedupPrecisionStrict(spark, sf)
+      .filter(col("j5_decile") === 9L).collect()
+    assert(out.nonEmpty, "corpus plants exact dups")
+    assert(out.head.getAs[Long]("n_strict") > 0L)
+    assert(out.head.getAs[Long]("mean_j5_ppm") >= 800000L)
+  }
+}
