@@ -894,6 +894,11 @@ object SparkEntry {
     // ---- MinHash pair precision under 5-word shingles ----
     "q334_dedup_precision_strict" -> ((s, d) =>
       TextDedup.dedupPrecisionStrict(s, d)),
+    // ---- pairwise quality-filter redundancy matrix ----
+    "q335_filter_overlap"      -> ((s, d) =>
+      TextStats.filterOverlapMatrix(s, d)),
+    // ---- IVF recall-vs-probe-budget tuning curve ----
+    "q336_ivf_probe_sweep"     -> ((s, d) => Similarity.ivfProbeSweep(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -1071,6 +1076,142 @@ object SparkEntry {
        |${p}lab AS MATERIALIZED (
        |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
        |  FROM ${p}reach GROUP BY src)""".stripMargin
+
+  /** Oracle for q335: per-doc q32-rubric + Gopher failure flags, one
+    * 36-sum aggregate, 28 pair rows generated from the SAME
+    * [[graft.llm.TextStats.FilterFlagNames]] list the Spark side uses. */
+  private def filterOverlapOracle: String = {
+    val names = graft.llm.TextStats.FilterFlagNames
+    val idx = names.indices
+    val sums = (idx.map(i => s"CAST(SUM(${names(i)}) AS BIGINT) AS s_$i") ++
+      (for { i <- idx; j <- idx if i < j }
+        yield s"CAST(SUM(${names(i)} * ${names(j)}) AS BIGINT) AS b_${i}_$j"))
+      .mkString(",\n  ")
+    val pairRows = (for { i <- idx; j <- idx if i < j } yield
+      s"SELECT '${names(i)}' AS flag_a, '${names(j)}' AS flag_b, n_docs, " +
+        s"s_$i AS n_fail_a, s_$j AS n_fail_b, b_${i}_$j AS n_both FROM agg")
+      .mkString("\n  UNION ALL ")
+    s"""WITH nq AS (SELECT doc_id, $duckNorm AS nrm FROM documents),
+       |qt AS (SELECT doc_id, nrm, str_split(nrm, ' ') AS wl FROM nq),
+       |qflags AS (
+       |  SELECT doc_id,
+       |    CAST(NOT (len(wl) BETWEEN 20 AND 1000) AS BIGINT) AS q_len,
+       |    CAST(len(list_filter(wl, x -> x IN ($duckStops))) = 0 AS BIGINT)
+       |      AS q_stop,
+       |    CAST(NOT (CAST(length(replace(nrm, ' ', '')) AS DOUBLE) / len(wl)
+       |        >= 2.0
+       |      AND CAST(length(replace(nrm, ' ', '')) AS DOUBLE) / len(wl)
+       |        <= 12.0) AS BIGINT) AS q_wordlen
+       |  FROM qt),
+       |w AS (SELECT doc_id, unnest(wl) AS word FROM qt),
+       |wc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+       |       FROM w GROUP BY 1, 2),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n,
+       |         CAST(COUNT(*) AS BIGINT) AS u,
+       |         CAST(MAX(cnt) AS BIGINT) AS maxc,
+       |         CAST(SUM(CASE WHEN word IN ($duckStops) THEN cnt ELSE 0 END)
+       |           AS BIGINT) AS stop_cnt,
+       |         CAST(SUM(length(word) * cnt) AS BIGINT) AS sumlen
+       |  FROM wc GROUP BY 1),
+       |gflags AS (
+       |  SELECT doc_id,
+       |         CAST(NOT (n BETWEEN 20 AND 100) AS BIGINT) AS g_word_count,
+       |         CAST(sumlen * 10 < n * 30 OR sumlen * 10 > n * 45
+       |           AS BIGINT) AS g_mean_word_len,
+       |         CAST(stop_cnt < 2 AS BIGINT) AS g_stopword_floor,
+       |         CAST(u * 1000000 // n < 400000 AS BIGINT) AS g_ttr_floor,
+       |         CAST(maxc * 1000000 // n > 120000 AS BIGINT)
+       |           AS g_dominance_cap
+       |  FROM perdoc),
+       |jf AS (SELECT q.*, g.g_word_count, g.g_mean_word_len,
+       |        g.g_stopword_floor, g.g_ttr_floor, g.g_dominance_cap
+       |      FROM qflags q JOIN gflags g USING (doc_id)),
+       |agg AS MATERIALIZED (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  $sums
+       |  FROM jf),
+       |pair_rows AS (
+       |  $pairRows)
+       |SELECT flag_a, flag_b, n_docs, n_fail_a, n_fail_b, n_both,
+       |       CAST(n_fail_a - n_both AS BIGINT) AS only_a,
+       |       CAST(n_fail_b - n_both AS BIGINT) AS only_b,
+       |       CAST(n_both * 1000000
+       |         // GREATEST(1, n_fail_a + n_fail_b - n_both) AS BIGINT)
+       |         AS overlap_jaccard_ppm
+       |FROM pair_rows ORDER BY flag_a ASC, flag_b ASC""".stripMargin
+  }
+
+  /** Oracle for q336: the q161 exact/seed-IVF machinery with the
+    * probe-set CTE unrolled per nprobe in
+    * [[graft.llm.Similarity.ProbeSweep]] (constants single-sourced, the
+    * q319 discipline). */
+  private def ivfProbeSweepOracle: String = {
+    val probes = graft.llm.Similarity.ProbeSweep
+    val per = probes.map { p =>
+      s"""cand$p AS (
+         |  SELECT DISTINCT pr.query_id, a.vec_id AS neighbor_id
+         |  FROM (SELECT vec_id AS query_id, slabel FROM ranks
+         |        WHERE rn <= $p AND vec_id < $rankAuditQ) pr
+         |  JOIN assigned a ON a.slabel = pr.slabel
+         |  WHERE a.vec_id <> pr.query_id),
+         |cos$p AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         list_dot_product(qv.e, nv.e) / (qv.nrm * nv.nrm) AS cos
+         |  FROM cand$p c
+         |  JOIN n qv ON qv.vec_id = c.query_id
+         |  JOIN n nv ON nv.vec_id = c.neighbor_id),
+         |top$p AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+         |      AS rn
+         |    FROM cos$p) WHERE rn <= $rankAuditK)""".stripMargin
+    }.mkString(",\n")
+    val rows = probes.map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS nprobe,
+         |       (SELECT COUNT(*) FROM etop) AS n_exact,
+         |       (SELECT COUNT(*) FROM top$p t JOIN etop e
+         |        ON e.query_id = t.query_id
+         |        AND e.neighbor_id = t.neighbor_id) AS n_hits""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings),
+       |n AS MATERIALIZED (SELECT vec_id, label, e,
+       |  sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       |eq AS (SELECT vec_id AS query_id, e, nrm FROM n
+       |       WHERE vec_id < $rankAuditQ),
+       |ecos AS (
+       |  SELECT q.query_id, x.vec_id AS neighbor_id,
+       |         list_dot_product(q.e, x.e) / (q.nrm * x.nrm) AS cos
+       |  FROM eq q, n x WHERE x.vec_id <> q.query_id),
+       |etop AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+       |      AS rn
+       |    FROM ecos) WHERE rn <= $rankAuditK),
+       |seeds AS (SELECT label AS slabel0, MIN(vec_id) AS svid
+       |          FROM v GROUP BY 1),
+       |sv AS (
+       |  SELECT s.slabel0 AS slabel, nn.e AS se, nn.nrm AS snrm
+       |  FROM seeds s JOIN n nn ON nn.vec_id = s.svid),
+       |ranks AS MATERIALIZED (
+       |  SELECT nn.vec_id, sv.slabel,
+       |         row_number() OVER (
+       |           PARTITION BY nn.vec_id
+       |           ORDER BY list_dot_product(nn.e, sv.se)
+       |             / (nn.nrm * sv.snrm) DESC, sv.slabel ASC) AS rn
+       |  FROM n nn, sv),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, slabel FROM ranks WHERE rn = 1),
+       |$per
+       |SELECT nprobe, CAST(n_exact AS BIGINT) AS n_exact,
+       |       CAST(n_hits AS BIGINT) AS n_hits,
+       |       CAST(n_hits * 1000000 // n_exact AS BIGINT) AS recall_ppm
+       |FROM ($rows) ORDER BY nprobe ASC""".stripMargin
+  }
 
   /** q178: the q27 CTE chain up to `bands`, then a band-count candidate
     * aggregation and an UNFILTERED integer-ppm Jaccard census per
@@ -8837,6 +8978,15 @@ object SparkEntry {
          |         AS BIGINT) AS n_strict,
          |       CAST(SUM(j5_ppm) // COUNT(*) AS BIGINT) AS mean_j5_ppm
          |FROM j GROUP BY 1 ORDER BY j5_decile ASC""".stripMargin,
+    // q335: q32 rubric + q286 Gopher flags per doc, 36 sums in ONE
+    // aggregate (MATERIALIZED — the UNION rows reference it 28 times),
+    // pair rows generated from the same FilterFlagNames list as the
+    // Spark side.
+    "q335_filter_overlap" -> filterOverlapOracle,
+    // q336: the q161 exact/IVF machinery with the probeset unrolled per
+    // nprobe in Similarity.ProbeSweep; recall joins top-k sets
+    // (bit-identical cos ⇒ identical rankings ⇒ exact integers).
+    "q336_ivf_probe_sweep" -> ivfProbeSweepOracle,
     // q321: per-(user, type) activity spans in exact epoch micros; the
     // CASE ladder is the same fixed branch order as the Spark side.
     "q321_allen_relations" ->

@@ -1124,4 +1124,44 @@ object Similarity {
 
   def rankQualityAudit(spark: SparkSession, dir: String): DataFrame =
     rankQualityAudit(Tables.embeddings(spark, dir))
+
+  /** q336 probe grid, single-sourced into both engines (the q319
+    * constant discipline). */
+  val ProbeSweep: Seq[Int] = Seq(1, 2, 4)
+
+  /** q336: IVF PROBE-BUDGET SWEEP — recall@k of the seed-IVF index
+    * against the exact brute-force top-k at nprobe ∈ [[ProbeSweep]].
+    * q161 reports recall at ONE operating point and q319 rank quality at
+    * one; this is the tuning CURVE — the recall-vs-cost trade an ANN
+    * deployment actually picks from (each +1 probe multiplies scanned
+    * candidates roughly by the probed-cell share). Monotone by
+    * construction: a probe set at nprobe p is a superset of p−1's, so
+    * recall can only rise (Round12OpsSpec pins it).
+    *
+    * Scale shape: the exact side is the bounded q34 query panel
+    * (|queries| broadcast against the corpus); each sweep point is one
+    * bucketed IVF search; per point ONE count action on a top-k-sized
+    * join — a |probes|-round driver loop with constant-size plans (the
+    * q217 discipline), then a |probes|-row local frame. */
+  def ivfProbeSweep(embeddings: DataFrame, probes: Seq[Int] = ProbeSweep,
+                    numQueries: Int = RankAuditQueries,
+                    k: Int = RankAuditK): DataFrame = {
+    val spark = embeddings.sparkSession
+    val exact = Caches.scratch(knnExact(embeddings, numQueries, k)
+      .select(col("query_id"), col("neighbor_id")))
+    val nExact = exact.count()
+    val rows = probes.map { p =>
+      val hits = knnIvf(embeddings, numQueries, probes = p, k = k)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id")).count()
+      (p.toLong, nExact, hits)
+    }
+    spark.createDataFrame(rows).toDF("nprobe", "n_exact", "n_hits")
+      .select(col("nprobe"), col("n_exact"), col("n_hits"),
+        expr("n_hits * 1000000 div n_exact").cast("long").as("recall_ppm"))
+      .orderBy(col("nprobe").asc)
+  }
+
+  def ivfProbeSweep(spark: SparkSession, dir: String): DataFrame =
+    ivfProbeSweep(Tables.embeddings(spark, dir))
 }

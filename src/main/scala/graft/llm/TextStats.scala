@@ -2238,4 +2238,67 @@ object TextStats {
 
   def tailIndexAudit(spark: SparkSession, dir: String): DataFrame =
     tailIndexAudit(Tables.documents(spark, dir))
+
+  /** q335 flag set, single-sourced into both engines: the q32 rubric's
+    * three failure flags plus the five q286 Gopher rules. The oracle SQL
+    * in SparkEntry generates its 28 pair rows from this same list. */
+  val FilterFlagNames: Seq[String] = Seq("q_len", "q_stop", "q_wordlen",
+    "g_word_count", "g_mean_word_len", "g_stopword_floor", "g_ttr_floor",
+    "g_dominance_cap")
+
+  /** q335: FILTER-STACK REDUNDANCY MATRIX — pairwise overlap census of
+    * every quality-filter failure flag in the engine (q32 rubric ×
+    * Gopher rules): for each unordered flag pair, how many docs each
+    * catches, how many both catch, how many ONLY one catches, and the
+    * Jaccard overlap of the two failure sets. This is the ablation
+    * number a pipeline owner reads before touching the stack: a pair at
+    * Jaccard ≈ 10⁶ is a redundant rule (drop one, same corpus), a flag
+    * whose `only_a` is large is the stack's sole defense against that
+    * failure mode and must not be relaxed casually. q273's Fleiss kappa
+    * summarizes the q32 raters' agreement in ONE statistic; this is the
+    * per-pair engineering decomposition across BOTH rule families.
+    *
+    * Scale shape: two linear lexical passes (the q32 rubric and the
+    * Gopher sufficient statistics — the same tokenizing shuffles those
+    * censuses already pay), one 8-flag join, then a single aggregation
+    * to 36 sums; the 28-row matrix unstacks from that one row. All
+    * counts exact; the Jaccard is floor-ppm with an empty-union guard. */
+  def filterOverlapMatrix(docs: DataFrame): DataFrame = {
+    val q = qualityScore(docs).select(col("doc_id"),
+      (lit(1L) - col("len_ok")).as("q_len"),
+      (lit(1L) - col("stop_ok")).as("q_stop"),
+      (lit(1L) - col("wordlen_ok")).as("q_wordlen"))
+    val g = gopherFlags(docs).select(col("doc_id"),
+      col("f1").as("g_word_count"), col("f2").as("g_mean_word_len"),
+      col("f3").as("g_stopword_floor"), col("f4").as("g_ttr_floor"),
+      col("f5").as("g_dominance_cap"))
+    val flags = q.join(g, Seq("doc_id"))
+    val names = FilterFlagNames
+    val idx = names.indices
+    val aggs =
+      idx.map(i => sum(col(names(i))).as(s"s_$i")) ++
+        (for { i <- idx; j <- idx if i < j }
+          yield sum(col(names(i)) * col(names(j))).as(s"b_${i}_$j")) :+
+        count(lit(1)).as("n_docs")
+    val one = flags.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = (for { i <- idx; j <- idx if i < j } yield
+      s"'${names(i)}', '${names(j)}', s_$i, s_$j, b_${i}_$j").mkString(", ")
+    val nPairs = idx.size * (idx.size - 1) / 2
+    one.selectExpr("n_docs", s"stack($nPairs, $stackArgs) AS " +
+        "(flag_a, flag_b, n_fail_a, n_fail_b, n_both)")
+      .select(col("flag_a"), col("flag_b"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_fail_a").cast("long").as("n_fail_a"),
+        col("n_fail_b").cast("long").as("n_fail_b"),
+        col("n_both").cast("long").as("n_both"),
+        (col("n_fail_a") - col("n_both")).cast("long").as("only_a"),
+        (col("n_fail_b") - col("n_both")).cast("long").as("only_b"),
+        expr("n_both * 1000000 div " +
+          "greatest(1L, n_fail_a + n_fail_b - n_both)").cast("long")
+          .as("overlap_jaccard_ppm"))
+      .orderBy(col("flag_a").asc, col("flag_b").asc)
+  }
+
+  def filterOverlapMatrix(spark: SparkSession, dir: String): DataFrame =
+    filterOverlapMatrix(Tables.documents(spark, dir))
 }

@@ -106,6 +106,61 @@ class Round12OpsSpec extends SparkSpecBase {
     }
   }
 
+  // ------------------------------------------- q335 filter overlap matrix
+
+  test("filter overlap: planted docs land in the expected cells") {
+    // 5-token docs fail BOTH q_len (<20) and g_word_count (<20);
+    // 500-token docs fail ONLY g_word_count (>100 but <=1000)
+    val tiny = (1 to 10).map(i => (i.toLong, "en", "aa bb the cc dd", 15L, "s"))
+    val mid = (11 to 20).map(i =>
+      (i.toLong, "en", (("the " * 499).trim + " zz"), 2500L, "s"))
+    val docs = (tiny ++ mid).toDF("doc_id", "lang", "text", "n_chars", "source")
+    val out = TextStats.filterOverlapMatrix(docs).collect()
+    assert(out.length === 28, "8 flags -> 28 unordered pairs")
+    val cell = out.find(r => r.getAs[String]("flag_a") == "g_word_count"
+      && r.getAs[String]("flag_b") == "q_len")
+      .orElse(out.find(r => r.getAs[String]("flag_a") == "q_len"
+        && r.getAs[String]("flag_b") == "g_word_count")).get
+    val (fa, fb) = (cell.getAs[String]("flag_a"), cell.getAs[String]("flag_b"))
+    val (na, nb) = (cell.getAs[Long]("n_fail_a"), cell.getAs[Long]("n_fail_b"))
+    val failQLen = if (fa == "q_len") na else nb
+    val failGWc = if (fa == "g_word_count") na else nb
+    assert(failQLen === 10L, "only the tiny docs fail the q32 length band")
+    assert(failGWc === 20L, "tiny AND mid docs fail the Gopher word count")
+    assert(cell.getAs[Long]("n_both") === 10L)
+    // jaccard = 10 / (10 + 20 - 10) = 0.5
+    assert(cell.getAs[Long]("overlap_jaccard_ppm") === 500000L)
+  }
+
+  test("filter overlap: counts are consistent on the real corpus") {
+    val out = TextStats.filterOverlapMatrix(Tables.documents(spark, sf))
+      .collect()
+    assert(out.length === 28)
+    out.foreach { r =>
+      val (a, b, both) = (r.getAs[Long]("n_fail_a"),
+        r.getAs[Long]("n_fail_b"), r.getAs[Long]("n_both"))
+      assert(both <= math.min(a, b))
+      assert(r.getAs[Long]("only_a") === a - both)
+      assert(r.getAs[Long]("only_b") === b - both)
+      val j = r.getAs[Long]("overlap_jaccard_ppm")
+      assert(j >= 0L && j <= 1000000L)
+    }
+  }
+
+  // ---------------------------------------------- q336 IVF probe sweep
+
+  test("ivf probe sweep: recall is monotone in nprobe") {
+    val out = Similarity.ivfProbeSweep(Tables.embeddings(spark, sf))
+      .collect()
+    assert(out.map(_.getAs[Long]("nprobe")).toSeq === Seq(1L, 2L, 4L))
+    val recalls = out.map(_.getAs[Long]("recall_ppm"))
+    assert(recalls.zip(recalls.tail).forall { case (lo, hi) => lo <= hi },
+      s"probe superset must not lose recall: ${recalls.toSeq}")
+    recalls.foreach(r => assert(r >= 0L && r <= 1000000L))
+    out.foreach(r =>
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_exact")))
+  }
+
   test("strict precision: an exact copy lands in decile 9 and passes") {
     // j5(copy) = 1.0 regardless of shingle width — the strict re-verify
     // must keep exact dups at decile 9 with n_strict counting them
