@@ -899,6 +899,8 @@ object SparkEntry {
       TextStats.filterOverlapMatrix(s, d)),
     // ---- IVF recall-vs-probe-budget tuning curve ----
     "q336_ivf_probe_sweep"     -> ((s, d) => Similarity.ivfProbeSweep(s, d)),
+    // ---- MMR diversity re-rank over the exact top-k pool ----
+    "q337_mmr_rerank"          -> ((s, d) => Similarity.mmrRerank(s, d)),
     // ---- SMB bucketed co-located join (exchange-free SMJ, see
     //      BucketedJoinSpec for the plan proof) ----
     "q110_bucketed_join"       -> ((s, d) => {
@@ -1211,6 +1213,77 @@ object SparkEntry {
        |       CAST(n_hits AS BIGINT) AS n_hits,
        |       CAST(n_hits * 1000000 // n_exact AS BIGINT) AS recall_ppm
        |FROM ($rows) ORDER BY nprobe ASC""".stripMargin
+  }
+
+  /** Oracle for q337: the q34 exact pool + pool-pair cosines floored to
+    * ppm once, then [[graft.llm.Similarity.MmrK]] greedy rounds unrolled
+    * as CTEs (constants single-sourced; MATERIALIZED everywhere a CTE
+    * feeds more than one round). */
+  private def mmrRerankOracle: String = {
+    val k = graft.llm.Similarity.MmrK
+    val pool = graft.llm.Similarity.MmrPool
+    val rounds = (2 to k).map { r =>
+      s"""m$r AS (
+         |  SELECT s.query_id, s.neighbor_id, MAX(s.sim_ppm) AS ms
+         |  FROM sims s JOIN sel${r - 1} x ON x.query_id = s.query_id
+         |    AND x.neighbor_id = s.sel_id
+         |  GROUP BY 1, 2),
+         |s$r AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, rel_ppm, score FROM (
+         |    SELECT c.query_id, c.neighbor_id, c.rel_ppm,
+         |           2 * c.rel_ppm - m.ms AS score,
+         |           row_number() OVER (PARTITION BY c.query_id
+         |             ORDER BY 2 * c.rel_ppm - m.ms DESC,
+         |                      c.neighbor_id ASC) AS rn
+         |    FROM cand c
+         |    JOIN m$r m ON m.query_id = c.query_id
+         |      AND m.neighbor_id = c.neighbor_id
+         |    ANTI JOIN sel${r - 1} x ON x.query_id = c.query_id
+         |      AND x.neighbor_id = c.neighbor_id)
+         |  WHERE rn = 1),
+         |sel$r AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM sel${r - 1}
+         |  UNION ALL SELECT query_id, neighbor_id FROM s$r)""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    val rows = (1 to k).map { r =>
+      s"SELECT query_id, CAST($r AS BIGINT) AS mmr_rank, neighbor_id, " +
+        s"rel_ppm, score AS mmr_score_ppm FROM s$r"
+    }.mkString("\nUNION ALL ")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |n AS MATERIALIZED (SELECT vec_id, e,
+       |  sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       |eq AS (SELECT vec_id AS query_id, e, nrm FROM n
+       |       WHERE vec_id < $rankAuditQ),
+       |ecos AS (
+       |  SELECT q.query_id, x.vec_id AS neighbor_id,
+       |         list_dot_product(q.e, x.e) / (q.nrm * x.nrm) AS cos
+       |  FROM eq q, n x WHERE x.vec_id <> q.query_id),
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id,
+       |         CAST(FLOOR(cos * 1000000) AS BIGINT) AS rel_ppm FROM (
+       |    SELECT query_id, neighbor_id, cos, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+       |      AS rn
+       |    FROM ecos) WHERE rn <= $pool),
+       |sims AS MATERIALIZED (
+       |  SELECT a.query_id, a.neighbor_id, b.neighbor_id AS sel_id,
+       |         CAST(FLOOR(list_dot_product(na.e, nb.e)
+       |           / (na.nrm * nb.nrm) * 1000000) AS BIGINT) AS sim_ppm
+       |  FROM cand a JOIN cand b ON a.query_id = b.query_id
+       |    AND a.neighbor_id <> b.neighbor_id
+       |  JOIN n na ON na.vec_id = a.neighbor_id
+       |  JOIN n nb ON nb.vec_id = b.neighbor_id),
+       |s1 AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, rel_ppm, 2 * rel_ppm AS score FROM (
+       |    SELECT query_id, neighbor_id, rel_ppm, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY 2 * rel_ppm DESC,
+       |        neighbor_id ASC) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |sel1 AS MATERIALIZED (SELECT query_id, neighbor_id FROM s1)$rounds
+       |SELECT query_id, mmr_rank, neighbor_id, rel_ppm, mmr_score_ppm
+       |FROM ($rows)
+       |ORDER BY query_id ASC, mmr_rank ASC""".stripMargin
   }
 
   /** q178: the q27 CTE chain up to `bands`, then a band-count candidate
@@ -8987,6 +9060,9 @@ object SparkEntry {
     // nprobe in Similarity.ProbeSweep; recall joins top-k sets
     // (bit-identical cos ⇒ identical rankings ⇒ exact integers).
     "q336_ivf_probe_sweep" -> ivfProbeSweepOracle,
+    // q337: k unrolled greedy MMR rounds — cand/sims floored to ppm
+    // once, integer scores, id-ascending tie-break, ANTI JOIN remaining.
+    "q337_mmr_rerank" -> mmrRerankOracle,
     // q321: per-(user, type) activity spans in exact epoch micros; the
     // CASE ladder is the same fixed branch order as the Spark side.
     "q321_allen_relations" ->

@@ -1164,4 +1164,80 @@ object Similarity {
 
   def ivfProbeSweep(spark: SparkSession, dir: String): DataFrame =
     ivfProbeSweep(Tables.embeddings(spark, dir))
+
+  /** q337 constants, single-sourced into both engines. λ = 1/2 is
+    * spelled integer-exactly as score = 2·rel − max_sim (argmax-
+    * equivalent to rel − ½·max_sim). */
+  val MmrK = 5
+  val MmrPool = 20
+
+  /** q337: MAXIMAL MARGINAL RELEVANCE re-rank (Carbonell & Goldstein) —
+    * the diversity-aware top-k every retrieval stack (search, RAG
+    * context assembly, dedup-aware eval panels) layers over raw cosine:
+    * from each query's exact top-[[MmrPool]] pool, greedily select
+    * [[MmrK]] results maximizing `2·relevance − max similarity to the
+    * already-selected set` — near-duplicate results stop crowding out
+    * coverage. Raw top-k (q34) returns the pool prefix; the MMR ranks
+    * diverge from it exactly where the pool contains redundant
+    * neighbors, which is what the operator exists to expose.
+    *
+    * Engine-exact: relevance and pairwise similarity are the q34 cosine
+    * doubles (bit-identical in both engines) floored to ppm ONCE; every
+    * greedy comparison after that is integer, ties break by neighbor id
+    * ascending. Selection is k unrolled dataframe rounds (the DuckDB
+    * twin unrolls the same rounds as CTEs).
+    *
+    * Scale shape: everything after the exact search operates on
+    * |queries|·pool rows (the pool pair frame is |queries|·pool² —
+    * still panel-sized); the corpus is touched only by the q34 search
+    * itself. */
+  def mmrRerank(embeddings: DataFrame, numQueries: Int = RankAuditQueries,
+                pool: Int = MmrPool, k: Int = MmrK): DataFrame = {
+    val cand = Caches.scratch(knnExact(embeddings, numQueries, pool)
+      .select(col("query_id"), col("neighbor_id"),
+        floor(col("cos") * 1000000).cast("long").as("rel_ppm")))
+    val corpus = vecsNormed(embeddings)
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+    val withVec = cand.join(corpus, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("v"), col("nrm"))
+    val sims = Caches.scratch(withVec.as("a").join(withVec.as("b"),
+        col("a.query_id") === col("b.query_id")
+          && col("a.neighbor_id") =!= col("b.neighbor_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.neighbor_id").as("neighbor_id"),
+        col("b.neighbor_id").as("sel_id"),
+        floor(cosinePre(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
+          * 1000000).cast("long").as("sim_ppm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val first = cand
+      .withColumn("score", col("rel_ppm") * 2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), lit(1L).as("mmr_rank"), col("neighbor_id"),
+        col("rel_ppm"), col("score").as("mmr_score_ppm"))
+    var out = first
+    for (r <- 2 to k) {
+      val selIds = out.select(col("query_id"),
+        col("neighbor_id").as("sel_id"))
+      val maxSim = sims.join(selIds, Seq("query_id", "sel_id"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(max(col("sim_ppm")).as("ms"))
+      val next = cand
+        .join(out.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        .join(maxSim, Seq("query_id", "neighbor_id"))
+        .withColumn("score", col("rel_ppm") * 2 - col("ms"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), lit(r.toLong).as("mmr_rank"),
+          col("neighbor_id"), col("rel_ppm"),
+          col("score").as("mmr_score_ppm"))
+      out = out.unionByName(next)
+    }
+    out.orderBy(col("query_id").asc, col("mmr_rank").asc)
+  }
+
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame =
+    mmrRerank(Tables.embeddings(spark, dir))
 }

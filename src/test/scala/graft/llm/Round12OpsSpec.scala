@@ -161,6 +161,48 @@ class Round12OpsSpec extends SparkSpecBase {
       assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_exact")))
   }
 
+  // ----------------------------------------------- q337 MMR re-rank
+
+  test("mmr: near-duplicate of the top hit is displaced by a diverse one") {
+    // query 0; vec 1 and vec 2 are near-identical moderate hits, vec 3
+    // is slightly less relevant but near-orthogonal to them. Raw top-2
+    // = [1, 2]; under score = 2·rel − max_sim, vec 2 scores
+    // ≈ 2·0.699 − 1.0 = 0.398 while vec 3 scores ≈ 2·0.680 − 0.476 =
+    // 0.884 — MMR top-2 must be [1, 3].
+    val vecs = Seq(
+      (0L, "q", Array(1.0f, 0.0f, 0.0f)),
+      (1L, "a", Array(0.700f, 0.7141f, 0.0f)),
+      (2L, "a", Array(0.699f, 0.7151f, 0.0f)),
+      (3L, "b", Array(0.680f, 0.0f, 0.7332f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.mmrRerank(vecs, numQueries = 1, pool = 3, k = 2)
+      .collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("mmr_rank") === 1L)
+    assert(out(0).getAs[Long]("neighbor_id") === 1L)
+    assert(out(1).getAs[Long]("mmr_rank") === 2L)
+    assert(out(1).getAs[Long]("neighbor_id") === 3L,
+      "MMR must pick the diverse vec 3 over the redundant vec 2")
+  }
+
+  test("mmr: rank 1 equals raw top-1; selections unique per query") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.mmrRerank(emb).collect()
+    val exact1 = Similarity.knnExact(emb)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getAs[Long]("query_id")
+        -> r.getAs[Long]("neighbor_id")).toMap
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length === Similarity.MmrK)
+      val ids = rows.map(_.getAs[Long]("neighbor_id"))
+      assert(ids.distinct.length === ids.length, "no repeated selections")
+      val first = rows.minBy(_.getAs[Long]("mmr_rank"))
+      assert(first.getAs[Long]("neighbor_id") === exact1(q),
+        "round 1 is pure relevance = raw top-1")
+    }
+  }
+
   test("strict precision: an exact copy lands in decile 9 and passes") {
     // j5(copy) = 1.0 regardless of shingle width — the strict re-verify
     // must keep exact dups at decile 9 with n_strict counting them
