@@ -30,7 +30,8 @@ PUBLIC_PKGS = ("org.apache", "scala", "java", "javax", "graft", "com.fasterxml",
                "org.scalatest", "org.scalacheck", "org.slf4j", "org.junit",
                "io.netty", "com.google", "org.codehaus", "org.xerial",
                "org.rocksdb", "org.json4s", "org.antlr",
-               "json", "sys", "os", "re", "time", "math", "duckdb", "pyarrow")
+               "json", "sys", "os", "re", "time", "math", "duckdb", "pyarrow",
+               "hashlib", "subprocess")
 # Public hosts that may appear in docs/comments.
 PUBLIC_HOSTS = re.compile(
     r"(apache\.org|github\.com|githubusercontent\.com|scala-lang\.org|"
