@@ -12,12 +12,19 @@ import graft.core.{Caches, Sessions}
 /** Benchmark harness (driver contract): runs every declared query against
   * SPARK_GRAFT_SF_DIR and emits ONE machine-readable JSON line.
   *
-  * Methodology (round-1 + round-3 review):
+  * Methodology (round-1 + round-3 review; restructured round 13):
   *  - queries run in sorted-name order (no hash-map nondeterminism in who
   *    pays first-use costs);
-  *  - one warm-up pass (JIT + parquet footer cache + silver persist), then
-  *    `iters` measured passes per query, min taken — measures the query,
-  *    not machine noise;
+  *  - ONE visit per query: a first (cold) run — JIT, parquet footers,
+  *    shared memo frames — recorded as `cold_sec`, then `iters` further
+  *    warm runs in the same visit; the official value is the min over ALL
+  *    runs. Rounds 1-12 ran a separate universal cold sweep before the
+  *    measured sweep (3 full passes at iters=2); at 337 queries that wall
+  *    (~1965 s) exceeded the driver's bench ceiling two rounds straight
+  *    (BENCH_r11/r12 rc=124), so the cold pass is folded into the visit
+  *    and iters defaults to 1 — per-query runs drop 3→2 while the value
+  *    semantics stay "best warm run" (the warm run reuses the cold run's
+  *    scratch exactly as old iter-2 reused iter-1's);
   *  - results are materialized with the noop DataSourceV2 sink, which
   *    executes the FULL plan (a bare .count() let Catalyst prune final
   *    projections, under-measuring);
@@ -95,7 +102,13 @@ object Bench {
     val t0 = System.nanoTime()
     var x = 0x9e3779b97f4a7c15L
     var i = 0
-    while (i < 40000000) {
+    // 10M spins (~25 ms healthy): the old 40M loop cost ~96 s of pure
+    // probe wall across 337 queries × 2 probes (round-12 telemetry) —
+    // a quarter of the driver's whole bench budget. The noise detector
+    // only ever compares probe times to the RUN'S OWN MEDIAN, so the
+    // absolute workload size is free to shrink; 25 ms still dwarfs timer
+    // jitter by 3 orders of magnitude.
+    while (i < 10000000) {
       x ^= x << 13; x ^= x >>> 7; x ^= x << 17
       i += 1
     }
@@ -116,7 +129,7 @@ object Bench {
       val th = new Thread(() => {
         var x = 0x9e3779b97f4a7c15L + t
         var i = 0
-        while (i < 40000000) {
+        while (i < 10000000) { // sized with cpuProbeMs — see comment there
           x ^= x << 13; x ^= x >>> 7; x ^= x << 17
           i += 1
         }
@@ -165,7 +178,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val wall0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // warm runs per visit, ON TOP of the visit's cold first run. 1 is the
+    // round-13 default (2 warm runs blew the driver's bench ceiling at 337
+    // queries); the noise-triggered requeue machinery supplies extra
+    // samples exactly where the telemetry says they are needed.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "1").toInt
     val load0 = loadAvg()
     val spark = Sessions.local(Sessions.defaultCpus, "graft-bench")
 
@@ -203,28 +220,21 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Warm-up: one full pass (also populates the persisted silver frame the
-    // way a long-running session / materialized table would). Scratch is
-    // released per QUERY, in both passes: intra-query iterations may reuse
-    // an operator's persisted intermediates (min-of-iters = warm
-    // steady-state, same semantics every round has recorded), but no
-    // query's scratch survives into the next one (round-3 review: the
-    // storage pool accumulated every operator's intermediates forever).
-    // The warm-up pass is also the COLD timing: first execution per query,
-    // shared memo frames (silver, dup clusters) not yet built. Recorded as
-    // `cold_sec` so the headline warm number (min of iters) and the cold
-    // cost are both in the JSON — round-4 review: q60's 0.03 s warm time
-    // was mistakable for its real cost without this column. (Queries
-    // sharing a memo frame attribute its build to whichever of them runs
-    // first in sorted order — cold_sec is first-use cost, not a per-query
-    // isolated cold run.)
+    // Per-query visit (round-13 restructure, see the object Scaladoc): the
+    // FIRST run of the visit is the cold timing — first execution per
+    // query, shared memo frames (silver, dup clusters) not yet built —
+    // recorded as `cold_sec` so the headline warm number and the cold cost
+    // are both in the JSON (round-4 review: q60's 0.03 s warm time was
+    // mistakable for its real cost without this column; queries sharing a
+    // memo frame attribute its build to whichever runs first in sorted
+    // order — cold_sec is first-use cost, not an isolated cold run).
+    // Scratch is released per QUERY VISIT, never between the visit's runs:
+    // the warm runs reuse the cold run's persisted intermediates (warm
+    // steady-state, the same semantics the old iter-2-reusing-iter-1
+    // recorded), but no query's scratch survives into the next one
+    // (round-3 review: the storage pool accumulated every operator's
+    // intermediates forever).
     val coldSec = scala.collection.mutable.LinkedHashMap[String, Double]()
-    names.foreach { n =>
-      try coldSec(n) = runOnce(n)
-      catch { case e: Throwable => errors(n) = Option(e.getMessage).getOrElse(e.getClass.getName) }
-      finally Caches.releaseScratch(spark)
-    }
-
     val iterTimes = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val gcTimes = scala.collection.mutable.LinkedHashMap[String, Long]()
     val stealPcts = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -238,28 +248,30 @@ object Bench {
     spark.sparkContext.addSparkListener(tally)
     cpuProbeMs(); parallelProbeMs() // JIT warm-up for the probe loops
     val results: Seq[(String, Double)] = names.map { n =>
-      if (errors.contains(n)) n -> -1.0
-      else {
-        try {
-          probeMs(n) = cpuProbeMs()
-          pprobeMs(n) = parallelProbeMs()
-          val gc0 = gcMillis()
-          val st0 = cpuSteal()
-          val (r0, w0, i0) = tally.snapshot(spark.sparkContext)
-          val ts = (1 to iters).map(_ => runOnce(n))
-          val (r1, w1, i1) = tally.snapshot(spark.sparkContext)
-          shuffleMb(n) = ((r1 - r0) + (w1 - w0)) / 1048576.0 / iters
-          inputMb(n) = (i1 - i0) / 1048576.0 / iters
-          gcTimes(n) = gcMillis() - gc0
-          stealPcts(n) = stealPct(st0, cpuSteal())
-          iterTimes(n) = ts
-          n -> ts.min
-        } catch {
-          case e: Throwable =>
-            errors(n) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            n -> -1.0
-        } finally Caches.releaseScratch(spark)
-      }
+      try {
+        probeMs(n) = cpuProbeMs()
+        pprobeMs(n) = parallelProbeMs()
+        val gc0 = gcMillis()
+        val st0 = cpuSteal()
+        val (r0, w0, i0) = tally.snapshot(spark.sparkContext)
+        // run 1 = cold, then `iters` warm runs in the same visit
+        val ts = (0 to iters).map(_ => runOnce(n))
+        val (r1, w1, i1) = tally.snapshot(spark.sparkContext)
+        shuffleMb(n) = ((r1 - r0) + (w1 - w0)) / 1048576.0 / (1 + iters)
+        inputMb(n) = (i1 - i0) / 1048576.0 / (1 + iters)
+        gcTimes(n) = gcMillis() - gc0
+        stealPcts(n) = stealPct(st0, cpuSteal())
+        coldSec(n) = ts.head
+        iterTimes(n) = ts
+        // min over ALL runs: cold can only beat a warm run when the warm
+        // window was noisier than the cold one, in which case it is the
+        // honest engine cost
+        n -> ts.min
+      } catch {
+        case e: Throwable =>
+          errors(n) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          n -> -1.0
+      } finally Caches.releaseScratch(spark)
     }
 
     // Self-healing requeue (round-8 advice item 5; hardened round 10 after
@@ -296,7 +308,11 @@ object Bench {
     val rerunIterSec =
       scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val resultsFinal: Seq[(String, Double)] = results.map { case (n, v) =>
-      val noisy = isNoisy(v, coldSec.getOrElse(n, -1.0),
+      // the warm-over-cold trigger needs the WARM-ONLY min (the official
+      // value's min includes the cold run, so v > 1.5×cold can never fire)
+      val warmOnlyMin = iterTimes.get(n).map(_.drop(1))
+        .filter(_.nonEmpty).map(_.min).getOrElse(v)
+      val noisy = isNoisy(warmOnlyMin, coldSec.getOrElse(n, -1.0),
         pprobeMs.getOrElse(n, -1.0), pprobeMedian)
       if (!noisy) n -> v
       else {

@@ -125,11 +125,12 @@ object ScaleGrowth {
           "b", "bv", "sub")
       },
       // q322: sorted-neighborhood candidates — (window−1)·N by
-      // construction (block-edge truncation only shrinks it)
+      // construction (block-edge truncation only shrinks it); blocking
+      // constants single-sourced from the q322 operator
       timedCount("snm_candidates") {
         val keyed = TextDedup.normalized(docs).select(col("doc_id"),
-          substring(col("norm"), 1, 16).as("k"),
-          substring(col("norm"), 1, 2).as("blk"))
+          substring(col("norm"), 1, TextDedup.SnmPrefixLen).as("k"),
+          substring(col("norm"), 1, TextDedup.SnmBlockLen).as("blk"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("blk")).orderBy(col("k").asc, col("doc_id").asc)
         val rn = Caches.scratch(
@@ -137,7 +138,7 @@ object ScaleGrowth {
             .select(col("blk"), col("rn")))
         rn.as("x").join(rn.as("y"),
             col("x.blk") === col("y.blk") && col("y.rn") > col("x.rn")
-              && col("y.rn") <= col("x.rn") + 3)
+              && col("y.rn") <= col("x.rn") + (TextDedup.SnmWindow - 1))
           .count()
       },
       // q323: Σ n·(n−1)/2 over (lang, length-band, adaptive subshard)
@@ -195,7 +196,7 @@ object ScaleGrowth {
     "phash_band_pairs" ->
       counts("n_docs") * 4 * (Multimodal.MaxPhashBandDocs - 1) / 2,
     // (window − 1) successors per row, blocks only truncate
-    "snm_candidates" -> counts("n_docs") * 3,
+    "snm_candidates" -> counts("n_docs") * (TextDedup.SnmWindow - 1),
     // per subshard ≤ cap docs → pairs ≤ n_docs·(cap−1)/2
     "edit_block_pairs" ->
       counts("n_docs") * (graft.llm.FuzzyMatch.BlockCap - 1) / 2)

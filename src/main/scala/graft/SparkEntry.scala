@@ -1211,7 +1211,7 @@ object SparkEntry {
        |$per
        |SELECT nprobe, CAST(n_exact AS BIGINT) AS n_exact,
        |       CAST(n_hits AS BIGINT) AS n_hits,
-       |       CAST(n_hits * 1000000 // n_exact AS BIGINT) AS recall_ppm
+       |       CAST(n_hits * 1000000 // GREATEST(1, n_exact) AS BIGINT) AS recall_ppm
        |FROM ($rows) ORDER BY nprobe ASC""".stripMargin
   }
 
@@ -9100,8 +9100,8 @@ object SparkEntry {
     // nested verbatim.
     "q322_snm_dedup" ->
       s"""WITH keyed AS (
-         |  SELECT doc_id, substr($duckNorm, 1, 16) AS k,
-         |         substr($duckNorm, 1, 2) AS blk
+         |  SELECT doc_id, substr($duckNorm, 1, ${TextDedup.SnmPrefixLen}) AS k,
+         |         substr($duckNorm, 1, ${TextDedup.SnmBlockLen}) AS blk
          |  FROM documents),
          |rn AS (
          |  SELECT doc_id, blk, row_number() OVER (
@@ -9111,7 +9111,8 @@ object SparkEntry {
          |  SELECT LEAST(x.doc_id, y.doc_id) AS doc_a,
          |         GREATEST(x.doc_id, y.doc_id) AS doc_b
          |  FROM rn x JOIN rn y
-         |    ON x.blk = y.blk AND y.rn > x.rn AND y.rn <= x.rn + 3),
+         |    ON x.blk = y.blk AND y.rn > x.rn
+         |   AND y.rn <= x.rn + ${TextDedup.SnmWindow - 1}),
          |snd AS (SELECT doc_id, str_split($duckNorm, ' ') AS w
          |        FROM documents),
          |ssh AS (

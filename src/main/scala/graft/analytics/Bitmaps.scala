@@ -131,6 +131,7 @@ object Bitmaps {
     import org.apache.spark.sql.expressions.Window
     val tIdx = silver.select(col("event_type")).distinct()
       .withColumn("ti",
+        // domain-sized: distinct event types (single digits)
         row_number().over(Window.orderBy(col("event_type"))) - 1)
     val patterns = silver.select(col("user_id"), col("event_type"))
       .join(broadcast(tIdx), Seq("event_type"))

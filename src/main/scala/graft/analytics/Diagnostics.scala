@@ -34,6 +34,7 @@ object Diagnostics {
     // row_number window here would funnel EVERY key's count through one
     // partition, the exact straggler shape this census exists to catch.
     // The rank window then runs over k rows only.
+    // domain-sized: k-row TakeOrdered frame (see note above)
     val w = Window.orderBy(col("cnt").desc, col("user_id").asc)
     counts
       .orderBy(col("cnt").desc, col("user_id").asc).limit(k)
@@ -175,6 +176,7 @@ object Diagnostics {
     val totals = counts.agg(sum(col("exact_cnt")).as("n"))
     // rank window runs over topN rows only (TakeOrdered first) — same
     // no-global-window shape as keySkewCensus
+    // domain-sized: topN-row TakeOrdered frame (see note above)
     val w = Window.orderBy(col("exact_cnt").desc, col("user_id").asc)
     counts
       .orderBy(col("exact_cnt").desc, col("user_id").asc).limit(topN)
@@ -259,6 +261,7 @@ object Diagnostics {
   def concentrationCensus(spark: SparkSession, silver: DataFrame): DataFrame = {
     val perUser = silver.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
     val hist = perUser.groupBy(col("c")).agg(count(lit(1)).as("nu"))
+    // domain-sized: histogram of distinct per-user counts, not users
     val w = Window.orderBy(col("c").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hist
@@ -490,6 +493,7 @@ object Diagnostics {
     val hist = sample.groupBy(col("v")).agg(count(lit(1)).as("c"))
     val ns = sample.agg(count(lit(1)).as("ns"))
     import org.apache.spark.sql.expressions.Window
+    // domain-sized: value histogram of the ~2% hash sample
     val wv = Window.orderBy(col("v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tagged = hist

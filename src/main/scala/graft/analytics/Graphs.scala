@@ -287,6 +287,7 @@ object Graphs {
         .select(col("v").as("node"),
           expr("150000 + (s * 17) div 20").as("rank_ppm"))
     }
+    // domain-sized: applied to the topK-row TakeOrdered frame below
     val w = Window.orderBy(col("rank_ppm").desc, col("node").asc)
     val out = ranks
       .orderBy(col("rank_ppm").desc, col("node").asc).limit(topK)
@@ -311,22 +312,23 @@ object Graphs {
     * pinned, checkpointed edge list — broadcast while the measured node
     * count fits ([[TrickleBroadcastRows]]), shuffle beyond — and the
     * new ranks aggregate at a width derived from the node count
-    * ([[NodeRowsPerPartition]]). One action per round: the fixpoint
-    * test (anti-join vs the previous ranks) runs over the lazily-
-    * checkpointed next frame, so its count both materializes the
-    * round's checkpoint and decides convergence. AQE is off inside the
+    * ([[NodeRowsPerPartition]]). One action per [[FixpointBatch]]
+    * rounds: rounds chain lazily and the batch-edge fixpoint test
+    * (anti-join between the batch's last two frames) materializes the
+    * whole chain and decides convergence. AQE is off inside the
     * kernel: every join is explicitly hinted on driver-measured counts
     * and its stage-by-stage materialization cost ~35% of the loop
     * (measured evolution at the 46-round sf0.1 fixpoint: 29.0 s
     * committed block form → 25.4 s with the edge frame checkpointed →
     * 21.3 s with broadcast ranks + fused per-round fixpoint).
     *
-    * The per-round fixpoint test replaces the earlier per-block
-    * (`checkEvery`) one; with it, a floor-arithmetic CYCLE (period > 1,
-    * which irregular graphs can enter instead of a fixpoint) simply
-    * never fires the early stop and the loop runs to maxIters — exactly
-    * the r_maxIters the unrolled oracle evaluates, so the two engines
-    * still agree bit-for-bit. */
+    * The fixpoint test always compares CONSECUTIVE rounds (the batch's
+    * last two frames), so a floor-arithmetic CYCLE (period > 1, which
+    * irregular graphs can enter instead of a fixpoint) simply never
+    * fires the early stop and the loop runs to maxIters — exactly the
+    * r_maxIters the unrolled oracle evaluates, so the two engines still
+    * agree bit-for-bit; and a fixpoint reached mid-batch is detected at
+    * the batch edge with the identical final frame. */
   def pageRankConvergedPpm(spark: SparkSession, dir: String,
       topK: Int = 10, maxIters: Int = 64): DataFrame =
     pageRankConvergedPpmOf(
@@ -362,30 +364,52 @@ object Graphs {
       spark.conf.set("spark.sql.shuffle.partitions", degWidth.toString)
       val hint: DataFrame => DataFrame =
         if (nNodes <= TrickleBroadcastRows) broadcast(_) else identity
+      def step(r: DataFrame): DataFrame = withDeg
+        .join(hint(r), withDeg("u") === col("node"))
+        .select(col("v"), expr("rank_ppm div deg").as("contrib"))
+        .groupBy(col("v"))
+        .agg(sum(col("contrib")).as("s"))
+        .select(col("v").as("node"),
+          expr("150000 + (s * 17) div 20").as("rank_ppm"))
+        .localCheckpoint(false)
       var iter = 0
       var converged = false
+      // BATCHED fixpoint cadence (round-12 verdict stretch item): at the
+      // 46-round sf0.1 fixpoint the cost floor is scheduled-round
+      // latency, not work — so rounds chain LAZILY in batches of
+      // FixpointBatch and ONE action per batch (the consecutive-pair
+      // anti-join count between the batch's last two frames)
+      // materializes the whole chain. Convergence stays a CONSECUTIVE
+      // comparison, so a floor-arithmetic cycle (period > 1) still never
+      // fires the early stop, and a fixpoint reached mid-batch holds
+      // through the batch's remaining no-op rounds — the stop fires at
+      // the batch edge with identical final ranks (overshoot is compute,
+      // never semantics). Safe to batch HERE because the per-round
+      // broadcast hint is decided on the constant nNodes, not a
+      // per-round measured scalar (contrast kCorePeelCensusOf, whose
+      // per-round census and nBad-based hint keep it at one action per
+      // round). The chained lazy checkpoints materialize inside the one
+      // job; superseded blocks are freed after each batch's action.
       while (!converged && iter < maxIters) {
-        val next = withDeg
-          .join(hint(ranks), withDeg("u") === col("node"))
-          .select(col("v"), expr("rank_ppm div deg").as("contrib"))
-          .groupBy(col("v"))
-          .agg(sum(col("contrib")).as("s"))
-          .select(col("v").as("node"),
-            expr("150000 + (s * 17) div 20").as("rank_ppm"))
-          .localCheckpoint(false)
-        iter += 1
-        // exact fixpoint: no (node, rank_ppm) pair changed this round.
-        // The count materializes next's checkpoint blocks on the way.
-        converged = next
-          .join(hint(ranks), Seq("node", "rank_ppm"), "left_anti")
+        val nRounds = math.min(FixpointBatch, maxIters - iter)
+        val chain = scala.collection.mutable.ArrayBuffer[DataFrame](ranks)
+        (1 to nRounds).foreach(_ => chain += step(chain.last))
+        iter += nRounds
+        // exact fixpoint: no (node, rank_ppm) pair changed in the LAST
+        // round of the batch. The count materializes every chained
+        // checkpoint on the way.
+        converged = chain.last
+          .join(hint(chain(chain.size - 2)), Seq("node", "rank_ppm"),
+            "left_anti")
           .count() == 0L
-        // `ranks` is superseded and the fixpoint test has run — free its
-        // checkpoint blocks now instead of leaking them to driver GC
-        // (round-8 verdict: ~46 rounds × 3 bench executions left every
-        // round's blocks in the storage pool for the JVM's lifetime).
-        Caches.freeCheckpoint(ranks)
-        ranks = next
+        // everything but the batch's final frame is superseded and the
+        // fixpoint test has run — free those blocks now instead of
+        // leaking them to driver GC (round-8 verdict: leaked round
+        // blocks accumulate for the JVM lifetime).
+        chain.dropRight(1).foreach(Caches.freeCheckpoint)
+        ranks = chain.last
       }
+      // domain-sized: applied to the topK-row TakeOrdered frame below
       val w = Window.orderBy(col("rank_ppm").desc, col("node").asc)
       Caches.trackCheckpoint(ranks)
         .orderBy(col("rank_ppm").desc, col("node").asc).limit(topK)
@@ -431,6 +455,14 @@ object Graphs {
     * driver KNOWS the exact row count each round, so this is adaptive
     * on a measured scalar, not an estimate). */
   private val TrickleBroadcastRows = 4000000L
+
+  /** Rounds chained lazily behind one fixpoint action in the converged
+    * pagerank (see the loop note there). 4 cuts the 46-round sf0.1
+    * fixpoint from 46 scheduled actions to 12; the worst case pays
+    * FixpointBatch−1 no-op rounds of node-sized compute past the true
+    * fixpoint, which is noise next to the per-action scheduling cost
+    * this exists to amortize. */
+  private val FixpointBatch = 4
 
   private[analytics] def kCorePeelCensusOf(spark: SparkSession,
       edges0: DataFrame, k: Int, maxRounds: Int): DataFrame = {

@@ -206,6 +206,7 @@ object Layout {
       .select((col("o_custkey") % n).as("x"),
         (datediff(col("o_orderdate"), lit("1970-01-01")) % n).as("y"))
       .distinct()
+    // domain-sized: distinct grid cells, <= 4^bits rows
     val wz = Window.orderBy(col("zv").asc)
     val wh = Window.orderBy(col("hv").asc)
     val valued = graft.core.Caches.scratch(
@@ -214,6 +215,7 @@ object Layout {
           col("x"), col("y"), bits, "hv")
         .withColumn("zr", row_number().over(wz))
         .withColumn("hr", row_number().over(wh))
+        // domain-sized: same <= 4^bits cell frame
         .withColumn("nc", count(lit(1)).over(Window.partitionBy()))
         .select(col("x"), col("y"),
           expr(s"(zr - 1) div ((nc + ${LocalityShards - 1})" +

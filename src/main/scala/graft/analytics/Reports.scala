@@ -110,6 +110,7 @@ object Reports {
     val byHour = silver
       .groupBy(col("hour")).agg(count(lit(1)).as("cnt"))
     byHour
+      // domain-sized: 24 hourly buckets
       .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
       .select(
         col("hour"), col("cnt"),
@@ -137,6 +138,7 @@ object Reports {
     val byHour = silver
       .groupBy(col("hour")).agg(count(lit(1)).as("cnt"))
     byHour
+      // domain-sized: 24 hourly buckets
       .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
       .select(
         col("hour"), col("cnt"),
@@ -493,6 +495,7 @@ object Reports {
     // and cume_dist = rank/n (every row is its own peer group under the
     // unique order) then reproduce the builtin definitions exactly.
     val hist = counts.groupBy(col("listen_count")).agg(count(lit(1)).as("c"))
+    // domain-sized: histogram of distinct listen counts, not users
     val hw = Window.orderBy(col("listen_count").asc)
     val cums = hist
       .withColumn("cum_prev", sum(col("c")).over(hw) - col("c"))
@@ -575,6 +578,7 @@ object Reports {
     // [[rankDistributions]]: histogram cumulative for the value part,
     // tie-group window for the user part — no corpus-wide sort.
     val hist = counts.groupBy(col("listen_count")).agg(count(lit(1)).as("c"))
+    // domain-sized: histogram of distinct listen counts, not users
     val hw = Window.orderBy(col("listen_count").desc)
     val cums = hist
       .withColumn("cum_prev", sum(col("c")).over(hw) - col("c"))
@@ -638,6 +642,7 @@ object Reports {
   def dailySpikeCensus(silver: DataFrame): DataFrame = {
     val daily = silver.groupBy(col("event_date"))
       .agg(count(lit(1)).as("cnt"))
+    // domain-sized: daily aggregate (~days rows; see Scaladoc)
     val w = Window.orderBy(col("event_date").asc)
     daily
       .withColumn("prev_cnt", lag(col("cnt"), 1).over(w))
@@ -803,6 +808,7 @@ object Reports {
       .withColumn("r2", sum(col("c2")).over(wIn))
     // level 2: EXCLUSIVE bucket prefix offsets from the bucket-count
     // frame (range-sized, so the single-partition window is safe)
+    // domain-sized: bucket-count frame (see note above)
     val wB = Window.orderBy(col("b").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val buckets = grid.groupBy(col("b"))
@@ -894,6 +900,7 @@ object Reports {
         Window.partitionBy(col("event_type"), col("hour"))))
       .withColumn("gcnt", sum(col("cnt")).over(
         Window.partitionBy(col("cohort"))))
+      // domain-sized: (cohort, type, hour) grid frame
       .withColumn("gt", sum(col("cnt")).over(Window.partitionBy()))
     withTot
       .withColumn("d", abs(expr("cnt * 1000000 div ct")
@@ -1251,8 +1258,10 @@ object Reports {
       .withColumn("gap_milli", col("mean1_milli") - col("mean0_milli"))
     strata
       .withColumn("pooled_num", sum((col("n0") + col("n1"))
+        // domain-sized: stratum census frame (see Scaladoc)
         * col("gap_milli")).over(Window.partitionBy()))
       .withColumn("pooled_den",
+        // domain-sized: stratum census frame (see Scaladoc)
         sum(col("n0") + col("n1")).over(Window.partitionBy()))
       .select(col("stratum").cast("long").as("stratum"),
         col("n0").cast("long").as("n0"), col("n1").cast("long").as("n1"),

@@ -62,6 +62,7 @@ object Sketches {
     // merged '_all' sketch: union-merge of the per-type bottom-k frames
     // (dedup by hash — the same element seen under two types is one
     // distinct), re-ranked; its truth is the global distinct count
+    // domain-sized: union of per-type bottom-k frames (<= k * |types| rows)
     val wAll = Window.orderBy(col("h").asc)
     val mergedK = bottomK.select(col("h")).distinct()
       .withColumn("rn", row_number().over(wAll))

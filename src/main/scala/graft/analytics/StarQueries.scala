@@ -202,6 +202,7 @@ object StarQueries {
     val counts = silver.groupBy(col("user_id"))
       .agg(count(lit(1)).as("x"))
     val hist = counts.groupBy(col("x")).agg(count(lit(1)).as("c"))
+    // domain-sized: histogram of distinct per-user counts (hundreds of rows)
     val w = Window.orderBy(col("x").asc)
     hist
       .withColumn("cum", sum(col("c")).over(w))
@@ -228,6 +229,7 @@ object StarQueries {
     c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("customers"))
+      // domain-sized: 25 nation rows
       .withColumn("total", sum(col("customers")).over(Window.partitionBy()))
       .select(col("n_name"), col("customers"),
         ((col("customers") * lit(100.0)) / col("total")).as("pct"))
@@ -334,6 +336,7 @@ object StarQueries {
     val inBucket = Window.partitionBy(col("bucket"))
       .orderBy(col("price_c").asc, col("psize").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // domain-sized: price-bucket frame (price_c div 10000 buckets)
     val acrossBuckets = Window.orderBy(col("bucket").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefix = dp.groupBy(col("bucket")).agg(max(col("psize")).as("bmax"))
@@ -365,6 +368,7 @@ object StarQueries {
       .select(digit.as("lead_digit"))
       .groupBy(col("lead_digit"))
       .agg(count(lit(1)).as("n_orders"))
+      // domain-sized: 9 lead-digit rows
       .withColumn("total", sum(col("n_orders")).over(Window.partitionBy()))
       .select(col("lead_digit"), col("n_orders").cast("long").as("n_orders"),
         expr("n_orders * 1000000 div total").cast("long").as("share_ppm"))
@@ -578,9 +582,10 @@ object StarQueries {
     * is a usable proxy for revenue; ties quantify the resolution limit
     * of the coarser metric.
     *
-    * Scale shape: two fact aggregations to the part grain, rank windows
-    * over AGGREGATED (part-count-sized) frames, a top-k TakeOrdered, and
-    * a k²/2 pair self-join of the broadcast-sized top frame. */
+    * Scale shape: one fact aggregation to the part grain, a top-k
+    * TakeOrdered (never a part-frame global sort — see the inline note),
+    * a k-row rank window, and a k²/2 pair self-join of the
+    * broadcast-sized top frame. */
   def rankAgreement(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val byPart = li.groupBy(col("l_partkey"))
@@ -590,18 +595,26 @@ object StarQueries {
           .as("rev_u"),
         countDistinct(col("l_orderkey")).as("n_orders"))
     import org.apache.spark.sql.expressions.Window
+    // Round-13 window-inventory fix: the previous form ranked the WHOLE
+    // part-grain frame through two unpartitioned row_number windows (one
+    // task sorts every part — the exact corpus-in-one-partition shape the
+    // inventory exists to forbid). Only the revenue top-k and the PAIRWISE
+    // frequency order among its members are observable: top-k is a
+    // TakeOrdered, r_rev is re-derived on the k-row frame, and the
+    // frequency comparison uses n_orders directly (for a ≠ b in n_orders,
+    // global-rank order ≡ n_orders-desc order; equality is the tie branch
+    // either way) — bit-identical output, no global window.
+    // domain-sized: runs over the k-row TakeOrdered frame below
     val byRev = Window.orderBy(col("rev_u").desc, col("l_partkey").asc)
-    val byFreq = Window.orderBy(col("n_orders").desc, col("l_partkey").asc)
-    val ranked = byPart
+    val top = byPart
+      .orderBy(col("rev_u").desc, col("l_partkey").asc).limit(k)
       .withColumn("r_rev", row_number().over(byRev))
-      .withColumn("r_freq", row_number().over(byFreq))
-    val top = ranked.orderBy(col("r_rev").asc).limit(k)
-      .select(col("l_partkey"), col("r_rev"), col("r_freq"), col("n_orders"))
+      .select(col("l_partkey"), col("r_rev"), col("n_orders"))
     top.as("a").join(top.as("b"), col("a.r_rev") < col("b.r_rev"))
       .select(
         // a precedes b in revenue rank; frequency agreement decides class
         when(col("a.n_orders") === col("b.n_orders"), lit("tie"))
-          .when(col("a.r_freq") < col("b.r_freq"), lit("concordant"))
+          .when(col("a.n_orders") > col("b.n_orders"), lit("concordant"))
           .otherwise(lit("discordant")).as("cls"))
       .groupBy().pivot("cls", Seq("concordant", "discordant", "tie"))
       .agg(coalesce(count(lit(1)), lit(0L)))

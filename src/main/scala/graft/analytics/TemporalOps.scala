@@ -634,6 +634,7 @@ object TemporalOps {
         .as("event_date"))
     val daily = spine.join(daily0, Seq("event_date"), "left")
       .select(col("event_date"), coalesce(col("c"), lit(0L)).as("c"))
+    // domain-sized: daily spine (~days rows)
     val w = Window.orderBy(col("event_date").asc)
     val leads = (1 to maxLag).foldLeft(daily) { (df, k) =>
       df.withColumn(s"c$k", lead(col("c"), k).over(w))
@@ -919,6 +920,7 @@ object TemporalOps {
       .withColumn("mu", expr("tx div nd"))
       .withColumn("k", expr("(tx div nd) div 20"))
       .withColumn("h", expr("(tx div nd) div 2"))
+    // domain-sized: daily aggregate (~days rows)
     val wRun = Window.orderBy(col("d").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     base
@@ -960,6 +962,7 @@ object TemporalOps {
         / (col("p2.t") - col("p1.t"))).cast("long").as("slope_milli"))
     val ranked = slopes
       .withColumn("rnk", row_number().over(
+        // domain-sized: days^2/2 slope pairs of the daily frame
         Window.orderBy(col("slope_milli").asc)))
       .withColumn("n", count(lit(1)).over(
         Window.partitionBy()))
@@ -1078,6 +1081,7 @@ object TemporalOps {
     classified.groupBy(col("relation"))
       .agg(count(lit(1)).as("n_pairs"))
       .withColumn("total",
+        // domain-sized: Allen-relation census (<= 7 rows)
         sum(col("n_pairs")).over(Window.partitionBy()))
       .select(col("relation"), col("n_pairs").cast("long").as("n_pairs"),
         expr("n_pairs * 1000000 div total").cast("long").as("share_ppm"))

@@ -459,6 +459,7 @@ object Curation {
     val census = feats.groupBy(col("quality"))
       .agg(sum(col("toks")).as("level_toks"))
     // 4 rows: the unpartitioned window is driver-scale by construction
+    // domain-sized: 4 quality-level rows (see note above)
     val wDesc = Window.orderBy(col("quality").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val totals = feats.agg(sum(col("toks")).as("total_toks"))
@@ -768,6 +769,7 @@ object Curation {
         // 32768-char doc overflows int64 (Spark wraps / ANSI-throws where
         // DuckDB raises — an engine divergence at the boundary).
         expr("least(n_chars, 32767) * 281474976710656 div (h + 1)"))
+    // domain-sized: applied to the (k+1)-row TakeOrdered frame below
     val w = Window.orderBy(col("priority").desc, col("doc_id").asc)
     val ranked = pri
       .orderBy(col("priority").desc, col("doc_id").asc).limit(k + 1)
@@ -941,6 +943,7 @@ object Curation {
     val census = docs
       .select(col("source"), size(split(norm, " ")).cast("long").as("t"))
       .groupBy(col("source")).agg(sum(col("t")).as("n_tokens"))
+    // domain-sized: per-source token census (20 sources)
     val w = Window.orderBy(col("n_tokens").asc, col("source").asc)
     val ranked = census
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -1046,6 +1049,7 @@ object Curation {
       .agg(count(lit(1)).as("n_heldout"), sum(col("p_ppm")).as("sum_p"))
     // base mixture = train-split token share; tiny census frames from
     // here on, global windows over aggregates only
+    // domain-sized: per-source census frames from here on
     val wAll = Window.partitionBy()
     val base = d.filter(col("split") === "train")
       .groupBy(col("source"))
@@ -1140,6 +1144,7 @@ object Curation {
       .select(col("lang"), size(split(norm, " ")).cast("long").as("t"))
       .groupBy(col("lang")).agg(sum(col("t")).as("n_tokens"))
       .withColumn("cap", lit(capEpochs.toLong) * col("n_tokens"))
+    // domain-sized: per-language token census
     val w = Window.orderBy(col("cap").asc, col("lang").asc)
     val ranked = census
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -1245,6 +1250,7 @@ object Curation {
       .withColumn("base", expr(s"n_docs * $k div total"))
       .withColumn("rem", expr(s"(n_docs * $k) % total"))
     val leftover = based.agg((lit(k.toLong) - sum(col("base"))).as("left_"))
+    // domain-sized: (lang, source) cell census
     val w = Window.orderBy(col("rem").desc, col("lang").asc, col("source").asc)
     based
       .withColumn("rem_rank", row_number().over(w).cast("long"))
@@ -1293,6 +1299,7 @@ object Curation {
       .withColumn("prem", expr(s"(n_docs * $budget) % tn"))
     val lef = based.agg((lit(budget.toLong) - sum(col("nbase"))).as("nleft"),
       (lit(budget.toLong) - sum(col("pbase"))).as("pleft"))
+    // domain-sized: per-source census (20 sources)
     val wN = Window.orderBy(col("nrem").desc, col("source").asc)
     val wP = Window.orderBy(col("prem").desc, col("source").asc)
     based.withColumn("nrank", row_number().over(wN).cast("long"))

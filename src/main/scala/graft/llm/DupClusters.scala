@@ -30,10 +30,16 @@ import graft.core.Tables
   */
 object DupClusters {
 
-  // Convergence bound = component diameter + 1. Raised 20 -> 40 after the
-  // sf0.1 simhash h<=1 closure measured a 1288-member CHAINED component
-  // (diameter grows with corpus); rounds past convergence never run, so
-  // the raise costs nothing on well-behaved graphs.
+  // SOFT convergence bound = expected component diameter + 1 (raised
+  // 20 -> 40 after the sf0.1 simhash h<=1 closure measured a 1288-member
+  // CHAINED component). Rounds past convergence never run, and since the
+  // measured diameter is itself a tracked super-linear watch counter
+  // (5 -> 1288 members per 10x docs), a fixed bound races measured
+  // growth — so the loop now EXTENDS the bound adaptively (doubling,
+  // capped at the node count, which min-label propagation provably never
+  // needs more rounds than) instead of hard-failing mid-gate the first
+  // time a chain outgrows a hand-tuned constant (round-12 advice). The
+  // loud require() backstop remains for the impossible case.
   val MaxIters = 40
 
   /** Connected components over undirected candidate pairs
@@ -74,7 +80,13 @@ object DupClusters {
     var labels = labelsCkpt
     var changed = 1L
     var iters = 0
-    while (changed > 0 && iters < maxIters) {
+    // `maxIters` is the SOFT bound; when the graph is still making
+    // progress there, the bound doubles up to the node count (the
+    // provable ceiling: each propagation round extends every node's
+    // reach by >= 1 hop, so rounds never exceed the longest path).
+    var bound = maxIters.toLong
+    var nodeCeiling = -1L
+    while (changed > 0 && iters < bound) {
       val neighborMin = edges
         .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src"))
@@ -96,10 +108,20 @@ object DupClusters {
       labelsCkpt = next
       labels = next.select(col("node"), col("label"))
       iters += 1
+      if (changed > 0 && iters >= bound && nodeCeiling < 0L) {
+        // one extra count, paid only on graphs that outgrow the soft
+        // bound; the ceiling never needs recomputation (node set is
+        // fixed for the whole loop)
+        nodeCeiling = labels.count()
+      }
+      if (changed > 0 && iters >= bound)
+        bound = math.min(bound * 2L, math.max(bound, nodeCeiling))
     }
     require(changed == 0,
-      s"connectedComponents did not converge in $maxIters rounds — " +
-        "pathological long-path graph; use a star-contraction variant")
+      s"connectedComponents did not converge in $iters rounds " +
+        s"(node-count ceiling $nodeCeiling) — a min-label round that " +
+        "makes no progress before the node count is unreachable; this " +
+        "indicates a bug, not a pathological graph")
     // the symmetrized edge list is dead after convergence (the result
     // derives only from the final label checkpoint) — free it now.
     graft.core.Caches.freeCheckpoint(edges)
@@ -520,6 +542,7 @@ object DupClusters {
       .select(col("v"), coalesce(col("is_dup"), lit(0L)).as("pos"))
     val vc = labeled.groupBy(col("v")).agg(count(lit(1)).as("c"))
       .withColumn("f", coalesce(sum(col("c")).over(
+        // domain-sized: score-value histogram, not docs
         Window.orderBy(col("v").asc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("v"), (lit(2L) * col("f") + col("c") + 1).as("mr2"))

@@ -54,6 +54,7 @@ object Search {
     val top = df.orderBy(col("df").desc, col("token").asc).limit(12)
     val qterms = top
       .withColumn("r",
+        // domain-sized: 12-row TakeOrdered frame (see note above)
         row_number().over(Window.orderBy(col("df").desc, col("token").asc)))
       .filter(col("r") > 9)
       .select(col("token"))

@@ -1333,12 +1333,22 @@ object TextDedup {
     * always needs, and block-edge misses are part of the measured
     * trade). Verification is the SAME 3-word-shingle Jaccard ≥ 0.8 as
     * q27, so the two pair sets are directly comparable. */
-  def snmDedupAudit(spark: SparkSession, dir: String, window: Int = 4,
-                    prefixLen: Int = 16): DataFrame = {
+  // q322 blocking constants, single-sourced into the operator defaults,
+  // the ScaleGrowth snm_candidates counter and its (window−1)·N bound,
+  // and the SparkEntry oracle SQL (round-12 advice: the counter
+  // re-inlined these literals, so a window change would silently desync
+  // the growth audit from the operator it audits).
+  val SnmWindow = 4
+  val SnmPrefixLen = 16
+  val SnmBlockLen = 2
+
+  def snmDedupAudit(spark: SparkSession, dir: String,
+                    window: Int = SnmWindow,
+                    prefixLen: Int = SnmPrefixLen): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val keyed = normalized(docs).select(col("doc_id"),
       substring(col("norm"), 1, prefixLen).as("k"),
-      substring(col("norm"), 1, 2).as("blk"))
+      substring(col("norm"), 1, SnmBlockLen).as("blk"))
     val w = Window.partitionBy(col("blk"))
       .orderBy(col("k").asc, col("doc_id").asc)
     val rn = keyed.withColumn("rn", row_number().over(w))

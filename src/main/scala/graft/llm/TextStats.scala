@@ -1060,6 +1060,7 @@ object TextStats {
       .withColumn("lang_total",
         sum(col("cnt")).over(Window.partitionBy(col("lang"))))
       .withColumn("grand_total",
+        // domain-sized: (source, lang) grid frame
         sum(col("cnt")).over(Window.partitionBy()))
     withTotals
       .withColumn("src_share_ppm", (col("cnt") * lit(1000000L)) / col("src_total"))
@@ -1164,6 +1165,7 @@ object TextStats {
     buckets
       .withColumn("vocab_size",
         sum(col("new_words")).over(
+          // domain-sized: doc-bucket census (docs div bucketDocs rows)
           Window.orderBy(col("bucket").asc)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .orderBy(col("bucket").asc)
@@ -1832,6 +1834,7 @@ object TextStats {
     val vals = docs.select(col("lang"), col("n_chars").as("v"))
     val vc = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
       .withColumn("f", coalesce(sum(col("c")).over(
+        // domain-sized: n_chars value histogram, not docs
         Window.orderBy(col("v").asc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("v"), (lit(2L) * col("f") + col("c") + 1).as("mr2"))
@@ -2026,6 +2029,7 @@ object TextStats {
       .orderBy(col("savings").desc, col("gram").asc)
       .limit(k)
       .withColumn("rank", row_number().over(
+        // domain-sized: applied after .limit(k)
         Window.orderBy(col("savings").desc, col("gram").asc)).cast("long"))
       .select(col("rank"), col("gram"),
         col("c").cast("long").as("occurrences"),

@@ -95,6 +95,23 @@ class DriverContractSpec extends AnyFunSuite {
     assert(field("ok") === "true",
       "last roundcheck run failed (verify fails or budget exceeded) — " +
         "see ROUNDCHECK.json")
+    // Round-12 advice (medium): --incremental carries the bench phases
+    // forward and used to satisfy this law with bench numbers that never
+    // measured the new queries — the exact round-11 failure mode the gate
+    // was built to prevent. benched_query_md5 is stamped only by a FULL
+    // run; an incremental run carries it verbatim, so a surface change
+    // stays red here until a full roundcheck has actually benched it.
+    assert(field("benched_query_md5") === md5,
+      "ROUNDCHECK.json's BENCH phases were measured on a different query " +
+        "surface (incremental run after a surface change) — a FULL " +
+        "tools/roundcheck.py run must close the round")
+    // Round-12 verdict item 4: the driver's bench died at a per-phase
+    // ceiling while the 4500s total stayed green — the per-phase budget
+    // map must exist (roundcheck folds it into `ok`).
+    assert(txt.contains("\"phase_budgets\""),
+      "ROUNDCHECK.json lacks phase_budgets — roundcheck.py is stale")
+    assert(txt.contains("\"bench_sf01_sec\""),
+      "ROUNDCHECK.json lacks a bench_sf01_sec phase budget")
   }
 
   test("entry() returns rows on the smoke scale factor") {

@@ -489,4 +489,43 @@ class PlanAuditSpec extends SparkSpecBase {
       graft.core.Caches.releaseScratch(spark)
     }
   }
+
+  // Round-12 verdict item 5: the bench tail is full of `WindowExec: No
+  // Partition Defined` warnings — each one is an operator moving ALL its
+  // input through one task. That is fine exactly when the input is a
+  // DOMAIN-SIZED frame (daily spine, histogram of distinct values,
+  // top-k/TakeOrdered panel, census grid) and catastrophic when it is
+  // corpus-sized (the pre-fix q249 ranked every part in one task). This
+  // law pins the inventory: every `Window.orderBy(...)` (no partitioning)
+  // and `Window.partitionBy()` (empty) site in src/main must carry a
+  // `domain-sized:` marker comment, on the same line or within the 4
+  // preceding lines, stating the bound of the frame it sorts. A new
+  // global window cannot land without its author writing down why the
+  // frame it runs over is small.
+  test("every unpartitioned window site carries a domain-sized justification") {
+    val re = """Window\.orderBy\(|Window\.partitionBy\(\)""".r
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val untagged = scala.collection.mutable.ArrayBuffer[String]()
+    var total = 0
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val lines = java.nio.file.Files.readAllLines(p)
+        for (i <- 0 until lines.size()) {
+          if (re.findFirstIn(lines.get(i)).isDefined) {
+            total += 1
+            val window = (math.max(0, i - 4) to i)
+              .map(lines.get).mkString("\n")
+            if (!window.contains("domain-sized"))
+              untagged += s"$p:${i + 1}: ${lines.get(i).trim.take(70)}"
+          }
+        }
+      }
+    }
+    assert(total > 0, "window-site scan found nothing — path wrong?")
+    assert(untagged.isEmpty,
+      s"unpartitioned window sites without a domain-sized marker " +
+        s"(add `// domain-sized: <bound of the frame>` within the 4 " +
+        s"preceding lines — or partition the window):\n  " +
+        untagged.mkString("\n  "))
+  }
 }
