@@ -91,6 +91,12 @@ object Bench {
 
   @volatile private var probeSink: Long = 0L
 
+  /** Cap on total requeue-pass rerun wall (seconds). On a healthy host
+    * the pass never comes near it (r11: 23 requeues, 28 s); on a
+    * capacity-capped host it bounds the one component of the bench wall
+    * that otherwise scales with the contamination itself. */
+  private[graft] val RequeueBudgetSec = 90.0
+
   /** Fixed single-thread CPU probe: a deterministic xorshift loop whose
     * wall time on an uncontended core is constant (~100 ms here). Run once
     * per query, it is the contamination detector /proc/stat cannot be:
@@ -117,16 +123,27 @@ object Bench {
   }
 
   /** The same fixed workload on EVERY core simultaneously. On a healthy
-    * box this wall time ≈ the single-thread probe (independent spins);
-    * when the hypervisor caps effective vCPUs it balloons while the
-    * single-thread probe stays flat — measured here: a query 20× slow
-    * with probe_ms at baseline, i.e. contention steals PARALLELISM, not
-    * scalar speed. pprobe_ms is the counter that catches that mode. */
+    * box the PER-THREAD time ≈ the single-thread probe (independent
+    * spins); when the hypervisor caps effective vCPUs most threads
+    * time-share and slow together while the single-thread probe stays
+    * flat — measured here: a query 20× slow with probe_ms at baseline,
+    * i.e. contention steals PARALLELISM, not scalar speed. pprobe_ms is
+    * the counter that catches that mode.
+    *
+    * Reported as the MEDIAN of per-thread spin times, not the join-all
+    * wall (round-13): the wall form measures the SLOWEST of 32 threads,
+    * and at the 25 ms workload the scheduler's dispatch tail alone
+    * spanned 2-5× on a healthy box — one full run fired 100 false
+    * requeues (163 s of rerun wall) off that tail. The median is immune
+    * to a few late threads, while a genuine capacity cap slows the
+    * MAJORITY of threads, which the median still catches (E effective
+    * cores ⇒ per-thread time ×32/E for most threads). */
   private def parallelProbeMs(): Double = {
     val n = math.max(2, Runtime.getRuntime.availableProcessors())
-    val t0 = System.nanoTime()
-    val threads = (1 to n).map { t =>
+    val times = new Array[Long](n)
+    val threads = (0 until n).map { t =>
       val th = new Thread(() => {
+        val t0 = System.nanoTime()
         var x = 0x9e3779b97f4a7c15L + t
         var i = 0
         while (i < 10000000) { // sized with cpuProbeMs — see comment there
@@ -134,11 +151,13 @@ object Bench {
           i += 1
         }
         probeSink = x
+        times(t) = System.nanoTime() - t0
       })
       th.setDaemon(true); th.start(); th
     }
     threads.foreach(_.join())
-    (System.nanoTime() - t0) / 1e6
+    val sorted = times.sorted
+    sorted(n / 2) / 1e6
   }
 
   /** Per-stage shuffle/input byte tally — the metric that actually
@@ -307,14 +326,29 @@ object Bench {
     val noisyKept = scala.collection.mutable.ArrayBuffer[String]()
     val rerunIterSec =
       scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    val resultsFinal: Seq[(String, Double)] = results.map { case (n, v) =>
+    // Round-13: the requeue pass is BUDGETED and VALUE-PRIORITIZED. A
+    // capacity-capped host (the r12 failure mode) can flag a third of
+    // the surface; rerunning all of it added 163 s to a wall the driver
+    // kills on a ceiling. Flagged queries rerun in descending official-
+    // value order — the budget is spent where a substitution can move
+    // the headline — and once RequeueBudgetSec of rerun wall is spent,
+    // the remaining flagged queries keep their originals and are
+    // surfaced in noisy_kept (which now means "flagged, not replaced":
+    // rerun-did-not-qualify or budget-exhausted — rerun_iter_sec tells
+    // the two apart, absent = never rerun).
+    val flagged = results.filter { case (n, v) =>
       // the warm-over-cold trigger needs the WARM-ONLY min (the official
       // value's min includes the cold run, so v > 1.5×cold can never fire)
       val warmOnlyMin = iterTimes.get(n).map(_.drop(1))
         .filter(_.nonEmpty).map(_.min).getOrElse(v)
-      val noisy = isNoisy(warmOnlyMin, coldSec.getOrElse(n, -1.0),
+      isNoisy(warmOnlyMin, coldSec.getOrElse(n, -1.0),
         pprobeMs.getOrElse(n, -1.0), pprobeMedian)
-      if (!noisy) n -> v
+    }
+    val substituted = scala.collection.mutable.HashMap[String, Double]()
+    val requeueT0 = System.nanoTime()
+    flagged.sortBy { case (_, v) => -v }.foreach { case (n, v) =>
+      if ((System.nanoTime() - requeueT0) / 1e9 >= RequeueBudgetSec)
+        noisyKept += n
       else {
         val outcome =
           try {
@@ -330,9 +364,11 @@ object Bench {
           catch { case _: Throwable => v }
           finally Caches.releaseScratch(spark)
         if (outcome == v) noisyKept += n
-        n -> outcome
+        else substituted(n) = outcome
       }
     }
+    val resultsFinal: Seq[(String, Double)] =
+      results.map { case (n, v) => n -> substituted.getOrElse(n, v) }
 
     val qs = resultsFinal.map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v.take(200)) }.mkString("{", ",", "}")
@@ -446,18 +482,26 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
-  /** Noise trigger for the requeue pass (round-10 hardening). Fires when
-    * the warm minimum exceeds 1.5× the query's own cold first run (the
-    * r9-style moderate inflation the old 3× threshold missed) OR when the
-    * query's measured-window pprobe_ms runs >30% over the run median
-    * (direct evidence the parallel capacity was degraded during exactly
-    * this query's window). */
+  /** Noise trigger for the requeue pass (round-10 hardening; round-13
+    * tightening). Fires when
+    *  - the warm minimum exceeds 1.5× the query's own cold first run
+    *    (the r9-style moderate inflation the old 3× threshold missed), OR
+    *  - the query's measured-window pprobe_ms runs >30% over the run
+    *    median AND >25 ms over it in absolute terms (direct evidence the
+    *    parallel capacity was degraded during exactly this query's
+    *    window; the absolute conjunct keeps sub-resolution jitter on the
+    *    ~25 ms probe workload from passing the relative test — round 13
+    *    measured 100 false requeues without it).
+    * Sub-0.3 s queries never requeue: their absolute error bound is
+    * noise-level against a 300+ s total, and one full round spent 13
+    * requeue slots (plus probe pairs) re-measuring them. */
   private[graft] def isNoisy(
       warmMin: Double, cold: Double,
       pprobe: Double, pprobeMedian: Double): Boolean =
-    warmMin > 0 && (
+    warmMin >= 0.3 && (
       (cold > 0 && warmMin > 1.5 * cold) ||
-        (pprobeMedian > 0 && pprobe > 1.3 * pprobeMedian))
+        (pprobeMedian > 0 && pprobe > 1.3 * pprobeMedian &&
+          pprobe > pprobeMedian + 25.0))
 
   /** Official-value decision after a requeue rerun. The rerun substitutes
     * (official = min(original, rerun-min)) ONLY when it re-qualifies:

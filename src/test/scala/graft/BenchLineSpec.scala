@@ -102,6 +102,24 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!Bench.isNoisy(warmMin = -1.0, cold = 2.0, pprobe = 500.0, pprobeMedian = 100.0))
   }
 
+  test("pprobe spike needs the absolute margin too (round-13 false-requeue fix)") {
+    // At the ~25 ms probe workload a healthy box's scheduler jitter
+    // passes the 1.3x relative test trivially (median 22, spike 30) —
+    // round 13 measured 100 false requeues (163 s of rerun wall) from
+    // exactly this. The absolute +25 ms conjunct rejects it...
+    assert(!Bench.isNoisy(warmMin = 2.0, cold = 2.0, pprobe = 30.0, pprobeMedian = 22.0))
+    // ...while a genuine capacity cap (most threads time-sharing, the
+    // per-thread median 3x the floor) clears both bars.
+    assert(Bench.isNoisy(warmMin = 2.0, cold = 2.0, pprobe = 75.0, pprobeMedian = 22.0))
+  }
+
+  test("sub-0.3s queries never requeue") {
+    // Their absolute error bound is noise-level against a 300+ s total;
+    // one full round spent 13 requeue slots (plus probe pairs) on them.
+    assert(!Bench.isNoisy(warmMin = 0.2, cold = 0.05, pprobe = 500.0, pprobeMedian = 100.0))
+    assert(Bench.isNoisy(warmMin = 0.31, cold = 0.05, pprobe = 100.0, pprobeMedian = 100.0))
+  }
+
   test("rerun substitutes only when its window is clean AND it reproduces") {
     // Clean reproducible rerun → official drops to the rerun min.
     assert(Bench.requeueOutcome(4.44, Seq(2.05, 2.00), 100.0, 100.0) == 2.00)

@@ -60,15 +60,19 @@ VERIFY_OUT = "/tmp/roundcheck_verify"
 BUDGET_SEC = 4500.0
 # Per-phase ceilings (round-12 verdict item 4). bench_sf01: the driver's
 # bench artifact was rc=124 in r11 (replica wall 901s) and r12 (1965s);
-# the last driver-green bench was r10 (replica 995s) — under host-noise
-# variance the safe ceiling is ~900s. verify_sf001: r12's 437s passed the
+# the last driver-green bench was r10 (replica wall 995s), so the pin is
+# that level plus host-noise margin — round-13 measured the same code
+# 1.4x apart on the same box depending on a hypervisor parallel-capacity
+# cap (pprobe 70ms vs 25ms floor), and the bench now hard-bounds its own
+# noise-rerun pass (Bench.RequeueBudgetSec), so 1100s is the realistic
+# "r10-green equivalent" ceiling. verify_sf001: r12's 437s passed the
 # driver comfortably; 900s flags a 2x regression. The oracle phases run
 # driver-side DuckDB and have survived at their r12 levels (38s / 798s);
 # their budgets flag a 1.5-2x regression.
 PHASE_BUDGETS = {
     "verify_sf001_sec": 900.0,
     "oracle_sf001_sec": 300.0,
-    "bench_sf01_sec": 900.0,
+    "bench_sf01_sec": 1100.0,
     "oracle_sf01_sec": 1200.0,
 }
 
