@@ -16,13 +16,68 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     Sessions.ensure(spark).read.parquet(s"$dir/$name.parquet")
 
+  /** Parquet row-group count per file, read once per path from the footer
+    * (driver-side, ~ms, memoized for the JVM). Long.MaxValue when the
+    * path is not a single readable parquet file (e.g. a real multi-file
+    * table directory) — i.e. "assume the scan parallelizes natively". */
+  private val rowGroupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def rowGroupsOf(spark: SparkSession, path: String): Long =
+    rowGroupCache.computeIfAbsent(path, { p =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p),
+          spark.sessionState.newHadoopConf())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try java.lang.Long.valueOf(r.getRowGroups.size().toLong)
+        finally r.close()
+      } catch { case _: Throwable => java.lang.Long.valueOf(Long.MaxValue) }
+    }).longValue()
+
+  /** FACT-table scan with parallelism restored when the file layout
+    * cannot feed the session's cores (round-13, guide §2.5 "input skew:
+    * one huge unsplittable file"). Spark assigns whole parquet ROW GROUPS
+    * to scan splits, and the driver's toy fixtures are written as a
+    * single row group per table — so every scan-stage map operator
+    * (decimal aggregation, JSON flatten, shingle explode) was serializing
+    * on ONE task regardless of split config (measured: q01's 600k-row
+    * decimal rollup ran 1 of its 1.2 s in a single scan task). The
+    * fan-out hashes on the table's PRIMARY KEY — deterministic row
+    * placement (safe under task retries, unlike rand-derived keys, and
+    * skipping round-robin's sort-before-repartition pass), and the
+    * partitioning downstream ops on that key can reuse outright — and is
+    * ADAPTIVE on the file's measured row-group count: a real table (many
+    * row groups / a directory of files — at 100 TB, thousands of both)
+    * takes the `df` branch and pays nothing; only a scan whose physical
+    * layout under-feeds the cores pays one narrow exchange to restore
+    * the parallelism the layout lost.
+    * Dimension tables (region..part) stay unfanned: they feed broadcast
+    * builds, where a fan-out only adds a stage. Catalyst pushes filters
+    * and column pruning THROUGH the repartition, so PushedFilters /
+    * ReadSchema at the scan are unchanged (PlanAuditSpec pins this). */
+  private def fanned(spark: SparkSession, dir: String,
+      name: String, key: String): DataFrame = {
+    val df = table(spark, dir, name)
+    val cores = math.max(1, spark.sparkContext.defaultParallelism)
+    // session kill-switch: the fan-out sits between a scan and the
+    // optimizer's scan-adjacent rewrites (e.g. InjectRuntimeFilter will
+    // not thread a bloom filter through a RepartitionByExpression), so a
+    // caller demonstrating those rewrites — or a deployment whose layout
+    // the row-group probe misjudges — can turn it off explicitly
+    if (spark.conf.get("spark.graft.scan.fanout", "true") != "true") df
+    else if (rowGroupsOf(spark, s"$dir/$name.parquet") >= cores / 2) df
+    else df.repartition(cores,
+      org.apache.spark.sql.functions.col(key))
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame     = fanned(s, d, "orders", "o_orderkey")
+  def lineitem(s: SparkSession, d: String): DataFrame   = fanned(s, d, "lineitem", "l_orderkey")
   /** `events.ts` has shipped under three physical parquet encodings across
     * testdata generations, so the load is schema-adaptive on the dtype Spark
     * actually reads:
@@ -37,7 +92,7 @@ object Tables {
     *   - TIMESTAMP(MICROS, UTC) → TimestampType. Pass through. */
   def events(s: SparkSession, d: String): DataFrame = {
     Sessions.ensure(s)
-    val df = table(s, d, "events")
+    val df = fanned(s, d, "events", "event_id")
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
@@ -47,6 +102,6 @@ object Tables {
       case other => throw new IllegalStateException(s"unsupported events.ts type: $other")
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame  = fanned(s, d, "documents", "doc_id")
+  def embeddings(s: SparkSession, d: String): DataFrame = fanned(s, d, "embeddings", "vec_id")
 }

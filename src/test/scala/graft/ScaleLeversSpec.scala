@@ -94,6 +94,10 @@ class ScaleLeversSpec extends SparkSpecBase {
       // zeroing the application-side floor exercises the injection rule
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      // InjectRuntimeFilter will not thread a filter through the scan
+      // fan-out's RepartitionByExpression; at real scale (many row
+      // groups) the fan-out never fires, so demonstrate on bare scans
+      "spark.graft.scan.fanout" -> "false",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val orders = Tables.orders(spark, sf)
         .filter(col("o_orderpriority") === "1-URGENT")
