@@ -16,24 +16,25 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     Sessions.ensure(spark).read.parquet(s"$dir/$name.parquet")
 
-  /** Parquet row-group count per file, read once per path from the footer
-    * (driver-side, ~ms, memoized for the JVM). Long.MaxValue when the
-    * path is not a single readable parquet file (e.g. a real multi-file
-    * table directory) — i.e. "assume the scan parallelizes natively". */
-  private val rowGroupCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Parquet footer stats per file — (row groups, rows) — read once per
+    * path (driver-side, ~ms, memoized for the JVM). (MaxValue, 0) when
+    * the path is not a single readable parquet file (e.g. a real
+    * multi-file table directory) — i.e. "assume the scan parallelizes
+    * natively". */
+  private val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
-  private def rowGroupsOf(spark: SparkSession, path: String): Long =
-    rowGroupCache.computeIfAbsent(path, { p =>
+  private def footerOf(spark: SparkSession, path: String): (Long, Long) =
+    footerCache.computeIfAbsent(path, { p =>
       try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(p),
           spark.sessionState.newHadoopConf())
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try java.lang.Long.valueOf(r.getRowGroups.size().toLong)
+        try (r.getRowGroups.size().toLong, r.getRecordCount)
         finally r.close()
-      } catch { case _: Throwable => java.lang.Long.valueOf(Long.MaxValue) }
-    }).longValue()
+      } catch { case _: Throwable => (Long.MaxValue, 0L) }
+    })
 
   /** FACT-table scan with parallelism restored when the file layout
     * cannot feed the session's cores (round-13, guide §2.5 "input skew:
@@ -56,18 +57,34 @@ object Tables {
     * builds, where a fan-out only adds a stage. Catalyst pushes filters
     * and column pruning THROUGH the repartition, so PushedFilters /
     * ReadSchema at the scan are unchanged (PlanAuditSpec pins this). */
-  private def fanned(spark: SparkSession, dir: String,
-      name: String, key: String): DataFrame = {
+  /** Rows per fan-out partition for the row-light relational facts.
+    * Their downstream cost is a few expressions per row, so ~40k rows is
+    * one stage-latency quantum of work; fanning them all the way to the
+    * core count instead made every MULTI-PASS consumer (q278's two
+    * order-statistic kernels: ~10 stages over the cached frame) pay 32
+    * near-empty task launches per pass — measured 2.1 s → 4.2 s. Text
+    * and vector tables (documents, embeddings) fan to the full core
+    * count instead: their per-row work (shingling, normalization,
+    * 768-dim arithmetic) is 100-1000× a relational row's. */
+  private val FanRowsPerPartition = 40000L
+
+  private def fanned(spark: SparkSession, dir: String, name: String,
+      key: String, perRowHeavy: Boolean = false): DataFrame = {
     val df = table(spark, dir, name)
     val cores = math.max(1, spark.sparkContext.defaultParallelism)
+    val (rowGroups, rows) = footerOf(spark, s"$dir/$name.parquet")
+    val width =
+      if (perRowHeavy) cores
+      else math.max(1L, math.min(cores.toLong,
+        rows / FanRowsPerPartition)).toInt
     // session kill-switch: the fan-out sits between a scan and the
     // optimizer's scan-adjacent rewrites (e.g. InjectRuntimeFilter will
     // not thread a bloom filter through a RepartitionByExpression), so a
     // caller demonstrating those rewrites — or a deployment whose layout
     // the row-group probe misjudges — can turn it off explicitly
     if (spark.conf.get("spark.graft.scan.fanout", "true") != "true") df
-    else if (rowGroupsOf(spark, s"$dir/$name.parquet") >= cores / 2) df
-    else df.repartition(cores,
+    else if (rowGroups >= cores / 2 || width.toLong <= rowGroups) df
+    else df.repartition(width.toInt,
       org.apache.spark.sql.functions.col(key))
   }
 
@@ -102,6 +119,6 @@ object Tables {
       case other => throw new IllegalStateException(s"unsupported events.ts type: $other")
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame  = fanned(s, d, "documents", "doc_id")
-  def embeddings(s: SparkSession, d: String): DataFrame = fanned(s, d, "embeddings", "vec_id")
+  def documents(s: SparkSession, d: String): DataFrame  = fanned(s, d, "documents", "doc_id", perRowHeavy = true)
+  def embeddings(s: SparkSession, d: String): DataFrame = fanned(s, d, "embeddings", "vec_id", perRowHeavy = true)
 }
