@@ -78,21 +78,37 @@ object Diagnostics {
     // kernel calls join the two — a LogicalRDD leaf with fresh attribute
     // ids is the clean way out of the ambiguous-self-join trap for an
     // ≤80-row frame (tracked, released with the scratch sweep)
-    val positions = graft.core.Caches.trackCheckpoint(
-      o.groupBy(col("part")).agg(count(lit(1)).as("n"))
-        .select(col("part"), lit(50L).as("q"), expr("(n + 1) div 2").as("pos"))
+    // round-13: one census aggregate yields count AND bounds for the
+    // kernel (saving its bounds pass over `o`), and the deviation frame's
+    // bounds are DERIVED (median is attained ⇒ min d = 0,
+    // max d = max(hi − med, med − lo)) instead of scanned.
+    val census = graft.core.Caches.trackCheckpoint(
+      o.groupBy(col("part")).agg(count(lit(1)).as("n"),
+          min(col("v")).as("vlo"), max(col("v")).as("vhi"))
         .localCheckpoint(true))
+    val positions = census
+      .select(col("part"), lit(50L).as("q"), expr("(n + 1) div 2").as("pos"))
+    val oBounds = census.select(col("part"), col("vlo").as("lo"),
+      (col("vhi") - col("vlo") + 1).as("span"))
     // the kernel's output `part` keeps the values frame's attribute, so
     // joining it back onto the same frame is a true self-join — re-alias
-    // the tiny per-group results before the equi-join
-    val med = OrderStats.valueAtRank(o, positions)
-      .select(col("part").as("mpart"), col("v").as("med_cents"))
+    // the tiny per-group results before the equi-join. Eager-checkpointed:
+    // two consumers (deviation frame, derived bounds) would otherwise each
+    // re-execute the median kernel's jobs.
+    val med = graft.core.Caches.trackCheckpoint(
+      OrderStats.valueAtRank(o, positions, oBounds)
+        .select(col("part").as("mpart"), col("v").as("med_cents"))
+        .localCheckpoint(true))
     val dev = graft.core.Caches.scratch(
       o.join(broadcast(med), col("part") === col("mpart"))
         .select(col("part"), col("v"), col("med_cents"),
           abs(col("v") - col("med_cents")).as("d")))
+    val devBounds = census.join(broadcast(med), col("part") === col("mpart"))
+      .select(col("part"), lit(0L).as("lo"),
+        (greatest(col("vhi") - col("med_cents"),
+          col("med_cents") - col("vlo")) + 1).as("span"))
     val mad = OrderStats.valueAtRank(
-        dev.select(col("part"), col("d").as("v")), positions)
+        dev.select(col("part"), col("d").as("v")), positions, devBounds)
       .select(col("part").as("apart"), col("v").as("mad_cents"))
     dev.join(broadcast(mad), col("part") === col("apart"))
       .groupBy(col("part"))
@@ -663,19 +679,36 @@ object Diagnostics {
         % 10 < 5).as("is_cal")))
     val cal = graft.core.Caches.scratch(
       ev.filter(col("is_cal")).select(col("part"), col("cents").as("v")))
+    // round-13: fold the kernel's bounds pass into the census aggregate
+    // (one cal scan yields count AND min/max), and DERIVE the deviation
+    // frame's bounds instead of scanning it — the median is an attained
+    // value, so min |v − med| = 0 and max = max(hi − med, med − lo).
+    // Saves two of the operator's full event-level passes.
     val calN = graft.core.Caches.trackCheckpoint(
-      cal.groupBy(col("part")).agg(count(lit(1)).as("n"))
+      cal.groupBy(col("part")).agg(count(lit(1)).as("n"),
+          min(col("v")).as("vlo"), max(col("v")).as("vhi"))
         .localCheckpoint(true))
     val medPos = calN.select(col("part"), lit(50L).as("q"),
       expr("(n + 1) div 2").as("pos"))
-    val med = OrderStats.valueAtRank(cal, medPos)
-      .select(col("part").as("mpart"), col("v").as("med_cents"))
+    val calBounds = calN.select(col("part"), col("vlo").as("lo"),
+      (col("vhi") - col("vlo") + 1).as("span"))
+    // eager-checkpoint the median: it is a multi-job kernel OUTPUT read
+    // by three consumers (deviation frame, derived bounds, final join) —
+    // un-materialized, each broadcast re-executed the whole kernel
+    val med = graft.core.Caches.trackCheckpoint(
+      OrderStats.valueAtRank(cal, medPos, calBounds)
+        .select(col("part").as("mpart"), col("v").as("med_cents"))
+        .localCheckpoint(true))
     val nc = graft.core.Caches.scratch(
       cal.join(broadcast(med), col("part") === col("mpart"))
         .select(col("part"), abs(col("v") - col("med_cents")).as("v")))
+    val ncBounds = calN.join(broadcast(med), col("part") === col("mpart"))
+      .select(col("part"), lit(0L).as("lo"),
+        (greatest(col("vhi") - col("med_cents"),
+          col("med_cents") - col("vlo")) + 1).as("span"))
     val qPos = calN.select(col("part"), lit(90L).as("q"),
       least(expr("(9 * (n + 1) + 9) div 10"), col("n")).as("pos"))
-    val qhat = OrderStats.valueAtRank(nc, qPos)
+    val qhat = OrderStats.valueAtRank(nc, qPos, ncBounds)
       .select(col("part").as("qpart"), col("v").as("qhat_cents"))
     ev.filter(!col("is_cal"))
       .join(broadcast(med), col("part") === col("mpart"))

@@ -1007,14 +1007,20 @@ object TemporalOps {
         - unix_timestamp(col("ts")))
       .filter(col("gap_s").isNotNull)
       .select(lit("all").as("part"), col("gap_s").as("v")))
-    val positions = graft.core.Caches.trackCheckpoint(
-      gaps.groupBy(col("part")).agg(count(lit(1)).as("cn"))
-        .select(col("part"), explode(expr("sequence(1, 9)")).as("q"),
-          col("cn"))
-        .select(col("part"), col("q").cast("long").as("q"),
-          expr("(q * cn + 9) div 10").as("pos"))
+    // round-13: one census aggregate carries count AND the kernel's
+    // bounds — saves valueAtRank's own bounds pass over `gaps`
+    val census = graft.core.Caches.trackCheckpoint(
+      gaps.groupBy(col("part")).agg(count(lit(1)).as("cn"),
+          min(col("v")).as("vlo"), max(col("v")).as("vhi"))
         .localCheckpoint(true))
-    val at = OrderStats.valueAtRank(gaps, positions)
+    val positions = census
+      .select(col("part"), explode(expr("sequence(1, 9)")).as("q"),
+        col("cn"))
+      .select(col("part"), col("q").cast("long").as("q"),
+        expr("(q * cn + 9) div 10").as("pos"))
+    val bounds = census.select(col("part"), col("vlo").as("lo"),
+      (col("vhi") - col("vlo") + 1).as("span"))
+    val at = OrderStats.valueAtRank(gaps, positions, bounds)
       .select(col("q").as("decile"), col("v").as("obs_gap_s"))
     val mean = gaps.agg(expr("sum(v) * 1000 div count(1)").as("mean_milli"))
     val lq = ExpQuantiles.toDF("decile", "l")

@@ -1981,14 +1981,20 @@ object TextStats {
       docs.select(col("source").as("part"), col("n_chars").as("v"))
         .unionAll(docs.select(lit("__all__").as("part"),
           col("n_chars").as("v"))))
-    val positions = graft.core.Caches.trackCheckpoint(
-      vals.groupBy(col("part")).agg(count(lit(1)).as("cn"))
-        .select(col("part"), explode(expr("sequence(1, 9)")).as("q"),
-          col("cn"))
-        .select(col("part"), col("q").cast("long").as("q"),
-          expr("(q * cn + 9) div 10").as("pos"))
+    // round-13: one census aggregate carries count AND the kernel's
+    // bounds — saves valueAtRank's own bounds pass over `vals`
+    val census = graft.core.Caches.trackCheckpoint(
+      vals.groupBy(col("part")).agg(count(lit(1)).as("cn"),
+          min(col("v")).as("vlo"), max(col("v")).as("vhi"))
         .localCheckpoint(true))
-    val at = graft.analytics.OrderStats.valueAtRank(vals, positions)
+    val positions = census
+      .select(col("part"), explode(expr("sequence(1, 9)")).as("q"),
+        col("cn"))
+      .select(col("part"), col("q").cast("long").as("q"),
+        expr("(q * cn + 9) div 10").as("pos"))
+    val bounds = census.select(col("part"), col("vlo").as("lo"),
+      (col("vhi") - col("vlo") + 1).as("span"))
+    val at = graft.analytics.OrderStats.valueAtRank(vals, positions, bounds)
     val globalAt = at.filter(col("part") === "__all__")
       .select(col("q"), col("v").as("global_chars"))
     at.filter(col("part") =!= "__all__")
