@@ -383,123 +383,243 @@ object Graphs {
   private def pageRankConvergedFromAdj(adjPlan: DataFrame,
       topK: Int, maxIters: Int): DataFrame = {
     val spark = adjPlan.sparkSession
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
-    val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
-    var adjOutPin: DataFrame = null
-    try {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      // Round-13 kernel rewrite (guide §2.3/§2.4): loop state is NODE-sized
-      // on BOTH sides. The edge list is grouped ONCE into an out-adjacency
-      // frame (node, deg, outs[]) — one row per node, arrays edge-sized in
-      // total — so every round scans ~|V| adjacency rows instead of
-      // re-probing the 2|E|-row (u, v, deg) checkpoint (measured at sf0.1:
-      // 46 rounds × ~220 MB of edge-checkpoint block reads ≈ 10 GB per
-      // run, all gone). The kernel checkpoints a loop-width COPY of the
-      // adjacency, and the checkpoint PRESERVES its hash(node)
-      // partitioning, so each round's rank join is CO-PARTITIONED (zero
-      // Exchange, zero per-round BroadcastExchange job — the old form
-      // collected the rank frame to the driver every round). The
-      // SHUFFLE_HASH hint keeps the per-partition build on the node-sized
-      // rank side without a sort; per round exactly ONE exchange remains —
-      // the node-sized contrib re-aggregation, which IS pagerank's
-      // irreducible shuffle.
-      // Skew note (100 TB): an adjacency row is one node's out-list; the
-      // hottest node's array is its degree — the same per-group bound the
-      // old groupBy(v) aggregation buffered. Beyond memory, split hot
-      // nodes into (node, salt) sublists with per-sublist partial sums.
-      //
-      // Scale-adaptive loop width, derived from the MEASURED directed-edge
-      // count (per-partition work is edge-sized — the arrays — not
-      // node-sized). Width sweep at the 46-round sf0.1 fixpoint
-      // (2.39M directed edges, same box, back-to-back): width 32
-      // (session parallelism) 19.9 s — stage-latency-bound, 46 rounds ×
-      // 2 stages × 32 near-empty tasks; width 1 (SinglePartition,
-      // zero-Exchange rounds) 41.9 s — one core serializes ~110M row-ops;
-      // width 4 (~600k edge-array entries per task) ~10 s — enough
-      // parallelism to clear the per-round CPU in one stage-latency
-      // quantum without paying 32 task launches per stage. At 100 TB the
-      // same formula yields thousands of partitions and the rounds stay
-      // the co-partitioned hash form.
-      val stats = adjPlan.agg(count(lit(1)).as("n"),
-        coalesce(sum(col("deg")), lit(0L)).as("e")).head()
+    import spark.implicits._
+    // Round-14 (verdict item 1): the round-13 kernel was DRIVER-PLANNING-
+    // bound — each of the 46 sf0.1 rounds constructed a fresh Dataset
+    // (join+explode+agg), ~56 ms of Catalyst analysis per construction,
+    // ~0.45 s of plan building vs ~0.5 s of execution per 8-round batch.
+    // The loop now runs on RAW RDDs with ONE explicit HashPartitioner:
+    // zero Catalyst work per round, the co-partitioned rank join is a
+    // narrow zip of cached blocks, and the only per-round cost left is
+    // pagerank's irreducible node-sized contribution shuffle
+    // (reduceByKey). Arithmetic is bit-identical to the Dataset form:
+    // rank div deg and (s·17) div 20 on non-negative longs are plain
+    // Java long division; the contribution sum is order-independent
+    // integer addition. Batching and the consecutive-pair fixpoint test
+    // are unchanged in shape (FixpointBatch rounds chain lazily, one
+    // action per batch); the test is a co-partitioned zipPartitions
+    // count instead of an anti-join. Session confs (AQE, shuffle width)
+    // are NOT touched anymore — the round-13 set/restore dance was
+    // unsafe under concurrent queries (verdict what's-wrong 6); the RDD
+    // loop's width is the explicit partitioner, invisible to SQL.
+    //
+    // Below [[GatherLoopMaxNodes]] MEASURED nodes the loop switches to a
+    // DRIVER-GATHER round: the rank vector rides to the tasks in the
+    // round closure, each task pre-combines its partition's contributions
+    // in a primitive map, and the driver merges the ≤ loopW node-sized
+    // partials — one narrow job per round, no shuffle stage at all.
+    // Measured at sf0.1 (20k nodes, 46 rounds): a shuffle STAGE boundary
+    // costs ~51 ms in this runtime even for a 20k-row round (16-stage
+    // micro-chain probe), so the shuffle-per-round form has a 2.4 s
+    // floor the gather form does not.
+    val stats = adjPlan.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("deg")), lit(0L)).as("e")).head()
+    val nNodes = stats.getLong(0)
+    if (nNodes <= GatherLoopMaxNodes)
+      pageRankConvergedGather(adjPlan, topK, maxIters)
+    else {
+      // Scale-adaptive loop width from the MEASURED directed-edge count
+      // (per-partition work is edge-sized — the adjacency arrays — not
+      // node-sized); same formula as round 13 (width sweep there: 32 wide
+      // was stage-latency-bound, 1 wide serialized ~110M row-ops, ~600k
+      // edge entries per task is one latency quantum of work). At 100 TB
+      // the formula yields thousands of partitions and every round stays
+      // the same co-partitioned form.
       val nEdges = stats.getLong(1)
       val sessW = fullWidth(adjPlan)
       val loopW = math.max(1L, math.min(sessW.toLong,
         nEdges / LoopEdgesPerPartition + 1L)).toInt
-      spark.conf.set("spark.sql.shuffle.partitions", loopW.toString)
-      val adjOut = (if (loopW == 1) adjPlan.coalesce(1)
-                    else adjPlan.repartition(loopW, col("node")))
-        .localCheckpoint(true)
-      adjOutPin = adjOut
-      var ranks = adjOut
-        .select(col("node"), lit(1000000L).as("rank_ppm"))
-        .localCheckpoint(true)
-      def step(r: DataFrame): DataFrame = adjOut
-        .join(r.hint("shuffle_hash"), Seq("node"))
-        .select(col("outs"), expr("rank_ppm div deg").as("contrib"))
-        .select(explode(col("outs")).as("v"), col("contrib"))
-        .groupBy(col("v"))
-        .agg(sum(col("contrib")).as("s"))
-        .select(col("v").as("node"),
-          expr("150000 + (s * 17) div 20").as("rank_ppm"))
-      var iter = 0
-      var converged = false
-      // BATCHED fixpoint cadence (round-12 verdict stretch item; batch
-      // raised 4 → 8 in round 13 after the kernel rewrite moved the
-      // floor): rounds chain LAZILY in batches of FixpointBatch and ONE
-      // action per batch (the consecutive-pair anti-join count between
-      // the batch's last two frames) materializes the whole chain.
-      // Convergence stays a CONSECUTIVE comparison, so a floor-arithmetic
-      // cycle (period > 1) still never fires the early stop, and a
-      // fixpoint reached mid-batch holds through the batch's remaining
-      // no-op rounds — the stop fires at the batch edge with identical
-      // final ranks (overshoot is compute, never semantics). Within a
-      // batch only every [[FixpointCkptEvery]]-th round (plus the last
-      // two, which the anti-join reads) is checkpointed: un-checkpointed
-      // rounds stay plan-fused into their successor, saving the per-round
-      // Dataset/persist overhead, while the periodic checkpoint bounds
-      // plan depth (measured at sf0.1: ckpt-every-round batches 1.4-1.7 s,
-      // ckpt-every-4 batches 1.0-1.2 s for 8 rounds). The batch's one job
-      // pipelines all stages — no per-round driver round-trip at all.
-      while (!converged && iter < maxIters) {
-        val nRounds = math.min(FixpointBatch, maxIters - iter)
-        val chain = scala.collection.mutable.ArrayBuffer[DataFrame](ranks)
-        (1 to nRounds).foreach { i =>
-          val s = step(chain.last)
-          chain += (if (i % FixpointCkptEvery == 0 || i >= nRounds - 1)
-            s.localCheckpoint(false) else s)
+      val part = new org.apache.spark.HashPartitioner(loopW)
+      // adjacency → (node, (deg, outs)) pairs, partitioned once, cached:
+      // every round's rank join is then a narrow co-partitioned zip
+      val adjRdd = adjPlan.select(col("node"), col("deg"), col("outs"))
+        .as[(Long, Long, Array[Long])].rdd
+        .map { case (n, d, o) => (n, (d, o)) }
+        .partitionBy(part)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        var ranks: org.apache.spark.rdd.RDD[(Long, Long)] =
+          adjRdd.mapValues(_ => 1000000L)
+        // Per round: a narrow co-partitioned zip joins ranks into the
+        // adjacency and PRE-COMBINES contributions in a primitive
+        // long->long map (graft.core.LongLongMap — reduceByKey's boxed
+        // map-side combine alone cost ~0.3 s/round here), so the round's
+        // irreducible shuffle carries one entry per (partition, node)
+        // instead of one per contribution. Long sums are order-
+        // independent; rank/deg on non-negative longs is `div`.
+        def step(r: org.apache.spark.rdd.RDD[(Long, Long)])
+            : org.apache.spark.rdd.RDD[(Long, Long)] =
+          adjRdd.zipPartitions(r, preservesPartitioning = false) { (ai, ri) =>
+            val rank = new graft.core.LongLongMap(1 << 12)
+            ri.foreach { case (n, v) => rank.update(n, v) }
+            val acc = new graft.core.LongLongMap(1 << 12)
+            ai.foreach { case (n, (deg, outs)) =>
+              val rv = rank.getOrElse(n, Long.MinValue)
+              if (rv != Long.MinValue) { // inner-join semantics
+                val contrib = rv / deg
+                var i = 0
+                while (i < outs.length) { acc.addTo(outs(i), contrib); i += 1 }
+              }
+            }
+            acc.iterator
+          }
+            .reduceByKey(part, _ + _)
+            .mapValues(s => 150000L + (s * 17L) / 20L)
+        var iter = 0
+        var converged = false
+        var live: org.apache.spark.rdd.RDD[(Long, Long)] = null
+        // Batched cadence unchanged from round 13: FixpointBatch rounds
+        // chain lazily, ONE action per batch (the consecutive-pair
+        // changed-count) materializes the whole chain — intermediate
+        // rounds are ShuffledRDDs whose map stages the scheduler shares,
+        // so nothing recomputes. Convergence stays a CONSECUTIVE
+        // comparison (a floor-arithmetic cycle never fires the early
+        // stop; a mid-batch fixpoint holds through the batch's no-op
+        // tail and is caught at the batch edge with identical ranks).
+        while (!converged && iter < maxIters) {
+          val nRounds = math.min(FixpointBatch, maxIters - iter)
+          var prev = ranks
+          var last = ranks
+          (1 to nRounds).foreach { _ => prev = last; last = step(last) }
+          iter += nRounds
+          last.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // exact fixpoint: no (node, rank_ppm) pair of the batch's last
+          // round differs from its predecessor — a narrow co-partitioned
+          // zip (both sides hash(node)-partitioned by `part`), no shuffle
+          val changed = last.zipPartitions(prev) { (a, b) =>
+            // boxed map: a Long-valued scala map would silently unbox an
+            // absent key's null to 0L and break the membership test
+            val m = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+            b.foreach { case (n, v) => m.put(n, v) }
+            var c = 0L
+            a.foreach { case (n, v) =>
+              val got = m.get(n)
+              if (got == null || got.longValue() != v) c += 1L
+            }
+            Iterator.single(c)
+          }.fold(0L)(_ + _)
+          converged = changed == 0L
+          if (live != null) live.unpersist(blocking = false)
+          live = last
+          ranks = last
         }
-        iter += nRounds
-        // exact fixpoint: no (node, rank_ppm) pair changed in the LAST
-        // round of the batch. Both sides are hash(node)-co-partitioned
-        // checkpoints, so the anti-join needs no exchange either. The
-        // count materializes every chained checkpoint on the way.
-        converged = chain.last
-          .join(chain(chain.size - 2).hint("shuffle_hash"),
-            Seq("node", "rank_ppm"), "left_anti")
-          .count() == 0L
-        // everything but the batch's final frame is superseded and the
-        // fixpoint test has run — free those blocks now instead of
-        // leaking them to driver GC (round-8 verdict: leaked round
-        // blocks accumulate for the JVM lifetime).
-        chain.dropRight(1).foreach(Caches.freeCheckpoint)
-        ranks = chain.last
+        // final ranks stay persisted for the lazy result frame below;
+        // released with the caller's next releaseScratch
+        Caches.trackRdd(spark, ranks)
+        // domain-sized: applied to the topK-row TakeOrdered frame below
+        val w = Window.orderBy(col("rank_ppm").desc, col("node").asc)
+        ranks.toDF("node", "rank_ppm")
+          .orderBy(col("rank_ppm").desc, col("node").asc).limit(topK)
+          .withColumn("rank", row_number().over(w))
+          .select(col("rank"), col("node"), col("rank_ppm"))
+          .orderBy(col("rank").asc)
+      } finally {
+        // the result frame reads only the FINAL ranks blocks — the
+        // pinned adjacency owes nothing once the loop exits
+        adjRdd.unpersist(blocking = false)
       }
-      // domain-sized: applied to the topK-row TakeOrdered frame below
-      val w = Window.orderBy(col("rank_ppm").desc, col("node").asc)
-      Caches.trackCheckpoint(ranks)
-        .orderBy(col("rank_ppm").desc, col("node").asc).limit(topK)
-        .withColumn("rank", row_number().over(w))
-        .select(col("rank"), col("node"), col("rank_ppm"))
-        .orderBy(col("rank").asc)
-    } finally {
-      // the result frame reads only the FINAL ranks checkpoint — the
-      // pinned adjacency owes nothing once the loop exits
-      if (adjOutPin != null) Caches.freeCheckpoint(adjOutPin)
-      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
     }
   }
+
+  /** Driver-gather converged pagerank for graphs whose MEASURED node
+    * count fits driver memory (≤ [[GatherLoopMaxNodes]]): the adjacency
+    * stays distributed (cached, ≤ loopW partitions from the edge-count
+    * formula), the rank VECTOR lives on the driver as two flat long
+    * arrays (nodes sorted once; ranks positional). Per round: one narrow
+    * job — each task rebuilds the node→rank index from the closure-
+    * shipped arrays (a few ms), pre-combines its partition's
+    * contributions in a primitive map, returns one interleaved long[]
+    * partial — and the driver sum-merges ≤ loopW partials and applies
+    * the damping formula. Convergence is the exact array comparison.
+    * Identical arithmetic to the distributed loop (integer sums are
+    * order-independent; same div/floor ops), so the two paths are
+    * interchangeable — GraphsSpec pins their equivalence. */
+  private def pageRankConvergedGather(adjPlan: DataFrame,
+      topK: Int, maxIters: Int): DataFrame = {
+    val spark = adjPlan.sparkSession
+    import spark.implicits._
+    val adjRdd = adjPlan.select(col("node"), col("deg"), col("outs"))
+      .as[(Long, Long, Array[Long])].rdd
+    val nEdges = adjPlan
+      .agg(coalesce(sum(col("deg")), lit(0L))).head().getLong(0)
+    val loopW = math.max(1L, math.min(fullWidth(adjPlan).toLong,
+      nEdges / LoopEdgesPerPartition + 1L)).toInt
+    val adj = adjRdd.coalesce(loopW)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = adj.map(_._1).collect().sorted
+      var ranks = Array.fill(nodes.length)(1000000L)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIters) {
+        val ns = nodes; val rs = ranks
+        val partials = adj.mapPartitions { it =>
+          val idx = new graft.core.LongLongMap(math.max(16, ns.length * 2))
+          var j = 0
+          while (j < ns.length) {
+            // MinValue marks a node that dropped from the rank set (an
+            // asymmetric test graph can have rankless nodes; the
+            // symmetric co-purchase graph never does)
+            if (rs(j) != Long.MinValue) idx.update(ns(j), rs(j))
+            j += 1
+          }
+          val acc = new graft.core.LongLongMap(math.max(16, ns.length * 2))
+          it.foreach { case (n, deg, outs) =>
+            val rv = idx.getOrElse(n, Long.MinValue)
+            if (rv != Long.MinValue) { // inner-join semantics
+              val contrib = rv / deg
+              var i = 0
+              while (i < outs.length) { acc.addTo(outs(i), contrib); i += 1 }
+            }
+          }
+          val flat = new Array[Long](acc.size * 2)
+          var w = 0
+          acc.foreachEntry { (n, v) => flat(w) = n; flat(w + 1) = v; w += 2 }
+          Iterator.single(flat)
+        }.collect()
+        val sums = new graft.core.LongLongMap(math.max(16, nodes.length * 2))
+        partials.foreach { flat =>
+          var i = 0
+          while (i < flat.length) { sums.addTo(flat(i), flat(i + 1)); i += 2 }
+        }
+        val out = new Array[Long](nodes.length)
+        var changed = false
+        var j = 0
+        while (j < nodes.length) {
+          val s = sums.getOrElse(nodes(j), Long.MinValue)
+          out(j) = if (s == Long.MinValue) Long.MinValue
+                   else 150000L + (s * 17L) / 20L
+          if (out(j) != ranks(j)) changed = true
+          j += 1
+        }
+        converged = !changed
+        ranks = out
+        iter += 1
+      }
+      // topK panel on the driver — same total (rank_ppm DESC, node ASC)
+      // order and row_number semantics as the distributed tail
+      val top = nodes.indices
+        .filter(j => ranks(j) != Long.MinValue)
+        .map(j => (nodes(j), ranks(j)))
+        .sortBy { case (n, r) => (-r, n) }
+        .take(topK)
+        .zipWithIndex
+        .map { case ((n, r), i) => (i + 1, n, r) }
+      top.toDF("rank", "node", "rank_ppm").orderBy(col("rank").asc)
+    } finally {
+      adj.unpersist(blocking = false)
+    }
+  }
+
+  /** Node-count ceiling for the driver-gather fixpoint loops: below it
+    * the per-round state (two flat long arrays + one primitive map) is
+    * ≤ ~16 MB on the driver and in each round closure — cheaper than
+    * any shuffle stage; above it the kernels run their fully
+    * distributed co-partitioned RDD loops. A measured scalar, not an
+    * estimate (same discipline as [[TrickleBroadcastRows]]). A var only
+    * so GraphsSpec can force the distributed path on small fixtures and
+    * pin the two paths' bit-equivalence. */
+  private[analytics] var GatherLoopMaxNodes = 500000L
 
   /** q228: k-core peel CASCADE census — the unbounded-iteration k-core
     * (round-7 stretch item 8): peel under-degree nodes until the true
@@ -518,11 +638,10 @@ object Graphs {
     * construction. */
   def kCorePeelCensus(spark: SparkSession, dir: String,
       k: Int = 85, maxRounds: Int = 64): DataFrame = {
-    val (deg, removed) = peelCore(
+    val (_, _, removed) = peelCore(
       coPurchaseAdjacency(spark, dir)
         .select(col("node"), expr("transform(nbrs, x -> x.v)").as("nbrs")),
       k, maxRounds)
-    Caches.freeCheckpoint(deg) // census is driver-built; deg owes nothing
     import spark.implicits._
     removed.toDF("round", "n_removed").orderBy(col("round").asc)
   }
@@ -561,8 +680,7 @@ object Graphs {
 
   private[analytics] def kCorePeelCensusOf(spark: SparkSession,
       edges0: DataFrame, k: Int, maxRounds: Int): DataFrame = {
-    val (deg, removed) = peelCore(adjacencyOf(edges0), k, maxRounds)
-    Caches.freeCheckpoint(deg) // census is driver-built; deg owes nothing
+    val (_, _, removed) = peelCore(adjacencyOf(edges0), k, maxRounds)
     import spark.implicits._
     removed.toDF("round", "n_removed").orderBy(col("round").asc)
   }
@@ -580,11 +698,15 @@ object Graphs {
       .select(col("src").as("node"), col("nbrs"))
 
   /** Shared incremental-degree peel loop (impl notes below) — takes the
-    * symmetric adjacency plan (node, nbrs) and returns the FINAL degree
-    * checkpoint (caller owns its release) and the per-round removal
-    * census. */
+    * symmetric adjacency plan (node, nbrs) and returns the surviving-
+    * subgraph census scalars (n_nodes with d > 0, Σ d over d > 0) and the
+    * per-round removal census. Round-14: the loop state lives in RAW RDDs
+    * (verdict item 1 — the round-13 Dataset loop was driver-planning-
+    * bound), so the final degree frame is reduced to the two scalars its
+    * only consumer (q195's census) reads, and every block is released
+    * before returning. */
   private def peelCore(adjPlan: DataFrame, k: Int,
-      maxRounds: Int): (DataFrame, Seq[(Long, Long)]) = {
+      maxRounds: Int): (Long, Long, Seq[(Long, Long)]) = {
     val spark = adjPlan.sparkSession
     // INCREMENTAL-DEGREE cascade (round-8 advice item 3). Measured
     // evolution at the 38-round sf0.1 cascade, same box, back-to-back:
@@ -624,110 +746,221 @@ object Graphs {
     // endpoints were removed in the round that zeroed them, and removed
     // endpoints are anti-filtered from the delta legs), exactly like an
     // isolated node in the edge form.
-    val isBad = col("d") > 0 && col("d") < k
+    import spark.implicits._
+    def isBad(d: Long): Boolean = d > 0 && d < k
     val removed = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
-    val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
-    // Round-13 kernel rewrite (guide §2.3/§2.4), same shape as the
-    // converged-pagerank loop: the edge list is grouped ONCE into an
-    // adjacency frame (node, nbrs[]) — the groupBy runs exchange-free on
-    // the hash(src) repartition and the checkpoint preserves the
-    // partitioning — and the degree frame is DERIVED from it
-    // (size(nbrs)), dropping the old build's full second exchange
-    // (groupBy(dst) against a hash(src) layout). Per round the semi-join
-    // of adjacency against the bad set is co-partitioned (zero Exchange,
-    // zero per-round trickle broadcasts — the old form collected the bad
-    // frame to the driver twice per round), and only bad nodes' arrays
-    // explode, so TOTAL explode work across the whole cascade is ≤ 2|E|
-    // (each node is bad at most once) — the peel is amortized-linear.
+    // Round-14 (verdict item 1): the loop runs on RAW RDDs with one
+    // explicit HashPartitioner — zero Catalyst analysis per round (the
+    // round-13 Dataset loop spent ~half its time constructing plans).
+    // Semantics are the round-13 form exactly, per round:
+    //   bad   = σ(0 < d < k) deg              (narrow filter)
+    //   decr  = Σ_{bad u} (−1 per nbr of u)   (amortized shuffle: the
+    //           only per-round shuffle carries DELTA entries, ≤ 2|E|
+    //           across the WHOLE cascade since each node is bad once —
+    //           the round-13 union+groupBy re-shuffled survivors too)
+    //   next  = fullOuterJoin(σ(¬bad) deg, decr) summing the two legs
+    //           (narrow: both sides hash(node)-partitioned)
+    // fullOuterJoin ≡ the old unionAll+groupBy-sum: survivor-only rows
+    // keep d, hit rows get d + Σ(−1), decr-only rows materialize as the
+    // same strictly-negative phantom rows the d > 0 guards discount (a
+    // removed node's deltas can target nodes removed in the same or an
+    // earlier round; they can never re-enter isBad).
     //
-    // Dropping the old badDst anti-join is deliberate and census-exact:
-    // deltas now also target nodes removed in the SAME round, but a
-    // removed node's base row is dropped by the survivor filter, so its
-    // new d is a strictly negative sum of -1s — one more source of the
-    // phantom negative rows the d > 0 guards already discount (see the
-    // census-equivalence note below); it can never re-enter isBad.
+    // Census equivalence with the edge-list formulation is exact but has
+    // one subtlety: a node that loses ALL its edges in one round vanishes
+    // from an edge-derived degree aggregate (never counted as removed),
+    // so `bad` requires d > 0 — zero-degree rows stay behind, inert and
+    // invisible, exactly like an isolated node in the edge form.
+    val stats = adjPlan.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(col("nbrs"))), lit(0L)).as("e")).head()
+    val nNodes0 = stats.getLong(0)
+    val nEdges = stats.getLong(1)
+    // Below GatherLoopMaxNodes MEASURED nodes, the degree map lives on
+    // the driver and each round is ONE narrow job over the cached
+    // adjacency (bad set ships in the round closure; tasks return
+    // interleaved decrement partials) — no shuffle stage per round.
+    // Same rationale and threshold as the pagerank gather loop.
+    if (nNodes0 <= GatherLoopMaxNodes)
+      return peelCoreGather(adjPlan, k, maxRounds, nEdges)
+    // Width from the TOTAL edge count against the cascade's AMORTIZED
+    // work (≤ 2|E| delta entries over the whole cascade): ~4M entries ≈
+    // 64 MB per partition — width 1 at sf0.1 (one narrow single-task
+    // chain per batch), dozens of partitions at 100 TB where rounds
+    // become the same co-partitioned form, wider.
+    val loopW = math.max(1L, math.min(fullWidth(adjPlan).toLong,
+      nEdges / NodeRowsPerPartition + 1L)).toInt
+    val part = new org.apache.spark.HashPartitioner(loopW)
+    val mdisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val adjRdd = adjPlan.select(col("node"), col("nbrs"))
+      .as[(Long, Array[Long])].rdd
+      .partitionBy(part)
+      .persist(mdisk)
     try {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val stats = adjPlan.agg(count(lit(1)).as("n"),
-        coalesce(sum(size(col("nbrs"))), lit(0L)).as("e")).head()
-      val nEdges = stats.getLong(1)
-      // Width from the TOTAL edge count against the cascade's AMORTIZED
-      // work (each node is bad at most once, so the whole cascade
-      // explodes ≤ 2|E| entries — unlike the pagerank loop, which
-      // re-explodes everything every round): ~4M entries ≈ 64 MB per
-      // partition. At sf0.1 (2.39M) this is width 1 — SinglePartition
-      // satisfies every required distribution, so a whole batch of
-      // rounds plus its census union plans with ZERO Exchange and runs
-      // as one narrow single-task stage (measured: width 4 paid 2
-      // stages × loopW tasks for each of q228's 38 trickle rounds and
-      // ran 8-9 s vs ~6.5 s at width 1). At 100 TB the formula yields
-      // dozens of partitions and rounds become the co-partitioned form.
-      val loopW = math.max(1L, math.min(fullWidth(adjPlan).toLong,
-        nEdges / NodeRowsPerPartition + 1L)).toInt
-      spark.conf.set("spark.sql.shuffle.partitions", loopW.toString)
-      val adj = (if (loopW == 1) adjPlan.coalesce(1)
-                 else adjPlan.repartition(loopW, col("node")))
-        .localCheckpoint(true)
-      try {
-        var deg = adj
-          .select(col("node"), size(col("nbrs")).cast("long").as("d"))
-          .localCheckpoint(false)
-        def stepOnce(d0: DataFrame): DataFrame = {
-          val bad = d0.filter(isBad).select(col("node"))
-          val deltas = adj
-            .join(bad.hint("shuffle_hash"), Seq("node"), "left_semi")
-            .select(explode(col("nbrs")).as("node"), lit(-1L).as("d"))
-          d0.filter(!isBad).select(col("node"), col("d"))
-            .unionAll(deltas)
-            .groupBy(col("node")).agg(sum(col("d")).as("d"))
-            .localCheckpoint(false)
-        }
-        // BATCHED cadence (round-13; the old loop paid one action per
-        // round to read that round's census scalar): FixpointBatch rounds
-        // chain lazily, and ONE action — the collected union of the
-        // per-round census aggregates — materializes the whole chain and
-        // returns every round's bad count at once. Rounds past the
-        // cascade's true end are no-ops (empty bad ⇒ empty deltas ⇒ deg
-        // unchanged), their censuses read 0 and are never recorded, so
-        // overshoot is compute, never semantics.
-        var round = 0
-        var live = true
-        while (live && round < maxRounds) {
-          val nRounds = math.min(FixpointBatch, maxRounds - round)
-          val chain = scala.collection.mutable.ArrayBuffer[DataFrame](deg)
-          (1 to nRounds).foreach(_ => chain += stepOnce(chain.last))
-          // census c_j = |isBad(deg_{j})| BEFORE round j+1 peels; one
-          // collect returns c_0..c_{nRounds-1} and materializes the chain
-          val censuses = chain.dropRight(1).zipWithIndex
-            .map { case (d, j) =>
-              d.filter(isBad).agg(count(lit(1)).as("b"))
-                .select(lit(j).as("j"), col("b"))
+      var deg: org.apache.spark.rdd.RDD[(Long, Long)] =
+        adjRdd.mapValues(_.length.toLong)
+      def stepOnce(d0: org.apache.spark.rdd.RDD[(Long, Long)])
+          : org.apache.spark.rdd.RDD[(Long, Long)] = {
+        // decrement pass: primitive pre-combine of the -1 deltas (same
+        // LongLongMap rationale as the pagerank step)
+        val decr = adjRdd.zipPartitions(d0, preservesPartitioning = false) {
+          (ai, di) =>
+            val bad = new graft.core.LongLongMap(1 << 10)
+            di.foreach { case (n, d) => if (isBad(d)) bad.update(n, 1L) }
+            val acc = new graft.core.LongLongMap(1 << 10)
+            ai.foreach { case (n, nbrs) =>
+              if (bad.contains(n)) {
+                var i = 0
+                while (i < nbrs.length) { acc.addTo(nbrs(i), -1L); i += 1 }
+              }
             }
-            .reduce(_ unionAll _)
-            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-          var j = 0
-          while (live && j < nRounds) {
-            val b = censuses(j)
-            if (b > 0L) { round += 1; removed += ((round.toLong, b)) }
-            else live = false
-            j += 1
+            acc.iterator
+        }.reduceByKey(part, _ + _)
+        // merge survivors with decrements: both sides hash(node)-
+        // partitioned by `part`, keys unique per side, so a narrow zip
+        // with an additive merge IS the old fullOuterJoin-sum (survivor-
+        // only keys keep d, decr-only keys surface as the strictly-
+        // negative phantom rows the d > 0 guards discount)
+        d0.filter { case (_, d) => !isBad(d) }
+          .zipPartitions(decr, preservesPartitioning = true) { (si, di) =>
+            val m = new graft.core.LongLongMap(1 << 12)
+            si.foreach { case (n, d) => m.addTo(n, d) }
+            di.foreach { case (n, dd) => m.addTo(n, dd) }
+            m.iterator
           }
-          // the batch's LAST frame is the carry-over state either way
-          // (no-op rounds reproduce their input bit-for-bit); materialize
-          // it before freeing its predecessors — the census union only
-          // read frames 0..n-1
-          chain.last.count()
-          chain.dropRight(1).foreach(Caches.freeCheckpoint)
-          deg = chain.last
-        }
-        (deg, removed.toList)
-      } finally {
-        if (!(adj eq null)) Caches.freeCheckpoint(adj)
       }
+      // BATCHED cadence unchanged from round 13: FixpointBatch rounds
+      // chain lazily; ONE action per batch — the collected per-round
+      // census counts — materializes the whole chain (every round ends
+      // in a ShuffledRDD whose map stage the scheduler shares between
+      // its census reader and the next round, and each chain frame is
+      // persisted for the batch so narrow segments do not recompute).
+      // Rounds past the cascade's true end are no-ops (empty bad ⇒
+      // empty deltas ⇒ deg unchanged), their censuses read 0 and are
+      // never recorded — overshoot is compute, never semantics.
+      var round = 0
+      var live = true
+      while (live && round < maxRounds) {
+        val nRounds = math.min(FixpointBatch, maxRounds - round)
+        val chain = scala.collection.mutable
+          .ArrayBuffer[org.apache.spark.rdd.RDD[(Long, Long)]](deg)
+        (1 to nRounds).foreach { _ =>
+          chain += stepOnce(chain.last).persist(mdisk)
+        }
+        // census c_j = |isBad(deg_j)| BEFORE round j+1 peels; one action
+        // returns c_0..c_{nRounds-1} and materializes the chain (the
+        // union includes the carry-over last frame so its blocks are
+        // populated before its predecessors are freed)
+        val censuses = spark.sparkContext.union(
+          chain.zipWithIndex.map { case (d, j) =>
+            d.mapPartitions(it =>
+              Iterator.single((j, it.count { case (_, dd) => isBad(dd) }.toLong)))
+              : org.apache.spark.rdd.RDD[(Int, Long)]
+          }.toSeq)
+          .reduceByKey(_ + _).collect().toMap
+        var j = 0
+        while (live && j < nRounds) {
+          val b = censuses(j)
+          if (b > 0L) { round += 1; removed += ((round.toLong, b)) }
+          else live = false
+          j += 1
+        }
+        chain.dropRight(1).foreach(_.unpersist(blocking = false))
+        deg = chain.last
+      }
+      // surviving-subgraph scalars for q195's census (d > 0 is exactly
+      // the surviving subgraph — real rows never go negative, phantom
+      // rows never go positive); one narrow pass over the final blocks
+      val (nNodes, sumD) = deg.mapPartitions { it =>
+        var n = 0L; var s = 0L
+        it.foreach { case (_, d) => if (d > 0) { n += 1; s += d } }
+        Iterator.single((n, s))
+      }.fold((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+      deg.unpersist(blocking = false)
+      (nNodes, sumD, removed.toList)
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
+      adjRdd.unpersist(blocking = false)
+    }
+  }
+
+  /** Driver-gather peel for graphs whose MEASURED node count fits driver
+    * memory (≤ [[GatherLoopMaxNodes]]): the degree map lives on the
+    * driver; the adjacency stays distributed and cached. Per round: the
+    * bad set (0 < d < k) comes from one scan of the driver map, ships in
+    * the round closure, each task pre-combines its partition's −1 deltas
+    * in a primitive map, and the driver merges the ≤ loopW partials —
+    * removing this round's bad nodes first (the survivor filter) and
+    * then summing deltas, so decrement-only keys surface as the same
+    * strictly-negative phantom entries the distributed form carries.
+    * Census semantics identical: one (round, n_bad) row per non-empty
+    * round, stop at the first empty one. */
+  private def peelCoreGather(adjPlan: DataFrame, k: Int, maxRounds: Int,
+      nEdges: Long): (Long, Long, Seq[(Long, Long)]) = {
+    val spark = adjPlan.sparkSession
+    import spark.implicits._
+    val loopW = math.max(1L, math.min(fullWidth(adjPlan).toLong,
+      nEdges / NodeRowsPerPartition + 1L)).toInt
+    val adj = adjPlan.select(col("node"), col("nbrs"))
+      .as[(Long, Array[Long])].rdd
+      .coalesce(loopW)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var deg = new graft.core.LongLongMap(1 << 12)
+      adj.mapPartitions { it =>
+        val m = new graft.core.LongLongMap(1 << 12)
+        it.foreach { case (n, nbrs) => m.update(n, nbrs.length.toLong) }
+        val flat = new Array[Long](m.size * 2)
+        var w = 0
+        m.foreachEntry { (n, d) => flat(w) = n; flat(w + 1) = d; w += 2 }
+        Iterator.single(flat)
+      }.collect().foreach { flat =>
+        var i = 0
+        while (i < flat.length) { deg.update(flat(i), flat(i + 1)); i += 2 }
+      }
+      val removed = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      var round = 0
+      var live = true
+      while (live && round < maxRounds) {
+        val badBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        deg.foreachEntry { (n, d) => if (d > 0 && d < k) badBuf += n }
+        if (badBuf.isEmpty) live = false
+        else {
+          round += 1
+          removed += ((round.toLong, badBuf.length.toLong))
+          val bad = badBuf.toArray
+          val partials = adj.mapPartitions { it =>
+            val bs = new graft.core.LongLongMap(math.max(16, bad.length * 2))
+            var j = 0
+            while (j < bad.length) { bs.update(bad(j), 1L); j += 1 }
+            val acc = new graft.core.LongLongMap(1 << 10)
+            it.foreach { case (n, nbrs) =>
+              if (bs.contains(n)) {
+                var i = 0
+                while (i < nbrs.length) { acc.addTo(nbrs(i), -1L); i += 1 }
+              }
+            }
+            val flat = new Array[Long](acc.size * 2)
+            var w = 0
+            acc.foreachEntry { (n, v) => flat(w) = n; flat(w + 1) = v; w += 2 }
+            Iterator.single(flat)
+          }.collect()
+          // survivor filter (drop this round's bad rows), then deltas
+          val bs = new graft.core.LongLongMap(math.max(16, bad.length * 2))
+          bad.foreach(n => bs.update(n, 1L))
+          val next = new graft.core.LongLongMap(math.max(16, deg.size * 2))
+          deg.foreachEntry { (n, d) => if (!bs.contains(n)) next.update(n, d) }
+          partials.foreach { flat =>
+            var i = 0
+            while (i < flat.length) { next.addTo(flat(i), flat(i + 1)); i += 2 }
+          }
+          deg = next
+        }
+      }
+      var nNodes = 0L
+      var sumD = 0L
+      deg.foreachEntry { (_, d) => if (d > 0) { nNodes += 1; sumD += d } }
+      (nNodes, sumD, removed.toList)
+    } finally {
+      adj.unpersist(blocking = false)
     }
   }
 
@@ -828,64 +1061,179 @@ object Graphs {
   private def cheapestPathFromAdj(adjPlan: DataFrame,
       maxRounds: Int): DataFrame = {
     val spark = adjPlan.sparkSession
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
-    val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
+    import spark.implicits._
+    // Round-14 (verdict item 1): RDD relaxation loop — same shape as the
+    // converged pagerank (explicit HashPartitioner, zero Catalyst per
+    // round, batched rounds behind one action, consecutive-pair fixpoint
+    // via a narrow zipPartitions count). Arithmetic unchanged: d + c on
+    // non-negative longs, min() is order-independent, so the dist map is
+    // bit-identical to the round-13 Dataset form.
+    val stats = adjPlan.agg(min(col("node")).as("src"),
+      coalesce(sum(size(col("outs"))), lit(0L)).as("e"),
+      count(lit(1)).as("n")).head()
+    val src = stats.getLong(0)
+    val nEdges = stats.getLong(1)
+    val nNodes = stats.getLong(2)
+    // Below GatherLoopMaxNodes MEASURED nodes the dist map lives on the
+    // driver and each relaxation round is ONE narrow job (same rationale
+    // and threshold as the pagerank gather loop).
+    if (nNodes <= GatherLoopMaxNodes)
+      return cheapestPathGather(adjPlan, maxRounds, src, nEdges)
+    // per-round work re-explodes every reached node's out-list, so the
+    // width follows the PER-ROUND edge count like the pagerank loop
+    val loopW = math.max(1L, math.min(fullWidth(adjPlan).toLong,
+      nEdges / LoopEdgesPerPartition + 1L)).toInt
+    val part = new org.apache.spark.HashPartitioner(loopW)
+    val mdisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val adjRdd = adjPlan.select(col("node"), col("outs"))
+      .as[(Long, Array[(Long, Long)])].rdd
+      .partitionBy(part)
+      .persist(mdisk)
     try {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val stats = adjPlan.agg(min(col("node")).as("src"),
-        coalesce(sum(size(col("outs"))), lit(0L)).as("e")).head()
-      val src = stats.getLong(0)
-      val nEdges = stats.getLong(1)
-      // per-round work re-explodes every reached node's out-list, so the
-      // width follows the PER-ROUND edge count like the pagerank loop
-      val loopW = math.max(1L, math.min(fullWidth(adjPlan).toLong,
-        nEdges / LoopEdgesPerPartition + 1L)).toInt
-      spark.conf.set("spark.sql.shuffle.partitions", loopW.toString)
-      val adj = (if (loopW == 1) adjPlan.coalesce(1)
-                 else adjPlan.repartition(loopW, col("node")))
-        .localCheckpoint(true)
-      try {
-        var dist = spark
-          .range(1).select(lit(src).as("node"), lit(0L).as("d"))
-          .localCheckpoint(true)
-        def relax(d0: DataFrame): DataFrame = adj
-          .join(d0.hint("shuffle_hash"), Seq("node"))
-          .select(explode(col("outs")).as("nb"), col("d"))
-          .select(col("nb.v").as("node"), (col("d") + col("nb.c")).as("d"))
-          .unionAll(d0)
-          .groupBy(col("node")).agg(min(col("d")).as("d"))
-        var round = 0
-        var converged = false
-        while (!converged && round < maxRounds) {
-          val nRounds = math.min(FixpointBatch, maxRounds - round)
-          val chain = scala.collection.mutable.ArrayBuffer[DataFrame](dist)
-          (1 to nRounds).foreach { i =>
-            val s = relax(chain.last)
-            chain += (if (i % FixpointCkptEvery == 0 || i >= nRounds - 1)
-              s.localCheckpoint(false) else s)
+      var dist: org.apache.spark.rdd.RDD[(Long, Long)] = spark.sparkContext
+        .parallelize(Seq((src, 0L)), 1)
+        .partitionBy(part)
+      // Same primitive pre-combine shape as the pagerank step: the zip
+      // seeds the accumulator with d0's own entries (the old unionAll
+      // leg) and min-combines every relaxed candidate; min is order-
+      // independent, so the per-partition pre-min plus the shuffle-side
+      // min reduce is exactly the old global min.
+      def relax(d0: org.apache.spark.rdd.RDD[(Long, Long)])
+          : org.apache.spark.rdd.RDD[(Long, Long)] =
+        adjRdd.zipPartitions(d0, preservesPartitioning = false) { (ai, di) =>
+          val dist = new graft.core.LongLongMap(1 << 12)
+          di.foreach { case (n, d) => dist.update(n, d) }
+          val acc = new graft.core.LongLongMap(1 << 12)
+          dist.foreachEntry((n, d) => acc.minTo(n, d))
+          ai.foreach { case (n, outs) =>
+            val d = dist.getOrElse(n, Long.MinValue)
+            if (d != Long.MinValue) {
+              var i = 0
+              while (i < outs.length) {
+                val nb = outs(i); acc.minTo(nb._1, d + nb._2); i += 1
+              }
+            }
           }
-          round += nRounds
-          // exact fixpoint: no (node, d) pair changed in the batch's
-          // last round — zero anti-join survivors on the consecutive pair
-          converged = chain.last
-            .join(chain(chain.size - 2).hint("shuffle_hash"),
-              Seq("node", "d"), "left_anti")
-            .count() == 0L
-          chain.dropRight(1).foreach(Caches.freeCheckpoint)
-          dist = chain.last
+          acc.iterator
         }
-        Caches.trackCheckpoint(dist)
-        dist.groupBy(col("d").as("dist_ppm"))
-          .agg(count(lit(1)).as("n_nodes"))
-          .select(col("dist_ppm").cast("long").as("dist_ppm"),
-            col("n_nodes").cast("long").as("n_nodes"))
-          .orderBy(col("dist_ppm").asc)
-      } finally {
-        Caches.freeCheckpoint(adj)
+          .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      var round = 0
+      var converged = false
+      var live: org.apache.spark.rdd.RDD[(Long, Long)] = null
+      while (!converged && round < maxRounds) {
+        val nRounds = math.min(FixpointBatch, maxRounds - round)
+        var prev = dist
+        var last = dist
+        (1 to nRounds).foreach { _ => prev = last; last = relax(last) }
+        round += nRounds
+        last.persist(mdisk)
+        // exact fixpoint: no (node, d) pair of the batch's last round
+        // differs from its predecessor — narrow co-partitioned zip
+        val changed = last.zipPartitions(prev) { (a, b) =>
+          // boxed map: a Long-valued scala map would silently unbox an
+          // absent key's null to 0L and break the membership test
+          val m = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+          b.foreach { case (n, v) => m.put(n, v) }
+          var c = 0L
+          a.foreach { case (n, v) =>
+            val got = m.get(n)
+            if (got == null || got.longValue() != v) c += 1L
+          }
+          Iterator.single(c)
+        }.fold(0L)(_ + _)
+        converged = changed == 0L
+        if (live != null) live.unpersist(blocking = false)
+        live = last
+        dist = last
       }
+      Caches.trackRdd(spark, dist)
+      dist.toDF("node", "d")
+        .groupBy(col("d").as("dist_ppm"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(col("dist_ppm").cast("long").as("dist_ppm"),
+          col("n_nodes").cast("long").as("n_nodes"))
+        .orderBy(col("dist_ppm").asc)
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
+      adjRdd.unpersist(blocking = false)
+    }
+  }
+
+  /** Driver-gather Bellman-Ford for graphs whose MEASURED node count
+    * fits driver memory (≤ [[GatherLoopMaxNodes]]): the dist map lives
+    * on the driver, the costed adjacency stays distributed and cached
+    * (projected to one INTERLEAVED long[] per node — [v0,c0,v1,c1,…] —
+    * so the one-time Dataset→RDD conversion moves primitive arrays, not
+    * per-edge tuple objects). Per round: the dist map ships in the round
+    * closure, tasks min-combine their partition's relaxation candidates
+    * in a primitive map, the driver min-merges the ≤ loopW partials into
+    * the dist map (the old unionAll leg is the map itself). min() is
+    * order-independent, so the dist map is bit-identical to the
+    * distributed form's. */
+  private def cheapestPathGather(adjPlan: DataFrame, maxRounds: Int,
+      src: Long, nEdges: Long): DataFrame = {
+    val spark = adjPlan.sparkSession
+    import spark.implicits._
+    val loopW = math.max(1L, math.min(fullWidth(adjPlan).toLong,
+      nEdges / LoopEdgesPerPartition + 1L)).toInt
+    val adj = adjPlan.select(col("node"),
+        expr("flatten(transform(outs, x -> array(x.v, x.c)))").as("flat"))
+      .as[(Long, Array[Long])].rdd
+      .coalesce(loopW)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dist = new graft.core.LongLongMap(1 << 10)
+      dist.update(src, 0L)
+      var round = 0
+      var converged = false
+      while (!converged && round < maxRounds) {
+        val flatDist = new Array[Long](dist.size * 2)
+        var w = 0
+        dist.foreachEntry { (n, d) => flatDist(w) = n; flatDist(w + 1) = d; w += 2 }
+        val partials = adj.mapPartitions { it =>
+          val idx = new graft.core.LongLongMap(math.max(16, flatDist.length))
+          var j = 0
+          while (j < flatDist.length) {
+            idx.update(flatDist(j), flatDist(j + 1)); j += 2
+          }
+          val acc = new graft.core.LongLongMap(1 << 10)
+          it.foreach { case (n, flat) =>
+            val d = idx.getOrElse(n, Long.MinValue)
+            if (d != Long.MinValue) {
+              var i = 0
+              while (i < flat.length) {
+                acc.minTo(flat(i), d + flat(i + 1)); i += 2
+              }
+            }
+          }
+          val out = new Array[Long](acc.size * 2)
+          var k2 = 0
+          acc.foreachEntry { (n, v) => out(k2) = n; out(k2 + 1) = v; k2 += 2 }
+          Iterator.single(out)
+        }.collect()
+        var changed = false
+        partials.foreach { flat =>
+          var i = 0
+          while (i < flat.length) {
+            val n = flat(i); val cand = flat(i + 1)
+            val cur = dist.getOrElse(n, Long.MinValue)
+            if (cur == Long.MinValue || cand < cur) {
+              dist.update(n, cand); changed = true
+            }
+            i += 2
+          }
+        }
+        converged = !changed
+        round += 1
+      }
+      // distance census on the driver: |reached| ≤ GatherLoopMaxNodes
+      val byDist = new graft.core.LongLongMap(1 << 10)
+      dist.foreachEntry { (_, d) => byDist.addTo(d, 1L) }
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      byDist.foreachEntry { (d, n) => rows += ((d, n)) }
+      rows.sortBy(_._1).toSeq
+        .toDF("dist_ppm", "n_nodes").orderBy(col("dist_ppm").asc)
+    } finally {
+      adj.unpersist(blocking = false)
     }
   }
 
@@ -1009,26 +1357,21 @@ object Graphs {
 
   private def kCoreCensusFromAdj(adjPlan: DataFrame,
       k: Int, rounds: Int): DataFrame = {
-    val (deg, _) = peelCore(adjPlan, k, rounds)
-    // the result frame reads the final degree checkpoint lazily —
-    // released at the caller's next releaseScratch, after materialization
-    Caches.trackCheckpoint(deg)
-    // d > 0 on BOTH aggregates: a removed node u's pinned-edge deltas
-    // can target neighbors removed in EARLIER rounds, creating phantom
-    // rows with strictly negative d (they start at -1 with no base row
-    // and only decrease). Real rows never go negative — a node reaches
-    // d = 0 only when its last neighbor is removed, after which no
-    // remaining edge can decrement it — so the d > 0 slice is exactly
-    // the surviving subgraph.
-    deg.agg(
-        count(when(col("d") > 0, lit(1))).as("n_nodes"),
-        coalesce(sum(when(col("d") > 0, col("d"))), lit(0L)).as("sum_d"))
-      .select(lit(k.toLong).as("core_k"),
-        col("n_nodes").cast("long").as("n_nodes"),
-        // integer halving: the symmetrized degree sum is even by
-        // construction, and long `/` returns DOUBLE in Spark — exact only
-        // under 2^53, which a 100 TB edge census can exceed
-        expr("sum_d div 2").cast("long").as("n_edges"))
+    // peelCore reduces the final degree frame to the two surviving-
+    // subgraph scalars inside its own loop (d > 0 is exactly the
+    // surviving subgraph: a removed node u's pinned-edge deltas can
+    // target neighbors removed in EARLIER rounds, creating phantom rows
+    // with strictly negative d; real rows never go negative — a node
+    // reaches d = 0 only when its last neighbor is removed, after which
+    // no remaining edge can decrement it). The 1-row census is driver-
+    // built, like q228's removal census. n_edges halves the symmetrized
+    // degree sum with integer division (even by construction; a double
+    // `/` would lose exactness past 2^53 at 100 TB).
+    val (nNodes, sumD, _) = peelCore(adjPlan, k, rounds)
+    val spark = adjPlan.sparkSession
+    import spark.implicits._
+    Seq((k.toLong, nNodes, sumD / 2))
+      .toDF("core_k", "n_nodes", "n_edges")
   }
 
   /** q289: RECOMMENDER BACKTEST — temporal-split hit-rate@k evaluation of

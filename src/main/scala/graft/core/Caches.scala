@@ -65,6 +65,24 @@ object Caches {
   private val ckptFrames =
     new ConcurrentHashMap[SparkSession, ConcurrentLinkedQueue[DataFrame]]()
 
+  // Round-14: the RDD-loop kernels (pagerank/k-core/Bellman-Ford) hold
+  // their final loop state as a persisted RDD that the returned result
+  // frame reads lazily — same lifecycle as a tracked final checkpoint,
+  // registered here and unpersisted by the next [[releaseScratch]].
+  private val scratchRdds =
+    new ConcurrentHashMap[SparkSession, ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]]()
+
+  /** Register a persisted RDD (the final state of an RDD-driven iterative
+    * kernel, still read by the result frame) for release at the next
+    * [[releaseScratch]] on `spark`. Returns `rdd` for chaining. */
+  def trackRdd[T](spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] = {
+    scratchRdds
+      .computeIfAbsent(spark, _ => new ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]())
+      .add(rdd)
+    rdd
+  }
+
   /** Immediately free the checkpoint blocks behind `df` (a frame produced
     * by `localCheckpoint(eager = true)`). The checkpointed plan is a
     * single [[LogicalRDD]] leaf holding the persisted RDD; anything else
@@ -100,6 +118,11 @@ object Caches {
     }
     val c = ckptFrames.remove(spark)
     if (c != null) c.forEach(freeCheckpoint)
+    val r = scratchRdds.remove(spark)
+    if (r != null) r.forEach { rdd =>
+      try rdd.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+    }
   }
 
   /** Number of registered-but-unreleased scratch frames (test hook). */

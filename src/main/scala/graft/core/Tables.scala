@@ -24,17 +24,28 @@ object Tables {
   private val footerCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
-  private def footerOf(spark: SparkSession, path: String): (Long, Long) =
-    footerCache.computeIfAbsent(path, { p =>
-      try {
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(p),
-          spark.sessionState.newHadoopConf())
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try (r.getRowGroups.size().toLong, r.getRecordCount)
-        finally r.close()
-      } catch { case _: Throwable => (Long.MaxValue, 0L) }
-    })
+  private def footerOf(spark: SparkSession, path: String): (Long, Long) = {
+    // round-14 (ADVICE r13): NonFatal only — let OOM/interrupt propagate —
+    // and never CACHE a failure: a transient read error would otherwise pin
+    // the (MaxValue, 0) "fan-out off" fallback for the JVM lifetime.
+    val hit = footerCache.get(path)
+    if (hit != null) hit
+    else {
+      val v =
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(path),
+            spark.sessionState.newHadoopConf())
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try Some((r.getRowGroups.size().toLong, r.getRecordCount))
+          finally r.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      v match {
+        case Some(ok) => footerCache.putIfAbsent(path, ok); ok
+        case None     => (Long.MaxValue, 0L) // retryable: not cached
+      }
+    }
+  }
 
   /** FACT-table scan with parallelism restored when the file layout
     * cannot feed the session's cores (round-13, guide §2.5 "input skew:

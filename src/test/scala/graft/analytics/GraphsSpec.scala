@@ -285,6 +285,53 @@ class GraphsSpec extends SparkSpecBase {
     assert(out === expected)
   }
 
+  test("gather and distributed fixpoint paths are bit-identical") {
+    // round-14: below GatherLoopMaxNodes the kernels run driver-gather
+    // rounds; above it, co-partitioned RDD loops. Force the distributed
+    // path on the same sf input and pin row-for-row equality.
+    def allFour(): (Seq[Seq[Any]], Seq[Seq[Any]], Seq[Seq[Any]], Seq[Seq[Any]]) = (
+      Graphs.pageRankConvergedPpm(spark, sf).collect().toSeq.map(_.toSeq),
+      Graphs.kCorePeelCensus(spark, sf).collect().toSeq.map(_.toSeq),
+      Graphs.cheapestPathCensus(spark, sf).collect().toSeq.map(_.toSeq),
+      Graphs.kCoreCensus(spark, sf).collect().toSeq.map(_.toSeq))
+    val viaGather = allFour()
+    graft.core.Caches.releaseScratch(spark)
+    val was = Graphs.GatherLoopMaxNodes
+    Graphs.GatherLoopMaxNodes = 0L
+    try {
+      val viaDistributed = allFour()
+      assert(viaGather === viaDistributed)
+    } finally {
+      Graphs.GatherLoopMaxNodes = was
+      graft.core.Caches.releaseScratch(spark)
+    }
+  }
+
+  test("k-core peel: a hub dropping straight to zero degree is never censused") {
+    import spark.implicits._
+    // ADVICE r13: star graph, hub 0 with 5 leaves, k=3. Round 1 peels
+    // every leaf (d=1 < 3) — census (1, 5). The hub's degree falls from
+    // 5 (>= k) straight to 0 in that same round, so it is never isBad
+    // (d > 0 guard), never recorded as removed, and correctly excluded
+    // from the surviving-core census. This pins the intended edge-form
+    // semantics the phantom-negative-row argument leans on.
+    val star = (1L to 5L).map(l => (0L, l)).toDF("u", "v")
+    val census = Graphs.kCorePeelCensusOf(spark, star, k = 3, maxRounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(census === Seq((1L, 5L)), s"got $census")
+    val core = Graphs.kCoreCensusOf(star, k = 3, rounds = 8).head
+    assert((core.getLong(1), core.getLong(2)) === ((0L, 0L)),
+      "hub must not survive as core mass")
+    // and on the distributed path too
+    val was = Graphs.GatherLoopMaxNodes
+    Graphs.GatherLoopMaxNodes = 0L
+    try {
+      val census2 = Graphs.kCorePeelCensusOf(spark, star, k = 3, maxRounds = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(census2 === Seq((1L, 5L)), s"got $census2")
+    } finally { Graphs.GatherLoopMaxNodes = was }
+  }
+
   test("q289 rec backtest: hits cumulative in k, rates exact") {
     val out = Graphs.recBacktest(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
