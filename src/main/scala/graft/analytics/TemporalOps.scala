@@ -957,21 +957,34 @@ object TemporalOps {
     val d0 = daily.agg(min(col("d")).as("d0"))
     val pts = daily.crossJoin(broadcast(d0))
       .select(datediff(col("d"), col("d0")).cast("long").as("t"), col("y"))
-    val slopes = pts.as("p1").join(pts.as("p2"), col("p2.t") > col("p1.t"))
-      .select(floor((col("p2.y") - col("p1.y")).cast("double") * lit(1000.0)
-        / (col("p2.t") - col("p1.t"))).cast("long").as("slope_milli"))
-    val ranked = slopes
-      .withColumn("rnk", row_number().over(
-        // domain-sized: days^2/2 slope pairs of the daily frame
-        Window.orderBy(col("slope_milli").asc)))
-      .withColumn("n", count(lit(1)).over(
-        Window.partitionBy()))
-    ranked.filter(col("rnk") === expr("(n + 1) div 2"))
+    // Round-14 (verdict r13 item 3): the old form ranked ALL ~days²/2
+    // slope pairs through an UNPARTITIONED row_number window — a single-
+    // task sort of ~8M rows at sf0.1 (the classic global-window scale
+    // killer). The median is an order statistic over INTEGER slopes, so
+    // a VALUE HISTOGRAM gets it in ONE parallel pass over the pairs:
+    // groupBy(slope) partial-aggregates map-side into a domain-sized
+    // (distinct slope values) frame, cached; the median is the value
+    // whose cumulative count covers rank (n+1) div 2 — tie-invariant,
+    // bit-identical to the window form's selected value. The only sort
+    // left runs over the distinct-value histogram, not the pairs.
+    val hist = graft.core.Caches.scratch(
+      pts.as("p1").join(pts.as("p2"), col("p2.t") > col("p1.t"))
+        .select(floor((col("p2.y") - col("p1.y")).cast("double") * lit(1000.0)
+          / (col("p2.t") - col("p1.t"))).cast("long").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("cnt")))
+    val tot = hist.agg(sum(col("cnt")).as("n"))
+    // domain-sized: one row per distinct slope_milli value
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") - col("cnt") < expr("(n + 1) div 2") &&
+        expr("(n + 1) div 2") <= col("cum"))
       .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
       .select(col("n_days").cast("long").as("n_days"),
         col("n").cast("long").as("n_pairs"),
-        col("slope_milli").cast("long").as("slope_milli"),
-        (col("slope_milli") > 0).as("trending_up"))
+        col("v").cast("long").as("slope_milli"),
+        (col("v") > 0).as("trending_up"))
   }
 
   def theilSen(spark: SparkSession, dir: String): DataFrame =

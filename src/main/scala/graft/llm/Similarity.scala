@@ -48,9 +48,18 @@ object Similarity {
     * function folds are interpreted (not codegen'd), so at N candidate
     * pairs this is a flat 3× on the dominant cost. The value is identical
     * to computing sqrt(dot(v,v)) at the pair site (same ops, same order),
-    * so oracle parity is unaffected. */
+    * so oracle parity is unaffected.
+    *
+    * Round-14 (verdict r13 item 6): scratch-persisted. The multi-method
+    * audits (q161 runs SIX searches, q336 sweeps three probe budgets)
+    * each re-derived the cast+norm pass per method over the same scan;
+    * Spark's CacheManager dedups the identical logical plan, so every
+    * consumer inside one query reads ONE materialization (corpus-sized
+    * — ~12 MB at sf0.1), released by the caller's releaseScratch like
+    * every operator-local scratch frame. */
   def vecsNormed(embeddings: DataFrame): DataFrame =
-    vecs(embeddings).withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    graft.core.Caches.scratch(
+      vecs(embeddings).withColumn("nrm", sqrt(dot(col("v"), col("v")))))
 
   /** Sequential index-order dot product — same IEEE result as DuckDB's
     * list_dot_product and as the aggregate(zip_with(...)) fold, but through
@@ -715,13 +724,48 @@ object Similarity {
     * frame is computed once and reused by all three comparisons. */
   def annRecallAudit(embeddings: DataFrame, numQueries: Int = 10,
                      k: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    // Round-14 (verdict r13 item 6, guide §3.3/§2.6): the old one-tree
+    // form unioned all five searches into a 2600-line physical plan
+    // (210 Exchanges) that Catalyst re-planned as one unit every run.
+    // Each search's PANEL is ≤ |queries|·k rows, so each is eagerly
+    // localCheckpointed (truncating the audit plan to six tiny
+    // ExistingRDD scans), and the five independent searches run as
+    // CONCURRENT jobs from a small driver pool — their stages back-fill
+    // each other's tails (the searches are tiny-stage-latency-bound,
+    // not compute-bound). The shared corpus/norm frame is materialized
+    // once before forking. Row content is unchanged: same searches,
+    // same recall joins, same ordering.
+    val corpus = vecsNormed(embeddings)
+    corpus.count() // materialize the shared scratch before forking
     val exact = graft.core.Caches.scratch(
       knnExact(embeddings, numQueries, k)
         .select(col("query_id"), col("neighbor_id")))
+    exact.count()
+    val methods: Seq[(String, () => DataFrame)] = Seq(
+      ("int8", () => knnQuantized(embeddings, numQueries, k)),
+      ("ivf", () => knnIvf(embeddings, numQueries, k = k)),
+      ("lsh", () => knnLsh(embeddings, numQueries, k)),
+      ("pq", () => knnPq(embeddings, numQueries, k)),
+      ("pq_rerank", () => knnPqReranked(embeddings, numQueries, k)))
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(methods.size)
+    val panels =
+      try {
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        val fs = methods.map { case (name, build) =>
+          Future {
+            (name, graft.core.Caches.trackCheckpoint(
+              build().select(col("query_id"), col("neighbor_id"))
+                .localCheckpoint(true)))
+          }
+        }
+        fs.map(Await.result(_, Duration.Inf))
+      } finally pool.shutdown()
     def recallOf(method: String, approx: DataFrame): DataFrame =
-      exact.join(
-          approx.select(col("query_id"), col("neighbor_id"))
-            .withColumn("hit", lit(1L)),
+      exact.join(approx.withColumn("hit", lit(1L)),
           Seq("query_id", "neighbor_id"), "left")
         .groupBy(col("query_id"))
         .agg(count(lit(1)).as("k"),
@@ -729,11 +773,8 @@ object Similarity {
         .select(lit(method).as("method"), col("query_id"),
           col("k").cast("long").as("k"), col("hits").cast("long").as("hits"))
         .withColumn("recall_ppm", expr("hits * 1000000 div k").cast("long"))
-    recallOf("int8", knnQuantized(embeddings, numQueries, k))
-      .unionByName(recallOf("ivf", knnIvf(embeddings, numQueries, k = k)))
-      .unionByName(recallOf("lsh", knnLsh(embeddings, numQueries, k)))
-      .unionByName(recallOf("pq", knnPq(embeddings, numQueries, k)))
-      .unionByName(recallOf("pq_rerank", knnPqReranked(embeddings, numQueries, k)))
+    panels.map { case (name, panel) => recallOf(name, panel) }
+      .reduce(_ unionByName _)
       .orderBy(col("method").asc, col("query_id").asc)
   }
 
@@ -1150,8 +1191,37 @@ object Similarity {
     val exact = Caches.scratch(knnExact(embeddings, numQueries, k)
       .select(col("query_id"), col("neighbor_id")))
     val nExact = exact.count()
+    // Round-14 (verdict r13 item 6): the sweep points share ONE scratch-
+    // persisted cell-ranks frame — the old form re-ran the full seed
+    // build + corpus×seeds quantizer inside knnIvf once PER probe
+    // budget, when the only thing a budget changes is the rn <= p probe
+    // filter. Per point the remaining work is the probe-set candidate
+    // join + exact re-rank, identical to knnIvf's (same window, same
+    // tiebreaks — Round12OpsSpec pins each sweep point's hit count
+    // against an independent knnIvf run at that budget).
+    val corpus = vecsNormed(embeddings)
+    val ranks = Caches.scratch(cellRanks(corpus, ivfSeeds(embeddings)))
+    val assigned = ranks.filter(col("rn") === 1)
+      .select(col("vec_id"), col("slabel"))
+    val queries = corpus.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
     val rows = probes.map { p =>
-      val hits = knnIvf(embeddings, numQueries, probes = p, k = k)
+      val probeSet = ranks
+        .filter(col("rn") <= p && col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("slabel"))
+      val cand = probeSet.join(assigned, Seq("slabel"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id")).distinct()
+      val hits = cand
+        .join(broadcast(queries), Seq("query_id"))
+        .join(corpus.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+          Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosinePre(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
         .select(col("query_id"), col("neighbor_id"))
         .join(exact, Seq("query_id", "neighbor_id")).count()
       (p.toLong, nExact, hits)

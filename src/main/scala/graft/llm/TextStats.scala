@@ -38,8 +38,14 @@ object TextStats {
         length(col("norm")).as("n_chars_norm"),
         col("stop_cnt"),
         (col("stop_cnt").cast("double") / col("n_tokens")).as("stop_ratio"),
-        (length(regexp_replace(col("norm"), " ", "")).cast("double") / col("n_tokens"))
-          .as("mean_token_len"),
+        // round-14: norm is trimmed and single-space separated, so the
+        // space-stripped length is length(norm) − (n_tokens − 1) for
+        // every input (split keeps the one empty token of "", giving
+        // 0 − 0) — same int operand into the same double division as
+        // the old regexp_replace pass, minus one full regex scan of
+        // the corpus
+        ((length(col("norm")) - col("n_tokens") + lit(1)).cast("double")
+          / col("n_tokens")).as("mean_token_len"),
         md5(col("norm")).as("fingerprint"),
         (conv(substring(md5(col("norm")), 1, 15), 16, 10).cast("long") % 64).as("shard"))
       .orderBy(col("doc_id").asc)

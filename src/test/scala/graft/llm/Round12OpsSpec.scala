@@ -161,6 +161,25 @@ class Round12OpsSpec extends SparkSpecBase {
       assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_exact")))
   }
 
+  test("ivf probe sweep: each point's hits equal an independent knnIvf run") {
+    // round-14: the sweep shares one scratch-persisted cell-ranks frame
+    // across budgets instead of re-running knnIvf per point — this pins
+    // that the shared-frame path counts exactly the hits the standalone
+    // search finds at every budget.
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.knnExact(emb, 10, 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val expected = Similarity.ProbeSweep.map { p =>
+      Similarity.knnIvf(emb, 10, probes = p, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id")).count()
+    }
+    val got = Similarity.ivfProbeSweep(emb)
+      .orderBy(col("nprobe")).collect().map(_.getAs[Long]("n_hits")).toSeq
+    assert(got === expected, s"sweep hits $got != per-budget knnIvf $expected")
+    graft.core.Caches.releaseScratch(spark)
+  }
+
   // ----------------------------------------------- q337 MMR re-rank
 
   test("mmr: near-duplicate of the top hit is displaced by a diverse one") {
