@@ -666,10 +666,10 @@ object Diagnostics {
     * (cover − 900000) is a subtraction, never a signed division, so both
     * engines agree on under-coverage.
     *
-    * Scale shape: both exact order statistics (median, q̂) go through
-    * the bucket-offset OrderStats kernel — no per-type global sort — and
-    * the per-type results come back broadcast. The q278 checkpoint
-    * discipline applies to the positions frames. */
+    * Scale shape: both exact order statistics (median, q̂) come from
+    * one per-type VALUE HISTOGRAM of the integer cents domain — no
+    * per-type global sort, one calibration-side aggregation pass — and
+    * the per-type results come back broadcast. */
   def conformalCoverage(silver: DataFrame): DataFrame = {
     val ev = graft.core.Caches.scratch(silver.select(
       col("event_type").as("part"),
@@ -677,38 +677,39 @@ object Diagnostics {
       (conv(substring(md5(concat(lit("conf:"),
         col("event_id").cast("string"))), 1, 15), 16, 10).cast("long")
         % 10 < 5).as("is_cal")))
-    val cal = graft.core.Caches.scratch(
-      ev.filter(col("is_cal")).select(col("part"), col("cents").as("v")))
-    // round-13: fold the kernel's bounds pass into the census aggregate
-    // (one cal scan yields count AND min/max), and DERIVE the deviation
-    // frame's bounds instead of scanning it — the median is an attained
-    // value, so min |v − med| = 0 and max = max(hi − med, med − lo).
-    // Saves two of the operator's full event-level passes.
-    val calN = graft.core.Caches.trackCheckpoint(
-      cal.groupBy(col("part")).agg(count(lit(1)).as("n"),
-          min(col("v")).as("vlo"), max(col("v")).as("vhi"))
-        .localCheckpoint(true))
-    val medPos = calN.select(col("part"), lit(50L).as("q"),
-      expr("(n + 1) div 2").as("pos"))
-    val calBounds = calN.select(col("part"), col("vlo").as("lo"),
-      (col("vhi") - col("vlo") + 1).as("span"))
-    // eager-checkpoint the median: it is a multi-job kernel OUTPUT read
-    // by three consumers (deviation frame, derived bounds, final join) —
-    // un-materialized, each broadcast re-executed the whole kernel
+    // Round-14: both order statistics come from ONE per-part VALUE
+    // HISTOGRAM of the calibration cents (integer domain, so the
+    // histogram is exact and domain-sized). The round-13 form ran the
+    // bucket-offset OrderStats kernel twice (median, then q̂ over a
+    // re-derived deviation frame) — five-plus event-level passes and a
+    // dozen small stages; now one aggregation pass builds the histogram,
+    // the median is the value whose cumulative count covers rank
+    // (n+1) div 2, the DEVIATION histogram is derived from the value
+    // histogram by the |v − med| key map (domain-sized, never touches
+    // events again), and q̂ reads the same cumulative construction.
+    // Rank selection on a cumulative histogram is tie-invariant, so the
+    // statistics are bit-identical to the kernel form's.
+    val hist = graft.core.Caches.scratch(
+      ev.filter(col("is_cal")).groupBy(col("part"), col("cents").as("v"))
+        .agg(count(lit(1)).as("c")))
+    val calN = hist.groupBy(col("part")).agg(sum(col("c")).as("n"))
+    val wc = Window.partitionBy(col("part")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val med = graft.core.Caches.trackCheckpoint(
-      OrderStats.valueAtRank(cal, medPos, calBounds)
+      hist.withColumn("cum", sum(col("c")).over(wc))
+        .join(broadcast(calN), Seq("part"))
+        .filter(col("cum") - col("c") < expr("(n + 1) div 2") &&
+          expr("(n + 1) div 2") <= col("cum"))
         .select(col("part").as("mpart"), col("v").as("med_cents"))
         .localCheckpoint(true))
-    val nc = graft.core.Caches.scratch(
-      cal.join(broadcast(med), col("part") === col("mpart"))
-        .select(col("part"), abs(col("v") - col("med_cents")).as("v")))
-    val ncBounds = calN.join(broadcast(med), col("part") === col("mpart"))
-      .select(col("part"), lit(0L).as("lo"),
-        (greatest(col("vhi") - col("med_cents"),
-          col("med_cents") - col("vlo")) + 1).as("span"))
-    val qPos = calN.select(col("part"), lit(90L).as("q"),
-      least(expr("(9 * (n + 1) + 9) div 10"), col("n")).as("pos"))
-    val qhat = OrderStats.valueAtRank(nc, qPos, ncBounds)
+    val ncHist = hist.join(broadcast(med), col("part") === col("mpart"))
+      .select(col("part"), abs(col("v") - col("med_cents")).as("v"), col("c"))
+      .groupBy(col("part"), col("v")).agg(sum(col("c")).as("c"))
+    val qhat = ncHist.withColumn("cum", sum(col("c")).over(wc))
+      .join(broadcast(calN), Seq("part"))
+      .filter(col("cum") - col("c") <
+          least(expr("(9 * (n + 1) + 9) div 10"), col("n")) &&
+        least(expr("(9 * (n + 1) + 9) div 10"), col("n")) <= col("cum"))
       .select(col("part").as("qpart"), col("v").as("qhat_cents"))
     ev.filter(!col("is_cal"))
       .join(broadcast(med), col("part") === col("mpart"))

@@ -31,44 +31,104 @@ object Coverage {
     * the shingle key plus a |sources|-row aggregate; the 1-row argmax
     * collect is model-state scale. */
   def coverageGreedy(spark: SparkSession, dir: String,
-      rounds: Int = 5): DataFrame = {
+      rounds: Int = 5): DataFrame =
+    coverageGreedyOf(
+      Caches.scratch(
+        TextDedup.shinglesFor(spark, dir)
+          .join(Tables.documents(spark, dir)
+            .select(col("doc_id"), col("source")), Seq("doc_id"))
+          .select(col("source"), col("shingle"))
+          .distinct()),
+      rounds)
+
+  /** Core greedy over an arbitrary (source, shingle) incidence frame;
+    * `maskMax` is a test hook forcing the per-round fallback path. */
+  private[llm] def coverageGreedyOf(ss: DataFrame, rounds: Int,
+      maskMax: Int = 63): DataFrame = {
+    val spark = ss.sparkSession
     import spark.implicits._
-    val ss = Caches.scratch(
-      TextDedup.shinglesFor(spark, dir)
-        .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
-          Seq("doc_id"))
-        .select(col("source"), col("shingle"))
-        .distinct())
-    val picked = scala.collection.mutable.ArrayBuffer[String]()
-    val out = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
-    var cum = 0L
-    var round = 0
-    var done = false
-    while (round < rounds && !done) {
-      round += 1
-      val covered = if (picked.isEmpty) null
-        else ss.filter(col("source").isin(picked.toSeq: _*))
-          .select(col("shingle")).distinct()
-      val remaining =
-        if (covered == null) ss
-        else ss.join(covered, Seq("shingle"), "left_anti")
-      val unpicked =
-        if (picked.isEmpty) remaining
-        else remaining.filter(!col("source").isin(picked.toSeq: _*))
-      val best = unpicked.groupBy(col("source"))
-        .agg(count(lit(1)).as("m"))
-        .orderBy(col("m").desc, col("source").asc)
-        .limit(1).collect()
-      if (best.isEmpty) done = true
-      else {
-        val (src, m) = (best(0).getString(0), best(0).getLong(1))
-        picked += src
-        cum += m
-        out += ((round, src, m, cum))
+    // Round-14: a shingle's contribution to every possible greedy state
+    // depends only on its SOURCE SET, so when the source roster fits a
+    // 63-bit mask the whole corpus reduces to a (source-set bitmask →
+    // shingle count) HISTOGRAM — one aggregation pass — and the greedy
+    // runs on the driver over that domain-sized table: marginal(s) =
+    // Σ count(M) over masks with s ∈ M and M ∩ picked = ∅. Identical
+    // picks, marginals, and stop condition as the per-round anti-join
+    // loop (CoverageSpec pins the equivalence on a crafted roster);
+    // rosters wider than 63 sources fall back to the per-round loop.
+    val sources = ss.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (sources.length <= maskMax) {
+      val bit = sources.zipWithIndex.toMap
+      val bitCol = sources.foldLeft(lit(0L)) { (acc, s) =>
+        acc + when(col("source") === s, lit(1L << bit(s))).otherwise(lit(0L))
       }
+      val hist = ss.select(col("shingle"), bitCol.as("b"))
+        .groupBy(col("shingle")).agg(sum(col("b")).as("mask"))
+        .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val out = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
+      var pickedMask = 0L
+      var cum = 0L
+      var round = 0
+      var done = false
+      while (round < rounds && !done) {
+        round += 1
+        var bestSrc: String = null
+        var bestM = 0L
+        sources.foreach { s =>
+          if ((pickedMask & (1L << bit(s))) == 0L) {
+            var m = 0L
+            hist.foreach { case (mask, cnt) =>
+              if ((mask & (1L << bit(s))) != 0L && (mask & pickedMask) == 0L)
+                m += cnt
+            }
+            // count desc, source asc — sources iterate in ascending
+            // order, so strict > keeps the first (lowest) on ties
+            if (m > 0L && m > bestM) { bestM = m; bestSrc = s }
+          }
+        }
+        if (bestSrc == null) done = true
+        else {
+          pickedMask |= 1L << bit(bestSrc)
+          cum += bestM
+          out += ((round, bestSrc, bestM, cum))
+        }
+      }
+      out.toSeq.toDF("round", "source", "marginal_new", "cum_covered")
+        .orderBy(col("round").asc)
+    } else {
+      val picked = scala.collection.mutable.ArrayBuffer[String]()
+      val out = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
+      var cum = 0L
+      var round = 0
+      var done = false
+      while (round < rounds && !done) {
+        round += 1
+        val covered = if (picked.isEmpty) null
+          else ss.filter(col("source").isin(picked.toSeq: _*))
+            .select(col("shingle")).distinct()
+        val remaining =
+          if (covered == null) ss
+          else ss.join(covered, Seq("shingle"), "left_anti")
+        val unpicked =
+          if (picked.isEmpty) remaining
+          else remaining.filter(!col("source").isin(picked.toSeq: _*))
+        val best = unpicked.groupBy(col("source"))
+          .agg(count(lit(1)).as("m"))
+          .orderBy(col("m").desc, col("source").asc)
+          .limit(1).collect()
+        if (best.isEmpty) done = true
+        else {
+          val (src, m) = (best(0).getString(0), best(0).getLong(1))
+          picked += src
+          cum += m
+          out += ((round, src, m, cum))
+        }
+      }
+      out.toSeq.toDF("round", "source", "marginal_new", "cum_covered")
+        .orderBy(col("round").asc)
     }
-    out.toSeq.toDF("round", "source", "marginal_new", "cum_covered")
-      .orderBy(col("round").asc)
   }
 
   /** q218: dedup-aware contrastive negative sampling — for each of the

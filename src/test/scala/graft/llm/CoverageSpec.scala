@@ -44,6 +44,26 @@ class CoverageSpec extends SparkSpecBase {
       s"marginals increased: ${gains.mkString(",")}")
   }
 
+  test("greedy coverage: bitmask-histogram path matches the per-round loop") {
+    // round-14: the driver greedy now runs over a (source-set mask ->
+    // shingle count) histogram; force the old per-round anti-join loop
+    // via the maskMax hook and pin row-for-row equality, including a
+    // tie (sources b and c cover the same count in round 2) and an
+    // early stop (d adds nothing once a, b are picked).
+    import spark.implicits._
+    val ss = Seq(
+      ("a", "s1"), ("a", "s2"), ("a", "s3"),
+      ("b", "s3"), ("b", "s4"),
+      ("c", "s1"), ("c", "s4"),
+      ("d", "s2"), ("d", "s3")).toDF("source", "shingle")
+    val fast = Coverage.coverageGreedyOf(ss, rounds = 5).collect().toSeq
+      .map(_.toSeq)
+    val slow = Coverage.coverageGreedyOf(ss, rounds = 5, maskMax = 0)
+      .collect().toSeq.map(_.toSeq)
+    assert(fast === slow, s"fast $fast != slow $slow")
+    assert(fast.map(_(1)) === Seq("a", "b"), s"picks: $fast")
+  }
+
   test("negative samples: deterministic, k per query, never self or same-cluster") {
     val out = Coverage.negativeSamples(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
