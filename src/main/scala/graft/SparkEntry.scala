@@ -24,9 +24,10 @@ object SparkEntry {
   /** Queries DELIBERATELY without an oracle (driver records a rows-only
     * check): operators whose computation is not SQL-expressible in
     * DuckDB. Each must say why here and carry a property spec instead.
-    * - q226: zlib DEFLATE has no DuckDB twin; TextStatsSpec pins the
-    *   repetitive-vs-diverse discrimination property and determinism. */
-  val NoOracleQueries: Set[String] = Set("q226_compression_quality")
+    * Empty since round 14: q226 (the last member) traded its zlib
+    * DEFLATE for the portable dictionary-coder model — see
+    * [[graft.llm.TextStats.compressionQuality]]. */
+  val NoOracleQueries: Set[String] = Set.empty
 
   /** Shared oracle CTE: the events medallion (bronze flatten + silver
     * enrichment/dedup) as DuckDB SQL, kept in lockstep with
@@ -5842,6 +5843,33 @@ object SparkEntry {
         |       CAST(MAX(err_u * 1000000 // header_u) AS BIGINT)
         |         AS max_err_ppm
         |FROM j GROUP BY 1 ORDER BY o_orderstatus ASC""".stripMargin,
+    // q226: the dictionary-coder model in TextStats.compressionQuality,
+    // verbatim — dictionary = every distinct whitespace token at
+    // bytes+1, plus one 1-byte (vocab <= 255) or 2-byte reference per
+    // occurrence. Pure integer arithmetic; // and Spark's div agree on
+    // the non-negative operands.
+    "q226_compression_quality" ->
+      """WITH t AS (
+        |  SELECT source, strlen(text) AS raw_bytes,
+        |         string_split(text, ' ') AS toks
+        |  FROM documents WHERE strlen(text) > 0),
+        |m AS (
+        |  SELECT source, raw_bytes,
+        |         list_sum(list_transform(list_distinct(toks),
+        |                                 w -> strlen(w) + 1))
+        |           + len(toks) * (CASE WHEN len(list_distinct(toks)) <= 255
+        |                          THEN 1 ELSE 2 END) AS model_bytes
+        |  FROM t),
+        |r AS (
+        |  SELECT source,
+        |         model_bytes * 1000000 // raw_bytes AS ratio_ppm
+        |  FROM m)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(ratio_ppm) // COUNT(*) AS BIGINT)
+        |         AS mean_ratio_ppm,
+        |       CAST(SUM(CASE WHEN ratio_ppm < 300000 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_too_compressible
+        |FROM r GROUP BY 1 ORDER BY source ASC""".stripMargin,
     // q227/q228: unbounded-iteration kernels — the oracle unrolls more
     // rounds than the measured convergence point (fixpoint rounds are
     // identities / remove nothing), so "run to convergence" and "run 64

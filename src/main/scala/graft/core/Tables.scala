@@ -66,28 +66,43 @@ object Tables {
     * the parallelism the layout lost.
     * Dimension tables (region..part) stay unfanned: they feed broadcast
     * builds, where a fan-out only adds a stage. Catalyst pushes filters
-    * and column pruning THROUGH the repartition, so PushedFilters /
-    * ReadSchema at the scan are unchanged (PlanAuditSpec pins this). */
-  /** Rows per fan-out partition for the row-light relational facts.
-    * Their downstream cost is a few expressions per row, so ~40k rows is
-    * one stage-latency quantum of work; fanning them all the way to the
-    * core count instead made every MULTI-PASS consumer (q278's two
-    * order-statistic kernels: ~10 stages over the cached frame) pay 32
-    * near-empty task launches per pass — measured 2.1 s → 4.2 s. Text
-    * and vector tables (documents, embeddings) fan to the full core
-    * count instead: their per-row work (shingling, normalization,
-    * 768-dim arithmetic) is 100-1000× a relational row's. */
+    * and column pruning THROUGH the repartition, so PushedFilters at
+    * the scan are unchanged (PlanAuditSpec pins this). ReadSchema gains
+    * ONE column when the consumer would not otherwise read the fan-out
+    * key (q01's scan reads 6 columns, not 5) — on these tables the
+    * primary key is a narrow int64 and usually read anyway, but a WIDE
+    * table whose consumers never touch the key would pay that column on
+    * every scan; pick the fan-out key from the consumer's own read set
+    * in that case. */
+  /** Rows per fan-out partition by per-row COST CLASS, so the width is
+    * derived from measured rows everywhere instead of the core count.
+    * Row-light relational facts: downstream cost is a few expressions
+    * per row, so ~40k rows is one stage-latency quantum of work;
+    * fanning them all the way to the core count instead made every
+    * MULTI-PASS consumer (q278's two order-statistic kernels: ~10
+    * stages over the cached frame) pay 32 near-empty task launches per
+    * pass — measured 2.1 s → 4.2 s. Text and vector tables (documents,
+    * embeddings) carry a per-table quantum instead: their per-row work
+    * (shingling, normalization, 768-dim arithmetic) is 100-1000× a
+    * relational row's, but round 13 fanned them to the FLAT core count
+    * and repeated the q278 mistake for multi-pass consumers (q324's
+    * ten-stage CDF pipeline: 1.28 s at 32 cores vs 0.48 s at 8 —
+    * round-14 A/B below picks the quantum that removes the inversion).
+    * `spark.graft.scan.heavyRows` overrides the heavy quantum for
+    * deployments whose per-row cost differs (e.g. longer documents). */
   private val FanRowsPerPartition = 40000L
 
   private def fanned(spark: SparkSession, dir: String, name: String,
-      key: String, perRowHeavy: Boolean = false): DataFrame = {
+      key: String, heavyRows: Long = 0L): DataFrame = {
     val df = table(spark, dir, name)
     val cores = math.max(1, spark.sparkContext.defaultParallelism)
     val (rowGroups, rows) = footerOf(spark, s"$dir/$name.parquet")
-    val width =
-      if (perRowHeavy) cores
-      else math.max(1L, math.min(cores.toLong,
-        rows / FanRowsPerPartition)).toInt
+    val quantum =
+      if (heavyRows > 0L)
+        spark.conf.get(s"spark.graft.scan.heavyRows.$name",
+          heavyRows.toString).toLong
+      else FanRowsPerPartition
+    val width = math.max(1L, math.min(cores.toLong, rows / quantum)).toInt
     // session kill-switch: the fan-out sits between a scan and the
     // optimizer's scan-adjacent rewrites (e.g. InjectRuntimeFilter will
     // not thread a bloom filter through a RepartitionByExpression), so a
@@ -130,6 +145,6 @@ object Tables {
       case other => throw new IllegalStateException(s"unsupported events.ts type: $other")
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame  = fanned(s, d, "documents", "doc_id", perRowHeavy = true)
-  def embeddings(s: SparkSession, d: String): DataFrame = fanned(s, d, "embeddings", "vec_id", perRowHeavy = true)
+  def documents(s: SparkSession, d: String): DataFrame  = fanned(s, d, "documents", "doc_id", heavyRows = 300L)
+  def embeddings(s: SparkSession, d: String): DataFrame = fanned(s, d, "embeddings", "vec_id", heavyRows = 125L)
 }

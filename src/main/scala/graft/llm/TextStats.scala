@@ -1459,45 +1459,43 @@ object TextStats {
     * heuristic: highly compressible text is repetitive boilerplate,
     * incompressible text is often noise; the useful middle band is
     * where natural language lives. Per source: doc count, mean
-    * deflate ratio in ppm (compressed/raw bytes), and how many docs
-    * fall under a "too compressible" floor. DEFLATE (level 9) is
-    * deterministic for a given zlib, so the per-session result is
-    * bit-stable; it is NOT cross-engine reproducible (no SQL twin), so
-    * this operator ships with the rows-only driver check and a spec
-    * that pins the discrimination property instead.
+    * compression ratio in ppm (compressed/raw bytes), and how many
+    * docs fall under a "too compressible" floor.
     *
-    * Scale shape: the codec runs inside the same batched
-    * `mapPartitions` contract as the multimodal decoders (per-batch
-    * Deflater reuse, lazy iterator); everything after is one
-    * combinable aggregate. */
+    * The codec is a MODEL of a word-dictionary coder, not zlib: a
+    * doc's compressed size is its dictionary (every distinct
+    * whitespace token stored once, `bytes + 1` each) plus one fixed-
+    * width reference per token occurrence (1 byte while the doc's
+    * vocabulary fits 8 bits, 2 bytes above). Rounds 1-13 ran DEFLATE
+    * here, which is bit-stable per zlib build but has no SQL twin —
+    * the one `err: "no_oracle"` hole in the driver's gate. The
+    * dictionary model keeps the property the operator exists for
+    * (repetitive text scores far below diverse text) while being pure
+    * integer arithmetic on the token multiset, reproducible in any
+    * engine (round-14, VERDICT item 2).
+    *
+    * Scale shape: one expression-only pass — `split` /
+    * `array_distinct` / `aggregate` run inside whole-stage codegen
+    * with NO per-doc explode and no UDF barrier (the old form paid a
+    * mapPartitions + native-zlib round trip per doc); everything
+    * after is one combinable aggregate. */
   def compressionQuality(docs: DataFrame,
       floorPpm: Long = 300000L): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val ratios = docs.select(col("doc_id"), col("source"), col("text"))
-      .as[(Long, String, String)]
-      .mapPartitions { rows =>
-        val deflater = new java.util.zip.Deflater(
-          java.util.zip.Deflater.BEST_COMPRESSION)
-        val buf = new Array[Byte](1 << 16)
-        // Deflater wraps NATIVE zlib memory: release it deterministically
-        // (exhaustion or task completion), not at GC finalization —
-        // round-7 review found it accumulating across a long bench JVM.
-        graft.core.Resources.closeOnExhaust(
-          rows.map { case (id, src, text) =>
-            val raw = text.getBytes("UTF-8")
-            deflater.reset()
-            deflater.setInput(raw)
-            deflater.finish()
-            var n = 0L
-            while (!deflater.finished()) n += deflater.deflate(buf)
-            (id, src, raw.length.toLong, n)
-          })(deflater.end())
-      }
-      .toDF("doc_id", "source", "raw_bytes", "deflate_bytes")
-      .filter(col("raw_bytes") > 0)
+    val ratios = docs
       .select(col("source"),
-        expr("deflate_bytes * 1000000 div raw_bytes").as("ratio_ppm"))
+        expr("octet_length(text)").cast("long").as("raw_bytes"),
+        expr("split(text, ' ')").as("toks"))
+      .filter(col("raw_bytes") > 0)
+      .select(col("source"), col("raw_bytes"),
+        expr("size(toks)").cast("long").as("n_tokens"),
+        expr("array_distinct(toks)").as("dict"))
+      .select(col("source"), col("raw_bytes"),
+        (expr("aggregate(dict, 0L, (acc, w) -> acc + octet_length(w) + 1L)") +
+          col("n_tokens") *
+            when(expr("size(dict)") <= 255, 1L).otherwise(2L))
+          .as("model_bytes"))
+      .select(col("source"),
+        expr("model_bytes * 1000000 div raw_bytes").as("ratio_ppm"))
     ratios.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         expr("sum(ratio_ppm) div count(1)").cast("long")
@@ -2170,9 +2168,18 @@ object TextStats {
     * lengths, bucket the support first (q124 equi-depth) — same
     * identity, coarser integral. */
   def sourceWassersteinMatrix(docs: DataFrame): DataFrame = {
+    // Everything below the first aggregation is DOMAIN-sized (sources ×
+    // distinct char-lengths), but the grid/cdf/self-join pipeline is
+    // ~8 stages — at 32 cores each paid a 32-task launch round for a
+    // few thousand rows (measured 1.2 s at 32c vs 0.76 s at 8c, the
+    // round-13 q278 inversion shape again). One explicit single-
+    // partition coalesce after the data-sized reduction turns the rest
+    // into 1-task stages: 0.4 s at 32c, and the at-scale story is
+    // unchanged — the corpus-sized work is exactly the one groupBy
+    // above the coalesce.
     val counts = graft.core.Caches.scratch(
       docs.groupBy(col("source"), col("n_chars"))
-        .agg(count(lit(1)).as("c")))
+        .agg(count(lit(1)).as("c"))).coalesce(1)
     val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("t"))
     val grid = counts.select(col("source")).distinct()
       .crossJoin(counts.select(col("n_chars")).distinct())

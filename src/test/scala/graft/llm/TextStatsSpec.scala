@@ -657,8 +657,12 @@ class TextStatsSpec extends SparkSpecBase {
     assert(repRatio < divRatio / 4,
       s"repetition not discriminated: $repRatio vs $divRatio")
     assert(repFlag === 1L, "repetitive doc must trip the floor")
-    assert(divRatio <= 1100000L, "deflate can only expand slightly")
-    // deterministic across runs (same JVM zlib, reset per doc)
+    // all-distinct text cannot compress under the dictionary model
+    // (dictionary alone exceeds raw), and expansion is bounded by the
+    // per-token reference cost (2 bytes/token on 5-char tokens)
+    assert(divRatio > 1000000L && divRatio <= 1450000L,
+      s"dictionary-model expansion out of band: $divRatio")
+    // deterministic across runs (pure integer expression arithmetic)
     val again = TextStats.compressionQuality(fixture).collect()
       .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
     assert(out === again)
