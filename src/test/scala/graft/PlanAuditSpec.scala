@@ -409,30 +409,35 @@ class PlanAuditSpec extends SparkSpecBase {
     // the whole point of the bitmap formulation is that retention /
     // cohort / overlap statistics need NO join of the user-activity
     // frame to itself — only broadcast joins of domain-sized frames
-    // (min-date scalar, week list, type index) are allowed
-    Seq(
-      graft.analytics.Bitmaps.bitmapRetention(spark, sf),
-      graft.analytics.Bitmaps.cohortMatrix(spark, sf),
-      graft.analytics.Bitmaps.segmentOverlap(spark, sf)
-    ).foreach { df =>
-      val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("SortMergeJoin"),
-        s"corpus-sized join leaked into a bitmap plan:\n$plan")
-      // count DISTINCT shuffle nodes (a scratch-cached subtree renders
-      // its exchanges once per cache-scan site — same plan_id, one
-      // execution): user-bitmap groupBy + a handful of domain-sized
-      // aggs; a corpus self-join formulation would add per-pair
-      // exchanges
-      // ENSURE_REQUIREMENTS only: the round-13 adaptive scan fan-out
-      // (Tables.fanned) adds REPARTITION_BY_NUM exchanges that restore
-      // single-row-group scan parallelism — they are narrow input
-      // re-splits, not the per-pair self-join exchanges this audit bounds
-      val shuffles =
-        "Exchange hashpartitioning[^\\[]*ENSURE_REQUIREMENTS[^\\[]*\\[plan_id=(\\d+)\\]".r
-          .findAllMatchIn(plan).map(_.group(1)).toSet
-      assert(shuffles.size <= 6,
-        s"bitmap plan has ${shuffles.size} distinct shuffles:\n$plan")
-    }
+    // (min-date scalar, week list, type index) are allowed.
+    // Audit with the scan fan-out OFF so Tables.fanned contributes no
+    // exchange — then count EVERY hash exchange (ENSURE_REQUIREMENTS and
+    // REPARTITION_* alike): an accidental application-level repartition
+    // must trip this bound, not hide behind the fan-out's exemption
+    // (round-13 advice).
+    val was = spark.conf.get("spark.graft.scan.fanout", "true")
+    try {
+      spark.conf.set("spark.graft.scan.fanout", "false")
+      Seq(
+        graft.analytics.Bitmaps.bitmapRetention(spark, sf),
+        graft.analytics.Bitmaps.cohortMatrix(spark, sf),
+        graft.analytics.Bitmaps.segmentOverlap(spark, sf)
+      ).foreach { df =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("SortMergeJoin"),
+          s"corpus-sized join leaked into a bitmap plan:\n$plan")
+        // count DISTINCT shuffle nodes (a scratch-cached subtree renders
+        // its exchanges once per cache-scan site — same plan_id, one
+        // execution): user-bitmap groupBy + a handful of domain-sized
+        // aggs; a corpus self-join formulation would add per-pair
+        // exchanges
+        val shuffles =
+          "Exchange hashpartitioning[^\\[]*\\[plan_id=(\\d+)\\]".r
+            .findAllMatchIn(plan).map(_.group(1)).toSet
+        assert(shuffles.size <= 6,
+          s"bitmap plan has ${shuffles.size} distinct shuffles:\n$plan")
+      }
+    } finally spark.conf.set("spark.graft.scan.fanout", was)
   }
 
   test("conjunctive search: term ranking is a TakeOrdered, not a global sort") {
@@ -455,10 +460,20 @@ class PlanAuditSpec extends SparkSpecBase {
     // corpus to domain cardinality before the single-partition sort. A
     // window straight over a scan-shaped subtree fails here, not at 100 TB.
     import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
     def reduced(p: LogicalPlan): Boolean = p.exists {
       case _: Aggregate => true
       case _: GlobalLimit => true
       case _: Deduplicate => true
+      // a scratch-cached subtree surfaces as an InMemoryRelation LEAF in
+      // the logical plan; its reducing aggregate lives in the cached
+      // PHYSICAL plan (q310's slope-value histogram). The string probe is
+      // deliberate: AdaptiveSparkPlanExec hides its input plan from
+      // TreeNode traversal, the rendering does not.
+      case imr: InMemoryRelation =>
+        val s = imr.cachedPlan.toString
+        s.contains("HashAggregate") || s.contains("SortAggregate") ||
+          s.contains("TakeOrderedAndProject")
       case _ => false
     }
     def globalWindowsOverCorpus(df: org.apache.spark.sql.DataFrame): Seq[String] =

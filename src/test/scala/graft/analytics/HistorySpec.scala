@@ -72,15 +72,20 @@ class HistorySpec extends SparkSpecBase {
 
   test("one exchange: windows and groupBy reuse the o_custkey partitioning") {
     // AQE renders the plan twice ("== Final Plan ==" then "== Initial
-    // Plan =="); count exchanges in one rendering only
-    val plan = History.statusHistory(orders)
-      .queryExecution.executedPlan.toString
+    // Plan =="); count exchanges in one rendering only.
+    // Audit with the scan fan-out OFF so Tables.fanned contributes no
+    // exchange — then count EVERY hash exchange (ENSURE_REQUIREMENTS and
+    // REPARTITION_* alike): an accidental application-level repartition
+    // must trip this bound, not hide behind the fan-out's exemption
+    // (round-13 advice).
+    val was = spark.conf.get("spark.graft.scan.fanout", "true")
+    val plan = try {
+      spark.conf.set("spark.graft.scan.fanout", "false")
+      History.statusHistory(Tables.orders(spark, sf))
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.graft.scan.fanout", was)
     val oneRendering = plan.split("== Initial Plan ==")(0)
-    // count only the query's own ENSURE_REQUIREMENTS exchanges: the
-    // round-13 adaptive scan fan-out (Tables.fanned) contributes a
-    // REPARTITION_BY_NUM re-split of the single-row-group input, which is
-    // not a second custkey partitioning
-    val exchanges = "Exchange hashpartitioning[^\\[]*ENSURE_REQUIREMENTS".r
+    val exchanges = "Exchange hashpartitioning".r
       .findAllIn(oneRendering).length
     assert(exchanges <= 1,
       s"expected the custkey hash partitioning to be planned once:\n$plan")
