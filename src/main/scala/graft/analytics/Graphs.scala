@@ -48,17 +48,35 @@ object Graphs {
   private[graft] def coPurchasePairs(spark: SparkSession, dir: String): DataFrame =
     pairCache.get(spark, dir) {
       val li = Tables.lineitem(spark, dir)
-      // see coPurchaseEdges for why the distinct + pinned-width
-      // repartition matter: the self-join's OUTPUT is quadratic per order
-      val op = Caches.scratch(li
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-        .repartition(fullWidth(li), col("ok")))
-      op.as("a").join(op.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      coOrderPairs(li).groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("w"))
     }
+
+  /** All within-order part pairs (u < v), one row per (order, pair)
+    * instance — the expansion both the weighted scaffold and the edge
+    * list reduce. Round-14 rewrite (guide §2.4): the former self-join on
+    * `ok` (scratch-cache materialization + two sorted probes of the same
+    * frame) is ONE exchange-free aggregate over the order-partitioned
+    * lineitem — per-order sorted part SETS (collect_set dedups duplicate
+    * lines; bounded by order size, the same bound the join argued) —
+    * followed by an in-row array expansion: `transform` with the index
+    * lambda pairs each part with its strict successors, so u < v holds
+    * by construction and no join, sort or second shuffle exists at all.
+    * The explicit full-width repartition keeps the documented expansion
+    * rule — partitions sized to the quadratic OUTPUT, not the few-MB
+    * input (it subsumes the scan fan-out: CollapseRepartition folds
+    * adjacent repartitions). */
+  private def coOrderPairs(li: DataFrame): DataFrame =
+    li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .repartition(fullWidth(li), col("ok"))
+      .groupBy(col("ok"))
+      .agg(expr("sort_array(collect_set(pk))").as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |            y -> struct(x AS u, y AS v))))""".stripMargin))
+        .as("p"))
+      .select(col("p.u"), col("p.v"))
 
   /** Memoized symmetric WEIGHTED adjacency of the co-purchase graph —
     * one row per node: (node, deg, nbrs: array<struct<v, w>>), built from
@@ -89,24 +107,11 @@ object Graphs {
     pairCache.cachedCount(spark)
 
   /** Distinct undirected co-purchase edges (u < v) from lineitem. */
-  private[analytics] def coPurchaseEdges(li: DataFrame): DataFrame = {
-    // per-order part sets first: duplicate (order, part) lines must not
-    // create self-pairs or inflate multiplicity; persisted — the frame
-    // feeds both self-join sides. The explicit repartition pins a full-
-    // width hash partitioning on the join key: the self-join's OUTPUT is
-    // quadratic per order while its input is a few MB, so AQE's
-    // size-based coalescing would otherwise run the expansion nearly
-    // serial. (Sizing partitions to the expansion, not the input, is the
-    // same rule that matters at 100 TB.)
-    val op = Caches.scratch(
-      li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-        .repartition(fullWidth(li), col("ok")))
-    op.as("a").join(op.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .distinct()
-  }
+  private[analytics] def coPurchaseEdges(li: DataFrame): DataFrame =
+    // distinct undirected edge list over the shared expansion
+    // (collect_set inside coOrderPairs already drops duplicate
+    // (order, part) lines, so no self-pairs or inflated multiplicity)
+    coOrderPairs(li).distinct()
 
   /** The session's configured shuffle width — the explicit partition
     * count for operators whose output expands far beyond their input
@@ -1436,10 +1441,15 @@ object Graphs {
     * training on the full corpus and evaluating in-sample (the q104
     * surface alone) overstates quality.
     *
-    * Scale shape: within-order pair joins are bounded by order size (the
-    * q93 scaffold argument), the top-k is a partial-combining Aggregator
-    * (≤k rows per anchor cross the wire), and the hit probe is an
-    * equi-join of test pairs against the ≤k-per-anchor rec table. */
+    * Scale shape: within-order pair expansions are bounded by order size
+    * (the q93 scaffold argument) and run IN-ROW over per-order part
+    * arrays — round-14 replaced both self-joins (train co-occurrence,
+    * test pairs) with one exchange-free per-order collect_set aggregate
+    * over the order-partitioned lineitem plus array `transform`
+    * expansions, the same rewrite as the pair scaffold (coOrderPairs);
+    * the top-k is a partial-combining Aggregator (≤k rows per anchor
+    * cross the wire), and the hit probe is an equi-join of test pairs
+    * against the ≤k-per-anchor rec table. */
   def recBacktest(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import spark.implicits._
     val orders = Tables.orders(spark, dir)
@@ -1448,17 +1458,31 @@ object Graphs {
       .select(col("l_orderkey").as("o_orderkey"), col("l_partkey").as("part"))
     val bounds = orders.agg(min(col("o_orderdate")).as("lo"),
       max(col("o_orderdate")).as("hi"))
-    val tagged = Caches.scratch(orders.crossJoin(broadcast(bounds))
+    // one row per ORDER: its train/test tag (a function of the order
+    // date alone) and its sorted distinct part set (collect_set dedups
+    // duplicate lines; bounded by order size). The broadcast-joined
+    // lineitem keeps its order-key partitioning, so the groupBy is
+    // exchange-free.
+    val perOrder = Caches.scratch(orders.crossJoin(broadcast(bounds))
       .select(col("o_orderkey"),
         (datediff(col("o_orderdate"), col("lo")) * 5 <
           datediff(col("hi"), col("lo")) * 4).as("is_train"))
       .join(li, Seq("o_orderkey"))
-      .select(col("o_orderkey").as("ord"), col("part"), col("is_train"))
-      .distinct())
-    val train = tagged.filter(col("is_train")).select(col("ord"), col("part"))
-    val cow = train.as("a").join(train.as("b"),
-        col("a.ord") === col("b.ord") && col("a.part") =!= col("b.part"))
-      .groupBy(col("a.part").as("anchor"), col("b.part").as("rec"))
+      .groupBy(col("o_orderkey").as("ord"))
+      .agg(first(col("is_train")).as("is_train"),
+        expr("sort_array(collect_set(part))").as("parts")))
+    // all ORDERED within-order pairs (x != y, both directions) as an
+    // in-row array expansion — one row per co-occurrence instance,
+    // exactly the rows the former self-join produced
+    def orderedPairs(po: DataFrame): DataFrame = po
+      .select(col("ord"), explode(expr(
+        """flatten(transform(parts, x ->
+          |  transform(filter(parts, y -> y != x),
+          |            y -> struct(x AS a, y AS b))))""".stripMargin))
+        .as("p"))
+      .select(col("ord"), col("p.a"), col("p.b"))
+    val cow = orderedPairs(perOrder.filter(col("is_train")))
+      .groupBy(col("a").as("anchor"), col("b").as("rec"))
       .agg(count(lit(1)).as("w"))
     val top = new graft.functions.TopKPairsAgg(k).toColumn
     val recs = Caches.scratch(cow
@@ -1473,15 +1497,14 @@ object Graphs {
         }
       }
       .toDF("anchor", "rec", "rk"))
-    val test = Caches.scratch(
-      tagged.filter(!col("is_train")).select(col("ord"), col("part")))
+    val testOrders = perOrder.filter(!col("is_train"))
+    val test = testOrders
+      .select(col("ord"), explode(col("parts")).as("part"))
     val anchors = test
       .join(recs.select(col("anchor").as("part")).distinct(), Seq("part"),
         "leftsemi")
-    val testPairs = test.as("x").join(test.as("y"),
-        col("x.ord") === col("y.ord") && col("x.part") =!= col("y.part"))
-      .select(col("x.ord").as("ord"), col("x.part").as("anchor"),
-        col("y.part").as("other"))
+    val testPairs = orderedPairs(testOrders)
+      .select(col("ord"), col("a").as("anchor"), col("b").as("other"))
     val perAnchor = testPairs
       .join(recs, testPairs("anchor") === recs("anchor")
         && col("other") === recs("rec"))

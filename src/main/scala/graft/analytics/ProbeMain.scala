@@ -185,6 +185,154 @@ object ProbeMain {
           }
         }
         System.err.println(s"PROBE-iters $iters")
+      case "q289" =>
+        // A/B the round-13 self-join recBacktest against the round-14
+        // array-expansion form, fresh scratch per iteration
+        import graft.core.{Caches, Tables}
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        def oldFull(): Unit = {
+          val orders = Tables.orders(spark, dir)
+            .select(col("o_orderkey"), col("o_orderdate"))
+          val li = Tables.lineitem(spark, dir)
+            .select(col("l_orderkey").as("o_orderkey"),
+              col("l_partkey").as("part"))
+          val bounds = orders.agg(min(col("o_orderdate")).as("lo"),
+            max(col("o_orderdate")).as("hi"))
+          val tagged = Caches.scratch(orders.crossJoin(broadcast(bounds))
+            .select(col("o_orderkey"),
+              (datediff(col("o_orderdate"), col("lo")) * 5 <
+                datediff(col("hi"), col("lo")) * 4).as("is_train"))
+            .join(li, Seq("o_orderkey"))
+            .select(col("o_orderkey").as("ord"), col("part"),
+              col("is_train"))
+            .distinct())
+          val train = tagged.filter(col("is_train"))
+            .select(col("ord"), col("part"))
+          val cow = train.as("a").join(train.as("b"),
+              col("a.ord") === col("b.ord") && col("a.part") =!= col("b.part"))
+            .groupBy(col("a.part").as("anchor"), col("b.part").as("rec"))
+            .agg(count(lit(1)).as("w"))
+          val top = new graft.functions.TopKPairsAgg(3).toColumn
+          val recs = Caches.scratch(cow
+            .select(col("anchor").cast("long"), col("rec").cast("long"),
+              col("w").cast("long")).as[(Long, Long, Long)]
+            .groupByKey(_._1)
+            .mapValues(tt => (tt._2, tt._3))
+            .agg(top.name("top"))
+            .flatMap { case (anchor, lst) =>
+              lst.iterator.zipWithIndex.map { case ((rec, _), i) =>
+                (anchor, rec, (i + 1).toLong)
+              }
+            }
+            .toDF("anchor", "rec", "rk"))
+          val test = Caches.scratch(
+            tagged.filter(!col("is_train")).select(col("ord"), col("part")))
+          val testPairs = test.as("x").join(test.as("y"),
+              col("x.ord") === col("y.ord") && col("x.part") =!= col("y.part"))
+            .select(col("x.ord").as("ord"), col("x.part").as("anchor"),
+              col("y.part").as("other"))
+          val perAnchor = testPairs
+            .join(recs, testPairs("anchor") === recs("anchor")
+              && col("other") === recs("rec"))
+            .groupBy(col("ord"), testPairs("anchor"))
+            .agg(min(col("rk")).as("min_rk"))
+          val hitRow = perAnchor.agg(
+            coalesce(sum((col("min_rk") <= 1).cast("long")), lit(0L)).as("h1"),
+            coalesce(sum((col("min_rk") <= 2).cast("long")), lit(0L)).as("h2"),
+            coalesce(sum((col("min_rk") <= 3).cast("long")), lit(0L)).as("h3"))
+          val anchors = test.join(
+            recs.select(col("anchor").as("part")).distinct(), Seq("part"),
+            "leftsemi")
+          noop(anchors.agg(count(lit(1)).as("n_anchors")).crossJoin(hitRow))
+          Caches.releaseScratch(spark)
+        }
+        (1 to 3).foreach { i =>
+          t(s"old-full-$i")(oldFull())
+          t(s"new-full-$i") {
+            noop(Graphs.recBacktest(spark, dir))
+            Caches.releaseScratch(spark)
+          }
+        }
+      case "pairsab" =>
+        // A/B: self-join pair expansion vs array-expansion coOrderPairs
+        import graft.core.{Caches, Tables}
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        val li = Tables.lineitem(spark, dir)
+        val w = math.max(1, spark.sessionState.conf.numShufflePartitions)
+        def oldPairs(): org.apache.spark.sql.DataFrame = {
+          val op = Caches.scratch(li
+            .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+            .distinct()
+            .repartition(w, col("ok")))
+          op.as("a").join(op.as("b"),
+              col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+            .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+            .agg(count(lit(1)).as("w"))
+        }
+        def newPairs(): org.apache.spark.sql.DataFrame =
+          li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+            .repartition(w, col("ok"))
+            .groupBy(col("ok"))
+            .agg(expr("sort_array(collect_set(pk))").as("ps"))
+            .select(explode(expr(
+              """flatten(transform(ps, (x, i) ->
+                |  transform(slice(ps, i + 2, size(ps)),
+                |            y -> struct(x AS u, y AS v))))""".stripMargin))
+              .as("p"))
+            .select(col("p.u"), col("p.v"))
+            .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+        (1 to 3).foreach { i =>
+          t(s"old-pairs-$i") { noop(oldPairs()); Caches.releaseScratch(spark) }
+          t(s"new-pairs-$i")(noop(newPairs()))
+        }
+        val a = oldPairs().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val b = newPairs().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        System.err.println(s"PROBE-equal ${a == b} (${a.size} vs ${b.size})")
+      case "topkab" =>
+        // A/B: typed TopKPairsAgg vs Spark-4 window-group-limit top-k
+        import graft.core.{Caches, Tables}
+        import org.apache.spark.sql.expressions.Window
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        val pairW = t("pair-scaffold") {
+          val p = Graphs.coPurchasePairs(spark, dir); p.count(); p
+        }
+        val sym = pairW.select(col("u").as("part"), col("v").as("rec"), col("w"))
+          .unionAll(pairW.select(col("v").as("part"), col("u").as("rec"), col("w")))
+        def aggForm = {
+          val top = new graft.functions.TopKPairsAgg(3).toColumn
+          sym.select(col("part").cast("long"), col("rec").cast("long"),
+              col("w").cast("long")).as[(Long, Long, Long)]
+            .groupByKey(_._1)
+            .mapValues(tt => (tt._2, tt._3))
+            .agg(top.name("top"))
+            .flatMap { case (part, lst) =>
+              lst.iterator.zipWithIndex.map { case ((rec, w), i) =>
+                (part, i + 1, rec, w)
+              }
+            }
+            .toDF("part", "rk", "rec", "w")
+        }
+        def winForm = {
+          val w = Window.partitionBy(col("part"))
+            .orderBy(col("w").desc, col("rec").asc)
+          sym.withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= 3)
+            .select(col("part"), col("rk"), col("rec"), col("w"))
+        }
+        (1 to 3).foreach { i =>
+          t(s"agg-form-$i")(noop(aggForm))
+          t(s"win-form-$i")(noop(winForm))
+        }
+        System.err.println("win plan has WindowGroupLimit: " +
+          winForm.queryExecution.executedPlan.toString
+            .contains("WindowGroupLimit"))
+        // equality check
+        val a = aggForm.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+        val b = winForm.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+        System.err.println(s"PROBE-equal ${a == b} (${a.size} vs ${b.size})")
       case other => sys.error(s"unknown probe $other")
     }
     spark.stop()
