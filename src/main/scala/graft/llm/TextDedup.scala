@@ -1033,17 +1033,26 @@ object TextDedup {
       : DataFrame = {
     val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
     val toks = docs.select(col("doc_id"), split(norm, " ").as("w"))
+    // ONE exchange for the whole gram multiset (round-14, guide §2.4):
+    // the explicit (wsize, gram) repartition is a partitioning every
+    // downstream step can reuse — the per-doc distinct, the gram-count
+    // reduction AND the shared-gram flag join are then all exchange-free
+    // (the former plan re-shuffled the gram set three times: distinct on
+    // (wsize, doc_id, gram), groupBy (wsize, gram), join re-exchange).
     val grams = widths.map { k =>
       toks.select(lit(k.toLong).as("wsize"), col("doc_id"), explode(expr(
         s"transform(slice(w, 1, size(w) - ${k - 1}), (x, i) -> " +
           s"array_join(slice(w, i + 1, $k), ' '))")).as("gram"))
-    }.reduce(_ unionAll _).distinct()
+    }.reduce(_ unionAll _)
+      .repartition(col("wsize"), col("gram"))
+      .distinct()
     val g = Caches.scratch(grams)
     val dfc = g.groupBy(col("wsize"), col("gram")).agg(count(lit(1)).as("df"))
     val perW = dfc.groupBy(col("wsize"))
       .agg(count(lit(1)).as("n_grams"),
         sum((col("df") > 1).cast("long")).as("n_shared_grams"))
-    val flagged = g.join(dfc.filter(col("df") > 1), Seq("wsize", "gram"))
+    val flagged = g.join(dfc.filter(col("df") > 1).hint("shuffle_hash"),
+        Seq("wsize", "gram"))
       .select(col("wsize"), col("doc_id")).distinct()
       .groupBy(col("wsize")).agg(count(lit(1)).as("docs_flagged"))
     val nd = docs.agg(count(lit(1)).as("n_docs"))
