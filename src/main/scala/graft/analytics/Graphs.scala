@@ -169,30 +169,25 @@ object Graphs {
     * catalog². Full (weight desc, neighbor asc) tiebreak keeps the
     * result deterministic. */
   def itemItemRecs(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    import spark.implicits._
-    // the memoized scaffold IS the weighted pair list, already persisted —
-    // it feeds both union arms below at zero extra build cost
-    val pairW = coPurchasePairs(spark, dir)
-    val sym = pairW.select(col("u").as("part"), col("v").as("rec"), col("w"))
-      .unionAll(pairW.select(col("v").as("part"), col("u").as("rec"), col("w")))
-    // bounded top-k Aggregator, not a window: the window formulation
-    // shuffles + sorts the FULL symmetrized pair list (2|E| rows) per
-    // run, while the Aggregator partial-combines map-side so only ≤k
-    // rows per part cross the wire — the per-group TakeOrdered. Output
-    // is row-for-row the row_number() formulation (same w desc, rec asc
-    // tiebreak; GraphsSpec pins it).
-    val top = new graft.functions.TopKPairsAgg(k).toColumn
-    sym.select(col("part").cast("long"), col("rec").cast("long"),
-        col("w").cast("long")).as[(Long, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._2, t._3))
-      .agg(top.name("top"))
-      .flatMap { case (part, lst) =>
-        lst.iterator.zipWithIndex.map { case ((rec, w), i) =>
-          (part, i + 1, rec, w)
-        }
-      }
-      .toDF("part", "rk", "rec", "w")
+    // Round-14 (guide §2.4): the memoized ADJACENCY already holds every
+    // part's full weighted neighbor list as one array row, so the top-k
+    // is an IN-ROW array_sort + slice — ZERO shuffle in this query
+    // (rounds 12-13 symmetrized the pair scaffold into a 2|E|-row union
+    // and re-aggregated it per run through a typed top-k Aggregator:
+    // one exchange plus per-row encoder dispatch, every execution).
+    // Same (w desc, rec asc) tiebreak, row-for-row the row_number()
+    // formulation (GraphsSpec pins it). Per-node cost is d log d against
+    // the Aggregator's d·k scan — bounded by the same per-group degree
+    // bound; a 100 TB hot node pays a sort of ITS OWN list, not a
+    // shuffle of everyone's.
+    coPurchaseAdjacency(spark, dir)
+      .select(col("node").as("part"), posexplode(expr(
+        s"""slice(array_sort(nbrs, (a, b) ->
+           |  CASE WHEN a.w > b.w THEN -1 WHEN a.w < b.w THEN 1
+           |       WHEN a.v < b.v THEN -1 WHEN a.v > b.v THEN 1
+           |       ELSE 0 END), 1, $k)""".stripMargin)))
+      .select(col("part"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.v").as("rec"), col("col.w").as("w"))
       .orderBy(col("part").asc, col("rk").asc)
   }
 
