@@ -254,6 +254,24 @@ object ProbeMain {
             Caches.releaseScratch(spark)
           }
         }
+      case "cachepart" =>
+        // does an EAGERLY MATERIALIZED pre-partitioned cache expose its
+        // partitioning to consumers planned afterwards?
+        import graft.core.{Caches, Tables}
+        val li = Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val c = Caches.scratch(li.repartition(col("ok")))
+        val planLazy = c.as("a").join(c.as("b"), Seq("ok"))
+          .queryExecution.executedPlan.toString
+        System.err.println("LAZY join exchanges: " +
+          "Exchange hashpartitioning".r.findAllIn(
+            planLazy.split("== Initial Plan ==")(0)).length)
+        c.count() // materialize
+        val planEager = c.as("a").join(c.as("b"), Seq("ok"))
+          .queryExecution.executedPlan.toString
+        System.err.println("EAGER join exchanges: " +
+          "Exchange hashpartitioning".r.findAllIn(
+            planEager.split("== Initial Plan ==")(0)).length)
       case "pairsab" =>
         // A/B: self-join pair expansion vs array-expansion coOrderPairs
         import graft.core.{Caches, Tables}

@@ -324,6 +324,14 @@ object TextDedup {
     // the dominant cost of this operator at sf0.1). Released by the caller
     // via Caches.releaseScratch after materialization.
     val blockCols = Seq("lang", "source", "band", "subshard")
+    // Persisted PRE-PARTITIONED on the inverted-index key and EAGERLY
+    // materialized (round-14, guide §2.4): a lazy cache exposes no
+    // partitioning to EnsureRequirements (the consumer is planned before
+    // the cache exists), but once the count() below has materialized it,
+    // the self-join arms below reuse hash(block..., shingle) and the two
+    // exchanges of the shingle frame — the largest intermediate this
+    // operator has — disappear. The count costs one aggregate over
+    // already-cached blocks; the cache build itself was paid either way.
     val sh = graft.core.Caches.scratch(ngramBlocks(docs)
       .withColumn("w", split(col("norm"), " "))
       .filter(size(col("w")) >= 2)
@@ -331,7 +339,9 @@ object TextDedup {
         explode(array_distinct(
           transform(
             sequence(lit(0), size(col("w")) - 2),
-            i => concat_ws(" ", slice(col("w"), i + 1, lit(2)))))).as("shingle"): _*))
+            i => concat_ws(" ", slice(col("w"), i + 1, lit(2)))))).as("shingle"): _*)
+      .repartition(blockCols.map(col) :+ col("shingle"): _*))
+    sh.count()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(blockCols.map(col) :+ col("shingle") :+ col("doc_id").as("doc_a"): _*)
     val b = sh.select(blockCols.map(col) :+ col("shingle") :+ col("doc_id").as("doc_b"): _*)
